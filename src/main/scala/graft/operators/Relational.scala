@@ -1,0 +1,491 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Core relational operator surface (SURVEY.md §2.1: scans, projections,
+  * filters, joins of every flavor, aggregations, window functions, sorts,
+  * top-k, set ops, scalar functions).
+  *
+  * The reference (`/root/reference/regionSpout.go`) has no SQL layer; this
+  * surface is mandated by BASELINE.json's north star. Every query here is
+  * declarative DataFrame API so Catalyst gets full freedom: predicate
+  * pushdown and column pruning reach the parquet scans, small dimensions
+  * are broadcast, and AQE re-plans shuffles at runtime.
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension tables (region/nation/supplier/part) are broadcast —
+  *    explicitly via `broadcast()` where the plan benefits; the big fact
+  *    (lineitem) is never shuffled for those joins.
+  *  - Fact-to-fact joins (orders⋈lineitem) shuffle on the join key; at
+  *    scale both sides would be bucketed by orderkey to make this a
+  *    shuffle-free sort-merge join. AQE skew-join splits hot keys.
+  *  - Aggregations are partial (map-side combine) before the exchange —
+  *    automatic with groupBy/agg.
+  *
+  * Doubles are rounded at the output boundary so results hash-compare
+  * against the DuckDB oracle despite summation-order differences.
+  */
+object Relational {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary: filter → partial+final hash agg → sort. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + projection; predicates and column pruning push to the scan. */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q02Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** TPC-H Q3-style: 3-way join, agg, deterministic top-10. */
+  def q03JoinTopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1995-03-15 00:00:00"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1995-03-15 00:00:00"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Left-semi join (EXISTS): orders with at least one heavy lineitem. */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val heavy = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"))
+    o.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q05Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Star join with broadcast dimensions: revenue per nation.
+    * lineitem (fact) never shuffles for the dim joins — supplier/nation/
+    * region are broadcast; only the final small agg exchanges. */
+  def q06StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q06Sql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Window functions: running revenue + row_number per supplier.
+    * Deterministic intra-partition order via (shipdate, orderkey, linenumber). */
+  def q07WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    l.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        round(sum(col("l_extendedprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_rev"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val q07Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  row_number() OVER w AS rn,
+      |  round(sum(l_extendedprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** Top-k per group via row_number: 3 priciest orders per customer. */
+  def q08TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val q08Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Set operations: UNION / INTERSECT / EXCEPT on customer keys. */
+  def q09SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    building.union(rich).distinct()
+      .intersect(c.filter(col("c_acctbal") > 0.0).select(col("c_custkey")))
+      .except(auto)
+      .orderBy(col("c_custkey"))
+  }
+
+  val q09Sql: String =
+    """SELECT c_custkey FROM (
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |   UNION
+      |   SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |  INTERSECT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 0.0
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Distinct aggregation: exact count-distinct per group (the HLL
+    * `approx_count_distinct` variant is benched separately — approximate
+    * results can't hash-match an oracle). */
+  def q10DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q10Sql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  round(min(o_totalprice), 2) AS min_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** ROLLUP (multi-level agg in one pass); NULLS FIRST pinned for parity. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  val q11Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Scalar-function gallery: string / date / math, all codegen built-ins. */
+  def q12ScalarFns(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 1000L)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        date_trunc("month", col("o_orderdate")).as("mon_start"),
+        upper(col("o_orderstatus")).as("status_u"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+        round(col("o_totalprice") / 1000.0, 3).as("price_k"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        round(sqrt(col("o_totalprice")), 4).as("price_sqrt"),
+        (col("o_orderkey") % 7L).as("key_mod7"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("price_hi"),
+        least(col("o_totalprice"), lit(50000.0)).as("price_lo"),
+        when(col("o_totalprice") > 150000.0, "big")
+          .when(col("o_totalprice") > 50000.0, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dy,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+      |  upper(o_orderstatus) AS status_u,
+      |  substring(o_orderpriority, 1, 1) AS prio_code,
+      |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+      |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+      |  round(o_totalprice / 1000.0, 3) AS price_k,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+      |  round(sqrt(o_totalprice), 4) AS price_sqrt,
+      |  o_orderkey % 7 AS key_mod7,
+      |  greatest(o_totalprice, 50000.0) AS price_hi,
+      |  least(o_totalprice, 50000.0) AS price_lo,
+      |  CASE WHEN o_totalprice > 150000.0 THEN 'big'
+      |       WHEN o_totalprice > 50000.0 THEN 'mid'
+      |       ELSE 'small' END AS bucket
+      |FROM orders
+      |WHERE o_orderkey < 1000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** JSON extraction from a string column (events.props is JSON-in-string,
+    * mirroring the reference's JSON-in-JSON envelope, regionSpout.go:50,87). */
+  def q13JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+  }
+
+  val q13Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin
+
+  /** Conditional aggregation (TPC-H Q14 style): promo revenue share. */
+  def q14ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    """SELECT round(
+      |  sum(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+      |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** GROUP BY + HAVING: suppliers above a revenue threshold. */
+  def q15Having(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"))
+      .filter(col("total_rev") > 1000000.0)
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q15Sql: String =
+    """SELECT l_suppkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 1000000.0
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Scalar-subquery pattern: suppliers richer than their nation's average
+    * (expressed as a broadcast join against the per-nation aggregate). */
+  def q16AboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val nationAvg = s.groupBy(col("s_nationkey").as("nk"))
+      .agg(avg(col("s_acctbal")).as("nation_avg"))
+    s.join(broadcast(nationAvg), col("s_nationkey") === col("nk"))
+      .filter(col("s_acctbal") > col("nation_avg"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("acctbal"),
+        round(col("nation_avg"), 4).as("nation_avg"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q16Sql: String =
+    """SELECT s_suppkey, s_name, s_nationkey,
+      |  round(s_acctbal, 2) AS acctbal,
+      |  round(nation_avg, 4) AS nation_avg
+      |FROM supplier
+      |JOIN (SELECT s_nationkey AS nk, avg(s_acctbal) AS nation_avg
+      |      FROM supplier GROUP BY s_nationkey) t ON s_nationkey = nk
+      |WHERE s_acctbal > nation_avg
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** UNION ALL then aggregate: two event slices recombined. */
+  def q17UnionAllAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+    clicks.unionAll(purchases)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q17Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click'
+      |      UNION ALL
+      |      SELECT * FROM events WHERE event_type = 'purchase')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Date functions over event time: trunc / diff / add. */
+  def q18DateFns(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 500L)
+      .select(
+        col("event_id"),
+        date_trunc("day", col("ts")).as("day_start"),
+        date_trunc("hour", col("ts")).as("hour_start"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("days_since"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("ts_plus_day"),
+        hour(col("ts")).as("hr"),
+        minute(col("ts")).as("mi"))
+      .orderBy(col("event_id"))
+  }
+
+  val q18Sql: String =
+    """SELECT event_id,
+      |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+      |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
+      |  ts + INTERVAL 1 DAY AS ts_plus_day,
+      |  CAST(hour(ts) AS INT) AS hr,
+      |  CAST(minute(ts) AS INT) AS mi
+      |FROM events
+      |WHERE event_id < 500
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project"  -> q02FilterProject _,
+    "q03_join_topk"       -> q03JoinTopK _,
+    "q04_semi_join"       -> q04SemiJoin _,
+    "q05_anti_join"       -> q05AntiJoin _,
+    "q06_star_join"       -> q06StarJoin _,
+    "q07_window_running"  -> q07WindowRunning _,
+    "q08_topk_per_group"  -> q08TopKPerGroup _,
+    "q09_set_ops"         -> q09SetOps _,
+    "q10_distinct_agg"    -> q10DistinctAgg _,
+    "q11_rollup"          -> q11Rollup _,
+    "q12_scalar_fns"      -> q12ScalarFns _,
+    "q13_json_extract"    -> q13JsonExtract _,
+    "q14_conditional_agg" -> q14ConditionalAgg _,
+    "q15_having"          -> q15Having _,
+    "q16_above_nation_avg" -> q16AboveNationAvg _,
+    "q17_union_all_agg"   -> q17UnionAllAgg _,
+    "q18_date_fns"        -> q18DateFns _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project"  -> q02Sql,
+    "q03_join_topk"       -> q03Sql,
+    "q04_semi_join"       -> q04Sql,
+    "q05_anti_join"       -> q05Sql,
+    "q06_star_join"       -> q06Sql,
+    "q07_window_running"  -> q07Sql,
+    "q08_topk_per_group"  -> q08Sql,
+    "q09_set_ops"         -> q09Sql,
+    "q10_distinct_agg"    -> q10Sql,
+    "q11_rollup"          -> q11Sql,
+    "q12_scalar_fns"      -> q12Sql,
+    "q13_json_extract"    -> q13Sql,
+    "q14_conditional_agg" -> q14Sql,
+    "q15_having"          -> q15Sql,
+    "q16_above_nation_avg" -> q16Sql,
+    "q17_union_all_agg"   -> q17Sql,
+    "q18_date_fns"        -> q18Sql,
+  )
+}
