@@ -13,6 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: JIT + codegen + parquet footer caches, so the first timed
+    // query isn't charged session start-up costs.
+    Seq("lineitem", "events").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
