@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis surface over the `documents` table (BASELINE.json
+  * extension: language-ID, quality scoring, token counting, document
+  * fingerprinting). The reference (`/root/reference/regionSpout.go:152`)
+  * ships tweet text opaquely; connor.fun's downstream is tweet sentiment, so
+  * a text-scoring surface is the natural extension of its intent.
+  *
+  * Everything here is built from codegen'd built-ins — `split`, higher-order
+  * array functions (`transform`/`aggregate`/`filter`), `regexp_count`, `md5`
+  * — no UDFs, so whole-stage codegen spans the full pipeline and the 100 TB
+  * plan is a pure map over the corpus followed by a tiny aggregate.
+  *
+  * Cross-engine determinism: every score is integer arithmetic or a single
+  * well-ordered double expression, so results hash-match the DuckDB oracle
+  * bit-for-bit. The shared 60-bit hash is `H(x) = bigint(md5(x)[0,15) hex)`
+  * — identical in Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(x),1,15))::BIGINT`).
+  */
+object Text {
+
+  /** 60-bit deterministic cross-engine hash (fits a signed long). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB fragment computing h60 of `e`. */
+  def h60Sql(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  private val P = 1000000007L
+
+  def toks(c: Column): Column = split(c, " ")
+
+  // ---------------------------------------------------------------- q21
+  /** Token statistics per language: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single other), distinct-token
+    * (type-token) counts, chars. One map + one 5-group aggregate. */
+  def q21TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = toks(col("text"))
+    d.select(
+        col("lang"),
+        size(t).as("n_ws"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe"),
+        size(array_distinct(t)).as("n_distinct"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_tokens"),
+        round(avg(col("n_ws")), 4).as("avg_tokens"),
+        round(avg(col("n_bpe")), 4).as("avg_bpe_tokens"),
+        round(avg(col("n_distinct")), 4).as("avg_distinct"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q21Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(string_split(text,' ')))::BIGINT AS total_tokens,
+      |  round(avg(len(string_split(text,' '))), 4) AS avg_tokens,
+      |  round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_bpe_tokens,
+      |  round(avg(len(list_distinct(string_split(text,' ')))), 4) AS avg_distinct,
+      |  round(avg(length(text)), 4) AS avg_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Per-document quality score from length / type-token ratio / stopword
+    * ratio — the standard pretraining-corpus heuristics, purely map-side. */
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  def q22QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = toks(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    d.select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(filter(t, x => array_contains(stopArr, x))).as("n_stop"),
+        size(array_distinct(t)).as("n_distinct"),
+        length(regexp_replace(col("text"), " ", "")).as("n_alpha"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_alpha") / col("n_tokens"), 6).as("avg_token_len"),
+        round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("n_distinct") / col("n_tokens"), 6).as("ttr"),
+        round(
+          least(lit(1.0), col("n_tokens") / 100.0) *
+            (lit(0.5) + (col("n_distinct") / col("n_tokens")) * 0.5) *
+            (lit(1.0) - (col("n_stop") / col("n_tokens")) * 0.5), 6)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q22Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    len(string_split(text,' ')) AS n_tokens,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> list_contains(['the','a','of','and','to'], x))) AS n_stop,
+      |    len(list_distinct(string_split(text,' '))) AS n_distinct,
+      |    length(replace(text,' ','')) AS n_alpha
+      |  FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  round(n_alpha / n_tokens, 6) AS avg_token_len,
+      |  round(n_stop / n_tokens, 6) AS stop_ratio,
+      |  round(n_distinct / n_tokens, 6) AS ttr,
+      |  round(least(1.0, n_tokens / 100.0) *
+      |        (0.5 + (n_distinct / n_tokens) * 0.5) *
+      |        (1.0 - (n_stop / n_tokens) * 0.5), 6) AS quality
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Marker-token language ID (n-gram-heuristic family): score each
+    * language by marker hits, argmax with first-wins tie-break, confusion
+    * matrix vs the labeled lang. Map + tiny aggregate. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "sort"),
+    "fr" -> Seq("table", "value", "merge"),
+    "de" -> Seq("hash", "join", "scan"),
+    "zh" -> Seq("window", "stream", "batch"))
+
+  def q23LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = toks(col("text"))
+    val scored = d.select(
+      (col("doc_id") +: col("lang") +:
+        markers.map { case (l, ms) =>
+          val arr = array(ms.map(lit): _*)
+          size(filter(t, x => array_contains(arr, x))).as(s"s_$l")
+        }): _*)
+    val langs = markers.map(_._1)
+    // argmax, first language in `markers` order wins ties
+    val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), rest) =>
+      val geAll = langs.drop(i + 1)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .foldLeft(lit(true))(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    scored.select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val q23Sql: String = {
+    val score = markers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"len(list_filter(string_split(text,' '), x -> list_contains($lst, x))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val pred = langs.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+      val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang,
+       |    $score
+       |  FROM documents),
+       |p AS (SELECT lang, CASE $pred ELSE 'und' END AS pred_lang FROM sc)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** Document fingerprint: polynomial rolling hash over per-token 60-bit
+    * hashes, mod 1e9+7 — an order-sensitive content signature (unlike the
+    * set-based MinHash in Dedup). Pure map, no shuffle at any scale. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      toks(text), lit(0L),
+      (acc, t) => (acc * 131L + h60(t) % P) % P)
+
+  def fingerprintSql(text: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       | list_transform(string_split($text,' '), t -> ${h60Sql("t")} % 1000000007)),
+       | (a,b) -> (a*131 + b) % 1000000007)""".stripMargin.replace("\n", "")
+
+  def q24Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q24Sql: String =
+    s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_token_stats"   -> q21TokenStats _,
+    "q22_quality_score" -> q22QualityScore _,
+    "q23_lang_id"       -> q23LangId _,
+    "q24_fingerprint"   -> q24Fingerprint _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q21_token_stats"   -> q21Sql,
+    "q22_quality_score" -> q22Sql,
+    "q23_lang_id"       -> q23Sql,
+    "q24_fingerprint"   -> q24Sql,
+  )
+}
