@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text.{h60, h60Sql}
+import graft.sources.Tables
+
+/** Deduplication surface over `documents` (BASELINE.json extension):
+  * exact hash-dedup, MinHash+LSH near-dup candidate generation, exact
+  * n-gram Jaccard verification, and SimHash signatures + banded
+  * Hamming-distance near-dup pairs.
+  *
+  * Scale shape (100 TB): signatures are computed purely map-side with
+  * higher-order array functions (no explode, no UDFs — one codegen'd
+  * projection over the corpus). The only shuffles are (a) the LSH band
+  * self-join, which groups by band key exactly like a production
+  * shingle→minhash→band→bucket-join pipeline, and (b) final distincts.
+  * Band-key skew (an empty-band degenerate bucket) is the classic failure
+  * mode; AQE skew-join handles moderate skew and band keys include the
+  * band index so buckets stay narrow.
+  *
+  * Cross-engine determinism: all hashing is the md5-derived 60-bit H from
+  * [[graft.functions.Text]], reduced mod 2^31-1; permutations are
+  * h_i(x) = (a_i·x + b_i) mod 2^31-1 with the SAME Scala constants
+  * generating both the Spark plan and the DuckDB oracle SQL.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: keeps a_i·x within a signed 64-bit long. */
+  private val P31 = 2147483647L
+
+  /** MinHash permutation constants (8 perms, 4 bands × 2 rows). Arbitrary
+    * fixed odd multipliers/offsets, single source of truth for both engines. */
+  private val perms: Seq[(Long, Long)] =
+    (0 until 8).map(i => (1000003L * (2 * i + 1) + 17L, 7919L * i + 42L))
+
+  private val nBands = 4
+  private val rowsPerBand = 2
+
+  // ------------------------------------------------------------ shingles
+  /** 3-gram token shingles (overlapping, order-preserving). */
+  private def shingles(text: Column): Column = {
+    val t = split(text, " ")
+    transform(sequence(lit(1), size(t) - 2), i => concat_ws(" ", slice(t, i, lit(3))))
+  }
+
+  private def shinglesSql(text: String): String =
+    s"""list_transform(range(1, len(string_split($text,' ')) - 1),
+       | i -> array_to_string(list_slice(string_split($text,' '), i, i+2), ' '))"""
+      .stripMargin.replace("\n", "")
+
+  // ---------------------------------------------------------------- q25
+  /** Exact dedup via hash-groupBy: per source, total docs vs distinct
+    * full-text hashes vs distinct 5-token-prefix hashes (normalized key).
+    * At scale this is THE dedup primitive: group on a 128-bit content hash,
+    * keep min(doc_id) — here surfaced as distinct counts. */
+  def q25ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = split(col("text"), " ")
+    d.select(col("source"), md5(col("text")).as("h_full"),
+        md5(concat_ws(" ", slice(t, 1, 5))).as("h_prefix"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h_full")).as("n_unique"),
+        countDistinct(col("h_prefix")).as("n_unique_prefix5"))
+      .orderBy(col("source"))
+  }
+
+  val q25Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_unique,
+      |  count(DISTINCT md5(array_to_string(list_slice(string_split(text,' '),1,5),' '))) AS n_unique_prefix5
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** MinHash signature as an array column — map-side only. */
+  private def minhashSig(text: Column): Column = {
+    val hs = transform(shingles(text), s => h60(s) % P31)
+    array(perms.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % P31))
+    }: _*)
+  }
+
+  /** doc_id + exploded band keys "bandIdx:h1:h2". */
+  private def bandedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sig = d.select(col("doc_id"), minhashSig(col("text")).as("sig"))
+    sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
+      concat_ws(":", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }: _*)).as("band"))
+  }
+
+  /** MinHash+LSH near-dup candidates: docs sharing any band. */
+  def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandedDocs(spark, dir)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared oracle CTE prefix: shingle hashes + signatures + bands. */
+  private def bandsSqlCte: String = {
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(h, x -> ($a*x + $b) % $P31)) AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
+      s"SELECT doc_id, '$b:' || ${parts.mkString(" || ':' || ")} AS band FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""hs AS (SELECT doc_id, list_transform(${shinglesSql("text")},
+       |    s -> ${h60Sql("s")} % $P31) AS h FROM documents),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hs),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  val q26Sql: String =
+    s"""WITH $bandsSqlCte
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Exact 3-gram Jaccard over the LSH candidate pairs (verify step of the
+    * minhash pipeline); near-dups at jaccard >= 0.5. Candidates only —
+    * never all-pairs — so the verify cost is proportional to collisions. */
+  def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sets = d.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val cand = q26MinhashLsh(spark, dir)
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q27Sql: String =
+    s"""WITH $bandsSqlCte,
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(${shinglesSql("text")}) AS sh FROM documents),
+       |j AS (SELECT c.doc_a, c.doc_b,
+       |    round(len(list_distinct(list_intersect(a.sh, b.sh))) /
+       |      (len(a.sh) + len(b.sh) - len(list_distinct(list_intersect(a.sh, b.sh)))), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN sets a ON c.doc_a = a.doc_id
+       |  JOIN sets b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  private val simBits = 32
+
+  /** 32-bit SimHash over token hashes — map-side, no shuffle. Bit b is set
+    * iff the signed sum of tokens' bit-b contributions is > 0. */
+  def simhash(text: Column): Column = {
+    val hs = transform(split(text, " "), t => h60(t))
+    val bitSums = (0 until simBits).map { b =>
+      aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s > 0L, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  private def simhashSql(text: String): String = {
+    val hs = s"list_transform(string_split($text,' '), t -> ${h60Sql("t")})"
+    val terms = (0 until simBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hh, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"(SELECT $terms FROM (SELECT $hs AS hh) _sh)"
+  }
+
+  /** SimHash signature per document. */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val q28Sql: String =
+    s"""SELECT doc_id, ${simhashSql("text")} AS simhash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes
+    * (pigeonhole: hamming<=3 pairs share >=1 exact byte), bucket-join on
+    * (band, byte), verify with popcount(xor) <= 3. Same LSH join shape as
+    * q26 — scales as buckets, not all-pairs. */
+  def q29SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = sigs.select(col("doc_id"), col("sh"), explode(array((0 until 4).map { b =>
+      concat_ws(":", lit(b.toString), shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)))
+    }: _*)).as("band"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q29Sql: String =
+    s"""WITH sigs AS (SELECT doc_id, ${simhashSql("text")} AS sh FROM documents),
+       |banded AS (SELECT doc_id, sh, unnest([
+       |    '0:' || ((sh >> 0) & 255),
+       |    '1:' || ((sh >> 8) & 255),
+       |    '2:' || ((sh >> 16) & 255),
+       |    '3:' || ((sh >> 24) & 255)]) AS band FROM sigs)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.sh, y.sh)) AS hamming
+       |FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_exact_dedup"     -> q25ExactDedup _,
+    "q26_minhash_lsh"     -> q26MinhashLsh _,
+    "q27_ngram_jaccard"   -> q27NgramJaccard _,
+    "q28_simhash"         -> q28Simhash _,
+    "q29_simhash_neardup" -> q29SimhashNeardup _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q25_exact_dedup"     -> q25Sql,
+    "q26_minhash_lsh"     -> q26Sql,
+    "q27_ngram_jaccard"   -> q27Sql,
+    "q28_simhash"         -> q28Sql,
+    "q29_simhash_neardup" -> q29Sql,
+  )
+}
