@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (BASELINE.json extension):
+  * brute-force cosine top-k as the exactness baseline, sign-random-
+  * hyperplane LSH bucketing as the scale path, and label-blocked
+  * embedding-cosine near-dup pairs.
+  *
+  * Scale shape (100 TB): brute-force kNN is O(Q·N·d) — correct baseline,
+  * never the plan at scale. The LSH variant buckets every vector by the
+  * sign pattern of 8 fixed hyperplane projections (a purely map-side
+  * 8·d-flop projection), then searches only the query's bucket: the join
+  * is a hash join on bucket id, candidates ∝ N/2^8, and the same design
+  * extends to IVF by replacing sign-buckets with centroid ids. Near-dup
+  * uses label blocking — the blocked-join pattern that keeps pair
+  * generation linear in block size, with AQE skew-join absorbing hot
+  * blocks.
+  *
+  * Cross-engine determinism: dot products and norms are sequential
+  * left-fold sums over index order in BOTH engines (Spark
+  * `aggregate`/`zip_with`, DuckDB `list_reduce`/`list_transform`), on
+  * float→double-cast elements, so doubles are bit-identical and ranking
+  * ties cannot diverge. Hyperplane signs are fixed ±1 literals generated
+  * once in Scala (md5-seeded) and emitted into both plans.
+  */
+object Similarity {
+
+  private val nPlanes = 8
+  private val dim = 64
+
+  /** Deterministic ±1 hyperplane signs, seeded by md5("p:d") parity. */
+  private[operators] val planes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Element-wise double cast. */
+  private def toD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential left-fold sum — mirrors DuckDB list_reduce exactly. */
+  private def lsum(c: Column): Column = aggregate(c, lit(0.0), (acc, v) => acc + v)
+
+  private def dot(a: Column, b: Column): Column = lsum(zip_with(a, b, (x, y) => x * y))
+
+  private def norm2(a: Column): Column = lsum(transform(a, x => x * x))
+
+  /** cosine(a, b) with a fixed evaluation order. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  // SQL mirrors ------------------------------------------------------
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (x,y) -> x+y)"
+
+  private def norm2Sql(a: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i] * $a[i])), (x,y) -> x+y)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)})))"
+
+  // ---------------------------------------------------------------- q30
+  /** Brute-force cosine top-5 for 10 query vectors (vec_id < 10): the
+    * exact-kNN baseline every ANN variant is measured against. Query side
+    * is broadcast; the corpus is scanned once, map-side, then a per-query
+    * top-k window. */
+  def q30KnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), toD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val q30Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |sc AS (SELECT q.q_id, e.vec_id, round(${cosineSql("q.qv", "e.v")}, 6) AS cos
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |rk AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT q_id, vec_id, cos, rk FROM rk WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. Map-side. */
+  private def bucketCol(v: Column): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val wArr = array(w.map(lit): _*)
+      when(dot(v, wArr) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val planesSqlCte: String =
+    "planes AS (" + planes.zipWithIndex.map { case (w, p) =>
+      s"SELECT $p AS p, ${w.mkString("[", ",", "]")}::DOUBLE[] AS w"
+    }.mkString(" UNION ALL ") + ")"
+
+  /** ANN top-3 via hyperplane-LSH: search only the query's sign-bucket.
+    * Approximate by construction — recall vs q30 is the quality metric —
+    * but the candidate set shrinks ~2^8× and the join is a plain hash
+    * join on bucket id, which is the shape that survives 100 TB. */
+  def q31AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+      .withColumn("bucket", bucketCol(col("v")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val q31Sql: String =
+    s"""WITH $planesSqlCte,
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT e0.vec_id, e0.v,
+       |    sum(CASE WHEN ${dotSql("e0.v", "planes.w")} > 0.0
+       |        THEN (1::BIGINT << planes.p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM e0 CROSS JOIN planes GROUP BY e0.vec_id, e0.v),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket FROM b WHERE vec_id < 10),
+       |sc AS (SELECT q.q_id, b.vec_id, round(${cosineSql("q.qv", "b.v")}, 6) AS cos
+       |  FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id),
+       |rk AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT q_id, vec_id, cos, rk FROM rk WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Embedding-cosine near-dup pairs, blocked by label: pair generation is
+    * per-block (never all-pairs across the corpus), the blocked-dedup
+    * pattern that stays linear in block size at scale. */
+  def q32EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val q32Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |  round(${cosineSql("a.v", "b.v")}, 6) AS cos
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${cosineSql("a.v", "b.v")}, 6) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_knn_bruteforce"    -> q30KnnBruteforce _,
+    "q31_ann_lsh"           -> q31AnnLsh _,
+    "q32_embedding_neardup" -> q32EmbeddingNeardup _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_knn_bruteforce"    -> q30Sql,
+    "q31_ann_lsh"           -> q31Sql,
+    "q32_embedding_neardup" -> q32Sql,
+  )
+}
