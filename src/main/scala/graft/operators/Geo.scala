@@ -65,13 +65,13 @@ object Geo {
 
   /** The deterministic synthetic point columns (see object doc). Integer
     * ops first, one final division — bit-identical across engines. */
-  private def withPoint(events: DataFrame): DataFrame =
+  private[operators] def withPoint(events: DataFrame): DataFrame =
     events
       .withColumn("lon", (lit(-1300) + col("event_id") % 660) / 10.0)
       .withColumn("lat", (lit(240) + (col("event_id") * 7919) % 260) / 10.0)
 
   /** SQL fragment computing the same points, for oracles. */
-  private val pointSql =
+  private[operators] val pointSql =
     """SELECT event_id, ts, event_type, props,
       |       (-1300 + event_id % 660) / 10.0 AS lon,
       |       (240 + (event_id * 7919) % 260) / 10.0 AS lat
@@ -80,7 +80,7 @@ object Geo {
   /** Catalog as an inline-VALUES SQL relation (same literals as
     * `usaCatalog`), for oracles; alias is caller-chosen so the fragment can
     * appear twice in one query. */
-  private def regionSql(alias: String) =
+  private[operators] def regionSql(alias: String) =
     s"""(VALUES
        |  ('United States','USA0',49.31884057971014,-125.56620246068175,24.681159420289855,-96.5795),
        |  ('United States','USA1',49.31884057971014,-96.5795,24.681159420289855,-67.59279753931825))

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-time windowing surface — the reference's monitor loop
+  * (`/root/reference/regionSpout.go:102-117`: 30 s tumbling per-region
+  * counts + zero-count stall detection) as first-class batch queries, plus
+  * the sliding/session variants the reference lacks (SURVEY §2.1). The
+  * same `window()`/`session_window()` expressions run unchanged under
+  * Structured Streaming (graft.streaming.Monitor); batch forms exist so
+  * the DuckDB oracle can gate them.
+  *
+  * Scale shape: window aggregation is a partial-agg-then-exchange on
+  * (window, key) — the canonical streaming-agg layout; the stall grid is
+  * generated from bounds (2-row aggregate) cross-joined with the tiny
+  * region catalog, never from the fact table.
+  */
+object Windows {
+
+  // ---------------------------------------------------------------- q33
+  /** 30 s tumbling counts per event type — regionSpout.go:103's period. */
+  def q33TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "30 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q33Sql: String =
+    """SELECT time_bucket(INTERVAL '30 seconds', ts) AS w_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Sliding 60 s window, 30 s slide: each event lands in two windows.
+    * Oracle mirrors Spark's window expansion: starts at the two slide
+    * boundaries covering the event. */
+  def q34SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "60 seconds", "30 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q34Sql: String =
+    """WITH expanded AS (
+      |  SELECT event_type,
+      |    unnest([time_bucket(INTERVAL '30 seconds', ts),
+      |            time_bucket(INTERVAL '30 seconds', ts) - INTERVAL '30 seconds']) AS w_start
+      |  FROM events)
+      |SELECT w_start, event_type, count(*) AS n
+      |FROM expanded
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Session windows per user, 8 h inactivity gap. Spark's session_window
+    * end = last event + gap; the oracle's gaps-and-islands form computes
+    * the same bounds. */
+  def q35SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q35Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL '8 hours' THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL '8 hours' AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Stall detection (O9, regionSpout.go:113-115): full hour × region grid
+    * (generated from bounds, not the fact table) left-joined against
+    * per-region hourly counts; zero or missing → stalled. */
+  def q36StallDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val counts = Geo.assignRegion(spark, e)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("region"))
+      .agg(count(lit(1)).as("n"))
+    val hours = e
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val regionIds = (Geo.usaCatalog.map(_.id) :+ "NONE").toDF("region")
+    hours.crossJoin(broadcast(regionIds))
+      .join(counts, Seq("h", "region"), "left")
+      .select(col("h").as("w_start"), col("region"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        (col("n").isNull || col("n") === 0L).as("stalled"))
+      .orderBy(col("w_start"), col("region"))
+  }
+
+  val q36Sql: String =
+    s"""WITH pts AS (${Geo.pointSql}),
+       |a AS (SELECT p.event_id, p.ts, coalesce(min(r.id), 'NONE') AS region
+       |      FROM pts p LEFT JOIN ${Geo.regionSql("r")}
+       |        ON p.lon >= least(r.east, r.west) AND p.lon <= greatest(r.east, r.west)
+       |       AND p.lat >= r.south AND p.lat <= r.north
+       |      GROUP BY p.event_id, p.ts),
+       |counts AS (SELECT date_trunc('hour', ts) AS h, region, count(*) AS n
+       |  FROM a GROUP BY 1, 2),
+       |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+       |    date_trunc('hour', max(ts)) AS h1 FROM events),
+       |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h FROM bounds),
+       |regions2 AS (SELECT unnest(['USA0','USA1','NONE']) AS region),
+       |grid AS (SELECT h, region FROM hours CROSS JOIN regions2)
+       |SELECT g.h AS w_start, g.region AS region,
+       |  coalesce(c.n, 0)::BIGINT AS n_events,
+       |  (c.n IS NULL OR c.n = 0) AS stalled
+       |FROM grid g LEFT JOIN counts c ON g.h = c.h AND g.region = c.region
+       |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_tumbling_window" -> q33TumblingWindow _,
+    "q34_sliding_window"  -> q34SlidingWindow _,
+    "q35_session_window"  -> q35SessionWindow _,
+    "q36_stall_detect"    -> q36StallDetect _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q33_tumbling_window" -> q33Sql,
+    "q34_sliding_window"  -> q34Sql,
+    "q35_session_window"  -> q35Sql,
+    "q36_stall_detect"    -> q36Sql,
+  )
+}
