@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text.{h60, h60Sql}
+import graft.sources.Tables
+
+/** Multimodal-column surface (BASELINE.json extension): media as opaque
+  * `binary` payloads with typed metadata, plus decode / feature-extract /
+  * frame-sample plumbing.
+  *
+  * The reference ships whole tweets as opaque JSON bytes
+  * (`/root/reference/regionSpout.go:152`) — the same "payload is bytes,
+  * engine routes it" stance taken here for images/audio/video. The
+  * testdata has no real media, so payloads are the document text's UTF-8
+  * bytes; REAL media only changes the bytes, never the plumbing.
+  *
+  * DECODE IS A STUB: the container has no image/audio codecs, so
+  * [[MediaCodec.decodeStub]] derives deterministic fake dimensions /
+  * features from the payload hash. Everything around it — binary column
+  * handling, metadata struct schema, per-partition batching via
+  * `mapPartitions`, fixed-dim feature vectors — is the real Spark-side
+  * contract, and is what the specs test.
+  *
+  * Scale shape: all pure map-side (payload never shuffles); frame
+  * sampling explodes bounded index lists (≤ duration/stride rows per
+  * doc); feature extraction emits fixed-width vectors ready for the
+  * Similarity LSH path.
+  */
+object Multimodal {
+
+  /** Typed media row — the multimodal column contract: opaque payload +
+    * queryable metadata. */
+  case class MediaRow(
+      doc_id: Long, media_type: String, payload: Array[Byte],
+      n_bytes: Long, source: String)
+
+  /** Decoded-media stub output: what a real codec would yield. */
+  case class Decoded(
+      doc_id: Long, media_type: String, width: Int, height: Int,
+      n_frames: Int, feature: Array[Float])
+
+  /** Deterministic source→modality mapping (src hash parity). */
+  def mediaTypeCol(source: Column): Column =
+    when(pmod(h60(source), lit(3)) === 0, "image")
+      .when(pmod(h60(source), lit(3)) === 1, "audio")
+      .otherwise("video")
+
+  private def mediaTypeSql(source: String): String =
+    s"""CASE ${h60Sql(source)} % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       | ELSE 'video' END""".stripMargin.replace("\n", "")
+
+  /** documents → typed media frame (payload = UTF-8 bytes of text). */
+  def mediaFrame(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        mediaTypeCol(col("source")).as("media_type"),
+        col("text").cast("binary").as("payload"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        col("source"))
+      .as[MediaRow]
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** Media metadata projection: payload size, content hash, modality, and
+    * synthetic decode-independent dimensions — the schema a media lake
+    * table carries alongside the bytes. */
+  def q37MediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        mediaTypeCol(col("source")).as("media_type"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        // deterministic pseudo-dimensions from payload length
+        (col("n_chars") % 640 + 16).cast("int").as("width"),
+        (col("n_chars") % 480 + 9).cast("int").as("height"))
+      .orderBy(col("doc_id"))
+
+  val q37Sql: String =
+    s"""SELECT doc_id, ${mediaTypeSql("source")} AS media_type,
+       |  octet_length(text::BLOB)::INT AS n_bytes,
+       |  md5(text) AS content_hash,
+       |  (n_chars % 640 + 16)::INT AS width,
+       |  (n_chars % 480 + 9)::INT AS height
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Frame sampling: treat n_chars as a frame count, sample every 50th
+    * frame, one output row per sampled frame with a per-frame signature —
+    * the explode-bounded-list shape a video pipeline uses. */
+  def q38FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chars") - 1, lit(50L))).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        h60(concat_ws(":", col("doc_id"), col("frame_no"))).as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  val q38Sql: String =
+    s"""SELECT doc_id, unnest(range(0, n_chars, 50)) AS frame_no
+       |FROM documents WHERE doc_id < 100""".stripMargin match {
+      case inner =>
+        s"""WITH f AS ($inner)
+           |SELECT doc_id, frame_no,
+           |  ${h60Sql("doc_id || ':' || frame_no")} AS frame_sig
+           |FROM f
+           |ORDER BY doc_id, frame_no""".stripMargin
+    }
+
+  // ----------------------------------------------------- decode plumbing
+  /** STUBBED codec. A real deployment swaps `decodeStub` for an actual
+    * decoder (JNI/FFI) — signatures and batching stay identical. */
+  object MediaCodec {
+    val featureDim = 16
+
+    /** Deterministic fake decode: dimensions + a fixed-dim feature vector
+      * derived from the payload bytes. Stands in for image decode /
+      * audio sample / video frame-grab. */
+    def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def u(i: Int): Int = md(i) & 0xff
+      val width = 16 + (u(0) << 4 | u(1) >> 4)
+      val height = 9 + (u(2) << 4 | u(3) >> 4)
+      val frames = 1 + u(4)
+      val feat = Array.tabulate(featureDim)(i => (u(i) - 128) / 128.0f)
+      (width, height, frames, feat)
+    }
+  }
+
+  /** Batched decode over partitions: the `mapPartitions` contract a real
+    * codec needs (amortize per-batch init — codec contexts, model weights
+    * — across a partition's rows). Map-side; no shuffle. */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens here (real codec: open context once)
+      rows.map { m =>
+        val (w, h, f, feat) = MediaCodec.decodeStub(m.payload)
+        Decoded(m.doc_id, m.media_type, w, h,
+          if (m.media_type == "video") f else 1, feat)
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_media_metadata" -> q37MediaMetadata _,
+    "q38_frame_sample"   -> q38FrameSample _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q37_media_metadata" -> q37Sql,
+    "q38_frame_sample"   -> q38Sql,
+  )
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Geo
+
+/** Streaming ingest pipeline — the reference's data path
+  * (`/root/reference/regionSpout.go:126-163`: geo-filtered stream → region
+  * assignment → envelope → per-region routed sink) as one Structured
+  * Streaming lineage.
+  *
+  * Source abstraction: a file stream stands in for the Twitter/Kafka
+  * source in tests (`regionSpout.go:139` / `:158`); in production the same
+  * lineage reads `spark.readStream.format("kafka")` — nothing downstream
+  * changes, which is the point of declaring the plan instead of
+  * hand-wiring goroutines.
+  *
+  * Delivery: the reference is at-most-once (async produce, nil delivery
+  * report, `regionSpout.go:158-160`); this pipeline is exactly-once to
+  * files / at-least-once to Kafka via checkpointing — strictly stronger,
+  * documented divergence (SURVEY §7.4).
+  */
+object Ingest {
+
+  /** O2: unbounded stream of events from a parquet DIRECTORY (the file
+    * source tails a directory; schema inferred from a batch peek;
+    * nanosecond timestamps normalized like Tables.events).
+    * `maxFilesPerTrigger` is the file-source backpressure knob standing in
+    * for the reference's 30 s stagger (`regionSpout.go:98`). */
+  def eventsFileStream(spark: SparkSession, path: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** O4→O5→O6: region assignment (map-side when-chain — legal on streams
+    * because it shuffles nothing), drop out-of-region traffic like the
+    * server-side filter did, then project the rawTweet envelope
+    * (`regionSpout.go:46-51`) with its per-region topic
+    * (`regionSpout.go:156`). Works identically on batch and streaming
+    * frames. */
+  def envelope(spark: SparkSession, events: DataFrame): DataFrame = {
+    val assigned = Geo.assignRegion(spark, events)
+      .filter(col("region") =!= "NONE")
+    val cat = Geo.regions(spark).select(col("id"), col("name"))
+    // stream-static join; the static side is broadcast (tiny catalog)
+    assigned.join(broadcast(cat), assigned("region") === cat("id"))
+      .select(
+        col("event_id").cast("string").as("id"),
+        col("props").as("text"),
+        col("region"),
+        to_json(struct(col("id").as("ID"), col("name"))).as("region_data"),
+        concat(lit("raw-tweets-"), col("region")).as("topic"))
+  }
+
+  /** O7 (file form): exactly-once per-region partitioned parquet sink —
+    * the batch-layout twin of per-region Kafka topics. At 100 TB the same
+    * call with `partitionBy(region, date)` gives the partition-pruned
+    * layout every downstream query wants. */
+  def routedParquetSink(df: DataFrame, outDir: String, checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("region")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** O7 (Kafka shape): per-row routing via the `topic` column — Spark's
+    * Kafka sink routes each row to its `topic`; `value` carries the
+    * serialized envelope (to_json ≙ `json.Marshal`, regionSpout.go:152).
+    * Returned unstarted (no broker in the test env); the projection is the
+    * contract. */
+  def kafkaShaped(df: DataFrame): DataFrame =
+    df.select(
+      col("topic"),
+      col("id").cast("binary").as("key"),
+      to_json(struct(col("id"), col("text"), col("region"), col("region_data")))
+        .cast("binary").as("value"))
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.api.java.Optional
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import graft.streaming.{Ingest, Monitor}
+import graft.streaming.Monitor.{Gauge, RegionEvent}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------ envelope
+  test("envelope projection: region routing + topic naming on a batch frame") {
+    // derive an event_id landing in each region via the synthetic-point formula
+    def region(id: Long): String = {
+      val lon = (-1300 + id % 660) / 10.0
+      val lat = (240 + (id * 7919) % 260) / 10.0
+      graft.operators.Geo.usaCatalog.sortBy(_.id).find(r =>
+        lon >= math.min(r.east, r.west) && lon <= math.max(r.east, r.west) &&
+          lat >= r.south && lat <= r.north).map(_.id).getOrElse("NONE")
+    }
+    val ids = (0L until 660L)
+    val usa0 = ids.find(region(_) == "USA0").get
+    val usa1 = ids.find(region(_) == "USA1").get
+    val none = ids.find(region(_) == "NONE").get
+    val events = Seq(usa0, usa1, none).map(i =>
+      (i, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, s"props-$i"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Ingest.envelope(spark, events).collect()
+    assert(out.length == 2, "NONE row must be dropped")
+    val byId = out.map(r => r.getAs[String]("id").toLong -> r).toMap
+    assert(byId(usa0).getAs[String]("topic") == "raw-tweets-USA0")
+    assert(byId(usa1).getAs[String]("topic") == "raw-tweets-USA1")
+    assert(byId(usa0).getAs[String]("text") == s"props-$usa0")
+    assert(byId(usa0).getAs[String]("region_data").contains("\"USA0\""))
+  }
+
+  // --------------------------------------------------- windowed counting
+  test("streaming 30s tumbling region counts over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RegionEvent]
+    val query = Monitor.regionCounts(input.toDF())
+      .writeStream.format("memory").queryName("rc").outputMode("update").start()
+    try {
+      input.addData(
+        RegionEvent("USA0", ts("2024-01-01 10:00:05")),
+        RegionEvent("USA0", ts("2024-01-01 10:00:25")),
+        RegionEvent("USA1", ts("2024-01-01 10:00:35")))
+      query.processAllAvailable()
+      val rows = spark.table("rc").collect()
+        .map(r => (r.getAs[Timestamp]("w_start").toString, r.getAs[String]("region")) -> r.getAs[Long]("n"))
+        .toMap
+      assert(rows(("2024-01-01 10:00:00.0", "USA0")) == 2)
+      assert(rows(("2024-01-01 10:00:30.0", "USA1")) == 1)
+    } finally query.stop()
+  }
+
+  test("watermark drops events later than the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RegionEvent]
+    val query = Monitor.regionCounts(input.toDF(), watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("wm").outputMode("update").start()
+    try {
+      input.addData(RegionEvent("USA0", ts("2024-01-01 10:00:10")))
+      query.processAllAvailable()
+      // advance event time → watermark moves to 10:09 after this batch
+      input.addData(RegionEvent("USA0", ts("2024-01-01 10:10:00")))
+      query.processAllAvailable()
+      // now 50 minutes late vs the watermark: must be dropped
+      input.addData(RegionEvent("USA0", ts("2024-01-01 10:00:11")))
+      query.processAllAvailable()
+      val firstWindow = spark.table("wm").collect()
+        .filter(_.getAs[Timestamp]("w_start").toString == "2024-01-01 10:00:00.0")
+      assert(firstWindow.nonEmpty)
+      assert(firstWindow.map(_.getAs[Long]("n")).max == 1,
+        "late event must not increment the closed window")
+    } finally query.stop()
+  }
+
+  // -------------------------------------------------- reset-on-read gauge
+  test("gauge state function: counts, resets to zero, flags stalls on timeout") {
+    val fn = Monitor.gaugeFn(Some(30000L)) _
+    // data branch: 3 events → emit 3, state reset to 0
+    val st1 = TestGroupState.create[Long](
+      Optional.empty[Long](), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out1 = fn("USA0", Iterator.fill(3)(RegionEvent("USA0", ts("2024-01-01 00:00:00"))), st1).toList
+    assert(out1 == List(Gauge("USA0", 3, stalled = false)))
+    assert(st1.get == 0L, "reset-on-read: counter zeroed after emission")
+    // timeout branch: silent region emits the stalled zero
+    val st2 = TestGroupState.create[Long](
+      Optional.of(0L), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out2 = fn("USA1", Iterator.empty, st2).toList
+    assert(out2 == List(Gauge("USA1", 0, stalled = true)))
+  }
+
+  test("gauges stream emits per-trigger counts (reset-on-read semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RegionEvent]
+    val query = Monitor.gauges(input.toDS(), timeoutMs = None)
+      .writeStream.format("memory").queryName("gg").outputMode("append").start()
+    try {
+      input.addData(Seq.fill(3)(RegionEvent("USA0", ts("2024-01-01 00:00:01"))))
+      query.processAllAvailable()
+      input.addData(Seq.fill(2)(RegionEvent("USA0", ts("2024-01-01 00:00:02"))))
+      query.processAllAvailable()
+      val counts = spark.table("gg").collect()
+        .filter(_.getAs[String]("region") == "USA0").map(_.getAs[Long]("n")).toList
+      assert(counts == List(3, 2), "each trigger emits its own count, then resets")
+    } finally query.stop()
+  }
+
+  // ------------------------------------------------------- e2e file slice
+  test("end-to-end: file stream → envelope → per-region partitioned parquet sink") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // file source tails a directory — stage the table file into one
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val events = Ingest.eventsFileStream(spark, srcDir.toString)
+    val query = Ingest.routedParquetSink(Ingest.envelope(spark, events), out, ckpt)
+    query.awaitTermination(120000L)
+    val written = spark.read.parquet(out)
+    val expected = Ingest.envelope(spark, graft.sources.Tables.events(spark, sf)).count()
+    assert(written.count() == expected)
+    val regions = written.select("region").distinct().collect().map(_.getString(0)).toSet
+    assert(regions == Set("USA0", "USA1"))
+  }
+
+  test("stalled-region batch check flags silent catalog regions") {
+    val counts = Seq(("USA0", 5L)).toDF("region", "n")
+    val stalled = Monitor.stalledRegions(spark, counts).collect().map(_.getString(0))
+    assert(stalled.toSet == Set("USA1"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq(
+      ("a", "the quick brown fox"),
+      ("b", "the quick brown fox"),
+      ("c", "fox brown quick the")).toDF("id", "text")
+      .select(col("id"), Text.fingerprint(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+  }
+
+  test("simhash: identical texts collide, hamming to a 1-token edit is small") {
+    val df = Seq(
+      ("a", "key agg row scan slow fast table value part hash"),
+      ("b", "key agg row scan slow fast table value part hash"),
+      ("c", "key agg row scan slow fast table value part join")).toDF("id", "text")
+      .select(col("id"), Dedup.simhash(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    val hamming = java.lang.Long.bitCount(m("a") ^ m("c"))
+    assert(hamming <= 16, s"1-token edit moved $hamming of 32 bits")
+  }
+
+  test("q26 LSH candidates all verify above 0.5 jaccard in q27 on planted near-dups") {
+    val cand = Dedup.q26MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.nonEmpty, "testdata plants near-duplicates; LSH must find some")
+    val verified = Dedup.q27NgramJaccard(spark, sf).collect()
+    assert(verified.nonEmpty)
+    verified.foreach { r =>
+      assert(cand.contains((r.getLong(0), r.getLong(1))))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("exact dedup counts are sane: unique <= docs, prefix-unique <= unique") {
+    Dedup.q25ExactDedup(spark, sf).collect().foreach { r =>
+      val (n, u, p) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(u <= n && p <= u)
+    }
+  }
+
+  test("language-ID confusion matrix covers every labeled document") {
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val matrixSum = Text.q23LangId(spark, sf).agg(sum(col("n"))).head().getLong(0)
+    assert(matrixSum == total)
+  }
+
+  test("brute-force kNN: cosine in [-1,1], k respected, self excluded") {
+    val rows = Similarity.q30KnnBruteforce(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      rs.foreach { r =>
+        assert(r.getLong(1) != q)
+        val c = r.getDouble(2)
+        assert(c >= -1.000001 && c <= 1.000001)
+      }
+      // ranks are descending in cosine
+      val sorted = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toList
+      assert(sorted.sliding(2).forall {
+        case List(a, b) => a >= b; case _ => true
+      })
+    }
+  }
+
+  test("LSH ANN results are a subset of each query's bucket and cosine-ranked") {
+    val ann = Similarity.q31AnnLsh(spark, sf).collect()
+    // approximate: fewer or equal results vs brute force, never a higher top-1
+    val bf = Similarity.q30KnnBruteforce(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ann.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getDouble(2) <= bf(r.getLong(0)) + 1e-9,
+        "ANN top-1 cannot beat exact top-1")
+    }
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Windows
+import graft.sources.Tables
+
+class WindowsSpec extends SparkSpec {
+
+  test("tumbling window counts conserve the event total") {
+    val total = Tables.events(spark, sf).count()
+    val n = Windows.q33TumblingWindow(spark, sf).agg(sum(col("n"))).head().getLong(0)
+    assert(n == total)
+  }
+
+  test("sliding 60s/30s windows count every event exactly twice") {
+    val total = Tables.events(spark, sf).count()
+    val n = Windows.q34SlidingWindow(spark, sf).agg(sum(col("n"))).head().getLong(0)
+    assert(n == 2 * total)
+  }
+
+  test("session windows conserve events and close after the gap") {
+    val total = Tables.events(spark, sf).count()
+    val sessions = Windows.q35SessionWindow(spark, sf).collect()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == total)
+    sessions.foreach { s =>
+      val start = s.getAs[java.sql.Timestamp]("session_start")
+      val end = s.getAs[java.sql.Timestamp]("session_end")
+      assert(end.getTime - start.getTime >= 8L * 3600 * 1000,
+        "session_end = last event + gap, so span >= gap")
+    }
+  }
+
+  test("stall grid is complete and stalled iff count is zero") {
+    val rows = Windows.q36StallDetect(spark, sf).collect()
+    assert(rows.length % 3 == 0, "hour grid × {USA0, USA1, NONE}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("stalled") == (r.getAs[Long]("n_events") == 0L))
+    }
+    assert(rows.exists(_.getAs[Boolean]("stalled")),
+      "sparse sf0.001 data must have silent region-hours")
+  }
+}
