@@ -75,18 +75,22 @@ object Dedup {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q26
-  /** MinHash signature as an array column — map-side only. */
-  private def minhashSig(text: Column): Column = {
-    val hs = transform(shingles(text), s => h60(s) % P31)
-    array(perms.map { case (a, b) =>
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % P31))
-    }: _*)
-  }
-
-  /** doc_id + exploded band keys "bandIdx:h1:h2". */
+  /** doc_id + exploded band keys "bandIdx:h1:h2".
+    *
+    * Staged projections so the expensive md5 hashing runs ONCE per shingle:
+    * shingle hashes land in one Project, the 8 permutations reference that
+    * attribute (cheap affine arithmetic), and CollapseProject keeps the
+    * stages apart because multi-referenced producers aren't cheap. Without
+    * staging, every perm re-inlines the full shingle+md5 tree (8× the
+    * work — measured 25 s → ~3 s at sf0.1). */
   private def bandedDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val sig = d.select(col("doc_id"), minhashSig(col("text")).as("sig"))
+    val sig = d
+      .select(col("doc_id"),
+        transform(shingles(col("text")), s => h60(s) % P31).as("hs"))
+      .select(col("doc_id"), array(perms.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P31))
+      }: _*).as("sig"))
     sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
       concat_ws(":", lit(b.toString) +:
         (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
@@ -163,10 +167,10 @@ object Dedup {
   // ---------------------------------------------------------------- q28
   private val simBits = 32
 
-  /** 32-bit SimHash over token hashes — map-side, no shuffle. Bit b is set
-    * iff the signed sum of tokens' bit-b contributions is > 0. */
-  def simhash(text: Column): Column = {
-    val hs = transform(split(text, " "), t => h60(t))
+  /** 32-bit SimHash from a column of token hashes — bit b is set iff the
+    * signed sum of tokens' bit-b contributions is > 0. Callers stage the
+    * token-hash array first so md5 runs once per token, not 32×. */
+  private def simhashFromHashes(hs: Column): Column = {
     val bitSums = (0 until simBits).map { b =>
       aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -175,6 +179,18 @@ object Dedup {
       when(s > 0L, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Single-expression SimHash (tests / one-off use; prefer the staged
+    * doc-frame path in queries). */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(split(text, " "), t => h60(t)))
+
+  /** doc_id + staged simhash signature. */
+  private def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), t => h60(t)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
 
   private def simhashSql(text: String): String = {
     val hs = s"list_transform(string_split($text,' '), t -> ${h60Sql("t")})"
@@ -186,8 +202,8 @@ object Dedup {
 
   /** SimHash signature per document. */
   def q28Simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+    simhashDocs(spark, dir)
+      .select(col("doc_id"), col("sh").as("simhash"))
       .orderBy(col("doc_id"))
 
   val q28Sql: String =
@@ -201,8 +217,7 @@ object Dedup {
     * (band, byte), verify with popcount(xor) <= 3. Same LSH join shape as
     * q26 — scales as buckets, not all-pairs. */
   def q29SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("sh"))
+    val sigs = simhashDocs(spark, dir)
     val banded = sigs.select(col("doc_id"), col("sh"), explode(array((0 until 4).map { b =>
       concat_ws(":", lit(b.toString), shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)))
     }: _*)).as("band"))

@@ -68,16 +68,26 @@ object Similarity {
     s"(${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)})))"
 
   // ---------------------------------------------------------------- q30
+  /** vec_id, double vector, and its precomputed norm — staged so norms are
+    * computed once per VECTOR, not once per pair (the pair join would
+    * otherwise re-inline the O(d) norm fold into every pair row). */
+  private def normedVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("v"), sqrt(norm2(col("v"))).as("nrm"))
+
   /** Brute-force cosine top-5 for 10 query vectors (vec_id < 10): the
     * exact-kNN baseline every ANN variant is measured against. Query side
     * is broadcast; the corpus is scanned once, map-side, then a per-query
     * top-k window. */
   def q30KnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), toD(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val e = normedVectors(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .orderBy(col("q_id"), col("rk"))
@@ -113,14 +123,15 @@ object Similarity {
     * but the candidate set shrinks ~2^8× and the join is a plain hash
     * join on bucket id, which is the shape that survives 100 TB. */
   def q31AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    val e = normedVectors(spark, dir)
       .withColumn("bucket", bucketCol(col("v")))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("q_bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("q_bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .orderBy(col("q_id"), col("rk"))
@@ -147,13 +158,12 @@ object Similarity {
     * per-block (never all-pairs across the corpus), the blocked-dedup
     * pattern that stays linear in block size at scale. */
   def q32EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+    val e = normedVectors(spark, dir)
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
