@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Geo, Multimodal, Relational, Similarity, Windows}
+import graft.operators.{Dedup, Geo, Multimodal, Relational, Similarity, Sketches, Windows}
 import graft.functions.Text
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Geo.queries ++ Text.queries ++ Dedup.queries ++
-      Similarity.queries ++ Windows.queries ++ Multimodal.queries
+      Similarity.queries ++ Windows.queries ++ Multimodal.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Geo.oracle ++ Text.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Windows.oracle ++ Multimodal.oracle
+      Similarity.oracle ++ Windows.oracle ++ Multimodal.oracle ++
+      Sketches.oracle
 }

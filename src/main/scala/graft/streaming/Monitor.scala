@@ -86,4 +86,16 @@ object Monitor {
       .filter(col("n").isNull || col("n") === 0L)
       .select(col("region"))
   }
+
+  /** O11 (regionSpout.go:105-110): the monitor display — per-trigger counts
+    * to the console, update mode like the reference's overwrite-in-place
+    * screen. Returned started. */
+  def consoleSink(counts: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream.format("console")
+      .outputMode("update").option("truncate", false).start()
+
+  /** O12 (regionSpout.go:120-123, unreachable in the reference): graceful
+    * shutdown that actually runs — stop every active streaming query. */
+  def stopAll(spark: SparkSession): Unit =
+    spark.streams.active.foreach(_.stop())
 }
