@@ -23,6 +23,8 @@ object Session {
       // events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

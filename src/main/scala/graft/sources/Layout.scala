@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators — the write-side half of the 100 TB design
+  * (SURVEY §7.2 step 7).
+  *
+  * Two layouts, matching the reference's physical intent:
+  *  - **Partitioned**: the reference's per-region Kafka topics
+  *    (`regionSpout.go:156-160`) are partition-by-region; at rest that is
+  *    `partitionBy(region, date)` so every regional/temporal query prunes
+  *    to the partitions it touches instead of scanning the lake.
+  *  - **Bucketed**: fact⋈fact joins (orders⋈lineitem) shuffle both sides
+  *    on the key unless the tables are pre-bucketed on it; bucketed +
+  *    sorted tables make the join a zero-exchange sort-merge join — at
+  *    100 TB this converts the single most expensive shuffle into a local
+  *    merge.
+  */
+object Layout {
+
+  /** Partition events by (region, date): the at-rest twin of per-region
+    * topic routing. Queries filtering on region/date prune partitions —
+    * verified by LayoutSpec via the scan's partitionFilters. */
+  def writePartitionedEvents(spark: SparkSession, dir: String, outPath: String): Unit = {
+    import graft.operators.Geo
+    Geo.assignRegion(spark, Tables.events(spark, dir))
+      .withColumn("date", to_date(col("ts")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("region", "date")
+      .parquet(outPath)
+  }
+
+  /** Bucket both fact tables by the join key (+ sort within buckets):
+    * orders⋈lineitem then needs no exchange on either side. */
+  def bucketizeFacts(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    // idempotent: drop catalog entries and any orphaned managed locations
+    // (in-memory catalog forgets tables across JVMs; the warehouse doesn't)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("orders_bucketed", "lineitem_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(warehouse, t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.orders(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable("orders_bucketed")
+    Tables.lineitem(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable("lineitem_bucketed")
+  }
+
+  /** The co-located join: revenue per order across the two bucketed facts.
+    * With matching bucket counts on the join keys, the physical plan has
+    * no ShuffleExchange before the join. */
+  def colocatedOrderRevenue(spark: SparkSession): DataFrame =
+    spark.table("lineitem_bucketed")
+      .join(spark.table("orders_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed facts join with zero shuffle exchanges") {
+    Layout.bucketizeFacts(spark, sf, buckets = 4)
+    val joined = Layout.colocatedOrderRevenue(spark)
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan
+    val inner = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = inner.collect { case s: ShuffleExchangeLike => s }
+    // the groupBy on o_orderkey also reuses the bucket distribution:
+    // bucketed-by-key tables make the whole query exchange-free
+    assert(shuffles.isEmpty,
+      s"expected zero exchanges over bucketed tables, got ${shuffles.size}")
+  }
+
+  test("partitioned events layout prunes by region at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Layout.writePartitionedEvents(spark, sf, out)
+    val pruned = spark.read.parquet(out).filter(col("region") === "USA0")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "region predicate must become a partition filter, not a data filter")
+    // pruning actually happened: the executed scan read fewer files than
+    // the table holds (inputFiles on the relation is the unpruned listing).
+    // collect() drives the same lazy executedPlan our scan node came from,
+    // populating its metrics.
+    pruned.collect()
+    val readFiles = scans.head.metrics("numFiles").value
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(readFiles < allFiles,
+      s"pruned scan read $readFiles of $allFiles files")
+    // and the data layout round-trips
+    val total = graft.operators.Geo.q19GeoAssign(spark, sf)
+      .filter(col("region") === "USA0").head().getLong(1)
+    assert(pruned.count() == total)
+  }
+}
