@@ -49,9 +49,12 @@ object Similarity {
   /** Sequential left-fold sum — mirrors DuckDB list_reduce exactly. */
   private def lsum(c: Column): Column = aggregate(c, lit(0.0), (acc, v) => acc + v)
 
-  private def dot(a: Column, b: Column): Column = lsum(zip_with(a, b, (x, y) => x * y))
+  /** Native codegen'd dot product ([[graft.expressions.DotProduct]],
+    * registered by GraftExtensions) — same left-to-right accumulation as
+    * the HOF form, so oracle parity holds; ~10× less per-pair overhead. */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  private def norm2(a: Column): Column = lsum(transform(a, x => x * x))
+  private def norm2(a: Column): Column = call_function("graft_dot", a, a)
 
   /** cosine(a, b) with a fixed evaluation order. */
   def cosine(a: Column, b: Column): Column =

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.DotProduct
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+    (Array(0.1, -0.2, 0.3), Array(-0.4, 0.5, -0.6)),
+    (Array.fill(64)(0.25), Array.fill(64)(-0.5)))
+
+  test("graft_dot matches the higher-order-function formula bit-for-bit") {
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        "native and HOF accumulation must be bit-identical for oracle parity")
+    }
+  }
+
+  test("interpreted eval path agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = DotProduct(
+      Literal.create(Array(1.5, 2.5), ArrayType(DoubleType)),
+      Literal.create(Array(2.0, 4.0), ArrayType(DoubleType)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    assert(interpreted == 1.5 * 2.0 + 2.5 * 4.0)
+  }
+
+  test("float arrays implicitly cast to double (embeddings column works raw)") {
+    val d = graft.sources.Tables.embeddings(spark, sf).limit(3)
+    val out = d.select(call_function("graft_dot", col("embedding"), col("embedding")).as("n2"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) > 0.0))
+  }
+}
