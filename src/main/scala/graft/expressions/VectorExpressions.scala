@@ -3,10 +3,11 @@ package graft.expressions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the vector hot path (SURVEY §7.3:
   * "custom expression only if the plain-column form shows up hot in
@@ -74,6 +75,52 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static hash helper shared by interpreted eval and generated code. */
+object GraftHash {
+  /** First 60 bits of md5(bytes) as a non-negative long — numerically
+    * equal to `conv(substring(md5(x),1,15),16,10)` (15 hex nibbles), the
+    * engine's cross-engine hash (graft.functions.Text.h60 / DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`). */
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def h60(bytes: Array[Byte]): Long = {
+    val d = md.get().digest(bytes) // digest() resets the instance
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+      ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+}
+
+/** `graft_h60(s)`: the cross-engine 60-bit md5 hash as one native step —
+  * replaces the md5 → hex-string → conv → decimal-string → cast chain
+  * (three string materializations per value) in the dedup/fingerprint hot
+  * paths, with identical results (spec-asserted). */
+case class H60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h60 expects a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_h60"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GraftHash.h60(s.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.h60($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): H60 =
+    copy(child = newChild)
+}
+
 /** Session extension registering the graft function family. Activate with
   * `spark.sql.extensions=graft.expressions.GraftExtensions` (all graft
   * session builders set it). */
@@ -92,5 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DotProduct(widened(0), widened(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[H60].getName, "graft_h60"),
+      (children: Seq[Expression]) => H60(children.head)))
   }
 }

@@ -23,8 +23,13 @@ import graft.sources.Tables
   */
 object Text {
 
-  /** 60-bit deterministic cross-engine hash (fits a signed long). */
-  def h60(c: Column): Column =
+  /** 60-bit deterministic cross-engine hash (fits a signed long). Native
+    * codegen'd expression ([[graft.expressions.H60]]); numerically equal
+    * to `conv(substring(md5(c),1,15),16,10)` — see h60Legacy + spec. */
+  def h60(c: Column): Column = call_function("graft_h60", c)
+
+  /** The built-in-composed form h60 replaced (kept for the parity spec). */
+  def h60Legacy(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB fragment computing h60 of `e`. */

@@ -35,6 +35,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(interpreted == 1.5 * 2.0 + 2.5 * 4.0)
   }
 
+  test("graft_h60 equals the conv(substring(md5)) form on real corpus tokens") {
+    val d = graft.sources.Tables.documents(spark, sf).limit(200)
+    val mismatches = d
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(
+        graft.functions.Text.h60(col("tok")).as("native"),
+        graft.functions.Text.h60Legacy(col("tok")).as("legacy"))
+      .filter(col("native") =!= col("legacy"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("float arrays implicitly cast to double (embeddings column works raw)") {
     val d = graft.sources.Tables.embeddings(spark, sf).limit(3)
     val out = d.select(call_function("graft_dot", col("embedding"), col("embedding")).as("n2"))
