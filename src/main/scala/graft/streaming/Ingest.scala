@@ -75,6 +75,17 @@ object Ingest {
       .trigger(trigger)
       .start()
 
+  /** Streaming dedup with bounded state: duplicates arriving within the
+    * watermark horizon are dropped, state for keys older than the
+    * watermark is evicted — the only dedup form that survives an unbounded
+    * stream (exact global dropDuplicates would grow state forever).
+    * Batch-side twin: Dedup.q25ExactDedup's hash-groupBy. */
+  def dedupedStream(events: DataFrame, keys: Seq[String],
+                    watermarkDelay: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** O7 (Kafka shape): per-row routing via the `topic` column — Spark's
     * Kafka sink routes each row to its `topic`; `value` carries the
     * serialized envelope (to_json ≙ `json.Marshal`, regionSpout.go:152).

@@ -136,6 +136,26 @@ class StreamingSpec extends SparkSpec {
     assert(regions == Set("USA0", "USA1"))
   }
 
+  test("streaming dedup within watermark drops duplicate keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RegionEvent]
+    val query = graft.streaming.Ingest
+      .dedupedStream(input.toDF(), Seq("region", "ts"), "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(
+        RegionEvent("USA0", ts("2024-01-01 10:00:00")),
+        RegionEvent("USA0", ts("2024-01-01 10:00:00")), // in-batch dup
+        RegionEvent("USA1", ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      // cross-batch dup, still inside the watermark horizon
+      input.addData(RegionEvent("USA0", ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("dd").collect()
+      assert(rows.length == 2, s"expected 2 distinct keys, got ${rows.length}")
+    } finally query.stop()
+  }
+
   test("stalled-region batch check flags silent catalog regions") {
     val counts = Seq(("USA0", 5L)).toDF("region", "n")
     val stalled = Monitor.stalledRegions(spark, counts).collect().map(_.getString(0))
