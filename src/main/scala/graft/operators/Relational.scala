@@ -447,6 +447,93 @@ object Relational {
       |WHERE event_id < 500
       |ORDER BY event_id""".stripMargin
 
+  /** CUBE: all grouping combinations in one pass. */
+  def q42Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  val q42Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS through the ANSI SQL front door (spark.sql over
+    * registered views) — the engine's second entry path next to the
+    * DataFrame API; both compile to the same expand+aggregate plan. */
+  def q43GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q43Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Full outer join of two aggregates with deliberately partial overlap. */
+  def q44FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 7000.0)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_rich_cust"))
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 7000.0)
+      .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_rich_supp"))
+    cust.join(supp, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q44Sql: String =
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_rich_cust
+      |  FROM customer WHERE c_acctbal > 7000.0 GROUP BY c_nationkey),
+      |s AS (SELECT s_nationkey AS nk2, count(*) AS n_rich_supp
+      |  FROM supplier WHERE s_acctbal > 7000.0 GROUP BY s_nationkey)
+      |SELECT coalesce(nk, nk2) AS nationkey,
+      |  coalesce(n_rich_cust, 0) AS n_rich_cust,
+      |  coalesce(n_rich_supp, 0) AS n_rich_supp
+      |FROM c FULL OUTER JOIN s ON nk = nk2
+      |ORDER BY nationkey""".stripMargin
+
+  /** TPC-H Q5-style (local-supplier revenue per nation) entirely through
+    * spark.sql — multi-join ANSI SQL over registered views. */
+  def q45SqlTpch5(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(s"${t}_v"))
+    spark.sql(
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer_v, orders_v, lineitem_v, supplier_v, nation_v, region_v
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  val q45Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project"  -> q02FilterProject _,
@@ -466,6 +553,10 @@ object Relational {
     "q16_above_nation_avg" -> q16AboveNationAvg _,
     "q17_union_all_agg"   -> q17UnionAllAgg _,
     "q18_date_fns"        -> q18DateFns _,
+    "q42_cube"            -> q42Cube _,
+    "q43_grouping_sets"   -> q43GroupingSets _,
+    "q44_full_outer"      -> q44FullOuter _,
+    "q45_sql_tpch5"       -> q45SqlTpch5 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -487,5 +578,9 @@ object Relational {
     "q16_above_nation_avg" -> q16Sql,
     "q17_union_all_agg"   -> q17Sql,
     "q18_date_fns"        -> q18Sql,
+    "q42_cube"            -> q42Sql,
+    "q43_grouping_sets"   -> q43Sql,
+    "q44_full_outer"      -> q44Sql,
+    "q45_sql_tpch5"       -> q45Sql,
   )
 }
