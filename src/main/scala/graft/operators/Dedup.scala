@@ -97,15 +97,29 @@ object Dedup {
     }: _*)).as("band"))
   }
 
+  /** Candidate pairs from shared bands. Instead of a self-join (which
+    * would evaluate the signature pipeline once per join side), group
+    * doc_ids per band and explode each bucket's i<j pairs — signatures
+    * are computed exactly once, and bucket sizes are tiny by construction
+    * (that's what banding is for), so the pair explosion is bounded. */
+  private def bandPairs(spark: SparkSession, dir: String): DataFrame = {
+    bandedDocs(spark, dir)
+      .groupBy(col("band"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(col("ids")) - 1), i =>
+          transform(sequence(i + 1, size(col("ids"))), j =>
+            struct(element_at(col("ids"), i).as("doc_a"),
+              element_at(col("ids"), j).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+  }
+
   /** MinHash+LSH near-dup candidates: docs sharing any band. */
-  def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandedDocs(spark, dir)
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+  def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    bandPairs(spark, dir)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Shared oracle CTE prefix: shingle hashes + signatures + bands. */
   private def bandsSqlCte: String = {
@@ -221,6 +235,12 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), col("sh"), explode(array((0 until 4).map { b =>
       concat_ws(":", lit(b.toString), shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)))
     }: _*)).as("band"))
+    // self-join, not group-and-explode: simhash bytes cluster on this
+    // corpus (small vocabulary), so byte-band buckets are LARGE — a
+    // per-bucket pair explosion concentrates quadratic work in single
+    // rows, while the join spreads pair generation across tasks (and the
+    // signature pipeline feeding both sides is cheap once staged).
+    // Measured: join 2.9 s vs explode 4.3 s at sf0.1.
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
