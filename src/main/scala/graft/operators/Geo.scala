@@ -105,6 +105,21 @@ object Geo {
     pts.withColumn("region", regionIdFor(usaCatalog, col("lon"), col("lat")))
   }
 
+  /** General form of region assignment for catalogs too large to inline
+    * as a when-chain (the reference caps at 25 regions so regionIdFor is
+    * the default, but a 10k-region catalog needs this): broadcast range
+    * join on containment, lowest-ID tie-break via min, NONE for misses.
+    * Still no shuffle of the fact side — the catalog broadcasts and the
+    * per-event aggregate keys on the event's unique id. Equality with the
+    * when-chain is spec-asserted. */
+  def assignRegionViaJoin(spark: SparkSession, events: DataFrame,
+                          catalog: DataFrame): DataFrame = {
+    val pts = withPoint(events)
+    pts.join(broadcast(catalog), containsPoint(col("lon"), col("lat")), "left")
+      .groupBy(pts.columns.map(col): _*)
+      .agg(coalesce(min(col("id")), lit("NONE")).as("region"))
+  }
+
   /** q19: per-region event counts — the reference's core routing semantic
     * (every tweet lands in exactly one per-region topic) as a batch query. */
   def q19GeoAssign(spark: SparkSession, dir: String): DataFrame =

@@ -87,6 +87,29 @@ object Monitor {
       .select(col("region"))
   }
 
+  /** The complete monitor pipeline (EP3, regionSpout.go:102-117) as one
+    * streaming query: assigned events → watermarked 30 s window counts →
+    * per-micro-batch stall annotation via foreachBatch (counts outer-join
+    * the catalog, silent regions flagged) → caller's collector. */
+  def monitorQuery(spark: SparkSession, events: DataFrame,
+                   collect: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val catalog = Geo.usaCatalog.map(_.id).toDF("cat_region")
+    regionCounts(assignedEvents(spark, events))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val annotated = broadcast(catalog)
+          .join(batch, catalog("cat_region") === batch("region"), "left")
+          .select(col("cat_region").as("region"), col("w_start"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            (col("n").isNull || col("n") === 0L).as("stalled"))
+        collect(annotated, id)
+      }
+      .start()
+  }
+
   /** O11 (regionSpout.go:105-110): the monitor display — per-trigger counts
     * to the console, update mode like the reference's overwrite-in-place
     * screen. Returned started. */

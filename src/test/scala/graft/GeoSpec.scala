@@ -55,6 +55,15 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("join-based assignment (large-catalog form) equals the when-chain") {
+    val events = Tables.events(spark, sf)
+    val viaChain = Geo.assignRegion(spark, events)
+      .select(col("event_id"), col("region"))
+    val viaJoin = Geo.assignRegionViaJoin(spark, events, Geo.regions(spark))
+      .select(col("event_id"), col("region"))
+    assert(viaChain.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaChain).isEmpty)
+  }
+
   test("locations.json-format catalog loads with the east/west quirk intact") {
     val tmp = java.nio.file.Files.createTempFile("locations", ".json")
     val json =

@@ -156,6 +156,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("monitor pipeline end-to-end: windowed counts with stall flags per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    // event_id 0 maps to NONE; use ids resolving to USA0 only, so USA1
+    // must come out stalled
+    def regionOf(id: Long): String = {
+      val lon = (-1300 + id % 660) / 10.0
+      val lat = (240 + (id * 7919) % 260) / 10.0
+      graft.operators.Geo.usaCatalog.sortBy(_.id).find(r =>
+        lon >= math.min(r.east, r.west) && lon <= math.max(r.east, r.west) &&
+          lat >= r.south && lat <= r.north).map(_.id).getOrElse("NONE")
+    }
+    val usa0 = (0L until 660L).find(regionOf(_) == "USA0").get
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Array[(String, Long, Boolean)]]
+    val events = input.toDF().toDF("event_id", "ts")
+    val query = Monitor.monitorQuery(spark, events, (df, _) =>
+      batches += df.collect().map(r =>
+        (r.getAs[String]("region"), r.getAs[Long]("n"), r.getAs[Boolean]("stalled"))))
+    try {
+      input.addData((usa0, ts("2024-01-01 10:00:05")), (usa0, ts("2024-01-01 10:00:07")))
+      query.processAllAvailable()
+      // the final micro-batch can be a data-less watermark advance; check
+      // the batch that carried the counts
+      val dataBatch = batches.reverse.find(_.exists(_._2 > 0)).get
+      val byRegion = dataBatch.map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(byRegion("USA0") == ((2L, false)))
+      assert(byRegion("USA1") == ((0L, true)), "silent region must be flagged")
+    } finally query.stop()
+  }
+
   test("stalled-region batch check flags silent catalog regions") {
     val counts = Seq(("USA0", 5L)).toDF("region", "n")
     val stalled = Monitor.stalledRegions(spark, counts).collect().map(_.getString(0))
