@@ -179,15 +179,71 @@ object Similarity {
        |WHERE round(${cosineSql("a.v", "b.v")}, 6) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** IVF (inverted-file) ANN: 16 seed vectors act as centroids; every
+    * vector joins its nearest-centroid cell (argmin of
+    * ||c||² − 2·v·c, the rank-equivalent of L2 distance; ties → lowest
+    * centroid id); queries search only their own cell. Same recall/cost
+    * dial as q31's LSH but with data-adaptive cells — swap the seed
+    * centroids for k-means output at scale, nothing else changes.
+    * Assignment is a broadcast 16-way scorer + min-join — the fact side
+    * shuffles only for the tiny per-vector argmin aggregate. */
+  def q46AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = normedVectors(spark, dir)
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dists = e.select(col("vec_id"), col("v"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("cv"), col("cv")) - dot(col("v"), col("cv")) * 2.0).as("dist"))
+    val best = dists.groupBy(col("vec_id").as("bv")).agg(min(col("dist")).as("md"))
+    val cells = dists
+      .join(best, col("vec_id") === col("bv") && col("dist") === col("md"))
+      .groupBy(col("vec_id")).agg(min(col("cid")).as("cell"))
+    val withCell = e.join(cells, "vec_id")
+    val q = withCell.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell").as("q_cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    withCell.join(broadcast(q), col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val q46Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 100 AND vec_id < 116),
+       |dists AS (SELECT e.vec_id, c.cid,
+       |    ${dotSql("c.cv", "c.cv")} - ${dotSql("e.v", "c.cv")} * 2.0 AS dist
+       |  FROM e CROSS JOIN cents c),
+       |best AS (SELECT vec_id AS bv, min(dist) AS md FROM dists GROUP BY vec_id),
+       |cells AS (SELECT d.vec_id, min(d.cid) AS cell
+       |  FROM dists d JOIN best b ON d.vec_id = b.bv AND d.dist = b.md
+       |  GROUP BY d.vec_id),
+       |wc AS (SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells ON e.vec_id = cells.vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM wc WHERE vec_id < 10),
+       |sc AS (SELECT q.q_id, wc.vec_id, round(${cosineSql("q.qv", "wc.v")}, 6) AS cos
+       |  FROM wc JOIN q ON wc.cell = q.q_cell AND wc.vec_id <> q.q_id),
+       |rk AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT q_id, vec_id, cos, rk FROM rk WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce"    -> q30KnnBruteforce _,
     "q31_ann_lsh"           -> q31AnnLsh _,
     "q32_embedding_neardup" -> q32EmbeddingNeardup _,
+    "q46_ann_ivf"           -> q46AnnIvf _,
   )
 
   val oracle: Map[String, String] = Map(
     "q30_knn_bruteforce"    -> q30Sql,
     "q31_ann_lsh"           -> q31Sql,
     "q32_embedding_neardup" -> q32Sql,
+    "q46_ann_ivf"           -> q46Sql,
   )
 }
