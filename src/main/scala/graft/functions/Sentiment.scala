@@ -55,7 +55,7 @@ object Sentiment {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(score(col("text")), 6).as("sentiment"))
+        round(score(col("text")) + 1e-9, 6).as("sentiment"))
       .orderBy(col("source"))
   }
 
@@ -70,7 +70,7 @@ object Sentiment {
        |    len(string_split(text,' ')) AS toks
        |  FROM documents)
        |SELECT source, count(*) AS n_docs,
-       |  round((sum(pos) - sum(neg))::DOUBLE / sum(toks), 6) AS sentiment
+       |  round((sum(pos) - sum(neg))::DOUBLE / sum(toks) + 1e-9, 6) AS sentiment
        |FROM t
        |GROUP BY source
        |ORDER BY source""".stripMargin

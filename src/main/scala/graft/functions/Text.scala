@@ -56,20 +56,20 @@ object Text {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_ws")).as("total_tokens"),
-        round(avg(col("n_ws")), 4).as("avg_tokens"),
-        round(avg(col("n_bpe")), 4).as("avg_bpe_tokens"),
-        round(avg(col("n_distinct")), 4).as("avg_distinct"),
-        round(avg(col("n_chars")), 4).as("avg_chars"))
+        round(avg(col("n_ws")) + 1e-9, 4).as("avg_tokens"),
+        round(avg(col("n_bpe")) + 1e-9, 4).as("avg_bpe_tokens"),
+        round(avg(col("n_distinct")) + 1e-9, 4).as("avg_distinct"),
+        round(avg(col("n_chars")) + 1e-9, 4).as("avg_chars"))
       .orderBy(col("lang"))
   }
 
   val q21Sql: String =
     """SELECT lang, count(*) AS n_docs,
       |  sum(len(string_split(text,' ')))::BIGINT AS total_tokens,
-      |  round(avg(len(string_split(text,' '))), 4) AS avg_tokens,
-      |  round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_bpe_tokens,
-      |  round(avg(len(list_distinct(string_split(text,' ')))), 4) AS avg_distinct,
-      |  round(avg(length(text)), 4) AS avg_chars
+      |  round(avg(len(string_split(text,' '))) + 1e-9, 4) AS avg_tokens,
+      |  round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) + 1e-9, 4) AS avg_bpe_tokens,
+      |  round(avg(len(list_distinct(string_split(text,' ')))) + 1e-9, 4) AS avg_distinct,
+      |  round(avg(length(text)) + 1e-9, 4) AS avg_chars
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
@@ -91,13 +91,13 @@ object Text {
         length(regexp_replace(col("text"), " ", "")).as("n_alpha"))
       .select(
         col("doc_id"), col("n_tokens"),
-        round(col("n_alpha") / col("n_tokens"), 6).as("avg_token_len"),
-        round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
-        round(col("n_distinct") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_alpha") / col("n_tokens") + 1e-9, 6).as("avg_token_len"),
+        round(col("n_stop") / col("n_tokens") + 1e-9, 6).as("stop_ratio"),
+        round(col("n_distinct") / col("n_tokens") + 1e-9, 6).as("ttr"),
         round(
           least(lit(1.0), col("n_tokens") / 100.0) *
             (lit(0.5) + (col("n_distinct") / col("n_tokens")) * 0.5) *
-            (lit(1.0) - (col("n_stop") / col("n_tokens")) * 0.5), 6)
+            (lit(1.0) - (col("n_stop") / col("n_tokens")) * 0.5) + 1e-9, 6)
           .as("quality"))
       .orderBy(col("doc_id"))
   }
@@ -111,12 +111,12 @@ object Text {
       |    length(replace(text,' ','')) AS n_alpha
       |  FROM documents)
       |SELECT doc_id, n_tokens,
-      |  round(n_alpha / n_tokens, 6) AS avg_token_len,
-      |  round(n_stop / n_tokens, 6) AS stop_ratio,
-      |  round(n_distinct / n_tokens, 6) AS ttr,
+      |  round(n_alpha / n_tokens + 1e-9, 6) AS avg_token_len,
+      |  round(n_stop / n_tokens + 1e-9, 6) AS stop_ratio,
+      |  round(n_distinct / n_tokens + 1e-9, 6) AS ttr,
       |  round(least(1.0, n_tokens / 100.0) *
       |        (0.5 + (n_distinct / n_tokens) * 0.5) *
-      |        (1.0 - (n_stop / n_tokens) * 0.5), 6) AS quality
+      |        (1.0 - (n_stop / n_tokens) * 0.5) + 1e-9, 6) AS quality
       |FROM t
       |ORDER BY doc_id""".stripMargin
 

@@ -168,12 +168,17 @@ object Relational {
       |ORDER BY r_name, n_name""".stripMargin
 
   /** Window functions: running revenue + row_number per supplier.
-    * Deterministic intra-partition order via (shipdate, orderkey, linenumber). */
+    * Deterministic intra-partition order via (shipdate, orderkey,
+    * linenumber, extendedprice) — the synthetic data has duplicate
+    * (orderkey, linenumber) rows with different prices, so the price
+    * tiebreak makes any remaining ties indistinguishable in both the
+    * displayed columns and the summed value. */
   def q07WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00"))
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
     l.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).as("rn"),
@@ -188,7 +193,7 @@ object Relational {
       |  round(sum(l_extendedprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice)
       |ORDER BY l_suppkey, rn""".stripMargin
 
   /** Top-k per group via row_number: 3 priciest orders per customer. */
