@@ -152,7 +152,9 @@ object Dedup {
   def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val sets = d.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
-    val cand = q26MinhashLsh(spark, dir)
+    // unsorted candidates — q26's output sort would just add a wasted
+    // exchange under this join
+    val cand = bandPairs(spark, dir).distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
