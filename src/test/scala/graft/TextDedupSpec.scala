@@ -74,6 +74,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: top-1 never beats exact top-1, ranks cosine-descending") {
+    val ivf = Similarity.q46AnnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val bf = Similarity.q30KnnBruteforce(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ivf.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getDouble(2) <= bf(r.getLong(0)) + 1e-9)
+    }
+  }
+
   test("LSH ANN results are a subset of each query's bucket and cosine-ranked") {
     val ann = Similarity.q31AnnLsh(spark, sf).collect()
     // approximate: fewer or equal results vs brute force, never a higher top-1
