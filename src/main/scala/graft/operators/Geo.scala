@@ -65,7 +65,7 @@ object Geo {
 
   /** The deterministic synthetic point columns (see object doc). Integer
     * ops first, one final division — bit-identical across engines. */
-  private[operators] def withPoint(events: DataFrame): DataFrame =
+  private[graft] def withPoint(events: DataFrame): DataFrame =
     events
       .withColumn("lon", (lit(-1300) + col("event_id") % 660) / 10.0)
       .withColumn("lat", (lit(240) + (col("event_id") * 7919) % 260) / 10.0)
