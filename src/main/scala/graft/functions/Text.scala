@@ -198,11 +198,45 @@ object Text {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Repetition ratio (Gopher-style quality filter): fraction of bigrams
+    * that are repeats of an earlier bigram — high values flag template /
+    * boilerplate documents. Pure map; flagged docs surface for the dedup
+    * pipeline. */
+  def q47Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = toks(col("text"))
+    val bigrams = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", slice(t, i, lit(2))))
+    d.select(col("doc_id"), bigrams.as("bg"))
+      .select(col("doc_id"), size(col("bg")).as("n_bigrams"),
+        size(array_distinct(col("bg"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("n_bigrams") - col("n_distinct")) / col("n_bigrams") + 1e-9, 6)
+          .as("repetition_ratio"))
+      .filter(col("repetition_ratio") > 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  val q47Sql: String =
+    """WITH b AS (SELECT doc_id,
+      |    list_transform(range(1, len(string_split(text,' '))),
+      |      i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' ')) AS bg
+      |  FROM documents),
+      |r AS (SELECT doc_id, len(bg) AS n_bigrams,
+      |    round((len(bg) - len(list_distinct(bg))) / len(bg) + 1e-9, 6) AS repetition_ratio
+      |  FROM b)
+      |SELECT doc_id, n_bigrams, repetition_ratio
+      |FROM r
+      |WHERE repetition_ratio > 0.05
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats"   -> q21TokenStats _,
     "q22_quality_score" -> q22QualityScore _,
     "q23_lang_id"       -> q23LangId _,
     "q24_fingerprint"   -> q24Fingerprint _,
+    "q47_repetition"    -> q47Repetition _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -210,5 +244,6 @@ object Text {
     "q22_quality_score" -> q22Sql,
     "q23_lang_id"       -> q23Sql,
     "q24_fingerprint"   -> q24Sql,
+    "q47_repetition"    -> q47Sql,
   )
 }
