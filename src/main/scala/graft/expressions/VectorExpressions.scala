@@ -121,6 +121,39 @@ case class H60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Imperative registration fallback for sessions NOT built with
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` (e.g. a
+  * harness-owned SparkSession calling SparkEntry.queries directly).
+  * Idempotent; called from Tables.load so every query self-heals. */
+object GraftFunctions {
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val key = spark.sessionState.hashCode().toString
+    if (registered.add(key)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.dotBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_h60", GraftExtensions.h60Builder, "scala_udf")
+    }
+  }
+}
+
+object GraftExtensions {
+  private[expressions] val dotBuilder: Seq[Expression] => Expression = children => {
+    val widened = children.map { c =>
+      c.dataType match {
+        case ArrayType(FloatType, n) => Cast(c, ArrayType(DoubleType, n))
+        case _ => c
+      }
+    }
+    DotProduct(widened(0), widened(1))
+  }
+
+  private[expressions] val h60Builder: Seq[Expression] => Expression =
+    children => H60(children.head)
+}
+
 /** Session extension registering the graft function family. Activate with
   * `spark.sql.extensions=graft.expressions.GraftExtensions` (all graft
   * session builders set it). */
@@ -129,19 +162,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        // convenience widening so raw array<float> embedding columns work
-        val widened = children.map { c =>
-          c.dataType match {
-            case ArrayType(FloatType, n) => Cast(c, ArrayType(DoubleType, n))
-            case _ => c
-          }
-        }
-        DotProduct(widened(0), widened(1))
-      }))
+      GraftExtensions.dotBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[H60].getName, "graft_h60"),
-      (children: Seq[Expression]) => H60(children.head)))
+      GraftExtensions.h60Builder))
   }
 }
