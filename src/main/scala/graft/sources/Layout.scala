@@ -56,6 +56,30 @@ object Layout {
       .format("parquet").saveAsTable("lineitem_bucketed")
   }
 
+  /** CSV round-trip with explicit schema (headers on, ISO timestamps):
+    * the interchange format for anything that isn't columnar yet. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", true)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", true)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  /** JSON-lines round-trip — the reference's native wire format
+    * (`regionSpout.go:152` ships JSON bytes). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** The co-located join: revenue per order across the two bucketed facts.
     * With matching bucket counts on the join keys, the physical plan has
     * no ShuffleExchange before the join. */

@@ -24,6 +24,20 @@ class LayoutSpec extends SparkSpec {
       s"expected zero exchanges over bucketed tables, got ${shuffles.size}")
   }
 
+  test("CSV and JSON round-trip the orders table losslessly") {
+    val orders = graft.sources.Tables.orders(spark, sf).orderBy(col("o_orderkey"))
+    val schema = orders.schema
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Layout.writeCsv(orders, csvDir)
+    Layout.writeJson(orders, jsonDir)
+    val fromCsv = Layout.readCsv(spark, csvDir, schema).orderBy(col("o_orderkey"))
+    val fromJson = Layout.readJson(spark, jsonDir, schema).orderBy(col("o_orderkey"))
+    val want = orders.collect().map(_.toSeq)
+    assert(fromCsv.collect().map(_.toSeq).toSeq == want.toSeq, "CSV round-trip")
+    assert(fromJson.collect().map(_.toSeq).toSeq == want.toSeq, "JSON round-trip")
+  }
+
   test("partitioned events layout prunes by region at the scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Layout.writePartitionedEvents(spark, sf, out)
