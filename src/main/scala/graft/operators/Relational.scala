@@ -539,6 +539,30 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** PIVOT: customers per (nation, market segment) as a wide table. The
+    * explicit value list keeps the plan single-pass (no distinct-values
+    * pre-query) — mandatory at scale. */
+  def q49Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .pivot("c_mktsegment", segments)
+      .agg(count(lit(1)))
+      .na.fill(0L, segments)
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q49Sql: String =
+    """SELECT c_nationkey,
+      |  count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+      |  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS "BUILDING",
+      |  count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS "FURNITURE",
+      |  count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+      |  count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project"  -> q02FilterProject _,
@@ -562,6 +586,7 @@ object Relational {
     "q43_grouping_sets"   -> q43GroupingSets _,
     "q44_full_outer"      -> q44FullOuter _,
     "q45_sql_tpch5"       -> q45SqlTpch5 _,
+    "q49_pivot"           -> q49Pivot _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -587,5 +612,6 @@ object Relational {
     "q43_grouping_sets"   -> q43Sql,
     "q44_full_outer"      -> q44Sql,
     "q45_sql_tpch5"       -> q45Sql,
+    "q49_pivot"           -> q49Sql,
   )
 }
