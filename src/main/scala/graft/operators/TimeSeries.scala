@@ -12,26 +12,39 @@ import graft.sources.Tables
   * top-k over those vectors — the same vector machinery as the embedding
   * queries (graft_dot), fed from event time instead of a model.
   *
-  * Scale shape: series construction is one groupBy(user) — the single
-  * shuffle — followed by a map-side densify; the kNN reuses the
-  * broadcast-queries + window top-k plan from q30. At 100 TB the densify
-  * happens on pre-aggregated (user, day) partials, never raw events.
+  * Scale shape: counts are pre-aggregated per (user, day) FIRST — partial
+  * (map-side-combined) counts, state bounded at ≤`days` rows per user —
+  * then one groupBy(user) collects the tiny (day, n) pairs and a map-side
+  * densify expands them to the dense vector. Aggregation-buffer state is
+  * O(days) per user regardless of event volume: a 10⁸-event power user
+  * costs the same 30-entry map as anyone else. The kNN reuses the
+  * broadcast-queries + window top-k plan from q30.
   */
 object TimeSeries {
 
   private val days = 30
   private val epoch = "2024-01-01"
 
-  /** user_id → dense double vector of daily event counts. */
+  /** user_id → dense double vector of daily event counts.
+    *
+    * Two-stage aggregation: (user, day) counts first — Spark plants a
+    * partial HashAggregate before the exchange, so the shuffle carries at
+    * most `days` rows per user per input partition — then the per-user
+    * collect sees only the ≤`days` (day, n) pairs, never raw events, and
+    * the densify reads the tiny map. (The previous collect_list-of-raw-day-
+    * indexes form materialized one array element per EVENT in a single
+    * aggregation buffer — unbounded per-user state under heavy hitters.) */
   private def userSeries(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"),
         datediff(to_date(col("ts")), to_date(lit(epoch))).as("d"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n"))
       .groupBy(col("user_id"))
-      .agg(collect_list(col("d")).as("ds"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("n")))).as("dn"))
       .select(col("user_id"),
         transform(sequence(lit(0), lit(days - 1)),
-          i => size(filter(col("ds"), x => x === i)).cast("double")).as("v"))
+          i => coalesce(element_at(col("dn"), i), lit(0L)).cast("double")).as("v"))
       .select(col("user_id"), col("v"),
         sqrt(call_function("graft_dot", col("v"), col("v"))).as("nrm"))
 
