@@ -181,26 +181,40 @@ object Similarity {
 
   // ---------------------------------------------------------------- q46
   /** IVF (inverted-file) ANN: 16 seed vectors act as centroids; every
-    * vector joins its nearest-centroid cell (argmin of
+    * vector is assigned its nearest-centroid cell (argmin of
     * ||c||² − 2·v·c, the rank-equivalent of L2 distance; ties → lowest
     * centroid id); queries search only their own cell. Same recall/cost
     * dial as q31's LSH but with data-adaptive cells — swap the seed
     * centroids for k-means output at scale, nothing else changes.
-    * Assignment is a broadcast 16-way scorer + min-join — the fact side
-    * shuffles only for the tiny per-vector argmin aggregate. */
+    *
+    * Cell assignment is ONE map-side projection: the coarse quantizer is
+    * tiny by construction (16 centroids here; a few thousand at 100 TB),
+    * so the centroids are collected driver-side (bounded by a `require`,
+    * like the geo catalog) and compiled into an `array_sort` over
+    * `struct(dist, cid)` literals — element 1 is the argmin, ties fall to
+    * the lowest cid via struct field ordering. Zero shuffles and zero
+    * joins before the per-query top-k window. (The previous form shuffled
+    * the fact side twice — groupBy min + a float-equality join-back.)
+    * ||c||² folds left-to-right driver-side, matching the oracle's
+    * sequential list_reduce bit-for-bit. */
   def q46AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = normedVectors(spark, dir)
-    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 116)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val dists = e.select(col("vec_id"), col("v"))
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dot(col("cv"), col("cv")) - dot(col("v"), col("cv")) * 2.0).as("dist"))
-    val best = dists.groupBy(col("vec_id").as("bv")).agg(min(col("dist")).as("md"))
-    val cells = dists
-      .join(best, col("vec_id") === col("bv") && col("dist") === col("md"))
-      .groupBy(col("vec_id")).agg(min(col("cid")).as("cell"))
-    val withCell = e.join(cells, "vec_id")
+    val cents: Array[(Long, Seq[Double])] = e
+      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty && cents.length <= 4096,
+      s"coarse quantizer must stay driver-collectable, got ${cents.length} centroids")
+    val cellCol = element_at(
+      array_sort(array(cents.map { case (cid, cv) =>
+        val c2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          (lit(c2) - dot(col("v"), array(cv.map(lit): _*)) * 2.0).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)), 1).getField("cid")
+    val withCell = e.withColumn("cell", cellCol)
     val q = withCell.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell").as("q_cell"))
