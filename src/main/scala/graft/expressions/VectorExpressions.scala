@@ -92,6 +92,36 @@ object GraftHash {
       ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
       ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
   }
+
+  /** 64-bit SimHash over two parallel token-hash arrays: signature bit b
+    * is set iff more tokens have bit b of their hash set than clear —
+    * bits 0-31 read hs1, bits 32-63 read hs2 (bit b−32). Exactly the
+    * fold-per-bit HOF form ([[graft.operators.Dedup.simhashReference]],
+    * spec-asserted equal): sum of ±1 > 0 ⇔ 2·(set count) > n. One pass
+    * over the tokens instead of 64 interpreted folds. */
+  def simhash64(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h1 = x.getLong(i)
+      val h2 = y.getLong(i)
+      var b = 0
+      while (b < 32) {
+        if (((h1 >>> b) & 1L) == 1L) counts(b) += 1
+        if (((h2 >>> b) & 1L) == 1L) counts(b + 32) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 }
 
 /** `graft_h60(s)`: the cross-engine 60-bit md5 hash as one native step —
@@ -121,6 +151,43 @@ case class H60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_simhash64(hs1, hs2)`: 64-bit SimHash from two parallel
+  * ARRAY<LONG> token-hash columns in one native pass — replaces 64
+  * interpreted `aggregate` folds (one per signature bit) in the q28/q29
+  * hot path with a single loop; results are spec-asserted equal to the
+  * HOF reference form. */
+case class SimHash64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 expects two array<bigint> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.simhash64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.GraftHash.simhash64($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHash64 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Imperative registration fallback for sessions NOT built with
   * `spark.sql.extensions=graft.expressions.GraftExtensions` (e.g. a
   * harness-owned SparkSession calling SparkEntry.queries directly).
@@ -135,6 +202,7 @@ object GraftFunctions {
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.dotBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_h60", GraftExtensions.h60Builder, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_simhash64", GraftExtensions.simhash64Builder, "scala_udf")
     }
   }
 }
@@ -152,6 +220,9 @@ object GraftExtensions {
 
   private[expressions] val h60Builder: Seq[Expression] => Expression =
     children => H60(children.head)
+
+  private[expressions] val simhash64Builder: Seq[Expression] => Expression =
+    children => SimHash64(children(0), children(1))
 }
 
 /** Session extension registering the graft function family. Activate with
@@ -167,5 +238,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[H60].getName, "graft_h60"),
       GraftExtensions.h60Builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      GraftExtensions.simhash64Builder))
   }
 }

@@ -181,39 +181,80 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q28
-  private val simBits = 32
+  /** 64-bit signature: bits 0-31 from h60(token), bits 32-63 from a
+    * salted h60(token || "#2") — h60 is only 60 bits wide, so a single
+    * hash would leave the top bits constant; two independent hashes give
+    * 64 real bits. 16-bit bands (4 × 65536 buckets) keep buckets narrow
+    * at corpus scale: at 10⁹ docs a band bucket holds ~4·10³ docs, vs
+    * ~10⁶ under the old 32-bit/8-bit-band scheme whose ≤1024 total
+    * buckets went quadratic. Same pigeonhole guarantee (hamming ≤ 3 over
+    * 4 bands → ≥ 1 exact band). */
+  private val simBits = 64
+  private val bandBits = 16
+  private val nSimBands = simBits / bandBits
+  private val bandMask = (1L << bandBits) - 1
 
-  /** 32-bit SimHash from a column of token hashes — bit b is set iff the
-    * signed sum of tokens' bit-b contributions is > 0. Callers stage the
-    * token-hash array first so md5 runs once per token, not 32×. */
-  private def simhashFromHashes(hs: Column): Column = {
+  /** Per-bit weight 2^b as a signed-64 literal (bit 63 = Long.MinValue;
+    * sums of distinct powers never carry, so bit-wise OR ≡ addition in
+    * both engines — and DuckDB's checked BIGINT add never overflows
+    * because ascending-order partials stay within [MIN, MAX]). */
+  private def bitWeight(b: Int): Long = 1L << b
+
+  /** 64-bit SimHash from two staged token-hash columns — bit b is set iff
+    * the signed sum of tokens' bit-b contributions is > 0. Callers stage
+    * the token-hash arrays first so md5 runs twice per token, not 64×.
+    * Native one-pass expression ([[graft.expressions.SimHash64]]); the
+    * HOF fold-per-bit form below is the spec-checked reference. */
+  private def simhashFromHashes(hs1: Column, hs2: Column): Column =
+    call_function("graft_simhash64", hs1, hs2)
+
+  /** Reference implementation of [[simhashFromHashes]]: one interpreted
+    * `aggregate` fold per signature bit. 64× more lambda dispatch than
+    * the native expression — kept only so TextDedupSpec can assert the
+    * native form computes the identical signature. */
+  private[graft] def simhashReference(hs1: Column, hs2: Column): Column = {
     val bitSums = (0 until simBits).map { b =>
+      val (hs, bit) = if (b < 32) (hs1, b) else (hs2, b - 32)
       aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
     }
     bitSums.zipWithIndex.map { case (s, b) =>
-      when(s > 0L, lit(1L << b)).otherwise(lit(0L))
+      when(s > 0L, lit(bitWeight(b))).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Token-hash stages for [[simhashReference]], exposed for the spec. */
+  private[graft] def tokenHashCols(text: Column): (Column, Column) =
+    (tokenHashes1(text), tokenHashes2(text))
+
+  private def tokenHashes1(text: Column): Column =
+    transform(split(text, " "), t => h60(t))
+  private def tokenHashes2(text: Column): Column =
+    transform(split(text, " "), t => h60(concat(t, lit("#2"))))
 
   /** Single-expression SimHash (tests / one-off use; prefer the staged
     * doc-frame path in queries). */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(split(text, " "), t => h60(t)))
+    simhashFromHashes(tokenHashes1(text), tokenHashes2(text))
 
   /** doc_id + staged simhash signature. */
   private def simhashDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        transform(split(col("text"), " "), t => h60(t)).as("hs"))
-      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
+        tokenHashes1(col("text")).as("hs1"),
+        tokenHashes2(col("text")).as("hs2"))
+      .select(col("doc_id"), simhashFromHashes(col("hs1"), col("hs2")).as("sh"))
 
   private def simhashSql(text: String): String = {
-    val hs = s"list_transform(string_split($text,' '), t -> ${h60Sql("t")})"
+    val hs1 = s"list_transform(string_split($text,' '), t -> ${h60Sql("t")})"
+    val hs2 = s"list_transform(string_split($text,' '), t -> ${h60Sql("t || '#2'")})"
     val terms = (0 until simBits).map { b =>
-      s"(CASE WHEN list_sum(list_transform(hh, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+      val (arr, bit) = if (b < 32) ("hh1", b) else ("hh2", b - 32)
+      // bit weight emitted as the precomputed signed literal: DuckDB
+      // rejects 1::BIGINT << 63 (checked shift), the constant is fine
+      s"(CASE WHEN list_sum(list_transform($arr, h -> CASE WHEN (h >> $bit) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (${bitWeight(b)})::BIGINT ELSE 0::BIGINT END)"
     }.mkString(" + ")
-    s"(SELECT $terms FROM (SELECT $hs AS hh) _sh)"
+    s"(SELECT $terms FROM (SELECT $hs1 AS hh1, $hs2 AS hh2) _sh)"
   }
 
   /** SimHash signature per document. */
@@ -228,37 +269,48 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q29
-  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes
-    * (pigeonhole: hamming<=3 pairs share >=1 exact byte), bucket-join on
-    * (band, byte), verify with popcount(xor) <= 3. Same LSH join shape as
-    * q26 — scales as buckets, not all-pairs. */
+  /** SimHash near-dup pairs: band the 64-bit signature into 4 × 16-bit
+    * halves-of-halves (pigeonhole: hamming<=3 pairs share >=1 exact
+    * band), bucket-join on (band idx, band value), verify with
+    * popcount(xor) <= 3. Same LSH join shape as q26 — scales as buckets,
+    * not all-pairs, and 4 × 65536 buckets keep in-bucket pair counts
+    * linear at corpus scale. */
+  // Group-and-explode, not self-join: the join-vs-explode winner depends
+  // on bucket geometry, measured BOTH ways at sf0.1 each time the band
+  // scheme changed. Old 32-bit/8-bit-band scheme (≤1024 fat buckets):
+  // join 2.9 s vs explode 4.3 s — join won. Current 64-bit/16-bit-band
+  // scheme (4 × 65536 narrow buckets): explode 0.76 s vs join 1.34 s —
+  // explode wins (signatures computed once, in-bucket pair lists tiny),
+  // and narrow buckets are exactly the geometry that survives 10⁹ docs.
   def q29SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashDocs(spark, dir)
-    val banded = sigs.select(col("doc_id"), col("sh"), explode(array((0 until 4).map { b =>
-      concat_ws(":", lit(b.toString), shiftright(col("sh"), 8 * b).bitwiseAND(lit(255L)))
+    val banded = sigs.select(col("doc_id"), col("sh"), explode(array((0 until nSimBands).map { b =>
+      concat_ws(":", lit(b.toString), shiftright(col("sh"), bandBits * b).bitwiseAND(lit(bandMask)))
     }: _*)).as("band"))
-    // self-join, not group-and-explode: simhash bytes cluster on this
-    // corpus (small vocabulary), so byte-band buckets are LARGE — a
-    // per-bucket pair explosion concentrates quadratic work in single
-    // rows, while the join spreads pair generation across tasks (and the
-    // signature pipeline feeding both sides is cheap once staged).
-    // Measured: join 2.9 s vs explode 4.3 s at sf0.1.
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+    banded
+      .groupBy(col("band"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(col("xs")) - 1), i =>
+          transform(sequence(i + 1, size(col("xs"))), j =>
+            struct(element_at(col("xs"), i).as("a"),
+              element_at(col("xs"), j).as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val bandListSql: String =
+    (0 until nSimBands).map { b =>
+      s"'$b:' || ((sh >> ${bandBits * b}) & $bandMask)"
+    }.mkString("[", ",\n    ", "]")
+
   val q29Sql: String =
     s"""WITH sigs AS (SELECT doc_id, ${simhashSql("text")} AS sh FROM documents),
-       |banded AS (SELECT doc_id, sh, unnest([
-       |    '0:' || ((sh >> 0) & 255),
-       |    '1:' || ((sh >> 8) & 255),
-       |    '2:' || ((sh >> 16) & 255),
-       |    '3:' || ((sh >> 24) & 255)]) AS band FROM sigs)
+       |banded AS (SELECT doc_id, sh, unnest($bandListSql) AS band FROM sigs)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  bit_count(xor(x.sh, y.sh)) AS hamming
        |FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id

@@ -27,7 +27,22 @@ class TextDedupSpec extends SparkSpec {
     val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("a") == m("b"))
     val hamming = java.lang.Long.bitCount(m("a") ^ m("c"))
-    assert(hamming <= 16, s"1-token edit moved $hamming of 32 bits")
+    assert(hamming <= 32, s"1-token edit moved $hamming of 64 bits")
+  }
+
+  test("native graft_simhash64 equals the HOF fold-per-bit reference") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "one-token", "repeat repeat repeat repeat",
+      "key agg row scan slow fast table value part hash")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    val (hs1, hs2) = Dedup.tokenHashCols(col("text"))
+    val rows = df.select(col("id"),
+        Dedup.simhash(col("text")).as("native"),
+        Dedup.simhashReference(hs1, hs2).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"simhash mismatch for id=${r.getInt(0)}"))
   }
 
   test("q26 LSH candidates all verify above 0.5 jaccard in q27 on planted near-dups") {
