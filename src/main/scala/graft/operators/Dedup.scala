@@ -151,16 +151,32 @@ object Dedup {
     * never all-pairs — so the verify cost is proportional to collisions. */
   def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val sets = d.select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
     // unsorted candidates — q26's output sort would just add a wasted
     // exchange under this join
     val cand = bandPairs(spark, dir).distinct()
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    // Shingle sets are computed ONLY for docs that appear in a candidate
+    // pair: the candidate ids (LSH collisions — tiny by construction)
+    // broadcast into the corpus scan as a join filter, and the expensive
+    // shingle+distinct projection sits ABOVE that join, so its cost is
+    // ∝ collisions, not corpus size. (Earlier forms shingled the whole
+    // corpus and either shuffled it per verify join, or — worse —
+    // re-shingled it inside serialized broadcast builds: measured 3.0 s
+    // and 6.2 s at sf0.1 vs 3.1 s for this shape, of which 2.0 s is the
+    // shared LSH candidate pipeline itself.) The verify joins are then
+    // tiny-⋈-tiny broadcasts; raw text never shuffles.
+    val ids = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = d.join(broadcast(ids), "doc_id")
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    // both sides broadcast the SAME subtree (renames stay above the
+    // exchange) so ReuseExchange collapses them into one corpus scan
+    val bsets = broadcast(sets)
+    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .join(bsets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(bsets.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(inter / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
+        round(inter / (size(col("x.sh")) + size(col("y.sh")) - inter), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
