@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the vector hot path (SURVEY §7.3:
@@ -91,6 +91,24 @@ object GraftHash {
     ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
       ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
       ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** Distinct adjacent-bigram count over a token array, one pass with a
+    * pair hash set. Equals `size(array_distinct(bigram-strings))` because
+    * tokens come from `split(text, " ")` and so cannot contain the join
+    * character — the (t[i], t[i+1]) pair IS the joined string's identity.
+    * Arrays with <2 elements have 0 bigrams. */
+  def bigramDistinct(a: ArrayData): Int = {
+    val n = a.numElements()
+    if (n < 2) return 0
+    val seen = new java.util.HashSet[AnyRef]()
+    var i = 0
+    while (i < n - 1) {
+      seen.add(new java.util.AbstractMap.SimpleImmutableEntry(
+        a.getUTF8String(i), a.getUTF8String(i + 1)))
+      i += 1
+    }
+    seen.size()
   }
 
   /** 64-bit SimHash over two parallel token-hash arrays: signature bit b
@@ -188,6 +206,35 @@ case class SimHash64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bigram_distinct(tokens)`: distinct adjacent-bigram count of an
+  * ARRAY<STRING> in one native pass — replaces the per-bigram
+  * string-building HOF chain (`transform` + `slice` + `concat_ws` +
+  * `array_distinct`) in the q47 hot path; spec-asserted equal. */
+case class BigramDistinct(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_bigram_distinct expects array<string>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_bigram_distinct"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHash.bigramDistinct(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.GraftHash.bigramDistinct($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramDistinct =
+    copy(child = newChild)
+}
+
 /** Imperative registration fallback for sessions NOT built with
   * `spark.sql.extensions=graft.expressions.GraftExtensions` (e.g. a
   * harness-owned SparkSession calling SparkEntry.queries directly).
@@ -203,6 +250,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.dotBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_h60", GraftExtensions.h60Builder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_simhash64", GraftExtensions.simhash64Builder, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_bigram_distinct", GraftExtensions.bigramDistinctBuilder, "scala_udf")
     }
   }
 }
@@ -223,6 +271,9 @@ object GraftExtensions {
 
   private[expressions] val simhash64Builder: Seq[Expression] => Expression =
     children => SimHash64(children(0), children(1))
+
+  private[expressions] val bigramDistinctBuilder: Seq[Expression] => Expression =
+    children => BigramDistinct(children.head)
 }
 
 /** Session extension registering the graft function family. Activate with
@@ -242,5 +293,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       GraftExtensions.simhash64Builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bigram_distinct"),
+      new ExpressionInfo(classOf[BigramDistinct].getName, "graft_bigram_distinct"),
+      GraftExtensions.bigramDistinctBuilder))
   }
 }

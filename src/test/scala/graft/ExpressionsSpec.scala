@@ -47,6 +47,27 @@ class ExpressionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("graft_bigram_distinct equals the HOF bigram-string form on real docs") {
+    val d = graft.sources.Tables.documents(spark, sf).limit(300)
+    val t = split(col("text"), " ")
+    val mismatches = d
+      .select(
+        call_function("graft_bigram_distinct", t).as("native"),
+        graft.functions.Text.bigramDistinctReference(t).as("ref"))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_bigram_distinct edge cases: empty, single, repeated tokens") {
+    val rows = Seq("", "one", "a b", "a b a b a b", "x x x").toDF("text")
+      .select(call_function("graft_bigram_distinct", split(col("text"), " ")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // "" splits to [""] -> 0; "one" -> 0; "a b" -> 1;
+    // "a b a b a b" -> {"a b","b a"} = 2; "x x x" -> {"x x"} = 1
+    assert(rows == Seq(0, 0, 1, 2, 1))
+  }
+
   test("float arrays implicitly cast to double (embeddings column works raw)") {
     val d = graft.sources.Tables.embeddings(spark, sf).limit(3)
     val out = d.select(call_function("graft_dot", col("embedding"), col("embedding")).as("n2"))
