@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Geo, Multimodal, Relational, Similarity, Sketches, TimeSeries, Windows}
+import graft.operators.{Dedup, Geo, Multimodal, Relational, Similarity, Skew, Sketches, TimeSeries, Windows}
 import graft.functions.{Sentiment, Text}
+import graft.sources.Layout
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Geo.queries ++ Text.queries ++ Dedup.queries ++
       Similarity.queries ++ Windows.queries ++ Multimodal.queries ++
-      Sketches.queries ++ Sentiment.queries ++ TimeSeries.queries
+      Sketches.queries ++ Sentiment.queries ++ TimeSeries.queries ++
+      Layout.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Geo.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Windows.oracle ++ Multimodal.oracle ++
-      Sketches.oracle ++ Sentiment.oracle ++ TimeSeries.oracle
+      Sketches.oracle ++ Sentiment.oracle ++ TimeSeries.oracle ++
+      Layout.oracle ++ Skew.oracle
 }

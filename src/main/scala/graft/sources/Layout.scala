@@ -88,6 +88,44 @@ object Layout {
       .join(spark.table("orders_bucketed"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      // +1e-9 before round: per-ORDER sums of 4-decimal products land on
+      // .xx5 half-cent boundaries where the two engines' last-bit float
+      // error rounds opposite ways; the nudge (≫ the ~1e-10 sum error,
+      // applied in the oracle too) pushes both sides off the boundary.
+      // Nation-level sums (q06) never hit this — order-level sums do.
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + 1e-9, 2)
         .as("revenue"))
+
+  /** Once-per-(session, dir) bucketize: q50 runs under Verify and Bench,
+    * which call each query repeatedly — the table WRITE is layout setup,
+    * not the measured query, so it must not repeat. */
+  private val bucketizedFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ensureBucketized(spark: SparkSession, dir: String): Unit =
+    bucketizedFor.computeIfAbsent(
+      spark.sessionState.hashCode().toString + ":" + dir,
+      _ => { bucketizeFacts(spark, dir); "done" })
+
+  /** q50: the bucketed co-located fact⋈fact join, driver-gated. The
+    * oracle is the plain lineitem⋈orders SQL — bucketing must change the
+    * PLAN (no exchange before the join; LayoutSpec asserts it), never the
+    * answer. */
+  def q50BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureBucketized(spark, dir)
+    colocatedOrderRevenue(spark).orderBy(col("o_orderkey"))
+  }
+
+  val q50Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderpriority
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_bucketed_join" -> q50BucketedJoin _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_bucketed_join" -> q50Sql,
+  )
 }
