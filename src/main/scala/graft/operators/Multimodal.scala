@@ -147,13 +147,51 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- q52
+  /** The decode path, driver-gated: mediaFrame → mapPartitions decode →
+    * metadata + leading feature dims. The stub's md5-byte math is
+    * deterministic, so DuckDB can mirror it exactly: u(i) = byte i of
+    * md5(payload); width = 16 + (u0<<4 | u1>>4); height likewise from
+    * u2/u3; frames = 1+u4 for video; f_i = (u_i−128)/128 — exact k/128
+    * doubles in both engines, no rounding needed. A real codec swap-in
+    * keeps this query's schema and plan; only the byte math changes. */
+  def q52DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(mediaFrame(spark, dir)).toDF()
+      .select(col("doc_id"), col("media_type"),
+        col("width"), col("height"), col("n_frames"),
+        col("feature")(0).cast("double").as("f0"),
+        col("feature")(1).cast("double").as("f1"),
+        col("feature")(2).cast("double").as("f2"),
+        col("feature")(3).cast("double").as("f3"))
+      .orderBy(col("doc_id"))
+
+  val q52Sql: String = {
+    def u(i: Int) = s"('0x'||substr(h,${2 * i + 1},2))::INT"
+    s"""WITH m AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+       |b AS (SELECT doc_id, ${mediaTypeSql("source")} AS media_type,
+       |    ${u(0)} AS u0, ${u(1)} AS u1, ${u(2)} AS u2,
+       |    ${u(3)} AS u3, ${u(4)} AS u4 FROM m)
+       |SELECT doc_id, media_type,
+       |  (16 + u0 * 16 + u1 // 16)::INT AS width,
+       |  (9 + u2 * 16 + u3 // 16)::INT AS height,
+       |  (CASE WHEN media_type = 'video' THEN 1 + u4 ELSE 1 END)::INT AS n_frames,
+       |  (u0 - 128) / 128.0 AS f0,
+       |  (u1 - 128) / 128.0 AS f1,
+       |  (u2 - 128) / 128.0 AS f2,
+       |  (u3 - 128) / 128.0 AS f3
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q37_media_metadata" -> q37MediaMetadata _,
-    "q38_frame_sample"   -> q38FrameSample _,
+    "q37_media_metadata"  -> q37MediaMetadata _,
+    "q38_frame_sample"    -> q38FrameSample _,
+    "q52_decode_features" -> q52DecodeFeatures _,
   )
 
   val oracle: Map[String, String] = Map(
-    "q37_media_metadata" -> q37Sql,
-    "q38_frame_sample"   -> q38Sql,
+    "q37_media_metadata"  -> q37Sql,
+    "q38_frame_sample"    -> q38Sql,
+    "q52_decode_features" -> q52Sql,
   )
 }
