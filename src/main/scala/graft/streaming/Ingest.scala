@@ -97,4 +97,23 @@ object Ingest {
       col("id").cast("binary").as("key"),
       to_json(struct(col("id"), col("text"), col("region"), col("region_data")))
         .cast("binary").as("value"))
+
+  /** O7 (Kafka wire, broker stand-in): the [[kafkaShaped]] rows written
+    * through a STARTED exactly-once sink, one directory per topic —
+    * byte-for-byte what the Kafka sink would ship per partition
+    * (`topic` routes, `key`/`value` are the wire bytes), with a file
+    * directory standing in for the broker (none resolves offline). A
+    * production deployment swaps `.format("parquet")` for
+    * `.format("kafka")` + bootstrap servers; nothing upstream changes. */
+  def kafkaWireSink(df: DataFrame, outDir: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    kafkaShaped(df)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("topic")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
 }

@@ -136,6 +136,44 @@ class StreamingSpec extends SparkSpec {
     assert(regions == Set("USA0", "USA1"))
   }
 
+  test("kafka wire e2e: started sink routes per-row topics, envelope bytes decode") {
+    val out = java.nio.file.Files.createTempDirectory("graft_wire").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wire_ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_wire_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val events = Ingest.eventsFileStream(spark, srcDir.toString)
+    val query = Ingest.kafkaWireSink(Ingest.envelope(spark, events), out, ckpt)
+    query.awaitTermination(120000L)
+
+    val written = spark.read.parquet(out)
+    // wire schema: topic routes, key/value carry bytes
+    assert(written.schema("key").dataType.typeName == "binary")
+    assert(written.schema("value").dataType.typeName == "binary")
+    val topics = written.select("topic").distinct().collect().map(_.getString(0)).toSet
+    assert(topics == Set("raw-tweets-USA0", "raw-tweets-USA1"))
+    // same rows the batch-side envelope produces
+    val expected = Ingest.envelope(spark, graft.sources.Tables.events(spark, sf))
+    assert(written.count() == expected.count())
+    // decode the value payloads: JSON envelope fields, topic/region
+    // routing consistent, key bytes = id bytes (Kafka partitioning key)
+    val decoded = written.select(col("topic"),
+        col("key").cast("string").as("key_s"),
+        from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id STRING, text STRING, region STRING, region_data STRING")).as("j"))
+      .select(col("topic"), col("key_s"), col("j.*"))
+      .collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      assert(r.getAs[String]("id") == r.getAs[String]("key_s"))
+      assert(s"raw-tweets-${r.getAs[String]("region")}" == r.getAs[String]("topic"))
+      assert(r.getAs[String]("region_data").contains(r.getAs[String]("region")))
+      assert(r.getAs[String]("text") != null)
+    }
+  }
+
   test("streaming dedup within watermark drops duplicate keys across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RegionEvent]
