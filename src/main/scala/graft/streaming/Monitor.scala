@@ -121,4 +121,40 @@ object Monitor {
     * shutdown that actually runs — stop every active streaming query. */
   def stopAll(spark: SparkSession): Unit =
     spark.streams.active.foreach(_.stop())
+
+  /** O9 action (regionSpout.go:113-115 — the reference detected a stalled
+    * region and left the restart branch EMPTY; this is that branch made
+    * real): supervise a streaming query, and when the stall predicate
+    * fires, stop it and start a fresh run from the same factory. Because
+    * the factory reuses the checkpoint location, the restart is
+    * exactly-once — the new run resumes from committed offsets, already-
+    * processed input is not re-emitted.
+    *
+    * `checkOnce` is one deterministic supervision tick (what a 30 s
+    * scheduler — or the reference's monitor goroutine — would invoke);
+    * StreamingSpec drives it directly so the restart path is testable
+    * without wall-clock coupling. `maxRestarts` bounds flapping: a query
+    * stalled by a persistent fault escalates instead of spinning. */
+  final class StallSupervisor(
+      start: () => org.apache.spark.sql.streaming.StreamingQuery,
+      isStalled: org.apache.spark.sql.streaming.StreamingQuery => Boolean,
+      maxRestarts: Int = 3) {
+
+    @volatile private var current = start()
+    @volatile private var restarts = 0
+
+    def query: org.apache.spark.sql.streaming.StreamingQuery = current
+    def restartCount: Int = restarts
+    def exhausted: Boolean = restarts >= maxRestarts
+
+    /** One supervision tick; returns true if a restart happened. */
+    def checkOnce(): Boolean =
+      if (isStalled(current) && !exhausted) {
+        current.stop()
+        current.awaitTermination()
+        current = start()
+        restarts += 1
+        true
+      } else false
+  }
 }

@@ -224,6 +224,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stall supervisor restarts the query; checkpoint keeps it exactly-once") {
+    val out = java.nio.file.Files.createTempDirectory("graft_rs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rs_ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rs_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events_a.parquet"))
+    def factory() = Ingest.routedParquetSink(
+      Ingest.envelope(spark, Ingest.eventsFileStream(spark, srcDir.toString)), out, ckpt)
+    @volatile var stalledSignal = false
+    val sup = new Monitor.StallSupervisor(factory _, _ => stalledSignal, maxRestarts = 2)
+    try {
+      sup.query.awaitTermination(120000L)
+      val perFile = Ingest.envelope(spark, graft.sources.Tables.events(spark, sf)).count()
+      assert(spark.read.parquet(out).count() == perFile)
+      val firstRunId = sup.query.runId
+
+      // healthy tick: no restart
+      assert(!sup.checkOnce() && sup.restartCount == 0)
+      assert(sup.query.runId == firstRunId)
+
+      // stalled region reported -> supervisor stops + restarts the query;
+      // new input staged first so the fresh AvailableNow run sees it
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        srcDir.resolve("events_b.parquet"))
+      stalledSignal = true
+      assert(sup.checkOnce() && sup.restartCount == 1)
+      assert(sup.query.runId != firstRunId, "restart must be a new run")
+      sup.query.awaitTermination(120000L)
+      // exactly-once across the restart: file A not re-emitted, file B once
+      assert(spark.read.parquet(out).count() == 2 * perFile)
+
+      // restart budget: once exhausted, ticks stop flapping
+      assert(sup.checkOnce() && sup.restartCount == 2)
+      sup.query.awaitTermination(120000L)
+      assert(!sup.checkOnce() && sup.exhausted)
+    } finally sup.query.stop()
+  }
+
   test("stalled-region batch check flags silent catalog regions") {
     val counts = Seq(("USA0", 5L)).toDF("region", "n")
     val stalled = Monitor.stalledRegions(spark, counts).collect().map(_.getString(0))
