@@ -93,6 +93,43 @@ object GraftHash {
       ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
   }
 
+  /** MinHash machinery shared by the native expression and the operator
+    * layer (graft.operators.Dedup generates the DuckDB mirror SQL from
+    * these same constants — single source of truth). */
+  val MinHashP31: Long = 2147483647L // Mersenne 2^31-1: a·x stays in a long
+  /** 8 affine permutations h_i(x) = (a_i·x + b_i) mod P31 (4 bands × 2). */
+  val minhashPerms: Array[(Long, Long)] =
+    Array.tabulate(8)(i => (1000003L * (2 * i + 1) + 17L, 7919L * i + 42L))
+
+  private val shingleSep = UTF8String.fromString(" ")
+
+  /** MinHash signature over a token array: for every 3-token shingle
+    * (joined with ' ', exactly `concat_ws(" ", slice(t, i, 3))`), hash
+    * with h60 mod P31, and keep the min of each affine permutation — one
+    * pass, no shingle-array or per-permutation-array materialization.
+    * Arrays with <3 tokens yield all-null entries, matching
+    * `array_min(transform([], …))` = null in the HOF reference. */
+  def minhashSig(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val k = minhashPerms.length
+    if (n < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i <= n - 3) {
+      val s = UTF8String.concatWs(shingleSep,
+        tokens.getUTF8String(i), tokens.getUTF8String(i + 1), tokens.getUTF8String(i + 2))
+      val h = h60(s.getBytes) % MinHashP31
+      var j = 0
+      while (j < k) {
+        val v = (minhashPerms(j)._1 * h + minhashPerms(j)._2) % MinHashP31
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Distinct adjacent-bigram count over a token array, one pass with a
     * pair hash set. Equals `size(array_distinct(bigram-strings))` because
     * tokens come from `split(text, " ")` and so cannot contain the join
@@ -235,6 +272,36 @@ case class BigramDistinct(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_minhash_sig(tokens)`: the full MinHash signature (8 affine
+  * permutation minima over h60'd 3-token shingles) in one native pass —
+  * replaces a shingle-string array + per-permutation interpreted
+  * `transform`/`array_min` chain in the q26/q27 hot path; spec-asserted
+  * equal to the staged HOF reference. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects array<string>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHash.minhashSig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.GraftHash.minhashSig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Imperative registration fallback for sessions NOT built with
   * `spark.sql.extensions=graft.expressions.GraftExtensions` (e.g. a
   * harness-owned SparkSession calling SparkEntry.queries directly).
@@ -251,6 +318,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_h60", GraftExtensions.h60Builder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_simhash64", GraftExtensions.simhash64Builder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_bigram_distinct", GraftExtensions.bigramDistinctBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_minhash_sig", GraftExtensions.minhashSigBuilder, "scala_udf")
     }
   }
 }
@@ -274,6 +342,9 @@ object GraftExtensions {
 
   private[expressions] val bigramDistinctBuilder: Seq[Expression] => Expression =
     children => BigramDistinct(children.head)
+
+  private[expressions] val minhashSigBuilder: Seq[Expression] => Expression =
+    children => MinHashSig(children.head)
 }
 
 /** Session extension registering the graft function family. Activate with
@@ -297,5 +368,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bigram_distinct"),
       new ExpressionInfo(classOf[BigramDistinct].getName, "graft_bigram_distinct"),
       GraftExtensions.bigramDistinctBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      GraftExtensions.minhashSigBuilder))
   }
 }

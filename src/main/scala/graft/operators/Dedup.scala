@@ -26,13 +26,14 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Mersenne prime 2^31-1: keeps a_i·x within a signed 64-bit long. */
-  private val P31 = 2147483647L
+  /** Mersenne prime 2^31-1: keeps a_i·x within a signed 64-bit long.
+    * Shared with the native expression ([[graft.expressions.GraftHash]])
+    * and emitted into the DuckDB mirror — single source of truth. */
+  private val P31 = graft.expressions.GraftHash.MinHashP31
 
-  /** MinHash permutation constants (8 perms, 4 bands × 2 rows). Arbitrary
-    * fixed odd multipliers/offsets, single source of truth for both engines. */
+  /** MinHash permutation constants (8 perms, 4 bands × 2 rows). */
   private val perms: Seq[(Long, Long)] =
-    (0 until 8).map(i => (1000003L * (2 * i + 1) + 17L, 7919L * i + 42L))
+    graft.expressions.GraftHash.minhashPerms.toSeq
 
   private val nBands = 4
   private val rowsPerBand = 2
@@ -75,26 +76,39 @@ object Dedup {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q26
+  /** Staged HOF reference for the native signature expression — the
+    * round-1 shape (shingle hashes in one Project, 8 affine mins over
+    * that attribute; staging measured 25 s → ~3 s at sf0.1). Kept only
+    * so TextDedupSpec can assert `graft_minhash_sig` equality. */
+  private[graft] def minhashSigReference(text: Column): Column = {
+    val hs = transform(shingles(text), s => h60(s) % P31)
+    array(perms.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % P31))
+    }: _*)
+  }
+
   /** doc_id + exploded band keys "bandIdx:h1:h2".
     *
-    * Staged projections so the expensive md5 hashing runs ONCE per shingle:
-    * shingle hashes land in one Project, the 8 permutations reference that
-    * attribute (cheap affine arithmetic), and CollapseProject keeps the
-    * stages apart because multi-referenced producers aren't cheap. Without
-    * staging, every perm re-inlines the full shingle+md5 tree (8× the
-    * work — measured 25 s → ~3 s at sf0.1). */
+    * The signature is ONE native pass ([[graft.expressions.MinHashSig]]):
+    * shingle bytes are assembled and h60'd and all 8 permutation minima
+    * updated per shingle, with no shingle-string array or per-permutation
+    * array materialization (the staged-HOF round-1 form above measured
+    * 2.0 s at sf0.1; native is 0.8 s — and q27, which reruns the whole
+    * candidate pipeline, drops 2.7 → 1.3 s). */
   private def bandedDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val sig = d
-      .select(col("doc_id"),
-        transform(shingles(col("text")), s => h60(s) % P31).as("hs"))
-      .select(col("doc_id"), array(perms.map { case (a, b) =>
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P31))
-      }: _*).as("sig"))
+    val sig = d.select(col("doc_id"),
+      call_function("graft_minhash_sig", split(col("text"), " ")).as("sig"))
+    // concat (null-propagating), NOT concat_ws (null-skipping): a <3-token
+    // doc has all-null minima and must get a NULL band — which never
+    // equi-joins, exactly like the oracle's '0:'||NULL — rather than a
+    // degenerate "0:" bucket that would pair every short doc together
     sig.select(col("doc_id"), explode(array((0 until nBands).map { b =>
-      concat_ws(":", lit(b.toString) +:
-        (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+      concat((lit(b + ":"): Column) +: (0 until rowsPerBand).flatMap(r => Seq(
+        (if (r == 0) lit("") else lit(":")): Column,
+        element_at(col("sig"), b * rowsPerBand + r + 1).cast("string"))): _*)
     }: _*)).as("band"))
+      .filter(col("band").isNotNull)
   }
 
   /** Candidate pairs from shared bands. Instead of a self-join (which

@@ -30,6 +30,27 @@ class TextDedupSpec extends SparkSpec {
     assert(hamming <= 32, s"1-token edit moved $hamming of 64 bits")
   }
 
+  test("native graft_minhash_sig equals the staged HOF reference on real docs") {
+    val d = graft.sources.Tables.documents(spark, sf).limit(300)
+    val mismatches = d.select(
+        call_function("graft_minhash_sig", split(col("text"), " ")).as("native"),
+        Dedup.minhashSigReference(col("text")).as("ref"))
+      .filter(not(col("native") <=> col("ref")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_minhash_sig: <3-token docs get all-null minima (no shingles)") {
+    // (the HOF reference itself errors here — sequence(1, 0) descends into
+    // slice(0); the oracle's range(1, len-1) is empty → NULL minima, which
+    // the native form matches. Null minima → null band keys → never joined.)
+    val rows = Seq("a b", "one two three four").toDF("text")
+      .select(call_function("graft_minhash_sig", split(col("text"), " ")).as("native"))
+      .collect()
+    assert(rows(0).getSeq[Any](0).forall(_ == null))
+    assert(rows(1).getSeq[Any](0).forall(_ != null))
+  }
+
   test("native graft_simhash64 equals the HOF fold-per-bit reference") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
