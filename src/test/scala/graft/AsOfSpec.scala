@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("as-of semantics: latest prior right row, inclusive ties, left preserved") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 10L, ts("2024-01-01 11:00:00"), "b"),
+      (3L, 10L, ts("2024-01-01 09:00:00"), "early"), // before any right row
+      (4L, 20L, ts("2024-01-01 10:30:00"), "c"),
+      (5L, 30L, ts("2024-01-01 10:00:00"), "tie")    // exactly at a right ts
+    ).toDF("id", "k", "t", "tag")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 100.0),
+      (10L, ts("2024-01-01 10:30:00"), 200.0),
+      (20L, ts("2024-01-01 10:00:00"), 300.0),
+      (30L, ts("2024-01-01 10:00:00"), 400.0)
+    ).toDF("k", "t", "v")
+
+    val out = AsOf.asOfJoin(left, right, "k", "t", Seq("t", "v"), prefix = "last_")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Double]("last_v")).map(_.toDouble),
+          Option(r.getAs[Timestamp]("last_t")))).toMap
+
+    assert(out(1L) == ((Some(100.0), Some(ts("2024-01-01 09:30:00")))), "latest prior")
+    assert(out(2L) == ((Some(200.0), Some(ts("2024-01-01 10:30:00")))), "advances with time")
+    assert(out(3L) == ((None, None)), "no prior right row -> null payload (left join)")
+    assert(out(4L) == ((Some(300.0), Some(ts("2024-01-01 10:00:00")))))
+    assert(out(5L) == ((Some(400.0), Some(ts("2024-01-01 10:00:00")))), "equal ts is inclusive")
+  }
+
+  test("as-of plan is join-free: one union, one window, one key shuffle") {
+    // the bare operator on parquet-backed sides (q53 itself adds one more
+    // exchange for its right-side dedup aggregate, which is input prep,
+    // not the as-of core)
+    val e = graft.sources.Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("p_value"))
+    val q = AsOf.asOfJoin(clicks, purchases, "user_id", "ts", Seq("p_value"))
+    val plan = q.queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      "as-of must compose via union+window, not a join")
+    assert(plan.collect { case w: LWindow => w }.nonEmpty)
+    val exchanges = q.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one key shuffle, got $exchanges")
+  }
+}
