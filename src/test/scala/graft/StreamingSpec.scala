@@ -264,6 +264,30 @@ class StreamingSpec extends SparkSpec {
     } finally sup.query.stop()
   }
 
+  test("stream-stream join: attribution within horizon, outside-horizon dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[RegionEvent]
+    val purchases = MemoryStream[RegionEvent]
+    val joined = graft.streaming.Joins.windowedAttribution(
+      clicks.toDF(), purchases.toDF(), key = "region", horizonSec = 600L)
+    val query = joined.select(col("l_region"), col("l_ts"), col("r_ts"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      purchases.addData(
+        RegionEvent("USA0", ts("2024-01-01 10:00:00")),
+        RegionEvent("USA1", ts("2024-01-01 09:00:00")))
+      clicks.addData(
+        RegionEvent("USA0", ts("2024-01-01 10:05:00")), // 5 min after: in horizon
+        RegionEvent("USA1", ts("2024-01-01 10:05:00")), // 65 min after: outside
+        RegionEvent("USA0", ts("2024-01-01 09:55:00"))) // before purchase: no match
+      query.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getAs[String]("l_region"), r.getAs[Timestamp]("l_ts").toString))
+      assert(rows.toSet == Set(("USA0", "2024-01-01 10:05:00.0")),
+        s"only the in-horizon click joins, got ${rows.mkString(",")}")
+    } finally query.stop()
+  }
+
   test("stalled-region batch check flags silent catalog regions") {
     val counts = Seq(("USA0", 5L)).toDF("region", "n")
     val stalled = Monitor.stalledRegions(spark, counts).collect().map(_.getString(0))
