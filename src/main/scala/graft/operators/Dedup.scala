@@ -163,7 +163,9 @@ object Dedup {
   /** Exact 3-gram Jaccard over the LSH candidate pairs (verify step of the
     * minhash pipeline); near-dups at jaccard >= 0.5. Candidates only —
     * never all-pairs — so the verify cost is proportional to collisions. */
-  def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs (the LSH candidates that pass the exact
+    * Jaccard bar) — q27's body, shared with q56's clustering. */
+  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     // unsorted candidates — q26's output sort would just add a wasted
     // exchange under this join
@@ -192,11 +194,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(inter / (size(col("x.sh")) + size(col("y.sh")) - inter), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q27Sql: String =
-    s"""WITH $bandsSqlCte,
+  def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** CTE chain ending in `j` (candidate pairs + exact jaccard) — shared
+    * by the q27 verify and the q56 clustering oracles. */
+  private def verifiedPairsSqlCtes: String =
+    s"""$bandsSqlCte,
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
        |sets AS (SELECT doc_id, list_distinct(${shinglesSql("text")}) AS sh FROM documents),
@@ -205,7 +211,10 @@ object Dedup {
        |      (len(a.sh) + len(b.sh) - len(list_distinct(list_intersect(a.sh, b.sh)))), 6) AS jaccard
        |  FROM cand c
        |  JOIN sets a ON c.doc_a = a.doc_id
-       |  JOIN sets b ON c.doc_b = b.doc_id)
+       |  JOIN sets b ON c.doc_b = b.doc_id)""".stripMargin
+
+  val q27Sql: String =
+    s"""WITH $verifiedPairsSqlCtes
        |SELECT doc_a, doc_b, jaccard FROM j
        |WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -347,12 +356,81 @@ object Dedup {
        |WHERE bit_count(xor(x.sh, y.sh)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** Near-dup CLUSTERS: connected components over the verified pair graph
+    * (q27's output), every document labeled with its component's min
+    * doc_id and whether it is the canonical keeper — the step that turns
+    * pairwise near-dup detection into an actionable "keep one per
+    * cluster" dedup decision.
+    *
+    * Iterative min-label propagation, the standard Spark shape for
+    * components: each round joins the (tiny, broadcastable) undirected
+    * edge list against current labels, takes the per-node min of own and
+    * neighbor labels, and stops at fixpoint. Rounds ≤ graph diameter —
+    * near-dup clusters are shallow (duplicates of a common original), so
+    * a handful; `maxIter` guards pathological chains. Per-round persist +
+    * unpersist keeps lineage flat (no exponential recompute), exactly
+    * what large-star/small-star does at 10⁹-node scale. Deterministic:
+    * min over integer ids — no floats, no ordering hazards. */
+  /** Connected components by iterative min-label propagation. `nodes` has
+    * one `doc_id` column; `edges` has `doc_a`/`doc_b`. Returns (doc_id,
+    * cluster_id = component min, is_canonical). */
+  private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                                         maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = und.join(labels, und("a") === labels("doc_id"))
+        .select(col("b").as("doc_id"), col("label"))
+        .groupBy(col("doc_id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
+  def q56DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: min reachable id per node via a recursive CTE — tractable
+    * exactly because the pair graph is LSH-collision-sized. */
+  val q56Sql: String =
+    s"""WITH RECURSIVE $verifiedPairsSqlCtes,
+       |edges AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+       |  UNION SELECT doc_b, doc_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+       |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical
+       |FROM reach
+       |GROUP BY a
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_exact_dedup"     -> q25ExactDedup _,
     "q26_minhash_lsh"     -> q26MinhashLsh _,
     "q27_ngram_jaccard"   -> q27NgramJaccard _,
     "q28_simhash"         -> q28Simhash _,
     "q29_simhash_neardup" -> q29SimhashNeardup _,
+    "q56_dedup_clusters"  -> q56DedupClusters _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -361,5 +439,6 @@ object Dedup {
     "q27_ngram_jaccard"   -> q27Sql,
     "q28_simhash"         -> q28Sql,
     "q29_simhash_neardup" -> q29Sql,
+    "q56_dedup_clusters"  -> q56Sql,
   )
 }

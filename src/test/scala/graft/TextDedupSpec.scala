@@ -78,6 +78,19 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chains are transitive, singletons self-canonical") {
+    // chain 1-2-3-4 (via min-id propagation over >1 hop), pair 10-11,
+    // singleton 20; min id of each component becomes the cluster label
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._1 == 1L), "4-chain collapses to min id")
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    assert(out(20L) == ((20L, true)), "singleton keeps itself")
+    assert(out.count(_._2._2) == 3, "one canonical per component")
+  }
+
   test("exact dedup counts are sane: unique <= docs, prefix-unique <= unique") {
     Dedup.q25ExactDedup(spark, sf).collect().foreach { r =>
       val (n, u, p) = (r.getLong(1), r.getLong(2), r.getLong(3))
