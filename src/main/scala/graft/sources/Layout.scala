@@ -80,6 +80,15 @@ object Layout {
                schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC round-trip — the other columnar lake format; same pushdown /
+    * pruning contract as parquet (LayoutSpec asserts PushedFilters reach
+    * the ORC scan too). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** The co-located join: revenue per order across the two bucketed facts.
     * With matching bucket counts on the join keys, the physical plan has
     * no ShuffleExchange before the join. */

@@ -38,6 +38,23 @@ class LayoutSpec extends SparkSpec {
     assert(fromJson.collect().map(_.toSeq).toSeq == want.toSeq, "JSON round-trip")
   }
 
+  test("ORC round-trips losslessly and pushes filters to the scan") {
+    val orders = graft.sources.Tables.orders(spark, sf).orderBy(col("o_orderkey"))
+    val orcDir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Layout.writeOrc(orders, orcDir)
+    val back = Layout.readOrc(spark, orcDir).orderBy(col("o_orderkey"))
+    assert(back.collect().map(_.toSeq).toSeq == orders.collect().map(_.toSeq).toSeq,
+      "ORC round-trip")
+    // same pushdown contract as parquet: the predicate reaches the ORC scan
+    val filtered = Layout.readOrc(spark, orcDir).filter(col("o_orderkey") === 1L)
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata("PushedFilters").contains("EqualTo(o_orderkey,1)"),
+      s"expected pushed filter, got ${scans.head.metadata("PushedFilters")}")
+  }
+
   test("partitioned events layout prunes by region at the scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Layout.writePartitionedEvents(spark, sf, out)

@@ -264,6 +264,31 @@ class StreamingSpec extends SparkSpec {
     } finally sup.query.stop()
   }
 
+  test("streaming session windows: merge within gap, finalize past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RegionEvent]
+    val query = input.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("region"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("region"), col("session_window.start").as("s_start"), col("n"))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(
+        RegionEvent("USA0", ts("2024-01-01 10:00:00")),
+        RegionEvent("USA0", ts("2024-01-01 10:02:00")), // within gap: same session
+        RegionEvent("USA0", ts("2024-01-01 10:20:00"))) // past gap: new session
+      query.processAllAvailable()
+      // advance event time so the watermark closes both sessions
+      input.addData(RegionEvent("USA1", ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getAs[Timestamp]("s_start").toString, r.getAs[Long]("n"))).toSet
+      assert(rows == Set(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 10:20:00.0", 1L)),
+        s"got $rows")
+    } finally query.stop()
+  }
+
   test("stream-stream join: attribution within horizon, outside-horizon dropped") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[RegionEvent]
