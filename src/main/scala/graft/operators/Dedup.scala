@@ -115,7 +115,12 @@ object Dedup {
     * would evaluate the signature pipeline once per join side), group
     * doc_ids per band and explode each bucket's i<j pairs — signatures
     * are computed exactly once, and bucket sizes are tiny by construction
-    * (that's what banding is for), so the pair explosion is bounded. */
+    * (that's what banding is for), so the pair explosion is bounded.
+    * The one corpus that breaks the "buckets stay collision-sized"
+    * premise is an exact-duplicate-heavy one (10⁶ byte-identical docs
+    * share every band): at scale, run the q25 content-hash dedup FIRST —
+    * near-dup detection is only meaningful over exact-distinct docs, and
+    * it restores the bound here and in q29's banding. */
   private def bandPairs(spark: SparkSession, dir: String): DataFrame = {
     bandedDocs(spark, dir)
       .groupBy(col("band"))
