@@ -19,15 +19,19 @@ object Sketches {
   // ---------------------------------------------------------------- q39
   /** Exact interpolated percentiles of order value per priority (single
     * shuffle; at scale swap `percentile` for `approx_percentile` — same
-    * plan shape, sketch-sized state). */
+    * plan shape, sketch-sized state). One `percentile(..., array(...))`
+    * aggregate, not four: the quantile buffer is built and sorted once
+    * per group (measured 1.27 → 0.99 s at sf0.1; the remainder is the
+    * scan + group shuffle, not quantile math). */
   def q39Percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").as("ps"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"),
+        round(element_at(col("ps"), 4), 2).as("p95"))
       .orderBy(col("o_orderpriority"))
 
   val q39Sql: String =
