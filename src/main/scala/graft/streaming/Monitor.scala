@@ -151,7 +151,11 @@ object Monitor {
     def checkOnce(): Boolean =
       if (isStalled(current) && !exhausted) {
         current.stop()
-        current.awaitTermination()
+        // a CRASHED query rethrows its failure from awaitTermination —
+        // swallow it here: the restart is the handling, and the
+        // maxRestarts budget (not the exception) decides when to give up
+        try current.awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
         current = start()
         restarts += 1
         true

@@ -38,23 +38,32 @@ object RegionSpoutApp {
       s"catalog has ${catalog.size} regions; the reference caps at 25 — " +
         "use Geo.assignRegionViaJoin for larger catalogs")
 
-    // O2→O7: ingest → envelope → per-region partitioned sink
-    val events = Ingest.eventsFileStream(spark, eventsDir)
-    val assigned = Geo.withPoint(events)
-      .withColumn("region", Geo.regionIdFor(catalog, col("lon"), col("lat")))
-    val envelope = assigned.filter(col("region") =!= "NONE")
-      .select(
-        col("event_id").cast("string").as("id"),
-        col("props").as("text"),
-        col("region"),
-        concat(lit("raw-tweets-"), col("region")).as("topic"))
-    val sink = envelope.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", s"$ckptRoot/sink")
-      .partitionBy("region")
-      .outputMode("append")
-      .start()
+    // O2→O7: ingest → envelope → per-region partitioned sink, run under
+    // the stall supervisor (O9's restart action): a crashed sink restarts
+    // from its checkpoint — exactly-once across the restart — up to the
+    // flap budget. The reference detected stalls and left the restart
+    // branch empty (regionSpout.go:113-115).
+    def startSink() = {
+      val events = Ingest.eventsFileStream(spark, eventsDir)
+      val assigned = Geo.withPoint(events)
+        .withColumn("region", Geo.regionIdFor(catalog, col("lon"), col("lat")))
+      val envelope = assigned.filter(col("region") =!= "NONE")
+        .select(
+          col("event_id").cast("string").as("id"),
+          col("props").as("text"),
+          col("region"),
+          concat(lit("raw-tweets-"), col("region")).as("topic"))
+      envelope.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$ckptRoot/sink")
+        .partitionBy("region")
+        .outputMode("append")
+        .start()
+    }
+    val sink = new Monitor.StallSupervisor(
+      startSink _,
+      isStalled = q => !q.isActive && q.exception.isDefined)
 
     // O8/O11: the 30 s monitor as its own query on the same source
     val monitor = Monitor.regionCounts(
@@ -67,7 +76,17 @@ object RegionSpoutApp {
 
     // O12: reachable shutdown, unlike the reference's dead code
     sys.addShutdownHook(Monitor.stopAll(spark))
-    sink.awaitTermination()
+    // supervision on the reference's 30 s cadence (regionSpout.go:102):
+    // clean stop exits; a crash restarts from checkpoint until the
+    // budget is spent, then the failure propagates
+    var running = true
+    while (running) {
+      sink.query.awaitTermination(30000L)
+      if (!sink.query.isActive) {
+        if (sink.query.exception.isEmpty) running = false // clean stop
+        else if (!sink.checkOnce()) sink.query.awaitTermination() // rethrows
+      }
+    }
     monitor.awaitTermination()
   }
 }
