@@ -528,6 +528,58 @@ object Relational {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q57
+  /** Window-function closure: explicit ROWS frame (3-order moving avg),
+    * RANGE-over-interval frame (30-day trailing spend), offset functions
+    * (lag/lead), and distribution functions (ntile, percent_rank) in one
+    * pass — one shuffle on the partition key serves every window because
+    * all six share the same (custkey | orderdate, orderkey) ordering.
+    * Ratios of small integers (percent_rank) and short-frame averages get
+    * the +1e-9 pre-round nudge; ties inside a RANGE frame are peers in
+    * both engines so the interval sum is order-free. */
+  def q57WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS mavg3,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) + 1e-9, 2) AS spend30d,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS next_order,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) + 1e-9, 6) AS pr
+        |FROM orders_v
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+  }
+
+  val q57Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS mavg3,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) + 1e-9, 2) AS spend30d,
+      |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS prev_order,
+      |  lead(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS next_order,
+      |  ntile(4) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS quartile,
+      |  round(percent_rank() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) + 1e-9, 6) AS pr
+      |FROM orders
+      |WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   val q45Sql: String =
     """SELECT n_name,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -587,6 +639,7 @@ object Relational {
     "q44_full_outer"      -> q44FullOuter _,
     "q45_sql_tpch5"       -> q45SqlTpch5 _,
     "q49_pivot"           -> q49Pivot _,
+    "q57_window_frames"   -> q57WindowFrames _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -613,5 +666,6 @@ object Relational {
     "q44_full_outer"      -> q44Sql,
     "q45_sql_tpch5"       -> q45Sql,
     "q49_pivot"           -> q49Sql,
+    "q57_window_frames"   -> q57Sql,
   )
 }
