@@ -238,12 +238,42 @@ object Text {
       |WHERE repetition_ratio > 0.05
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Corpus-frequency scoring — the global-stats-then-score shape behind
+    * IDF weighting and perplexity-style quality filters: pass 1 builds
+    * the corpus term-frequency table (vocab-sized by Heaps' law, ≪
+    * corpus — broadcastable in practice, a key-shuffle join at worst);
+    * pass 2 scores each doc by its tokens' average corpus frequency.
+    * Rare-token-heavy docs (low avg_tf) are the classic garbage/noise
+    * signal. Integer counts + one final division keep it cross-engine
+    * exact (nudged round for the ratio-of-ints boundary). */
+  def q58TokenCommonness(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tk = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    tk.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("tf")) / count(lit(1)) + 1e-9, 4).as("avg_tf"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(sum(tf) / count(*) + 1e-9, 4) AS avg_tf
+      |FROM tk JOIN freq USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats"   -> q21TokenStats _,
     "q22_quality_score" -> q22QualityScore _,
     "q23_lang_id"       -> q23LangId _,
     "q24_fingerprint"   -> q24Fingerprint _,
     "q47_repetition"    -> q47Repetition _,
+    "q58_token_commonness" -> q58TokenCommonness _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -252,5 +282,6 @@ object Text {
     "q23_lang_id"       -> q23Sql,
     "q24_fingerprint"   -> q24Sql,
     "q47_repetition"    -> q47Sql,
+    "q58_token_commonness" -> q58Sql,
   )
 }
