@@ -80,6 +80,29 @@ object Layout {
                schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Dynamic partition overwrite — the idempotent backfill write: only
+    * the partitions PRESENT in `df` are replaced; sibling partitions are
+    * untouched. This is how a daily re-run repairs one (region, date)
+    * slice of a 100 TB lake without rewriting (or even listing) the
+    * rest. Static overwrite (the default) would truncate the whole
+    * table root. */
+  def overwritePartitions(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a dataset at `targetFiles` files.
+    * Deliberately an out-of-place copy (`inPath` → `outPath`): Spark
+    * reads lazily, so overwriting the path being read drops the data —
+    * the swap to the live path is the caller's atomic rename/pointer
+    * flip, exactly how table formats sequence commits. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
   /** ORC round-trip — the other columnar lake format; same pushdown /
     * pruning contract as parquet (LayoutSpec asserts PushedFilters reach
     * the ORC scan too). */

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.sources.Layout
 
 class LayoutSpec extends SparkSpec {
+  import spark.implicits._
 
   test("bucketed facts join with zero shuffle exchanges") {
     Layout.bucketizeFacts(spark, sf, buckets = 4)
@@ -36,6 +37,35 @@ class LayoutSpec extends SparkSpec {
     val want = orders.collect().map(_.toSeq)
     assert(fromCsv.collect().map(_.toSeq).toSeq == want.toSeq, "CSV round-trip")
     assert(fromJson.collect().map(_.toSeq).toSeq == want.toSeq, "JSON round-trip")
+  }
+
+  test("dynamic partition overwrite replaces only the written partition") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val v1 = Seq(("USA0", 1L, "old0"), ("USA1", 2L, "old1")).toDF("region", "id", "v")
+    Layout.overwritePartitions(v1, root, Seq("region"))
+    // capture USA1's physical files before the partial overwrite
+    def usa1Files = new java.io.File(s"$root/region=USA1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val before = usa1Files
+    // backfill ONLY USA0
+    val v2 = Seq(("USA0", 3L, "new0")).toDF("region", "id", "v")
+    Layout.overwritePartitions(v2, root, Seq("region"))
+    val rows = spark.read.parquet(root).collect()
+      .map(r => (r.getAs[String]("region"), r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(rows == Set(("USA0", 3L, "new0"), ("USA1", 2L, "old1")),
+      s"USA0 replaced, USA1 untouched; got $rows")
+    assert(usa1Files == before, "sibling partition's files must not be rewritten")
+  }
+
+  test("compaction hits the target file count without losing rows") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cmp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp_out").toString
+    val orders = graft.sources.Tables.orders(spark, sf)
+    orders.repartition(37).write.mode("overwrite").parquet(in) // small-file mess
+    assert(spark.read.parquet(in).inputFiles.length >= 30)
+    Layout.compact(spark, in, out, targetFiles = 4)
+    assert(spark.read.parquet(out).inputFiles.length == 4)
+    assert(spark.read.parquet(out).count() == orders.count())
   }
 
   test("ORC round-trips losslessly and pushes filters to the scan") {
