@@ -407,11 +407,28 @@ object Dedup {
       (col("doc_id") === col("label")).as("is_canonical"))
   }
 
-  def q56DedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      Tables.documents(spark, dir).select(col("doc_id")),
-      verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+  /** q56 iterates ONLY over the collision subgraph (docs appearing in a
+    * verified pair — a sliver of the corpus by construction); everything
+    * else is trivially its own canonical cluster and joins back in one
+    * map-side coalesce. At 10⁹ docs this is the difference between
+    * propagating labels across the corpus and across the duplicates. */
+  def q56DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the LSH+jaccard pipeline feeds both the node list and
+    // the undirected edge list — without this it would run once per use
+    val edges = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .persist()
+    val graphNodes = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comps = connectedComponents(graphNodes, edges)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(comps), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
+  }
 
   /** Oracle: min reachable id per node via a recursive CTE — tractable
     * exactly because the pair graph is LSH-collision-sized. */
