@@ -56,13 +56,55 @@ object Sketches {
         approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"))
       .orderBy(col("o_orderpriority"))
 
+  // ---------------------------------------------------------------- q59
+  /** Data-profiling audit — the table-health scan a pipeline runs before
+    * trusting an input: per column, row/null/distinct counts and value
+    * range, computed in ONE pass over the fact table (a single aggregate
+    * produces every measure; `stack` unpivots the wide row to one row
+    * per column). At 100 TB this is one scan + a 1-row-per-column
+    * result — swap countDistinct for approx_count_distinct to keep the
+    * aggregate sketch-sized. */
+  def q59Profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables.lineitem(spark, dir)
+    val wide = li.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))): _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${cols.length}, $stackArgs) AS (column_name, n_non_null, n_distinct, vmin, vmax)"))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        col("n_distinct"), col("vmin"), col("vmax"))
+      .orderBy(col("column_name"))
+  }
+
+  val q59Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val selects = cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+         |  min($c) AS vmin, max($c) AS vmax FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$selects
+       |) ORDER BY column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"     -> q39Percentiles _,
     "q40_approx_distinct" -> q40ApproxDistinct _,
+    "q59_profile"         -> q59Profile _,
   )
 
   /** q40 intentionally absent — see object doc. */
   val oracle: Map[String, String] = Map(
     "q39_percentiles" -> q39Sql,
+    "q59_profile"     -> q59Sql,
   )
 }
