@@ -1,21 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // q50 bucketizes managed tables: keep the warehouse out of the repo
-      .config("spark.sql.warehouse.dir",
-        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // one shared session recipe (Session.builder) — only parallelism varies
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT + codegen + parquet footer caches, so the first timed
     // query isn't charged session start-up costs.
@@ -78,10 +68,9 @@ object Bench {
           -1.0
       }
     })
-    def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => jq(k) + ":" + v }
+    val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }
+    val errs = errors.map { case (k, v) => Jsons.str(k) + ":" + Jsons.str(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

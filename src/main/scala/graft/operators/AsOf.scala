@@ -41,8 +41,13 @@ object AsOf {
     val pType = right.select(pStruct.as("__p")).schema("__p").dataType
     val l = left.select(col(key).as("__k"), col(ts).as("__ts"),
       lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(pType).as("__p"))
-    val r = right.select(col(key).as("__k"), col(ts).as("__ts"),
-      lit(0).as("__side"), lit(null).cast(lType).as("__l"), pStruct.as("__p"))
+    // ANSI/DuckDB ASOF equality never matches a NULL key, but Spark's
+    // window partitioning groups NULLs together — drop null-key RIGHT
+    // rows so a null-key left row keeps a null payload in both engines
+    // (left rows themselves are preserved either way)
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__ts"),
+        lit(0).as("__side"), lit(null).cast(lType).as("__l"), pStruct.as("__p"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -402,9 +402,24 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silent non-converged return would emit labels that are NOT the
+    // component minimum (and mismatch the transitive-closure oracle with
+    // no hint why) — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still moving) — raise maxIter for this graph")
+    // materialize + truncate lineage so every intermediate can be freed:
+    // the result is checkpoint-backed (ContextCleaner reclaims its blocks
+    // once unreferenced), not pinned in the CacheManager forever. Caveat
+    // of localCheckpoint: executor loss loses the blocks — acceptable for
+    // an iterative result, the caller re-runs (GraphX does the same).
+    val result = labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .localCheckpoint(true)
+    labels.unpersist()
     und.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("is_canonical"))
+    result
   }
 
   /** q56 iterates ONLY over the collision subgraph (docs appearing in a
@@ -422,6 +437,7 @@ object Dedup {
       .distinct()
     val comps = connectedComponents(graphNodes, edges)
       .select(col("doc_id"), col("cluster_id"))
+    edges.unpersist() // comps is checkpoint-backed; lineage no longer needed
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(broadcast(comps), Seq("doc_id"), "left")
       .select(col("doc_id"),

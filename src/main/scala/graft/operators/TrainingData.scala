@@ -28,8 +28,10 @@ object TrainingData {
     (0 until 20).map(i => (s"src$i", 10 + (85 * i) / 19))
 
   private def rateCol(source: Column): Column =
-    element_at(
-      map(mixRates.flatMap { case (s, r) => Seq(lit(s), lit(r)) }: _*), source)
+    // coalesce to 0 like the oracle's CASE ... ELSE 0: a source outside
+    // the mix config samples nothing, it doesn't go NULL
+    coalesce(element_at(
+      map(mixRates.flatMap { case (s, r) => Seq(lit(s), lit(r)) }: _*), source), lit(0))
 
   private val rateSqlCase: String =
     "CASE source " +

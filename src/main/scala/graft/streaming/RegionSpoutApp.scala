@@ -81,10 +81,14 @@ object RegionSpoutApp {
     // budget is spent, then the failure propagates
     var running = true
     while (running) {
-      sink.query.awaitTermination(30000L)
+      // awaitTermination RETHROWS the query's failure when it crashed —
+      // catch it so the crash falls through to the supervisor instead of
+      // killing the app before checkOnce ever runs
+      try sink.query.awaitTermination(30000L)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
       if (!sink.query.isActive) {
         if (sink.query.exception.isEmpty) running = false // clean stop
-        else if (!sink.checkOnce()) sink.query.awaitTermination() // rethrows
+        else if (!sink.checkOnce()) sink.query.awaitTermination() // budget spent: rethrow
       }
     }
     monitor.awaitTermination()

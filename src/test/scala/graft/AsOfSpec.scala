@@ -13,17 +13,19 @@ class AsOfSpec extends SparkSpec {
 
   test("as-of semantics: latest prior right row, inclusive ties, left preserved") {
     val left = Seq(
-      (1L, 10L, ts("2024-01-01 10:00:00"), "a"),
-      (2L, 10L, ts("2024-01-01 11:00:00"), "b"),
-      (3L, 10L, ts("2024-01-01 09:00:00"), "early"), // before any right row
-      (4L, 20L, ts("2024-01-01 10:30:00"), "c"),
-      (5L, 30L, ts("2024-01-01 10:00:00"), "tie")    // exactly at a right ts
+      (1L, Some(10L), ts("2024-01-01 10:00:00"), "a"),
+      (2L, Some(10L), ts("2024-01-01 11:00:00"), "b"),
+      (3L, Some(10L), ts("2024-01-01 09:00:00"), "early"), // before any right row
+      (4L, Some(20L), ts("2024-01-01 10:30:00"), "c"),
+      (5L, Some(30L), ts("2024-01-01 10:00:00"), "tie"),   // exactly at a right ts
+      (6L, None, ts("2024-01-01 11:00:00"), "nullkey")     // NULL never matches
     ).toDF("id", "k", "t", "tag")
     val right = Seq(
-      (10L, ts("2024-01-01 09:30:00"), 100.0),
-      (10L, ts("2024-01-01 10:30:00"), 200.0),
-      (20L, ts("2024-01-01 10:00:00"), 300.0),
-      (30L, ts("2024-01-01 10:00:00"), 400.0)
+      (Some(10L), ts("2024-01-01 09:30:00"), 100.0),
+      (Some(10L), ts("2024-01-01 10:30:00"), 200.0),
+      (Some(20L), ts("2024-01-01 10:00:00"), 300.0),
+      (Some(30L), ts("2024-01-01 10:00:00"), 400.0),
+      (None, ts("2024-01-01 09:00:00"), 999.0)             // must never attach
     ).toDF("k", "t", "v")
 
     val out = AsOf.asOfJoin(left, right, "k", "t", Seq("t", "v"), prefix = "last_")
@@ -36,6 +38,7 @@ class AsOfSpec extends SparkSpec {
     assert(out(3L) == ((None, None)), "no prior right row -> null payload (left join)")
     assert(out(4L) == ((Some(300.0), Some(ts("2024-01-01 10:00:00")))))
     assert(out(5L) == ((Some(400.0), Some(ts("2024-01-01 10:00:00")))), "equal ts is inclusive")
+    assert(out(6L) == ((None, None)), "NULL keys never match (ANSI equality), row preserved")
   }
 
   test("as-of plan is join-free: one union, one window, one key shuffle") {
