@@ -75,6 +75,26 @@ object Ingest {
       .trigger(trigger)
       .start()
 
+  /** O7 (reprocessing form): per-micro-batch dynamic partition overwrite
+    * into a partitioned lake — each batch replaces exactly the partitions
+    * it touches ([[graft.sources.Layout.overwritePartitions]]), so
+    * re-delivering a batch after a failure rewrites the same partitions
+    * to the same content instead of appending duplicates. Semantics are
+    * last-writer-wins PER PARTITION: correct when partition keys align
+    * with batch boundaries (date/window-partitioned backfill, the
+    * standard reprocessing layout), NOT for partitions fed incrementally
+    * by many batches — that is [[routedParquetSink]]'s append job. */
+  def partitionUpsertSink(df: DataFrame, root: String, partitionCols: Seq[String],
+                          checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Layout.overwritePartitions(batch, root, partitionCols)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Streaming dedup with bounded state: duplicates arriving within the
     * watermark horizon are dropped, state for keys older than the
     * watermark is evicted — the only dedup form that survives an unbounded

@@ -264,6 +264,33 @@ class StreamingSpec extends SparkSpec {
     } finally sup.query.stop()
   }
 
+  test("partition upsert sink: each batch replaces only the partitions it touches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ups").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ups_ckpt").toString
+    val input = MemoryStream[RegionEvent]
+    def start() = Ingest.partitionUpsertSink(
+      input.toDF(), root, Seq("region"), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // batch 1: one row in each region partition
+    input.addData(
+      RegionEvent("USA0", ts("2024-01-01 10:00:00")),
+      RegionEvent("USA1", ts("2024-01-01 10:00:00")))
+    val q1 = start(); q1.awaitTermination(120000L)
+    // batch 2: a REVISED USA0 slice only — USA1 must survive untouched
+    input.addData(
+      RegionEvent("USA0", ts("2024-01-02 11:00:00")),
+      RegionEvent("USA0", ts("2024-01-02 12:00:00")))
+    val q2 = start(); q2.awaitTermination(120000L)
+    val rows = spark.read.parquet(root).collect()
+      .map(r => (r.getAs[String]("region"), r.getAs[Timestamp]("ts").toString)).toSet
+    assert(rows == Set(
+      ("USA0", "2024-01-02 11:00:00.0"),
+      ("USA0", "2024-01-02 12:00:00.0"),
+      ("USA1", "2024-01-01 10:00:00.0")),
+      s"USA0 replaced by batch 2, USA1 kept from batch 1; got $rows")
+  }
+
   test("streaming session windows: merge within gap, finalize past watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RegionEvent]
