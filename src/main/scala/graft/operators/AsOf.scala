@@ -41,11 +41,12 @@ object AsOf {
     val pType = right.select(pStruct.as("__p")).schema("__p").dataType
     val l = left.select(col(key).as("__k"), col(ts).as("__ts"),
       lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(pType).as("__p"))
-    // ANSI/DuckDB ASOF equality never matches a NULL key, but Spark's
-    // window partitioning groups NULLs together — drop null-key RIGHT
-    // rows so a null-key left row keeps a null payload in both engines
+    // ANSI/DuckDB ASOF never matches a NULL key (equality) OR a NULL
+    // right timestamp (l.ts >= NULL is never true), but Spark's window
+    // machinery groups NULL keys together and sorts NULL timestamps
+    // first-in-frame — drop such RIGHT rows so both engines agree
     // (left rows themselves are preserved either way)
-    val r = right.filter(col(key).isNotNull)
+    val r = right.filter(col(key).isNotNull && col(ts).isNotNull)
       .select(col(key).as("__k"), col(ts).as("__ts"),
         lit(0).as("__side"), lit(null).cast(lType).as("__l"), pStruct.as("__p"))
     val w = Window.partitionBy(col("__k"))

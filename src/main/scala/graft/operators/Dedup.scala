@@ -404,10 +404,15 @@ object Dedup {
     }
     // a silent non-converged return would emit labels that are NOT the
     // component minimum (and mismatch the transitive-closure oracle with
-    // no hint why) — fail loudly instead
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still moving) — raise maxIter for this graph")
+    // no hint why) — fail loudly, releasing the caches first so a caught
+    // failure doesn't pin blocks for the rest of the session
+    if (changed != 0) {
+      labels.unpersist()
+      und.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still moving) — raise maxIter for this graph")
+    }
     // materialize + truncate lineage so every intermediate can be freed:
     // the result is checkpoint-backed (ContextCleaner reclaims its blocks
     // once unreferenced), not pinned in the CacheManager forever. Caveat

@@ -64,8 +64,13 @@ object Sketches {
     * per column). At 100 TB this is one scan + a 1-row-per-column
     * result — swap countDistinct for approx_count_distinct to keep the
     * aggregate sketch-sized. */
+  /** Columns profiled by q59 — single source of truth for the Spark
+    * query and its oracle SQL (diverging copies would silently compare
+    * different profiles). */
+  private val profileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
   def q59Profile(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val cols = profileCols
     val li = Tables.lineitem(spark, dir)
     val wide = li.agg(
       count(lit(1)).as("n_rows"),
@@ -85,8 +90,7 @@ object Sketches {
   }
 
   val q59Sql: String = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val selects = cols.map { c =>
+    val selects = profileCols.map { c =>
       s"""SELECT '$c' AS column_name, count(*) AS n_rows,
          |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
          |  min($c) AS vmin, max($c) AS vmax FROM lineitem""".stripMargin

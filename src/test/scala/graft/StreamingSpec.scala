@@ -276,12 +276,14 @@ class StreamingSpec extends SparkSpec {
     input.addData(
       RegionEvent("USA0", ts("2024-01-01 10:00:00")),
       RegionEvent("USA1", ts("2024-01-01 10:00:00")))
-    val q1 = start(); q1.awaitTermination(120000L)
+    val q1 = start()
+    try q1.awaitTermination(120000L) finally q1.stop()
     // batch 2: a REVISED USA0 slice only — USA1 must survive untouched
     input.addData(
       RegionEvent("USA0", ts("2024-01-02 11:00:00")),
       RegionEvent("USA0", ts("2024-01-02 12:00:00")))
-    val q2 = start(); q2.awaitTermination(120000L)
+    val q2 = start()
+    try q2.awaitTermination(120000L) finally q2.stop()
     val rows = spark.read.parquet(root).collect()
       .map(r => (r.getAs[String]("region"), r.getAs[Timestamp]("ts").toString)).toSet
     assert(rows == Set(
