@@ -75,10 +75,10 @@ object TrainingData {
        |    $rateSqlCase AS rate
        |  FROM documents)
        |SELECT source, count(*) AS n_docs, min(rate) AS target_pct,
-       |  sum(CASE WHEN sb < rate THEN 1 ELSE 0 END) AS n_sampled,
-       |  sum(CASE WHEN sb < rate AND pb < 8 THEN 1 ELSE 0 END) AS n_train,
-       |  sum(CASE WHEN sb < rate AND pb = 8 THEN 1 ELSE 0 END) AS n_val,
-       |  sum(CASE WHEN sb < rate AND pb = 9 THEN 1 ELSE 0 END) AS n_test
+       |  sum(CASE WHEN sb < rate THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       |  sum(CASE WHEN sb < rate AND pb < 8 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       |  sum(CASE WHEN sb < rate AND pb = 8 THEN 1 ELSE 0 END)::BIGINT AS n_val,
+       |  sum(CASE WHEN sb < rate AND pb = 9 THEN 1 ELSE 0 END)::BIGINT AS n_test
        |FROM b
        |GROUP BY source
        |ORDER BY source""".stripMargin

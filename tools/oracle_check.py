@@ -59,6 +59,16 @@ def main():
         if sorted(g_cols) != sorted(w_cols):
             print(f"FAIL {name}: cols spark={sorted(g_cols)} oracle={sorted(w_cols)}")
             n_fail += 1; continue
+        # The driver's hasher goes through pandas: DuckDB HUGEINT (sum of
+        # ints) converts to float64 there and never matches Spark's int64 —
+        # cast such columns ::BIGINT in the oracle SQL (bit us in round 2:
+        # q54, where the pre-fix pandas hash saw 13.0 vs Spark's 13).
+        rel = con.sql(sql)
+        huge = [c for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")]
+        if huge:
+            print(f"FAIL {name}: oracle cols typed HUGEINT (cast ::BIGINT): {huge}")
+            n_fail += 1; continue
         if len(g_rows) != len(w_rows):
             print(f"FAIL {name}: rows spark={len(g_rows)} oracle={len(w_rows)}")
             n_fail += 1; continue
