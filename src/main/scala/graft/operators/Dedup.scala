@@ -382,24 +382,40 @@ object Dedup {
     * cluster_id = component min, is_canonical). */
   private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
                                          maxIter: Int = 20): DataFrame = {
+    // localCheckpoint, not persist: persist caches blocks but keeps the
+    // full upstream lineage in the plan, so every round's join would make
+    // Catalyst re-analyze the whole producer tree (for q56 that's the
+    // entire LSH+verify pipeline — per-round planning cost grows with it).
+    // Checkpointing truncates the plan to a leaf; rounds then plan over
+    // two tiny in-memory relations.
     val und = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .persist()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).persist()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    // the frame actually holding cached blocks: `labels` below becomes a
+    // select OVER the persisted frame, and unpersist only releases blocks
+    // when called on the cached plan itself
+    var cached = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val neighborMin = und.join(labels, und("a") === labels("doc_id"))
         .select(col("b").as("doc_id"), col("label"))
         .groupBy(col("doc_id")).agg(min(col("label")).as("nlabel"))
+      // the old label is already on the left side of this join, so the
+      // moved flag rides along for free — no second join-back against the
+      // previous labels just to count changes (one shuffle join per round,
+      // not two)
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("moved"))
         .persist()
-      changed = next.join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("moved")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     // a silent non-converged return would emit labels that are NOT the
@@ -407,7 +423,7 @@ object Dedup {
     // no hint why) — fail loudly, releasing the caches first so a caught
     // failure doesn't pin blocks for the rest of the session
     if (changed != 0) {
-      labels.unpersist()
+      cached.unpersist()
       und.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
@@ -422,7 +438,7 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .localCheckpoint(true)
-    labels.unpersist()
+    cached.unpersist()
     und.unpersist()
     result
   }

@@ -93,13 +93,23 @@ object TrainingData {
   def q55Chunking(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val t = split(col("text"), " ")
+    // Chunks are cut BEFORE the explode: transform() maps each start
+    // offset to its finished (chunk_id, chunk, n_tokens) struct while the
+    // token array is still one row, and explode then emits narrow rows.
+    // Exploding raw offsets instead would make Generate copy the full
+    // token array into every chunk row (required-child-output columns are
+    // serialized per generated row) — an O(chunks × tokens) byte copy per
+    // document that a 100 TB corpus pays in the hot path.
     d.select(col("doc_id"), t.as("tk"))
-      .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(1), size(col("tk")), lit(window))).as("start"))
       .select(col("doc_id"),
-        ((col("start") - 1) / lit(window)).cast("int").as("chunk_id"),
-        concat_ws(" ", slice(col("tk"), col("start"), lit(window))).as("chunk"),
-        least(lit(window), size(col("tk")) - col("start") + 1).as("n_tokens"))
+        explode(transform(
+          sequence(lit(1), size(col("tk")), lit(window)),
+          start => struct(
+            ((start - 1) / lit(window)).cast("int").as("chunk_id"),
+            concat_ws(" ", slice(col("tk"), start, lit(window))).as("chunk"),
+            least(lit(window), size(col("tk")) - start + 1).as("n_tokens"))))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"), col("c.n_tokens"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
