@@ -130,6 +130,33 @@ object GraftHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Distinct 8-gram h60 hashes over a token array, first-occurrence
+    * order — equals `array_distinct(transform(offsets, i ->
+    * h60(concat_ws(" ", slice(t, i, 8)))))` (array_distinct keeps first
+    * occurrences; so does the LinkedHashSet). One native pass: no gram
+    * strings or interpreted lambdas survive the projection, only the
+    * 64-bit hashes. Arrays with <8 tokens yield an empty array, matching
+    * the HOF guard. */
+  def ngram8Hashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val w = 8
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val parts = new Array[UTF8String](w)
+    var i = 0
+    while (i <= n - w) {
+      var j = 0
+      while (j < w) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(h60(UTF8String.concatWs(shingleSep, parts: _*).getBytes))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct adjacent-bigram count over a token array, one pass with a
     * pair hash set. Equals `size(array_distinct(bigram-strings))` because
     * tokens come from `split(text, " ")` and so cannot contain the join
@@ -302,6 +329,34 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_ngram8(tokens)`: distinct h60 hashes of all 8-token grams in
+  * one native pass — the contamination-fingerprint hot path (q60); spec-
+  * asserted equal to the HOF reference form. */
+case class Ngram8Hashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_ngram8 expects array<string>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_ngram8"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHash.ngram8Hashes(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.GraftHash.ngram8Hashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Ngram8Hashes =
+    copy(child = newChild)
+}
+
 /** Imperative registration fallback for sessions NOT built with
   * `spark.sql.extensions=graft.expressions.GraftExtensions` (e.g. a
   * harness-owned SparkSession calling SparkEntry.queries directly).
@@ -319,6 +374,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_simhash64", GraftExtensions.simhash64Builder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_bigram_distinct", GraftExtensions.bigramDistinctBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_minhash_sig", GraftExtensions.minhashSigBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_ngram8", GraftExtensions.ngram8Builder, "scala_udf")
     }
   }
 }
@@ -345,6 +401,9 @@ object GraftExtensions {
 
   private[expressions] val minhashSigBuilder: Seq[Expression] => Expression =
     children => MinHashSig(children.head)
+
+  private[expressions] val ngram8Builder: Seq[Expression] => Expression =
+    children => Ngram8Hashes(children.head)
 }
 
 /** Session extension registering the graft function family. Activate with
@@ -372,5 +431,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       GraftExtensions.minhashSigBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngram8"),
+      new ExpressionInfo(classOf[Ngram8Hashes].getName, "graft_ngram8"),
+      GraftExtensions.ngram8Builder))
   }
 }

@@ -483,6 +483,61 @@ object Dedup {
        |GROUP BY a
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Incremental ingest dedup: an incoming batch (a deterministic ~20%
+    * hash-slice of documents, standing in for today's crawl) is checked
+    * against the already-ingested corpus (the other ~80%) — each new doc
+    * either matches an existing near-dup (hamming ≤ 3 on the 64-bit
+    * SimHash) and is skipped, or is cleared for ingest. This is the
+    * asymmetric daily-batch-vs-corpus-index join a 100 TB lake actually
+    * runs (q29 is the one-shot all-pairs form): signatures for BOTH sides
+    * come from one map-side pass, the join is banded (pigeonhole, 4×16-bit
+    * bands) so cost is ∝ bucket collisions, and the small incoming side
+    * broadcasts — the corpus index is never shuffled, which is the whole
+    * point at scale. */
+  def q62IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashDocs(spark, dir)
+      .withColumn("incoming",
+        pmod(h60(concat(lit("inc:"), col("doc_id").cast("string"))), lit(5L)) === 0L)
+    val banded = sigs.select(col("doc_id"), col("sh"), col("incoming"),
+      explode(array((0 until nSimBands).map { b =>
+        concat_ws(":", lit(b.toString),
+          shiftright(col("sh"), bandBits * b).bitwiseAND(lit(bandMask)))
+      }: _*)).as("band"))
+    val inc = banded.filter(col("incoming"))
+      .select(col("doc_id").as("new_doc"), col("sh").as("new_sh"), col("band"))
+    val corp = banded.filter(!col("incoming"))
+      .select(col("doc_id").as("old_doc"), col("sh").as("old_sh"), col("band"))
+    val matches = corp.join(broadcast(inc), "band")
+      .filter(bit_count(col("new_sh").bitwiseXOR(col("old_sh"))) <= 3)
+      .groupBy(col("new_doc"))
+      .agg(min(col("old_doc")).as("matched_doc"),
+        countDistinct(col("old_doc")).as("n_matches"))
+    sigs.filter(col("incoming")).select(col("doc_id"))
+      .join(matches, col("doc_id") === col("new_doc"), "left")
+      .select(col("doc_id"), col("matched_doc"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(col("matched_doc").isNotNull, "skip").otherwise("ingest").as("decision"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q62Sql: String =
+    s"""WITH sigs AS (SELECT doc_id, ${simhashSql("text")} AS sh,
+       |    (${h60Sql("'inc:'||doc_id")} % 5 = 0) AS incoming
+       |  FROM documents),
+       |banded AS (SELECT doc_id, sh, incoming, unnest($bandListSql) AS band FROM sigs),
+       |m AS (SELECT i.doc_id AS new_doc, min(c.doc_id) AS matched_doc,
+       |    count(DISTINCT c.doc_id) AS n_matches
+       |  FROM banded i JOIN banded c ON i.band = c.band AND i.incoming AND NOT c.incoming
+       |  WHERE bit_count(xor(i.sh, c.sh)) <= 3
+       |  GROUP BY i.doc_id)
+       |SELECT s.doc_id, m.matched_doc,
+       |  coalesce(m.n_matches, 0)::BIGINT AS n_matches,
+       |  CASE WHEN m.matched_doc IS NOT NULL THEN 'skip' ELSE 'ingest' END AS decision
+       |FROM sigs s LEFT JOIN m ON s.doc_id = m.new_doc
+       |WHERE s.incoming
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_exact_dedup"     -> q25ExactDedup _,
     "q26_minhash_lsh"     -> q26MinhashLsh _,
@@ -490,6 +545,7 @@ object Dedup {
     "q28_simhash"         -> q28Simhash _,
     "q29_simhash_neardup" -> q29SimhashNeardup _,
     "q56_dedup_clusters"  -> q56DedupClusters _,
+    "q62_incremental_dedup" -> q62IncrementalDedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -499,5 +555,6 @@ object Dedup {
     "q28_simhash"         -> q28Sql,
     "q29_simhash_neardup" -> q29Sql,
     "q56_dedup_clusters"  -> q56Sql,
+    "q62_incremental_dedup" -> q62Sql,
   )
 }

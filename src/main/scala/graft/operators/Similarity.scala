@@ -247,11 +247,70 @@ object Similarity {
        |SELECT q_id, vec_id, cos, rk FROM rk WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Per-vector int8 (0–255) quantization + reconstruction error: the
+    * compression step that makes a 100 TB ANN index fit memory (4× over
+    * float32, 8× over float64). Purely map-side — one projection computes
+    * min/max, the quantized codes, and the dequantization MSE per vector;
+    * no shuffle at any scale. The quantized code string + (min, max) pair
+    * is the complete wire format a vector index ingests.
+    *
+    * Determinism: codes are round((x-mn)·255/(mx-mn) + 1e-9) on
+    * float→double-cast inputs (same op order in DuckDB), MSE is the
+    * sequential left-fold of (x - dequant)² in index order — doubles stay
+    * bit-identical cross-engine. A constant vector (mx = mn) quantizes to
+    * all-zero codes with zero error rather than dividing by zero. */
+  def q61QuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    // stage min/max so the per-element lambda doesn't recompute the
+    // array_min/array_max fold 64 times per vector
+    val staged = e.select(col("vec_id"), col("v"),
+      array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+    val qarr = transform(col("v"), x =>
+      when(col("mx") === col("mn"), lit(0))
+        .otherwise(round((x - col("mn")) * 255.0 / (col("mx") - col("mn")) + 1e-9)
+          .cast("int")))
+    val withCodes = staged.select(col("vec_id"), col("v"), col("mn"), col("mx"),
+      qarr.as("q"))
+    val sqErr = zip_with(col("v"), col("q"), (x, qq) => {
+      val deq = col("mn") + qq.cast("double") * (col("mx") - col("mn")) / 255.0
+      (x - deq) * (x - deq)
+    })
+    withCodes.select(
+      col("vec_id"),
+      round(col("mn") + 1e-9, 6).as("q_min"),
+      round(col("mx") + 1e-9, 6).as("q_max"),
+      concat_ws(",", transform(col("q"), _.cast("string"))).as("qvec"),
+      round(lsum(sqErr) / lit(dim) + 1e-9, 8).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q61Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+       |qq AS (SELECT vec_id, v, mn, mx,
+       |    list_transform(v, x -> CASE WHEN mx = mn THEN 0
+       |      ELSE round((x - mn) * 255.0 / (mx - mn) + 1e-9)::INT END) AS q
+       |  FROM s)
+       |SELECT vec_id,
+       |  round(mn + 1e-9, 6) AS q_min,
+       |  round(mx + 1e-9, 6) AS q_max,
+       |  array_to_string(q, ',') AS qvec,
+       |  round(list_reduce(list_prepend(0.0,
+       |    list_transform(range(1, len(v)+1),
+       |      i -> (v[i] - (mn + q[i] * (mx - mn) / 255.0))
+       |         * (v[i] - (mn + q[i] * (mx - mn) / 255.0)))), (x,y) -> x+y)
+       |    / $dim + 1e-9, 8) AS mse
+       |FROM qq
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce"    -> q30KnnBruteforce _,
     "q31_ann_lsh"           -> q31AnnLsh _,
     "q32_embedding_neardup" -> q32EmbeddingNeardup _,
     "q46_ann_ivf"           -> q46AnnIvf _,
+    "q61_quantize_embeddings" -> q61QuantizeEmbeddings _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -259,5 +318,6 @@ object Similarity {
     "q31_ann_lsh"           -> q31Sql,
     "q32_embedding_neardup" -> q32Sql,
     "q46_ann_ivf"           -> q46Sql,
+    "q61_quantize_embeddings" -> q61Sql,
   )
 }

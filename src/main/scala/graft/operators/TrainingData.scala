@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Text.{h60, h60Sql}
 import graft.sources.Tables
 
@@ -123,13 +124,200 @@ object TrainingData {
        |FROM s
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  private val ngramN = 8
+  private val commonGramBar = 10
+
+  /** Distinct 8-gram hashes of a document — the standard contamination
+    * fingerprint granularity (long enough that sharing one is evidence of
+    * copying, not vocabulary). One native pass
+    * ([[graft.expressions.Ngram8Hashes]]): only 64-bit longs survive the
+    * projection, never n-gram strings (q60 measured 2.9 s with the HOF
+    * reference below vs 1.3 s native at sf0.1 — per-gram string assembly
+    * + interpreted lambda dispatch was most of the cost). */
+  private def ngramHashes(text: Column): Column =
+    call_function("graft_ngram8", split(text, " "))
+
+  /** Built-in-composed reference for [[ngramHashes]], kept so the spec
+    * can assert the native form computes the identical hash set. */
+  private[graft] def ngramHashesReference(text: Column): Column = {
+    val t = split(text, " ")
+    when(size(t) >= ngramN,
+      array_distinct(transform(sequence(lit(1), size(t) - (ngramN - 1)), i =>
+        h60(concat_ws(" ", slice(t, i, lit(ngramN)))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  private def ngramHashesSql(tk: String): String =
+    s"""list_distinct(list_transform(range(1, greatest(len($tk) - ${ngramN - 2}, 1)),
+       | i -> ${h60Sql(s"array_to_string(list_slice($tk, i, i + ${ngramN - 1}), ' ')")}))"""
+      .stripMargin.replace("\n", "")
+
+  /** Train→test contamination report: test-split documents sharing at
+    * least one 8-gram with a train-split document, with how many train
+    * docs and how many distinct 8-grams leak. The eval-set hygiene check
+    * every training corpus ships with — built on the SAME deterministic
+    * split hashes as q54, so it audits exactly the split a trainer would
+    * materialize.
+    *
+    * Scale shape: (doc, gram-hash) pairs shuffle-join on the hash —
+    * pure hash-partitioned equi-join, linear in corpus grams. Grams seen
+    * in more than [[commonGramBar]] train docs are dropped first
+    * (boilerplate exemption): that is both standard decontamination
+    * practice and the skew guard — a viral n-gram would otherwise form a
+    * hot join key whose bucket goes quadratic at 100 TB. */
+  def q60Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val grams = d.select(col("doc_id"),
+        sampleBucket(col("doc_id")).as("sb"),
+        splitBucket(col("doc_id")).as("pb"),
+        rateCol(col("source")).as("rate"),
+        ngramHashes(col("text")).as("gs"))
+      .filter(col("sb") < col("rate"))
+      .select(col("doc_id"), col("pb"), explode(col("gs")).as("g"))
+    // ONE gram-hash pass and ONE shuffle on g: both splits' doc sets are
+    // collected in the same aggregate (collect_set skips the other
+    // split's nulls), and the boilerplate bar is applied right there —
+    // before any pair is materialized, so a viral n-gram costs one
+    // dropped group, never a quadratic bucket. An earlier form derived
+    // train/test/common as three filters of the gram frame, which re-ran
+    // the md5 pipeline per use and serialized behind a broadcast build
+    // of the common-gram set: 5.2 s vs 1.9 s at sf0.1. Kept grams carry
+    // ≤ commonGramBar train docs, so the downstream explode is bounded.
+    val byGram = grams.groupBy(col("g")).agg(
+        array_sort(collect_set(when(col("pb") < 8, col("doc_id")))).as("train_docs"),
+        array_sort(collect_set(when(col("pb") === 9, col("doc_id")))).as("test_docs"))
+      .filter(size(col("train_docs")) > 0 &&
+        size(col("train_docs")) <= commonGramBar &&
+        size(col("test_docs")) > 0)
+    byGram.select(col("g"), explode(col("test_docs")).as("doc_id"), col("train_docs"))
+      .select(col("g"), col("doc_id"), explode(col("train_docs")).as("t_doc"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("t_doc")).as("n_train_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Sql: String =
+    s"""WITH b AS (SELECT doc_id,
+       |    ${h60Sql("'smp:'||doc_id")} % 100 AS sb,
+       |    ${h60Sql("'spl:'||doc_id")} % 10 AS pb,
+       |    $rateSqlCase AS rate,
+       |    string_split(text, ' ') AS tk
+       |  FROM documents),
+       |g AS (SELECT doc_id, pb, unnest(${ngramHashesSql("tk")}) AS g
+       |  FROM b WHERE sb < rate),
+       |tr AS (SELECT doc_id AS t_doc, g FROM g WHERE pb < 8),
+       |te AS (SELECT doc_id, g FROM g WHERE pb = 9),
+       |common AS (SELECT g FROM tr GROUP BY g
+       |  HAVING count(DISTINCT t_doc) > $commonGramBar),
+       |trf AS (SELECT t_doc, g FROM tr
+       |  WHERE NOT EXISTS (SELECT 1 FROM common c WHERE c.g = tr.g))
+       |SELECT te.doc_id,
+       |  count(DISTINCT trf.t_doc) AS n_train_docs,
+       |  count(DISTINCT te.g) AS n_shared_grams
+       |FROM te JOIN trf ON te.g = trf.g
+       |GROUP BY te.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  private val samplePerGroup = 5
+
+  /** Deterministic fixed-size per-group sample: top-[[samplePerGroup]]
+    * docs per source by an independent hash order — the count-based
+    * complement to q54's rate-based sampling (inspection samples, eval
+    * slices, "show me 5 docs per domain"). One shuffle on source; the
+    * rank window never materializes more than the group. At 100 TB the
+    * same expression runs as a per-partition top-k before the shuffle
+    * (WindowGroupLimit pushes rk <= k below the exchange). */
+  def q63GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    d.select(col("doc_id"), col("source"),
+        h60(concat(lit("s3:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= samplePerGroup)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q63Sql: String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |    ${h60Sql("'s3:'||doc_id")} AS hk
+       |  FROM documents),
+       |r AS (SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+       |  FROM h)
+       |SELECT source, rk, doc_id FROM r
+       |WHERE rk <= $samplePerGroup
+       |ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Token budget for the mixture plan (a config constant: what the
+    * trainer will consume). */
+  private val tokenBudget = 10000000L
+  private val sumRates: Long = mixRates.map(_._2.toLong).sum
+
+  /** Per-source allocation under [[tokenBudget]], precomputed from the
+    * shared mixture weights: exact integer division, emitted identically
+    * into both engines. */
+  private val allocFor: Map[String, Long] =
+    mixRates.map { case (s, r) => s -> (tokenBudget * r) / sumRates }.toMap
+
+  private def allocCol(source: Column): Column =
+    coalesce(element_at(
+      map(allocFor.toSeq.sortBy(_._1).flatMap { case (s, a) => Seq(lit(s), lit(a)) }: _*),
+      source), lit(0L))
+
+  private val allocSqlCase: String =
+    "CASE source " +
+      allocFor.toSeq.sortBy(_._1).map { case (s, a) => s"WHEN '$s' THEN ${a}::BIGINT" }
+        .mkString(" ") + " ELSE 0::BIGINT END"
+
+  /** Mixture execution plan: given the weights and a token budget, how
+    * many tokens each source contributes and how many passes (epochs,
+    * ×100) over the source that implies — the repeat-factor audit a
+    * data-mixing run is driven by. Everything is exact integer
+    * arithmetic: one aggregate over the corpus, constants broadcast in
+    * the projection; at 100 TB this is a metadata query over per-source
+    * token counts. */
+  def q64MixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        rateCol(col("source")).as("weight"),
+        allocCol(col("source")).as("alloc_tokens"))
+      .withColumn("epochs_x100",
+        expr("(alloc_tokens * 100) div total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q64Sql: String =
+    s"""WITH t AS (SELECT source, count(*) AS n_docs,
+       |    sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_docs, total_tokens,
+       |  $rateSqlCase AS weight,
+       |  $allocSqlCase AS alloc_tokens,
+       |  (($allocSqlCase) * 100) // total_tokens AS epochs_x100
+       |FROM t
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_sample" -> q54StratifiedSample _,
     "q55_chunking"          -> q55Chunking _,
+    "q60_decontaminate"     -> q60Decontaminate _,
+    "q63_group_sample"      -> q63GroupSample _,
+    "q64_mix_plan"          -> q64MixPlan _,
   )
 
   val oracle: Map[String, String] = Map(
     "q54_stratified_sample" -> q54Sql,
     "q55_chunking"          -> q55Sql,
+    "q60_decontaminate"     -> q60Sql,
+    "q63_group_sample"      -> q63Sql,
+    "q64_mix_plan"          -> q64Sql,
   )
 }

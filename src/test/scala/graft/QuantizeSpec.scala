@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** q61 embedding quantization invariants: code range, reconstruction
+  * error bound, and determinism. */
+class QuantizeSpec extends SparkSpec {
+
+  test("q61 codes are 0..255 and mse is within the quantization-step bound") {
+    val rows = Similarity.queries("q61_quantize_embeddings")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getAs[String]("qvec").split(",").map(_.toInt)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val (mn, mx) = (r.getAs[Double]("q_min"), r.getAs[Double]("q_max"))
+      assert(mn <= mx)
+      // worst-case per-element error is half a quantization step; the
+      // mean of squares can't exceed the square of that (+ rounding slack)
+      val step = (mx - mn) / 255.0
+      assert(r.getAs[Double]("mse") <= step * step / 4.0 + 1e-9)
+    }
+  }
+
+  test("q61 min/max elements quantize to the endpoints 0 and 255") {
+    val rows = Similarity.queries("q61_quantize_embeddings")(spark, sf)
+      .filter(col("q_min") < col("q_max")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getAs[String]("qvec").split(",").map(_.toInt)
+      assert(codes.min == 0, "the minimum element must map to code 0")
+      assert(codes.max == 255, "the maximum element must map to code 255")
+    }
+  }
+}

@@ -143,4 +143,33 @@ class TextDedupSpec extends SparkSpec {
         "ANN top-1 cannot beat exact top-1")
     }
   }
+
+  test("q62 incremental dedup is consistent with the all-pairs q29 result") {
+    val inc = Dedup.queries("q62_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getLong(2), r.getString(3)))
+    assert(inc.nonEmpty)
+    val incoming = inc.map(_._1).toSet
+    // every row is decision-consistent
+    inc.foreach { case (_, matched, n, decision) =>
+      assert((decision == "skip") == matched.nonEmpty)
+      assert(matched.nonEmpty == (n > 0))
+    }
+    // cross-check against the one-shot all-pairs form: an incoming doc
+    // with a hamming<=3 partner OUTSIDE the batch must be skipped, and
+    // one without any such partner must be ingested
+    val pairs = Dedup.queries("q29_simhash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val partners = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    inc.foreach { case (id, matched, _, decision) =>
+      val corpusPartners = partners.getOrElse(id, Set.empty).diff(incoming)
+      if (corpusPartners.nonEmpty) {
+        assert(decision == "skip", s"doc $id has corpus partner(s) $corpusPartners")
+        assert(matched.contains(corpusPartners.min))
+      } else {
+        assert(decision == "ingest", s"doc $id has no corpus partner")
+      }
+    }
+  }
 }

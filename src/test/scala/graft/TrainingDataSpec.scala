@@ -30,6 +30,82 @@ class TrainingDataSpec extends SparkSpec {
     slice.foreach { case (id, b) => assert(full(id) == b) }
   }
 
+  // Pure-Scala twin of the h60/bucket/split pipeline — an independent
+  // code path (MessageDigest, not Catalyst) so the spec can't inherit a
+  // bug from the expressions it checks.
+  private def h60s(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("q60 decontamination matches a from-first-principles Scala recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val rates = TrainingData.mixRates.toMap
+    def sampled(id: Long, src: String) = h60s(s"smp:$id") % 100 < rates.getOrElse(src, 0)
+    def split(id: Long) = h60s(s"spl:$id") % 10
+    def grams(text: String): Set[Long] =
+      text.split(" ").sliding(8).filter(_.length == 8)
+        .map(w => h60s(w.mkString(" "))).toSet
+    val train = docs.filter { case (id, _, s) => sampled(id, s) && split(id) < 8 }
+      .map { case (id, t, _) => id -> grams(t) }
+    val test = docs.filter { case (id, _, s) => sampled(id, s) && split(id) == 9 }
+      .map { case (id, t, _) => id -> grams(t) }
+    val gramTrainDocs = train.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val rare = gramTrainDocs.filter(_._2.size <= 10)
+    val expected = test.flatMap { case (tid, gs) =>
+      val shared = gs.filter(rare.contains)
+      val tdocs = shared.flatMap(rare(_))
+      if (shared.nonEmpty) Some((tid, tdocs.size.toLong, shared.size.toLong)) else None
+    }.sortBy(_._1)
+    val got = TrainingData.queries("q60_decontaminate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("native graft_ngram8 equals the HOF reference form") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val cmp = d.select(
+        call_function("graft_ngram8", org.apache.spark.sql.functions.split(col("text"), " ")).as("native"),
+        TrainingData.ngramHashesReference(col("text")).as("ref"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("q63 per-group sample: bounded, ranked 1..k, deterministic") {
+    val rows = TrainingData.queries("q63_group_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+    }
+    val again = TrainingData.queries("q63_group_sample")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q64 mix plan: exact integer accounting") {
+    val rows = TrainingData.queries("q64_mix_plan")(spark, sf).collect()
+    assert(rows.length == 20)
+    val rates = TrainingData.mixRates.toMap
+    val sumRates = rates.values.map(_.toLong).sum
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Int]("weight") == rates(src))
+      val alloc = (10000000L * rates(src)) / sumRates
+      assert(r.getAs[Long]("alloc_tokens") == alloc)
+      assert(r.getAs[Long]("epochs_x100") == alloc * 100 / r.getAs[Long]("total_tokens"))
+    }
+    // allocations never exceed the budget (integer floor division)
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= 10000000L)
+  }
+
   test("q55 chunking conserves tokens and respects the window") {
     val chunks = TrainingData.queries("q55_chunking")(spark, sf)
     val perDoc = chunks.groupBy(col("doc_id"))
