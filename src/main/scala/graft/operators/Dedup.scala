@@ -326,11 +326,19 @@ object Dedup {
   // scheme (4 × 65536 narrow buckets): explode 0.76 s vs join 1.34 s —
   // explode wins (signatures computed once, in-bucket pair lists tiny),
   // and narrow buckets are exactly the geometry that survives 10⁹ docs.
-  def q29SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashDocs(spark, dir)
-    val banded = sigs.select(col("doc_id"), col("sh"), explode(array((0 until nSimBands).map { b =>
-      concat_ws(":", lit(b.toString), shiftright(col("sh"), bandBits * b).bitwiseAND(lit(bandMask)))
+  /** The band-key explode shared by q29 and q62 — the Spark twin of
+    * [[bandListSql]] (single source of truth per engine: a band-scheme
+    * change edits exactly one site on each side). Input needs `sh`;
+    * other columns pass through. */
+  private def withBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("*"), explode(array((0 until nSimBands).map { b =>
+      concat_ws(":", lit(b.toString),
+        shiftright(col("sh"), bandBits * b).bitwiseAND(lit(bandMask)))
     }: _*)).as("band"))
+
+  def q29SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val banded = withBands(simhashDocs(spark, dir))
+      .select(col("doc_id"), col("sh"), col("band"))
     banded
       .groupBy(col("band"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("xs"))
@@ -393,9 +401,14 @@ object Dedup {
       .localCheckpoint(true)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    // the frame actually holding cached blocks: `labels` below becomes a
-    // select OVER the persisted frame, and unpersist only releases blocks
-    // when called on the cached plan itself
+    // The checkpoint blocks (und, initial labels, result) are NOT
+    // persist()-cached — Dataset.unpersist can't release them; the
+    // ContextCleaner reclaims them once the backing RDD is unreferenced
+    // and GC'd. What we DO release deterministically is each round's
+    // persisted label frame. `cached` tracks the frame that actually
+    // holds the cache entry: `labels` becomes a select OVER it, and
+    // unpersist only works on the cached plan itself. (Its first value
+    // is the checkpointed init, for which unpersist is a harmless no-op.)
     var cached = labels
     var changed = 1L
     var iter = 0
@@ -420,11 +433,11 @@ object Dedup {
     }
     // a silent non-converged return would emit labels that are NOT the
     // component minimum (and mismatch the transitive-closure oracle with
-    // no hint why) — fail loudly, releasing the caches first so a caught
-    // failure doesn't pin blocks for the rest of the session
+    // no hint why) — fail loudly, releasing the last round's persisted
+    // labels first so a caught failure doesn't pin that cache entry for
+    // the rest of the session (checkpoint blocks free via ContextCleaner)
     if (changed != 0) {
       cached.unpersist()
-      und.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still moving) — raise maxIter for this graph")
@@ -439,7 +452,6 @@ object Dedup {
         (col("doc_id") === col("label")).as("is_canonical"))
       .localCheckpoint(true)
     cached.unpersist()
-    und.unpersist()
     result
   }
 
@@ -499,11 +511,7 @@ object Dedup {
     val sigs = simhashDocs(spark, dir)
       .withColumn("incoming",
         pmod(h60(concat(lit("inc:"), col("doc_id").cast("string"))), lit(5L)) === 0L)
-    val banded = sigs.select(col("doc_id"), col("sh"), col("incoming"),
-      explode(array((0 until nSimBands).map { b =>
-        concat_ws(":", lit(b.toString),
-          shiftright(col("sh"), bandBits * b).bitwiseAND(lit(bandMask)))
-      }: _*)).as("band"))
+    val banded = withBands(sigs)
     val inc = banded.filter(col("incoming"))
       .select(col("doc_id").as("new_doc"), col("sh").as("new_sh"), col("band"))
     val corp = banded.filter(!col("incoming"))

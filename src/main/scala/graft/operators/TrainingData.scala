@@ -174,6 +174,9 @@ object TrainingData {
         rateCol(col("source")).as("rate"),
         ngramHashes(col("text")).as("gs"))
       .filter(col("sb") < col("rate"))
+      // the val split (pb = 8) can never contribute to either collect_set
+      // below — drop it BEFORE the explode so its grams never shuffle
+      .filter(col("pb") =!= 8)
       .select(col("doc_id"), col("pb"), explode(col("gs")).as("g"))
     // ONE gram-hash pass and ONE shuffle on g: both splits' doc sets are
     // collected in the same aggregate (collect_set skips the other
@@ -301,7 +304,7 @@ object TrainingData {
        |SELECT source, n_docs, total_tokens,
        |  $rateSqlCase AS weight,
        |  $allocSqlCase AS alloc_tokens,
-       |  (($allocSqlCase) * 100) // total_tokens AS epochs_x100
+       |  (alloc_tokens * 100) // total_tokens AS epochs_x100
        |FROM t
        |ORDER BY source""".stripMargin
 

@@ -40,7 +40,12 @@ class TrainingDataSpec extends SparkSpec {
   }
 
   test("q60 decontamination matches a from-first-principles Scala recompute") {
-    val docs = graft.sources.Tables.documents(spark, sf)
+    // sf0.01, not the usual sf0.001 fixture: the smallest corpus has ZERO
+    // contaminated test docs, which would make this comparison vacuously
+    // empty == empty; sf0.01 has real leakage (and the nonEmpty assert
+    // keeps the test honest if the data ever changes)
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.documents(spark, sf01)
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val rates = TrainingData.mixRates.toMap
@@ -61,8 +66,9 @@ class TrainingDataSpec extends SparkSpec {
       val tdocs = shared.flatMap(rare(_))
       if (shared.nonEmpty) Some((tid, tdocs.size.toLong, shared.size.toLong)) else None
     }.sortBy(_._1)
-    val got = TrainingData.queries("q60_decontaminate")(spark, sf).collect()
+    val got = TrainingData.queries("q60_decontaminate")(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(expected.nonEmpty, "fixture must contain real contamination")
     assert(got.toSeq == expected.toSeq)
   }
 
