@@ -267,6 +267,105 @@ object Text {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** Fixed keyword queries (a search/eval workload constant — the same
+    * role as q30's query vectors). */
+  private[graft] val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join", "table"),
+    2 -> Seq("stream", "window", "batch"),
+    3 -> Seq("vector", "hash", "merge"))
+
+  /** BM25 relevance: top-10 documents per keyword query. The full
+    * corpus-statistics ranking pipeline in three joins, all broadcast-
+    * sized except the corpus scan: (1) per-doc term frequencies for the
+    * 9 query terms only — the token filter runs map-side against a
+    * literal array, so the explode carries ≤ matched tokens, never the
+    * corpus vocabulary; (2) document frequencies (9 rows) and the global
+    * (N, Σdl) pair joined back by broadcast; (3) per-(query, doc) scores
+    * summed in sorted-term order via an explicit array fold — groupBy
+    * sum over doubles would add in partition order and lose cross-engine
+    * (and run-to-run) bit-identity.
+    *
+    * Shape at 100 TB: one corpus scan, one (doc, term) shuffle bounded
+    * by |terms|·docs-matched, broadcast stats, top-k window per query.
+    * Constants (k1, b, k1+1) are interpolated from the SAME Scala
+    * doubles into both engines — shortest-repr round-trip keeps them
+    * bit-identical. */
+  def q65Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val allTerms = bm25Queries.flatMap(_._2).distinct
+    val termArr = array(allTerms.map(lit): _*)
+    val toksDf = d.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+    val dtf = toksDf
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("tk"), t => array_contains(termArr, t))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = dtf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val global = toksDf.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sdl"))
+    val qt = {
+      import spark.implicits._
+      bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+    }
+    val avgdl = col("sdl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = (col("tf") * lit(bm25K1 + 1)) /
+      (col("tf") + lit(bm25K1) * (lit(1.0) - lit(bm25B) + lit(bm25B) * col("dl") / avgdl))
+    val parts = dtf
+      .join(broadcast(dfs), "term")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(global))
+      .select(col("query_id"), col("doc_id"),
+        struct(col("term"), (idf * tfPart).as("part")).as("p"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    parts.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(sort_array(collect_list(col("p"))), lit(0.0),
+        (acc, x) => acc + x.getField("part")) + 1e-9, 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q65Sql: String = {
+    val allTerms = bm25Queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    val qtValues = bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |ex AS (SELECT doc_id, len(tk) AS dl,
+       |    unnest(list_filter(tk, x -> list_contains($allTerms, x))) AS term
+       |  FROM tk),
+       |dtf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex GROUP BY 1, 2, 3),
+       |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM dtf GROUP BY 1),
+       |g AS (SELECT count(*) AS n_docs, sum(len(tk))::BIGINT AS sdl FROM tk),
+       |qt(query_id, term) AS (SELECT * FROM (VALUES $qtValues)),
+       |parts AS (SELECT qt.query_id, dtf.doc_id,
+       |    struct_pack(term := dtf.term, part :=
+       |      ln(1.0 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |      ((dtf.tf * ${bm25K1 + 1}) /
+       |       (dtf.tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dtf.dl
+       |         / (sdl::DOUBLE / g.n_docs))))) AS p
+       |  FROM dtf JOIN dfs USING (term) JOIN qt ON qt.term = dtf.term CROSS JOIN g),
+       |sc AS (SELECT query_id, doc_id,
+       |    round(list_reduce(list_prepend(0.0,
+       |      list_transform(list_sort(list(p)), x -> x.part)), (a, b) -> a + b)
+       |      + 1e-9, 4) AS score
+       |  FROM parts GROUP BY query_id, doc_id),
+       |rk AS (SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, doc_id, score, rk FROM rk WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats"   -> q21TokenStats _,
     "q22_quality_score" -> q22QualityScore _,
@@ -274,6 +373,7 @@ object Text {
     "q24_fingerprint"   -> q24Fingerprint _,
     "q47_repetition"    -> q47Repetition _,
     "q58_token_commonness" -> q58TokenCommonness _,
+    "q65_bm25"          -> q65Bm25 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -283,5 +383,6 @@ object Text {
     "q24_fingerprint"   -> q24Sql,
     "q47_repetition"    -> q47Sql,
     "q58_token_commonness" -> q58Sql,
+    "q65_bm25"          -> q65Sql,
   )
 }

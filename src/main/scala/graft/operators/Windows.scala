@@ -134,11 +134,63 @@ object Windows {
        |FROM grid g LEFT JOIN counts c ON g.h = c.h AND g.region = c.region
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Statistical anomaly detection over the window counts: hourly
+    * per-type volumes more than 2σ from that type's mean — the
+    * quantitative upgrade of q36's zero-count stall gauge (a stall is
+    * just the extreme case; this also catches surges and partial
+    * outages). Two tiny aggregates over the window frame (itself one
+    * partial+final pass over events) and a broadcast join of the
+    * per-type stats — nothing here grows with corpus size except the
+    * first windowing pass.
+    *
+    * Determinism: mean and variance come from exact integer sums
+    * (Σn, Σn² as longs), so the derived doubles are single correctly-
+    * rounded divisions — bit-identical in DuckDB; z is rounded with the
+    * boundary nudge. */
+  def q66WindowOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    val mean = col("s1").cast("double") / col("nw")
+    val stats = w.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nw"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"), mean.as("mean"),
+        sqrt(col("s2").cast("double") / col("nw") - mean * mean).as("sd"))
+    w.join(broadcast(stats), "event_type")
+      .filter(col("sd") > 0 && abs(col("n") - col("mean")) > col("sd") * 2)
+      .select(col("event_type"), col("w_start"), col("n"),
+        round(col("mean") + 1e-9, 4).as("mean_n"),
+        round((col("n") - col("mean")) / col("sd") + 1e-9, 4).as("z"))
+      .orderBy(col("event_type"), col("w_start"))
+  }
+
+  val q66Sql: String =
+    """WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*) AS nw,
+      |    sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+      |  FROM w GROUP BY 1),
+      |j AS (SELECT w.event_type, w.w_start, w.n,
+      |    s1::DOUBLE / nw AS mean,
+      |    sqrt(s2::DOUBLE / nw - (s1::DOUBLE / nw) * (s1::DOUBLE / nw)) AS sd
+      |  FROM w JOIN st USING (event_type))
+      |SELECT event_type, w_start, n,
+      |  round(mean + 1e-9, 4) AS mean_n,
+      |  round((n - mean) / sd + 1e-9, 4) AS z
+      |FROM j
+      |WHERE sd > 0 AND abs(n - mean) > sd * 2
+      |ORDER BY event_type, w_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_tumbling_window" -> q33TumblingWindow _,
     "q34_sliding_window"  -> q34SlidingWindow _,
     "q35_session_window"  -> q35SessionWindow _,
     "q36_stall_detect"    -> q36StallDetect _,
+    "q66_window_outliers" -> q66WindowOutliers _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -146,5 +198,6 @@ object Windows {
     "q34_sliding_window"  -> q34Sql,
     "q35_session_window"  -> q35Sql,
     "q36_stall_detect"    -> q36Sql,
+    "q66_window_outliers" -> q66Sql,
   )
 }

@@ -144,6 +144,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q65 BM25: ranked, deterministic, and every hit contains a query term") {
+    val rows = Text.queries("q65_bm25")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Int]("query_id"))
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+      // scores are rank-consistent (ties broken by doc_id, so <= is right)
+      val byRank = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(_.getAs[Double]("score") > 0.0))
+    }
+    // every returned doc really contains at least one of its query's terms
+    val terms = Text.bm25Queries.toMap
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    rows.foreach { r =>
+      val qid = r.getAs[Int]("query_id")
+      assert(terms(qid).exists(texts(r.getAs[Long]("doc_id")).contains))
+    }
+  }
+
   test("q62 incremental dedup is consistent with the all-pairs q29 result") {
     val inc = Dedup.queries("q62_incremental_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),

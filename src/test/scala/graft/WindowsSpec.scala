@@ -39,4 +39,19 @@ class WindowsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("stalled")),
       "sparse sf0.001 data must have silent region-hours")
   }
+
+  test("q66 outliers: every flagged window is beyond 2 sigma of a sane mean") {
+    val rows = Windows.queries("q66_window_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty, "hourly volumes at sf0.001 must include outliers")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_n") > 0.0)
+      // the filter is |n - mean| > 2*sd, so the reported z must clear 2
+      // (up to the rounding nudge)
+      assert(math.abs(r.getAs[Double]("z")) > 2.0 - 1e-3)
+    }
+    // flagged windows are a strict subset of all hourly windows
+    val total = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+    assert(rows.length < total)
+  }
 }
