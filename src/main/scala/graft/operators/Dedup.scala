@@ -522,7 +522,7 @@ object Dedup {
       .agg(min(col("old_doc")).as("matched_doc"),
         countDistinct(col("old_doc")).as("n_matches"))
     sigs.filter(col("incoming")).select(col("doc_id"))
-      .join(matches, col("doc_id") === col("new_doc"), "left")
+      .join(broadcast(matches), col("doc_id") === col("new_doc"), "left")
       .select(col("doc_id"), col("matched_doc"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         when(col("matched_doc").isNotNull, "skip").otherwise("ingest").as("decision"))
