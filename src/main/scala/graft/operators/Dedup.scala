@@ -281,13 +281,18 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(tokenHashes1(text), tokenHashes2(text))
 
-  /** doc_id + staged simhash signature. */
-  private def simhashDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** doc_id + staged simhash signature for any (doc_id, text) frame —
+    * batch or the per-batch slice of a stream. */
+  private[graft] def simhashFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         tokenHashes1(col("text")).as("hs1"),
         tokenHashes2(col("text")).as("hs2"))
       .select(col("doc_id"), simhashFromHashes(col("hs1"), col("hs2")).as("sh"))
+
+  /** doc_id + staged simhash signature. */
+  private def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(Tables.documents(spark, dir))
 
   private def simhashSql(text: String): String = {
     val hs1 = s"list_transform(string_split($text,' '), t -> ${h60Sql("t")})"
@@ -507,25 +512,39 @@ object Dedup {
     * bands) so cost is ∝ bucket collisions, and the small incoming side
     * broadcasts — the corpus index is never shuffled, which is the whole
     * point at scale. */
-  def q62IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashDocs(spark, dir)
-      .withColumn("incoming",
-        pmod(h60(concat(lit("inc:"), col("doc_id").cast("string"))), lit(5L)) === 0L)
-    val banded = withBands(sigs)
-    val inc = banded.filter(col("incoming"))
-      .select(col("doc_id").as("new_doc"), col("sh").as("new_sh"), col("band"))
-    val corp = banded.filter(!col("incoming"))
+  /** The corpus side of the incremental gate as a production pipeline
+    * maintains it: the banded signature index (old_doc, old_sh, band) —
+    * built once per corpus version, appended as docs are ingested. */
+  private[graft] def bandedIndex(corpus: DataFrame): DataFrame =
+    withBands(simhashFrame(corpus))
       .select(col("doc_id").as("old_doc"), col("sh").as("old_sh"), col("band"))
-    val matches = corp.join(broadcast(inc), "band")
+
+  /** Gate one batch of (doc_id, text) rows against a banded corpus
+    * index: per new doc, the min matched corpus doc (hamming ≤ 3), the
+    * match count, and the skip/ingest decision. The new batch broadcasts
+    * into the index join — the index never shuffles. Shared by the q62
+    * batch query and the streaming gate
+    * ([[graft.streaming.Ingest.dedupGateSink]]). */
+  private[graft] def gateBatch(newDocs: DataFrame, index: DataFrame): DataFrame = {
+    val inc = withBands(simhashFrame(newDocs))
+      .select(col("doc_id").as("new_doc"), col("sh").as("new_sh"), col("band"))
+    val matches = index.join(broadcast(inc), "band")
       .filter(bit_count(col("new_sh").bitwiseXOR(col("old_sh"))) <= 3)
       .groupBy(col("new_doc"))
       .agg(min(col("old_doc")).as("matched_doc"),
         countDistinct(col("old_doc")).as("n_matches"))
-    sigs.filter(col("incoming")).select(col("doc_id"))
+    newDocs.select(col("doc_id"))
       .join(broadcast(matches), col("doc_id") === col("new_doc"), "left")
       .select(col("doc_id"), col("matched_doc"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         when(col("matched_doc").isNotNull, "skip").otherwise("ingest").as("decision"))
+  }
+
+  def q62IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val incomingFlag =
+      pmod(h60(concat(lit("inc:"), col("doc_id").cast("string"))), lit(5L)) === 0L
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    gateBatch(docs.filter(incomingFlag), bandedIndex(docs.filter(!incomingFlag)))
       .orderBy(col("doc_id"))
   }
 

@@ -106,6 +106,29 @@ object Ingest {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming incremental-dedup gate: every micro-batch of incoming
+    * (doc_id, text) rows is gated against the static banded corpus index
+    * ([[graft.operators.Dedup.bandedIndex]]) and its skip/ingest
+    * decisions land under `outDir/batch=<id>/`. foreachBatch + dynamic
+    * partition overwrite on the batch id makes re-delivery idempotent
+    * (a replayed batch rewrites its own partition, never duplicates) —
+    * same reprocessing contract as [[partitionUpsertSink]]. This is the
+    * q62 semantics in the position a production pipeline actually runs
+    * them: as an ingest stage, daily batch against the maintained index. */
+  def dedupGateSink(newDocs: DataFrame, corpusIndex: DataFrame,
+                    outDir: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Layout.overwritePartitions(
+          graft.operators.Dedup.gateBatch(batch, corpusIndex)
+            .withColumn("batch", lit(batchId)),
+          outDir, Seq("batch"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** O7 (Kafka shape): per-row routing via the `topic` column — Spark's
     * Kafka sink routes each row to its `topic`; `value` carries the
     * serialized envelope (to_json ≙ `json.Marshal`, regionSpout.go:152).

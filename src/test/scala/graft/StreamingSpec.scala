@@ -293,6 +293,46 @@ class StreamingSpec extends SparkSpec {
       s"USA0 replaced by batch 2, USA1 kept from batch 1; got $rows")
   }
 
+  test("streaming dedup gate: near-dups of the corpus skipped, fresh docs ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ckpt").toString
+    // static corpus: two already-ingested docs → banded signature index
+    val corpus = Seq(
+      (1000L, "spark join table scan row value part hash merge batch line sort"),
+      (1001L, "stream window batch data column agg filter group vector key slow fast"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.bandedIndex(corpus)
+    val input = MemoryStream[(Long, String)]
+    def start() = Ingest.dedupGateSink(
+      input.toDF().toDF("doc_id", "text"), index, root, ckpt)
+    // batch 1: an exact near-dup of corpus doc 1000 (hamming 0) and a
+    // fresh doc sharing no vocabulary
+    input.addData(
+      (1L, "spark join table scan row value part hash merge batch line sort"),
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"))
+    val q1 = start()
+    try q1.awaitTermination(120000L) finally q1.stop()
+    // batch 2: another copy of corpus doc 1001
+    input.addData(
+      (3L, "stream window batch data column agg filter group vector key slow fast"))
+    val q2 = start()
+    try q2.awaitTermination(120000L) finally q2.stop()
+    val rows = spark.read.parquet(root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("decision"), Option(r.get(1)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(rows(1L) == (("skip", Some(1000L))))
+    assert(rows(2L) == (("ingest", None)))
+    assert(rows(3L) == (("skip", Some(1001L))))
+    // decisions are partitioned by batch id for idempotent reprocessing
+    // partition columns come back type-inferred from directory names
+    val batches = spark.read.parquet(root).select("batch").distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    assert(batches == Set(0L, 1L))
+  }
+
   test("streaming session windows: merge within gap, finalize past watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RegionEvent]
