@@ -615,6 +615,76 @@ object Relational {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Correlated EXISTS / NOT EXISTS through the ANSI SQL entry path —
+    * Catalyst rewrites both into the same semi/anti join plans as
+    * q04/q05's DataFrame forms (left_semi / left_anti after
+    * RewritePredicateSubquery); this gates the SQL front door for
+    * subquery predicates. */
+  def q67ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F'
+        |                    AND o2.o_totalprice < 50000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q67Sql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F'
+      |                    AND o2.o_totalprice < 50000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Bag-semantics set operations (q09 covers the DISTINCT forms):
+    * INTERSECT ALL / EXCEPT ALL keep multiplicities — per-key kept count
+    * is min/differenced, which Spark plans as a counted aggregate, not a
+    * pair join. Summarized per customer key so the oracle stays
+    * hash-exact. */
+  def q68SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val big = o.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+    val both = urgent.intersectAll(big).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_both"))
+    val onlyU = urgent.exceptAll(big).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_only_urgent"))
+    both.join(onlyU, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        coalesce(col("n_only_urgent"), lit(0L)).as("n_only_urgent"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q68Sql: String =
+    """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+      |ia AS (SELECT o_custkey, count(*) AS n_both
+      |  FROM (SELECT o_custkey FROM u INTERSECT ALL SELECT o_custkey FROM b)
+      |  GROUP BY o_custkey),
+      |ea AS (SELECT o_custkey, count(*) AS n_only_urgent
+      |  FROM (SELECT o_custkey FROM u EXCEPT ALL SELECT o_custkey FROM b)
+      |  GROUP BY o_custkey)
+      |SELECT coalesce(ia.o_custkey, ea.o_custkey) AS o_custkey,
+      |  coalesce(ia.n_both, 0) AS n_both,
+      |  coalesce(ea.n_only_urgent, 0) AS n_only_urgent
+      |FROM ia FULL OUTER JOIN ea ON ia.o_custkey = ea.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project"  -> q02FilterProject _,
@@ -639,6 +709,8 @@ object Relational {
     "q44_full_outer"      -> q44FullOuter _,
     "q45_sql_tpch5"       -> q45SqlTpch5 _,
     "q49_pivot"           -> q49Pivot _,
+    "q67_exists_subquery" -> q67ExistsSubquery _,
+    "q68_set_ops_all"     -> q68SetOpsAll _,
     "q57_window_frames"   -> q57WindowFrames _,
   )
 
@@ -666,6 +738,8 @@ object Relational {
     "q44_full_outer"      -> q44Sql,
     "q45_sql_tpch5"       -> q45Sql,
     "q49_pivot"           -> q49Sql,
+    "q67_exists_subquery" -> q67Sql,
+    "q68_set_ops_all"     -> q68Sql,
     "q57_window_frames"   -> q57Sql,
   )
 }
