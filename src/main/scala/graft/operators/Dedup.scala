@@ -524,12 +524,37 @@ object Dedup {
     * match count, and the skip/ingest decision. The new batch broadcasts
     * into the index join — the index never shuffles. Shared by the q62
     * batch query and the streaming gate
-    * ([[graft.streaming.Ingest.dedupGateSink]]). */
-  private[graft] def gateBatch(newDocs: DataFrame, index: DataFrame): DataFrame = {
+    * ([[graft.streaming.Ingest.dedupGateSink]]).
+    *
+    * `old_doc =!= new_doc` makes replay safe: a re-delivered batch whose
+    * docs were already folded into the index must not match itself.
+    *
+    * `withinBatch = true` additionally catches duplicates INSIDE the
+    * batch (two copies of a new doc arriving together would otherwise
+    * both say "ingest"): a doc matching a LOWER-id batch doc is skipped —
+    * keep-first semantics; matching any-direction would skip BOTH copies
+    * and lose the content entirely. The kept copy may itself be skipped
+    * against the corpus, in which case its duplicate's content is in the
+    * corpus transitively. q62 keeps the default (its oracle gates the
+    * batch-vs-corpus semantics only, over disjoint id sets). */
+  private[graft] def gateBatch(newDocs: DataFrame, index: DataFrame,
+                               withinBatch: Boolean = false): DataFrame = {
     val inc = withBands(simhashFrame(newDocs))
       .select(col("doc_id").as("new_doc"), col("sh").as("new_sh"), col("band"))
-    val matches = index.join(broadcast(inc), "band")
-      .filter(bit_count(col("new_sh").bitwiseXOR(col("old_sh"))) <= 3)
+    val idxPairs = index.join(broadcast(inc), "band")
+      .filter(bit_count(col("new_sh").bitwiseXOR(col("old_sh"))) <= 3 &&
+        col("old_doc") =!= col("new_doc"))
+      .select(col("new_doc"), col("old_doc"))
+    val pairs = if (!withinBatch) idxPairs else {
+      val selfOld = inc.select(col("new_doc").as("old_doc"),
+        col("new_sh").as("old_sh"), col("band"))
+      idxPairs.union(
+        selfOld.join(broadcast(inc), "band")
+          .filter(bit_count(col("new_sh").bitwiseXOR(col("old_sh"))) <= 3 &&
+            col("old_doc") < col("new_doc"))
+          .select(col("new_doc"), col("old_doc")))
+    }
+    val matches = pairs
       .groupBy(col("new_doc"))
       .agg(min(col("old_doc")).as("matched_doc"),
         countDistinct(col("old_doc")).as("n_matches"))

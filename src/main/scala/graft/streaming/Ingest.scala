@@ -107,27 +107,48 @@ object Ingest {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Streaming incremental-dedup gate: every micro-batch of incoming
-    * (doc_id, text) rows is gated against the static banded corpus index
+    * (doc_id, text) rows is gated against the banded corpus index
     * ([[graft.operators.Dedup.bandedIndex]]) and its skip/ingest
-    * decisions land under `outDir/batch=<id>/`. foreachBatch + dynamic
-    * partition overwrite on the batch id makes re-delivery idempotent
-    * (a replayed batch rewrites its own partition, never duplicates) —
-    * same reprocessing contract as [[partitionUpsertSink]]. This is the
-    * q62 semantics in the position a production pipeline actually runs
-    * them: as an ingest stage, daily batch against the maintained index. */
+    * decisions land under `outDir/batch=<id>/`. This is the q62
+    * semantics in the position a production pipeline actually runs them:
+    * as an ingest stage, daily batch against the maintained index.
+    *
+    * The index really is MAINTAINED: each batch's ingested docs fold
+    * their signatures back in (checkpoint-truncated per batch, same flat-
+    * lineage discipline as the CC loop), so a near-dup of an earlier
+    * batch's doc is skipped, and within-batch duplicates resolve to the
+    * lowest id (`gateBatch(withinBatch = true)`). The supplied
+    * corpusIndex is materialized ONCE up front — micro-batches join
+    * against in-memory blocks, never a re-run of the corpus signature
+    * pipeline.
+    *
+    * foreachBatch + dynamic partition overwrite on the batch id makes
+    * re-delivery idempotent (a replayed batch rewrites its own partition,
+    * never duplicates — and can't match itself in the accumulated index,
+    * see gateBatch's old≠new guard) — same reprocessing contract as
+    * [[partitionUpsertSink]]. */
   def dedupGateSink(newDocs: DataFrame, corpusIndex: DataFrame,
                     outDir: String, checkpointDir: String,
-                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var index = corpusIndex.localCheckpoint(true)
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val decisions = graft.operators.Dedup
+          .gateBatch(batch, index, withinBatch = true)
+          .localCheckpoint(true)
         graft.sources.Layout.overwritePartitions(
-          graft.operators.Dedup.gateBatch(batch, corpusIndex)
-            .withColumn("batch", lit(batchId)),
+          decisions.withColumn("batch", lit(batchId)),
           outDir, Seq("batch"))
+        val ingested = batch.join(
+          decisions.filter(col("decision") === "ingest").select(col("doc_id")),
+          "doc_id")
+        index = index.union(graft.operators.Dedup.bandedIndex(ingested))
+          .localCheckpoint(true)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** O7 (Kafka shape): per-row routing via the `topic` column — Spark's
     * Kafka sink routes each row to its `topic`; `value` carries the

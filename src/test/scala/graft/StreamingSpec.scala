@@ -293,44 +293,62 @@ class StreamingSpec extends SparkSpec {
       s"USA0 replaced by batch 2, USA1 kept from batch 1; got $rows")
   }
 
-  test("streaming dedup gate: near-dups of the corpus skipped, fresh docs ingested") {
+  test("streaming dedup gate: corpus, accumulated-index and in-batch dups skipped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_gate").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ckpt").toString
-    // static corpus: two already-ingested docs → banded signature index
+    val freshText = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"
+    // static corpus: two already-ingested docs -> banded signature index
     val corpus = Seq(
       (1000L, "spark join table scan row value part hash merge batch line sort"),
       (1001L, "stream window batch data column agg filter group vector key slow fast"))
       .toDF("doc_id", "text")
     val index = graft.operators.Dedup.bandedIndex(corpus)
     val input = MemoryStream[(Long, String)]
-    def start() = Ingest.dedupGateSink(
-      input.toDF().toDF("doc_id", "text"), index, root, ckpt)
-    // batch 1: an exact near-dup of corpus doc 1000 (hamming 0) and a
-    // fresh doc sharing no vocabulary
-    input.addData(
-      (1L, "spark join table scan row value part hash merge batch line sort"),
-      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"))
-    val q1 = start()
-    try q1.awaitTermination(120000L) finally q1.stop()
-    // batch 2: another copy of corpus doc 1001
-    input.addData(
-      (3L, "stream window batch data column agg filter group vector key slow fast"))
-    val q2 = start()
-    try q2.awaitTermination(120000L) finally q2.stop()
+    val q = Ingest.dedupGateSink(input.toDF().toDF("doc_id", "text"), index,
+      root, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // batch 0: a near-dup of corpus doc 1000, a fresh doc, and an
+      // IN-BATCH duplicate of that fresh doc (higher id -> keep-first)
+      input.addData(
+        (1L, "spark join table scan row value part hash merge batch line sort"),
+        (2L, freshText),
+        (4L, freshText))
+      q.processAllAvailable()
+      // batch 1: a copy of corpus doc 1001, and a copy of doc 2 - which
+      // only the ACCUMULATED index (not the static corpus) can catch
+      input.addData(
+        (3L, "stream window batch data column agg filter group vector key slow fast"),
+        (5L, freshText))
+      q.processAllAvailable()
+    } finally q.stop()
     val rows = spark.read.parquet(root).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("decision"), Option(r.get(1)).map(_.asInstanceOf[Long]))))
       .toMap
     assert(rows(1L) == (("skip", Some(1000L))))
     assert(rows(2L) == (("ingest", None)))
+    assert(rows(4L) == (("skip", Some(2L))), "in-batch duplicate keeps the lowest id")
     assert(rows(3L) == (("skip", Some(1001L))))
-    // decisions are partitioned by batch id for idempotent reprocessing
-    // partition columns come back type-inferred from directory names
-    val batches = spark.read.parquet(root).select("batch").distinct().collect()
-      .map(_.getAs[Number](0).longValue).toSet
-    assert(batches == Set(0L, 1L))
+    assert(rows(5L) == (("skip", Some(2L))), "accumulated index catches batch-0 ingests")
+    // REPLAY: a fresh run (new checkpoint) re-delivering batch 0 must
+    // REWRITE partition batch=0, not append to it - the documented
+    // reprocessing contract of the dynamic-partition-overwrite sink
+    val before = spark.read.parquet(root).count()
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData(
+      (1L, "spark join table scan row value part hash merge batch line sort"),
+      (2L, freshText),
+      (4L, freshText))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_gate_ckpt2").toString
+    val q2 = Ingest.dedupGateSink(input2.toDF().toDF("doc_id", "text"), index,
+      root, ckpt2)
+    try q2.awaitTermination(120000L) finally q2.stop()
+    val after = spark.read.parquet(root)
+    assert(after.count() == before, "replayed batch rewrites, never duplicates")
+    assert(after.filter(col("doc_id") === 1L).count() == 1L)
   }
 
   test("streaming session windows: merge within gap, finalize past watermark") {
