@@ -685,6 +685,38 @@ object Relational {
       |FROM ia FULL OUTER JOIN ea ON ia.o_custkey = ea.o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Cohort retention: users grouped by first-activity day, counted again
+    * on each later activity day (offset 0–7). The standard product-
+    * analytics matrix, and a distinct plan shape from the window queries:
+    * a per-user min (cohort assignment) joined back to the activity
+    * fact, then a two-key distinct count. Scale: both aggregates are
+    * partial-before-exchange on user_id; the join back is key-aligned
+    * with the cohort aggregate (one shuffle reused), never a pair
+    * explosion. All-integer outputs hash exactly. */
+  def q69CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val q69Sql: String =
+    """WITH days AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+      |cohort AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT c.cohort_day, date_diff('day', c.cohort_day, days.d) AS day_offset,
+      |  count(DISTINCT days.user_id) AS n_users
+      |FROM days JOIN cohort c USING (user_id)
+      |WHERE date_diff('day', c.cohort_day, days.d) <= 7
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project"  -> q02FilterProject _,
@@ -711,6 +743,7 @@ object Relational {
     "q49_pivot"           -> q49Pivot _,
     "q67_exists_subquery" -> q67ExistsSubquery _,
     "q68_set_ops_all"     -> q68SetOpsAll _,
+    "q69_cohort_retention" -> q69CohortRetention _,
     "q57_window_frames"   -> q57WindowFrames _,
   )
 
@@ -740,6 +773,7 @@ object Relational {
     "q49_pivot"           -> q49Sql,
     "q67_exists_subquery" -> q67Sql,
     "q68_set_ops_all"     -> q68Sql,
+    "q69_cohort_retention" -> q69Sql,
     "q57_window_frames"   -> q57Sql,
   )
 }

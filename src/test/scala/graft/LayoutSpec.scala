@@ -25,6 +25,26 @@ class LayoutSpec extends SparkSpec {
       s"expected zero exchanges over bucketed tables, got ${shuffles.size}")
   }
 
+  test("schema evolution: mergeSchema reads old and new parquet slices together") {
+    // lakes evolve: an early slice lacks a column later slices carry —
+    // mergeSchema must union the schemas, null-filling the old slice
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val v1 = graft.sources.Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"))
+    val v2 = graft.sources.Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    v1.write.parquet(s"$dir/load=1")
+    v2.write.parquet(s"$dir/load=2")
+    val merged = spark.read.option("mergeSchema", true).parquet(dir)
+    assert(merged.columns.toSet == Set("n_nationkey", "n_name", "n_regionkey", "load"))
+    val old = merged.filter(col("load") === 1)
+    assert(old.count() == v1.count())
+    assert(old.filter(col("n_regionkey").isNotNull).count() == 0,
+      "old slice null-fills the evolved column")
+    val neu = merged.filter(col("load") === 2)
+    assert(neu.filter(col("n_regionkey").isNull).count() == 0)
+  }
+
   test("CSV and JSON round-trip the orders table losslessly") {
     val orders = graft.sources.Tables.orders(spark, sf).orderBy(col("o_orderkey"))
     val schema = orders.schema
