@@ -308,12 +308,87 @@ object TrainingData {
        |FROM t
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  private val bpeRounds = 3
+
+  /** Tokenizer training: the first [[bpeRounds]] BPE merges over the
+    * corpus — per round, count adjacent symbol pairs weighted by word
+    * frequency, pick the global best, merge it everywhere. This is the
+    * real vocab-building step of a training pipeline in its distributed
+    * shape: ONE corpus scan builds the word-frequency table (Zipf: the
+    * vocab is tiny relative to the corpus — the classic corpus→vocab
+    * reduction every BPE trainer does), each round is then a vocab-sized
+    * aggregate, and only a single (pair, count) scalar comes back to the
+    * driver per round — the merge table IS driver state, exactly as in
+    * production trainers. Checkpoint-per-round keeps lineage flat (the
+    * CC-loop discipline).
+    *
+    * Determinism: counts are exact integers; the best pair is the total
+    * order (count desc, left asc, right asc); the merge fold is the same
+    * left-to-right non-overlapping fold in both engines. */
+  def q70BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    var syms = words
+      .select(col("word"), col("f"), split(col("word"), "").as("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to bpeRounds) {
+      val best = syms.select(col("f"),
+          explode(transform(sequence(lit(1), size(col("sym")) - 1),
+            i => struct(get(col("sym"), i - 1).as("a"), get(col("sym"), i).as("b"))))
+            .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, a, b, cnt))
+      val merged = aggregate(col("sym"), array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+      syms = syms.select(col("word"), col("f"), merged.as("sym"))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  private def bpeRoundSqlCte(r: Int): String =
+    s"""p$r AS (SELECT s.sym[i.i] AS a, s.sym[i.i + 1] AS b, sum(s.f)::BIGINT AS cnt
+       |  FROM s${r - 1} s, UNNEST(range(1, len(s.sym))) AS i(i)
+       |  GROUP BY 1, 2),
+       |best$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |s$r AS (SELECT s.word, s.f,
+       |    list_reduce(list_prepend([]::VARCHAR[], list_transform(s.sym, x -> [x])),
+       |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.a AND x[1] = b.b
+       |        THEN list_append(list_slice(acc, 1, len(acc) - 1), b.a || b.b)
+       |        ELSE list_append(acc, x[1]) END) AS sym
+       |  FROM s${r - 1} s CROSS JOIN best$r b)""".stripMargin
+
+  val q70Sql: String =
+    s"""WITH w AS (SELECT word, count(*)::BIGINT AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS (SELECT word, f, string_split(word, '') AS sym FROM w),
+       |${(1 to bpeRounds).map(bpeRoundSqlCte).mkString(",\n")}
+       |SELECT * FROM (
+       |${(1 to bpeRounds).map(r =>
+          s"  SELECT $r AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM best$r")
+          .mkString("\n  UNION ALL\n")})
+       |ORDER BY round""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_sample" -> q54StratifiedSample _,
     "q55_chunking"          -> q55Chunking _,
     "q60_decontaminate"     -> q60Decontaminate _,
     "q63_group_sample"      -> q63GroupSample _,
     "q64_mix_plan"          -> q64MixPlan _,
+    "q70_bpe_merges"        -> q70BpeMerges _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -322,5 +397,6 @@ object TrainingData {
     "q60_decontaminate"     -> q60Sql,
     "q63_group_sample"      -> q63Sql,
     "q64_mix_plan"          -> q64Sql,
+    "q70_bpe_merges"        -> q70Sql,
   )
 }

@@ -112,6 +112,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= 10000000L)
   }
 
+  test("q70 BPE merges match a from-first-principles Scala recompute") {
+    val words = new scala.collection.mutable.HashMap[String, Long]()
+    graft.sources.Tables.documents(spark, sf).select("text").collect()
+      .foreach(_.getString(0).split(" ").foreach(w =>
+        words(w) = words.getOrElse(w, 0L) + 1L))
+    var syms: Map[String, List[String]] = words.keys.map(w => w -> w.split("").toList).toMap
+    val expected = (1 to 3).map { r =>
+      val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((w, f) <- words; Seq(a, b) <- syms(w).sliding(2))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+      val ((a, b), cnt) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      syms = syms.map { case (w, s) =>
+        w -> s.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+      (r, a, b, cnt)
+    }
+    val got = TrainingData.queries("q70_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("q55 chunking conserves tokens and respects the window") {
     val chunks = TrainingData.queries("q55_chunking")(spark, sf)
     val perDoc = chunks.groupBy(col("doc_id"))
