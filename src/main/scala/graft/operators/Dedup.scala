@@ -539,8 +539,13 @@ object Dedup {
     * batch-vs-corpus semantics only, over disjoint id sets). */
   private[graft] def gateBatch(newDocs: DataFrame, index: DataFrame,
                                withinBatch: Boolean = false): DataFrame = {
-    val inc = withBands(simhashFrame(newDocs))
+    val incLazy = withBands(simhashFrame(newDocs))
       .select(col("doc_id").as("new_doc"), col("sh").as("new_sh"), col("band"))
+    // the within-batch mode fans inc out three ways (index join, self
+    // left side, self broadcast) — materialize the signature pass once
+    // instead of re-tokenizing/re-hashing the batch per reference; the
+    // plain q62 path keeps the lazy single-use frame
+    val inc = if (withinBatch) incLazy.localCheckpoint(true) else incLazy
     val idxPairs = index.join(broadcast(inc), "band")
       .filter(bit_count(col("new_sh").bitwiseXOR(col("old_sh"))) <= 3 &&
         col("old_doc") =!= col("new_doc"))

@@ -334,24 +334,37 @@ object TrainingData {
       .select(col("word"), col("f"), split(col("word"), "").as("sym"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to bpeRounds) {
-      val best = syms.select(col("f"),
+    var exhausted = false
+    for (r <- 1 to bpeRounds if !exhausted) {
+      // size > 1 guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]),
+      // so a single-symbol word would emit spurious (sym, NULL) and
+      // (NULL, sym) pairs — and Spark's ascending tie-break sorts NULLS
+      // FIRST, so such a pair at max count would win the argmax while
+      // DuckDB's range(1, 1) correctly yields nothing
+      val bestOpt = syms.filter(size(col("sym")) > 1)
+        .select(col("f"),
           explode(transform(sequence(lit(1), size(col("sym")) - 1),
             i => struct(get(col("sym"), i - 1).as("a"), get(col("sym"), i).as("b"))))
             .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, a, b, cnt))
-      val merged = aggregate(col("sym"), array().cast("array<string>"),
-        (acc, x) => when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
-      syms = syms.select(col("word"), col("f"), merged.as("sym"))
-        .localCheckpoint(true)
+        .limit(1).collect().headOption
+      bestOpt match {
+        case None =>
+          // fully merged (or empty) corpus: no pairs left — stop cleanly
+          exhausted = true
+        case Some(best) =>
+          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((r, a, b, cnt))
+          val merged = aggregate(col("sym"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))
+          syms = syms.select(col("word"), col("f"), merged.as("sym"))
+            .localCheckpoint(true)
+      }
     }
     import spark.implicits._
     merges.result().toDF("round", "left_sym", "right_sym", "pair_count")

@@ -113,28 +113,49 @@ object Ingest {
     * semantics in the position a production pipeline actually runs them:
     * as an ingest stage, daily batch against the maintained index.
     *
-    * The index really is MAINTAINED: each batch's ingested docs fold
-    * their signatures back in (checkpoint-truncated per batch, same flat-
-    * lineage discipline as the CC loop), so a near-dup of an earlier
-    * batch's doc is skipped, and within-batch duplicates resolve to the
-    * lowest id (`gateBatch(withinBatch = true)`). The supplied
-    * corpusIndex is materialized ONCE up front — micro-batches join
-    * against in-memory blocks, never a re-run of the corpus signature
-    * pipeline.
+    * The index really is MAINTAINED, durably: each batch's ingested docs
+    * write their banded signatures as a parquet delta under
+    * `indexDir/batch=<id>/`, and every batch gates against
+    * corpus ∪ deltas — so a near-dup of an earlier batch's doc is
+    * skipped even across restarts and separate runs (a driver-local
+    * accumulator would reset to corpus-only each run). Within-batch
+    * duplicates resolve to the lowest id (`gateBatch(withinBatch =
+    * true)`). The supplied corpusIndex is materialized ONCE per sink —
+    * micro-batches never re-run the corpus signature pipeline, and only
+    * the batch-sized delta is ever written.
     *
     * foreachBatch + dynamic partition overwrite on the batch id makes
-    * re-delivery idempotent (a replayed batch rewrites its own partition,
-    * never duplicates — and can't match itself in the accumulated index,
-    * see gateBatch's old≠new guard) — same reprocessing contract as
-    * [[partitionUpsertSink]]. */
+    * re-delivery idempotent for BOTH outputs (decisions and index
+    * delta): a replayed batch rewrites its own partitions, never
+    * duplicates — and can't match itself against its previously-written
+    * delta, see gateBatch's old≠new guard. Same reprocessing contract
+    * as [[partitionUpsertSink]]. */
   def dedupGateSink(newDocs: DataFrame, corpusIndex: DataFrame,
-                    outDir: String, checkpointDir: String,
+                    outDir: String, checkpointDir: String, indexDir: String,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    var index = corpusIndex.localCheckpoint(true)
+    // the static corpus index materializes once per sink; the MAINTAINED
+    // part lives as parquet deltas under indexDir (batch=<id> partitions)
+    // so it survives restarts — a driver-local accumulator would silently
+    // reset to corpus-only on every new run (including each AvailableNow
+    // invocation) and let cross-run duplicates through. Per batch the
+    // gate reads corpus ∪ deltas; only the batch's own delta is written
+    // (O(batch), not an O(index) copy), and delta writes go through the
+    // same dynamic partition overwrite as the decisions, so a replayed
+    // batch rewrites its own delta partition idempotently.
+    val corpus = corpusIndex.localCheckpoint(true)
+    val spark = corpus.sparkSession
+    def deltas(): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        spark.read.parquet(indexDir)
+          .select(col("old_doc"), col("old_sh"), col("band"))
+      else corpus.limit(0)
+    }
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val decisions = graft.operators.Dedup
-          .gateBatch(batch, index, withinBatch = true)
+          .gateBatch(batch, corpus.union(deltas()), withinBatch = true)
           .localCheckpoint(true)
         graft.sources.Layout.overwritePartitions(
           decisions.withColumn("batch", lit(batchId)),
@@ -142,8 +163,10 @@ object Ingest {
         val ingested = batch.join(
           decisions.filter(col("decision") === "ingest").select(col("doc_id")),
           "doc_id")
-        index = index.union(graft.operators.Dedup.bandedIndex(ingested))
-          .localCheckpoint(true)
+        graft.sources.Layout.overwritePartitions(
+          graft.operators.Dedup.bandedIndex(ingested)
+            .withColumn("batch", lit(batchId)),
+          indexDir, Seq("batch"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -298,6 +298,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_gate").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ckpt").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_gate_idx").toString
     val freshText = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"
     // static corpus: two already-ingested docs -> banded signature index
     val corpus = Seq(
@@ -307,7 +308,7 @@ class StreamingSpec extends SparkSpec {
     val index = graft.operators.Dedup.bandedIndex(corpus)
     val input = MemoryStream[(Long, String)]
     val q = Ingest.dedupGateSink(input.toDF().toDF("doc_id", "text"), index,
-      root, ckpt,
+      root, ckpt, idxDir,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
     try {
       // batch 0: a near-dup of corpus doc 1000, a fresh doc, and an
@@ -333,9 +334,12 @@ class StreamingSpec extends SparkSpec {
     assert(rows(4L) == (("skip", Some(2L))), "in-batch duplicate keeps the lowest id")
     assert(rows(3L) == (("skip", Some(1001L))))
     assert(rows(5L) == (("skip", Some(2L))), "accumulated index catches batch-0 ingests")
-    // REPLAY: a fresh run (new checkpoint) re-delivering batch 0 must
-    // REWRITE partition batch=0, not append to it - the documented
-    // reprocessing contract of the dynamic-partition-overwrite sink
+    // REPLAY: a fresh run (new checkpoint, SAME index dir) re-delivering
+    // batch 0 must REWRITE partition batch=0, not append - and because
+    // the durable index now already contains doc 2's delta, this also
+    // exercises the old!=new self-match guard: doc 2 must still say
+    // "ingest" (its own signature is in the index) while doc 4 still
+    // matches doc 2.
     val before = spark.read.parquet(root).count()
     val input2 = MemoryStream[(Long, String)]
     input2.addData(
@@ -344,11 +348,27 @@ class StreamingSpec extends SparkSpec {
       (4L, freshText))
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_gate_ckpt2").toString
     val q2 = Ingest.dedupGateSink(input2.toDF().toDF("doc_id", "text"), index,
-      root, ckpt2)
+      root, ckpt2, idxDir)
     try q2.awaitTermination(120000L) finally q2.stop()
     val after = spark.read.parquet(root)
     assert(after.count() == before, "replayed batch rewrites, never duplicates")
     assert(after.filter(col("doc_id") === 1L).count() == 1L)
+    val replayed = after.filter(col("batch") === 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(replayed(2L) == "ingest", "a doc must not match its own indexed signature")
+    assert(replayed(4L) == "skip")
+    // cross-RUN dup caught via the durable index: a fresh sink instance
+    // sees batch-0's delta even though its driver state is brand new
+    val input3 = MemoryStream[(Long, String)]
+    input3.addData((6L, freshText))
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft_gate_ckpt3").toString
+    val q3 = Ingest.dedupGateSink(input3.toDF().toDF("doc_id", "text"), index,
+      root, ckpt3, idxDir)
+    try q3.awaitTermination(120000L) finally q3.stop()
+    val run3 = spark.read.parquet(root).filter(col("doc_id") === 6L).collect()(0)
+    assert(run3.getAs[String]("decision") == "skip" &&
+      run3.getAs[Long]("matched_doc") == 2L,
+      "durable index must catch duplicates across separate runs")
   }
 
   test("streaming session windows: merge within gap, finalize past watermark") {
