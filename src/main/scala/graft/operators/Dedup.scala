@@ -170,7 +170,15 @@ object Dedup {
     * never all-pairs — so the verify cost is proportional to collisions. */
   /** Verified near-dup pairs (the LSH candidates that pass the exact
     * Jaccard bar) — q27's body, shared with q56's clustering. */
-  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Candidate pairs with their exact Jaccard, unfiltered — shared by the
+    * q27 verify (≥ 0.5 bar) and q71's estimator-calibration audit. */
+  private def candidateJaccard(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairsUnfiltered(spark, dir)
+
+  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairsUnfiltered(spark, dir).filter(col("jaccard") >= 0.5)
+
+  private def verifiedPairsUnfiltered(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     // unsorted candidates — q26's output sort would just add a wasted
     // exchange under this join
@@ -198,7 +206,6 @@ object Dedup {
       .join(bsets.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(inter / (size(col("x.sh")) + size(col("y.sh")) - inter), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
   }
 
   def q27NgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -223,6 +230,52 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM j
        |WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Estimator calibration: for every LSH candidate pair, the MinHash
+    * ESTIMATE of Jaccard (fraction of agreeing signature components —
+    * what the sketch promises) next to the exact n-gram Jaccard (what
+    * q27 computes), with the absolute error. This is the audit that
+    * justifies trusting sketches at 100 TB, where exact verification of
+    * every pair is the expensive step you want to drop: if the estimate
+    * tracks truth on the verified slice, the verify bar can move to the
+    * estimate. Same candidates-only cost shape as q27; k/8 estimates are
+    * exact doubles, so cross-engine hashing is safe with no rounding. */
+  def q71MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cand = candidateJaccard(spark, dir)
+    val ids = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sigs = d.join(broadcast(ids), "doc_id")
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig", split(col("text"), " ")).as("sig"))
+    val bsigs = broadcast(sigs)
+    val nEq = size(filter(zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b),
+      x => x))
+    cand
+      .join(bsigs.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(bsigs.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (nEq.cast("double") / lit(perms.length.toDouble)).as("est_jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("jaccard")) + 1e-9, 6))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q71Sql: String = {
+    val eqSum = perms.indices
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $verifiedPairsSqlCtes,
+       |est AS (SELECT j.doc_a, j.doc_b, j.jaccard,
+       |    ($eqSum) / ${perms.length}.0 AS est_jaccard
+       |  FROM j
+       |  JOIN sig a ON j.doc_a = a.doc_id
+       |  JOIN sig b ON j.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, jaccard, est_jaccard,
+       |  round(abs(est_jaccard - jaccard) + 1e-9, 6) AS abs_err
+       |FROM est
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q28
   /** 64-bit signature: bits 0-31 from h60(token), bits 32-63 from a
@@ -603,6 +656,7 @@ object Dedup {
     "q29_simhash_neardup" -> q29SimhashNeardup _,
     "q56_dedup_clusters"  -> q56DedupClusters _,
     "q62_incremental_dedup" -> q62IncrementalDedup _,
+    "q71_minhash_estimate"  -> q71MinhashEstimate _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -613,5 +667,6 @@ object Dedup {
     "q29_simhash_neardup" -> q29Sql,
     "q56_dedup_clusters"  -> q56Sql,
     "q62_incremental_dedup" -> q62Sql,
+    "q71_minhash_estimate"  -> q71Sql,
   )
 }

@@ -166,6 +166,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q71 estimates cover every LSH candidate and are arithmetically sound") {
+    val est = Dedup.queries("q71_minhash_estimate")(spark, sf).collect()
+    val cand = Dedup.queries("q26_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.map(r => (r.getLong(0), r.getLong(1))).toSet == cand,
+      "one estimate row per candidate pair")
+    est.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      // k agreeing components out of 8 — exact eighths only
+      assert((e * 8).isWhole && e >= 0.0 && e <= 1.0)
+      val err = r.getAs[Double]("abs_err")
+      assert(math.abs(err - math.abs(e - r.getAs[Double]("jaccard"))) < 1e-5)
+      // LSH candidates share at least one band (two consecutive sig
+      // components), so the estimate can never be zero
+      assert(e >= 2.0 / 8.0 - 1e-9)
+    }
+  }
+
   test("q62 incremental dedup is consistent with the all-pairs q29 result") {
     val inc = Dedup.queries("q62_incremental_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
