@@ -308,6 +308,71 @@ object TrainingData {
        |FROM t
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  private val cdcModulus = 8L
+
+  /** Content-defined chunking: a boundary falls after token i when the
+    * rolling 3-gram hash ending at i is ≡ 0 mod [[cdcModulus]] (expected
+    * chunk ≈ 8 tokens). Unlike q55's fixed windows, boundaries move WITH
+    * the content — an insertion reshuffles only its own chunk, so chunk
+    * hashes stay stable for dedup/caching (the storage-dedup property).
+    * All map-side per document: flags and the linear prefix-sum fold
+    * assign a chunk id to every token inside the row; the only shuffle
+    * is the (doc, chunk) reassembly aggregate. The DuckDB oracle mirrors
+    * the prefix with an O(n²) slice-sum — DuckDB 1.0's list_reduce
+    * mis-evaluates struct accumulators, and oracle cost is irrelevant —
+    * while the Spark side keeps the linear array fold. */
+  def q72CdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = split(col("text"), " ")
+    val base = d.select(col("doc_id"), t.as("tk"))
+    val flags = transform(sequence(lit(1), size(col("tk"))), i =>
+      when(i >= 3 &&
+        pmod(h60(concat_ws(" ",
+          get(col("tk"), i - 3), get(col("tk"), i - 2), get(col("tk"), i - 1))),
+          lit(cdcModulus)) === 0L,
+        lit(1)).otherwise(lit(0)))
+    // staged selects: flags and the prefix array are each multi-referenced
+    // downstream — CollapseProject must not re-inline the md5 pipeline
+    val withFlags = base.select(col("doc_id"), col("tk"), flags.as("flags"))
+    // size guard, not coalesce: element_at(empty, -1) THROWS in Spark 4
+    // (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) rather than returning null
+    val incl = aggregate(col("flags"), array().cast("array<int>"),
+      (acc, f) => concat(acc,
+        array(when(size(acc) === 0, lit(0)).otherwise(element_at(acc, -1)) + f)))
+    val withPrefix = withFlags.select(col("doc_id"), col("tk"), incl.as("incl"))
+    val rows = withPrefix.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk"))), i =>
+          struct(i.as("pos"), get(col("tk"), i - 1).as("tok"),
+            // chunk id = boundaries strictly before i (exclusive prefix)
+            coalesce(get(col("incl"), i - 2), lit(0)).as("cid")))).as("r"))
+      .select(col("doc_id"), col("r.pos").as("pos"), col("r.tok").as("tok"),
+        col("r.cid").as("cid"))
+    rows.groupBy(col("doc_id"), col("cid"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("chunk"))
+      .select(col("doc_id"), col("cid").as("chunk_id"), col("n_tokens"), col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q72Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |fl AS (SELECT doc_id, tk, list_transform(range(1, len(tk) + 1), i ->
+       |    CASE WHEN i >= 3 AND ${h60Sql("tk[i-2]||' '||tk[i-1]||' '||tk[i]")} % $cdcModulus = 0
+       |      THEN 1 ELSE 0 END) AS flags FROM tk),
+       |cd AS (SELECT doc_id, tk, list_transform(range(1, len(tk) + 1),
+       |    i -> coalesce(list_sum(list_slice(flags, 1, i - 1)), 0)::INT) AS cids FROM fl),
+       |ex AS (SELECT doc_id, u.i AS pos, tk[u.i] AS tok, cids[u.i] AS cid
+       |  FROM cd, UNNEST(range(1, len(tk) + 1)) AS u(i))
+       |SELECT doc_id, cid AS chunk_id, count(*)::BIGINT AS n_tokens,
+       |  array_to_string(list_transform(
+       |    list_sort(list(struct_pack(pos := pos, tok := tok))), x -> x.tok), ' ') AS chunk
+       |FROM ex
+       |GROUP BY doc_id, cid
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------------------------------------------------------------- q70
   private val bpeRounds = 3
 
@@ -402,6 +467,7 @@ object TrainingData {
     "q63_group_sample"      -> q63GroupSample _,
     "q64_mix_plan"          -> q64MixPlan _,
     "q70_bpe_merges"        -> q70BpeMerges _,
+    "q72_cdc_chunking"      -> q72CdcChunking _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -411,5 +477,6 @@ object TrainingData {
     "q63_group_sample"      -> q63Sql,
     "q64_mix_plan"          -> q64Sql,
     "q70_bpe_merges"        -> q70Sql,
+    "q72_cdc_chunking"      -> q72Sql,
   )
 }

@@ -136,6 +136,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q72 CDC chunks conserve the text and cut only at content boundaries") {
+    val byDoc = TrainingData.queries("q72_cdc_chunking")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("chunk_id"))
+      assert(ordered.map(_.getAs[Int]("chunk_id")).toSeq == ordered.indices)
+      assert(ordered.map(_.getAs[String]("chunk")).mkString(" ") == docs(id),
+        "chunks reassemble the document")
+      // every cut position is a real content boundary (rolling 3-gram
+      // hash divisible by the modulus) — recomputed independently
+      val toks = docs(id).split(" ")
+      var pos = 0
+      ordered.dropRight(1).foreach { r =>
+        pos += r.getAs[Long]("n_tokens").toInt
+        assert(pos >= 3 && h60s(toks.slice(pos - 3, pos).mkString(" ")) % 8 == 0,
+          s"doc $id cut at $pos is not a content boundary")
+      }
+    }
+  }
+
   test("q55 chunking conserves tokens and respects the window") {
     val chunks = TrainingData.queries("q55_chunking")(spark, sf)
     val perDoc = chunks.groupBy(col("doc_id"))
