@@ -157,6 +157,29 @@ object GraftHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Content-defined chunk id per token: a boundary falls AFTER token i
+    * (1-based) when i >= 3 and h60 of the trailing 3-gram (space-joined)
+    * is divisible by `modulus`; a token's chunk id counts boundaries
+    * strictly before it. One pass — equals the HOF flags + prefix-sum
+    * fold in graft.operators.TrainingData (spec-asserted). */
+  def cdcChunkIds(tokens: ArrayData, modulus: Long): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Int](n)
+    var cid = 0
+    var i = 0
+    while (i < n) {
+      out(i) = cid
+      if (i >= 2) {
+        val g = UTF8String.concatWs(shingleSep,
+          tokens.getUTF8String(i - 2), tokens.getUTF8String(i - 1),
+          tokens.getUTF8String(i))
+        if (h60(g.getBytes) % modulus == 0L) cid += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct adjacent-bigram count over a token array, one pass with a
     * pair hash set. Equals `size(array_distinct(bigram-strings))` because
     * tokens come from `split(text, " ")` and so cannot contain the join
@@ -357,6 +380,37 @@ case class Ngram8Hashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_cdc_ids(tokens, modulus)`: per-token content-defined chunk ids
+  * (rolling 3-gram h60 boundaries) in one native pass — q72's hot path;
+  * spec-asserted equal to the HOF flags + prefix-fold reference. */
+case class CdcChunkIds(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_ids expects (array<string>, bigint), got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_cdc_ids"
+
+  override protected def nullSafeEval(a: Any, m: Any): Any =
+    GraftHash.cdcChunkIds(a.asInstanceOf[ArrayData], m.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, m) => s"graft.expressions.GraftHash.cdcChunkIds($a, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CdcChunkIds =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Imperative registration fallback for sessions NOT built with
   * `spark.sql.extensions=graft.expressions.GraftExtensions` (e.g. a
   * harness-owned SparkSession calling SparkEntry.queries directly).
@@ -375,6 +429,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_bigram_distinct", GraftExtensions.bigramDistinctBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_minhash_sig", GraftExtensions.minhashSigBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_ngram8", GraftExtensions.ngram8Builder, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_cdc_ids", GraftExtensions.cdcIdsBuilder, "scala_udf")
     }
   }
 }
@@ -404,6 +459,9 @@ object GraftExtensions {
 
   private[expressions] val ngram8Builder: Seq[Expression] => Expression =
     children => Ngram8Hashes(children.head)
+
+  private[expressions] val cdcIdsBuilder: Seq[Expression] => Expression =
+    children => CdcChunkIds(children(0), children(1))
 }
 
 /** Session extension registering the graft function family. Activate with
@@ -435,5 +493,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ngram8"),
       new ExpressionInfo(classOf[Ngram8Hashes].getName, "graft_ngram8"),
       GraftExtensions.ngram8Builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_ids"),
+      new ExpressionInfo(classOf[CdcChunkIds].getName, "graft_cdc_ids"),
+      GraftExtensions.cdcIdsBuilder))
   }
 }

@@ -322,30 +322,43 @@ object TrainingData {
     * the prefix with an O(n²) slice-sum — DuckDB 1.0's list_reduce
     * mis-evaluates struct accumulators, and oracle cost is irrelevant —
     * while the Spark side keeps the linear array fold. */
+  /** Per-token chunk ids — one native pass
+    * ([[graft.expressions.CdcChunkIds]]: rolling hash + boundary count
+    * together, no per-position interpreted md5 lambda or fold; q72
+    * measured 1.7 s HOF vs 1.2 s native at sf0.1 — the remainder is the
+    * reassembly shuffle, not the ids). */
+  private def cdcIds(tk: Column): Column =
+    call_function("graft_cdc_ids", tk, lit(cdcModulus))
+
+  /** Built-in-composed reference for [[cdcIds]] (flags, then an
+    * exclusive-prefix-sum fold), kept for the native≡HOF parity spec. */
+  private[graft] def cdcIdsReference(tk: Column): Column = {
+    val flags = transform(sequence(lit(1), size(tk)), i =>
+      when(i >= 3 &&
+        pmod(h60(concat_ws(" ", get(tk, i - 3), get(tk, i - 2), get(tk, i - 1))),
+          lit(cdcModulus)) === 0L,
+        lit(1)).otherwise(lit(0)))
+    // size guard, not coalesce: element_at(empty, -1) THROWS in Spark 4
+    // (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) rather than returning null
+    val incl = aggregate(flags, array().cast("array<int>"),
+      (acc, f) => concat(acc,
+        array(when(size(acc) === 0, lit(0)).otherwise(element_at(acc, -1)) + f)))
+    // chunk id = boundaries strictly before the token (exclusive prefix)
+    transform(sequence(lit(1), size(tk)), i =>
+      coalesce(get(incl, i - 2), lit(0)))
+  }
+
   def q72CdcChunking(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val t = split(col("text"), " ")
     val base = d.select(col("doc_id"), t.as("tk"))
-    val flags = transform(sequence(lit(1), size(col("tk"))), i =>
-      when(i >= 3 &&
-        pmod(h60(concat_ws(" ",
-          get(col("tk"), i - 3), get(col("tk"), i - 2), get(col("tk"), i - 1))),
-          lit(cdcModulus)) === 0L,
-        lit(1)).otherwise(lit(0)))
-    // staged selects: flags and the prefix array are each multi-referenced
-    // downstream — CollapseProject must not re-inline the md5 pipeline
-    val withFlags = base.select(col("doc_id"), col("tk"), flags.as("flags"))
-    // size guard, not coalesce: element_at(empty, -1) THROWS in Spark 4
-    // (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) rather than returning null
-    val incl = aggregate(col("flags"), array().cast("array<int>"),
-      (acc, f) => concat(acc,
-        array(when(size(acc) === 0, lit(0)).otherwise(element_at(acc, -1)) + f)))
-    val withPrefix = withFlags.select(col("doc_id"), col("tk"), incl.as("incl"))
-    val rows = withPrefix.select(col("doc_id"),
+    // staged select: the chunk-id array is multi-referenced downstream —
+    // CollapseProject must not re-inline the hash pipeline per reference
+    val withIds = base.select(col("doc_id"), col("tk"), cdcIds(col("tk")).as("cids"))
+    val rows = withIds.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("tk"))), i =>
           struct(i.as("pos"), get(col("tk"), i - 1).as("tok"),
-            // chunk id = boundaries strictly before i (exclusive prefix)
-            coalesce(get(col("incl"), i - 2), lit(0)).as("cid")))).as("r"))
+            get(col("cids"), i - 1).as("cid")))).as("r"))
       .select(col("doc_id"), col("r.pos").as("pos"), col("r.tok").as("tok"),
         col("r.cid").as("cid"))
     rows.groupBy(col("doc_id"), col("cid"))

@@ -136,6 +136,16 @@ class TrainingDataSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native graft_cdc_ids equals the HOF flags+prefix reference") {
+    val tk = org.apache.spark.sql.functions.split(col("text"), " ")
+    val cmp = graft.sources.Tables.documents(spark, sf)
+      .select(call_function("graft_cdc_ids", tk, lit(8L)).as("native"),
+        TrainingData.cdcIdsReference(tk).as("ref"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
   test("q72 CDC chunks conserve the text and cut only at content boundaries") {
     val byDoc = TrainingData.queries("q72_cdc_chunking")(spark, sf).collect()
       .groupBy(_.getLong(0))
