@@ -169,7 +169,10 @@ object GraftHash {
     var i = 0
     while (i < n) {
       out(i) = cid
-      if (i >= 2) {
+      // modulus <= 0 ⇒ no boundaries: mirrors the HOF reference, whose
+      // pmod(h, 0) is null and never satisfies === 0 (and avoids the
+      // ArithmeticException a raw % would throw for 0)
+      if (i >= 2 && modulus > 0L) {
         val g = UTF8String.concatWs(shingleSep,
           tokens.getUTF8String(i - 2), tokens.getUTF8String(i - 1),
           tokens.getUTF8String(i))
@@ -461,7 +464,14 @@ object GraftExtensions {
     children => Ngram8Hashes(children.head)
 
   private[expressions] val cdcIdsBuilder: Seq[Expression] => Expression =
-    children => CdcChunkIds(children(0), children(1))
+    children => {
+      // accept plain integer literals for the modulus (SQL `8` is int)
+      val m = children(1).dataType match {
+        case IntegerType => Cast(children(1), LongType)
+        case _ => children(1)
+      }
+      CdcChunkIds(children(0), m)
+    }
 }
 
 /** Session extension registering the graft function family. Activate with

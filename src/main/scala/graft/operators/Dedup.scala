@@ -165,20 +165,18 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q27
-  /** Exact 3-gram Jaccard over the LSH candidate pairs (verify step of the
-    * minhash pipeline); near-dups at jaccard >= 0.5. Candidates only —
-    * never all-pairs — so the verify cost is proportional to collisions. */
-  /** Verified near-dup pairs (the LSH candidates that pass the exact
-    * Jaccard bar) — q27's body, shared with q56's clustering. */
-  /** Candidate pairs with their exact Jaccard, unfiltered — shared by the
-    * q27 verify (≥ 0.5 bar) and q71's estimator-calibration audit. */
-  private def candidateJaccard(spark: SparkSession, dir: String): DataFrame =
-    verifiedPairsUnfiltered(spark, dir)
-
+  /** Verified near-dup pairs: the LSH candidates that pass the exact
+    * 3-gram Jaccard bar (≥ 0.5) — q27's body, shared with q56's
+    * clustering. */
   private def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
-    verifiedPairsUnfiltered(spark, dir).filter(col("jaccard") >= 0.5)
+    candidateJaccard(spark, dir).filter(col("jaccard") >= 0.5)
 
-  private def verifiedPairsUnfiltered(spark: SparkSession, dir: String): DataFrame = {
+  /** Every LSH candidate pair with its exact 3-gram Jaccard, UNFILTERED —
+    * the verify step's raw material, shared by q27 (which applies the
+    * ≥ 0.5 bar) and q71's estimator-calibration audit (which needs the
+    * misses too). Candidates only — never all-pairs — so the cost is
+    * proportional to collisions. */
+  private def candidateJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     // unsorted candidates — q26's output sort would just add a wasted
     // exchange under this join

@@ -309,19 +309,22 @@ object TrainingData {
        |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q72
-  private val cdcModulus = 8L
+  private[graft] val cdcModulus = 8L
 
   /** Content-defined chunking: a boundary falls after token i when the
     * rolling 3-gram hash ending at i is ≡ 0 mod [[cdcModulus]] (expected
     * chunk ≈ 8 tokens). Unlike q55's fixed windows, boundaries move WITH
     * the content — an insertion reshuffles only its own chunk, so chunk
     * hashes stay stable for dedup/caching (the storage-dedup property).
-    * All map-side per document: flags and the linear prefix-sum fold
-    * assign a chunk id to every token inside the row; the only shuffle
-    * is the (doc, chunk) reassembly aggregate. The DuckDB oracle mirrors
-    * the prefix with an O(n²) slice-sum — DuckDB 1.0's list_reduce
-    * mis-evaluates struct accumulators, and oracle cost is irrelevant —
-    * while the Spark side keeps the linear array fold. */
+    * ENTIRELY map-side, like q55: chunk ids, start offsets, and the cut
+    * chunks are all derived inside the row, and the explode emits
+    * finished narrow chunk rows — no per-token shuffle, no reassembly
+    * aggregate (an earlier explode+groupBy+collect_list form paid an
+    * O(corpus-tokens) exchange just to rebuild what the row already
+    * knew: 1.2 s vs 1.0 s at sf0.1, and the exchange would dominate at
+    * corpus scale). The DuckDB oracle mirrors the
+    * prefix with an O(n²) slice-sum — DuckDB 1.0's list_reduce
+    * mis-evaluates struct accumulators, and oracle cost is irrelevant. */
   /** Per-token chunk ids — one native pass
     * ([[graft.expressions.CdcChunkIds]]: rolling hash + boundary count
     * together, no per-position interpreted md5 lambda or fold; q72
@@ -352,21 +355,24 @@ object TrainingData {
     val d = Tables.documents(spark, dir)
     val t = split(col("text"), " ")
     val base = d.select(col("doc_id"), t.as("tk"))
-    // staged select: the chunk-id array is multi-referenced downstream —
-    // CollapseProject must not re-inline the hash pipeline per reference
+    // staged selects: cids and starts are each multi-referenced —
+    // CollapseProject must not re-inline their producers per reference
     val withIds = base.select(col("doc_id"), col("tk"), cdcIds(col("tk")).as("cids"))
-    val rows = withIds.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk"))), i =>
-          struct(i.as("pos"), get(col("tk"), i - 1).as("tok"),
-            get(col("cids"), i - 1).as("cid")))).as("r"))
-      .select(col("doc_id"), col("r.pos").as("pos"), col("r.tok").as("tok"),
-        col("r.cid").as("cid"))
-    rows.groupBy(col("doc_id"), col("cid"))
-      .agg(count(lit(1)).as("n_tokens"),
-        concat_ws(" ", transform(
-          sort_array(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok"))).as("chunk"))
-      .select(col("doc_id"), col("cid").as("chunk_id"), col("n_tokens"), col("chunk"))
+    // 1-based start offset of every chunk: positions where the id changes
+    val starts = filter(sequence(lit(1), size(col("tk"))), i =>
+      i === 1 || get(col("cids"), i - 1) =!= get(col("cids"), i - 2))
+    val withStarts = withIds.select(col("doc_id"), col("tk"), starts.as("st"))
+    // cut the finished chunks in-row (q55's discipline), then explode
+    withStarts.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("st"))), c => {
+          val s0 = get(col("st"), c - 1)
+          val len = coalesce(get(col("st"), c), size(col("tk")) + 1) - s0
+          struct((c - 1).cast("int").as("chunk_id"),
+            len.cast("long").as("n_tokens"),
+            concat_ws(" ", slice(col("tk"), s0, len)).as("chunk"))
+        })).as("r"))
+      .select(col("doc_id"), col("r.chunk_id").as("chunk_id"),
+        col("r.n_tokens").as("n_tokens"), col("r.chunk").as("chunk"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 

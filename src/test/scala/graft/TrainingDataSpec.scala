@@ -139,7 +139,7 @@ class TrainingDataSpec extends SparkSpec {
   test("native graft_cdc_ids equals the HOF flags+prefix reference") {
     val tk = org.apache.spark.sql.functions.split(col("text"), " ")
     val cmp = graft.sources.Tables.documents(spark, sf)
-      .select(call_function("graft_cdc_ids", tk, lit(8L)).as("native"),
+      .select(call_function("graft_cdc_ids", tk, lit(TrainingData.cdcModulus)).as("native"),
         TrainingData.cdcIdsReference(tk).as("ref"))
       .collect()
     assert(cmp.nonEmpty)
@@ -164,7 +164,8 @@ class TrainingDataSpec extends SparkSpec {
       var pos = 0
       ordered.dropRight(1).foreach { r =>
         pos += r.getAs[Long]("n_tokens").toInt
-        assert(pos >= 3 && h60s(toks.slice(pos - 3, pos).mkString(" ")) % 8 == 0,
+        assert(pos >= 3 &&
+          h60s(toks.slice(pos - 3, pos).mkString(" ")) % TrainingData.cdcModulus == 0,
           s"doc $id cut at $pos is not a content boundary")
       }
     }
