@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the vector hot path (SURVEY §7.3:
@@ -169,10 +169,12 @@ object GraftHash {
     var i = 0
     while (i < n) {
       out(i) = cid
-      // modulus <= 0 ⇒ no boundaries: mirrors the HOF reference, whose
+      // modulus == 0 ⇒ no boundaries: mirrors the HOF reference, whose
       // pmod(h, 0) is null and never satisfies === 0 (and avoids the
-      // ArithmeticException a raw % would throw for 0)
-      if (i >= 2 && modulus > 0L) {
+      // ArithmeticException a raw % would throw). Negative moduli keep
+      // parity too: h60 is non-negative, so both raw % and pmod are 0
+      // exactly when |modulus| divides the hash.
+      if (i >= 2 && modulus != 0L) {
         val g = UTF8String.concatWs(shingleSep,
           tokens.getUTF8String(i - 2), tokens.getUTF8String(i - 1),
           tokens.getUTF8String(i))
@@ -465,9 +467,9 @@ object GraftExtensions {
 
   private[expressions] val cdcIdsBuilder: Seq[Expression] => Expression =
     children => {
-      // accept plain integer literals for the modulus (SQL `8` is int)
+      // accept any integral modulus (SQL `8` is int; 8S/8Y are valid too)
       val m = children(1).dataType match {
-        case IntegerType => Cast(children(1), LongType)
+        case ByteType | ShortType | IntegerType => Cast(children(1), LongType)
         case _ => children(1)
       }
       CdcChunkIds(children(0), m)

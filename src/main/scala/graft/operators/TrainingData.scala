@@ -327,9 +327,9 @@ object TrainingData {
     * mis-evaluates struct accumulators, and oracle cost is irrelevant. */
   /** Per-token chunk ids — one native pass
     * ([[graft.expressions.CdcChunkIds]]: rolling hash + boundary count
-    * together, no per-position interpreted md5 lambda or fold; q72
-    * measured 1.7 s HOF vs 1.2 s native at sf0.1 — the remainder is the
-    * reassembly shuffle, not the ids). */
+    * together, no per-position interpreted md5 lambda or fold: 1.7 s HOF
+    * vs 1.2 s native at sf0.1, before the map-side chunk cutting below
+    * removed the reassembly shuffle as well). */
   private def cdcIds(tk: Column): Column =
     call_function("graft_cdc_ids", tk, lit(cdcModulus))
 
