@@ -145,18 +145,24 @@ object Windows {
     * first windowing pass.
     *
     * Determinism: mean and variance come from exact integer sums
-    * (Σn, Σn² as longs), so the derived doubles are single correctly-
-    * rounded divisions — bit-identical in DuckDB; z is rounded with the
-    * boundary nudge. */
+    * (Σn as long; Σn² in decimal(38,0) ≙ DuckDB HUGEINT, wide enough
+    * that ~3·10⁹-per-window counts can't wrap a 64-bit square), so the
+    * derived doubles are single correctly-rounded divisions —
+    * bit-identical in DuckDB; z is rounded with the boundary nudge. */
   def q66WindowOutliers(spark: SparkSession, dir: String): DataFrame = {
     val w = Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
     val mean = col("s1").cast("double") / col("nw")
+    // s2 = Σn² accumulates in decimal(38,0), not long: an hourly count
+    // near 3·10⁹ makes n² ≈ 10¹⁹ > Long.MAX, which would silently wrap
+    // (or throw under ANSI). DuckDB's sum(BIGINT) is HUGEINT-width
+    // natively, so decimal keeps the two engines' exact-integer claim in
+    // lockstep; the derived doubles stay single correctly-rounded casts.
     val stats = w.groupBy(col("event_type"))
       .agg(count(lit(1)).as("nw"), sum(col("n")).as("s1"),
-        sum(col("n") * col("n")).as("s2"))
+        sum(col("n").cast("decimal(19,0)") * col("n")).as("s2"))
       .select(col("event_type"), mean.as("mean"),
         sqrt(col("s2").cast("double") / col("nw") - mean * mean).as("sd"))
     w.join(broadcast(stats), "event_type")
@@ -172,7 +178,7 @@ object Windows {
       |    event_type, count(*) AS n
       |  FROM events GROUP BY 1, 2),
       |st AS (SELECT event_type, count(*) AS nw,
-      |    sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+      |    sum(n)::BIGINT AS s1, sum(n::HUGEINT * n) AS s2
       |  FROM w GROUP BY 1),
       |j AS (SELECT w.event_type, w.w_start, w.n,
       |    s1::DOUBLE / nw AS mean,

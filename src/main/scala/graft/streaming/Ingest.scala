@@ -147,13 +147,28 @@ object Ingest {
     def deltas(): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(indexDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // explicit schema, never inference: a batch that ingests zero docs
+      // (all skips — routine in replay/recrawl) still runs its dynamic
+      // partition overwrite, leaving indexDir with only a _SUCCESS marker;
+      // schema inference over that data-file-less directory throws
+      // AnalysisException and would crash the stream on the NEXT batch.
+      // With the schema supplied, the same read returns an empty frame.
       if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        spark.read.parquet(indexDir)
+        spark.read
+          .schema(corpus.schema.add("batch", org.apache.spark.sql.types.LongType))
+          .parquet(indexDir)
           .select(col("old_doc"), col("old_sh"), col("band"))
       else corpus.limit(0)
     }
     newDocs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        // collapse row-level re-delivery first: two rows carrying the SAME
+        // doc_id in one batch never match each other in gateBatch (its
+        // keep-first uses strict old < new, and equal ids are excluded in
+        // both directions), so both would say "ingest", duplicate the
+        // decisions frame, and fan out the doc_id joins below. Re-delivered
+        // rows are byte-identical, so which copy survives is immaterial.
+        val batch = rawBatch.dropDuplicates("doc_id")
         val decisions = graft.operators.Dedup
           .gateBatch(batch, corpus.union(deltas()), withinBatch = true)
           .localCheckpoint(true)

@@ -293,6 +293,44 @@ class StreamingSpec extends SparkSpec {
       s"USA0 replaced by batch 2, USA1 kept from batch 1; got $rows")
   }
 
+  test("streaming dedup gate: all-skip first batch, same-id re-delivery in one batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_e").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_e_ckpt").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_gate_e_idx").toString
+    val freshText = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"
+    val corpus = Seq(
+      (1000L, "spark join table scan row value part hash merge batch line sort"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Ingest.dedupGateSink(input.toDF().toDF("doc_id", "text"),
+      graft.operators.Dedup.bandedIndex(corpus), root, ckpt, idxDir,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // batch 0: EVERY doc is a corpus dup -> zero ingests -> the delta
+      // write is an empty dynamic-partition overwrite that leaves idxDir
+      // holding only a _SUCCESS marker. Batch 1 then reads the index dir;
+      // schema inference over a data-file-less directory would throw
+      // (AnalysisException) and kill the stream — the explicit-schema
+      // read must survive it.
+      input.addData(
+        (1L, "spark join table scan row value part hash merge batch line sort"))
+      q.processAllAvailable()
+      // batch 1: same-id re-delivery inside ONE batch (doc 2 twice) plus
+      // a fresh doc; the gate must collapse the twin rows to one decision
+      input.addData((2L, freshText), (2L, freshText))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"stream must survive an all-skip first batch: ${q.exception}")
+    } finally q.stop()
+    val rows = spark.read.parquet(root).collect()
+    assert(rows.count(_.getAs[Long]("doc_id") == 2L) == 1,
+      "same-id rows in one batch collapse to a single decision")
+    val d = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(d(1L) == "skip" && d(2L) == "ingest")
+  }
+
   test("streaming dedup gate: corpus, accumulated-index and in-batch dups skipped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
