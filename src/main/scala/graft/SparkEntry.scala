@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, Geo, Multimodal, Relational, Similarity, Skew, Sketches, TimeSeries, TrainingData, Windows}
+import graft.operators.{AsOf, Dedup, Geo, Graph, Multimodal, Relational, Similarity, Skew, Sketches, TimeSeries, TrainingData, Windows}
 import graft.functions.{Sentiment, Text}
 import graft.sources.Layout
 
@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ Geo.queries ++ Text.queries ++ Dedup.queries ++
       Similarity.queries ++ Windows.queries ++ Multimodal.queries ++
       Sketches.queries ++ Sentiment.queries ++ TimeSeries.queries ++
-      Layout.queries ++ Skew.queries ++ AsOf.queries ++ TrainingData.queries
+      Layout.queries ++ Skew.queries ++ AsOf.queries ++ TrainingData.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     Relational.oracle ++ Geo.oracle ++ Text.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Windows.oracle ++ Multimodal.oracle ++
       Sketches.oracle ++ Sentiment.oracle ++ TimeSeries.oracle ++
-      Layout.oracle ++ Skew.oracle ++ AsOf.oracle ++ TrainingData.oracle
+      Layout.oracle ++ Skew.oracle ++ AsOf.oracle ++ TrainingData.oracle ++
+      Graph.oracle
 }

@@ -366,6 +366,62 @@ object Text {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q78
+  /** Unigram language-model scoring: per-document negative log-
+    * likelihood per token under the corpus's own unigram distribution —
+    * the CCNet/Gopher-style perplexity filter that ranks documents by
+    * how "typical" their token mix is (boilerplate scores low, noise
+    * scores high). Two passes: a corpus term-frequency aggregate
+    * (vocabulary-sized — tiny, broadcast), then a per-doc (term, tf)
+    * aggregation joined against it. NLL(doc) = −Σ_t tf_t·ln(c_t/T) / dl.
+    *
+    * Determinism: the per-doc sum folds in SORTED-TERM order via an
+    * explicit array fold (q65's discipline) — a groupBy sum over
+    * doubles would add in partition order and lose run-to-run and
+    * cross-engine bit-identity. ln(c/T) is computed on the same exact
+    * integers in both engines, so each addend is bit-identical.
+    *
+    * Shape at 100 TB: one corpus scan for frequencies (vocab fits in
+    * broadcast after the aggregate), one (doc, term) shuffle bounded
+    * by distinct terms per doc, top-level rows = documents. */
+  def q78Perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toksDf = d.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+    val dtf = toksDf
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val freq = dtf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val total = freq.agg(sum(col("c")).as("tot"))
+    dtf
+      .join(broadcast(freq), "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("dl"),
+        struct(col("term"),
+          (col("tf") * log(col("c").cast("double") / col("tot"))).as("part")).as("p"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(round(-aggregate(sort_array(collect_list(col("p"))), lit(0.0),
+        (acc, x) => acc + x.getField("part")) / col("dl") + 1e-9, 4).as("nll"))
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |dtf0 AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tk),
+      |dtf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dtf0 GROUP BY 1, 2, 3),
+      |freq AS (SELECT term, sum(tf)::BIGINT AS c FROM dtf GROUP BY 1),
+      |tot AS (SELECT sum(c)::BIGINT AS tot FROM freq),
+      |parts AS (SELECT dtf.doc_id, dtf.dl,
+      |    {'term': dtf.term, 'part': dtf.tf * ln(freq.c::DOUBLE / tot.tot)} AS p
+      |  FROM dtf JOIN freq USING (term) CROSS JOIN tot)
+      |SELECT doc_id, any_value(dl)::BIGINT AS n_tokens,
+      |  round(-list_reduce(list_prepend(0.0,
+      |      list_transform(list_sort(list(p)), x -> x.part)), (a, b) -> a + b)
+      |    / any_value(dl) + 1e-9, 4) AS nll
+      |FROM parts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats"   -> q21TokenStats _,
     "q22_quality_score" -> q22QualityScore _,
@@ -374,6 +430,7 @@ object Text {
     "q47_repetition"    -> q47Repetition _,
     "q58_token_commonness" -> q58TokenCommonness _,
     "q65_bm25"          -> q65Bm25 _,
+    "q78_perplexity"    -> q78Perplexity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -384,5 +441,6 @@ object Text {
     "q47_repetition"    -> q47Sql,
     "q58_token_commonness" -> q58Sql,
     "q65_bm25"          -> q65Sql,
+    "q78_perplexity"    -> q78Sql,
   )
 }

@@ -85,11 +85,51 @@ object AsOf {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Interval aggregation by INTERVAL FLATTENING: per calendar day, how
+    * many lineitems are in transit (ship day ≤ d ≤ ship day + transit
+    * days) and their total quantity. The naive formulation is a range
+    * join (days × intervals on a BETWEEN predicate) — quadratic, and the
+    * classic sort-merge-join killer. When interval length is BOUNDED
+    * (here ≤ 13 days; true of transit windows, sessions, TTLs), the
+    * scale-correct plan is to EXPLODE each interval into its day keys
+    * and hash-aggregate on the day — cost O(rows · max_len), one
+    * shuffle, no range join anywhere. The same flatten-to-equi-key
+    * trick is how q29/q62 turn Hamming-ball joins into band equi-joins.
+    *
+    * Transit days are derived deterministically from the quantity
+    * (qty mod 14) — the testdata has no receipt date column; the
+    * derivation is the operator's input contract, not its point. */
+  def q76IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("d0"),
+        col("l_quantity").cast("int").as("qty"))
+      .withColumn("d1", expr("date_add(d0, qty % 14)"))
+    li.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"),
+        col("qty"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_in_transit"), sum(col("qty")).as("qty_sum"))
+      .orderBy(col("day"))
+  }
+
+  val q76Sql: String =
+    """WITH iv AS (SELECT date_trunc('day', l_shipdate)::DATE AS d0,
+      |    (date_trunc('day', l_shipdate)
+      |      + INTERVAL 1 DAY * (l_quantity::INT % 14))::DATE AS d1,
+      |    l_quantity::INT AS qty
+      |  FROM lineitem),
+      |ex AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day, qty
+      |  FROM iv)
+      |SELECT day, count(*) AS n_in_transit, sum(qty)::BIGINT AS qty_sum
+      |FROM ex GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q53_asof_join" -> q53AsofJoin _,
+    "q53_asof_join"    -> q53AsofJoin _,
+    "q76_interval_join" -> q76IntervalJoin _,
   )
 
   val oracle: Map[String, String] = Map(
-    "q53_asof_join" -> q53Sql,
+    "q53_asof_join"    -> q53Sql,
+    "q76_interval_join" -> q76Sql,
   )
 }

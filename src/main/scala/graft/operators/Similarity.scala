@@ -305,12 +305,89 @@ object Similarity {
        |FROM qq
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** One Lloyd iteration of k-means (k = 8) over FIXED-POINT embedding
+    * codes — the centroid-training step that q46's IVF swaps in at
+    * scale. Everything a float k-means can't promise, this one can:
+    * codes are round(x·1000) integers, distances are exact integer
+    * sums, and the per-cell centroid update is an integer (Σcode, n)
+    * aggregation whose result is ORDER-INDEPENDENT — so the iteration
+    * is bit-identical across partitionings, runs, and engines (the
+    * float form sums doubles in partition order; two runs of it don't
+    * even match each other). Fixed-point is how you make distributed
+    * k-means reproducible at 100 TB, not just oracle-friendly.
+    *
+    * Shape: the 8 seed centroids (lowest vec_ids) collect driver-side
+    * (bounded, like q46's coarse quantizer) and compile into ONE
+    * map-side argmin projection — assignment shuffles nothing. The
+    * update is a single (cell, dim) aggregation after a bounded
+    * 64-row-per-vector posexplode: partial aggregation absorbs most of
+    * it map-side. Output: per (cell, dim): member count, old and new
+    * centroid coordinate. */
+  def q74KmeansRound(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(toD(col("embedding")),
+          x => round(x * 1000 + 1e-9).cast("long")).as("q"))
+    val cents: Array[(Long, Seq[Long])] = e
+      .filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(cents.length == 8, s"expected 8 seed centroids, got ${cents.length}")
+    val cellCol = element_at(
+      array_sort(array(cents.map { case (cid, cq) =>
+        val dist = aggregate(
+          zip_with(col("q"), array(cq.map(lit): _*), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+        struct(dist.as("dist"), lit(cid).as("cid"))
+      }: _*)), 1).getField("cid")
+    val assigned = e.select(col("vec_id"), col("q"), cellCol.as("cell"))
+    val oldCoord = {
+      import spark.implicits._
+      cents.flatMap { case (cid, cq) =>
+        cq.zipWithIndex.map { case (v, i) => (cid, i + 1, v) }
+      }.toSeq.toDF("cell", "dim", "c_old_code")
+    }
+    assigned
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("cell"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+      .join(broadcast(oldCoord), Seq("cell", "dim"))
+      .select(col("cell"), col("dim").cast("int").as("dim"), col("n"),
+        round(col("c_old_code") / 1000.0 + 1e-9, 6).as("c_old"),
+        round(col("s").cast("double") / col("n") / 1000.0 + 1e-9, 6).as("c_new"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  val q74Sql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 8),
+       |d AS (SELECT e.vec_id, c.cid, e.q,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (e.q[i]-c.cq[i])*(e.q[i]-c.cq[i]))) AS dist
+       |  FROM e CROSS JOIN c),
+       |a AS (SELECT vec_id, cid AS cell, q FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM d) WHERE rk = 1),
+       |m AS (SELECT a.cell, t.range AS dim, a.q[t.range] AS qv
+       |  FROM a CROSS JOIN range(1, ${dim + 1}) t),
+       |g AS (SELECT cell, dim, count(*) AS n, sum(qv) AS s FROM m GROUP BY 1, 2)
+       |SELECT g.cell, g.dim::INT AS dim, g.n,
+       |  round(c.cq[g.dim] / 1000.0 + 1e-9, 6) AS c_old,
+       |  round(s::DOUBLE / n / 1000.0 + 1e-9, 6) AS c_new
+       |FROM g JOIN c ON g.cell = c.cid
+       |ORDER BY cell, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce"    -> q30KnnBruteforce _,
     "q31_ann_lsh"           -> q31AnnLsh _,
     "q32_embedding_neardup" -> q32EmbeddingNeardup _,
     "q46_ann_ivf"           -> q46AnnIvf _,
     "q61_quantize_embeddings" -> q61QuantizeEmbeddings _,
+    "q74_kmeans_round"      -> q74KmeansRound _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -319,5 +396,6 @@ object Similarity {
     "q32_embedding_neardup" -> q32Sql,
     "q46_ann_ivf"           -> q46Sql,
     "q61_quantize_embeddings" -> q61Sql,
+    "q74_kmeans_round"      -> q74Sql,
   )
 }

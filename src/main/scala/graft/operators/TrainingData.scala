@@ -479,6 +479,56 @@ object TrainingData {
           .mkString("\n  UNION ALL\n")})
        |ORDER BY round""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Intra-corpus duplicated-substring coverage (the Lee et al.
+    * "Deduplicating Training Data" §4 audit, at 8-gram granularity):
+    * per document, what fraction of its distinct 8-grams also occur in
+    * at least one OTHER document. Where q60 audits train→test leakage
+    * between splits, this audits the corpus against itself — the metric
+    * that decides whether substring-level dedup is worth running at
+    * all, and the per-doc ranking of what it would remove.
+    *
+    * Shape: one native 8-gram-hash pass per doc
+    * ([[ngramHashes]] — longs only, no gram strings), one (hash →
+    * doc-count) aggregation over the exploded pairs, one equi-join
+    * back, one per-doc count. All hash-partitioned equi-joins, linear
+    * in corpus grams; docs shorter than 8 tokens surface with
+    * n_grams = 0 via the left join rather than vanishing. */
+  def q79DupgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val grams = d.select(col("doc_id"), explode(ngramHashes(col("text"))).as("h"))
+    // hashes are distinct per doc, so count(*) per hash = containing docs
+    val docCounts = grams.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val perDoc = grams.join(docCounts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("n_dup").cast("double") / col("n_grams") + 1e-9, 6))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q79Sql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (SELECT doc_id, unnest(${ngramHashesSql("tk")}) AS h
+       |  FROM tk WHERE len(tk) >= $ngramN),
+       |dc AS (SELECT h, count(*) AS nd FROM grams GROUP BY h),
+       |pd AS (SELECT g.doc_id, count(*) AS n_grams,
+       |    sum(CASE WHEN dc.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+       |  FROM grams g JOIN dc USING (h) GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(pd.n_dup, 0)::BIGINT AS n_dup,
+       |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0.0
+       |    ELSE round(pd.n_dup::DOUBLE / pd.n_grams + 1e-9, 6) END AS dup_frac
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_sample" -> q54StratifiedSample _,
     "q55_chunking"          -> q55Chunking _,
@@ -487,6 +537,7 @@ object TrainingData {
     "q64_mix_plan"          -> q64MixPlan _,
     "q70_bpe_merges"        -> q70BpeMerges _,
     "q72_cdc_chunking"      -> q72CdcChunking _,
+    "q79_dupgram_coverage"  -> q79DupgramCoverage _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -497,5 +548,6 @@ object TrainingData {
     "q64_mix_plan"          -> q64Sql,
     "q70_bpe_merges"        -> q70Sql,
     "q72_cdc_chunking"      -> q72Sql,
+    "q79_dupgram_coverage"  -> q79Sql,
   )
 }

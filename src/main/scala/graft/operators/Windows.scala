@@ -191,12 +191,67 @@ object Windows {
       |WHERE sd > 0 AND abs(n - mean) > sd * 2
       |ORDER BY event_type, w_start""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Ordered-funnel analysis: per user, the first signup, the first
+    * click strictly AFTER that signup, and the first purchase strictly
+    * after that click — the product-analytics "did they complete the
+    * sequence, and when" query, with q69's cohort matrix as its
+    * aggregate sibling.
+    *
+    * The tempting formulation — collect every event per user and walk
+    * the sorted array — is the unbounded-state trap the round-1 verdict
+    * flagged in TimeSeries: a power user's full event history in one
+    * aggregation buffer. This form never materializes a history:
+    * each funnel step is ONE bounded aggregation (min ts per user,
+    * state = one timestamp) joined to the next step's filtered scan on
+    * the user key. Step frames are user-cardinality-sized (tiny next to
+    * the event log), so at 100 TB each join is a broadcast or a
+    * co-partitioned hash join on user_id, and nothing grows with
+    * events-per-user. */
+  def q80Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(s), "user_id")
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    s.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("click_ts"), col("purchase_ts"),
+        when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2)
+          .otherwise(1).as("steps"))
+      .orderBy(col("user_id"))
+  }
+
+  val q80Sql: String =
+    """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s.signup_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+      |SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+      |  CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+      |       WHEN c.click_ts IS NOT NULL THEN 2 ELSE 1 END AS steps
+      |FROM s LEFT JOIN c ON s.user_id = c.user_id
+      |LEFT JOIN p ON s.user_id = p.user_id
+      |ORDER BY s.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_tumbling_window" -> q33TumblingWindow _,
     "q34_sliding_window"  -> q34SlidingWindow _,
     "q35_session_window"  -> q35SessionWindow _,
     "q36_stall_detect"    -> q36StallDetect _,
     "q66_window_outliers" -> q66WindowOutliers _,
+    "q80_funnel"          -> q80Funnel _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,5 +260,6 @@ object Windows {
     "q35_session_window"  -> q35Sql,
     "q36_stall_detect"    -> q36Sql,
     "q66_window_outliers" -> q66Sql,
+    "q80_funnel"          -> q80Sql,
   )
 }

@@ -153,11 +153,64 @@ object Layout {
       |GROUP BY o_orderkey, o_orderpriority
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Zone-map (min/max data-skipping) audit: the SAME rows chunked two
+    * ways — by insertion order (orderkey ranges, a write-path accident)
+    * and by ship month (the clustered layout a lakehouse compaction
+    * would choose) — and for each layout, how many chunks and rows the
+    * per-chunk min/max shipdate statistics let a
+    * `shipdate ∈ [1996-01-01, 1996-04-01)` scan SKIP without reading.
+    * This is the maintenance decision behind every parquet row-group /
+    * Delta file-stats prune: zone maps are only as good as the
+    * physical clustering, and the two summary rows quantify exactly
+    * that — insertion-order chunks straddle the whole date range (skip
+    * ≈ 0) while month-clustered chunks skip everything outside the
+    * predicate. One scan per layout, two tiny aggregations; the chunk
+    * stats ARE what the engine would persist as file-footer metadata. */
+  def q77ZonemapSkip(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+    def audit(chunk: org.apache.spark.sql.Column, label: String) =
+      Tables.lineitem(spark, dir)
+        .groupBy(chunk.as("chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
+        .select(lit(label).as("layout"), col("n_rows"),
+          (col("mx") < lo || col("mn") >= hi).as("skippable"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skippable"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(when(col("skippable"), col("n_rows")).otherwise(0L)).as("rows_skippable"))
+    audit(expr("l_orderkey div 4096"), "by_orderkey")
+      .union(audit(expr("year(l_shipdate) * 100 + month(l_shipdate)"), "by_shipmonth"))
+      .orderBy(col("layout"))
+  }
+
+  val q77Sql: String =
+    """WITH z1 AS (SELECT l_orderkey // 4096 AS chunk, count(*) AS n_rows,
+      |    min(l_shipdate) AS mn, max(l_shipdate) AS mx FROM lineitem GROUP BY 1),
+      |z2 AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) AS chunk,
+      |    count(*) AS n_rows, min(l_shipdate) AS mn, max(l_shipdate) AS mx
+      |  FROM lineitem GROUP BY 1),
+      |s1 AS (SELECT 'by_orderkey' AS layout, n_rows,
+      |    (mx < TIMESTAMP '1996-01-01' OR mn >= TIMESTAMP '1996-04-01') AS sk FROM z1),
+      |s2 AS (SELECT 'by_shipmonth' AS layout, n_rows,
+      |    (mx < TIMESTAMP '1996-01-01' OR mn >= TIMESTAMP '1996-04-01') AS sk FROM z2),
+      |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |SELECT layout, count(*) AS n_chunks,
+      |  sum(CASE WHEN sk THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
+      |  sum(n_rows)::BIGINT AS rows_total,
+      |  sum(CASE WHEN sk THEN n_rows ELSE 0 END)::BIGINT AS rows_skippable
+      |FROM u GROUP BY layout ORDER BY layout""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_bucketed_join" -> q50BucketedJoin _,
+    "q77_zonemap_skip"  -> q77ZonemapSkip _,
   )
 
   val oracle: Map[String, String] = Map(
     "q50_bucketed_join" -> q50Sql,
+    "q77_zonemap_skip"  -> q77Sql,
   )
 }

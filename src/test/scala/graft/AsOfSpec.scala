@@ -59,4 +59,16 @@ class AsOfSpec extends SparkSpec {
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected exactly one key shuffle, got $exchanges")
   }
+
+  test("q76: interval flattening conserves (1 + transit-days) per lineitem") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.AsOf.q76IntervalJoin(spark, sf)
+    val flattened = out.agg(sum(col("n_in_transit"))).collect()(0).getLong(0)
+    val expected = graft.sources.Tables.lineitem(spark, sf)
+      .select((lit(1) + col("l_quantity").cast("int") % 14).as("d"))
+      .agg(sum(col("d"))).collect()(0).getLong(0)
+    assert(flattened == expected,
+      s"every interval contributes length+1 day rows: $flattened vs $expected")
+  }
+
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Graph operators (q73/q75/q81) verified on hand-built graphs where
+  * the expected answer is computable by inspection, plus first-
+  * principles invariants of the table-driven forms at sf0.001. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerankStep: hand-computed fixed-point values on a 3-node cycle") {
+    // directed cycle 1→2→3→1, out-degree 1 everywhere: after one step
+    // every rank must be 150000 + 85 * (1000000 div 1) div 100 = 1000000
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .withColumn("od", lit(1L))
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
+    val r1 = graft.operators.Graph.pagerankStep(edges, nodes, r0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L),
+      s"cycle is the fixed point of the damped update, got $r1")
+    // star 1→{2,3}: od(1)=2; node 1 gets no inflow → base 150000;
+    // nodes 2,3 get 150000 + 85*(1000000 div 2) div 100 = 575000
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst").withColumn("od", lit(2L))
+    val r1s = graft.operators.Graph.pagerankStep(star, nodes, r0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1s == Map(1L -> 150000L, 2L -> 575000L, 3L -> 575000L), s"got $r1s")
+  }
+
+  test("closeTriangles: exactly the a<b<c closures, no duplicates") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3), (1,2,4) only
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("pa", "pb")
+    val tri = graft.operators.Graph.closeTriangles(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.toSeq == Seq((1L, 2L, 3L), (1L, 2L, 4L)), s"got ${tri.toSeq}")
+  }
+
+  test("bfsLevels: min-depth assignment, already-visited nodes never reappear") {
+    // path 1→2→3→4 plus shortcut 1→3: node 3 must land at depth 1, not 2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val lv = graft.operators.Graph.bfsLevels(spark, e, Seq(1L), 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(lv == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2), s"got $lv")
+  }
+
+  test("q73: every rank carries the damping base; top node out-ranks the median") {
+    val ranks = graft.operators.Graph.q73Pagerank(spark, sf).collect()
+    assert(ranks.length == 20)
+    assert(ranks.forall(_.getAs[Long]("rank") >= 150000L),
+      "the 0.15 base is a hard floor of the damped update")
+    // ordering contract: descending rank
+    val rs = ranks.map(_.getAs[Long]("rank"))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q81: depth-0 rows are exactly the seeds, one per seed") {
+    val rows = graft.operators.Graph.q81BfsReach(spark, sf).collect()
+    val d0 = rows.filter(_.getAs[Int]("depth") == 0)
+    assert(d0.map(_.getAs[Long]("seed_supplier")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(d0.forall(_.getAs[Long]("n_nodes") == 1L))
+  }
+}

@@ -129,4 +129,20 @@ class LayoutSpec extends SparkSpec {
       .filter(col("region") === "USA0").head().getLong(1)
     assert(pruned.count() == total)
   }
+
+  test("q77: both layouts account every row; clustering can only improve skipping") {
+    val rows = Layout.q77ZonemapSkip(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val n = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(rows("by_orderkey").getAs[Long]("rows_total") == n)
+    assert(rows("by_shipmonth").getAs[Long]("rows_total") == n)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_skippable") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("rows_skippable") <= r.getAs[Long]("rows_total"))
+    }
+    assert(rows("by_shipmonth").getAs[Long]("rows_skippable") >=
+      rows("by_orderkey").getAs[Long]("rows_skippable"),
+      "month-clustered chunks must skip at least as many rows as insertion-order chunks")
+  }
+
 }

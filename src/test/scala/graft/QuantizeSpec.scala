@@ -32,4 +32,21 @@ class QuantizeSpec extends SparkSpec {
       assert(codes.max == 255, "the maximum element must map to code 255")
     }
   }
+
+  test("q74: cells partition the corpus; c_new stays inside the cell's code hull") {
+    val out = graft.operators.Similarity.q74KmeansRound(spark, sf).collect()
+    assert(out.length == out.map(r => (r.getLong(0), r.getInt(1))).distinct.length)
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    val dims = out.map(_.getInt(1)).distinct.sorted
+    assert(dims.head == 1 && dims.last == 64)
+    // every vector lands in exactly one cell: per-dim member counts sum to N
+    dims.foreach { d =>
+      assert(out.filter(_.getInt(1) == d).map(_.getAs[Long]("n")).sum == total)
+    }
+    // a mean of codes/1000 can't leave the global code range
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("c_new")) <= 1000.0)
+    }
+  }
+
 }

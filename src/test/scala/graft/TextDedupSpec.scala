@@ -212,4 +212,31 @@ class TextDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("q78: NLL matches a from-first-principles Scala recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // split(-1) keeps trailing empty tokens, exactly like Spark's split()
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var tot = 0L
+    docs.foreach { case (_, t) =>
+      t.split(" ", -1).foreach { tk => freq(tk) += 1; tot += 1 }
+    }
+    def expected(text: String): Double = {
+      val tks = text.split(" ", -1)
+      val tf = tks.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+      val s = tf.foldLeft(0.0) { case (acc, (t, n)) =>
+        acc + n * math.log(freq(t).toDouble / tot)
+      }
+      BigDecimal(-s / tks.length + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = graft.functions.Text.q78Perplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    docs.take(25).foreach { case (id, t) =>
+      assert(out(id) == expected(t), s"doc $id: ${out(id)} vs ${expected(t)}")
+    }
+  }
+
 }

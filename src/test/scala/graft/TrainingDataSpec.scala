@@ -186,4 +186,32 @@ class TrainingDataSpec extends SparkSpec {
       assert(r.getAs[Long]("n_chunks") == (r.getAs[Int]("n_tok") + 31) / 32)
     }
   }
+
+  test("q79 matches an independent recompute from the HOF gram reference") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, sf)
+    // independent pipeline: reference (non-native) gram hashes, then the
+    // doc-count/coverage arithmetic rebuilt from scratch
+    val grams = d.select(col("doc_id"),
+        explode(graft.operators.TrainingData.ngramHashesReference(col("text"))).as("h"))
+    val nd = grams.groupBy("h").count().withColumnRenamed("count", "nd")
+    val exp = grams.join(nd, "h").groupBy("doc_id")
+      .agg(count(lit(1)).as("g"), sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val out = graft.operators.TrainingData.q79DupgramCoverage(spark, sf).collect()
+    assert(out.length == d.count())
+    out.foreach { r =>
+      val (g, dup) = exp.getOrElse(r.getLong(0), (0L, 0L))
+      assert(r.getAs[Long]("n_grams") == g && r.getAs[Long]("n_dup") == dup,
+        s"doc ${r.getLong(0)}")
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      if (g > 0) {
+        val want = BigDecimal(dup.toDouble / g + 1e-9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(f == want)
+      } else assert(f == 0.0)
+    }
+  }
+
 }

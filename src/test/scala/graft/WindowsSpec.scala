@@ -54,4 +54,24 @@ class WindowsSpec extends SparkSpec {
       .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
     assert(rows.length < total)
   }
+
+  test("q80: funnel timestamps are strictly ordered and steps match nullness") {
+    import org.apache.spark.sql.functions._
+    val rows = Windows.q80Funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[java.sql.Timestamp]("signup_ts")
+      val c = Option(r.getAs[java.sql.Timestamp]("click_ts"))
+      val p = Option(r.getAs[java.sql.Timestamp]("purchase_ts"))
+      assert(s != null)
+      c.foreach(ct => assert(ct.after(s), "first click is strictly after signup"))
+      p.foreach { pt =>
+        assert(c.isDefined, "a purchase step requires a click step")
+        assert(pt.after(c.get), "first purchase is strictly after the click")
+      }
+      val steps = r.getAs[Int]("steps")
+      assert(steps == (if (p.isDefined) 3 else if (c.isDefined) 2 else 1))
+    }
+  }
+
 }
