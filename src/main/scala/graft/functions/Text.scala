@@ -294,18 +294,36 @@ object Text {
     * Constants (k1, b, k1+1) are interpolated from the SAME Scala
     * doubles into both engines — shortest-repr round-trip keeps them
     * bit-identical. */
-  def q65Bm25(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, dir)
-    val allTerms = bm25Queries.flatMap(_._2).distinct
-    val termArr = array(allTerms.map(lit): _*)
-    val toksDf = d.select(col("doc_id"), toks(col("text")).as("tk"))
+  /** (doc_id, tk, dl) — tokenized corpus with doc lengths. The single
+    * definition q65 and q78 both build on: the cross-engine determinism
+    * discipline (string_split parity, dl = raw token count including
+    * empties) lives here once. */
+  private def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
-    val dtf = toksDf
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("tk"), t => array_contains(termArr, t))).as("term"))
+
+  /** (doc_id, dl, term, tf) — per-document term frequencies, optionally
+    * restricted map-side to a term allow-list BEFORE the explode so the
+    * shuffle carries only matching tokens. */
+  private def docTermFreq(toksDf: DataFrame,
+                          termFilter: Option[Column] = None): DataFrame = {
+    val terms = termFilter match {
+      case Some(arr) => filter(col("tk"), t => array_contains(arr, t))
+      case None      => col("tk")
+    }
+    toksDf
+      .select(col("doc_id"), col("dl"), explode(terms).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+  }
+
+  def q65Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allTerms = bm25Queries.flatMap(_._2).distinct
+    val termArr = array(allTerms.map(lit): _*)
+    val toksDf = tokenizedDocs(spark, dir)
+    val dtf = docTermFreq(toksDf, Some(termArr))
     val dfs = dtf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val global = toksDf.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sdl"))
@@ -385,13 +403,7 @@ object Text {
     * broadcast after the aggregate), one (doc, term) shuffle bounded
     * by distinct terms per doc, top-level rows = documents. */
   def q78Perplexity(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val toksDf = d.select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
-    val dtf = toksDf
-      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val dtf = docTermFreq(tokenizedDocs(spark, dir))
     val freq = dtf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val total = freq.agg(sum(col("c")).as("tot"))
     dtf

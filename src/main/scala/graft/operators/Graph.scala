@@ -114,8 +114,9 @@ object Graph {
 
   // ---------------------------------------------------------------- q75
   /** Triangle enumeration on the co-purchase part graph. An edge
-    * (a, b) exists when parts a and b appear in the SAME order at least
-    * twice across the corpus — the support-≥2 bar is the scale story:
+    * (a, b) exists when parts a and b share at least two DISTINCT
+    * orders (per-order multiplicity collapsed first, so one basket can
+    * never manufacture an edge) — the support-≥2 bar is the scale story:
     * on a co-occurrence graph, one shared basket is noise (and keeping
     * such edges made this corpus's graph 1.2M edges with 41M wedges
     * even after degree-ordering — quadratic garbage), while
@@ -128,7 +129,11 @@ object Graph {
     * generation), one (pa, pb) aggregation, then wedge⋈edge closure —
     * the pruned edge set is broadcast-sized by construction. */
   def q75TriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    // distinct (order, part) FIRST: a part on two lineitems of one order
+    // must count as one basket membership, or a single shared basket
+    // inflates the pair count past the support bar it's supposed to fail
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = li.as("a")
       .join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -153,9 +158,10 @@ object Graph {
   }
 
   val q75Sql: String =
-    """WITH pairs AS (
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      |  FROM lineitem a JOIN lineitem b
+      |  FROM li a JOIN li b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2)
       |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c

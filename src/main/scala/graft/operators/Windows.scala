@@ -212,12 +212,16 @@ object Windows {
     val ev = Tables.events(spark, dir)
     val s = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    // no broadcast hints: the step frames are user-cardinality-sized and
+    // unbounded — AQE broadcasts them while they're small and falls back
+    // to a co-partitioned hash join on user_id when they aren't (a forced
+    // hint would foreclose exactly that fallback at 100 TB)
     val c = ev.filter(col("event_type") === "click")
-      .join(broadcast(s), "user_id")
+      .join(s, "user_id")
       .filter(col("ts") > col("signup_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
     val p = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(c), "user_id")
+      .join(c, "user_id")
       .filter(col("ts") > col("click_ts"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
     s.join(c, Seq("user_id"), "left")

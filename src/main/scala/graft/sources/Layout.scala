@@ -168,8 +168,12 @@ object Layout {
     * predicate. One scan per layout, two tiny aggregations; the chunk
     * stats ARE what the engine would persist as file-footer metadata. */
   def q77ZonemapSkip(spark: SparkSession, dir: String): DataFrame = {
-    val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
-    val hi = lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+    // to_timestamp under the session timezone (pinned UTC) — NOT
+    // java.sql.Timestamp.valueOf, which parses in the JVM default zone
+    // and would shift the bounds against DuckDB's naive TIMESTAMP
+    // literal on any non-UTC machine
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1996-04-01 00:00:00"))
     def audit(chunk: org.apache.spark.sql.Column, label: String) =
       Tables.lineitem(spark, dir)
         .groupBy(chunk.as("chunk"))

@@ -43,9 +43,18 @@ class QuantizeSpec extends SparkSpec {
     dims.foreach { d =>
       assert(out.filter(_.getInt(1) == d).map(_.getAs[Long]("n")).sum == total)
     }
-    // a mean of codes/1000 can't leave the global code range
+    // a mean of codes/1000 can't leave the hull of the actual data:
+    // bound derived from the embeddings themselves, so dropping the
+    // /1000 rescale in c_new (or any scaling regression) fails here
+    val hull = graft.sources.Tables.embeddings(spark, sf)
+      .select(explode(col("embedding")).as("x"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()(0)
+    val (lo, hi) = (hull.getFloat(0).toDouble, hull.getFloat(1).toDouble)
     out.foreach { r =>
-      assert(math.abs(r.getAs[Double]("c_new")) <= 1000.0)
+      val v = r.getAs[Double]("c_new")
+      assert(v >= lo - 1e-3 && v <= hi + 1e-3,
+        s"c_new $v outside data hull [$lo, $hi]")
     }
   }
 
