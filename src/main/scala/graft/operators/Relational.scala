@@ -717,6 +717,76 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Declarative data-quality audit (the dbt-test / Deequ constraint
+    * suite as one query): per rule, how many rows violate it and the
+    * violation rate. Four value rules are ONE conditional aggregate per
+    * table — a single scan computes every rule on that table, no matter
+    * how many rules pile up — and the two referential rules are
+    * left-anti joins (q05's shape; the customer side broadcasts, the
+    * order-key side is co-partitioned). Clean-by-construction rules
+    * (the FK checks on this corpus) report 0 — that's the audit
+    * asserting integrity, not a vacuous row.
+    *
+    * Scale: rule evaluation is embarrassingly partial — every rule is
+    * a map-side predicate feeding sum(case), so the whole audit costs
+    * one pass per audited table plus the anti-joins. */
+  def q84QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(df: DataFrame, rule: String, bad: Column): DataFrame =
+      df.agg(sum(when(bad, 1L).otherwise(0L)).as("violations"),
+          count(lit(1)).as("total"))
+        .select(lit(rule).as("rule"), col("violations"), col("total"))
+    val cust = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val orphanOrders = ord.join(broadcast(cust.select(col("c_custkey"))),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    val orphanLines = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    audit(cust, "customer_negative_acctbal", col("c_acctbal") < 0)
+      .union(audit(docs, "documents_non_english", col("lang") =!= "en"))
+      .union(audit(ev, "events_value_outlier", col("value") > 400))
+      .union(audit(li, "lineitem_bulk_quantity", col("l_quantity") > 45))
+      .union(orphanLines.agg(count(lit(1)).as("violations"))
+        .crossJoin(li.agg(count(lit(1)).as("total")))
+        .select(lit("lineitem_orphan_orderkey").as("rule"),
+          col("violations"), col("total")))
+      .union(orphanOrders.agg(count(lit(1)).as("violations"))
+        .crossJoin(ord.agg(count(lit(1)).as("total")))
+        .select(lit("orders_orphan_custkey").as("rule"),
+          col("violations"), col("total")))
+      .withColumn("rate",
+        round(col("violations").cast("double") / col("total") + 1e-9, 6))
+      .orderBy(col("rule"))
+  }
+
+  val q84Sql: String =
+    """WITH u AS (
+      |  SELECT 'customer_negative_acctbal' AS rule,
+      |    sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS violations,
+      |    count(*) AS total FROM customer
+      |  UNION ALL SELECT 'documents_non_english',
+      |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT, count(*) FROM documents
+      |  UNION ALL SELECT 'events_value_outlier',
+      |    sum(CASE WHEN value > 400 THEN 1 ELSE 0 END)::BIGINT, count(*) FROM events
+      |  UNION ALL SELECT 'lineitem_bulk_quantity',
+      |    sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT, count(*) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_orphan_orderkey',
+      |    (SELECT count(*) FROM lineitem l
+      |      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL SELECT 'orders_orphan_custkey',
+      |    (SELECT count(*) FROM orders o
+      |      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |    (SELECT count(*) FROM orders))
+      |SELECT rule, violations, total,
+      |  round(violations::DOUBLE / total + 1e-9, 6) AS rate
+      |FROM u ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project"  -> q02FilterProject _,
@@ -745,6 +815,7 @@ object Relational {
     "q68_set_ops_all"     -> q68SetOpsAll _,
     "q69_cohort_retention" -> q69CohortRetention _,
     "q57_window_frames"   -> q57WindowFrames _,
+    "q84_quality_audit"   -> q84QualityAudit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -775,5 +846,6 @@ object Relational {
     "q68_set_ops_all"     -> q68Sql,
     "q69_cohort_retention" -> q69Sql,
     "q57_window_frames"   -> q57Sql,
+    "q84_quality_audit"   -> q84Sql,
   )
 }

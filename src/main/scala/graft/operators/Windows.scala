@@ -249,6 +249,78 @@ object Windows {
       |LEFT JOIN p ON s.user_id = p.user_id
       |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Rolling 7-day distinct users per day (the WAU curve) — the
+    * sliding-window COUNT DISTINCT that naive SQL writes as a
+    * self-join (`days × events ON ts BETWEEN d-6 AND d`: quadratic,
+    * and distinct-inside-range resists partial aggregation). The
+    * scale-correct plan reuses q76's flatten-to-equi-key move on the
+    * DEDUPLICATED (day, user) pairs: each active day covers the 7
+    * report days it can influence, so explode to (report_day, user) and
+    * count distinct per day — cost O(active_pairs · 7), one dedup
+    * shuffle + one distinct aggregate, no range join. Days are clipped
+    * to the observed range so leading/trailing partial windows don't
+    * fabricate report days. */
+  def q82RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val du = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val bounds = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    du.select(explode(expr("sequence(d, date_add(d, 6), interval 1 day)")).as("day"),
+        col("user_id"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day").between(col("d0"), col("d1")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  val q82Sql: String =
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS d, user_id FROM events),
+      |cov AS (SELECT unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS day,
+      |    user_id FROM du),
+      |bounds AS (SELECT min(date_trunc('day', ts))::DATE AS d0,
+      |    max(date_trunc('day', ts))::DATE AS d1 FROM events)
+      |SELECT day, count(DISTINCT user_id) AS wau
+      |FROM cov, bounds WHERE day BETWEEN d0 AND d1
+      |GROUP BY day ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  /** First-order Markov transition matrix of user behavior: for every
+    * (event_type → next event_type) step inside a user's timeline, the
+    * step count and the conditional probability P(next | current). The
+    * per-user ordering comes from ONE window shuffle keyed by user
+    * (ties broken by event_id so the sequence is total and
+    * deterministic); the matrix itself is a 25-row aggregate. The
+    * conditional probabilities are single divisions of exact longs —
+    * bit-identical cross-engine, nudged rounding at the boundary.
+    * Scale: sequence analytics is a per-key sort — the shuffle is by
+    * user_id (AQE handles skewed users), state per row is one lead()
+    * value, never a collected history. */
+  def q83EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val bySrc = Window.partitionBy(col("src"))
+    steps
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(bySrc) + 1e-9, 6))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val q83Sql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events)
+      |SELECT event_type AS src, nxt AS dst, count(*) AS n,
+      |  round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY event_type) + 1e-9, 6) AS p
+      |FROM seq WHERE nxt IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_tumbling_window" -> q33TumblingWindow _,
     "q34_sliding_window"  -> q34SlidingWindow _,
@@ -256,6 +328,8 @@ object Windows {
     "q36_stall_detect"    -> q36StallDetect _,
     "q66_window_outliers" -> q66WindowOutliers _,
     "q80_funnel"          -> q80Funnel _,
+    "q82_rolling_distinct" -> q82RollingDistinct _,
+    "q83_event_transitions" -> q83EventTransitions _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -265,5 +339,7 @@ object Windows {
     "q36_stall_detect"    -> q36Sql,
     "q66_window_outliers" -> q66Sql,
     "q80_funnel"          -> q80Sql,
+    "q82_rolling_distinct" -> q82Sql,
+    "q83_event_transitions" -> q83Sql,
   )
 }

@@ -208,13 +208,70 @@ object Layout {
       |  sum(CASE WHEN sk THEN n_rows ELSE 0 END)::BIGINT AS rows_skippable
       |FROM u GROUP BY layout ORDER BY layout""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Incremental aggregate maintenance (the materialized-view refresh
+    * contract): per order status, the aggregate produced by MERGING a
+    * precomputed base partial (orders before 1997) with a delta partial
+    * (the rest) — alongside an in-query proof that the merged state
+    * equals the full recompute. This is how a 100 TB rollup actually
+    * stays fresh: yesterday's partials are stored state, only the new
+    * partition is aggregated, and merge = sum of partials — valid
+    * precisely because count/sum are commutative monoids (min/max too;
+    * avg must ship as (sum, count), never as a merged average).
+    *
+    * Money sums accumulate in decimal(18,2): decimal addition is EXACT
+    * and therefore order-independent, so base+delta equals the full
+    * recompute BIT-FOR-BIT — with double sums the matches_full check
+    * would be flaky under partition reordering, which is exactly why
+    * production IVM keeps partials in decimal. */
+  def q85IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("st"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("s"))
+    val merged = partial(o.filter(col("o_orderdate") < cutoff))
+      .union(partial(o.filter(col("o_orderdate") >= cutoff)))
+      .groupBy(col("st"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("total"))
+    val full = partial(o)
+      .select(col("st").as("f_st"), col("n").as("f_n"), col("s").as("f_s"))
+    merged.join(full, col("st") === col("f_st"))
+      .select(col("st"), col("n_orders"),
+        col("total").cast("double").as("total"),
+        (col("n_orders") === col("f_n") && col("total") === col("f_s"))
+          .as("matches_full"))
+      .orderBy(col("st"))
+  }
+
+  val q85Sql: String =
+    """WITH base AS (SELECT o_orderstatus AS st, count(*) AS n,
+      |    sum(o_totalprice::DECIMAL(18,2)) AS s
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+      |delta AS (SELECT o_orderstatus AS st, count(*) AS n,
+      |    sum(o_totalprice::DECIMAL(18,2)) AS s
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1),
+      |merged AS (SELECT st, sum(n)::BIGINT AS n_orders, sum(s) AS total
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta) GROUP BY st),
+      |f AS (SELECT o_orderstatus AS st, count(*) AS n,
+      |    sum(o_totalprice::DECIMAL(18,2)) AS s
+      |  FROM orders GROUP BY 1)
+      |SELECT m.st, m.n_orders, m.total::DOUBLE AS total,
+      |  (m.n_orders = f.n AND m.total = f.s) AS matches_full
+      |FROM merged m JOIN f ON m.st = f.st
+      |ORDER BY m.st""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_bucketed_join" -> q50BucketedJoin _,
     "q77_zonemap_skip"  -> q77ZonemapSkip _,
+    "q85_incremental_agg" -> q85IncrementalAgg _,
   )
 
   val oracle: Map[String, String] = Map(
     "q50_bucketed_join" -> q50Sql,
     "q77_zonemap_skip"  -> q77Sql,
+    "q85_incremental_agg" -> q85Sql,
   )
 }

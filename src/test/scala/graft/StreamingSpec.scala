@@ -463,4 +463,38 @@ class StreamingSpec extends SparkSpec {
     val stalled = Monitor.stalledRegions(spark, counts).collect().map(_.getString(0))
     assert(stalled.toSet == Set("USA1"))
   }
+
+  test("streaming funnel: bounded state advances in order, pre-signup events ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Funnel
+    val input = MemoryStream[Funnel.FunnelEvent]
+    val q = Funnel.funnelProgress(input.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      // batch 0: a click BEFORE any signup must not count; the signup lands
+      input.addData(
+        Funnel.FunnelEvent(1L, "click", ts("2024-01-01 10:00:00")),
+        Funnel.FunnelEvent(1L, "signup", ts("2024-01-01 10:05:00")),
+        Funnel.FunnelEvent(2L, "purchase", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val b0 = spark.table("funnel").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("steps")).toMap
+      assert(b0 == Map(1L -> 1), s"only user 1 advanced (to signup), got $b0")
+      // batch 1: click then purchase arrive together -> folded in event-time
+      // order, user 1 reaches step 3 in one update
+      input.addData(
+        Funnel.FunnelEvent(1L, "purchase", ts("2024-01-01 10:15:00")),
+        Funnel.FunnelEvent(1L, "click", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel").collect()
+      val last = rows.filter(_.getAs[Long]("user_id") == 1L)
+        .maxBy(_.getAs[Int]("steps"))
+      assert(last.getAs[Int]("steps") == 3)
+      assert(last.getAs[java.sql.Timestamp]("click_ts").toString == "2024-01-01 10:10:00.0")
+      assert(rows.count(_.getAs[Long]("user_id") == 2L) == 0,
+        "a purchase with no signup/click never emits")
+    } finally q.stop()
+  }
+
 }
