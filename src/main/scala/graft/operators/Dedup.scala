@@ -653,6 +653,68 @@ object Dedup {
        |WHERE s.incoming
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Fuzzy string self-join (edit distance ≤ 1) via DELETION-
+    * NEIGHBORHOOD blocking — the spell-check/entity-resolution join.
+    * Two strings within one edit (substitute / insert / delete) share
+    * at least one single-deletion variant (delete the edited position
+    * from the longer/both), so: explode each distinct name into its
+    * |s|+1 deletion variants (plus itself), equi-join on the variant,
+    * verify candidates with exact levenshtein, report per-name
+    * neighbor degree. Never an all-pairs comparison: candidate cost is
+    * ∝ variant-bucket collisions, the same pigeonhole economics as the
+    * SimHash bands above — and the verify runs on candidates only,
+    * like q27. Both engines evaluate the SAME exact integer
+    * levenshtein, so the hash gate covers the verify bar too. */
+  def q87FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(spark, dir)
+      .select(col("c_name").as("t")).distinct()
+    val vars = names.select(col("t"), explode(expr(
+      "array_append(transform(sequence(1, length(t)), " +
+        "i -> concat(substr(t, 1, i-1), substr(t, i+1))), t)")).as("v"))
+    // group-and-explode, not a self-join: the variant pipeline runs ONCE
+    // and each bucket's i<j pairs explode in place (q26's measured shape —
+    // the self-join form re-evaluated the explode per side and shuffled
+    // both: 12 s vs ~3 s at sf0.1). Buckets are deletion-variant
+    // collisions — tiny by construction, same pigeonhole economics as the
+    // bands.
+    // block on xxhash64(variant), not the variant string: the blocking
+    // key never leaves the engine (the oracle only has to agree on the
+    // FINAL pairs), so an 8-byte shuffle key beats a 19-char string —
+    // and a hash collision can only ADD candidates, which the exact
+    // levenshtein verify below discards
+    val cand = vars
+      .groupBy(xxhash64(col("v")).as("vk"))
+      .agg(sort_array(collect_set(col("t"))).as("ts"))
+      .filter(size(col("ts")) > 1)
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(col("ts")) - 1), i =>
+          transform(sequence(i + 1, size(col("ts"))), j =>
+            struct(element_at(col("ts"), i).as("t1"),
+              element_at(col("ts"), j).as("t2")))))).as("p"))
+      .select(col("p.t1"), col("p.t2"))
+      .distinct()
+    val ver = cand.filter(levenshtein(col("t1"), col("t2")) <= 1)
+    ver.select(col("t1").as("name"), col("t2").as("nb"))
+      .union(ver.select(col("t2"), col("t1")))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_neighbors"), min(col("nb")).as("first_neighbor"))
+      .orderBy(col("name"))
+  }
+
+  val q87Sql: String =
+    """WITH names AS (SELECT DISTINCT c_name AS t FROM customer),
+      |vars AS (SELECT t, unnest(list_append(
+      |    list_transform(range(1, len(t)+1), i -> substr(t, 1, i-1) || substr(t, i+1)), t)) AS v
+      |  FROM names),
+      |cand AS (SELECT DISTINCT a.t AS t1, b.t AS t2
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.t < b.t),
+      |ver AS (SELECT t1, t2 FROM cand WHERE levenshtein(t1, t2) <= 1),
+      |sym AS (SELECT t1 AS name, t2 AS nb FROM ver
+      |  UNION ALL SELECT t2, t1 FROM ver)
+      |SELECT name, count(*) AS n_neighbors, min(nb) AS first_neighbor
+      |FROM sym GROUP BY name ORDER BY name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_exact_dedup"     -> q25ExactDedup _,
     "q26_minhash_lsh"     -> q26MinhashLsh _,
@@ -662,6 +724,7 @@ object Dedup {
     "q56_dedup_clusters"  -> q56DedupClusters _,
     "q62_incremental_dedup" -> q62IncrementalDedup _,
     "q71_minhash_estimate"  -> q71MinhashEstimate _,
+    "q87_fuzzy_join"        -> q87FuzzyJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -673,5 +736,6 @@ object Dedup {
     "q56_dedup_clusters"  -> q56Sql,
     "q62_incremental_dedup" -> q62Sql,
     "q71_minhash_estimate"  -> q71Sql,
+    "q87_fuzzy_join"        -> q87Sql,
   )
 }

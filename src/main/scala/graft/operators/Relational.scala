@@ -787,6 +787,64 @@ object Relational {
       |  round(violations::DOUBLE / total + 1e-9, 6) AS rate
       |FROM u ORDER BY rule""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Skyline (Pareto frontier) of orders on (total price ↓ better,
+    * total quantity ↑ better): an order survives iff no other order is
+    * both cheaper-or-equal and higher-quantity (with per-price ties
+    * resolved to the max-quantity, min-key row first, so equal-price
+    * dominated rows fall out). Sort-based 2-D skyline: after sorting by
+    * price, a row is on the frontier iff its quantity beats every
+    * strictly-cheaper row's max — one running-max window, never the
+    * O(n²) dominance self-join.
+    *
+    * Scale shape: divide-and-conquer — the frontier pass runs FIRST
+    * per price band (windows partitioned by band → parallel), and only
+    * band-local survivors (tiny: each band contributes its own
+    * frontier) enter the global ordered window. skyline(∪ skylines) =
+    * skyline, so the two-phase plan is exact while keeping the global
+    * single-partition window to frontier-sized input.
+    *
+    * Money is summed in decimal cents (q85's discipline) — exact,
+    * order-independent, so the frontier membership can't flap on
+    * double summation order. */
+  def q86Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("price_c"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val perPrice = per
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("price_c")).orderBy(col("qty").desc, col("ok"))))
+      .filter(col("rk") === 1).drop("rk")
+    def frontier(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("best_qty", max(col("qty")).over(
+          w.orderBy(col("price_c")).rangeBetween(Window.unboundedPreceding, -1)))
+        .filter(col("best_qty").isNull || col("qty") > col("best_qty"))
+        .drop("best_qty")
+    val local = frontier(perPrice.withColumn("band", expr("price_c div 1000000")),
+      Window.partitionBy(col("band"))).drop("band")
+    frontier(local, Window.partitionBy())
+      .orderBy(col("price_c"))
+  }
+
+  val q86Sql: String =
+    """WITH per_order AS (SELECT l_orderkey AS ok,
+      |    (sum(l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT AS price_c,
+      |    sum(l_quantity)::BIGINT AS qty
+      |  FROM lineitem GROUP BY 1),
+      |best AS (SELECT ok, price_c, qty,
+      |    row_number() OVER (PARTITION BY price_c ORDER BY qty DESC, ok) AS rk
+      |  FROM per_order),
+      |cand AS (SELECT ok, price_c, qty FROM best WHERE rk = 1),
+      |sk AS (SELECT ok, price_c, qty,
+      |    max(qty) OVER (ORDER BY price_c
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_qty
+      |  FROM cand)
+      |SELECT ok, price_c, qty FROM sk
+      |WHERE best_qty IS NULL OR qty > best_qty
+      |ORDER BY price_c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project"  -> q02FilterProject _,
@@ -816,6 +874,7 @@ object Relational {
     "q69_cohort_retention" -> q69CohortRetention _,
     "q57_window_frames"   -> q57WindowFrames _,
     "q84_quality_audit"   -> q84QualityAudit _,
+    "q86_skyline"         -> q86Skyline _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -847,5 +906,6 @@ object Relational {
     "q69_cohort_retention" -> q69Sql,
     "q57_window_frames"   -> q57Sql,
     "q84_quality_audit"   -> q84Sql,
+    "q86_skyline"         -> q86Sql,
   )
 }

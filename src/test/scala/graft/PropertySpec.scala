@@ -82,4 +82,29 @@ class PropertySpec extends AnyFunSuite {
       .select(col("id"), col("payload")).collect().map(_.toSeq).sortBy(_.toString)
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("q86 skyline equals the brute-force dominance recompute") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.Session.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    val sf = "/root/testdata/sf0.001"
+    val per = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("price_c"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: keep (ok, p, q) iff no other row dominates it, where
+    // dominate = (cheaper-or-equal and more qty) or (cheaper and >= qty)
+    // and equal-(p,q) ties keep only the lowest ok
+    val expected = per.filter { case (ok, p, q) =>
+      !per.exists { case (ok2, p2, q2) =>
+        (p2 <= p && q2 > q) || (p2 < p && q2 >= q) ||
+          (p2 == p && q2 == q && ok2 < ok)
+      }
+    }.map(t => (t._2, t._3)).toSet
+    val got = graft.operators.Relational.q86Skyline(spark, sf)
+      .collect().map(r => (r.getAs[Long]("price_c"), r.getAs[Long]("qty"))).toSet
+    assert(got == expected, s"frontier mismatch: extra=${got -- expected} missing=${expected -- got}")
+  }
+
 }

@@ -239,4 +239,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+
+  test("q87 fuzzy join equals the all-pairs levenshtein recompute") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.customer(spark, sf)
+      .select("c_name").distinct().collect().map(_.getString(0))
+    val expected = (for {
+      a <- names; b <- names if a != b && lev(a, b) <= 1
+    } yield a -> b).groupBy(_._1)
+      .map { case (n, ps) => n -> ((ps.length.toLong, ps.map(_._2).min)) }
+    val got = graft.operators.Dedup.q87FuzzyJoin(spark, sf).collect()
+      .map(r => r.getAs[String]("name") ->
+        ((r.getAs[Long]("n_neighbors"), r.getAs[String]("first_neighbor")))).toMap
+    assert(got == expected,
+      s"degree mismatch: sizes ${got.size} vs ${expected.size}")
+  }
+
 }
