@@ -747,12 +747,19 @@ object Relational {
     val orphanLines = li.select(col("l_orderkey"))
       .join(ord.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
+    // the lineitem orphan rule reuses the total already computed by the
+    // value-rule aggregate on the same table (localCheckpoint: a 1-row
+    // frame) — recounting would cost one more full pass over the
+    // largest table; orders has no value rule, so its single count
+    // aggregate is that table's one pass
+    val liRule = audit(li, "lineitem_bulk_quantity", col("l_quantity") > 45)
+      .localCheckpoint(true)
     audit(cust, "customer_negative_acctbal", col("c_acctbal") < 0)
       .union(audit(docs, "documents_non_english", col("lang") =!= "en"))
       .union(audit(ev, "events_value_outlier", col("value") > 400))
-      .union(audit(li, "lineitem_bulk_quantity", col("l_quantity") > 45))
+      .union(liRule)
       .union(orphanLines.agg(count(lit(1)).as("violations"))
-        .crossJoin(li.agg(count(lit(1)).as("total")))
+        .crossJoin(liRule.select(col("total")))
         .select(lit("lineitem_orphan_orderkey").as("rule"),
           col("violations"), col("total")))
       .union(orphanOrders.agg(count(lit(1)).as("violations"))

@@ -264,7 +264,10 @@ object Windows {
   def q82RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val du = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-    val bounds = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    // bounds from the deduped relation, not a second events scan:
+    // to_date is monotone, so min/max of d over du equals min/max of
+    // to_date(ts) over events, and the dedup exchange gets reused
+    val bounds = du.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     du.select(explode(expr("sequence(d, date_add(d, 6), interval 1 day)")).as("day"),
         col("user_id"))
       .crossJoin(broadcast(bounds))

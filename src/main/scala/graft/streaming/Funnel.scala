@@ -33,8 +33,19 @@ object Funnel {
                             click_ts: Option[java.sql.Timestamp],
                             purchase_ts: Option[java.sql.Timestamp])
 
+  // State keeps EPOCH-MICROS, not Timestamp.getTime millis: the corpus
+  // carries microsecond timestamps, and millisecond truncation would
+  // reject a click 500 µs after its signup (same millisecond → not
+  // strictly greater) where batch q80 counts it — breaking the
+  // documented in-order-delivery agreement, and emitting timestamps
+  // that never byte-match q80's.
+  private def toMicros(t: java.sql.Timestamp): Long =
+    java.time.temporal.ChronoUnit.MICROS
+      .between(java.time.Instant.EPOCH, t.toInstant)
+
   private def toTs(o: Option[Long]): Option[java.sql.Timestamp] =
-    o.map(new java.sql.Timestamp(_))
+    o.map(us => java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)))
 
   /** Pure per-group transition — factored for direct spec coverage with
     * TestGroupState. Events are folded in event-time order within the
@@ -43,8 +54,8 @@ object Funnel {
                                 state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
     val prev = state.getOption.getOrElse(FunnelState(None, None, None))
     var s = prev
-    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-      val t = e.ts.getTime
+    events.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
+      val t = toMicros(e.ts)
       e.event_type match {
         case "signup" if s.signup.forall(t < _) =>
           s = s.copy(signup = Some(t))

@@ -84,8 +84,6 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("q86 skyline equals the brute-force dominance recompute") {
-    import org.apache.spark.sql.functions._
-    val spark = graft.Session.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
     val sf = "/root/testdata/sf0.001"
     val per = graft.sources.Tables.lineitem(spark, sf)
       .groupBy(col("l_orderkey").as("ok"))

@@ -494,6 +494,20 @@ class StreamingSpec extends SparkSpec {
       assert(last.getAs[java.sql.Timestamp]("click_ts").toString == "2024-01-01 10:10:00.0")
       assert(rows.count(_.getAs[Long]("user_id") == 2L) == 0,
         "a purchase with no signup/click never emits")
+      // microsecond precision: a click 500us after its signup (same
+      // millisecond) must still advance — ms-truncated state would
+      // reject it where batch q80 counts it
+      val su = ts("2024-01-01 11:00:00")
+      val ck = ts("2024-01-01 11:00:00"); ck.setNanos(500000)
+      input.addData(
+        Funnel.FunnelEvent(3L, "signup", su),
+        Funnel.FunnelEvent(3L, "click", ck))
+      q.processAllAvailable()
+      val u3 = spark.table("funnel").collect()
+        .filter(_.getAs[Long]("user_id") == 3L).maxBy(_.getAs[Int]("steps"))
+      assert(u3.getAs[Int]("steps") == 2,
+        "sub-millisecond ordering must survive the state round-trip")
+      assert(u3.getAs[java.sql.Timestamp]("click_ts").getNanos == 500000)
     } finally q.stop()
   }
 
