@@ -101,6 +101,23 @@ object GraftHash {
   val minhashPerms: Array[(Long, Long)] =
     Array.tabulate(8)(i => (1000003L * (2 * i + 1) + 17L, 7919L * i + 42L))
 
+  /** Spread the low 16 bits of v to even bit positions (classic
+    * magic-mask bit twiddle): bit b of the input lands at bit 2b. */
+  def spread16(v0: Long): Long = {
+    var v = v0 & 0xffffL
+    v = (v | (v << 8)) & 0x00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0fL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+
+  /** 32-bit Morton (Z-order) code: x's bit b at 2b, y's bit b at 2b+1.
+    * Equal, by construction, to the per-bit fold
+    * Σ_b ((x>>b)&1)<<2b + ((y>>b)&1)<<(2b+1) over b = 0..15 — the form
+    * the DuckDB oracle and the HOF spec reference evaluate. */
+  def morton(x: Long, y: Long): Long = spread16(x) | (spread16(y) << 1)
+
   private val shingleSep = UTF8String.fromString(" ")
 
   /** MinHash signature over a token array: for every 3-token shingle
@@ -416,6 +433,41 @@ case class CdcChunkIds(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_zorder(x, y)`: 32-bit Morton (Z-order) code interleaving the
+  * low 16 bits of two non-negative integer keys — the multi-dimensional
+  * clustering key that makes ONE sort order serve range predicates on
+  * BOTH dimensions (q88's layout audit; the technique behind Delta/
+  * Iceberg Z-ORDER BY). Pure bit arithmetic, codegen'd via the shared
+  * [[GraftHash.morton]] twiddle; the DuckDB mirror evaluates the
+  * equivalent per-bit fold. */
+case class ZOrderCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_zorder expects two bigint arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_zorder"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.morton(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.GraftHash.morton($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrderCode =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Imperative registration fallback for sessions NOT built with
   * `spark.sql.extensions=graft.expressions.GraftExtensions` (e.g. a
   * harness-owned SparkSession calling SparkEntry.queries directly).
@@ -435,6 +487,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_minhash_sig", GraftExtensions.minhashSigBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_ngram8", GraftExtensions.ngram8Builder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_cdc_ids", GraftExtensions.cdcIdsBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_zorder", GraftExtensions.zorderBuilder, "scala_udf")
     }
   }
 }
@@ -464,6 +517,17 @@ object GraftExtensions {
 
   private[expressions] val ngram8Builder: Seq[Expression] => Expression =
     children => Ngram8Hashes(children.head)
+
+  private[expressions] val zorderBuilder: Seq[Expression] => Expression =
+    children => {
+      val widened = children.map { c =>
+        c.dataType match {
+          case ByteType | ShortType | IntegerType => Cast(c, LongType)
+          case _ => c
+        }
+      }
+      ZOrderCode(widened(0), widened(1))
+    }
 
   private[expressions] val cdcIdsBuilder: Seq[Expression] => Expression =
     children => {
@@ -509,5 +573,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cdc_ids"),
       new ExpressionInfo(classOf[CdcChunkIds].getName, "graft_cdc_ids"),
       GraftExtensions.cdcIdsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderCode].getName, "graft_zorder"),
+      GraftExtensions.zorderBuilder))
   }
 }

@@ -263,15 +263,81 @@ object Layout {
       |FROM merged m JOIN f ON m.st = f.st
       |ORDER BY m.st""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Z-order (Morton) clustering audit — q77's single-dimension lesson
+    * extended to TWO predicate dimensions. The same lineitem rows are
+    * chunked three ways: insertion order, price-sorted, and Z-ORDER
+    * (native `graft_zorder` interleaves the quantity and price-bucket
+    * bits, so ONE linear sort key preserves locality in BOTH
+    * dimensions — the technique behind lakehouse Z-ORDER BY
+    * compaction). For a conjunctive predicate
+    * `qty ∈ [10,20] AND price_bucket ∈ [20,30]`, per-chunk min/max
+    * stats on BOTH columns decide skippability: insertion order skips
+    * nothing, price-sorting skips only on price and is blind to the
+    * quantity bound, and the Morton layout skips chunks outside EITHER
+    * range. The three summary rows are the measured justification for
+    * multi-dimensional clustering at 100 TB. Price buckets come from
+    * decimal cents (exact), so chunk assignment can't flap on double
+    * rounding. */
+  def q88ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"),
+      col("l_quantity").cast("long").as("qb"),
+      expr("cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) div 100000")
+        .as("pb"))
+    val withZ = rows.withColumn("z",
+      call_function("graft_zorder", col("qb"), col("pb")))
+    val hit = // chunk can contain matches only if both ranges intersect
+      !(col("mx_q") < 10 || col("mn_q") > 20 || col("mx_p") < 20 || col("mn_p") > 30)
+    def audit(chunk: org.apache.spark.sql.Column, label: String) =
+      withZ.groupBy(chunk.as("chunk"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("qb")).as("mn_q"), max(col("qb")).as("mx_q"),
+          min(col("pb")).as("mn_p"), max(col("pb")).as("mx_p"))
+        .select(lit(label).as("layout"), col("n_rows"), (!hit).as("skippable"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skippable"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(when(col("skippable"), col("n_rows")).otherwise(0L)).as("rows_skippable"))
+    audit(expr("l_orderkey div 4096"), "a_by_orderkey")
+      .union(audit(col("pb"), "b_by_price"))
+      .union(audit(expr("z div 64"), "c_by_zorder"))
+      .orderBy(col("layout"))
+  }
+
+  val q88Sql: String = {
+    val morton = "list_sum(list_transform(range(0, 16), " +
+      "b -> (((qb >> b) & 1) << (2*b)) + (((pb >> b) & 1) << (2*b+1))))::BIGINT"
+    def auditSql(chunk: String, label: String) =
+      s"""SELECT '$label' AS layout, count(*) AS n_chunks,
+         |  sum(CASE WHEN sk THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
+         |  sum(n_rows)::BIGINT AS rows_total,
+         |  sum(CASE WHEN sk THEN n_rows ELSE 0 END)::BIGINT AS rows_skippable
+         |FROM (SELECT $chunk AS chunk, count(*) AS n_rows,
+         |    (max(qb) < 10 OR min(qb) > 20 OR max(pb) < 20 OR min(pb) > 30) AS sk
+         |  FROM z GROUP BY 1)""".stripMargin
+    s"""WITH base AS (SELECT l_orderkey, l_quantity::BIGINT AS qb,
+       |    ((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT) // 100000 AS pb
+       |  FROM lineitem),
+       |z AS (SELECT l_orderkey, qb, pb, $morton AS z FROM base)
+       |${auditSql("l_orderkey // 4096", "a_by_orderkey")}
+       |UNION ALL ${auditSql("pb", "b_by_price")}
+       |UNION ALL ${auditSql("z // 64", "c_by_zorder")}
+       |ORDER BY layout""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_bucketed_join" -> q50BucketedJoin _,
     "q77_zonemap_skip"  -> q77ZonemapSkip _,
     "q85_incremental_agg" -> q85IncrementalAgg _,
+    "q88_zorder_layout" -> q88ZorderLayout _,
   )
 
   val oracle: Map[String, String] = Map(
     "q50_bucketed_join" -> q50Sql,
     "q77_zonemap_skip"  -> q77Sql,
     "q85_incremental_agg" -> q85Sql,
+    "q88_zorder_layout" -> q88Sql,
   )
 }

@@ -74,4 +74,27 @@ class ExpressionsSpec extends SparkSpec {
       .collect()
     out.foreach(r => assert(r.getDouble(0) > 0.0))
   }
+
+  test("graft_zorder equals the per-bit fold reference on exhaustive small + random wide inputs") {
+    import org.apache.spark.sql.functions._
+    def fold(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, b) =>
+        acc + (((x >> b) & 1L) << (2 * b)) + (((y >> b) & 1L) << (2 * b + 1))
+      }
+    val rnd = new scala.util.Random(42)
+    val cases = (for (x <- 0L to 40L; y <- 0L to 40L) yield (x, y)) ++
+      Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((65535L, 65535L), (0L, 0L), (65536L + 7L, 3L)) // mask truncation
+    import spark.implicits._
+    val df = cases.toDF("x", "y")
+      .select(col("x"), col("y"), call_function("graft_zorder", col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == fold(x, y), s"morton($x, $y)")
+    }
+    // interleave is a bijection on 16-bit pairs: no collisions
+    assert(df.select("z").distinct().count() == cases.distinct.size ||
+      cases.exists(_._1 > 65535), "distinct pairs -> distinct codes")
+  }
+
 }

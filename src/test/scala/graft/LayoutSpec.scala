@@ -145,4 +145,18 @@ class LayoutSpec extends SparkSpec {
       "month-clustered chunks must skip at least as many rows as insertion-order chunks")
   }
 
+
+  test("q88: every layout accounts every row; z-order skips at least as much as either 1-D layout") {
+    val rows = Layout.q88ZorderLayout(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val n = graft.sources.Tables.lineitem(spark, sf).count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("rows_total") == n)
+      assert(r.getAs[Long]("rows_skippable") <= n)
+    }
+    assert(rows("c_by_zorder").getAs[Long]("rows_skippable") >=
+      rows("a_by_orderkey").getAs[Long]("rows_skippable"),
+      "Morton clustering cannot do worse than insertion order")
+  }
+
 }

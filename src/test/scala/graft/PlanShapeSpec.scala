@@ -67,4 +67,51 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(joins.isEmpty, s"expected a join-free plan, got ${joins.map(_.nodeName)}")
   }
+
+  test("q76 contains no join: the interval join is flattened to an aggregate") {
+    val p = executed(graft.operators.AsOf.queries("q76_interval_join")(spark, sf))
+    val joins = allNodes(p).filter(n =>
+      n.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty,
+      s"flattening must eliminate the range join, got ${joins.map(_.nodeName)}")
+  }
+
+  test("q74 assignment is map-side: no exchange before the posexplode aggregate") {
+    val p = executed(graft.operators.Similarity.queries("q74_kmeans_round")(spark, sf))
+    // one (cell, dim) aggregate exchange + the broadcast-joined old
+    // coordinates + final sort: at most 2 shuffle exchanges total
+    assert(shuffles(p).size <= 2,
+      s"argmin assignment must not shuffle, got ${shuffles(p).size} exchanges")
+    val bhj = allNodes(p).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 1, "old-coordinate frame joins by broadcast")
+  }
+
+  test("q82 bounds leg is pruned to a bare min/max scan, no dedup") {
+    // Catalyst rewrites the bounds aggregate over the deduped relation
+    // into a direct min/max over a ts-only pruned scan (distinct is
+    // unnecessary under min/max) — so the plan has the fact scan plus
+    // one metadata-cheap single-column scan, and NO second dedup
+    // aggregate
+    val p = executed(graft.operators.Windows.queries("q82_rolling_distinct")(spark, sf))
+    val scans = allNodes(p).filter(_.nodeName.toLowerCase.contains("scan parquet"))
+    assert(scans.size <= 2, s"got ${scans.size} scans")
+    val aggs = allNodes(p).filter(_.nodeName.contains("HashAggregate"))
+    // dedup 2 + bounds 2 + wau count-distinct rewrite 4 = 8; an extra
+    // dedup leg would push this to 10
+    assert(aggs.size <= 8, s"an extra dedup would add aggregates: ${aggs.size}")
+  }
+
+  test("q80 funnel joins are AQE-chosen, not forced") {
+    // the step frames are small HERE, so AQE should broadcast them; the
+    // assertion is that the plan still executes with no explicit hint
+    // (semantic guard for the unbounded-at-scale contract) and produces
+    // per-user rows
+    val df = graft.operators.Windows.queries("q80_funnel")(spark, sf)
+    assert(df.count() > 0)
+    assert(df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isEmpty, "no join-strategy hints in the funnel plan")
+  }
+
 }
