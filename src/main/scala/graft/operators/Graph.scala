@@ -50,15 +50,35 @@ object Graph {
 
   /** Once-per-(session, dir) materialized edge list — q73 and q81 walk
     * the SAME graph, and a production deployment materializes the edge
-    * table once per graph version, not once per algorithm. Keyed by
-    * session so a fresh session (whose localCheckpoint RDDs died with
-    * the old one) rebuilds. */
+    * table once per graph version, not once per algorithm.
+    *
+    * WeakHashMap keyed on the session INSTANCE: entries die with their
+    * session (no unbounded retention of dead sessions' checkpointed
+    * RDDs, and no identity-hash collision handing a new session a frame
+    * bound to a stopped context); the isStopped guard rebuilds if a
+    * caller holds a stopped-but-referenced session. localCheckpoint
+    * blocks are executor-local and non-fault-tolerant — fine in this
+    * single-JVM deployment; a multi-executor cluster with dynamic
+    * allocation swaps this for a reliable `checkpoint()` (or a
+    * materialized edge TABLE), which is the production form of the same
+    * decision. */
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  private def edgesMaterialized(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((System.identityHashCode(spark), dir),
-      edges(spark, dir).localCheckpoint(true))
+  private def edgesMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = edgeCache.synchronized {
+      val m = edgeCache.get(spark)
+      if (m != null) m
+      else {
+        val fresh = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        edgeCache.put(spark, fresh)
+        fresh
+      }
+    }
+    if (spark.sparkContext.isStopped) edges(spark, dir) // caller's problem, don't cache
+    else perSession.getOrElseUpdate(dir, edges(spark, dir).localCheckpoint(true))
+  }
 
   // ---------------------------------------------------------------- q73
   /** Fixed-point PageRank, 3 iterations, damping 0.85: top-20 nodes of

@@ -167,6 +167,24 @@ object Layout {
     * ≈ 0) while month-clustered chunks skip everything outside the
     * predicate. One scan per layout, two tiny aggregations; the chunk
     * stats ARE what the engine would persist as file-footer metadata. */
+  /** Shared zone-map audit scaffolding (q77, q88): from per-chunk rows
+    * carrying (layout, n_rows, skippable), the 4-column skip summary. */
+  private def zoneSummary(perChunk: DataFrame): DataFrame =
+    perChunk.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skippable"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("skippable"), col("n_rows")).otherwise(0L)).as("rows_skippable"))
+
+  /** SQL twin of [[zoneSummary]]: wraps a per-chunk subselect producing
+    * (n_rows, sk) into the same 4-column summary. */
+  private def zoneSummarySql(label: String, chunkStats: String): String =
+    s"""SELECT '$label' AS layout, count(*) AS n_chunks,
+       |  sum(CASE WHEN sk THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
+       |  sum(n_rows)::BIGINT AS rows_total,
+       |  sum(CASE WHEN sk THEN n_rows ELSE 0 END)::BIGINT AS rows_skippable
+       |FROM ($chunkStats)""".stripMargin
+
   def q77ZonemapSkip(spark: SparkSession, dir: String): DataFrame = {
     // to_timestamp under the session timezone (pinned UTC) — NOT
     // java.sql.Timestamp.valueOf, which parses in the JVM default zone
@@ -175,38 +193,28 @@ object Layout {
     val lo = to_timestamp(lit("1996-01-01 00:00:00"))
     val hi = to_timestamp(lit("1996-04-01 00:00:00"))
     def audit(chunk: org.apache.spark.sql.Column, label: String) =
-      Tables.lineitem(spark, dir)
+      zoneSummary(Tables.lineitem(spark, dir)
         .groupBy(chunk.as("chunk"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
         .select(lit(label).as("layout"), col("n_rows"),
-          (col("mx") < lo || col("mn") >= hi).as("skippable"))
-        .groupBy(col("layout"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skippable"),
-          sum(col("n_rows")).as("rows_total"),
-          sum(when(col("skippable"), col("n_rows")).otherwise(0L)).as("rows_skippable"))
+          (col("mx") < lo || col("mn") >= hi).as("skippable")))
     audit(expr("l_orderkey div 4096"), "by_orderkey")
       .union(audit(expr("year(l_shipdate) * 100 + month(l_shipdate)"), "by_shipmonth"))
       .orderBy(col("layout"))
   }
 
-  val q77Sql: String =
-    """WITH z1 AS (SELECT l_orderkey // 4096 AS chunk, count(*) AS n_rows,
-      |    min(l_shipdate) AS mn, max(l_shipdate) AS mx FROM lineitem GROUP BY 1),
-      |z2 AS (SELECT year(l_shipdate) * 100 + month(l_shipdate) AS chunk,
-      |    count(*) AS n_rows, min(l_shipdate) AS mn, max(l_shipdate) AS mx
-      |  FROM lineitem GROUP BY 1),
-      |s1 AS (SELECT 'by_orderkey' AS layout, n_rows,
-      |    (mx < TIMESTAMP '1996-01-01' OR mn >= TIMESTAMP '1996-04-01') AS sk FROM z1),
-      |s2 AS (SELECT 'by_shipmonth' AS layout, n_rows,
-      |    (mx < TIMESTAMP '1996-01-01' OR mn >= TIMESTAMP '1996-04-01') AS sk FROM z2),
-      |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
-      |SELECT layout, count(*) AS n_chunks,
-      |  sum(CASE WHEN sk THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
-      |  sum(n_rows)::BIGINT AS rows_total,
-      |  sum(CASE WHEN sk THEN n_rows ELSE 0 END)::BIGINT AS rows_skippable
-      |FROM u GROUP BY layout ORDER BY layout""".stripMargin
+  val q77Sql: String = {
+    def chunkStats(chunk: String) =
+      s"""SELECT $chunk AS chunk, count(*) AS n_rows,
+         |    (max(l_shipdate) < TIMESTAMP '1996-01-01'
+         |      OR min(l_shipdate) >= TIMESTAMP '1996-04-01') AS sk
+         |  FROM lineitem GROUP BY 1""".stripMargin
+    s"""${zoneSummarySql("by_orderkey", chunkStats("l_orderkey // 4096"))}
+       |UNION ALL ${zoneSummarySql("by_shipmonth",
+           chunkStats("year(l_shipdate) * 100 + month(l_shipdate)"))}
+       |ORDER BY layout""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q85
   /** Incremental aggregate maintenance (the materialized-view refresh
@@ -290,16 +298,11 @@ object Layout {
     val hit = // chunk can contain matches only if both ranges intersect
       !(col("mx_q") < 10 || col("mn_q") > 20 || col("mx_p") < 20 || col("mn_p") > 30)
     def audit(chunk: org.apache.spark.sql.Column, label: String) =
-      withZ.groupBy(chunk.as("chunk"))
+      zoneSummary(withZ.groupBy(chunk.as("chunk"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("qb")).as("mn_q"), max(col("qb")).as("mx_q"),
           min(col("pb")).as("mn_p"), max(col("pb")).as("mx_p"))
-        .select(lit(label).as("layout"), col("n_rows"), (!hit).as("skippable"))
-        .groupBy(col("layout"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skippable"),
-          sum(col("n_rows")).as("rows_total"),
-          sum(when(col("skippable"), col("n_rows")).otherwise(0L)).as("rows_skippable"))
+        .select(lit(label).as("layout"), col("n_rows"), (!hit).as("skippable")))
     audit(expr("l_orderkey div 4096"), "a_by_orderkey")
       .union(audit(col("pb"), "b_by_price"))
       .union(audit(expr("z div 64"), "c_by_zorder"))
@@ -310,13 +313,10 @@ object Layout {
     val morton = "list_sum(list_transform(range(0, 16), " +
       "b -> (((qb >> b) & 1) << (2*b)) + (((pb >> b) & 1) << (2*b+1))))::BIGINT"
     def auditSql(chunk: String, label: String) =
-      s"""SELECT '$label' AS layout, count(*) AS n_chunks,
-         |  sum(CASE WHEN sk THEN 1 ELSE 0 END)::BIGINT AS n_skippable,
-         |  sum(n_rows)::BIGINT AS rows_total,
-         |  sum(CASE WHEN sk THEN n_rows ELSE 0 END)::BIGINT AS rows_skippable
-         |FROM (SELECT $chunk AS chunk, count(*) AS n_rows,
-         |    (max(qb) < 10 OR min(qb) > 20 OR max(pb) < 20 OR min(pb) > 30) AS sk
-         |  FROM z GROUP BY 1)""".stripMargin
+      zoneSummarySql(label,
+        s"""SELECT $chunk AS chunk, count(*) AS n_rows,
+           |    (max(qb) < 10 OR min(qb) > 20 OR max(pb) < 20 OR min(pb) > 30) AS sk
+           |  FROM z GROUP BY 1""".stripMargin)
     s"""WITH base AS (SELECT l_orderkey, l_quantity::BIGINT AS qb,
        |    ((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT) // 100000 AS pb
        |  FROM lineitem),

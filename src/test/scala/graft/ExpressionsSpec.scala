@@ -92,9 +92,12 @@ class ExpressionsSpec extends SparkSpec {
       val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(z == fold(x, y), s"morton($x, $y)")
     }
-    // interleave is a bijection on 16-bit pairs: no collisions
-    assert(df.select("z").distinct().count() == cases.distinct.size ||
-      cases.exists(_._1 > 65535), "distinct pairs -> distinct codes")
+    // interleave is a bijection on 16-bit pairs: no collisions among
+    // IN-RANGE pairs (the deliberate truncation case collides with its
+    // masked twin by design, so it is excluded from the count)
+    val inRange = cases.distinct.filter(c => c._1 <= 65535 && c._2 <= 65535)
+    val inRangeCodes = inRange.map { case (x, y) => fold(x, y) }.distinct
+    assert(inRangeCodes.size == inRange.size, "distinct pairs -> distinct codes")
   }
 
 }

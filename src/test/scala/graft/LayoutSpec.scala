@@ -157,6 +157,10 @@ class LayoutSpec extends SparkSpec {
     assert(rows("c_by_zorder").getAs[Long]("rows_skippable") >=
       rows("a_by_orderkey").getAs[Long]("rows_skippable"),
       "Morton clustering cannot do worse than insertion order")
+    assert(rows("c_by_zorder").getAs[Long]("rows_skippable") >=
+      rows("b_by_price").getAs[Long]("rows_skippable"),
+      "the multi-dimensional claim: Morton must skip at least as much as " +
+        "the 1-D price layout on a conjunctive predicate")
   }
 
 }

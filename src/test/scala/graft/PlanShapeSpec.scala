@@ -7,10 +7,11 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.execution.window.WindowGroupLimitExec
 
-/** Physical-plan shape assertions for the round-3 operators — the scale
+/** Physical-plan shape assertions for the round-3 and round-4 operators
+  * — the scale
   * claims in their docstrings (map-side, broadcast-only, top-k pushed
-  * below the exchange), checked against the executed plan rather than
-  * trusted. */
+  * below the exchange, no range join, hint-free funnel), checked against
+  * the executed plan rather than trusted. */
 class PlanShapeSpec extends SparkSpec {
 
   private def executed(df: DataFrame): SparkPlan = {
