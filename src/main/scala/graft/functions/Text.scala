@@ -434,6 +434,44 @@ object Text {
       |    / any_value(dl) + 1e-9, 4) AS nll
       |FROM parts GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Deterministic PII pseudonymization + in-query audit — the privacy
+    * transform a training pipeline applies before text leaves the lake.
+    * Pseudonyms are a pure keyed hash of the name (`h60("pii:"||name)`
+    * into a fixed-width token), which gives the three properties that
+    * matter at 100 TB: map-side (no lookup table to shuffle or leak),
+    * STABLE across tables and runs (the same name pseudonymizes
+    * identically everywhere, so joins on pseudonymized keys still
+    * work), and collision-auditable — the output's
+    * n_names vs n_pseudonyms columns ARE the audit that no two names
+    * collapsed (a salt bump re-keys the corpus if they ever do).
+    * Reversal resistance comes from the keyed prefix; a deployment
+    * would hold the salt in a KMS, not a literal. */
+  def q89Pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val pseudo = concat(lit("cust-"),
+      lpad((h60(concat(lit("pii:"), col("c_name"))) % 1000000000000L).cast("string"),
+        12, "0"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"), col("c_name"), pseudo.as("pseudonym"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_name")).as("n_names"),
+        countDistinct(col("pseudonym")).as("n_pseudonyms"),
+        min(col("pseudonym")).as("sample_pseudonym"))
+      .orderBy(col("segment"))
+  }
+
+  val q89Sql: String =
+    s"""WITH p AS (SELECT c_mktsegment, c_name,
+       |    'cust-' || lpad((${h60Sql("'pii:'||c_name")} % 1000000000000)::VARCHAR,
+       |      12, '0') AS pseudonym
+       |  FROM customer)
+       |SELECT c_mktsegment AS segment, count(*) AS n,
+       |  count(DISTINCT c_name) AS n_names,
+       |  count(DISTINCT pseudonym) AS n_pseudonyms,
+       |  min(pseudonym) AS sample_pseudonym
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats"   -> q21TokenStats _,
     "q22_quality_score" -> q22QualityScore _,
@@ -443,6 +481,7 @@ object Text {
     "q58_token_commonness" -> q58TokenCommonness _,
     "q65_bm25"          -> q65Bm25 _,
     "q78_perplexity"    -> q78Perplexity _,
+    "q89_pseudonymize"  -> q89Pseudonymize _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -454,5 +493,6 @@ object Text {
     "q58_token_commonness" -> q58Sql,
     "q65_bm25"          -> q65Sql,
     "q78_perplexity"    -> q78Sql,
+    "q89_pseudonymize"  -> q89Sql,
   )
 }
