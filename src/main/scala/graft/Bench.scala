@@ -32,17 +32,35 @@ object Bench {
           -1.0
       }
     }
-    // min of two runs per query: steady-state cost, not first-run JIT
+    // Between queries: drop cached relations and nudge the collector.
+    // ~180 query executions in one JVM otherwise accumulate broadcast
+    // blocks, shuffle files, and old-gen pressure that tax whichever
+    // queries happen to run late — round 4's driver bench reported six
+    // phantom 2–6× "regressions" that all re-timed at steady state in
+    // isolation. Hygiene between measurements, never inside them.
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    // min of two runs per query: steady-state cost, not first-run JIT.
+    // Spread (|a-b|) is reported per query so a noisy measurement is
+    // visible as noise instead of masquerading as a regression.
+    val spreads = scala.collection.mutable.Map[String, Double]()
     def time(name: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      quiesce()
       val a = runOnce(name, fn)
-      if (a < 0) a else math.min(a, runOnce(name, fn))
+      if (a < 0) { spreads(name) = -1.0; a }
+      else {
+        val b = runOnce(name, fn)
+        if (b < 0) { spreads(name) = -1.0; a }
+        else { spreads(name) = math.abs(a - b); math.min(a, b) }
+      }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> time(name, fn)
-    } ++ Map("s01_stream_envelope" -> {
-      // the reference's whole job — geo ingest → envelope → routed sink —
-      // as one timed streaming pass over the events table
+    // the reference's whole job — geo ingest → envelope → routed sink —
+    // as one timed streaming pass over the events table. min-of-2 with a
+    // fresh checkpoint + source dir per run, same discipline as batch.
+    def streamOnce(): Double = {
       val t0 = System.nanoTime()
       try {
         val ckpt = java.nio.file.Files.createTempDirectory("bench_ckpt").toString
@@ -67,13 +85,28 @@ object Bench {
           System.err.println(s"[bench] s01_stream_envelope FAILED: ${errors("s01_stream_envelope")}")
           -1.0
       }
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> time(name, fn)
+    } ++ Map("s01_stream_envelope" -> {
+      quiesce()
+      val a = streamOnce()
+      if (a < 0) { spreads("s01_stream_envelope") = -1.0; a }
+      else {
+        val b = streamOnce()
+        if (b < 0) { spreads("s01_stream_envelope") = -1.0; a }
+        else { spreads("s01_stream_envelope") = math.abs(a - b); math.min(a, b) }
+      }
     })
     val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }
       .mkString("{", ",", "}")
+    val sp = results.keys.map { k =>
+      Jsons.str(k) + ":" + spreads.getOrElse(k, -1.0)
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => Jsons.str(k) + ":" + Jsons.str(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

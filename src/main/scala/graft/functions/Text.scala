@@ -444,7 +444,12 @@ object Text {
     * identically everywhere, so joins on pseudonymized keys still
     * work), and collision-auditable — the output's
     * n_names vs n_pseudonyms columns ARE the audit that no two names
-    * collapsed (a salt bump re-keys the corpus if they ever do).
+    * collapsed (a salt bump re-keys the corpus if they ever do). The
+    * audit runs per segment AND globally (the `ALL` rollup row): the
+    * pseudonym space is global, so two names in DIFFERENT segments
+    * that collide after the 12-digit truncation would slip a
+    * per-segment audit while silently merging cross-table joins on
+    * the pseudonym — only the corpus-wide distinct-count catches that.
     * Reversal resistance comes from the keyed prefix; a deployment
     * would hold the salt in a KMS, not a literal. */
   def q89Pseudonymize(spark: SparkSession, dir: String): DataFrame = {
@@ -452,12 +457,14 @@ object Text {
       lpad((h60(concat(lit("pii:"), col("c_name"))) % 1000000000000L).cast("string"),
         12, "0"))
     Tables.customer(spark, dir)
-      .select(col("c_mktsegment").as("segment"), col("c_name"), pseudo.as("pseudonym"))
-      .groupBy(col("segment"))
+      .select(col("c_mktsegment"), col("c_name"), pseudo.as("pseudonym"))
+      .rollup(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("c_name")).as("n_names"),
         countDistinct(col("pseudonym")).as("n_pseudonyms"),
         min(col("pseudonym")).as("sample_pseudonym"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n"), col("n_names"), col("n_pseudonyms"), col("sample_pseudonym"))
       .orderBy(col("segment"))
   }
 
@@ -466,11 +473,11 @@ object Text {
        |    'cust-' || lpad((${h60Sql("'pii:'||c_name")} % 1000000000000)::VARCHAR,
        |      12, '0') AS pseudonym
        |  FROM customer)
-       |SELECT c_mktsegment AS segment, count(*) AS n,
+       |SELECT coalesce(c_mktsegment, 'ALL') AS segment, count(*) AS n,
        |  count(DISTINCT c_name) AS n_names,
        |  count(DISTINCT pseudonym) AS n_pseudonyms,
        |  min(pseudonym) AS sample_pseudonym
-       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM p GROUP BY ROLLUP (c_mktsegment) ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats"   -> q21TokenStats _,

@@ -101,9 +101,13 @@ object AsOf {
     * (qty mod 14) — the testdata has no receipt date column; the
     * derivation is the operator's input contract, not its point. */
   def q76IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    // floor() explicitly before the integral cast: Spark cast(double as
+    // int) truncates toward zero while DuckDB ::INT rounds to nearest —
+    // identical only while quantities are integral-valued. floor() in
+    // BOTH engines makes the intent explicit and parity unconditional.
     val li = Tables.lineitem(spark, dir)
       .select(to_date(col("l_shipdate")).as("d0"),
-        col("l_quantity").cast("int").as("qty"))
+        floor(col("l_quantity")).cast("int").as("qty"))
       .withColumn("d1", expr("date_add(d0, qty % 14)"))
     li.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"),
         col("qty"))
@@ -115,8 +119,8 @@ object AsOf {
   val q76Sql: String =
     """WITH iv AS (SELECT date_trunc('day', l_shipdate)::DATE AS d0,
       |    (date_trunc('day', l_shipdate)
-      |      + INTERVAL 1 DAY * (l_quantity::INT % 14))::DATE AS d1,
-      |    l_quantity::INT AS qty
+      |      + INTERVAL 1 DAY * (floor(l_quantity)::INT % 14))::DATE AS d1,
+      |    floor(l_quantity)::INT AS qty
       |  FROM lineitem),
       |ex AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day, qty
       |  FROM iv)

@@ -52,44 +52,55 @@ object Graph {
     * the SAME graph, and a production deployment materializes the edge
     * table once per graph version, not once per algorithm.
     *
-    * WeakHashMap keyed on the session INSTANCE: entries die with their
-    * session (no unbounded retention of dead sessions' checkpointed
-    * RDDs, and no identity-hash collision handing a new session a frame
-    * bound to a stopped context); the isStopped guard rebuilds if a
-    * caller holds a stopped-but-referenced session. localCheckpoint
-    * blocks are executor-local and non-fault-tolerant — fine in this
-    * single-JVM deployment; a multi-executor cluster with dynamic
-    * allocation swaps this for a reliable `checkpoint()` (or a
+    * Keyed by session INSTANCE with stopped sessions swept on every
+    * access. Weak keys can't work here: the cached DataFrames strongly
+    * reference their SparkSession (Dataset.sparkSession), so a weak-key
+    * map's values would keep the keys reachable forever — eviction has
+    * to be explicit. The sweep bounds retention to live sessions (plus
+    * stopped ones only until the next graph query), and the isStopped
+    * guard rebuilds if a caller holds a stopped-but-referenced session.
+    * localCheckpoint blocks are executor-local and non-fault-tolerant —
+    * fine in this single-JVM deployment; a multi-executor cluster with
+    * dynamic allocation swaps this for a reliable `checkpoint()` (or a
     * materialized edge TABLE), which is the production form of the same
     * decision. */
   private val edgeCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   private def edgesMaterialized(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = edgeCache.synchronized {
-      val m = edgeCache.get(spark)
-      if (m != null) m
-      else {
-        val fresh = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        edgeCache.put(spark, fresh)
-        fresh
-      }
-    }
+    // evict stopped sessions: their checkpointed blocks are unreachable
+    // dead weight if this map keeps the frames (and thus the sessions)
+    val it = edgeCache.keySet.iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     if (spark.sparkContext.isStopped) edges(spark, dir) // caller's problem, don't cache
-    else perSession.getOrElseUpdate(dir, edges(spark, dir).localCheckpoint(true))
+    else edgeCache
+      .computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(dir, edges(spark, dir).localCheckpoint(true))
   }
 
   // ---------------------------------------------------------------- q73
-  /** Fixed-point PageRank, 3 iterations, damping 0.85: top-20 nodes of
-    * the shipping network. r₀ = 10⁶ per node;
+  /** Fixed-point PageRank to CONVERGENCE (exact integer fixpoint,
+    * capped at 8 supersteps), damping 0.85: top-20 nodes of the
+    * shipping network. r₀ = 10⁶ per node;
     * r_{t+1}(v) = 0.15·10⁶ + (85·Σ_{u→v} (r_t(u) div outdeg(u))) div 100.
+    *
+    * Stopping rule: iterate until r_{t+1} == r_t exactly (integer ranks
+    * make the test exact — no epsilon) or the superstep cap. The cap is
+    * the compute-budget knob every production PageRank carries (exact
+    * integer convergence needs ~1/(1−d) ≈ 85 supersteps; rank ORDER
+    * stabilizes far earlier). Oracle parity holds under EITHER exit:
+    * the oracle unrolls exactly `maxIters` supersteps, and a converged
+    * state is a fixpoint of the update map — extra oracle iterations
+    * past convergence are identity, so both engines land on the same
+    * ranks whether the loop stopped early or ran to the cap.
     *
     * Scale shape: the edge list (with out-degree folded in) and the
     * node list are the STATIC inputs of every iteration — materialized
     * once ([[DataFrame.localCheckpoint]], the caching any iterative job
-    * does) so three supersteps don't re-run the lineitem⋈orders
-    * distinct three times. Each iteration is then one shuffle join
+    * does) so supersteps don't re-run the lineitem⋈orders distinct
+    * each round. Each iteration is then one shuffle join
     * edge⋈rank on src plus one aggregation keyed by dst — both hash-
     * partitioned on node id, the layout a 1000-executor cluster wants;
     * rank state is O(nodes), never collected to the driver. Dangling
@@ -109,13 +120,38 @@ object Graph {
         (lit(scale * 15 / 100) + expr("85 * coalesce(m, 0L) div 100")).as("r"))
   }
 
+  private[graft] val pagerankMaxIters = 8
+
+  /** Delta-based fixpoint loop: run supersteps until the integer ranks
+    * repeat exactly or `maxIters`. Each superstep is materialized
+    * (localCheckpoint) so the convergence probe and the next iteration
+    * share one execution and lineage stays O(1). Returns the final
+    * ranks and the number of supersteps executed — factored so the
+    * spec can assert the fixpoint stop on a known graph (a d-regular
+    * graph converges after ONE superstep: every node keeps rank 10⁶). */
+  private[graft] def pagerankConverge(edgesD: DataFrame, nodes: DataFrame,
+                                      r0: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    var ranks = r0.localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val next = pagerankStep(edgesD, nodes, ranks).localCheckpoint(true)
+      val prev = ranks.select(col("node").as("p_node"), col("r").as("p_r"))
+      converged = next.join(prev, col("node") === col("p_node"))
+        .filter(col("r") =!= col("p_r")).isEmpty
+      ranks = next
+      iter += 1
+    }
+    (ranks, iter)
+  }
+
   def q73Pagerank(spark: SparkSession, dir: String): DataFrame = {
     val e = edgesMaterialized(spark, dir)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val edgesD = e.join(deg, "src").localCheckpoint(true)
     val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint(true)
-    var ranks = nodes.select(col("node"), lit(scale).as("r"))
-    for (_ <- 1 to 3) ranks = pagerankStep(edgesD, nodes, ranks)
+    val r0 = nodes.select(col("node"), lit(scale).as("r"))
+    val (ranks, _) = pagerankConverge(edgesD, nodes, r0, pagerankMaxIters)
     ranks
       .select(col("node"),
         when(col("node") % 2 === 0, "S").otherwise("C").as("kind"),
@@ -136,12 +172,10 @@ object Graph {
        |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
        |r0 AS (SELECT node, ${scale}::BIGINT AS r FROM nodes),
-       |${iter("r0", "r1")},
-       |${iter("r1", "r2")},
-       |${iter("r2", "r3")}
+       |${(1 to pagerankMaxIters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
        |SELECT node, CASE WHEN node % 2 = 0 THEN 'S' ELSE 'C' END AS kind,
        |  node // 2 AS entity_id, r AS rank
-       |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+       |FROM r$pagerankMaxIters ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
   // ---------------------------------------------------------------- q75
@@ -177,15 +211,43 @@ object Graph {
     closeTriangles(pairs)
   }
 
-  /** a<b<c closure over an a<b-oriented edge list. Factored so the spec
-    * can assert closure semantics on a known graph. */
+  /** a<b<c triangle closure over an a<b-oriented edge list — degree-
+    * ordered wedge enumeration with NO forced broadcasts. Each
+    * undirected edge is re-oriented low→high by (degree, id); wedges
+    * are pairs of out-neighbors of a common pivot, closed by an
+    * equi-join back to the edge set. Under any total-order orientation
+    * every triangle has exactly one node with out-edges to the other
+    * two, so each triangle is produced exactly once; orienting by
+    * DEGREE (not id) bounds out-degrees by O(√m), which bounds wedge
+    * generation — the enumeration discipline that keeps the SHUFFLE
+    * plan viable when the pruned edge set outgrows a broadcast. Join
+    * strategies are left to AQE: at this SF the closure joins
+    * broadcast on their own (PlanShapeSpec pins that), at 100× they
+    * degrade to shuffle joins instead of OOMing the driver — a
+    * previous revision hint-forced `broadcast(pairs)` here, exactly
+    * the data-dependent frame a forced broadcast must never wrap.
+    * Factored so the spec can assert closure semantics on a known
+    * graph. */
   private[graft] def closeTriangles(pairs: DataFrame): DataFrame = {
-    val e1 = pairs
-    val e2 = broadcast(pairs.select(col("pa").as("pb2"), col("pb").as("pc")))
-    val e3 = broadcast(pairs.select(col("pa").as("pa3"), col("pb").as("pc3")))
-    e1.join(e2, col("pb") === col("pb2"))
-      .join(e3, col("pa") === col("pa3") && col("pc") === col("pc3"))
-      .select(col("pa").as("a"), col("pb").as("b"), col("pc").as("c"))
+    val deg = pairs.select(col("pa").as("n"))
+      .union(pairs.select(col("pb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val lowFirst = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+    val oriented = pairs
+      .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
+      .select(when(lowFirst, col("pa")).otherwise(col("pb")).as("u"),
+        when(lowFirst, col("pb")).otherwise(col("pa")).as("v"))
+    val wedges = oriented.as("w1").join(oriented.as("w2"),
+        col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
+      .select(col("w1.u").as("piv"), col("w1.v").as("x"), col("w2.v").as("y"))
+    wedges.join(pairs,
+        least(col("x"), col("y")) === col("pa") &&
+          greatest(col("x"), col("y")) === col("pb"))
+      .select(array_sort(array(col("piv"), col("x"), col("y"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
       .orderBy(col("a"), col("b"), col("c"))
   }
 

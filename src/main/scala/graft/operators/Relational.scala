@@ -819,7 +819,10 @@ object Relational {
       .groupBy(col("l_orderkey").as("ok"))
       .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
           .cast("long").as("price_c"),
-        sum(col("l_quantity").cast("long")).as("qty"))
+        // floor() before the integral cast: Spark cast truncates, DuckDB
+        // ::BIGINT rounds — floor both sides keeps parity even if a
+        // future corpus carries fractional quantities
+        sum(floor(col("l_quantity")).cast("long")).as("qty"))
     val perPrice = per
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("price_c")).orderBy(col("qty").desc, col("ok"))))
@@ -838,7 +841,7 @@ object Relational {
   val q86Sql: String =
     """WITH per_order AS (SELECT l_orderkey AS ok,
       |    (sum(l_extendedprice::DECIMAL(18,2)) * 100)::BIGINT AS price_c,
-      |    sum(l_quantity)::BIGINT AS qty
+      |    sum(floor(l_quantity)::BIGINT)::BIGINT AS qty
       |  FROM lineitem GROUP BY 1),
       |best AS (SELECT ok, price_c, qty,
       |    row_number() OVER (PARTITION BY price_c ORDER BY qty DESC, ok) AS rk

@@ -288,9 +288,12 @@ object Layout {
     * decimal cents (exact), so chunk assignment can't flap on double
     * rounding. */
   def q88ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    // floor() before the integral cast (Spark cast truncates, DuckDB
+    // ::BIGINT rounds — floor in both engines removes the dependence on
+    // quantities being integral-valued)
     val rows = Tables.lineitem(spark, dir).select(
       col("l_orderkey"),
-      col("l_quantity").cast("long").as("qb"),
+      floor(col("l_quantity")).cast("long").as("qb"),
       expr("cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) div 100000")
         .as("pb"))
     val withZ = rows.withColumn("z",
@@ -317,7 +320,7 @@ object Layout {
         s"""SELECT $chunk AS chunk, count(*) AS n_rows,
            |    (max(qb) < 10 OR min(qb) > 20 OR max(pb) < 20 OR min(pb) > 30) AS sk
            |  FROM z GROUP BY 1""".stripMargin)
-    s"""WITH base AS (SELECT l_orderkey, l_quantity::BIGINT AS qb,
+    s"""WITH base AS (SELECT l_orderkey, floor(l_quantity)::BIGINT AS qb,
        |    ((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT) // 100000 AS pb
        |  FROM lineitem),
        |z AS (SELECT l_orderkey, qb, pb, $morton AS z FROM base)
