@@ -27,6 +27,28 @@ class GraphSpec extends SparkSpec {
     assert(r1s == Map(1L -> 150000L, 2L -> 575000L, 3L -> 575000L), s"got $r1s")
   }
 
+  test("pagerankConverge: fixpoint stop fires on a d-regular graph after one superstep") {
+    // 3-cycle is 1-regular directed: the damped update maps r=10⁶ to
+    // itself, so the exact-integer delta check must stop the loop at
+    // iteration 1 of the 8 allowed, with ranks unchanged
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .withColumn("od", lit(1L))
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
+    val (ranks, iters) =
+      graft.operators.Graph.pagerankConverge(edges, nodes, r0, 8)
+    assert(iters == 1, s"regular graph must converge in one superstep, ran $iters")
+    val rs = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L), s"got $rs")
+    // star graph is NOT at its fixpoint after one step: the loop must
+    // keep iterating (and hit the cap here — integer convergence of a
+    // non-regular graph takes ~1/(1-d) steps)
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst").withColumn("od", lit(2L))
+    val (_, starIters) =
+      graft.operators.Graph.pagerankConverge(star, nodes, r0, 3)
+    assert(starIters == 3, s"non-fixpoint graph must run to the cap, ran $starIters")
+  }
+
   test("closeTriangles: exactly the a<b<c closures, no duplicates") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3), (1,2,4) only
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))

@@ -102,6 +102,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs.size <= 8, s"an extra dedup would add aggregates: ${aggs.size}")
   }
 
+  test("q75 triangle closure joins broadcast at this SF without being hint-forced") {
+    // the closure must leave join strategy to AQE: a forced broadcast
+    // of the (data-dependent) pruned edge list is exactly what OOMs at
+    // 100× — here we pin that (a) no hint node exists anywhere in the
+    // logical plan, and (b) AQE still picks broadcast for every join
+    // at this SF, so dropping the hints cost nothing locally
+    val df = graft.operators.Graph.queries("q75_triangle_count")(spark, sf)
+    assert(df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isEmpty, "no join-strategy hints in the triangle plan")
+    val p = executed(df)
+    val joins = allNodes(p).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected join operators in the closure plan")
+    val nonBroadcast = joins.filterNot(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(nonBroadcast.isEmpty,
+      s"AQE should broadcast every closure join at this SF, got ${nonBroadcast.map(_.nodeName)}")
+  }
+
   test("q80 funnel joins are AQE-chosen, not forced") {
     // the step frames are small HERE, so AQE should broadcast them; the
     // assertion is that the plan still executes with no explicit hint
