@@ -324,25 +324,36 @@ object Similarity {
     * 64-row-per-vector posexplode: partial aggregation absorbs most of
     * it map-side. Output: per (cell, dim): member count, old and new
     * centroid coordinate. */
-  def q74KmeansRound(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  /** Fixed-point integer codes (round(x·1000)) for every embedding —
+    * the shared representation of q74's Lloyd round and q90's trained
+    * quantizer. */
+  private def codedVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(toD(col("embedding")),
           x => round(x * 1000 + 1e-9).cast("long")).as("q"))
-    val cents: Array[(Long, Seq[Long])] = e
-      .filter(col("vec_id") < 8)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
-    require(cents.length == 8, s"expected 8 seed centroids, got ${cents.length}")
-    val cellCol = element_at(
+
+  /** Map-side argmin cell assignment over driver-held integer
+    * centroids: exact integer L2 distances, ties to the lowest cid via
+    * struct ordering — bit-identical across engines and partitionings. */
+  private def argminCellCol(cents: Array[(Long, Seq[Long])]): Column =
+    element_at(
       array_sort(array(cents.map { case (cid, cq) =>
         val dist = aggregate(
           zip_with(col("q"), array(cq.map(lit): _*), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, v) => acc + v)
         struct(dist.as("dist"), lit(cid).as("cid"))
       }: _*)), 1).getField("cid")
-    val assigned = e.select(col("vec_id"), col("q"), cellCol.as("cell"))
+
+  def q74KmeansRound(spark: SparkSession, dir: String): DataFrame = {
+    val e = codedVectors(spark, dir)
+    val cents: Array[(Long, Seq[Long])] = e
+      .filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(cents.length == 8, s"expected 8 seed centroids, got ${cents.length}")
+    val assigned = e.select(col("vec_id"), col("q"), argminCellCol(cents).as("cell"))
     val oldCoord = {
       import spark.implicits._
       cents.flatMap { case (cid, cq) =>
@@ -381,6 +392,128 @@ object Similarity {
        |FROM g JOIN c ON g.cell = c.cid
        |ORDER BY cell, dim""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** IVF ANN with a TRAINED coarse quantizer — the q74→q46 loop closed.
+    * q46's 16 fixed seed vectors (vec_ids 100–115) are refined by
+    * `kmeansRounds` Lloyd iterations in fixed-point integer arithmetic,
+    * then the trained centroids drive the same map-side argmin cell
+    * assignment and cell-local top-k search as q46. This is the real
+    * 100 TB ANN build: Lloyd to a fixed budget, centroids to the index.
+    *
+    * Scale shape: each Lloyd round is one corpus scan — map-side argmin
+    * (zero shuffles) feeding a (cell, dim) partial aggregation whose
+    * result is k·d rows (bounded by a `require`, collected driver-side
+    * exactly like the coarse quantizer itself). The trained quantizer
+    * is then compiled back into a map-side projection, so the search
+    * phase shuffles nothing before the per-query top-k window.
+    *
+    * Determinism: integer argmin with (dist, cid) tie-breaks, centroid
+    * update floor(Σcode / n) on exact-integer sums via one IEEE double
+    * division — every round is bit-identical across engines, so the
+    * oracle replays the identical training trajectory in SQL CTEs.
+    * Empty cells keep their previous centroid (the standard Lloyd
+    * guard) in both engines via LEFT JOIN + coalesce. */
+  private[operators] val kmeansRounds = 3
+
+  /** `rounds` Lloyd iterations over integer codes; returns the trained
+    * centroids. Each round: map-side argmin assignment → (cell, dim)
+    * aggregation → driver-side floor-division update. The collect is
+    * bounded to k·d rows per round. */
+  private[operators] def trainCentroids(e: DataFrame,
+      seeds: Array[(Long, Seq[Long])], rounds: Int): Array[(Long, Seq[Long])] = {
+    var cents = seeds
+    for (_ <- 1 to rounds) {
+      // cell staged in its own select BEFORE the generator: putting the
+      // struct-building argmin in the same projection as posexplode
+      // makes ExtractGenerator re-plan the projection and lose the
+      // struct field names (FIELD_NOT_FOUND on `cid`)
+      val agg = e.select(argminCellCol(cents).as("cell"), col("q"))
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+        .collect()
+      require(agg.length <= cents.length * dim,
+        s"centroid update must stay driver-sized, got ${agg.length} rows")
+      val updated: Map[Long, Seq[Long]] = agg.groupBy(_.getLong(0)).map {
+        case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map { r =>
+            // floor of one exact-integer double division — the same op
+            // the oracle runs as floor(s::DOUBLE / n)::BIGINT
+            math.floor(r.getLong(3).toDouble / r.getLong(2)).toLong
+          }.toSeq
+      }
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  def q90AnnTrained(spark: SparkSession, dir: String): DataFrame = {
+    val eq = codedVectors(spark, dir)
+    val seeds: Array[(Long, Seq[Long])] = eq
+      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(seeds.length == 16, s"expected 16 seed centroids, got ${seeds.length}")
+    val cents = trainCentroids(eq, seeds, kmeansRounds)
+    // search phase: identical to q46 but over the trained cells; codes
+    // re-derived map-side from the double vectors (no join back)
+    val withCell = normedVectors(spark, dir)
+      .withColumn("q", transform(col("v"), x => round(x * 1000 + 1e-9).cast("long")))
+      .withColumn("cell", argminCellCol(cents))
+      .drop("q")
+    val q = withCell.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell").as("q_cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    withCell.join(broadcast(q), col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val q90Sql: String = {
+    def lloydRound(r: Int): String = {
+      val prev = s"c${r - 1}"
+      s"""d$r AS (SELECT eq.vec_id, c.cid, eq.q,
+         |    list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
+         |  FROM eq CROSS JOIN $prev c),
+         |a$r AS (SELECT vec_id, cid AS cell, q FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d$r) WHERE rk = 1),
+         |g$r AS (SELECT cell, t.range AS dim, count(*) AS n, sum(q[t.range]) AS s
+         |  FROM a$r CROSS JOIN range(1, ${dim + 1}) t GROUP BY 1, 2),
+         |u$r AS (SELECT cell AS cid, list(floor(s::DOUBLE / n)::BIGINT ORDER BY dim) AS newq
+         |  FROM g$r GROUP BY 1),
+         |c$r AS (SELECT p.cid, coalesce(u$r.newq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN u$r ON p.cid = u$r.cid)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM e),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM eq WHERE vec_id >= 100 AND vec_id < 116),
+       |${(1 to kmeansRounds).map(lloydRound).mkString(",\n")},
+       |df AS (SELECT eq.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
+       |  FROM eq CROSS JOIN c$kmeansRounds c),
+       |af AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM df) WHERE rk = 1),
+       |wc AS (SELECT e.vec_id, e.v, af.cell FROM e JOIN af USING (vec_id)),
+       |q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM wc WHERE vec_id < 10),
+       |sc AS (SELECT q.q_id, wc.vec_id, round(${cosineSql("q.qv", "wc.v")}, 6) AS cos
+       |  FROM wc JOIN q ON wc.cell = q.q_cell AND wc.vec_id <> q.q_id),
+       |rk AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT q_id, vec_id, cos, rk FROM rk WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce"    -> q30KnnBruteforce _,
     "q31_ann_lsh"           -> q31AnnLsh _,
@@ -388,6 +521,7 @@ object Similarity {
     "q46_ann_ivf"           -> q46AnnIvf _,
     "q61_quantize_embeddings" -> q61QuantizeEmbeddings _,
     "q74_kmeans_round"      -> q74KmeansRound _,
+    "q90_ann_trained"       -> q90AnnTrained _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -397,5 +531,6 @@ object Similarity {
     "q46_ann_ivf"           -> q46Sql,
     "q61_quantize_embeddings" -> q61Sql,
     "q74_kmeans_round"      -> q74Sql,
+    "q90_ann_trained"       -> q90Sql,
   )
 }
