@@ -78,14 +78,66 @@ object Funnel {
   }
 
   /** The streaming funnel: per-user bounded-state sequence detection.
-    * State never times out here (a funnel is open-ended); a deployment
-    * that wants to bound the user universe adds an event-time timeout
-    * the same way Monitor.gauges wires its processing-time one. */
+    * Per-user state is three timestamps (bounded), but the USER UNIVERSE
+    * is not — on an open-ended stream use [[funnelProgressExpiring]],
+    * which evicts idle users by event-time timeout. This variant keeps
+    * every user forever and exists for exact agreement with batch q80
+    * over any replay window. */
   def funnelProgress(events: Dataset[FunnelEvent]): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
         OutputMode.Update(), GroupStateTimeout.NoTimeout)(stepFn)
+  }
+
+  /** Eviction wrapper around [[stepFn]]: identical funnel transitions
+    * while a user is active, plus an event-time eviction clock. Each
+    * batch with activity re-arms the timeout to (latest event time +
+    * idle gap); when the stream's watermark passes it, the user's
+    * state is dropped. Factored for direct TestGroupState coverage of
+    * the timeout branch. */
+  private[graft] def expiringStepFn(idleGapMs: Long)(
+      user: Long, events: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+    if (state.hasTimedOut) {
+      // idle past the gap: drop the state. No emission — eviction is a
+      // state-size decision, not a funnel event; a user who returns
+      // later simply restarts from scratch.
+      state.remove()
+      Iterator.empty
+    } else {
+      val evs = events.toSeq
+      val out = stepFn(user, evs.iterator, state)
+      if (state.exists) {
+        // re-arm on ANY activity (even non-advancing events prove the
+        // user is alive). Millisecond floor is fine here: the eviction
+        // clock is a horizon, not funnel ordering — stepFn keeps its
+        // micros. Clamp above the watermark: Spark rejects a timeout
+        // already in the past.
+        val lastActivityMs = evs.map(_.ts.getTime).max
+        state.setTimeoutTimestamp(
+          math.max(lastActivityMs + idleGapMs, state.getCurrentWatermarkMs + 1))
+      }
+      out
+    }
+  }
+
+  /** The production form at 100 TB: funnel detection with a BOUNDED
+    * user universe. Users idle longer than `idleGap` (in event time,
+    * judged against the watermark) are evicted; active users see
+    * byte-identical output to [[funnelProgress]] — the transition
+    * function is shared, eviction only removes state that the
+    * open-ended variant would have kept idle forever. */
+  def funnelProgressExpiring(events: Dataset[FunnelEvent],
+                             watermarkDelay: String,
+                             idleGap: java.time.Duration): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+        expiringStepFn(idleGap.toMillis))
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.api.java.Optional
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -509,6 +511,130 @@ class StreamingSpec extends SparkSpec {
         "sub-millisecond ordering must survive the state round-trip")
       assert(u3.getAs[java.sql.Timestamp]("click_ts").getNanos == 500000)
     } finally q.stop()
+  }
+
+  test("expiring funnel state fn: timeout evicts, activity re-arms, transitions shared") {
+    import graft.streaming.Funnel
+    val fn = Funnel.expiringStepFn(600000L) _ // 10 min idle gap
+    // timeout branch: state removed, nothing emitted
+    val stT = TestGroupState.create[Funnel.FunnelState](
+      Optional.of(Funnel.FunnelState(Some(1L), Some(2L), None)),
+      GroupStateTimeout.EventTimeTimeout, 1000L, Optional.of(5000L),
+      hasTimedOut = true)
+    assert(fn(1L, Iterator.empty, stT).isEmpty)
+    assert(stT.isRemoved, "idle user's state must be evicted")
+    // active branch: same transition as the non-expiring stepFn, and
+    // the eviction clock armed to last activity + gap
+    val stA = TestGroupState.create[Funnel.FunnelState](
+      Optional.empty[Funnel.FunnelState](), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(0L), hasTimedOut = false)
+    val out = fn(7L, Iterator(
+      Funnel.FunnelEvent(7L, "signup", ts("2024-01-01 10:00:00"))), stA).toList
+    assert(out.map(p => (p.user_id, p.steps)) == List((7L, 1)))
+    assert(stA.getTimeoutTimestampMs.get ==
+      ts("2024-01-01 10:00:00").getTime + 600000L)
+  }
+
+  test("expiring funnel e2e: watermark evicts idle user; active path matches q80 twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Funnel
+    val input = MemoryStream[Funnel.FunnelEvent]
+    val q = Funnel.funnelProgressExpiring(input.toDS(), "0 seconds",
+        java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("funnel_exp")
+      .outputMode("update").start()
+    try {
+      // batch 0: user 1 signs up and clicks → state armed to 10:05+10m
+      input.addData(
+        Funnel.FunnelEvent(1L, "signup", ts("2024-01-01 10:00:00")),
+        Funnel.FunnelEvent(1L, "click", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // batch 1: unrelated activity pushes the watermark to 11:00
+      input.addData(Funnel.FunnelEvent(2L, "signup", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // batch 2 (no user-1 data): watermark 11:00 > 10:15 → eviction fires
+      input.addData(Funnel.FunnelEvent(2L, "click", ts("2024-01-01 11:01:00")))
+      q.processAllAvailable()
+      // batch 3: user 1 returns with a bare purchase — state was evicted,
+      // so without signup/click it must NOT complete the funnel
+      input.addData(Funnel.FunnelEvent(1L, "purchase", ts("2024-01-01 11:05:00")))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_exp").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1 && u1.head.getAs[Int]("steps") == 2,
+        s"only the pre-eviction progress row may exist, got ${u1.toSeq}")
+      // user 2 stayed active throughout → normal progress to step 2
+      val u2 = spark.table("funnel_exp").collect()
+        .filter(_.getAs[Long]("user_id") == 2L).map(_.getAs[Int]("steps"))
+      assert(u2.sorted.toSeq == Seq(1, 2))
+    } finally q.stop()
+    // active-path parity: with no eviction in play, the expiring and
+    // open-ended variants emit identical rows for identical input
+    val a = MemoryStream[Funnel.FunnelEvent]
+    val b = MemoryStream[Funnel.FunnelEvent]
+    val qa = Funnel.funnelProgress(a.toDS())
+      .writeStream.format("memory").queryName("fp_plain").outputMode("update").start()
+    val qb = Funnel.funnelProgressExpiring(b.toDS(), "0 seconds",
+        java.time.Duration.ofDays(365))
+      .writeStream.format("memory").queryName("fp_exp").outputMode("update").start()
+    try {
+      val evs = Seq(
+        Funnel.FunnelEvent(5L, "signup", ts("2024-02-01 09:00:00")),
+        Funnel.FunnelEvent(5L, "click", ts("2024-02-01 09:10:00")),
+        Funnel.FunnelEvent(5L, "purchase", ts("2024-02-01 09:20:00")),
+        Funnel.FunnelEvent(6L, "click", ts("2024-02-01 09:00:00")))
+      a.addData(evs); b.addData(evs)
+      qa.processAllAvailable(); qb.processAllAvailable()
+      def rows(t: String) = spark.table(t).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("steps"),
+          r.getAs[Timestamp]("signup_ts"), r.getAs[Timestamp]("click_ts"),
+          r.getAs[Timestamp]("purchase_ts"))).toSet
+      assert(rows("fp_plain") == rows("fp_exp"),
+        "active users must see byte-identical output from both variants")
+      assert(rows("fp_plain").nonEmpty)
+    } finally { qa.stop(); qb.stop() }
+  }
+
+  test("streaming funnel state persists across batches on the RocksDB state store") {
+    // the 100 TB state backend (Session.withRocksDBStateStore): same
+    // funnel semantics, but per-user state lives in embedded RocksDB.
+    // The provider is read from session conf at query start, so it is
+    // set for this query and restored after.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Funnel
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Session.RocksDBProvider)
+    try {
+      val input = MemoryStream[Funnel.FunnelEvent]
+      val q = Funnel.funnelProgress(input.toDS())
+        .writeStream.format("memory").queryName("funnel_rocks")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          Funnel.FunnelEvent(1L, "signup", ts("2024-01-01 10:00:00")),
+          Funnel.FunnelEvent(1L, "click", ts("2024-01-01 10:05:00")))
+        q.processAllAvailable()
+        // second batch: the purchase only counts if the click state
+        // written to RocksDB in batch 0 is read back in batch 1
+        input.addData(Funnel.FunnelEvent(1L, "purchase", ts("2024-01-01 10:10:00")))
+        q.processAllAvailable()
+        val last = spark.table("funnel_rocks").collect()
+          .filter(_.getAs[Long]("user_id") == 1L).maxBy(_.getAs[Int]("steps"))
+        assert(last.getAs[Int]("steps") == 3,
+          "state must round-trip through RocksDB across micro-batches")
+        // prove the query really ran on RocksDB, not the default heap
+        // store: the state operator reports rocksdb custom metrics
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb state metrics, got ${metrics.keySet}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
 }
