@@ -16,6 +16,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q91: merged slice sketches and whole-corpus sketch both inside the error bound") {
+    val r = Sketches.q91SketchMerge(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val exact = row.getAs[Long]("exact_customers").toDouble
+    val merged = row.getAs[Long]("merged_estimate").toDouble
+    val whole = row.getAs[Long]("whole_estimate").toDouble
+    assert(exact > 0)
+    // the mergeability invariant: union-of-slice-sketches estimates as
+    // well as the one-pass sketch — both within the default-lgK HLL
+    // envelope (~1.6% rsd; 5% ≈ 3σ) of the exact count, so base ∪
+    // delta never needs a rescan of base
+    assert(math.abs(merged - exact) <= math.max(3.0, exact * 0.05),
+      s"merged=$merged exact=$exact")
+    assert(math.abs(whole - exact) <= math.max(3.0, exact * 0.05),
+      s"whole=$whole exact=$exact")
+    // and merge-vs-whole drift (the HIP-estimator fallback) stays far
+    // below the sketch's own error envelope
+    assert(math.abs(merged - whole) <= math.max(3.0, exact * 0.02),
+      s"merged=$merged whole=$whole")
+  }
+
   test("percentiles are ordered and bracket the group's range") {
     Sketches.q39Percentiles(spark, sf).collect().foreach { r =>
       val Seq(p25, p50, p75, p95) =
