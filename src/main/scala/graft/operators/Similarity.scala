@@ -514,6 +514,46 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q93
+  /** Contrastive hard-negative mining: for each query vector, the top-3
+    * most-similar vectors carrying a DIFFERENT label — the negatives
+    * closest to the decision boundary, which is exactly what a
+    * retrieval/embedding trainer pairs with its positives (random
+    * negatives are too easy to teach anything; these are the
+    * gradient-bearing ones). The label plays the role of the positive
+    * relation (same-source, same-cluster, clicked-for-same-query …).
+    *
+    * Scale shape: query side broadcast, corpus scanned once map-side
+    * (the ≠-label predicate prunes before any scoring), per-query
+    * top-k window — q30's exact-kNN plan with an inequality blocking
+    * predicate, and the same LSH/IVF cell restriction (q31/q46/q90)
+    * applies unchanged when the corpus outgrows a scan. */
+  def q93HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = normedVectors(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val q93Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+       |sc AS (SELECT q.q_id, e.vec_id, e.label,
+       |    round(${cosineSql("q.qv", "e.v")}, 6) AS cos
+       |  FROM e JOIN q ON e.label <> q.q_label),
+       |rk AS (SELECT q_id, vec_id, label, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT q_id, vec_id, label, cos, rk FROM rk WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce"    -> q30KnnBruteforce _,
     "q31_ann_lsh"           -> q31AnnLsh _,
@@ -522,6 +562,7 @@ object Similarity {
     "q61_quantize_embeddings" -> q61QuantizeEmbeddings _,
     "q74_kmeans_round"      -> q74KmeansRound _,
     "q90_ann_trained"       -> q90AnnTrained _,
+    "q93_hard_negatives"    -> q93HardNegatives _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -532,5 +573,6 @@ object Similarity {
     "q61_quantize_embeddings" -> q61Sql,
     "q74_kmeans_round"      -> q74Sql,
     "q90_ann_trained"       -> q90Sql,
+    "q93_hard_negatives"    -> q93Sql,
   )
 }

@@ -529,6 +529,122 @@ object TrainingData {
        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  private[graft] val packShards = 8
+  private[graft] val packBin = 256 // context-window capacity in tokens
+
+  /** Sequence-packing audit — the step between chunking (q55) and the
+    * trainer: documents are concatenated into fixed-capacity context
+    * windows ("bins"), and what a pipeline needs to know is how FULL
+    * the bins run and how many documents get SPLIT across a window
+    * boundary (a split document loses cross-boundary attention — the
+    * packing-efficiency/quality tradeoff every pretraining run tunes).
+    *
+    * Packing is inherently sequential, so the scale design shards
+    * first: docs hash to `packShards` independent streams (one per
+    * worker at 100 TB), each stream packs greedily in deterministic
+    * doc_id order via ONE exclusive-cumsum window per shard — the only
+    * shuffle. A doc's bin is its start offset div capacity; a doc
+    * crosses a boundary iff its first and last token land in different
+    * bins. Output: per shard, docs/tokens/bins, boundary crossings,
+    * and the mean fill of the shard's bins — all exact integers plus
+    * one audited ratio, so parity is unconditional. */
+  def q92SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(h60(concat(lit("pk:"), col("doc_id").cast("string"))), lit(packShards.toLong))
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = d
+      .withColumn("cum0", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("shard"), col("n"),
+        expr(s"cum0 div $packBin").as("bin0"),
+        expr(s"(cum0 + n - 1) div $packBin").as("bin1"))
+    placed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        (max(col("bin1")) + 1).as("n_bins"),
+        sum(when(col("bin0") =!= col("bin1"), 1L).otherwise(0L)).as("n_split_docs"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bins"),
+        col("n_split_docs"),
+        round(col("n_tokens").cast("double") / (col("n_bins") * packBin) + 1e-9, 6)
+          .as("fill_ratio"))
+      .orderBy(col("shard"))
+  }
+
+  val q92Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    ${h60Sql("'pk:'||doc_id")} % $packShards AS shard,
+       |    len(string_split(text, ' '))::BIGINT AS n
+       |  FROM documents),
+       |p AS (SELECT shard, n,
+       |    coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+       |  FROM d),
+       |b AS (SELECT shard, n,
+       |    cum0 // $packBin AS bin0, (cum0 + n - 1) // $packBin AS bin1
+       |  FROM p)
+       |SELECT shard, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
+       |  (max(bin1) + 1)::BIGINT AS n_bins,
+       |  sum(CASE WHEN bin0 <> bin1 THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+       |  round(sum(n)::DOUBLE / ((max(bin1) + 1) * $packBin) + 1e-9, 6) AS fill_ratio
+       |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  private val wsampleK = 25
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each doc draws a reproducible uniform
+    * u = (h60("ws:"||doc_id) + 1) / 2⁶⁰ ∈ (0, 1] and the top-k docs by
+    * key = ln(u)/w (w = token count) are exactly a weight-proportional
+    * sample without replacement — longer documents proportionally more
+    * likely, yet every decision is a pure function of the row key (no
+    * rand(): retries, repartitions, and the oracle all agree). This is
+    * the importance-sampling primitive behind mixture reweighting when
+    * the unit is tokens rather than documents (q54 samples per-DOC).
+    *
+    * Scale shape: keys are map-side; the only reduction is the global
+    * top-k, which Spark plans as TakeOrderedAndProject (per-partition
+    * heaps, no full sort, no shuffle of non-winners). Determinism:
+    * h+1 ≤ 2⁶⁰ and the divisor is a power of two, so u is an EXACT
+    * double; ln() and one division are correctly-rounded in both
+    * engines (the q65/q78 precedent) and the ranking compares
+    * bit-identical doubles. */
+  def q94WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val two60 = math.pow(2.0, 60) // exact: power of two
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        ((h60(concat(lit("ws:"), col("doc_id").cast("string"))) + 1L).cast("double")
+          / two60).as("u"))
+    val keyed = d.select(col("doc_id"), col("source"), col("n_tokens"),
+      (log(col("u")) / col("n_tokens")).as("wkey"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heaps, non-winners never shuffle), THEN rank the k survivors — a
+    // global row_number window over the full corpus would drag every row
+    // into one partition
+    val top = keyed.orderBy(col("wkey").desc, col("doc_id")).limit(wsampleK)
+    top
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("wkey").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("source"), col("n_tokens"),
+        round(col("wkey") + 1e-12, 9).as("wkey"))
+      .orderBy(col("rk"))
+  }
+
+  val q94Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    (${h60Sql("'ws:'||doc_id")} + 1)::DOUBLE / ${math.pow(2.0, 60)} AS u
+       |  FROM documents),
+       |k AS (SELECT doc_id, source, n_tokens, ln(u) / n_tokens AS wkey FROM d),
+       |r AS (SELECT *, row_number() OVER (ORDER BY wkey DESC, doc_id) AS rk FROM k)
+       |SELECT rk, doc_id, source, n_tokens,
+       |  round(wkey + 1e-12, 9) AS wkey
+       |FROM r WHERE rk <= $wsampleK ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_sample" -> q54StratifiedSample _,
     "q55_chunking"          -> q55Chunking _,
@@ -538,6 +654,8 @@ object TrainingData {
     "q70_bpe_merges"        -> q70BpeMerges _,
     "q72_cdc_chunking"      -> q72CdcChunking _,
     "q79_dupgram_coverage"  -> q79DupgramCoverage _,
+    "q92_sequence_pack"     -> q92SequencePack _,
+    "q94_weighted_sample"   -> q94WeightedSample _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -549,5 +667,7 @@ object TrainingData {
     "q70_bpe_merges"        -> q70Sql,
     "q72_cdc_chunking"      -> q72Sql,
     "q79_dupgram_coverage"  -> q79Sql,
+    "q92_sequence_pack"     -> q92Sql,
+    "q94_weighted_sample"   -> q94Sql,
   )
 }

@@ -160,6 +160,25 @@ class TextDedupSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(2) <= bf1(r.getLong(0)) + 1e-9))
   }
 
+  test("q93 hard negatives: labels always differ from the query's, never beat exact top-1") {
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val rows = Similarity.q93HardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) != labels(r.getLong(0)),
+        s"negative ${r.getLong(1)} shares the query's label")
+    }
+    // a hard negative is drawn from a subset of q30's candidate pool,
+    // so its cosine can never exceed the exact unrestricted top-1
+    val bf1 = Similarity.q30KnnBruteforce(spark, sf).collect()
+      .filter(_.getInt(4 - 1) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_.getAs[Int]("rk") == 1).foreach { r =>
+      assert(r.getDouble(3) <= bf1(r.getLong(0)) + 1e-9)
+    }
+  }
+
   test("LSH ANN results are a subset of each query's bucket and cosine-ranked") {
     val ann = Similarity.q31AnnLsh(spark, sf).collect()
     // approximate: fewer or equal results vs brute force, never a higher top-1

@@ -39,6 +39,53 @@ class TrainingDataSpec extends SparkSpec {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  test("q92 sequence packing matches a from-first-principles Scala recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+    val bin = TrainingData.packBin.toLong
+    val expected = docs
+      .map { case (id, n) => (h60s(s"pk:$id") % TrainingData.packShards, id, n) }
+      .groupBy(_._1).toSeq
+      .map { case (sh, rows) =>
+        var cum = 0L; var splitDocs = 0L; var bins = 0L; var tok = 0L
+        rows.sortBy(_._2).foreach { case (_, _, n) =>
+          if (cum / bin != (cum + n - 1) / bin) splitDocs += 1
+          bins = math.max(bins, (cum + n - 1) / bin + 1)
+          tok += n; cum += n
+        }
+        (sh, rows.length.toLong, tok, bins, splitDocs)
+      }.sortBy(_._1)
+    val got = TrainingData.queries("q92_sequence_pack")(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == expected)
+    got.foreach { r =>
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill > 0.0 && fill <= 1.0, s"fill ratio out of range: $fill")
+      assert(r.getLong(4) <= r.getLong(1), "split docs bounded by doc count")
+    }
+  }
+
+  test("q94 weighted sampling matches a from-first-principles A-ES recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+    val expected = docs.map { case (id, n) =>
+      val u = (h60s(s"ws:$id") + 1).toDouble / math.pow(2, 60)
+      (id, math.log(u) / n, n)
+    }.sortBy { case (id, k, _) => (-k, id) }.take(25)
+    val got = TrainingData.queries("q94_weighted_sample")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == expected.map(_._1).toSeq,
+      "A-ES top-k must match the independent recompute, in order")
+    // invariants: dense ranks, no repeats (without replacement), and
+    // every key ≤ 0 (ln of u ∈ (0,1] divided by a positive weight) —
+    // NOT a mean-length claim: one k-sized draw under mildly varying
+    // weights carries sampling noise larger than the weighting effect
+    assert(got.map(_.getAs[Int]("rk")).toSeq == (1 to 25))
+    assert(got.map(_.getAs[Long]("doc_id")).distinct.length == 25)
+    assert(got.forall(_.getAs[Double]("wkey") <= 0.0))
+  }
+
   test("q60 decontamination matches a from-first-principles Scala recompute") {
     // sf0.01, not the usual sf0.001 fixture: the smallest corpus has ZERO
     // contaminated test docs, which would make this comparison vacuously
