@@ -448,7 +448,10 @@ object Similarity {
   }
 
   def q90AnnTrained(spark: SparkSession, dir: String): DataFrame = {
-    val eq = codedVectors(spark, dir)
+    // materialize the codes once: three training rounds + the seed
+    // collect would otherwise re-run the parquet scan + code projection
+    // per round (the q71/q56 localCheckpoint lesson)
+    val eq = codedVectors(spark, dir).localCheckpoint(true)
     val seeds: Array[(Long, Seq[Long])] = eq
       .filter(col("vec_id") >= 100 && col("vec_id") < 116)
       .collect()
