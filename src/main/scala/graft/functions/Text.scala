@@ -479,6 +479,129 @@ object Text {
        |  min(pseudonym) AS sample_pseudonym
        |FROM p GROUP BY ROLLUP (c_mktsegment) ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Interpolated BIGRAM LM perplexity — q78's unigram filter upgraded
+    * to the model CCNet-class pipelines actually use for quality
+    * scoring: P(w₂|w₁) = 0.7·c(w₁w₂)/c(w₁) + 0.3·c(w₂)/N (Jelinek–
+    * Mercer smoothing, so unseen-in-context words fall back to the
+    * unigram prior instead of −∞). Per-doc NLL per bigram; docs with
+    * fewer than 2 tokens have no bigrams and are excluded in both
+    * engines.
+    *
+    * Scale shape: corpus statistics are two aggregates (bigram counts
+    * ∝ distinct-bigram vocabulary, unigram counts ∝ vocabulary); the
+    * per-doc (doc, bigram) shuffle is bounded by distinct bigrams per
+    * doc. Join strategies stay AQE-chosen — the unigram table is
+    * broadcast-tiny, the bigram table is vocab²-bounded and must be
+    * allowed to degrade to a shuffle join at corpus scale (no hints).
+    * Determinism: per-doc parts folded in sorted (w₁, w₂) order (the
+    * q65/q78 discipline); each part is one ln over ratios of exact
+    * integers — bit-identical cross-engine. */
+  def q95BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val t2 = tokenizedDocs(spark, dir).filter(col("dl") >= 2)
+    val pairs = t2.select(col("doc_id"), (col("dl") - 1).as("nb"),
+        explode(transform(sequence(lit(1), col("dl") - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("nb"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val dbf = pairs.groupBy(col("doc_id"), col("nb"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = dbf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cb"))
+    val uni = tokenizedDocs(spark, dir)
+      .select(explode(col("tk")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("nu"))
+    val p = dbf
+      .join(cb, Seq("w1", "w2"))
+      .join(uni.select(col("term").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("nb"),
+        struct(col("w1"), col("w2"),
+          (col("tf") * log(lit(0.7) * col("cb") / col("cu1")
+            + lit(0.3) * col("cu2") / col("nu"))).as("part")).as("p"))
+    p.groupBy(col("doc_id"), col("nb"))
+      .agg(round(-aggregate(sort_array(collect_list(col("p"))), lit(0.0),
+        (acc, x) => acc + x.getField("part")) / col("nb") + 1e-9, 4).as("nll"))
+      .select(col("doc_id"), col("nb").as("n_bigrams"), col("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q95Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |t2 AS (SELECT doc_id, len(tk) - 1 AS nb, tk FROM tk WHERE len(tk) >= 2),
+      |pr AS (SELECT doc_id, nb, tk, unnest(range(1, nb + 1)) AS i FROM t2),
+      |pw AS (SELECT doc_id, nb, tk[i] AS w1, tk[i+1] AS w2 FROM pr),
+      |dbf AS (SELECT doc_id, nb, w1, w2, count(*) AS tf FROM pw GROUP BY 1, 2, 3, 4),
+      |cb AS (SELECT w1, w2, sum(tf)::BIGINT AS cb FROM dbf GROUP BY 1, 2),
+      |uni AS (SELECT term, count(*) AS cu
+      |  FROM (SELECT unnest(tk) AS term FROM tk) GROUP BY 1),
+      |tot AS (SELECT sum(cu)::BIGINT AS nu FROM uni),
+      |parts AS (SELECT dbf.doc_id, dbf.nb,
+      |    {'w1': dbf.w1, 'w2': dbf.w2,
+      |     'part': dbf.tf * ln(0.7 * cb.cb / u1.cu + 0.3 * u2.cu / tot.nu)} AS p
+      |  FROM dbf JOIN cb ON dbf.w1 = cb.w1 AND dbf.w2 = cb.w2
+      |  JOIN uni u1 ON dbf.w1 = u1.term
+      |  JOIN uni u2 ON dbf.w2 = u2.term
+      |  CROSS JOIN tot)
+      |SELECT doc_id, any_value(nb)::BIGINT AS n_bigrams,
+      |  round(-list_reduce(list_prepend(0.0,
+      |      list_transform(list_sort(list(p)), x -> x.part)), (a, b) -> a + b)
+      |    / any_value(nb) + 1e-9, 4) AS nll
+      |FROM parts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the domain-shift diagnostic a data-mixing pipeline reads before
+    * setting q54/q64's mixture weights: a source whose token
+    * distribution sits far from the corpus (here: the language-marked
+    * sources) contributes disproportionate distribution shift per
+    * sampled token. KL(pₛ‖p_c) = Σ_t pₛ(t)·ln(pₛ(t)/p_c(t)) — finite
+    * by construction since every source term is a corpus term.
+    *
+    * Shape: ONE (source, term) aggregate feeds everything (corpus
+    * counts derive from it by a second, vocab-sized aggregate); the
+    * join back is vocabulary-sized. Per-source sum folded in sorted
+    * term order for cross-engine bit-identity. */
+  def q96SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cst"))
+    val stot = st.groupBy(col("source")).agg(sum(col("cst")).as("ns"))
+    val ct = st.groupBy(col("term")).agg(sum(col("cst")).as("ct"))
+    val ctot = ct.agg(sum(col("ct")).as("nc"))
+    val ps = col("cst").cast("double") / col("ns")
+    val pc = col("ct").cast("double") / col("nc")
+    st.join(ct, "term")
+      .join(stot, "source")
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("ns"),
+        struct(col("term"), (ps * log(ps / pc)).as("part")).as("p"))
+      .groupBy(col("source"))
+      .agg(min(col("ns")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        round(aggregate(sort_array(collect_list(col("p"))), lit(0.0),
+          (acc, x) => acc + x.getField("part")) + 1e-9, 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val q96Sql: String =
+    """WITH st AS (SELECT source, term, count(*) AS cst
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1, 2),
+      |stot AS (SELECT source, sum(cst)::BIGINT AS ns FROM st GROUP BY 1),
+      |ct AS (SELECT term, sum(cst)::BIGINT AS ct FROM st GROUP BY 1),
+      |ctot AS (SELECT sum(ct)::BIGINT AS nc FROM ct),
+      |parts AS (SELECT st.source, stot.ns,
+      |    {'term': st.term,
+      |     'part': (st.cst::DOUBLE / stot.ns)
+      |       * ln((st.cst::DOUBLE / stot.ns) / (ct.ct::DOUBLE / ctot.nc))} AS p
+      |  FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot)
+      |SELECT source, min(ns)::BIGINT AS n_tokens, count(*) AS n_terms,
+      |  round(list_reduce(list_prepend(0.0,
+      |      list_transform(list_sort(list(p)), x -> x.part)), (a, b) -> a + b)
+      |    + 1e-9, 6) AS kl
+      |FROM parts GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats"   -> q21TokenStats _,
     "q22_quality_score" -> q22QualityScore _,
@@ -489,6 +612,8 @@ object Text {
     "q65_bm25"          -> q65Bm25 _,
     "q78_perplexity"    -> q78Perplexity _,
     "q89_pseudonymize"  -> q89Pseudonymize _,
+    "q95_bigram_lm"     -> q95BigramLm _,
+    "q96_source_divergence" -> q96SourceDivergence _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -501,5 +626,7 @@ object Text {
     "q65_bm25"          -> q65Sql,
     "q78_perplexity"    -> q78Sql,
     "q89_pseudonymize"  -> q89Sql,
+    "q95_bigram_lm"     -> q95Sql,
+    "q96_source_divergence" -> q96Sql,
   )
 }

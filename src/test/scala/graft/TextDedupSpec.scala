@@ -160,6 +160,37 @@ class TextDedupSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(2) <= bf1(r.getLong(0)) + 1e-9))
   }
 
+  test("q95 bigram LM: positive NLLs, and it models the corpus better than the unigram LM") {
+    val bi = Text.q95BigramLm(spark, sf).collect()
+    assert(bi.nonEmpty)
+    assert(bi.forall(_.getAs[Double]("nll") > 0.0),
+      "every interpolated probability is < 1, so NLL must be positive")
+    // the reason to pay for bigram statistics: conditioning on the
+    // previous token must lower average NLL vs q78's unigram model on
+    // the same corpus (if it didn't, the bigram LM would be broken)
+    val uni = Text.q78Perplexity(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    val biAvg = bi.map(_.getAs[Double]("nll")).sum / bi.length
+    val uniAvg = bi.map(r => uni(r.getAs[Long]("doc_id"))).sum / bi.length
+    assert(biAvg < uniAvg,
+      s"bigram avg NLL $biAvg should beat unigram $uniAvg on the same docs")
+  }
+
+  test("q96 source KL: nonnegative everywhere, token accounting conserves") {
+    val rows = Text.q96SourceDivergence(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl") >= 0.0,
+        s"KL must be nonnegative (Gibbs), got ${r.getAs[Double]("kl")} for ${r.getString(0)}")
+    }
+    assert(rows.exists(_.getAs[Double]("kl") > 0.0),
+      "sources with language markers must diverge from the corpus mix")
+    val corpusTokens = graft.sources.Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == corpusTokens)
+  }
+
   test("q93 hard negatives: labels always differ from the query's, never beat exact top-1") {
     val labels = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
