@@ -44,19 +44,20 @@ object Bench {
     }
     // min of two runs per query: steady-state cost, not first-run JIT.
     // Spread (|a-b|) is reported per query so a noisy measurement is
-    // visible as noise instead of masquerading as a regression.
+    // visible as noise instead of masquerading as a regression. A
+    // failure in EITHER run reports -1 (never a valid-looking time next
+    // to an errors entry).
     val spreads = scala.collection.mutable.Map[String, Double]()
-    def time(name: String,
-             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeBoth(name: String, once: () => Double): Double = {
       quiesce()
-      val a = runOnce(name, fn)
-      if (a < 0) { spreads(name) = -1.0; a }
-      else {
-        val b = runOnce(name, fn)
-        if (b < 0) { spreads(name) = -1.0; a }
-        else { spreads(name) = math.abs(a - b); math.min(a, b) }
-      }
+      val a = once()
+      val b = if (a < 0) -1.0 else once()
+      if (a < 0 || b < 0) { spreads(name) = -1.0; -1.0 }
+      else { spreads(name) = math.abs(a - b); math.min(a, b) }
     }
+    def time(name: String,
+             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timeBoth(name, () => runOnce(name, fn))
     // the reference's whole job — geo ingest → envelope → routed sink —
     // as one timed streaming pass over the events table. min-of-2 with a
     // fresh checkpoint + source dir per run, same discipline as batch.
@@ -88,16 +89,8 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> time(name, fn)
-    } ++ Map("s01_stream_envelope" -> {
-      quiesce()
-      val a = streamOnce()
-      if (a < 0) { spreads("s01_stream_envelope") = -1.0; a }
-      else {
-        val b = streamOnce()
-        if (b < 0) { spreads("s01_stream_envelope") = -1.0; a }
-        else { spreads("s01_stream_envelope") = math.abs(a - b); math.min(a, b) }
-      }
-    })
+    } ++ Map("s01_stream_envelope" ->
+      timeBoth("s01_stream_envelope", () => streamOnce()))
     val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }
       .mkString("{", ",", "}")
     val sp = results.keys.map { k =>

@@ -40,10 +40,15 @@ object Session {
   val RocksDBProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** The exact conf pairs [[withRocksDBStateStore]] applies — exposed so
+    * the spec runs its query under the SAME pairs (a builder-only helper
+    * would otherwise be dead code whose keys nothing ever validates). */
+  val rocksDBConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" -> RocksDBProvider,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   def withRocksDBStateStore(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+    rocksDBConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -107,17 +107,21 @@ object Graph {
     * nodes (none in a symmetrized graph) would leak rank mass — the
     * standard simplification, noted not patched. */
   /** One PageRank superstep: edge⋈rank on src, Σ integer contributions
-    * keyed by dst, damped fixed-point update. Factored so the spec can
-    * drive it over a hand-built graph. */
-  private[graft] def pagerankStep(edgesD: DataFrame, nodes: DataFrame,
-                                  ranks: DataFrame): DataFrame = {
+    * keyed by dst, damped fixed-point update. The rank frame doubles as
+    * the node set (it carries every node each superstep), and the
+    * output carries `r_prev` so the convergence probe is a filter over
+    * the materialized superstep — not a second join job. Factored so
+    * the spec can drive it over a hand-built graph. */
+  private[graft] def pagerankStep(edgesD: DataFrame, ranks: DataFrame): DataFrame = {
     val contrib = edgesD
       .join(ranks, edgesD("src") === ranks("node"))
       .groupBy(col("dst"))
       .agg(sum(expr("r div od")).as("m"))
-    nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+    ranks.select(col("node"), col("r").as("r_prev"))
+      .join(contrib, col("node") === col("dst"), "left")
       .select(col("node"),
-        (lit(scale * 15 / 100) + expr("85 * coalesce(m, 0L) div 100")).as("r"))
+        (lit(scale * 15 / 100) + expr("85 * coalesce(m, 0L) div 100")).as("r"),
+        col("r_prev"))
   }
 
   private[graft] val pagerankMaxIters = 8
@@ -129,17 +133,17 @@ object Graph {
     * ranks and the number of supersteps executed — factored so the
     * spec can assert the fixpoint stop on a known graph (a d-regular
     * graph converges after ONE superstep: every node keeps rank 10⁶). */
-  private[graft] def pagerankConverge(edgesD: DataFrame, nodes: DataFrame,
-                                      r0: DataFrame, maxIters: Int): (DataFrame, Int) = {
+  private[graft] def pagerankConverge(edgesD: DataFrame, r0: DataFrame,
+                                      maxIters: Int): (DataFrame, Int) = {
     var ranks = r0.localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val next = pagerankStep(edgesD, nodes, ranks).localCheckpoint(true)
-      val prev = ranks.select(col("node").as("p_node"), col("r").as("p_r"))
-      converged = next.join(prev, col("node") === col("p_node"))
-        .filter(col("r") =!= col("p_r")).isEmpty
-      ranks = next
+      val next = pagerankStep(edgesD, ranks).localCheckpoint(true)
+      // probe = one scan of the checkpointed superstep (r_prev rides
+      // along in the step output), not a join job
+      converged = next.filter(col("r") =!= col("r_prev")).isEmpty
+      ranks = next.select(col("node"), col("r"))
       iter += 1
     }
     (ranks, iter)
@@ -151,7 +155,7 @@ object Graph {
     val edgesD = e.join(deg, "src").localCheckpoint(true)
     val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint(true)
     val r0 = nodes.select(col("node"), lit(scale).as("r"))
-    val (ranks, _) = pagerankConverge(edgesD, nodes, r0, pagerankMaxIters)
+    val (ranks, _) = pagerankConverge(edgesD, r0, pagerankMaxIters)
     ranks
       .select(col("node"),
         when(col("node") % 2 === 0, "S").otherwise("C").as("kind"),

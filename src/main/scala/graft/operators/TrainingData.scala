@@ -607,11 +607,13 @@ object TrainingData {
     *
     * Scale shape: keys are map-side; the only reduction is the global
     * top-k, which Spark plans as TakeOrderedAndProject (per-partition
-    * heaps, no full sort, no shuffle of non-winners). Determinism:
-    * h+1 ≤ 2⁶⁰ and the divisor is a power of two, so u is an EXACT
-    * double; ln() and one division are correctly-rounded in both
-    * engines (the q65/q78 precedent) and the ranking compares
-    * bit-identical doubles. */
+    * heaps, no full sort, no shuffle of non-winners). Determinism
+    * rests on IDENTICAL ROUNDING, not exactness: h+1 can exceed
+    * double's 53-bit mantissa, so the bigint→double cast rounds — but
+    * both engines (and the spec's MessageDigest recompute) perform the
+    * same correctly-rounded cast, power-of-two division, ln(), and
+    * divide, so the ranking compares bit-identical doubles. A
+    * higher-precision recompute would legitimately disagree. */
   def q94WeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val two60 = math.pow(2.0, 60) // exact: power of two
     val d = Tables.documents(spark, dir)

@@ -200,6 +200,21 @@ object Ingest {
       to_json(struct(col("id"), col("text"), col("region"), col("region_data")))
         .cast("binary").as("value"))
 
+  /** Inverse of [[kafkaShaped]]: parse `(topic, key, value)` wire rows
+    * (from the wire sink's files, or from a real
+    * `readStream.format("kafka")` source — same columns) back into the
+    * envelope fields plus the partitioning key. Malformed payloads
+    * yield null envelope fields (from_json contract), mirroring the
+    * reference's tolerant demux. */
+  def decodeWire(df: DataFrame): DataFrame =
+    df.select(
+      col("topic"),
+      col("key").cast("string").as("key_s"),
+      from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id STRING, text STRING, region STRING, region_data STRING")).as("j"))
+      .select(col("topic"), col("key_s"), col("j.*"))
+
   /** O7 (Kafka wire, broker stand-in): the [[kafkaShaped]] rows written
     * through a STARTED exactly-once sink, one directory per topic —
     * byte-for-byte what the Kafka sink would ship per partition

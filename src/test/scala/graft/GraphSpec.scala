@@ -15,14 +15,14 @@ class GraphSpec extends SparkSpec {
       .withColumn("od", lit(1L))
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
-    val r1 = graft.operators.Graph.pagerankStep(edges, nodes, r0)
+    val r1 = graft.operators.Graph.pagerankStep(edges, r0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1 == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L),
       s"cycle is the fixed point of the damped update, got $r1")
     // star 1→{2,3}: od(1)=2; node 1 gets no inflow → base 150000;
     // nodes 2,3 get 150000 + 85*(1000000 div 2) div 100 = 575000
     val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst").withColumn("od", lit(2L))
-    val r1s = graft.operators.Graph.pagerankStep(star, nodes, r0)
+    val r1s = graft.operators.Graph.pagerankStep(star, r0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1s == Map(1L -> 150000L, 2L -> 575000L, 3L -> 575000L), s"got $r1s")
   }
@@ -36,7 +36,7 @@ class GraphSpec extends SparkSpec {
     val nodes = Seq(1L, 2L, 3L).toDF("node")
     val r0 = nodes.select(col("node"), lit(1000000L).as("r"))
     val (ranks, iters) =
-      graft.operators.Graph.pagerankConverge(edges, nodes, r0, 8)
+      graft.operators.Graph.pagerankConverge(edges, r0, 8)
     assert(iters == 1, s"regular graph must converge in one superstep, ran $iters")
     val rs = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rs == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L), s"got $rs")
@@ -45,7 +45,7 @@ class GraphSpec extends SparkSpec {
     // non-regular graph takes ~1/(1-d) steps)
     val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst").withColumn("od", lit(2L))
     val (_, starIters) =
-      graft.operators.Graph.pagerankConverge(star, nodes, r0, 3)
+      graft.operators.Graph.pagerankConverge(star, r0, 3)
     assert(starIters == 3, s"non-fixpoint graph must run to the cap, ran $starIters")
   }
 

@@ -160,13 +160,7 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == expected.count())
     // decode the value payloads: JSON envelope fields, topic/region
     // routing consistent, key bytes = id bytes (Kafka partitioning key)
-    val decoded = written.select(col("topic"),
-        col("key").cast("string").as("key_s"),
-        from_json(col("value").cast("string"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "id STRING, text STRING, region STRING, region_data STRING")).as("j"))
-      .select(col("topic"), col("key_s"), col("j.*"))
-      .collect()
+    val decoded = Ingest.decodeWire(written).collect()
     assert(decoded.nonEmpty)
     decoded.foreach { r =>
       assert(r.getAs[String]("id") == r.getAs[String]("key_s"))
@@ -604,9 +598,11 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.Funnel
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, Session.RocksDBProvider)
+    // apply the exact pairs Session.withRocksDBStateStore ships (provider
+    // + changelog checkpointing), so the helper's config is what runs
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val input = MemoryStream[Funnel.FunnelEvent]
       val q = Funnel.funnelProgress(input.toDS())
@@ -631,9 +627,9 @@ class StreamingSpec extends SparkSpec {
         assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
           s"expected rocksdb state metrics, got ${metrics.keySet}")
       } finally q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -40,9 +40,12 @@ class TrainingDataSpec extends SparkSpec {
   }
 
   test("q92 sequence packing matches a from-first-principles Scala recompute") {
+    // split(_, -1): keep trailing empty tokens, matching Spark split /
+    // DuckDB string_split semantics (Java's 1-arg split drops them —
+    // the recompute must count tokens the way the engines do)
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
     val bin = TrainingData.packBin.toLong
     val expected = docs
       .map { case (id, n) => (h60s(s"pk:$id") % TrainingData.packShards, id, n) }
@@ -69,7 +72,7 @@ class TrainingDataSpec extends SparkSpec {
   test("q94 weighted sampling matches a from-first-principles A-ES recompute") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
     val expected = docs.map { case (id, n) =>
       val u = (h60s(s"ws:$id") + 1).toDouble / math.pow(2, 60)
       (id, math.log(u) / n, n)
