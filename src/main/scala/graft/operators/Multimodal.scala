@@ -183,15 +183,66 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Content-addressable payload dedup audit — the storage answer for a
+    * 100 TB media lake: payloads keyed by content hash are stored ONCE;
+    * this query reports, per modality, how many payloads collapse and
+    * how many bytes a CAS layout reclaims (`logical` = bytes as
+    * referenced, `physical` = bytes stored once per distinct hash).
+    * This is q25's exact-dedup move applied to BINARY columns, where
+    * the payoff is storage, not training quality.
+    *
+    * Scale shape: the payload itself never shuffles — only its hash
+    * and length reach the two hash-keyed aggregates (first per
+    * (modality, hash), then per modality). Exactly how a real CAS
+    * ingest dedups: hash map-side, reduce on digests. */
+  def q97MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir).select(
+      mediaTypeCol(col("source")).as("media_type"),
+      md5(col("text").cast("binary")).as("h"),
+      octet_length(col("text").cast("binary")).cast("long").as("nb"))
+    m.groupBy(col("media_type"), col("h"))
+      // nb is a function of the hash (same bytes → same length): min is
+      // a no-op aggregator that keeps the column through the group
+      .agg(count(lit(1)).as("n"), min(col("nb")).as("nb"))
+      .groupBy(col("media_type"))
+      .agg(sum(col("n")).as("n_payloads"),
+        count(lit(1)).as("n_unique"),
+        sum(col("n") * col("nb")).as("logical_bytes"),
+        sum(col("nb")).as("physical_bytes"))
+      .select(col("media_type"), col("n_payloads"), col("n_unique"),
+        (col("n_payloads") - col("n_unique")).as("n_dup"),
+        col("logical_bytes"), col("physical_bytes"),
+        round(col("physical_bytes").cast("double") / col("logical_bytes") + 1e-9, 6)
+          .as("stored_frac"))
+      .orderBy(col("media_type"))
+  }
+
+  val q97Sql: String =
+    s"""WITH m AS (SELECT ${mediaTypeSql("source")} AS media_type,
+       |    md5(text) AS h, octet_length(text::BLOB)::BIGINT AS nb
+       |  FROM documents),
+       |g AS (SELECT media_type, h, count(*) AS n, min(nb) AS nb
+       |  FROM m GROUP BY 1, 2)
+       |SELECT media_type, sum(n)::BIGINT AS n_payloads,
+       |  count(*) AS n_unique,
+       |  (sum(n) - count(*))::BIGINT AS n_dup,
+       |  sum(n * nb)::BIGINT AS logical_bytes,
+       |  sum(nb)::BIGINT AS physical_bytes,
+       |  round(sum(nb)::DOUBLE / sum(n * nb) + 1e-9, 6) AS stored_frac
+       |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_metadata"  -> q37MediaMetadata _,
     "q38_frame_sample"    -> q38FrameSample _,
     "q52_decode_features" -> q52DecodeFeatures _,
+    "q97_media_dedup"     -> q97MediaDedup _,
   )
 
   val oracle: Map[String, String] = Map(
     "q37_media_metadata"  -> q37Sql,
     "q38_frame_sample"    -> q38Sql,
     "q52_decode_features" -> q52Sql,
+    "q97_media_dedup"     -> q97Sql,
   )
 }

@@ -142,14 +142,43 @@ object Sketches {
           / col("exact_customers"), 6).as("rel_err"))
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Sketch-based JOIN-KEY overlap estimation — the optimizer statistic
+    * behind join planning at 100 TB: how many distinct customer keys do
+    * `orders` and `customer` share? Exact inclusion–exclusion over HLL
+    * sketches (|A∩B| ≈ est(A) + est(B) − est(A∪B)) needs one scan per
+    * side and constant memory, vs the exact semi-join's full shuffle.
+    * One audit row: per-side estimates, union estimate, derived overlap
+    * estimate, the exact overlap, and relative error. Rows-only gate
+    * (approximate — q40's rule); SketchesSpec bounds the error. */
+  def q98JoinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val oKeys = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    val cKeys = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+    val sk = oKeys.agg(hll_sketch_agg(col("k")).as("sk"))
+      .unionAll(cKeys.agg(hll_sketch_agg(col("k")).as("sk")))
+    val ests = oKeys.agg(hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_orders"))
+      .crossJoin(cKeys.agg(hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_customer")))
+      .crossJoin(sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union")))
+    val exact = cKeys.join(oKeys, cKeys("k") === oKeys("k"), "left_semi")
+      .agg(countDistinct(col("k")).as("exact_overlap"))
+    ests.crossJoin(exact)
+      .select(col("est_orders"), col("est_customer"), col("est_union"),
+        (col("est_orders") + col("est_customer") - col("est_union")).as("est_overlap"),
+        col("exact_overlap"),
+        round(abs(col("est_orders") + col("est_customer") - col("est_union")
+          - col("exact_overlap")).cast("double") / col("exact_overlap"), 6)
+          .as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"     -> q39Percentiles _,
     "q40_approx_distinct" -> q40ApproxDistinct _,
     "q59_profile"         -> q59Profile _,
     "q91_sketch_merge"    -> q91SketchMerge _,
+    "q98_join_card_estimate" -> q98JoinCardEstimate _,
   )
 
-  /** q40 and q91 intentionally absent — see their docs (approximate). */
+  /** q40, q91, and q98 intentionally absent — see their docs (approximate). */
   val oracle: Map[String, String] = Map(
     "q39_percentiles" -> q39Sql,
     "q59_profile"     -> q59Sql,

@@ -29,4 +29,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAll(media).rdd.getNumPartitions ==
       media.rdd.getNumPartitions)
   }
+
+  test("q97 CAS dedup accounting: payload counts conserve, physical never exceeds logical") {
+    val rows = Multimodal.q97MediaDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_payloads"))
+      assert(r.getAs[Long]("n_dup")
+        == r.getAs[Long]("n_payloads") - r.getAs[Long]("n_unique"))
+      assert(r.getAs[Long]("physical_bytes") <= r.getAs[Long]("logical_bytes"))
+      val f = r.getAs[Double]("stored_frac")
+      assert(f > 0.0 && f <= 1.0 + 1e-9)
+    }
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_payloads")).sum == total,
+      "every document's payload must appear in exactly one modality row")
+  }
 }

@@ -38,6 +38,23 @@ class SketchesSpec extends SparkSpec {
       s"merged=$merged whole=$whole")
   }
 
+  test("q98: sketch-estimated join-key overlap lands within the HLL envelope of exact") {
+    val r = Sketches.q98JoinCardEstimate(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val exact = row.getAs[Long]("exact_overlap").toDouble
+    val est = row.getAs[Long]("est_overlap").toDouble
+    assert(exact > 0)
+    // inclusion-exclusion compounds three sketch errors — allow 3× the
+    // single-sketch envelope used for q91
+    assert(math.abs(est - exact) <= math.max(9.0, exact * 0.15),
+      s"estimated overlap $est too far from exact $exact")
+    // the estimate can never exceed either side's estimate by more than
+    // union noise (overlap ⊆ each side)
+    assert(est <= math.min(row.getAs[Long]("est_orders"),
+      row.getAs[Long]("est_customer")) + math.max(9.0, exact * 0.15))
+  }
+
   test("percentiles are ordered and bracket the group's range") {
     Sketches.q39Percentiles(spark, sf).collect().foreach { r =>
       val Seq(p25, p50, p75, p95) =
