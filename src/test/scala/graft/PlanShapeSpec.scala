@@ -123,6 +123,40 @@ class PlanShapeSpec extends SparkSpec {
       s"AQE should broadcast every closure join at this SF, got ${nonBroadcast.map(_.nodeName)}")
   }
 
+  test("q92 packing reuses the shard partitioning: window exchange feeds the aggregate") {
+    // the cumsum window hash-partitions by shard; the per-shard
+    // aggregate must reuse that layout instead of re-exchanging — so
+    // the whole packing job is ONE data shuffle plus the output sort
+    val p = executed(graft.operators.TrainingData.queries("q92_sequence_pack")(spark, sf))
+    assert(shuffles(p).size <= 2,
+      s"expected shard exchange + order-by only, got ${shuffles(p).size}")
+  }
+
+  test("q94 weighted sampling plans as a top-k, not a global window") {
+    val p = executed(graft.operators.TrainingData.queries("q94_weighted_sample")(spark, sf))
+    val takeOrdered = allNodes(p).exists(_.nodeName.contains("TakeOrderedAndProject"))
+    assert(takeOrdered, "top-k must push down as TakeOrderedAndProject")
+    // the only full-width window allowed is the one OVER the k survivors
+    val windows = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach { w =>
+      assert(allNodes(w).exists(_.nodeName.contains("TakeOrderedAndProject")),
+        "any window must sit above the top-k, never over the full corpus")
+    }
+  }
+
+  test("q97 payload dedup never shuffles the payload column") {
+    val p = executed(graft.operators.Multimodal.queries("q97_media_dedup")(spark, sf))
+    shuffles(p).foreach { s =>
+      s.child.output.foreach { a =>
+        assert(a.dataType != org.apache.spark.sql.types.BinaryType
+            && a.name != "text",
+          s"exchange carries raw bytes: ${a.name}: ${a.dataType}")
+      }
+    }
+  }
+
   test("q80 funnel joins are AQE-chosen, not forced") {
     // the step frames are small HERE, so AQE should broadcast them; the
     // assertion is that the plan still executes with no explicit hint
