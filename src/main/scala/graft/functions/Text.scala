@@ -602,6 +602,139 @@ object Text {
       |    + 1e-9, 6) AS kl
       |FROM parts GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** k-anonymity / l-diversity audit over quasi-identifiers — the
+    * privacy-risk measurement that decides whether a table can be
+    * released (or joined into training data) as-is: group by the
+    * quasi-identifier columns (market segment × nation — the columns an
+    * attacker can link from public data), and for each equivalence
+    * class report its size (k), the diversity of the sensitive
+    * attribute (distinct account-balance bands — l), and whether the
+    * class is re-identifiable (size < `kThreshold`). A release is
+    * k-anonymous iff no class is flagged; classes that are flagged are
+    * the ones to suppress or generalize (the q89 pseudonymization
+    * handles identifiers; THIS audits the quasi-identifiers that
+    * pseudonyms don't touch).
+    *
+    * Scale shape: one hash aggregate over the table (partial+final, the
+    * q01 shape) — the audit is a single scan at any corpus size, and
+    * the output is bounded by the QI-domain product, not the row count.
+    *
+    * Determinism: pure integer arithmetic; the sensitive band uses
+    * floor-before-integral-cast in both engines (Spark cast truncates
+    * toward zero, DuckDB ::BIGINT rounds — floor removes the
+    * difference; the q88/q76 lesson). */
+  private val kThreshold = 10
+
+  def q100KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val band = floor(col("c_acctbal") / 1000.0).cast("long")
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"), band.as("band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("band")).as("l_div"))
+      .select(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"),
+        col("k"), col("l_div"),
+        when(col("k") < kThreshold, lit(1)).otherwise(lit(0)).as("at_risk"))
+      .orderBy(col("segment"), col("nation"))
+  }
+
+  val q100Sql: String =
+    s"""SELECT c_mktsegment AS segment, c_nationkey AS nation,
+       |  count(*) AS k,
+       |  count(DISTINCT floor(c_acctbal / 1000.0)::BIGINT) AS l_div,
+       |  (CASE WHEN count(*) < $kThreshold THEN 1 ELSE 0 END)::INT AS at_risk
+       |FROM customer
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q101
+  /** TF-IDF document-to-document sparse retrieval: for each query
+    * document, the top-5 most similar corpus documents by TF-IDF
+    * cosine — the fuzzy complement of q60's exact n-gram
+    * decontamination (an eval document rephrased enough to dodge exact
+    * 8-gram matching still surfaces here) and the sparse-vector sibling
+    * of q30's dense kNN.
+    *
+    * Scale shape: this is an inverted-index join, not all-pairs — the
+    * ONE (doc, term) aggregate the norms already need doubles as the
+    * index, and the score join is a broadcast hash join against the
+    * query-side weights (bounded by queries × vocabulary), so only
+    * postings for query terms ever produce score rows; norm joins stay
+    * AQE-chosen (corpus-sized — never hint-forced). At 100 TB you
+    * additionally DF-prune stopword terms from the index (df ≤ cap);
+    * this corpus's planted 31-term vocabulary makes that cut
+    * degenerate, so the cap is not applied here — the allow-list hook
+    * in [[docTermFreq]] is where it goes.
+    *
+    * Determinism: weights are tf·ln(N/df) over exact integers (one ln,
+    * bit-identical); per-doc norms and per-pair dot products fold in
+    * SORTED term order (the q65/q78/q96 discipline); cosines rounded to
+    * 6 with (sim DESC, doc_id) tie-breaks. */
+  def q101TfidfRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = tokenizedDocs(spark, dir)
+    val dtf = docTermFreq(toksDf)
+    val dfs = dtf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nd = toksDf.agg(count(lit(1)).as("n_docs"))
+    val w = dtf
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    val nrm = w
+      .groupBy(col("doc_id"))
+      .agg(sqrt(aggregate(sort_array(collect_list(struct(col("term"),
+        (col("w") * col("w")).as("part")))), lit(0.0),
+        (acc, x) => acc + x.getField("part"))).as("nrm"))
+    val qw = w.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_doc"), col("term"), col("w").as("qw"))
+    val sims = w.join(broadcast(qw), "term")
+      .filter(col("doc_id") =!= col("q_doc"))
+      .select(col("q_doc"), col("doc_id"),
+        struct(col("term"), (col("w") * col("qw")).as("part")).as("p"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(aggregate(sort_array(collect_list(col("p"))), lit(0.0),
+        (acc, x) => acc + x.getField("part")).as("s"))
+      .join(nrm.select(col("doc_id").as("q_doc"), col("nrm").as("qnrm")), "q_doc")
+      .join(nrm, "doc_id")
+      .select(col("q_doc"), col("doc_id"),
+        round(col("s") / (col("qnrm") * col("nrm")) + 1e-9, 6).as("sim"))
+    val rkw = Window.partitionBy(col("q_doc")).orderBy(col("sim").desc, col("doc_id"))
+    sims.withColumn("rk", row_number().over(rkw))
+      .filter(col("rk") <= 5)
+      .orderBy(col("q_doc"), col("rk"))
+  }
+
+  val q101Sql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |dtf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS term FROM tk) GROUP BY 1, 2),
+      |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM dtf GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_docs FROM tk),
+      |w AS (SELECT doc_id, term, dtf.tf * ln(nd.n_docs::DOUBLE / dfs.df) AS w
+      |  FROM dtf JOIN dfs USING (term) CROSS JOIN nd),
+      |nrm AS (SELECT doc_id,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(list_sort(list({'term': term, 'part': w * w})),
+      |        x -> x.part)), (a, b) -> a + b)) AS nrm
+      |  FROM w GROUP BY doc_id),
+      |qw AS (SELECT doc_id AS q_doc, term, w AS qw FROM w WHERE doc_id < 10),
+      |s AS (SELECT qw.q_doc, w.doc_id,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(list_sort(list({'term': w.term, 'part': w.w * qw.qw})),
+      |        x -> x.part)), (a, b) -> a + b) AS s
+      |  FROM w JOIN qw USING (term) WHERE w.doc_id <> qw.q_doc
+      |  GROUP BY 1, 2),
+      |sim AS (SELECT s.q_doc, s.doc_id,
+      |    round(s.s / (a.nrm * b.nrm) + 1e-9, 6) AS sim
+      |  FROM s JOIN nrm a ON s.q_doc = a.doc_id JOIN nrm b ON s.doc_id = b.doc_id),
+      |rk AS (SELECT q_doc, doc_id, sim,
+      |    row_number() OVER (PARTITION BY q_doc ORDER BY sim DESC, doc_id) AS rk
+      |  FROM sim)
+      |SELECT q_doc, doc_id, sim, rk FROM rk WHERE rk <= 5
+      |ORDER BY q_doc, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats"   -> q21TokenStats _,
     "q22_quality_score" -> q22QualityScore _,
@@ -614,6 +747,8 @@ object Text {
     "q89_pseudonymize"  -> q89Pseudonymize _,
     "q95_bigram_lm"     -> q95BigramLm _,
     "q96_source_divergence" -> q96SourceDivergence _,
+    "q100_k_anonymity"  -> q100KAnonymity _,
+    "q101_tfidf_retrieval" -> q101TfidfRetrieval _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -628,5 +763,7 @@ object Text {
     "q89_pseudonymize"  -> q89Sql,
     "q95_bigram_lm"     -> q95Sql,
     "q96_source_divergence" -> q96Sql,
+    "q100_k_anonymity"  -> q100Sql,
+    "q101_tfidf_retrieval" -> q101Sql,
   )
 }

@@ -557,6 +557,125 @@ object Similarity {
        |SELECT q_id, vec_id, label, cos, rk FROM rk WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** SemDedup-style semantic deduplication: cluster the corpus with the
+    * coarse quantizer (q46's 16 seed centroids, q74's integer argmin),
+    * then inside each cell mark every vector that sits within cosine ≥
+    * `semdedupTheta` of a LOWER-id vector as a semantic duplicate of
+    * its closest such keeper (keep-the-lowest-id policy, ties on cos to
+    * the lowest keeper id). One row per dropped vector.
+    *
+    * Scale shape: cell assignment is the q74/q90 map-side integer
+    * argmin — zero shuffles before pair generation; pairs are blocked
+    * BY CELL, an equi-join on cell id that is linear in cell size and
+    * never corpus all-pairs. At 100 TB the quantizer grows with the
+    * corpus (k ∝ N keeps cells ~constant-sized), so the pair stage
+    * stays linear overall, and AQE skew-join absorbs hot cells. This is
+    * how embedding-level dedup actually runs over pretraining corpora:
+    * cluster first, compare only within clusters.
+    *
+    * Determinism: integer-code argmin cells (bit-identical), cosines
+    * rounded to 6 before the threshold test so the boundary set
+    * matches the oracle exactly, keeper chosen by (cos DESC, id ASC)
+    * row_number in both engines. */
+  private[graft] val semdedupTheta = 0.4
+
+  def q99Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val eq = codedVectors(spark, dir)
+    val seeds: Array[(Long, Seq[Long])] = eq
+      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(seeds.length == 16, s"expected 16 seed centroids, got ${seeds.length}")
+    val withCell = normedVectors(spark, dir)
+      .withColumn("q", transform(col("v"), x => round(x * 1000 + 1e-9).cast("long")))
+      .withColumn("cell", argminCellCol(seeds))
+      .drop("q")
+    val pairs = withCell.as("a").join(withCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("dup_id"), col("a.vec_id").as("keeper_id"),
+        col("a.cell").as("cell"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= semdedupTheta)
+    val w = Window.partitionBy(col("dup_id")).orderBy(col("cos").desc, col("keeper_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("dup_id"), col("keeper_id"), col("cell"), col("cos"))
+      .orderBy(col("dup_id"))
+  }
+
+  val q99Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM e),
+       |c AS (SELECT vec_id AS cid, q AS cq FROM eq WHERE vec_id >= 100 AND vec_id < 116),
+       |d AS (SELECT eq.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
+       |  FROM eq CROSS JOIN c),
+       |a AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM d) WHERE rk = 1),
+       |nv AS (SELECT e.vec_id, a.cell, e.v FROM e JOIN a USING (vec_id)),
+       |p AS (SELECT b.vec_id AS dup_id, a.vec_id AS keeper_id, a.cell,
+       |    round(${cosineSql("a.v", "b.v")}, 6) AS cos
+       |  FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |f AS (SELECT * FROM p WHERE cos >= $semdedupTheta),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY dup_id ORDER BY cos DESC, keeper_id) AS rk
+       |  FROM f)
+       |SELECT dup_id, keeper_id, cell, cos FROM rk WHERE rk = 1
+       |ORDER BY dup_id""".stripMargin
+
+  // --------------------------------------------------------------- q102
+  /** ANN index-quality audit: recall@3 of the LSH (q31) and IVF (q46)
+    * indexes against the exact brute-force ground truth (q30), per
+    * query — the measurement that decides how many LSH planes / IVF
+    * cells a production index gets before anyone trusts it. Composes
+    * the three existing operators verbatim: the audit IS the engine's
+    * own queries joined on (q_id, vec_id).
+    *
+    * Scale shape: the expensive leg is the exact ground truth — which
+    * is exactly why a 100 TB audit runs it over a SAMPLED query set
+    * (here the same 10 audit queries the ANN operators use) while the
+    * index answers come from the bucket/cell-restricted plans. Hit
+    * counting is a tiny (queries·k)-row join; every frame after the
+    * corpus scans is audit-sized. */
+  def q102AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val gt = q30KnnBruteforce(spark, dir).filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val lsh = q31AnnLsh(spark, dir).select(col("q_id"), col("vec_id"))
+    val ivf = q46AnnIvf(spark, dir).select(col("q_id"), col("vec_id"))
+    val lshHits = gt.join(lsh, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("lsh_hits"))
+    val ivfHits = gt.join(ivf, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("ivf_hits"))
+    gt.select(col("q_id")).distinct()
+      .join(lshHits, Seq("q_id"), "left")
+      .join(ivfHits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+      .withColumn("lsh_recall", round(col("lsh_hits") / 3.0 + 1e-9, 4))
+      .withColumn("ivf_recall", round(col("ivf_hits") / 3.0 + 1e-9, 4))
+      .orderBy(col("q_id"))
+  }
+
+  val q102Sql: String =
+    s"""WITH gt AS (SELECT q_id, vec_id FROM ($q30Sql) t WHERE rk <= 3),
+       |lsh AS (SELECT q_id, vec_id FROM ($q31Sql) t),
+       |ivf AS (SELECT q_id, vec_id FROM ($q46Sql) t),
+       |lh AS (SELECT gt.q_id, count(*) AS h FROM gt JOIN lsh USING (q_id, vec_id) GROUP BY 1),
+       |ih AS (SELECT gt.q_id, count(*) AS h FROM gt JOIN ivf USING (q_id, vec_id) GROUP BY 1),
+       |qs AS (SELECT DISTINCT q_id FROM gt)
+       |SELECT qs.q_id,
+       |  coalesce(lh.h, 0)::BIGINT AS lsh_hits,
+       |  coalesce(ih.h, 0)::BIGINT AS ivf_hits,
+       |  round(coalesce(lh.h, 0) / 3.0 + 1e-9, 4) AS lsh_recall,
+       |  round(coalesce(ih.h, 0) / 3.0 + 1e-9, 4) AS ivf_recall
+       |FROM qs LEFT JOIN lh USING (q_id) LEFT JOIN ih USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce"    -> q30KnnBruteforce _,
     "q31_ann_lsh"           -> q31AnnLsh _,
@@ -566,6 +685,8 @@ object Similarity {
     "q74_kmeans_round"      -> q74KmeansRound _,
     "q90_ann_trained"       -> q90AnnTrained _,
     "q93_hard_negatives"    -> q93HardNegatives _,
+    "q99_semdedup"          -> q99Semdedup _,
+    "q102_ann_recall"       -> q102AnnRecall _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -577,5 +698,7 @@ object Similarity {
     "q74_kmeans_round"      -> q74Sql,
     "q90_ann_trained"       -> q90Sql,
     "q93_hard_negatives"    -> q93Sql,
+    "q99_semdedup"          -> q99Sql,
+    "q102_ann_recall"       -> q102Sql,
   )
 }

@@ -340,4 +340,127 @@ class TextDedupSpec extends SparkSpec {
       s"degree mismatch: sizes ${got.size} vs ${expected.size}")
   }
 
+  // shared driver-side recompute helpers for q99 ---------------------
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q99 semdedup equals a from-first-principles cell+pair recompute") {
+    val vecs: Array[(Long, Array[Double])] =
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1)
+    def code(v: Array[Double]): Array[Long] = v.map(x =>
+      BigDecimal(x * 1000 + 1e-9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val seeds = vecs.filter { case (id, _) => id >= 100 && id < 116 }
+      .map { case (id, v) => (id, code(v)) }
+    def cell(v: Array[Double]): Long = {
+      val q = code(v)
+      seeds.map { case (cid, cq) =>
+        (q.zip(cq).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val byCell = vecs.groupBy { case (_, v) => cell(v) }
+    val expected = byCell.values.flatMap { members =>
+      val pairs = for {
+        (ia, va) <- members; (ib, vb) <- members if ia < ib
+        c = round6(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+        if c >= Similarity.semdedupTheta
+      } yield (ib, ia, c) // (dup, keeper, cos)
+      pairs.groupBy(_._1).map { case (dup, ps) =>
+        val (_, keeper, c) = ps.minBy { case (_, k, c) => (-c, k) }
+        (dup, keeper, c)
+      }
+    }.toSet
+    val got = Similarity.q99Semdedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == expected, s"semdedup sets differ: ${got.size} vs ${expected.size}")
+    // survivor property: no surviving vector sits within theta of a
+    // lower-id vector in its own cell — dedup actually deduplicated
+    val dropped = got.map(_._1)
+    byCell.values.foreach { members =>
+      for {
+        (ia, va) <- members; (ib, vb) <- members if ia < ib && !dropped(ib)
+      } assert(round6(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+        < Similarity.semdedupTheta, s"survivor $ib is a dup of $ia")
+    }
+  }
+
+  test("q102 ann recall equals recomputed gt-intersection of q31/q46 outputs") {
+    val gt = Similarity.q30KnnBruteforce(spark, sf).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.q31AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q46AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.q102AnnRecall(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == gt.map(_._1))
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val expLsh = gt.count { case (g, v) => g == q && lsh((q, v)) }
+      val expIvf = gt.count { case (g, v) => g == q && ivf((q, v)) }
+      assert(r.getLong(1) == expLsh && r.getLong(2) == expIvf,
+        s"q=$q hits (${r.getLong(1)},${r.getLong(2)}) vs ($expLsh,$expIvf)")
+      def recall4(h: Int): Double =
+        BigDecimal(h / 3.0 + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == recall4(expLsh) && r.getDouble(4) == recall4(expIvf))
+      assert(r.getLong(1) <= 3 && r.getLong(2) <= 3)
+    }
+  }
+
+  test("q100 k-anonymity equals a driver-side recompute; flags are consistent") {
+    val rows = graft.functions.Text.q100KAnonymity(spark, sf).collect()
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select("c_mktsegment", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val expected = cust.groupBy { case (s, n, _) => (s, n) }.map { case ((s, n), rs) =>
+      (s, n) -> ((rs.length.toLong, rs.map(t => math.floor(t._3 / 1000.0).toLong).distinct.length.toLong))
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (k, l) = expected((r.getString(0), r.getInt(1)))
+      assert(r.getLong(2) == k && r.getLong(3) == l, s"class ${r.getString(0)}/${r.getInt(1)}")
+      assert(r.getInt(4) == (if (k < 10) 1 else 0))
+      assert(l <= k)
+    }
+    assert(rows.map(_.getLong(2)).sum == cust.length)
+  }
+
+  test("q101 tf-idf retrieval equals a from-first-principles sparse recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toDouble
+    val tf: Map[Long, Map[String, Long]] =
+      docs.map { case (id, tk) => id -> tk.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong } }.toMap
+    val df: Map[String, Long] = tf.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val w: Map[Long, Map[String, Double]] = tf.map { case (id, m) =>
+      id -> m.map { case (t, f) => t -> f * math.log(n / df(t)) }
+    }
+    // sorted-term folds, matching the operator's determinism discipline
+    def nrm(id: Long): Double =
+      math.sqrt(w(id).toSeq.sortBy(_._1).foldLeft(0.0) { case (a, (_, x)) => a + x * x })
+    def sim(q: Long, d: Long): Double = {
+      val qs = w(q); val ds = w(d)
+      val s = ds.toSeq.filter { case (t, _) => qs.contains(t) }.sortBy(_._1)
+        .foldLeft(0.0) { case (a, (t, x)) => a + x * qs(t) }
+      round6(s / (nrm(q) * nrm(d)) + 1e-9)
+    }
+    val got = graft.functions.Text.q101TfidfRetrieval(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val qids = docs.map(_._1).filter(_ < 10)
+    qids.foreach { q =>
+      val expTop = docs.map(_._1).filter(_ != q)
+        .map(d => (d, sim(q, d))).sortBy { case (d, s) => (-s, d) }.take(5)
+      val gotRows = got(q).sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(gotRows.map(_._1) == expTop.map(_._1).toSeq, s"q=$q ranked ids differ")
+      gotRows.zip(expTop).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-6, s"q=$q sim $gs vs $es")
+      }
+    }
+  }
+
 }
