@@ -649,6 +649,108 @@ object Relational {
       |                    AND o2.o_totalprice < 50000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  /** Recursive CTE (ANSI `WITH RECURSIVE`, Spark 4's engine-native
+    * recursion): a monthly calendar spine generated by LINEAR recursion
+    * from min to max order month, left-joined against high-value orders
+    * so months with no qualifying order surface as explicit zero rows —
+    * the gaps-filling pattern every revenue dashboard needs (a plain
+    * GROUP BY silently drops empty months).
+    *
+    * Scale shape: the recursion is one row per month (bounded by the
+    * calendar, ~80 iterations here, never by the data) — each step is a
+    * 1-row frame, and the only data-sized work is the single
+    * aggregate-after-join on the month key. Linear recursion is the
+    * recursive-CTE form that scales; Spark 4.1 does not yet support
+    * UNION-dedup recursion, so graph reachability stays with q81's
+    * checkpointed frontier loop (UNION ALL path enumeration on a dense
+    * graph is exponential — a deliberate non-use).
+    *
+    * Determinism: calendar arithmetic on first-of-month DATEs (both
+    * engines add calendar months exactly), decimal-rounded revenue,
+    * exact counts. */
+  def q103RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS hi
+        |  FROM orders_v),
+        |spine AS (
+        |  SELECT lo AS mo, hi FROM bounds
+        |  UNION ALL
+        |  SELECT CAST(mo + INTERVAL '1' MONTH AS DATE), hi FROM spine WHERE mo < hi
+        |)
+        |SELECT s.mo AS month,
+        |  count(o.o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o.o_totalprice), 0) + 1e-9, 2) AS revenue
+        |FROM spine s LEFT JOIN orders_v o
+        |  ON CAST(date_trunc('MONTH', o.o_orderdate) AS DATE) = s.mo
+        |  AND o.o_totalprice > 450000.0
+        |GROUP BY s.mo
+        |ORDER BY s.mo""".stripMargin)
+  }
+
+  val q103Sql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT date_trunc('month', min(o_orderdate))::DATE AS lo,
+      |         date_trunc('month', max(o_orderdate))::DATE AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT lo AS mo, hi FROM bounds
+      |  UNION ALL
+      |  SELECT (mo + INTERVAL 1 MONTH)::DATE, hi FROM spine WHERE mo < hi
+      |)
+      |SELECT s.mo AS month,
+      |  count(o.o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o.o_totalprice), 0) + 1e-9, 2) AS revenue
+      |FROM spine s LEFT JOIN orders o
+      |  ON date_trunc('month', o.o_orderdate)::DATE = s.mo
+      |  AND o.o_totalprice > 450000.0
+      |GROUP BY s.mo
+      |ORDER BY s.mo""".stripMargin
+
+  // --------------------------------------------------------------- q105
+  /** Null-aware anti join — `NOT IN (subquery)` over a NULLABLE column,
+    * the one join variant with genuinely different semantics from q05's
+    * anti join (NOT EXISTS): a single NULL in the subquery empties the
+    * result, and a NULL probe row never qualifies. The subquery column
+    * is made NULLABLE BY TYPE via nullif(o_custkey, -1) — null-free in
+    * this data (keys are positive), so the result is the meaningful
+    * complement set, but the planner cannot prove that and must emit
+    * the null-aware plan. The all-nulls branch semantics (one real NULL
+    * empties the result) is pinned by a spec on synthetic rows.
+    *
+    * Spark plans single-column NOT IN as a BroadcastHashJoin with
+    * isNullAwareAntiJoin=true (pinned in PlanShapeSpec): O(1) hash
+    * probes plus a global has-null check, instead of the legacy
+    * BroadcastNestedLoopJoin. Null-aware anti stays broadcast-only by
+    * design — the null check is a global property, so the build side
+    * MUST be visible in full to every probe partition; at 100 TB you
+    * rewrite to NOT EXISTS when the subquery is fact-sized, which is
+    * exactly why both forms are in the surface. */
+  def q105NotIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_v
+        |WHERE c_custkey NOT IN (
+        |  SELECT nullif(o_custkey, -1)
+        |  FROM orders_v
+        |  WHERE o_totalprice < 100000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q105Sql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT nullif(o_custkey, -1)
+      |  FROM orders
+      |  WHERE o_totalprice < 100000.0)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- q68
   /** Bag-semantics set operations (q09 covers the DISTINCT forms):
     * INTERSECT ALL / EXCEPT ALL keep multiplicities — per-key kept count
@@ -885,6 +987,8 @@ object Relational {
     "q57_window_frames"   -> q57WindowFrames _,
     "q84_quality_audit"   -> q84QualityAudit _,
     "q86_skyline"         -> q86Skyline _,
+    "q103_recursive_spine" -> q103RecursiveSpine _,
+    "q105_not_in"         -> q105NotIn _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -917,5 +1021,7 @@ object Relational {
     "q57_window_frames"   -> q57Sql,
     "q84_quality_audit"   -> q84Sql,
     "q86_skyline"         -> q86Sql,
+    "q103_recursive_spine" -> q103Sql,
+    "q105_not_in"         -> q105Sql,
   )
 }

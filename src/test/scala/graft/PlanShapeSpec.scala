@@ -170,4 +170,15 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "no join-strategy hints in the funnel plan")
   }
 
+  test("q105 plans the null-aware anti join, not a nested loop") {
+    val p = executed(graft.operators.Relational.q105NotIn(spark, sf))
+    val naaj = allNodes(p).collect {
+      case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b
+    }
+    assert(naaj.nonEmpty, "expected BroadcastHashJoin(isNullAwareAntiJoin=true)")
+    assert(allNodes(p).collect {
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }.isEmpty, "legacy BroadcastNestedLoopJoin must not appear")
+  }
+
 }
