@@ -677,11 +677,20 @@ object Text {
     val dtf = docTermFreq(toksDf)
     val dfs = dtf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val nd = toksDf.agg(count(lit(1)).as("n_docs"))
+    // materialize the weighted index ONCE — norms, query weights, and
+    // the score join are three consumers with no common-subplan reuse
+    // otherwise. This IS the inverted-index build: a production
+    // deployment writes this frame as the index table, term-bucketed.
+    // (sf0.1 cost is dominated by the ~1.5M score rows the planted
+    // 31-term vocabulary forces — every doc shares every term with
+    // every query; real corpora are sparse here, and the df-cap prune
+    // documented above restores sparsity when vocabulary grows)
     val w = dtf
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(nd))
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .localCheckpoint(true)
     val nrm = w
       .groupBy(col("doc_id"))
       .agg(sqrt(aggregate(sort_array(collect_list(struct(col("term"),

@@ -346,6 +346,44 @@ object Relational {
       |GROUP BY 1
       |ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------- q106
+  /** Semi-structured VARIANT shredding (Spark 4's answer to JSON-string
+    * columns): `parse_json` once into the binary VARIANT encoding, then
+    * typed path extraction with `variant_get` / `try_variant_get` —
+    * versus q13's per-access `get_json_object` string re-parse. At
+    * 100 TB the difference is structural: VARIANT parses each payload
+    * once (and lakehouse writers shred hot paths into columns the scan
+    * can prune), while get_json_object re-tokenizes the string for
+    * every extracted path. try_variant_get is the schema-drift guard:
+    * a missing/mistyped path degrades to NULL (audited in the output)
+    * instead of failing the pipeline.
+    *
+    * Determinism: integer extraction and exact counts only. */
+  def q106VariantShred(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(parse_json(col("props")).as("v"))
+      .select(
+        variant_get(col("v"), "$.k", "int").as("k"),
+        try_variant_get(col("v"), "$.missing", "int").as("missing"))
+      .groupBy(expr("k div 10").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(when(col("missing").isNotNull, lit(1)).otherwise(lit(0)))
+          .as("n_drifted"))
+      .orderBy(col("bucket"))
+  }
+
+  val q106Sql: String =
+    """SELECT (CAST(json_extract_string(props, '$.k') AS INT) // 10)::INT AS bucket,
+      |  count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |  sum(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_drifted
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   /** Conditional aggregation (TPC-H Q14 style): promo revenue share. */
   def q14ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
@@ -989,6 +1027,7 @@ object Relational {
     "q86_skyline"         -> q86Skyline _,
     "q103_recursive_spine" -> q103RecursiveSpine _,
     "q105_not_in"         -> q105NotIn _,
+    "q106_variant_shred"  -> q106VariantShred _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1023,5 +1062,6 @@ object Relational {
     "q86_skyline"         -> q86Sql,
     "q103_recursive_spine" -> q103Sql,
     "q105_not_in"         -> q105Sql,
+    "q106_variant_shred"  -> q106Sql,
   )
 }
