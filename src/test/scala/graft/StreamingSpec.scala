@@ -633,4 +633,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState gauges match the legacy flatMapGroupsWithState semantics") {
+    // Tws.gaugesTws is Monitor.gauges on the Spark 4 arbitrary-state API;
+    // TWS requires the RocksDB store, so the session conf pattern of the
+    // funnel-on-RocksDB test applies. Timer disabled → deterministic.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[RegionEvent]
+      val q = graft.streaming.Tws.gaugesTws(input.toDS(), timeoutMs = 0L)
+        .writeStream.format("memory").queryName("gg_tws")
+        .outputMode("update").start()
+      try {
+        input.addData(Seq.fill(3)(RegionEvent("USA0", ts("2024-01-01 00:00:01"))))
+        input.addData(RegionEvent("USA1", ts("2024-01-01 00:00:01")))
+        q.processAllAvailable()
+        input.addData(Seq.fill(2)(RegionEvent("USA0", ts("2024-01-01 00:00:02"))))
+        q.processAllAvailable()
+        val rows = spark.table("gg_tws").collect()
+        val usa0 = rows.filter(_.getAs[String]("region") == "USA0")
+          .map(_.getAs[Long]("n")).toList
+        assert(usa0 == List(3, 2), "reset-on-read per trigger, exactly like gauges")
+        val usa1 = rows.filter(_.getAs[String]("region") == "USA1")
+          .map(_.getAs[Long]("n")).toList
+        assert(usa1 == List(1), "keys only emit on batches with their data")
+        assert(rows.forall(!_.getAs[Boolean]("stalled")))
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+          "TWS must be running on the RocksDB store")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
 }
