@@ -633,6 +633,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state data source: a stopped query's state reads back as a DataFrame") {
+    // run a stateful aggregation with a checkpoint, stop it, then audit
+    // its state from the checkpoint alone — the ops workflow StateInspect
+    // wraps. The state must equal what the query last emitted.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_ckpt").toString
+    val input = MemoryStream[RegionEvent]
+    val q = input.toDF().groupBy("region").count()
+      .writeStream.format("memory").queryName("state_src")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq.fill(3)(RegionEvent("USA0", ts("2024-01-01 00:00:01"))))
+      input.addData(RegionEvent("USA1", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = graft.streaming.StateInspect.stateRows(spark, ckpt)
+      .selectExpr("key.region AS region", "value.count AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == Map("USA0" -> 3L, "USA1" -> 1L),
+      s"checkpoint state must match the aggregation, got $st")
+    val md = graft.streaming.StateInspect.stateMetadata(spark, ckpt).collect()
+    assert(md.length == 1)
+    assert(md.head.getAs[String]("operatorName") == "stateStoreSave")
+  }
+
   test("transformWithState gauges match the legacy flatMapGroupsWithState semantics") {
     // Tws.gaugesTws is Monitor.gauges on the Spark 4 arbitrary-state API;
     // TWS requires the RocksDB store, so the session conf pattern of the
