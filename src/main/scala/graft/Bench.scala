@@ -87,19 +87,84 @@ object Bench {
           -1.0
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> time(name, fn)
-    } ++ Map("s01_stream_envelope" ->
-      timeBoth("s01_stream_envelope", () => streamOnce()))
-    val qs = results.map { case (k, v) => Jsons.str(k) + ":" + v }
+    // s02: the stateful 100 TB path — per-user funnel state on the RocksDB
+    // store, multi-batch so every batch after the first pays the real
+    // read-modify-write state round-trip. Source prep (split events into 8
+    // files = 8 micro-batches) happens ONCE outside timing; each timed run
+    // gets a fresh checkpoint (fresh state), min-of-2 like everything else.
+    lazy val s02Src: String = {
+      val d = java.nio.file.Files.createTempDirectory("bench_s02_src").toString
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .repartition(8).write.mode("overwrite").parquet(d)
+      d
+    }
+    def statefulOnce(): Double = {
+      val src = s02Src // materialize outside the clock
+      val t0 = System.nanoTime()
+      try {
+        val ckpt = java.nio.file.Files.createTempDirectory("bench_s02_ckpt").toString
+        Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          import spark.implicits._
+          val ev = graft.streaming.Ingest.eventsFileStream(spark, src,
+              maxFilesPerTrigger = 1)
+            .select(org.apache.spark.sql.functions.col("user_id"),
+              org.apache.spark.sql.functions.col("event_type"),
+              org.apache.spark.sql.functions.col("ts"))
+            .as[graft.streaming.Funnel.FunnelEvent]
+          graft.streaming.Funnel.funnelProgress(ev)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination(300000L)
+        } finally Session.rocksDBConfs.keys.foreach(spark.conf.unset)
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors("s02_funnel_rocksdb") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+          System.err.println(s"[bench] s02_funnel_rocksdb FAILED: ${errors("s02_funnel_rocksdb")}")
+          -1.0
+      }
+    }
+    // Local-only knob (driver never sets it): comma-separated name
+    // prefixes to bench a subset — e.g. the 8-query scale sweep at
+    // sf0.5. Unset → full suite, exactly the driver's run.
+    val nameFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+        case Some(f) if f.nonEmpty =>
+          val ps = f.split(",").map(_.trim).filter(_.nonEmpty)
+          (n: String) => ps.exists(n.startsWith)
+        case _ => (_: String) => true
+      }
+    val results = SparkEntry.queries.collect {
+      case (name, fn) if nameFilter(name) => name -> time(name, fn)
+    } ++ Seq(
+      "s01_stream_envelope" -> (() => streamOnce()),
+      "s02_funnel_rocksdb" -> (() => statefulOnce())).collect {
+      case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
+    }
+    // ms precision: full ns resolution is noise (spreads are 10-100 ms) and
+    // the shorter entries let more of the queries map survive the driver's
+    // 2000-char tail truncation.
+    def f(v: Double): String = if (v < 0) "-1" else "%.3f".format(v)
+    val qs = results.map { case (k, v) => Jsons.str(k) + ":" + f(v) }
       .mkString("{", ",", "}")
     val sp = results.keys.map { k =>
-      Jsons.str(k) + ":" + spreads.getOrElse(k, -1.0)
+      Jsons.str(k) + ":" + f(spreads.getOrElse(k, -1.0))
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => Jsons.str(k) + ":" + Jsons.str(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errs,"sf":"$sfDir"}""")
+    // Field order matters: the driver snapshots only the LAST 2000 chars of
+    // this line, so round 5's artifact (queries first, spread last) recorded
+    // only the spread map and was unreadable as a perf record. Order here:
+    // spread first (expendable), then per-query TIMES, then errors + total —
+    // the three things a reader needs are the ones guaranteed to survive.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","spread":$sp,"queries":$qs,"errors":$errs,"value":${f(total)}}""")
     spark.stop()
   }
 }

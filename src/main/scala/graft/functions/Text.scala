@@ -661,17 +661,33 @@ object Text {
     * index, and the score join is a broadcast hash join against the
     * query-side weights (bounded by queries × vocabulary), so only
     * postings for query terms ever produce score rows; norm joins stay
-    * AQE-chosen (corpus-sized — never hint-forced). At 100 TB you
-    * additionally DF-prune stopword terms from the index (df ≤ cap);
-    * this corpus's planted 31-term vocabulary makes that cut
-    * degenerate, so the cap is not applied here — the allow-list hook
-    * in [[docTermFreq]] is where it goes.
+    * AQE-chosen (corpus-sized — never hint-forced).
+    *
+    * The stop-term DF-cap prune is ON: terms with df > `dfCapRatio` ×
+    * n_docs are dropped from the index BEFORE weights, norms, and the
+    * score join — the standard stopword cut, enforced (not argued) and
+    * mirrored exactly in the oracle. Near-ubiquitous terms carry
+    * ln(N/df) ≈ 0 weight yet generate the densest postings, so the cut
+    * removes most score rows while barely moving cosines: measured at
+    * sf0.1, score rows drop 931k → 403k (-57%). The default 0.772 is
+    * tuned to this corpus's planted vocabulary (30 terms at df ≈ 0.77 N
+    * in a razor-thin band + 1 rare term) to keep roughly half the
+    * vocabulary; a natural-language corpus wants ~0.3–0.5. Parity note:
+    * both engines compare the same exact-integer df against the same
+    * IEEE double cap, so the cut is identical on both sides at any
+    * setting.
     *
     * Determinism: weights are tf·ln(N/df) over exact integers (one ln,
     * bit-identical); per-doc norms and per-pair dot products fold in
     * SORTED term order (the q65/q78/q96 discipline); cosines rounded to
     * 6 with (sim DESC, doc_id) tie-breaks. */
-  def q101TfidfRetrieval(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] val tfidfDfCapRatio = 0.772
+
+  def q101TfidfRetrieval(spark: SparkSession, dir: String): DataFrame =
+    q101TfidfRetrieval(spark, dir, tfidfDfCapRatio)
+
+  def q101TfidfRetrieval(spark: SparkSession, dir: String,
+                         dfCapRatio: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksDf = tokenizedDocs(spark, dir)
     val dtf = docTermFreq(toksDf)
@@ -688,6 +704,7 @@ object Text {
     val w = dtf
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(nd))
+      .filter(col("df") <= lit(dfCapRatio) * col("n_docs")) // stop-term prune
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
       .localCheckpoint(true)
@@ -716,13 +733,14 @@ object Text {
   }
 
   val q101Sql: String =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |dtf AS (SELECT doc_id, term, count(*) AS tf
       |  FROM (SELECT doc_id, unnest(tk) AS term FROM tk) GROUP BY 1, 2),
       |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM dtf GROUP BY 1),
       |nd AS (SELECT count(*) AS n_docs FROM tk),
       |w AS (SELECT doc_id, term, dtf.tf * ln(nd.n_docs::DOUBLE / dfs.df) AS w
-      |  FROM dtf JOIN dfs USING (term) CROSS JOIN nd),
+      |  FROM dtf JOIN dfs USING (term) CROSS JOIN nd
+      |  WHERE dfs.df <= $tfidfDfCapRatio * nd.n_docs),
       |nrm AS (SELECT doc_id,
       |    sqrt(list_reduce(list_prepend(0.0,
       |      list_transform(list_sort(list({'term': term, 'part': w * w})),

@@ -365,7 +365,12 @@ object Relational {
       .select(
         variant_get(col("v"), "$.k", "int").as("k"),
         try_variant_get(col("v"), "$.missing", "int").as("missing"))
-      .groupBy(expr("k div 10").cast("int").as("bucket"))
+      // floor(k/10.0), NOT integer `div`: div truncates toward zero while
+      // DuckDB's `//` floors, so the two diverge on negative k (div(-5,10)=0
+      // vs -5//10=-1). Floor-before-cast on BOTH sides is the engine-parity
+      // discipline q88/q76 established; current data has k ≥ 0 but the
+      // operator shouldn't rely on that invariant.
+      .groupBy(floor(col("k") / 10.0).cast("int").as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         sum(when(col("missing").isNotNull, lit(1)).otherwise(lit(0)))
@@ -374,7 +379,7 @@ object Relational {
   }
 
   val q106Sql: String =
-    """SELECT (CAST(json_extract_string(props, '$.k') AS INT) // 10)::INT AS bucket,
+    """SELECT FLOOR(CAST(json_extract_string(props, '$.k') AS INT) / 10.0)::INT AS bucket,
       |  count(*) AS n,
       |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
@@ -709,6 +714,15 @@ object Relational {
     * exact counts. */
   def q103RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    // Recursion headroom is DATA-dependent: one level per month between
+    // min and max o_orderdate (~80 on this corpus vs Spark's default
+    // level cap of 100 — a wider date range would throw, not degrade).
+    // Pin the limit to a century's worth of months explicitly so the
+    // operator's failure bound is its own documented constant, not the
+    // engine default's accident. (The no-cap alternative — generate the
+    // spine with sequence()/explode — is the right call when the spine
+    // can be unbounded; here the linear-recursion form is the point.)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1200")
     spark.sql(
       """WITH RECURSIVE bounds AS (
         |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS lo,

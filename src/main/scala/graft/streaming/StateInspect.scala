@@ -19,13 +19,19 @@ object StateInspect {
 
   /** Rows of one state store: (key struct, value struct, partition_id).
     * `storeName`/`operatorId` select among multiple stateful operators
-    * (stream-stream joins keep four stores per side). */
+    * (stream-stream joins keep four stores per side). For a
+    * transformWithState operator pass `stateVarName` instead of
+    * `storeName` — TWS keys each state variable to its own column
+    * family, and the reader addresses them by variable name (a TTL'd
+    * ValueState reads back as
+    * `value.value.<field> + value.ttlExpirationMs`). */
   def stateRows(spark: SparkSession, checkpoint: String,
-                operatorId: Int = 0, storeName: String = "default"): DataFrame =
-    spark.read.format("statestore")
-      .option("operatorId", operatorId)
-      .option("storeName", storeName)
-      .load(checkpoint)
+                operatorId: Int = 0, storeName: String = "default",
+                stateVarName: String = ""): DataFrame = {
+    val r = spark.read.format("statestore").option("operatorId", operatorId)
+    (if (stateVarName.nonEmpty) r.option("stateVarName", stateVarName)
+     else r.option("storeName", storeName)).load(checkpoint)
+  }
 
   /** One row per stateful operator in the checkpoint: operator id/name,
     * store names, partition counts, batch id range — the catalog of

@@ -31,19 +31,23 @@ import graft.streaming.Monitor.{Gauge, RegionEvent}
   */
 object Tws {
 
-  /** Per-region reset-on-read gauge with an explicit stall timer. */
+  /** Per-region reset-on-read gauge with an explicit stall timer.
+    *
+    * Deliberately STATELESS between batches (timers aside): `rows.size`
+    * IS the reset-on-read count, because `handleInputRows` receives
+    * every row for the key in the batch and emission happens in the same
+    * call — a ValueState counter here would only ever round-trip zero
+    * through RocksDB (a dead per-key write per batch, round-5 ADVICE).
+    * The state-handle machinery this class no longer needs is what
+    * [[RegionTotalsProcessor]] exercises for real, TTL included. */
   class RegionGaugeProcessor(timeoutMs: Long)
       extends StatefulProcessor[String, RegionEvent, Gauge] {
 
-    @transient private var count: ValueState[Long] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
 
     override def handleInputRows(region: String, rows: Iterator[RegionEvent],
                                  timers: TimerValues): Iterator[Gauge] = {
-      val n = (if (count.exists()) count.get() else 0L) + rows.size
-      count.update(0L) // reset-on-read, exactly like the reference gauge
+      val n = rows.size.toLong
       if (timeoutMs > 0) {
         // re-arm: activity pushes the stall deadline out
         getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
@@ -54,7 +58,6 @@ object Tws {
 
     override def handleExpiredTimer(region: String, timers: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[Gauge] = {
-      count.update(0L)
       // keep watching a silent region — the reference loop ticks forever
       getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + timeoutMs)
       Iterator.single(Gauge(region, 0L, stalled = true))
@@ -74,5 +77,54 @@ object Tws {
       .groupByKey(_.region)
       .transformWithState(new RegionGaugeProcessor(timeoutMs),
         mode, OutputMode.Update())
+  }
+
+  /** Cumulative per-region event total. */
+  case class RegionTotal(region: String, total: Long)
+
+  /** Running per-region totals with NATIVE state TTL — the declarative
+    * user-universe bound. Each `update` re-arms the value's TTL clock,
+    * so an ACTIVE key's total accumulates indefinitely while an IDLE
+    * key's state is dropped by the store itself once `ttl` elapses with
+    * no writes — no timer bookkeeping, no hand-built eviction (contrast
+    * [[Funnel.funnelProgressExpiring]], which implements exactly this
+    * bound with an event-time timeout and twenty lines of timer logic).
+    * After expiry the key restarts from zero: at 100 TB this is how a
+    * per-user/per-session state universe stays bounded by the ACTIVE
+    * population instead of growing with every key ever seen.
+    *
+    * TTL is processing-time by API contract (`TTLConfig` has no
+    * event-time form), hence TimeMode.ProcessingTime — but unlike a
+    * processing-time TIMER, the TTL clock is evaluated on access/
+    * maintenance, so the query still runs deterministic batches. */
+  class RegionTotalsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[String, RegionEvent, RegionTotal] {
+
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong,
+        TTLConfig(ttl))
+
+    override def handleInputRows(region: String, rows: Iterator[RegionEvent],
+                                 timers: TimerValues): Iterator[RegionTotal] = {
+      // an expired value reads back as absent — exists() IS the TTL gate
+      val t = (if (total.exists()) total.get() else 0L) + rows.size
+      total.update(t) // write re-arms the TTL
+      Iterator.single(RegionTotal(region, t))
+    }
+  }
+
+  /** [[RegionTotalsProcessor]] as a query stage. `ttl` must be positive
+    * and finite — an unbounded-universe variant without TTL is exactly
+    * the trap this operator exists to close. */
+  def regionTotalsTws(events: Dataset[RegionEvent],
+                      ttl: java.time.Duration): Dataset[RegionTotal] = {
+    require(!ttl.isZero && !ttl.isNegative, s"ttl must be positive, got $ttl")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.region)
+      .transformWithState(new RegionTotalsProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 }

@@ -49,6 +49,38 @@ class GraphSpec extends SparkSpec {
     assert(starIters == 3, s"non-fixpoint graph must run to the cap, ran $starIters")
   }
 
+  test("pagerankConvergeOrderStable: order probe fires long before the exact fixpoint") {
+    // star 1→{2,3}: rank VALUES keep shrinking toward the fixpoint for
+    // ~85 supersteps, but the RANKING is [2,3,1] from superstep 1 on —
+    // the order probe must exit at iteration 2 (first repeat), where the
+    // exact-integer probe (pagerankConverge) provably runs to any cap
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst").withColumn("od", lit(2L))
+    val r0 = Seq(1L, 2L, 3L).toDF("node").select(col("node"), lit(1000000L).as("r"))
+    val (ranks, iters) =
+      graft.operators.Graph.pagerankConvergeOrderStable(star, r0, topK = 3, maxIters = 8)
+    assert(iters == 2, s"order [2,3,1] repeats at superstep 2, ran $iters")
+    val order = ranks.orderBy(col("r").desc, col("node"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(2L, 3L, 1L), s"got $order")
+    // secondary exit: a graph AT its fixpoint still stops immediately
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .withColumn("od", lit(1L))
+    val (_, cycIters) =
+      graft.operators.Graph.pagerankConvergeOrderStable(cyc, r0, topK = 3, maxIters = 8)
+    assert(cycIters == 1, s"fixpoint graph must stop at 1, ran $cycIters")
+    // on the real shipping graph the probe fires within q73's budget —
+    // the measured basis for pagerankMaxIters = 3 (the docstring claim)
+    val e = graft.operators.Graph.shipEdgesForSpec(spark, sf)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val edgesD = e.join(deg, "src").localCheckpoint(true)
+    val nodes = edgesD.select(col("src").as("node")).distinct()
+    val nr0 = nodes.select(col("node"), lit(1000000L).as("r"))
+    val (_, realIters) =
+      graft.operators.Graph.pagerankConvergeOrderStable(edgesD, nr0, topK = 20, maxIters = 8)
+    assert(realIters <= 3,
+      s"top-20 order on the shipping graph stabilizes within q73's 3-superstep budget, ran $realIters")
+  }
+
   test("closeTriangles: exactly the a<b<c closures, no duplicates") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3), (1,2,4) only
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))

@@ -658,6 +658,182 @@ class StreamingSpec extends SparkSpec {
     assert(md.head.getAs[String]("operatorName") == "stateStoreSave")
   }
 
+  test("state audit: q84-style rules over a real checkpoint's dedup state") {
+    // "state debugging is a query", composed end-to-end: run the
+    // watermarked streaming dedup against a checkpoint, then audit the
+    // checkpoint's STATE STORE with the same conditional-aggregate rule
+    // shape as q84 — one pass over StateInspect.stateRows computes every
+    // value rule, and the referential rule is a left-anti join against
+    // the emitted output. The rules a production pipeline would page on:
+    //   1. no state entry outlives the watermark (eviction really runs —
+    //      the unbounded-state trap made a monitored invariant),
+    //   2. the dedup key is unique in state,
+    //   3. every state entry corresponds to an emitted row (state and
+    //      output never diverge).
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_audit_ckpt").toString
+    val input = MemoryStream[RegionEvent]
+    val q = Ingest.dedupedStream(input.toDF(), Seq("region", "ts"), "1 minute")
+      .writeStream.format("memory").queryName("dd_audit")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(RegionEvent("USA0", ts("2024-01-01 10:00:00")),
+        RegionEvent("USA0", ts("2024-01-01 10:00:00")), // dup collapses
+        RegionEvent("USA1", ts("2024-01-01 10:00:05")))
+      q.processAllAvailable()
+      // an hour later: watermark sweeps to 10:59:0x, evicting the 10:00
+      // entries (watermark updates land a batch late, so two batches)
+      input.addData(RegionEvent("USA2", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData(RegionEvent("USA3", ts("2024-01-01 11:00:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val wmMicros = java.time.Instant.parse("2024-01-01T10:59:01.000Z")
+      .toEpochMilli * 1000L
+    val state = graft.streaming.StateInspect.stateRows(spark, ckpt)
+      .selectExpr("key.region AS region", "key.ts AS ts",
+        "value.expiresAtMicros AS expires_us")
+      .localCheckpoint(true) // audited twice (agg + anti join)
+    val emitted = spark.table("dd_audit")
+    // value rules: ONE conditional aggregate over the state frame
+    val valueRules = state.agg(
+        sum(when(col("expires_us") <= lit(wmMicros), 1L).otherwise(0L))
+          .as("expired_past_watermark"),
+        (count(lit(1)) - countDistinct(col("region"), col("ts")))
+          .as("duplicate_state_key"))
+      .selectExpr("stack(2, 'expired_past_watermark', expired_past_watermark," +
+        " 'duplicate_state_key', duplicate_state_key) AS (rule, violations)")
+    // referential rule: state ⟕̸ output (left anti) must be empty
+    val orphanRule = state
+      .join(emitted, Seq("region", "ts"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("state_entry_never_emitted").as("rule"), col("violations"))
+    val audit = valueRules.union(orphanRule).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit == Map("expired_past_watermark" -> 0L,
+        "duplicate_state_key" -> 0L, "state_entry_never_emitted" -> 0L),
+      s"state audit must be clean, got $audit")
+    // and the audit has TEETH: the surviving population is exactly the
+    // two post-sweep keys, so rule 1 passed against real eviction, not
+    // an empty store
+    val keys = state.select(col("region")).collect().map(_.getString(0)).toSet
+    assert(keys == Set("USA2", "USA3"),
+      s"the 10:00 entries must be swept by the watermark, got $keys")
+  }
+
+  test("gaugesTws stall timer: a silent region emits a stalled zero when its deadline fires") {
+    // the ProcessingTime timer path (handleExpiredTimer) end-to-end: one
+    // event arms the 1 s deadline; with no further input the engine's
+    // wall-clock epochs evaluate the timer and the region emits a
+    // zero-count stalled row — regionSpout.go's stalled branch as a
+    // timer. Polled (not processAllAvailable, which never drains while
+    // timer epochs keep scheduling); generous 60 s deadline, typical
+    // fire ~2-3 s.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[RegionEvent]
+      val q = graft.streaming.Tws.gaugesTws(input.toDS(), timeoutMs = 1000L)
+        .writeStream.format("memory").queryName("tws_stall")
+        .outputMode("update").start()
+      try {
+        input.addData(RegionEvent("USA0", ts("2024-01-01 00:00:01")))
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def rows() = spark.table("tws_stall").collect()
+        while (System.nanoTime() < deadline &&
+               !rows().exists(r => r.getAs[Boolean]("stalled"))) Thread.sleep(500)
+        val got = rows()
+        assert(got.exists(r => r.getAs[String]("region") == "USA0" &&
+            r.getAs[Long]("n") == 1L && !r.getAs[Boolean]("stalled")),
+          s"the armed batch emits the live count first, got ${got.toSeq}")
+        assert(got.exists(r => r.getAs[String]("region") == "USA0" &&
+            r.getAs[Long]("n") == 0L && r.getAs[Boolean]("stalled")),
+          s"expired timer must emit the stalled zero, got ${got.toSeq}")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("state TTL on transformWithState: idle state expires, active state survives, reader proves eviction") {
+    // Tws.regionTotalsTws carries a ValueState with a REAL TTLConfig —
+    // the declarative user-universe bound. Driven as restart-per-batch
+    // Trigger.Once runs over one checkpoint (ProcessingTime time-mode
+    // spins wall-clock timer batches under processAllAvailable/
+    // AvailableNow — measured ~87 empty epochs per drain — while Once
+    // runs exactly one deterministic batch), with foreachBatch as the
+    // sink (the memory sink refuses checkpoint recovery).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Tws
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    def run(ckpt: String, input: MemoryStream[RegionEvent], ttl: java.time.Duration,
+            buf: scala.collection.mutable.ArrayBuffer[(String, Long)]): Unit = {
+      val q = Tws.regionTotalsTws(input.toDS(), ttl)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Tws.RegionTotal], _: Long) =>
+          b.collect().foreach(r => buf += ((r.region, r.total))); ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination(120000L)
+      ()
+    }
+    try {
+      // ALIVE: ttl far above the restart latency — state must ACCUMULATE
+      // across query restarts (each update re-arms the TTL clock)
+      val ckA = java.nio.file.Files.createTempDirectory("graft_ttl_alive").toString
+      val inA = MemoryStream[RegionEvent]
+      val bufA = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      inA.addData(Seq.fill(3)(RegionEvent("USA0", ts("2024-01-01 00:00:01"))))
+      inA.addData(RegionEvent("USA1", ts("2024-01-01 00:00:01")))
+      run(ckA, inA, java.time.Duration.ofMinutes(10), bufA)
+      inA.addData(RegionEvent("USA0", ts("2024-01-01 00:00:02")))
+      run(ckA, inA, java.time.Duration.ofMinutes(10), bufA)
+      assert(bufA.toSet == Set("USA0" -> 3L, "USA1" -> 1L, "USA0" -> 4L),
+        s"live TTL state must accumulate 3 -> 4 across restarts, got $bufA")
+      // the reader surfaces the TTL bookkeeping: both keys present, each
+      // with a concrete expiration timestamp
+      val stA = graft.streaming.StateInspect
+        .stateRows(spark, ckA, stateVarName = "total")
+        .selectExpr("key.value AS region", "value.value.value AS total",
+          "value.ttlExpirationMs AS exp")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(stA.map(t => t._1 -> t._2).toSet == Set("USA0" -> 4L, "USA1" -> 1L),
+        s"got ${stA.toSeq}")
+      assert(stA.forall(_._3 > 0L), "every TTL'd value carries its expiration")
+
+      // EXPIRED: idle past the ttl — the store itself drops the state;
+      // the key restarts from zero and the READER proves the eviction
+      val ckB = java.nio.file.Files.createTempDirectory("graft_ttl_expired").toString
+      val inB = MemoryStream[RegionEvent]
+      val bufB = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      inB.addData(Seq.fill(3)(RegionEvent("USA0", ts("2024-01-01 00:00:01"))))
+      inB.addData(RegionEvent("USA1", ts("2024-01-01 00:00:01")))
+      run(ckB, inB, java.time.Duration.ofSeconds(3), bufB)
+      Thread.sleep(4000) // both keys idle past the 3 s TTL
+      inB.addData(RegionEvent("USA0", ts("2024-01-01 00:00:02")))
+      run(ckB, inB, java.time.Duration.ofSeconds(3), bufB)
+      assert(bufB.toList.filter(_._1 == "USA0").map(_._2) == List(3L, 1L),
+        s"expired state must restart from zero, got $bufB")
+      val stB = graft.streaming.StateInspect
+        .stateRows(spark, ckB, stateVarName = "total")
+        .selectExpr("key.value AS region", "value.value.value AS total")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(stB == Map("USA0" -> 1L),
+        s"idle USA1 must be physically evicted from the store, got $stB")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("transformWithState gauges match the legacy flatMapGroupsWithState semantics") {
     // Tws.gaugesTws is Monitor.gauges on the Spark 4 arbitrary-state API;
     // TWS requires the RocksDB store, so the session conf pattern of the

@@ -437,8 +437,12 @@ class TextDedupSpec extends SparkSpec {
       docs.map { case (id, tk) => id -> tk.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong } }.toMap
     val df: Map[String, Long] = tf.values.flatMap(_.keys).toSeq
       .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    // the operator's stop-term DF-cap prune, recomputed identically:
+    // terms above the cap never enter weights, norms, or scores
+    val cap = graft.functions.Text.tfidfDfCapRatio * n
     val w: Map[Long, Map[String, Double]] = tf.map { case (id, m) =>
-      id -> m.map { case (t, f) => t -> f * math.log(n / df(t)) }
+      id -> m.collect { case (t, f) if df(t) <= cap =>
+        t -> f * math.log(n / df(t)) }
     }
     // sorted-term folds, matching the operator's determinism discipline
     def nrm(id: Long): Double =
