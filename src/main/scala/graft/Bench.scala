@@ -140,11 +140,48 @@ object Bench {
           (n: String) => ps.exists(n.startsWith)
         case _ => (_: String) => true
       }
+    // s03: the streaming heavy-hitters sketch (MapState Misra–Gries) over
+    // the geo-assigned events stream — hot user ids per region, the skew
+    // detector. Same discipline as s02: shared 8-file source, fresh
+    // checkpoint + RocksDB per run.
+    def trendingOnce(): Double = {
+      val src = s02Src
+      val t0 = System.nanoTime()
+      try {
+        val ckpt = java.nio.file.Files.createTempDirectory("bench_s03_ckpt").toString
+        Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          import spark.implicits._
+          import org.apache.spark.sql.functions.col
+          val ev = graft.streaming.Ingest.eventsFileStream(spark, src,
+            maxFilesPerTrigger = 1)
+          val tokens = graft.operators.Geo.assignRegion(spark, ev)
+            .select(col("region"), col("user_id").cast("string").as("token"))
+            .as[graft.streaming.Tws.RegionToken]
+          graft.streaming.Tws.trendingTws(tokens)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination(300000L)
+        } finally Session.rocksDBConfs.keys.foreach(spark.conf.unset)
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors("s03_trending_rocksdb") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+          System.err.println(s"[bench] s03_trending_rocksdb FAILED: ${errors("s03_trending_rocksdb")}")
+          -1.0
+      }
+    }
     val results = SparkEntry.queries.collect {
       case (name, fn) if nameFilter(name) => name -> time(name, fn)
     } ++ Seq(
       "s01_stream_envelope" -> (() => streamOnce()),
-      "s02_funnel_rocksdb" -> (() => statefulOnce())).collect {
+      "s02_funnel_rocksdb" -> (() => statefulOnce()),
+      "s03_trending_rocksdb" -> (() => trendingOnce())).collect {
       case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
     }
     // ms precision: full ns resolution is noise (spreads are 10-100 ms) and

@@ -127,4 +127,73 @@ object Tws {
       .transformWithState(new RegionTotalsProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
+
+  /** Input token for the streaming heavy-hitters sketch: `token` is
+    * whatever the caller wants ranked — user ids for hot-key/skew
+    * detection, words for trending terms. */
+  case class RegionToken(region: String, token: String)
+
+  /** One sketch candidate after a batch: estimate + tokens processed so
+    * far for this region (the audit denominator: MG guarantees
+    * exact − n/(k+1) ≤ est ≤ exact, no false negatives above n/(k+1)). */
+  case class Trending(region: String, token: String, est: Long, n: Long)
+
+  /** Streaming Misra–Gries heavy hitters per region — [[graft.functions
+    * .HeavyHitters.MGAgg]]'s batch sketch as CONTINUOUS state, the
+    * operational form of skew detection: the per-region hot keys this
+    * surfaces are precisely the keys the batch engine salts
+    * (`Skew.q51`). State is one `MapState` (token → counter, ≤ k
+    * entries) plus a processed-count `ValueState`. MapState is the
+    * right shape here and the reason this isn't a ValueState[Map]: each
+    * counter is its own RocksDB entry, so a batch that touches 3 of k
+    * counters writes 3 entries, not a re-serialized blob of all k.
+    *
+    * Transition parity is BY CONSTRUCTION: each batch folds its rows
+    * through `MGAgg.reduce` itself (not a reimplementation), so the
+    * streamed sketch after batches b₁…bₙ equals the batch Aggregator
+    * over the same row sequence — the spec pins this with a
+    * deterministic token script. Emission: the candidate set after each
+    * batch, (est desc, token) ordered, Update mode. */
+  class RegionHeavyHittersProcessor
+      extends StatefulProcessor[String, RegionToken, Trending] {
+
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var processed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long]("counters",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      processed = getHandle.getValueState[Long]("processed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(region: String, rows: Iterator[RegionToken],
+                                 timers: TimerValues): Iterator[Trending] = {
+      val before: Map[String, Long] = counters.iterator().toMap
+      val n0 = if (processed.exists()) processed.get() else 0L
+      val after = rows.foldLeft(
+        graft.functions.HeavyHitters.MGBuf(before, n0)) { (b, r) =>
+        graft.functions.HeavyHitters.MGAgg.reduce(b, r.token)
+      }
+      // write back as a DIFF: only touched entries hit RocksDB
+      (before.keySet -- after.counts.keySet).foreach(counters.removeKey)
+      after.counts.foreach { case (t, c) =>
+        if (before.get(t) != Some(c)) counters.updateValue(t, c)
+      }
+      processed.update(after.processed)
+      after.counts.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+        .map { case (t, c) => Trending(region, t, c, after.processed) }
+    }
+  }
+
+  /** [[RegionHeavyHittersProcessor]] as a query stage (k is the batch
+    * sketch's `HeavyHitters.k` — stream and batch answer the same
+    * question with the same memory bound). */
+  def trendingTws(tokens: Dataset[RegionToken]): Dataset[Trending] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .groupByKey(_.region)
+      .transformWithState(new RegionHeavyHittersProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

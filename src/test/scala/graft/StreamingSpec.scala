@@ -658,6 +658,64 @@ class StreamingSpec extends SparkSpec {
     assert(md.head.getAs[String]("operatorName") == "stateStoreSave")
   }
 
+  test("streaming heavy hitters on MapState: MG transitions match the batch Aggregator across batches") {
+    // Tws.trendingTws = HeavyHitters.MGAgg as continuous MapState. The
+    // token script is chosen so every MG transition is order-independent
+    // (distinct keys stay <= k until the decrement batch, which is a
+    // single row), making the expected sketch computable by hand:
+    //   b1: 5xa 3xb            -> {a:5, b:3}, n=8   (exact: <= k keys)
+    //   b2: 4xa + c,d,e,f,g,h  -> {a:9, b:3, c..h:1}, n=18 (8 keys = k)
+    //   b3: 1xz (map full)     -> decrement-all: {a:8, b:2}, n=19
+    // b2/b3 only work if b1/b2's counters round-trip through MapState.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Tws
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[Tws.RegionToken]
+      val q = Tws.trendingTws(input.toDS())
+        .writeStream.format("memory").queryName("mg_tws")
+        .outputMode("update").start()
+      try {
+        def batch(tokens: Seq[String]): Array[(String, Long, Long)] = {
+          val mark = spark.table("mg_tws").count()
+          input.addData(tokens.map(t => Tws.RegionToken("USA0", t)))
+          q.processAllAvailable()
+          spark.table("mg_tws").collect().drop(mark.toInt)
+            .map(r => (r.getAs[String]("token"), r.getAs[Long]("est"),
+              r.getAs[Long]("n")))
+        }
+        val b1 = batch(Seq.fill(5)("a") ++ Seq.fill(3)("b"))
+        assert(b1.toSeq == Seq(("a", 5L, 8L), ("b", 3L, 8L)), s"got ${b1.toSeq}")
+        val b2 = batch(Seq.fill(4)("a") ++ Seq("c", "d", "e", "f", "g", "h"))
+        assert(b2.head == (("a", 9L, 18L)) && b2.length == 8,
+          s"counters must survive the batch boundary, got ${b2.toSeq}")
+        val b3 = batch(Seq("z"))
+        assert(b3.toSeq == Seq(("a", 8L, 19L), ("b", 2L, 19L)),
+          s"decrement-all on a full sketch, got ${b3.toSeq}")
+        // the streamed sketch equals the batch Aggregator over the same
+        // row sequence — transition parity by construction
+        val allTokens = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++
+          Seq.fill(4)("a") ++ Seq("c", "d", "e", "f", "g", "h", "z")
+        val batchBuf = allTokens.foldLeft(
+          graft.functions.HeavyHitters.MGAgg.zero)(
+          graft.functions.HeavyHitters.MGAgg.reduce)
+        assert(batchBuf.counts == Map("a" -> 8L, "b" -> 2L) &&
+          batchBuf.processed == 19L, s"got $batchBuf")
+        // MG guarantees on the final state: est <= exact, no false
+        // negatives above n/(k+1), candidate set bounded by k
+        val exact = allTokens.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+        val thr = 19.0 / (graft.functions.HeavyHitters.k + 1)
+        assert(batchBuf.counts.forall { case (t, c) => c <= exact(t) })
+        assert(exact.filter(_._2 > thr).keySet.subsetOf(batchBuf.counts.keySet))
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("state audit: q84-style rules over a real checkpoint's dedup state") {
     // "state debugging is a query", composed end-to-end: run the
     // watermarked streaming dedup against a checkpoint, then audit the
