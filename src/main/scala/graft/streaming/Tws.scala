@@ -196,4 +196,79 @@ object Tws {
       .transformWithState(new RegionHeavyHittersProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Input for the rolling feature window: one measurement per event. */
+  case class UserValue(user_id: Long, value: Double, ts: java.sql.Timestamp)
+
+  /** A buffered window entry (event-time micros + value). */
+  case class WinEvent(tsUs: Long, value: Double)
+
+  /** Per-user features over the last ≤ maxN events, refreshed per batch. */
+  case class UserFeatures(user_id: Long, n: Int, mean: Double,
+                          vmin: Double, vmax: Double, latest_us: Long)
+
+  /** Rolling last-N feature window per user on `ListState` — the online
+    * feature-generation pattern ("mean amount over the user's last 10
+    * transactions") that serving-side fraud/reco models read, and the
+    * third TWS state shape after ValueState (+TTL) and MapState, each
+    * used where its RocksDB write profile is the right one:
+    *
+    *  - the COMMON batch (in-order arrivals, window not yet full) is
+    *    `appendList` — ListState's append is a RocksDB merge-op, so the
+    *    existing buffer is NOT read-modify-written; cost is O(new
+    *    events), however large the buffer;
+    *  - only overflow or out-of-order arrivals pay the `put` rewrite,
+    *    and the rewrite is bounded by maxN.
+    *
+    * Per-key state is BOUNDED (≤ maxN entries) by construction — this
+    * operator needs no TTL to stay finite per key, though the key
+    * UNIVERSE would compose with [[RegionTotalsProcessor]]-style TTL on
+    * an open stream. Events fold in event-time order (the funnel's
+    * discipline), so intra-batch arrival order never changes the
+    * window. */
+  class FeatureWindowProcessor(maxN: Int)
+      extends StatefulProcessor[Long, UserValue, UserFeatures] {
+    require(maxN > 0, s"maxN must be positive, got $maxN")
+
+    @transient private var window: org.apache.spark.sql.streaming.ListState[WinEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      window = getHandle.getListState[WinEvent]("window",
+        Encoders.product[WinEvent], TTLConfig.NONE)
+
+    private def toUs(t: java.sql.Timestamp): Long =
+      java.time.temporal.ChronoUnit.MICROS
+        .between(java.time.Instant.EPOCH, t.toInstant)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserValue],
+                                 timers: TimerValues): Iterator[UserFeatures] = {
+      val incoming = rows.map(r => WinEvent(toUs(r.ts), r.value)).toArray
+        .sortBy(e => (e.tsUs, e.value))
+      val cur = window.get().toArray // maintained oldest → newest
+      val inOrder = cur.isEmpty || incoming.headOption.forall(_.tsUs >= cur.last.tsUs)
+      val kept =
+        if (inOrder && cur.length + incoming.length <= maxN) {
+          window.appendList(incoming) // merge-op append: buffer never rewritten
+          cur ++ incoming
+        } else {
+          val merged = (cur ++ incoming).sortBy(e => (e.tsUs, e.value))
+            .takeRight(maxN)
+          window.put(merged) // overflow / late arrival: bounded rewrite
+          merged
+        }
+      val vs = kept.map(_.value)
+      Iterator.single(UserFeatures(user, kept.length, vs.sum / kept.length,
+        vs.min, vs.max, kept.last.tsUs))
+    }
+  }
+
+  /** [[FeatureWindowProcessor]] as a query stage. */
+  def featureWindowTws(events: Dataset[UserValue],
+                       maxN: Int = 10): Dataset[UserFeatures] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FeatureWindowProcessor(maxN),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

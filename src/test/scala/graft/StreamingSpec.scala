@@ -716,6 +716,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("rolling feature window on ListState: append path, overflow trim, late arrival — across batches") {
+    // Tws.featureWindowTws: last-maxN per-user features. Batch script
+    // (maxN = 4, one user):
+    //   b1: values 1,2,3 @ 10:01..10:03      -> n=3 mean=2   (append path)
+    //   b2: values 4,5   @ 10:04..10:05      -> n=4 {2,3,4,5} (overflow trim)
+    //   b3: value 10     @ 10:04:30 (LATE)   -> n=4 {4, 10, 5} +3? ->
+    //       merged {3,4,10,5} by ts: (10:03,3)(10:04,4)(10:04:30,10)(10:05,5)
+    //       -> mean=5.5, max=10, latest stays 10:05
+    // b2/b3 prove the buffer written in earlier batches (incl. via the
+    // merge-op append) reads back in later ones.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Tws
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[Tws.UserValue]
+      val q = Tws.featureWindowTws(input.toDS(), maxN = 4)
+        .writeStream.format("memory").queryName("fw_tws")
+        .outputMode("update").start()
+      try {
+        def batch(vals: (Double, String)*): (Int, Double, Double, Double, Long) = {
+          val mark = spark.table("fw_tws").count()
+          input.addData(vals.map { case (v, t) => Tws.UserValue(7L, v, ts(t)) })
+          q.processAllAvailable()
+          val r = spark.table("fw_tws").collect().drop(mark.toInt)
+          assert(r.length == 1, s"one user -> one feature row, got ${r.toSeq}")
+          (r.head.getAs[Int]("n"), r.head.getAs[Double]("mean"),
+            r.head.getAs[Double]("vmin"), r.head.getAs[Double]("vmax"),
+            r.head.getAs[Long]("latest_us"))
+        }
+        def us(t: String): Long =
+          java.time.temporal.ChronoUnit.MICROS.between(
+            java.time.Instant.EPOCH, ts(t).toInstant)
+        val b1 = batch((1.0, "2024-01-01 10:01:00"), (2.0, "2024-01-01 10:02:00"),
+          (3.0, "2024-01-01 10:03:00"))
+        assert(b1 == ((3, 2.0, 1.0, 3.0, us("2024-01-01 10:03:00"))), s"got $b1")
+        val b2 = batch((4.0, "2024-01-01 10:04:00"), (5.0, "2024-01-01 10:05:00"))
+        assert(b2 == ((4, 3.5, 2.0, 5.0, us("2024-01-01 10:05:00"))),
+          s"overflow must evict the OLDEST entry, got $b2")
+        val b3 = batch((10.0, "2024-01-01 10:04:30"))
+        assert(b3 == ((4, 5.5, 3.0, 10.0, us("2024-01-01 10:05:00"))),
+          s"late arrival slots by event time and evicts the oldest, got $b3")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("state audit: q84-style rules over a real checkpoint's dedup state") {
     // "state debugging is a query", composed end-to-end: run the
     // watermarked streaming dedup against a checkpoint, then audit the
