@@ -66,9 +66,18 @@ object Bench {
       try {
         val ckpt = java.nio.file.Files.createTempDirectory("bench_ckpt").toString
         val src = java.nio.file.Files.createTempDirectory("bench_src")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-          src.resolve("events.parquet"))
+        // events.parquet may be a single file (driver testdata) or a
+        // directory of part files (Spark-written scale corpora) — stage
+        // the data files either way
+        val ep = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        if (java.nio.file.Files.isDirectory(ep)) {
+          val it = java.nio.file.Files.list(ep).iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet"))
+              java.nio.file.Files.copy(p, src.resolve(p.getFileName.toString))
+          }
+        } else java.nio.file.Files.copy(ep, src.resolve("events.parquet"))
         val events = graft.streaming.Ingest.eventsFileStream(spark, src.toString,
           maxFilesPerTrigger = 1)
         graft.streaming.Ingest.envelope(spark, events)
