@@ -647,7 +647,64 @@ object TrainingData {
        |  round(wkey + 1e-12, 9) AS wkey
        |FROM r WHERE rk <= $wsampleK ORDER BY rk""".stripMargin
 
+  // --------------------------------------------------------------- q107
+  /** Batch twin of the streaming rolling feature window
+    * ([[graft.streaming.Tws.featureWindowTws]]): per-user features over
+    * the user's LAST 10 events — count, mean, min, max, latest event
+    * time. The feature-backfill job every online feature store pairs
+    * with its serving path: stream keeps features fresh, this query
+    * (re)computes them over the lake, and StreamingSpec pins that the
+    * two agree on identical input.
+    *
+    * Shape: per-group top-k via row_number over (user_id / ts desc) —
+    * Spark plans the rank filter as WindowGroupLimit (per-partition
+    * heaps, non-qualifying events never leave their partition), then
+    * one partial+final aggregate. One shuffle on user_id total, reused
+    * by window AND aggregate.
+    *
+    * Determinism: mean folds the kept events' values in sorted
+    * (ts, event_id) order (the q65/q78/q101 discipline), rounded to 6;
+    * min/max/count/latest are exact. event_id breaks ts ties (none in
+    * this corpus; the discipline costs nothing). */
+  def q107FeatureWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(aggregate(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("value").as("v")))),
+            lit(0.0), (a, x) => a + x.getField("v")) / count(lit(1)) + 1e-9, 6)
+          .as("mean_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        max(col("ts")).as("latest_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val q107Sql: String =
+    """WITH rk AS (SELECT user_id, event_id, value, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events)
+      |SELECT user_id, count(*) AS n,
+      |  round(list_reduce(list_prepend(0.0,
+      |      list_transform(list_sort(list({'ts': ts, 'event_id': event_id,
+      |        'v': value})), x -> x.v)), (a, b) -> a + b)
+      |    / count(*) + 1e-9, 6) AS mean_v,
+      |  min(value) AS min_v, max(value) AS max_v, max(ts) AS latest_ts
+      |FROM rk WHERE rk <= 10
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_feature_window"   -> q107FeatureWindow _,
     "q54_stratified_sample" -> q54StratifiedSample _,
     "q55_chunking"          -> q55Chunking _,
     "q60_decontaminate"     -> q60Decontaminate _,
@@ -661,6 +718,7 @@ object TrainingData {
   )
 
   val oracle: Map[String, String] = Map(
+    "q107_feature_window"   -> q107Sql,
     "q54_stratified_sample" -> q54Sql,
     "q55_chunking"          -> q55Sql,
     "q60_decontaminate"     -> q60Sql,

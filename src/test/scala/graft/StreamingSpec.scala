@@ -766,6 +766,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("feature window: the streaming ListState twin agrees with batch q107 on the lake corpus") {
+    // the feature-store contract: featureWindowTws keeps features fresh,
+    // q107 backfills them over the lake — on identical input they must
+    // agree. Real sf0.001 events streamed in two event-time-ordered
+    // batches; each user's LAST update-mode emission is their final
+    // feature row and must match the oracle-gated batch query.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Tws
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val evs = graft.sources.Tables.events(spark, sf)
+        .select(col("user_id"), col("value"), col("ts")).collect()
+        .map(r => Tws.UserValue(r.getLong(0), r.getDouble(1), r.getTimestamp(2)))
+        .sortBy(_.ts.getTime)
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      val input = MemoryStream[Tws.UserValue]
+      val q = Tws.featureWindowTws(input.toDS(), maxN = 10)
+        .writeStream.format("memory").queryName("fw_parity")
+        .outputMode("update").start()
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // last emission per user = final state (memory sink appends batches
+      // in order; one row per user per batch it appeared in)
+      val streamed = spark.table("fw_parity").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Int]("n"), r.getAs[Double]("mean"), r.getAs[Double]("vmin"),
+            r.getAs[Double]("vmax"), r.getAs[Long]("latest_us")))
+        .toMap // toMap keeps the LAST occurrence per key
+      val batch = graft.operators.TrainingData.q107FeatureWindow(spark, sf).collect()
+      assert(batch.length == streamed.size, s"${batch.length} vs ${streamed.size}")
+      batch.foreach { r =>
+        val u = r.getAs[Long]("user_id")
+        val (n, mean, vmin, vmax, latestUs) = streamed(u)
+        assert(n.toLong == r.getAs[Long]("n"), s"user $u n")
+        assert(math.abs(mean - r.getAs[Double]("mean_v")) < 1e-6, s"user $u mean")
+        assert(vmin == r.getAs[Double]("min_v") && vmax == r.getAs[Double]("max_v"),
+          s"user $u min/max")
+        val batchUs = java.time.temporal.ChronoUnit.MICROS.between(
+          java.time.Instant.EPOCH, r.getAs[java.sql.Timestamp]("latest_ts").toInstant)
+        assert(latestUs == batchUs, s"user $u latest")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("state audit: q84-style rules over a real checkpoint's dedup state") {
     // "state debugging is a query", composed end-to-end: run the
     // watermarked streaming dedup against a checkpoint, then audit the
