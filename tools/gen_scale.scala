@@ -1,0 +1,80 @@
+// Scale-corpus generator for the PLANS.md "Round 6" sweep — run with:
+//   /opt/spark/bin/spark-shell --master local[32] \
+//     --conf spark.sql.shuffle.partitions=32 \
+//     --conf spark.sql.legacy.parquet.nanosAsLong=true \
+//     --conf spark.ui.enabled=false -I tools/gen_scale.scala
+// then bench a subset against the output dirs:
+//   SPARK_GRAFT_BENCH_FILTER="q73,q90,q87,q75,q101,q56,q95,q86" \
+//   SPARK_GRAFT_SF_DIR=/tmp/graft_sf05 SPARK_GRAFT_CPUS=32 \
+//   sbt -batch "runMain graft.Bench"
+//
+// SHARD REPLICATION: R disjoint key-space replicas of sf0.1, so per-shard
+// density (dup rates, graph degree, vocab ratios, cluster sizes) stays
+// CONSTANT while volume grows R-fold — the controlled experiment for
+// ENGINE scaling. A naive R-fold copy would square planted dup-group pair
+// counts inside every LSH bucket (R^2 growth the real corpus family does
+// not have) and falsify the sweep with a data artifact. Replica texts are
+// token-suffixed (disjoint vocab, no cross-replica near-dups), customer
+// names suffixed (disjoint deletion neighborhoods), embedding vectors
+// kept (same point cloud at R-fold multiplicity), event user/event ids
+// offset (disjoint streaming key universes).
+import org.apache.spark.sql.functions._
+val src = "/root/testdata/sf0.1"
+
+def gen(out: String, reps: Int): Unit = {
+  def acr(df: org.apache.spark.sql.DataFrame)(f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
+    (0 until reps).map(r => f(df, r)).reduce(_ union _)
+
+  val docs = spark.read.parquet(s"$src/documents.parquet")
+  acr(docs) { (d, r) =>
+    if (r == 0) d
+    else d.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+      array_join(transform(split(col("text"), " "), t => concat(t, lit("_r" + r))), " ").as("text"),
+      col("lang"), col("source"), col("n_chars"))
+  }.repartition(16).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+  val emb = spark.read.parquet(s"$src/embeddings.parquet")
+  acr(emb) { (e, r) =>
+    e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"), col("embedding"), col("label"))
+  }.repartition(16).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+  val li = spark.read.parquet(s"$src/lineitem.parquet")
+  acr(li) { (d, r) =>
+    d.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
+      (col("l_partkey") + lit(r * 10000000L)).as("l_partkey"),
+      (col("l_suppkey") + lit(r * 10000000L)).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate"))
+  }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+  val ord = spark.read.parquet(s"$src/orders.parquet")
+  acr(ord) { (d, r) =>
+    d.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
+      (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))
+  }.repartition(16).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+  val cust = spark.read.parquet(s"$src/customer.parquet")
+  acr(cust) { (d, r) =>
+    if (r == 0) d
+    else d.select(((col("c_custkey") + lit(r * 10000000L)).as("c_custkey") +:
+      concat(col("c_name"), lit("#r" + r)).as("c_name") +:
+      d.columns.filter(c => c != "c_custkey" && c != "c_name").map(col).toSeq): _*)
+  }.repartition(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+  val ev = spark.read.parquet(s"$src/events.parquet")
+  acr(ev) { (d, r) =>
+    d.select((col("event_id") + lit(r * 10000000L)).as("event_id"), col("ts"),
+      (col("user_id") + lit(r * 10000000L)).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+  println("GEN_DONE " + out + " " +
+    Seq("documents", "embeddings", "lineitem", "orders", "customer", "events")
+      .map(t => t + "=" + spark.read.parquet(s"$out/$t.parquet").count()).mkString(" "))
+}
+
+gen("/tmp/graft_sf05", 5)
+gen("/tmp/graft_sf1", 10)
