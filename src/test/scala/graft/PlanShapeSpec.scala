@@ -61,6 +61,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial + final WindowGroupLimit, got ${limits.size}")
   }
 
+  test("q107 pushes the last-10-per-user rank below the exchange and reuses its shuffle") {
+    val p = executed(graft.operators.TrainingData.queries("q107_feature_window")(spark, sf))
+    val limits = allNodes(p).collect { case w: WindowGroupLimitExec => w }
+    assert(limits.size == 2,
+      s"expected partial + final WindowGroupLimit, got ${limits.size}")
+    // one user_id exchange shared by window + aggregate, one final sort
+    assert(shuffles(p).size <= 2,
+      s"window and aggregate must share the user_id shuffle, got ${shuffles(p).size}")
+  }
+
   test("q60 has no join operator: leakage comes from one gram aggregate") {
     val p = executed(graft.operators.TrainingData.queries("q60_decontaminate")(spark, sf))
     val joins = allNodes(p).collect {
