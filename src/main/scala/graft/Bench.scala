@@ -71,12 +71,15 @@ object Bench {
         // the data files either way
         val ep = java.nio.file.Paths.get(s"$sfDir/events.parquet")
         if (java.nio.file.Files.isDirectory(ep)) {
-          val it = java.nio.file.Files.list(ep).iterator()
-          while (it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString.endsWith(".parquet"))
-              java.nio.file.Files.copy(p, src.resolve(p.getFileName.toString))
-          }
+          val ls = java.nio.file.Files.list(ep)
+          try {
+            val it = ls.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.getFileName.toString.endsWith(".parquet"))
+                java.nio.file.Files.copy(p, src.resolve(p.getFileName.toString))
+            }
+          } finally ls.close()
         } else java.nio.file.Files.copy(ep, src.resolve("events.parquet"))
         val events = graft.streaming.Ingest.eventsFileStream(spark, src.toString,
           maxFilesPerTrigger = 1)
