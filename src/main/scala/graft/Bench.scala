@@ -42,22 +42,77 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // Steady-state reference times (idle machine, min-of-2; round-6 run
+    // with the two in-suite phantoms replaced by their isolated re-times,
+    // VERDICT r6 "What's wrong" #1). Used ONLY to trigger a third re-run
+    // when a measurement looks like an outlier — never to replace or
+    // adjust a measured value. Only entries whose steady state is ≥ ~1 s
+    // are listed: below that the spread rule already catches contention,
+    // and a sub-second entry tripling is absolute noise, not a phantom.
+    val refTimes: Map[String, Double] = Map(
+      "q27_ngram_jaccard" -> 1.65, "q40_approx_distinct" -> 1.68,
+      "q45_sql_tpch5" -> 1.58, "q56_dedup_clusters" -> 2.85,
+      "q71_minhash_estimate" -> 1.73, "q73_pagerank" -> 1.90,
+      "q74_kmeans_round" -> 1.35, "q75_triangle_count" -> 2.79,
+      "q81_bfs_reach" -> 1.85, "q84_quality_audit" -> 1.21,
+      "q86_skyline" -> 1.29, "q87_fuzzy_join" -> 3.40,
+      "q90_ann_trained" -> 2.60, "q95_bigram_lm" -> 1.10,
+      "q101_tfidf_retrieval" -> 2.04, "q102_ann_recall" -> 1.42,
+      "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 6.00,
+      "s03_trending_rocksdb" -> 5.80)
+    // A spread is NOISE (not signal) above this bar — the same bar that
+    // decides whether an entry earns a third run and a "noisy" flag in
+    // the artifact tail.
+    def noiseBar(best: Double): Double = math.max(0.3, 0.5 * best)
     // min of two runs per query: steady-state cost, not first-run JIT.
-    // Spread (|a-b|) is reported per query so a noisy measurement is
-    // visible as noise instead of masquerading as a regression. A
+    // Self-diagnosis (round-6 verdict #1 — BENCH_r06 carried two in-suite
+    // phantoms, q56 18.2 s vs 2.85 isolated, with their spread flags
+    // truncated away): a measurement whose spread exceeds noiseBar OR
+    // whose min-of-2 exceeds 3× its steady-state reference gets ONE
+    // extra run after a fresh quiesce; if it still looks contended it is
+    // flagged in the "noisy" tail map that now survives truncation. A
     // failure in EITHER run reports -1 (never a valid-looking time next
     // to an errors entry).
     val spreads = scala.collection.mutable.Map[String, Double]()
+    val noisy = scala.collection.mutable.Map[String, Double]()
     def timeBoth(name: String, once: () => Double): Double = {
       quiesce()
       val a = once()
       val b = if (a < 0) -1.0 else once()
-      if (a < 0 || b < 0) { spreads(name) = -1.0; -1.0 }
-      else { spreads(name) = math.abs(a - b); math.min(a, b) }
+      if (a < 0 || b < 0) { spreads(name) = -1.0; return -1.0 }
+      var runs = List(a, b).sorted
+      def suspect: Boolean =
+        (runs(1) - runs(0)) > noiseBar(runs(0)) ||
+          refTimes.get(name).exists(r => runs(0) > math.max(1.0, 3.0 * r))
+      if (suspect) {
+        quiesce()
+        val c = once()
+        if (c >= 0) runs = (c :: runs).sorted.take(2)
+        // still suspect after the extra run → the artifact must say so
+        if (suspect) noisy(name) = runs(1) - runs(0)
+      }
+      spreads(name) = runs(1) - runs(0)
+      runs(0)
     }
     def time(name: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       timeBoth(name, () => runOnce(name, fn))
+    // Per-query streaming state metrics (round-6 verdict ask #3): s02/s03
+    // wall-clock is flat at 10× keys because per-batch fixed costs
+    // dominate — these counters are the signal that shows WHEN state work
+    // starts to matter. Last completed run wins (row/byte counts are
+    // deterministic across runs; latencies are representative).
+    val stateMetrics = scala.collection.mutable.Map[String, String]()
+    def recordState(name: String,
+                    q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val sos = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      if (sos.nonEmpty) stateMetrics(name) =
+        s"""{"batches":${q.recentProgress.length}""" +
+          s""","rowsUpdated":${sos.map(_.numRowsUpdated).sum}""" +
+          s""","rowsTotal":${sos.map(_.numRowsTotal).max}""" +
+          s""","stateBytes":${sos.map(_.memoryUsedBytes).max}""" +
+          s""","commitMs":${sos.map(_.commitTimeMs).sum}}"""
+    }
     // the reference's whole job — geo ingest → envelope → routed sink —
     // as one timed streaming pass over the events table. min-of-2 with a
     // fresh checkpoint + source dir per run, same discipline as batch.
@@ -111,9 +166,12 @@ object Bench {
       d
     }
     def statefulOnce(): Double = {
-      val src = s02Src // materialize outside the clock
-      val t0 = System.nanoTime()
       try {
+        // staging inside the try (a staging failure degrades to an errors
+        // entry like any other query) but BEFORE the clock starts — the
+        // lazy val materializes once and is free on the second run
+        val src = s02Src
+        val t0 = System.nanoTime()
         val ckpt = java.nio.file.Files.createTempDirectory("bench_s02_ckpt").toString
         Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
@@ -124,13 +182,14 @@ object Bench {
               org.apache.spark.sql.functions.col("event_type"),
               org.apache.spark.sql.functions.col("ts"))
             .as[graft.streaming.Funnel.FunnelEvent]
-          graft.streaming.Funnel.funnelProgress(ev)
+          val q = graft.streaming.Funnel.funnelProgress(ev)
             .writeStream.format("noop")
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-            .awaitTermination(300000L)
+          q.awaitTermination(300000L)
+          recordState("s02_funnel_rocksdb", q)
         } finally Session.rocksDBConfs.keys.foreach(spark.conf.unset)
         (System.nanoTime() - t0) / 1e9
       } catch {
@@ -157,9 +216,9 @@ object Bench {
     // detector. Same discipline as s02: shared 8-file source, fresh
     // checkpoint + RocksDB per run.
     def trendingOnce(): Double = {
-      val src = s02Src
-      val t0 = System.nanoTime()
       try {
+        val src = s02Src
+        val t0 = System.nanoTime()
         val ckpt = java.nio.file.Files.createTempDirectory("bench_s03_ckpt").toString
         Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
@@ -170,13 +229,14 @@ object Bench {
           val tokens = graft.operators.Geo.assignRegion(spark, ev)
             .select(col("region"), col("user_id").cast("string").as("token"))
             .as[graft.streaming.Tws.RegionToken]
-          graft.streaming.Tws.trendingTws(tokens)
+          val q = graft.streaming.Tws.trendingTws(tokens)
             .writeStream.format("noop")
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-            .awaitTermination(300000L)
+          q.awaitTermination(300000L)
+          recordState("s03_trending_rocksdb", q)
         } finally Session.rocksDBConfs.keys.foreach(spark.conf.unset)
         (System.nanoTime() - t0) / 1e9
       } catch {
@@ -196,10 +256,13 @@ object Bench {
       "s03_trending_rocksdb" -> (() => trendingOnce())).collect {
       case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
     }
-    // ms precision: full ns resolution is noise (spreads are 10-100 ms) and
-    // the shorter entries let more of the queries map survive the driver's
-    // 2000-char tail truncation.
+    // ms precision: full ns resolution is noise (spreads are 10-100 ms).
     def f(v: Double): String = if (v < 0) "-1" else "%.3f".format(v)
+    // compact tail keys: the qNN/sNN prefix (unique by construction),
+    // 10 ms resolution — enough to read a regression, short enough that
+    // ALL entries fit the tail budget
+    def short(n: String): String = n.takeWhile(_ != '_')
+    def f2(v: Double): String = if (v < 0) "-1" else "%.2f".format(v)
     val qs = results.map { case (k, v) => Jsons.str(k) + ":" + f(v) }
       .mkString("{", ",", "}")
     val sp = results.keys.map { k =>
@@ -207,13 +270,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => Jsons.str(k) + ":" + Jsons.str(v) }
       .mkString("{", ",", "}")
+    val state = stateMetrics.map { case (k, v) => Jsons.str(short(k)) + ":" + v }
+      .mkString("{", ",", "}")
+    val noisyJs = noisy.map { case (k, v) => Jsons.str(short(k)) + ":" + f(v) }
+      .mkString("{", ",", "}")
+    val qShort = results.map { case (k, v) => Jsons.str(short(k)) + ":" + f2(v) }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // Field order matters: the driver snapshots only the LAST 2000 chars of
-    // this line, so round 5's artifact (queries first, spread last) recorded
-    // only the spread map and was unreadable as a perf record. Order here:
-    // spread first (expendable), then per-query TIMES, then errors + total —
-    // the three things a reader needs are the ones guaranteed to survive.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","spread":$sp,"queries":$qs,"errors":$errs,"value":${f(total)}}""")
+    // Field order matters: the driver snapshots only the LAST 2000 chars
+    // of this line. Expendable first (full spread map, full-name times —
+    // both readable in stdout), then the self-diagnosing tail that must
+    // survive: streaming state metrics, the noisy-entry flags (round-6
+    // verdict #1: q56's phantom arrived unflagged because the spread map
+    // got truncated), ALL per-query times under compact qNN keys, errors,
+    // total. Budget: 113 compact entries ≈ 1.5k chars + state + flags
+    // + errors + total < 2000.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","spread":$sp,"queries":$qs,"state":$state,"noisy":$noisyJs,"q":$qShort,"errors":$errs,"value":${f(total)}}""")
     spark.stop()
   }
 }

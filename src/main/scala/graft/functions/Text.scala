@@ -669,25 +669,42 @@ object Text {
     * mirrored exactly in the oracle. Near-ubiquitous terms carry
     * ln(N/df) ≈ 0 weight yet generate the densest postings, so the cut
     * removes most score rows while barely moving cosines: measured at
-    * sf0.1, score rows drop 931k → 403k (-57%). The default 0.772 is
-    * tuned to this corpus's planted vocabulary (30 terms at df ≈ 0.77 N
-    * in a razor-thin band + 1 rare term) to keep roughly half the
-    * vocabulary; a natural-language corpus wants ~0.3–0.5. Parity note:
-    * both engines compare the same exact-integer df against the same
-    * IEEE double cap, so the cut is identical on both sides at any
-    * setting.
+    * sf0.1, score rows drop 931k → 403k (-57%). Parity note: both
+    * engines compare the same exact-integer df against the same IEEE
+    * double cap, so the cut is identical on both sides at any setting.
     *
     * Determinism: weights are tf·ln(N/df) over exact integers (one ln,
     * bit-identical); per-doc norms and per-pair dot products fold in
     * SORTED term order (the q65/q78/q96 discipline); cosines rounded to
     * 6 with (sim DESC, doc_id) tie-breaks. */
+  /** The CORPUS-SPECIFIC cap the oracle-gated q101 entry passes
+    * explicitly: this synthetic corpus plants 30 stop-terms in a
+    * razor-thin df ≈ 0.77·N band (+ 1 rare term), and 0.772 sits inside
+    * that band to keep roughly half the vocabulary. It is deliberately
+    * NOT the API default — any df drift would discontinuously flip half
+    * this corpus's vocabulary in or out of the index (round-6 ADVICE),
+    * which is a property of the planted corpus, not of the operator. */
   private[graft] val tfidfDfCapRatio = 0.772
 
+  /** The general-purpose default: natural-language corpora put
+    * stopwords at df ≳ 0.5·N and content terms far below, so 0.5 has
+    * margin on both sides of the cut for real df distributions. */
+  private[graft] val tfidfDfCapDefault = 0.5
+
+  /** Query-side size of the gate entry: the 10 lowest doc_ids. The
+    * 4-arg form exposes it (`nQueries`) so scale sweeps can measure
+    * score-join growth with query count, not just index build. */
+  private[graft] val tfidfNQueries = 10
+
   def q101TfidfRetrieval(spark: SparkSession, dir: String): DataFrame =
-    q101TfidfRetrieval(spark, dir, tfidfDfCapRatio)
+    q101TfidfRetrieval(spark, dir, tfidfDfCapRatio, tfidfNQueries)
 
   def q101TfidfRetrieval(spark: SparkSession, dir: String,
-                         dfCapRatio: Double): DataFrame = {
+                         dfCapRatio: Double): DataFrame =
+    q101TfidfRetrieval(spark, dir, dfCapRatio, tfidfNQueries)
+
+  def q101TfidfRetrieval(spark: SparkSession, dir: String,
+                         dfCapRatio: Double, nQueries: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksDf = tokenizedDocs(spark, dir)
     val dtf = docTermFreq(toksDf)
@@ -713,7 +730,7 @@ object Text {
       .agg(sqrt(aggregate(sort_array(collect_list(struct(col("term"),
         (col("w") * col("w")).as("part")))), lit(0.0),
         (acc, x) => acc + x.getField("part"))).as("nrm"))
-    val qw = w.filter(col("doc_id") < 10)
+    val qw = w.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("q_doc"), col("term"), col("w").as("qw"))
     val sims = w.join(broadcast(qw), "term")
       .filter(col("doc_id") =!= col("q_doc"))

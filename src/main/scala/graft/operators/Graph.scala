@@ -119,47 +119,72 @@ object Graph {
     * output carries `r_prev` so the convergence probe is a filter over
     * the materialized superstep — not a second join job. Factored so
     * the spec can drive it over a hand-built graph. */
-  private[graft] def pagerankStep(edgesD: DataFrame, ranks: DataFrame): DataFrame = {
+  private[graft] def pagerankStep(edgesD: DataFrame, ranks: DataFrame,
+                                  lazyChain: Boolean = false): DataFrame = {
     val contrib = edgesD
       .join(ranks, edgesD("src") === ranks("node"))
       .groupBy(col("dst"))
       .agg(sum(expr("r div od")).as("m"))
+    // lazyChain: r' = (r + step(r)) div 2 — the lazy walk. Same
+    // stationary ranks (π(I+P)/2 = π ⟺ πP = π) but the period-2
+    // oscillating mode a BIPARTITE graph carries (λ ≈ −0.85 here — the
+    // shipping graph is supplier↔customer two-sided) is damped by
+    // (1−0.85)/2 ≈ 0.075 per superstep instead of persisting at 0.85,
+    // so rank ORDER settles in half the supersteps (measured round 7:
+    // 14 vs 26 at sf0.01, 13 vs 31 at sf0.1). Integer div keeps the
+    // chain bit-deterministic like the standard one.
+    val upd =
+      if (lazyChain)
+        expr(s"(r_prev + ${scale * 15 / 100} + (85 * coalesce(m, 0L)) div 100) div 2")
+      else lit(scale * 15 / 100) + expr("85 * coalesce(m, 0L) div 100")
     ranks.select(col("node"), col("r").as("r_prev"))
       .join(contrib, col("node") === col("dst"), "left")
-      .select(col("node"),
-        (lit(scale * 15 / 100) + expr("85 * coalesce(m, 0L) div 100")).as("r"),
-        col("r_prev"))
+      .select(col("node"), upd.as("r"), col("r_prev"))
   }
 
   /** q73's compute budget — THE knob of every production PageRank. Exact
-    * integer convergence needs ~1/(1−d) ≈ 85 supersteps and the fixpoint
-    * probe therefore cannot fire below any sane cap on this corpus, so the
-    * cap IS the stopping rule here and paying more supersteps buys nothing
-    * a ranking consumer can see: rank ORDER of the top-20 is already
-    * stable at 3 (measured; [[pagerankConvergeOrderStable]] is the
-    * order-probe form and its spec pins this). 3 supersteps ≈ the graph's
-    * diameter-scale mixing, and the oracle unrolls the same count, so
-    * parity holds at any setting. Raise it when rank VALUES (not order)
-    * must be tight. */
+    * integer convergence needs ~1/(1−d) ≈ 85 supersteps, so the cap IS
+    * the stopping rule on this corpus, and the oracle unrolls the same
+    * count — parity holds at any setting.
+    *
+    * WHAT THE BUDGET BUYS (corrected round 7): rank VALUES after a
+    * fixed, deterministic 3 supersteps — NOT a stable top-20 order.
+    * Round 6 justified this cap with "top-20 order is already stable at
+    * 3", measured only on the spec-scale graph; a round-7 probe on the
+    * real corpora DISPROVED it: the shipping graph is bipartite
+    * (supplier↔customer), power iteration carries a period-2
+    * oscillating mode at λ ≈ −0.85, and the top-20 order keeps flipping
+    * until that mode decays below adjacent rank gaps — order stability
+    * arrives only at ~26 supersteps (sf0.01) / ~31 (sf0.1), or ~14/13
+    * on the lazy chain that damps the oscillation. A ranking consumer
+    * therefore runs [[pagerankConvergeOrderStable]] (lazyChain = true)
+    * and pays its measured ~14 supersteps; q73 is the fixed-budget
+    * VALUE form, and GraphSpec pins the real-corpus instability so this
+    * distinction can't silently regress. */
   private[graft] val pagerankMaxIters = 3
 
   /** Order-stability fixpoint: run supersteps until the TOP-K RANKING
     * (rank desc, node) repeats between consecutive supersteps — the exit
-    * a ranking consumer actually wants, and it genuinely fires (exact
-    * integer fixpoint needs ~85 supersteps; order stabilizes in ~3).
-    * The exact-fixpoint probe stays as a secondary exit (a truly
-    * converged state is also order-stable one step later, but d-regular
-    * graphs hit it first). Not used by q73: its oracle unrolls a FIXED
-    * superstep count, and an order-stable exit leaves rank VALUES short
-    * of the unrolled oracle's — this form is for interactive/top-k use
-    * where the ranking, not the scores, is the deliverable.
+    * a ranking consumer actually wants. On the real bipartite shipping
+    * graph the STANDARD chain pays ~26–31 supersteps for this (the
+    * period-2 oscillation, see [[pagerankMaxIters]]); `lazyChain = true`
+    * damps that mode and fires in ~13–14 (measured, round 7) — the form
+    * a top-k consumer should run. The exact-fixpoint probe stays as a
+    * secondary exit (a truly converged state is also order-stable one
+    * step later, but d-regular graphs hit it first). Not used by q73:
+    * its oracle unrolls a FIXED superstep count, and an order-stable
+    * exit leaves rank VALUES short of the unrolled oracle's — this form
+    * is for interactive/top-k use where the ranking, not the scores, is
+    * the deliverable.
     *
     * Probe cost: one top-K collect per superstep — K rows to the driver
     * (bounded, K ≤ 20 here), against the already-checkpointed superstep
-    * frame. Returns (ranks, superstepsRun). */
+    * frame. Returns (ranks, superstepsRun, orderStable) — callers MUST
+    * check the flag: `false` means the cap ran out first and the
+    * ranking is still churning. */
   private[graft] def pagerankConvergeOrderStable(
       edgesD: DataFrame, r0: DataFrame, topK: Int,
-      maxIters: Int): (DataFrame, Int) = {
+      maxIters: Int, lazyChain: Boolean = false): (DataFrame, Int, Boolean) = {
     require(topK <= 4096, s"topK=$topK: the order probe collects K rows/superstep")
     def topOrder(r: DataFrame): Seq[Long] =
       r.orderBy(col("r").desc, col("node")).limit(topK)
@@ -169,7 +194,7 @@ object Graph {
     var iter = 0
     var stable = false
     while (iter < maxIters && !stable) {
-      val next = pagerankStep(edgesD, ranks).localCheckpoint(true)
+      val next = pagerankStep(edgesD, ranks, lazyChain).localCheckpoint(true)
       val exactFixpoint = next.filter(col("r") =!= col("r_prev")).isEmpty
       ranks = next.select(col("node"), col("r"))
       val order = topOrder(ranks)
@@ -177,7 +202,7 @@ object Graph {
       prevOrder = order
       iter += 1
     }
-    (ranks, iter)
+    (ranks, iter, stable)
   }
 
   /** Delta-based fixpoint loop: run supersteps until the integer ranks

@@ -713,7 +713,6 @@ object Relational {
     * engines add calendar months exactly), decimal-rounded revenue,
     * exact counts. */
   def q103RecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
     // Recursion headroom is DATA-dependent: one level per month between
     // min and max o_orderdate (~80 on this corpus vs Spark's default
     // level cap of 100 — a wider date range would throw, not degrade).
@@ -722,8 +721,15 @@ object Relational {
     // engine default's accident. (The no-cap alternative — generate the
     // spine with sequence()/explode — is the right call when the spine
     // can be unbounded; here the linear-recursion form is the point.)
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1200")
-    spark.sql(
+    // SCOPED via a session clone (round-6 ADVICE — the set used to leak
+    // into every later query on the shared session): `newSession` shares
+    // the SparkContext/cache but isolates SQLConf + temp views, and a
+    // finally-restore would be wrong here anyway — the conf is read when
+    // the lazy plan EXECUTES, which is after this function returns.
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.cteRecursionLevelLimit", "1200")
+    Tables.orders(scoped, dir).createOrReplaceTempView("orders_v")
+    scoped.sql(
       """WITH RECURSIVE bounds AS (
         |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS lo,
         |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS hi

@@ -477,23 +477,28 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** One Lloyd round as oracle CTEs (c{r-1} → c{r}) — shared by the q90
+    * and q108 oracles, which replay the identical integer training
+    * trajectory over different seed sets. */
+  private def lloydRoundSql(r: Int): String = {
+    val prev = s"c${r - 1}"
+    s"""d$r AS (SELECT eq.vec_id, c.cid, eq.q,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
+       |  FROM eq CROSS JOIN $prev c),
+       |a$r AS (SELECT vec_id, cid AS cell, q FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM d$r) WHERE rk = 1),
+       |g$r AS (SELECT cell, t.range AS dim, count(*) AS n, sum(q[t.range]) AS s
+       |  FROM a$r CROSS JOIN range(1, ${dim + 1}) t GROUP BY 1, 2),
+       |u$r AS (SELECT cell AS cid, list(floor(s::DOUBLE / n)::BIGINT ORDER BY dim) AS newq
+       |  FROM g$r GROUP BY 1),
+       |c$r AS (SELECT p.cid, coalesce(u$r.newq, p.cq) AS cq
+       |  FROM $prev p LEFT JOIN u$r ON p.cid = u$r.cid)""".stripMargin
+  }
+
   val q90Sql: String = {
-    def lloydRound(r: Int): String = {
-      val prev = s"c${r - 1}"
-      s"""d$r AS (SELECT eq.vec_id, c.cid, eq.q,
-         |    list_sum(list_transform(range(1, ${dim + 1}),
-         |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
-         |  FROM eq CROSS JOIN $prev c),
-         |a$r AS (SELECT vec_id, cid AS cell, q FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-         |    FROM d$r) WHERE rk = 1),
-         |g$r AS (SELECT cell, t.range AS dim, count(*) AS n, sum(q[t.range]) AS s
-         |  FROM a$r CROSS JOIN range(1, ${dim + 1}) t GROUP BY 1, 2),
-         |u$r AS (SELECT cell AS cid, list(floor(s::DOUBLE / n)::BIGINT ORDER BY dim) AS newq
-         |  FROM g$r GROUP BY 1),
-         |c$r AS (SELECT p.cid, coalesce(u$r.newq, p.cq) AS cq
-         |  FROM $prev p LEFT JOIN u$r ON p.cid = u$r.cid)""".stripMargin
-    }
+    def lloydRound(r: Int): String = lloydRoundSql(r)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |eq AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
        |  FROM e),
@@ -580,22 +585,20 @@ object Similarity {
     * row_number in both engines. */
   private[graft] val semdedupTheta = 0.4
 
-  def q99Semdedup(spark: SparkSession, dir: String): DataFrame = {
-    val eq = codedVectors(spark, dir)
-    val seeds: Array[(Long, Seq[Long])] = eq
-      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
-    require(seeds.length == 16, s"expected 16 seed centroids, got ${seeds.length}")
+  /** The semdedup tail over an argmin-celled corpus: within-cell pair
+    * join → theta filter → keep-the-lowest-id keeper per dropped vector.
+    * Shared by q99 (fixed 16-seed quantizer) and q108 (k ∝ N trained
+    * quantizer) — the pair stage is identical; only the cells differ. */
+  private def semdedupOverCells(cents: Array[(Long, Seq[Long])],
+                                spark: SparkSession, dir: String): DataFrame = {
     // materialize the celled frame ONCE: a self-join has no common-
-    // subexpression reuse across sides, so without this the 16-centroid
+    // subexpression reuse across sides, so without this the centroid
     // argmin (array_sort over zip_with L2 folds) runs twice per vector —
     // measured 3.5 s → 1.2 s at sf0.1 (the q71/q56/q90 localCheckpoint
     // lesson applied to a self-join)
     val withCell = normedVectors(spark, dir)
       .withColumn("q", transform(col("v"), x => round(x * 1000 + 1e-9).cast("long")))
-      .withColumn("cell", argminCellCol(seeds))
+      .withColumn("cell", argminCellCol(cents))
       .drop("q")
       .localCheckpoint(true)
     val pairs = withCell.as("a").join(withCell.as("b"),
@@ -611,6 +614,17 @@ object Similarity {
       .orderBy(col("dup_id"))
   }
 
+  def q99Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val eq = codedVectors(spark, dir)
+    val seeds: Array[(Long, Seq[Long])] = eq
+      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(seeds.length == 16, s"expected 16 seed centroids, got ${seeds.length}")
+    semdedupOverCells(seeds, spark, dir)
+  }
+
   val q99Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |eq AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
@@ -624,6 +638,115 @@ object Similarity {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
        |    FROM d) WHERE rk = 1),
        |nv AS (SELECT e.vec_id, a.cell, e.v FROM e JOIN a USING (vec_id)),
+       |p AS (SELECT b.vec_id AS dup_id, a.vec_id AS keeper_id, a.cell,
+       |    round(${cosineSql("a.v", "b.v")}, 6) AS cos
+       |  FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |f AS (SELECT * FROM p WHERE cos >= $semdedupTheta),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY dup_id ORDER BY cos DESC, keeper_id) AS rk
+       |  FROM f)
+       |SELECT dup_id, keeper_id, cell, cos FROM rk WHERE rk = 1
+       |ORDER BY dup_id""".stripMargin
+
+  // --------------------------------------------------------------- q108
+  /** Expected vectors per IVF/semdedup cell — THE scale dial of every
+    * coarse-quantized operator. Cells of ~constant size keep the
+    * within-cell pair join (q99/q108) and the cell-local search (q46/
+    * q90) linear in corpus size; a FIXED centroid count instead lets
+    * cells fatten with the corpus, which is exactly the measured
+    * adversarial q99 curve at 10× data (PLANS.md round 6). */
+  private[graft] val ivfTargetCellSize = 50
+
+  /** Centroid-count floor: below ~16 cells the quantizer stops being an
+    * index (q46/q90/q99 pin exactly 16 for their oracles). */
+  private[graft] val ivfMinCentroids = 16
+
+  /** k ∝ N, enforced: the centroid count a coarse quantizer gets for an
+    * N-vector corpus. Grows linearly so expected cell size stays
+    * ~`targetCellSize` at any scale — 500 vectors → 16 (the floor),
+    * 20k → 400, 1e9 → bounded by the 4096 driver-collect guard, past
+    * which the argmin moves to a mapPartitions BLAS kernel (same cells,
+    * different kernel; the quantizer contract is unchanged). */
+  private[graft] def scaledK(n: Long,
+                             targetCellSize: Int = ivfTargetCellSize): Int =
+    math.max(ivfMinCentroids, math.ceil(n.toDouble / targetCellSize).toInt)
+
+  /** Deterministic hash-ordered seed sample: the k lowest vectors by
+    * md5-h60("seed:" || vec_id) — a uniform, engine-replayable
+    * pseudo-random sample with no RNG state. Plans as one top-k
+    * (TakeOrderedAndProject — no global sort, no shuffle of the corpus)
+    * and a bounded driver collect (k ≤ 4096, `require`-gated). */
+  private[graft] def scaledSeeds(eq: DataFrame, k: Int): Array[(Long, Seq[Long])] = {
+    require(k <= 4096,
+      s"coarse quantizer must stay driver-collectable, got k=$k")
+    eq.select(col("vec_id"), col("q"),
+        call_function("graft_h60",
+          concat(lit("seed:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+  }
+
+  /** SemDedup with the k ∝ N quantizer ENFORCED — q99's scale answer
+    * made code (round-6 verdict ask: "k grows with N keeps cells
+    * constant-sized" was a docstring; a user running the defaults on a
+    * 10× corpus got the adversarial fixed-k curve). Pipeline: count the
+    * corpus → k = [[scaledK]] → hash-sampled seeds → q90's integer
+    * Lloyd trainer ([[trainCentroids]], same `kmeansRounds` budget) →
+    * the q99 semdedup tail over the trained cells.
+    *
+    * Scale shape: one count, one top-k seed sample, `kmeansRounds`
+    * corpus scans for training (each map-side argmin + a k·d-row
+    * partial aggregate), then the within-cell pair join — which k ∝ N
+    * keeps linear overall because expected cell size is constant. Every
+    * stage is the measured shape of q90/q99; only the centroid count
+    * moved from a constant to a function of N.
+    *
+    * Determinism: exact count, md5-h60 seed order, integer Lloyd
+    * rounds, the q99 tail — each piece bit-replayable in SQL, so the
+    * whole trained trajectory is oracle-gated (not rows-only). */
+  def q108SemdedupScaled(spark: SparkSession, dir: String): DataFrame = {
+    // materialize codes once: the count, the seed sample, and every
+    // Lloyd round would otherwise re-run scan + code projection
+    val eq = codedVectors(spark, dir).localCheckpoint(true)
+    val k = scaledK(eq.count())
+    val cents = trainCentroids(eq, scaledSeeds(eq, k), kmeansRounds)
+    semdedupOverCells(cents, spark, dir)
+  }
+
+  /** Per-cell population under q108's trained k ∝ N quantizer — the spec
+    * hook for the cell-size-band assertion (QuantizeSpec runs it at two
+    * corpus sizes and pins that mean cell size stays in band as N
+    * grows, the property q108 exists to enforce). */
+  private[graft] def scaledCellSizes(spark: SparkSession, dir: String): DataFrame = {
+    val eq = codedVectors(spark, dir).localCheckpoint(true)
+    val k = scaledK(eq.count())
+    val cents = trainCentroids(eq, scaledSeeds(eq, k), kmeansRounds)
+    eq.select(argminCellCol(cents).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+  }
+
+  val q108Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM e),
+       |nk AS (SELECT greatest($ivfMinCentroids,
+       |    ceil(count(*) / $ivfTargetCellSize.0)::INT) AS k FROM eq),
+       |sd AS (SELECT vec_id, q, row_number() OVER (
+       |    ORDER BY ('0x'||substr(md5('seed:'||vec_id),1,15))::BIGINT, vec_id) AS srk
+       |  FROM eq),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM sd
+       |  WHERE srk <= (SELECT k FROM nk)),
+       |${(1 to kmeansRounds).map(lloydRoundSql).mkString(",\n")},
+       |df AS (SELECT eq.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
+       |  FROM eq CROSS JOIN c$kmeansRounds c),
+       |af AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM df) WHERE rk = 1),
+       |nv AS (SELECT e.vec_id, af.cell, e.v FROM e JOIN af USING (vec_id)),
        |p AS (SELECT b.vec_id AS dup_id, a.vec_id AS keeper_id, a.cell,
        |    round(${cosineSql("a.v", "b.v")}, 6) AS cos
        |  FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id < b.vec_id),
@@ -693,6 +816,7 @@ object Similarity {
     "q93_hard_negatives"    -> q93HardNegatives _,
     "q99_semdedup"          -> q99Semdedup _,
     "q102_ann_recall"       -> q102AnnRecall _,
+    "q108_semdedup_scaled"  -> q108SemdedupScaled _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -706,5 +830,6 @@ object Similarity {
     "q93_hard_negatives"    -> q93Sql,
     "q99_semdedup"          -> q99Sql,
     "q102_ann_recall"       -> q102Sql,
+    "q108_semdedup_scaled"  -> q108Sql,
   )
 }

@@ -665,7 +665,13 @@ object TrainingData {
     * Determinism: mean folds the kept events' values in sorted
     * (ts, event_id) order (the q65/q78/q101 discipline), rounded to 6;
     * min/max/count/latest are exact. event_id breaks ts ties (none in
-    * this corpus; the discipline costs nothing). */
+    * this corpus; the discipline costs nothing). The `+ 1e-9` before
+    * round(…, 6) is the codebase-wide half-way nudge (q61/q102/q103 …):
+    * Spark rounds doubles HALF_UP while DuckDB rounds half-even, so a
+    * quotient landing exactly on a 5×10⁻⁷ boundary would round apart;
+    * the nudge moves both engines off the boundary in the same
+    * direction. It biases the 6th decimal by at most 1e-9 and is
+    * mirrored in the oracle — remove it from BOTH sides or neither. */
   def q107FeatureWindow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)

@@ -197,11 +197,18 @@ object Tws {
         TimeMode.None(), OutputMode.Update())
   }
 
-  /** Input for the rolling feature window: one measurement per event. */
-  case class UserValue(user_id: Long, value: Double, ts: java.sql.Timestamp)
+  /** Input for the rolling feature window: one measurement per event.
+    * `event_id` rides along solely as the timestamp tie-break — the
+    * batch twin q107 keeps its last-10 by (ts DESC, event_id DESC), so
+    * the stream must order/evict by the SAME total order or a tie at
+    * the eviction boundary keeps different event sets in the two
+    * engines (round-6 ADVICE; the shipped corpus has no ts ties, so
+    * only the discipline — not the corpus — guards this). */
+  case class UserValue(user_id: Long, event_id: Long, value: Double,
+                       ts: java.sql.Timestamp)
 
-  /** A buffered window entry (event-time micros + value). */
-  case class WinEvent(tsUs: Long, value: Double)
+  /** A buffered window entry (event-time micros + id tie-break + value). */
+  case class WinEvent(tsUs: Long, eventId: Long, value: Double)
 
   /** Per-user features over the last ≤ maxN events, refreshed per batch. */
   case class UserFeatures(user_id: Long, n: Int, mean: Double,
@@ -223,9 +230,20 @@ object Tws {
     * Per-key state is BOUNDED (≤ maxN entries) by construction — this
     * operator needs no TTL to stay finite per key, though the key
     * UNIVERSE would compose with [[RegionTotalsProcessor]]-style TTL on
-    * an open stream. Events fold in event-time order (the funnel's
-    * discipline), so intra-batch arrival order never changes the
-    * window. */
+    * an open stream. Events fold in (event-time, event_id) order (the
+    * funnel's discipline + q107's tie-break), so intra-batch arrival
+    * order never changes the window.
+    *
+    * LATE-DATA CONTRACT (pinned, spec-verified): a late event is merged
+    * by its EVENT time — it re-slots into the window wherever
+    * (ts, event_id) puts it, and an event older than the window's
+    * oldest entry once the window is full is DROPPED by the takeRight
+    * trim. Both halves are exactly the batch twin's semantics (q107
+    * keeps the global last-10 regardless of arrival order), so
+    * stream ≡ batch holds for ANY arrival order once all events have
+    * arrived; there is no watermark cutoff in either engine. The cost
+    * asymmetry is the only difference: a late arrival pays the bounded
+    * (≤ maxN) buffer rewrite instead of the merge-op append. */
   class FeatureWindowProcessor(maxN: Int)
       extends StatefulProcessor[Long, UserValue, UserFeatures] {
     require(maxN > 0, s"maxN must be positive, got $maxN")
@@ -242,16 +260,21 @@ object Tws {
 
     override def handleInputRows(user: Long, rows: Iterator[UserValue],
                                  timers: TimerValues): Iterator[UserFeatures] = {
-      val incoming = rows.map(r => WinEvent(toUs(r.ts), r.value)).toArray
-        .sortBy(e => (e.tsUs, e.value))
+      // total order = (event time, event_id): q107's ORDER BY ts DESC,
+      // event_id DESC read ascending — ties at the eviction boundary
+      // keep the same event set in both engines
+      val incoming = rows.map(r => WinEvent(toUs(r.ts), r.event_id, r.value))
+        .toArray.sortBy(e => (e.tsUs, e.eventId))
       val cur = window.get().toArray // maintained oldest → newest
-      val inOrder = cur.isEmpty || incoming.headOption.forall(_.tsUs >= cur.last.tsUs)
+      val inOrder = cur.isEmpty || incoming.headOption.forall(h =>
+        h.tsUs > cur.last.tsUs ||
+          (h.tsUs == cur.last.tsUs && h.eventId >= cur.last.eventId))
       val kept =
         if (inOrder && cur.length + incoming.length <= maxN) {
           window.appendList(incoming) // merge-op append: buffer never rewritten
           cur ++ incoming
         } else {
-          val merged = (cur ++ incoming).sortBy(e => (e.tsUs, e.value))
+          val merged = (cur ++ incoming).sortBy(e => (e.tsUs, e.eventId))
             .takeRight(maxN)
           window.put(merged) // overflow / late arrival: bounded rewrite
           merged

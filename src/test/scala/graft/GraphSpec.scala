@@ -56,29 +56,45 @@ class GraphSpec extends SparkSpec {
     // exact-integer probe (pagerankConverge) provably runs to any cap
     val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst").withColumn("od", lit(2L))
     val r0 = Seq(1L, 2L, 3L).toDF("node").select(col("node"), lit(1000000L).as("r"))
-    val (ranks, iters) =
+    val (ranks, iters, starStable) =
       graft.operators.Graph.pagerankConvergeOrderStable(star, r0, topK = 3, maxIters = 8)
-    assert(iters == 2, s"order [2,3,1] repeats at superstep 2, ran $iters")
+    assert(starStable && iters == 2, s"order [2,3,1] repeats at superstep 2, ran $iters")
     val order = ranks.orderBy(col("r").desc, col("node"))
       .collect().map(_.getLong(0)).toSeq
     assert(order == Seq(2L, 3L, 1L), s"got $order")
     // secondary exit: a graph AT its fixpoint still stops immediately
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
       .withColumn("od", lit(1L))
-    val (_, cycIters) =
+    val (_, cycIters, cycStable) =
       graft.operators.Graph.pagerankConvergeOrderStable(cyc, r0, topK = 3, maxIters = 8)
-    assert(cycIters == 1, s"fixpoint graph must stop at 1, ran $cycIters")
-    // on the real shipping graph the probe fires within q73's budget —
-    // the measured basis for pagerankMaxIters = 3 (the docstring claim)
-    val e = graft.operators.Graph.shipEdgesForSpec(spark, sf)
+    assert(cycStable && cycIters == 1, s"fixpoint graph must stop at 1, ran $cycIters")
+  }
+
+  test("pagerank order stability on the REAL corpus: unstable at q73's budget; the lazy chain converges") {
+    // Round-6 ADVICE asked this exact question at scale, and the answer
+    // overturned the round-6 claim: the tiny sf0.001 graph stabilizes at
+    // 2 supersteps, but at sf0.01 — the bipartite structure biting — the
+    // STANDARD chain's top-20 order is still churning well past q73's
+    // 3-superstep budget (full stability needs ~26 supersteps; ~31 at
+    // sf0.1). This spec pins both halves of the corrected contract:
+    // q73's budget buys fixed-superstep VALUES, not a stable order, and
+    // the lazy chain is the affordable order-stable form (~14).
+    val gateSf = "/root/testdata/sf0.01"
+    val e = graft.operators.Graph.shipEdgesForSpec(spark, gateSf)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val edgesD = e.join(deg, "src").localCheckpoint(true)
     val nodes = edgesD.select(col("src").as("node")).distinct()
     val nr0 = nodes.select(col("node"), lit(1000000L).as("r"))
-    val (_, realIters) =
-      graft.operators.Graph.pagerankConvergeOrderStable(edgesD, nr0, topK = 20, maxIters = 8)
-    assert(realIters <= 3,
-      s"top-20 order on the shipping graph stabilizes within q73's 3-superstep budget, ran $realIters")
+    val budget = 3 // = pagerankMaxIters; literal so a budget bump re-asks the question
+    val (_, stdIters, stdStable) = graft.operators.Graph
+      .pagerankConvergeOrderStable(edgesD, nr0, topK = 20, maxIters = budget + 2)
+    assert(!stdStable && stdIters == budget + 2,
+      s"sf0.01 top-20 order must NOT stabilize near the $budget-superstep budget " +
+        s"(the round-6 claim this spec disproves), stable=$stdStable at $stdIters")
+    val (_, lazyIters, lazyStable) = graft.operators.Graph
+      .pagerankConvergeOrderStable(edgesD, nr0, topK = 20, maxIters = 20, lazyChain = true)
+    assert(lazyStable && lazyIters <= 18,
+      s"lazy chain must reach a stable top-20 within ~14 supersteps, stable=$lazyStable at $lazyIters")
   }
 
   test("closeTriangles: exactly the a<b<c closures, no duplicates") {

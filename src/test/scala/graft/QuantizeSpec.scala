@@ -33,6 +33,30 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("q108: centroid count scales with N and trained cell sizes stay in band as the corpus grows") {
+    import Similarity.{scaledK, ivfTargetCellSize, ivfMinCentroids}
+    // the function: floor at ivfMinCentroids, then linear in N
+    assert(scaledK(500) == ivfMinCentroids)
+    assert(scaledK(2000) == 40 && scaledK(20000) == 400)
+    assert(scaledK(40000) == 2 * scaledK(20000), "k must scale linearly above the floor")
+    // the trained quantizer: occupied-cell populations at two real corpus
+    // sizes (sf0.001: N=500 -> k=16; sf0.1: N=2000 -> k=40)
+    val small = Similarity.scaledCellSizes(spark, sf).collect()
+    val big = Similarity.scaledCellSizes(spark, "/root/testdata/sf0.1").collect()
+    def mean(cells: Array[org.apache.spark.sql.Row]): Double =
+      cells.map(_.getAs[Long]("n")).sum.toDouble / cells.length
+    // training must not collapse the index: most cells stay occupied
+    assert(small.length >= ivfMinCentroids / 2, s"${small.length} occupied cells")
+    assert(big.length >= scaledK(2000) / 2, s"${big.length} occupied cells")
+    // THE scale property q108 enforces: 4x the corpus, mean cell size
+    // stays within the target band instead of growing 4x (which is what
+    // q99's fixed k=16 does — its measured adversarial curve)
+    assert(mean(big) <= 2.0 * ivfTargetCellSize,
+      s"mean cell size ${mean(big)} left the band (target $ivfTargetCellSize)")
+    assert(mean(big) <= 2.0 * math.max(mean(small), ivfTargetCellSize / 2.0),
+      s"mean cell size grew ${mean(big) / mean(small)}x on a 4x corpus")
+  }
+
   test("q74: cells partition the corpus; c_new stays inside the cell's code hull") {
     val out = graft.operators.Similarity.q74KmeansRound(spark, sf).collect()
     assert(out.length == out.map(r => (r.getLong(0), r.getInt(1))).distinct.length)

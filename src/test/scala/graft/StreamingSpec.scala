@@ -737,9 +737,12 @@ class StreamingSpec extends SparkSpec {
         .writeStream.format("memory").queryName("fw_tws")
         .outputMode("update").start()
       try {
+        var nextId = 0L
         def batch(vals: (Double, String)*): (Int, Double, Double, Double, Long) = {
           val mark = spark.table("fw_tws").count()
-          input.addData(vals.map { case (v, t) => Tws.UserValue(7L, v, ts(t)) })
+          input.addData(vals.map { case (v, t) =>
+            nextId += 1; Tws.UserValue(7L, nextId, v, ts(t))
+          })
           q.processAllAvailable()
           val r = spark.table("fw_tws").collect().drop(mark.toInt)
           assert(r.length == 1, s"one user -> one feature row, got ${r.toSeq}")
@@ -759,6 +762,50 @@ class StreamingSpec extends SparkSpec {
         val b3 = batch((10.0, "2024-01-01 10:04:30"))
         assert(b3 == ((4, 5.5, 3.0, 10.0, us("2024-01-01 10:05:00"))),
           s"late arrival slots by event time and evicts the oldest, got $b3")
+        // the pinned late-data contract: an event older than the FULL
+        // window's oldest entry (10:03) is dropped by the trim — exactly
+        // what the batch twin does (it's outside the global last-4), so
+        // parity holds for arbitrarily-late arrivals too
+        val b4 = batch((99.0, "2024-01-01 10:00:00"))
+        assert(b4 == b3,
+          s"an arbitrarily-late event must not displace the kept window, got $b4")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("feature window: timestamp ties at the eviction boundary break by event_id, matching q107") {
+    // round-6 ADVICE: the corpus has no ts ties, so the lake parity spec
+    // can't catch a tie-break divergence — this script can. Three events
+    // share ONE timestamp; values are chosen so the old (tsUs, value)
+    // order would keep a DIFFERENT pair than q107's (ts, event_id) order:
+    //   id=1 v=5.0, id=2 v=1.0, id=3 v=3.0, all @ T, maxN=2
+    //   by (ts, event_id): keep ids {2,3} -> values {1.0, 3.0}  (q107 rule)
+    //   by (ts, value):    keep ids {3,1} -> values {3.0, 5.0}  (the bug)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Tws
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val tieTs = ts("2024-01-01 12:00:00")
+      val input = MemoryStream[Tws.UserValue]
+      val q = Tws.featureWindowTws(input.toDS(), maxN = 2)
+        .writeStream.format("memory").queryName("fw_ties")
+        .outputMode("update").start()
+      try {
+        input.addData(Tws.UserValue(7L, 1L, 5.0, tieTs),
+          Tws.UserValue(7L, 2L, 1.0, tieTs))
+        q.processAllAvailable()
+        input.addData(Tws.UserValue(7L, 3L, 3.0, tieTs)) // tie at the boundary
+        q.processAllAvailable()
+        val last = spark.table("fw_ties").collect().last
+        assert(last.getAs[Int]("n") == 2 &&
+          last.getAs[Double]("vmin") == 1.0 && last.getAs[Double]("vmax") == 3.0 &&
+          last.getAs[Double]("mean") == 2.0,
+          s"ties must evict the LOWEST event_id (q107's order), got $last")
       } finally q.stop()
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
@@ -779,9 +826,10 @@ class StreamingSpec extends SparkSpec {
     Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val evs = graft.sources.Tables.events(spark, sf)
-        .select(col("user_id"), col("value"), col("ts")).collect()
-        .map(r => Tws.UserValue(r.getLong(0), r.getDouble(1), r.getTimestamp(2)))
-        .sortBy(_.ts.getTime)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts")).collect()
+        .map(r => Tws.UserValue(r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getTimestamp(3)))
+        .sortBy(e => (e.ts.getTime, e.event_id))
       val (b1, b2) = evs.splitAt(evs.length / 2)
       val input = MemoryStream[Tws.UserValue]
       val q = Tws.featureWindowTws(input.toDS(), maxN = 10)

@@ -428,6 +428,36 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == cust.length)
   }
 
+  test("q101 df-cap defaults: the general default has margin; nQueries widens the query side") {
+    // round-6 ADVICE: 0.772 sits inside this corpus's planted df band and
+    // is therefore corpus-specific — the gate passes it explicitly. The
+    // GENERAL default must have margin: no term's df may sit near the
+    // cut, so df drift can't discontinuously flip vocabulary in or out.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toDouble
+    val dfRatios = docs.flatMap { case (id, tk) => tk.distinct.map(t => (t, id)) }
+      .groupBy(_._1).map { case (_, xs) => xs.length / n }.toSeq
+    val d = graft.functions.Text.tfidfDfCapDefault
+    val margin = dfRatios.map(r => math.abs(r - d)).min
+    assert(margin >= 0.05,
+      s"a term's df sits ${margin} from the $d default cut — no margin")
+    // the planted stop-band (df ≈ 0.77–0.83·N) is entirely ABOVE the
+    // default cut — the default drops all of it, while the corpus-specific
+    // 0.772 deliberately splits it. Different policies, both deterministic.
+    assert(dfRatios.count(_ > d) > 0, "corpus must have terms above the default cap")
+    // nQueries: the 4-arg form widens the query side; per-query top-5 rows
+    val wide = graft.functions.Text.q101TfidfRetrieval(spark, sf,
+      graft.functions.Text.tfidfDfCapRatio, 20).collect()
+    val qids = wide.map(_.getLong(0)).distinct
+    assert(qids.length == 20 && qids.forall(_ < 20), s"got ${qids.length} query docs")
+    val narrow = graft.functions.Text.q101TfidfRetrieval(spark, sf).collect()
+    assert(wide.filter(_.getLong(0) < 10).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == narrow.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      "widening the query side must not change existing queries' results")
+  }
+
   test("q101 tf-idf retrieval equals a from-first-principles sparse recompute") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
