@@ -426,8 +426,10 @@ object Similarity {
       // cell staged in its own select BEFORE the generator: putting the
       // struct-building argmin in the same projection as posexplode
       // makes ExtractGenerator re-plan the projection and lose the
-      // struct field names (FIELD_NOT_FOUND on `cid`)
-      val agg = e.select(argminCellCol(cents).as("cell"), col("q"))
+      // struct field names (FIELD_NOT_FOUND on `cid`). withCellAssigned
+      // keeps that staging on the literal path and routes large k to
+      // the mapPartitions kernel.
+      val agg = withCellAssigned(e, cents)
         .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
         .groupBy(col("cell"), col("pos"))
         .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
@@ -596,9 +598,9 @@ object Similarity {
     // argmin (array_sort over zip_with L2 folds) runs twice per vector —
     // measured 3.5 s → 1.2 s at sf0.1 (the q71/q56/q90 localCheckpoint
     // lesson applied to a self-join)
-    val withCell = normedVectors(spark, dir)
+    val coded = normedVectors(spark, dir)
       .withColumn("q", transform(col("v"), x => round(x * 1000 + 1e-9).cast("long")))
-      .withColumn("cell", argminCellCol(cents))
+    val withCell = withCellAssigned(coded, cents)
       .drop("q")
       .localCheckpoint(true)
     val pairs = withCell.as("a").join(withCell.as("b"),
@@ -688,6 +690,69 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  /** Kernel-switch threshold for argmin cell assignment. The literal-
+    * compiled projection ([[argminCellCol]] — an `array_sort` over k
+    * struct expressions) is the zero-shuffle fast path at oracle-scale
+    * k (16 centroids), but its expression tree grows with k·dim and
+    * analysis + codegen cost grows with it — measured round 7 on q108:
+    * k = 40 literal 4.0 s vs kernel 1.9 s at sf0.1; k = 400 literal
+    * 42 s vs kernel 2.6 s on the 10× corpus (the slowdown was the
+    * KERNEL, not the pair work). Above this k the assignment moves to
+    * [[cellsViaKernel]]: a `mapPartitions` argmin over a broadcast
+    * centroid matrix (tight primitive loops, the map-side BLAS shape a
+    * production IVF build uses), plus one vec_id equi-join to attach
+    * cells. Same integer distances, same lowest-cid tie-break —
+    * QuantizeSpec pins kernel ≡ literal on real data. */
+  private[graft] val argminKernelSwitchK = 24
+
+  /** (vec_id, cell) by partition-local integer argmin over a broadcast
+    * centroid matrix. `cents` MUST be sorted by centroid id ascending
+    * (every producer sorts) — the scan uses strict `<`, so the first
+    * (= lowest) cid wins distance ties, exactly like the literal
+    * path's struct ordering and the oracle's (dist, cid) row_number. */
+  private[graft] def cellsViaKernel(coded: DataFrame,
+      cents: Array[(Long, Seq[Long])]): DataFrame = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    require(cents.sliding(2).forall(p => p.length < 2 || p(0)._1 < p(1)._1),
+      "centroids must be sorted by cid ascending")
+    val bc = spark.sparkContext.broadcast(
+      (cents.map(_._1), cents.map(_._2.toArray)))
+    coded.select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val (ids, mat) = bc.value
+        it.map { case (vid, q) =>
+          val qa = q.toArray
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < mat.length) {
+            val cv = mat(c)
+            var d = 0L
+            var i = 0
+            while (i < qa.length) { val t = qa(i) - cv(i); d += t * t; i += 1 }
+            if (d < bestD) { best = c; bestD = d }
+            c += 1
+          }
+          (vid, ids(best))
+        }
+      }.toDF("vec_id", "cell")
+  }
+
+  /** Cell assignment with the kernel switch: the literal projection
+    * below [[argminKernelSwitchK]] centroids (zero extra shuffles), the
+    * broadcast-matrix mapPartitions kernel above it. Returns the input
+    * frame with a `cell` column either way. `useKernel` is exposed so
+    * QuantizeSpec can force both paths on the same data and pin their
+    * equality. */
+  private[graft] def withCellAssigned(eq: DataFrame,
+      cents: Array[(Long, Seq[Long])],
+      useKernel: Option[Boolean] = None): DataFrame = {
+    val kernel = useKernel.getOrElse(cents.length > argminKernelSwitchK)
+    if (kernel) eq.join(cellsViaKernel(eq, cents), "vec_id")
+    else eq.withColumn("cell", argminCellCol(cents))
+  }
+
   /** SemDedup with the k ∝ N quantizer ENFORCED — q99's scale answer
     * made code (round-6 verdict ask: "k grows with N keeps cells
     * constant-sized" was a docstring; a user running the defaults on a
@@ -719,11 +784,20 @@ object Similarity {
     * hook for the cell-size-band assertion (QuantizeSpec runs it at two
     * corpus sizes and pins that mean cell size stays in band as N
     * grows, the property q108 exists to enforce). */
+  /** Spec hooks: QuantizeSpec pins kernel ≡ literal cell assignment and
+    * needs the (package-private) code/training pipeline to do it. */
+  private[graft] def specCodedVectors(spark: SparkSession, dir: String): DataFrame =
+    codedVectors(spark, dir).localCheckpoint(true)
+
+  private[graft] def specTrainCentroids(eq: DataFrame,
+      seeds: Array[(Long, Seq[Long])]): Array[(Long, Seq[Long])] =
+    trainCentroids(eq, seeds, kmeansRounds)
+
   private[graft] def scaledCellSizes(spark: SparkSession, dir: String): DataFrame = {
     val eq = codedVectors(spark, dir).localCheckpoint(true)
     val k = scaledK(eq.count())
     val cents = trainCentroids(eq, scaledSeeds(eq, k), kmeansRounds)
-    eq.select(argminCellCol(cents).as("cell"))
+    withCellAssigned(eq, cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
   }
 

@@ -57,6 +57,26 @@ class QuantizeSpec extends SparkSpec {
       s"mean cell size grew ${mean(big) / mean(small)}x on a 4x corpus")
   }
 
+  test("argmin kernel switch: mapPartitions kernel and literal projection assign identical cells") {
+    // the two kernels must be the SAME function — integer distances,
+    // lowest-cid tie-break — or the k > switchK path silently diverges
+    // from the oracle-gated literal path. Forced both ways on the real
+    // sf0.1 corpus (2000 vectors) with the trained scaled quantizer.
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = "/root/testdata/sf0.1"
+    val eq = Similarity.specCodedVectors(spark, dir)
+    val k = Similarity.scaledK(eq.count())
+    val cents = Similarity.specTrainCentroids(eq, Similarity.scaledSeeds(eq, k))
+    def cells(kernel: Boolean): Map[Long, Long] =
+      Similarity.withCellAssigned(eq, cents, useKernel = Some(kernel))
+        .select(c("vec_id"), c("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lit = cells(kernel = false)
+    val ker = cells(kernel = true)
+    assert(lit.size == ker.size && lit == ker,
+      s"kernel/literal cell divergence on ${lit.count { case (k2, v) => ker.get(k2) != Some(v) }} vectors")
+  }
+
   test("q74: cells partition the corpus; c_new stays inside the cell's code hull") {
     val out = graft.operators.Similarity.q74KmeansRound(spark, sf).collect()
     assert(out.length == out.map(r => (r.getLong(0), r.getInt(1))).distinct.length)

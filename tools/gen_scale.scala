@@ -15,9 +15,18 @@
 // counts inside every LSH bucket (R^2 growth the real corpus family does
 // not have) and falsify the sweep with a data artifact. Replica texts are
 // token-suffixed (disjoint vocab, no cross-replica near-dups), customer
-// names suffixed (disjoint deletion neighborhoods), embedding vectors
-// kept (same point cloud at R-fold multiplicity), event user/event ids
+// names suffixed (disjoint deletion neighborhoods), event user/event ids
 // offset (disjoint streaming key universes).
+//
+// EMBEDDING JITTER (round 7): replicas r>0 get a deterministic per-element
+// nudge of +/-5e-3 (hash(vec_id, dim, r) — ~5% of the mean |element|, tiny
+// vs cluster structure). Round 6 kept the point cloud EXACTLY duplicated,
+// which collapses a k-proportional-to-N trained quantizer: every replica
+// of a seed is the same point, so Lloyd can't separate replicas into
+// distinct cells and the scaled-k sweep point (q108) would be measuring a
+// degenerate geometry no real corpus has. Jittered replicas stay
+// near-duplicates (cos ~ 0.9999 — q99/q108 still count them as semantic
+// dups) but are distinct points a bigger quantizer CAN split.
 import org.apache.spark.sql.functions._
 val src = "/root/testdata/sf0.1"
 
@@ -35,7 +44,12 @@ def gen(out: String, reps: Int): Unit = {
 
   val emb = spark.read.parquet(s"$src/embeddings.parquet")
   acr(emb) { (e, r) =>
-    e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"), col("embedding"), col("label"))
+    if (r == 0) e
+    else e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + (pmod(xxhash64(col("vec_id"), i, lit(r)), lit(1001)) - 500).cast("double") * 1e-5)
+          .cast("float")).as("embedding"),
+      col("label"))
   }.repartition(16).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
   val li = spark.read.parquet(s"$src/lineitem.parquet")
@@ -78,3 +92,6 @@ def gen(out: String, reps: Int): Unit = {
 
 gen("/tmp/graft_sf05", 5)
 gen("/tmp/graft_sf1", 10)
+// 20x tier (round 7): one more point for the steepest sweep queries
+// (q75 wedges / q73 pagerank / q87 fuzzy join) and the scaled-k q108 curve
+gen("/tmp/graft_sf2", 20)
