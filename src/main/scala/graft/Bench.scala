@@ -58,6 +58,7 @@ object Bench {
       "q86_skyline" -> 1.29, "q87_fuzzy_join" -> 3.40,
       "q90_ann_trained" -> 2.60, "q95_bigram_lm" -> 1.10,
       "q101_tfidf_retrieval" -> 2.04, "q102_ann_recall" -> 1.42,
+      "q108_semdedup_scaled" -> 1.10, "q109_pagerank_stable" -> 4.30,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 6.00,
       "s03_trending_rocksdb" -> 5.80)
     // A spread is NOISE (not signal) above this bar — the same bar that
