@@ -180,6 +180,31 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "no join-strategy hints in the funnel plan")
   }
 
+  test("q108 pair stage is an equi-join on cell — never a nested loop or cartesian, on either kernel") {
+    // the semdedup scale claim rests on the pair join being cell-blocked;
+    // assert it for BOTH assignment kernels (literal projection at gate
+    // k, mapPartitions matrix above the switch) — the kernel must change
+    // WHERE cells come from, never the join shape
+    for (kernel <- Seq(false, true)) {
+      val eq = graft.operators.Similarity.specCodedVectors(spark, sf)
+      val cents = graft.operators.Similarity.specTrainCentroids(eq,
+        graft.operators.Similarity.scaledSeeds(eq,
+          graft.operators.Similarity.scaledK(eq.count())))
+      val celled = graft.operators.Similarity
+        .withCellAssigned(eq, cents, useKernel = Some(kernel))
+      val pairs = celled.as("a").join(celled.as("b"),
+        org.apache.spark.sql.functions.col("a.cell") ===
+          org.apache.spark.sql.functions.col("b.cell") &&
+          org.apache.spark.sql.functions.col("a.vec_id") <
+            org.apache.spark.sql.functions.col("b.vec_id"))
+      val p = executed(pairs)
+      assert(allNodes(p).collect {
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+        case n: org.apache.spark.sql.execution.joins.CartesianProductExec => n
+      }.isEmpty, s"kernel=$kernel: pair stage must stay an equi-join on cell")
+    }
+  }
+
   test("q105 plans the null-aware anti join, not a nested loop") {
     val p = executed(graft.operators.Relational.q105NotIn(spark, sf))
     val naaj = allNodes(p).collect {
