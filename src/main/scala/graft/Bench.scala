@@ -87,10 +87,15 @@ object Bench {
           refTimes.get(name).exists(r => runs(0) > math.max(1.0, 3.0 * r))
       if (suspect) {
         quiesce()
+        val hadError = errors.contains(name)
         val c = once()
         if (c >= 0) runs = (c :: runs).sorted.take(2)
+        // a FAILED extra run must not leave an errors entry beside the
+        // still-valid min-of-2 (the '-1 never next to errors' invariant):
+        // drop the error it just recorded and keep the suspect flag
+        else if (!hadError) errors.remove(name)
         // still suspect after the extra run → the artifact must say so
-        if (suspect) noisy(name) = runs(1) - runs(0)
+        if (suspect || c < 0) noisy(name) = runs(1) - runs(0)
       }
       spreads(name) = runs(1) - runs(0)
       runs(0)
@@ -269,7 +274,11 @@ object Bench {
     val sp = results.keys.map { k =>
       Jsons.str(k) + ":" + f(spreads.getOrElse(k, -1.0))
     }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => Jsons.str(k) + ":" + Jsons.str(v) }
+    // error messages are length-budgeted: a few 300-char Spark stage-
+    // failure lines would push the tail past the driver's 2000-char
+    // snapshot and evict the state/noisy maps this artifact exists to
+    // preserve — 120 chars identifies any failure class
+    val errs = errors.map { case (k, v) => Jsons.str(k) + ":" + Jsons.str(v.take(120)) }
       .mkString("{", ",", "}")
     val state = stateMetrics.map { case (k, v) => Jsons.str(short(k)) + ":" + v }
       .mkString("{", ",", "}")

@@ -696,8 +696,13 @@ object Text {
     * score-join growth with query count, not just index build. */
   private[graft] val tfidfNQueries = 10
 
+  /** General API: defaults to [[tfidfDfCapDefault]] — the margin-bearing
+    * cap. The oracle-gated `q101_tfidf_retrieval` entry does NOT route
+    * through this default; it passes the corpus-specific
+    * [[tfidfDfCapRatio]] explicitly at its registration (the round-6
+    * ADVICE contract: corpus constants live at call sites). */
   def q101TfidfRetrieval(spark: SparkSession, dir: String): DataFrame =
-    q101TfidfRetrieval(spark, dir, tfidfDfCapRatio, tfidfNQueries)
+    q101TfidfRetrieval(spark, dir, tfidfDfCapDefault, tfidfNQueries)
 
   def q101TfidfRetrieval(spark: SparkSession, dir: String,
                          dfCapRatio: Double): DataFrame =
@@ -792,7 +797,10 @@ object Text {
     "q95_bigram_lm"     -> q95BigramLm _,
     "q96_source_divergence" -> q96SourceDivergence _,
     "q100_k_anonymity"  -> q100KAnonymity _,
-    "q101_tfidf_retrieval" -> q101TfidfRetrieval _,
+    // the gate passes the corpus-specific cap EXPLICITLY — the plain
+    // 2-arg API defaults to the general margin-bearing cap instead
+    "q101_tfidf_retrieval" -> ((s: SparkSession, d: String) =>
+      q101TfidfRetrieval(s, d, tfidfDfCapRatio, tfidfNQueries)),
   )
 
   val oracle: Map[String, String] = Map(

@@ -598,8 +598,15 @@ object Similarity {
     // argmin (array_sort over zip_with L2 folds) runs twice per vector —
     // measured 3.5 s → 1.2 s at sf0.1 (the q71/q56/q90 localCheckpoint
     // lesson applied to a self-join)
-    val coded = normedVectors(spark, dir)
+    val coded0 = normedVectors(spark, dir)
       .withColumn("q", transform(col("v"), x => round(x * 1000 + 1e-9).cast("long")))
+    // kernel path consumes the coded frame TWICE (join left side +
+    // kernel input) — checkpoint it first so the scan + norm + code
+    // projection run once; the literal path is a single projection and
+    // needs no extra materialization
+    val coded =
+      if (cents.length > argminKernelSwitchK) coded0.localCheckpoint(true)
+      else coded0
     val withCell = withCellAssigned(coded, cents)
       .drop("q")
       .localCheckpoint(true)
@@ -662,15 +669,24 @@ object Similarity {
     * index (q46/q90/q99 pin exactly 16 for their oracles). */
   private[graft] val ivfMinCentroids = 16
 
+  /** Centroid-count ceiling: the driver collects and broadcasts the
+    * centroid matrix (4096 × 64 longs ≈ 2 MB — fine to broadcast), so
+    * k is CAPPED here rather than allowed to crash the seed collect.
+    * Corpora past cap·targetCellSize (~205k vectors) fatten cells
+    * again — at that scale the next move is a sharded / hierarchical
+    * quantizer (train per shard, merge codebooks), out of this
+    * engine's scope and documented rather than faked. */
+  private[graft] val ivfMaxCentroids = 4096
+
   /** k ∝ N, enforced: the centroid count a coarse quantizer gets for an
     * N-vector corpus. Grows linearly so expected cell size stays
-    * ~`targetCellSize` at any scale — 500 vectors → 16 (the floor),
-    * 20k → 400, 1e9 → bounded by the 4096 driver-collect guard, past
-    * which the argmin moves to a mapPartitions BLAS kernel (same cells,
-    * different kernel; the quantizer contract is unchanged). */
+    * ~`targetCellSize` — 500 vectors → 16 (the floor), 20k → 400,
+    * 205k+ → 4096 (the [[ivfMaxCentroids]] broadcast ceiling; the
+    * oracle applies the same `least`). */
   private[graft] def scaledK(n: Long,
                              targetCellSize: Int = ivfTargetCellSize): Int =
-    math.max(ivfMinCentroids, math.ceil(n.toDouble / targetCellSize).toInt)
+    math.min(ivfMaxCentroids,
+      math.max(ivfMinCentroids, math.ceil(n.toDouble / targetCellSize).toInt))
 
   /** Deterministic hash-ordered seed sample: the k lowest vectors by
     * md5-h60("seed:" || vec_id) — a uniform, engine-replayable
@@ -780,10 +796,6 @@ object Similarity {
     semdedupOverCells(cents, spark, dir)
   }
 
-  /** Per-cell population under q108's trained k ∝ N quantizer — the spec
-    * hook for the cell-size-band assertion (QuantizeSpec runs it at two
-    * corpus sizes and pins that mean cell size stays in band as N
-    * grows, the property q108 exists to enforce). */
   /** Spec hooks: QuantizeSpec pins kernel ≡ literal cell assignment and
     * needs the (package-private) code/training pipeline to do it. */
   private[graft] def specCodedVectors(spark: SparkSession, dir: String): DataFrame =
@@ -793,6 +805,10 @@ object Similarity {
       seeds: Array[(Long, Seq[Long])]): Array[(Long, Seq[Long])] =
     trainCentroids(eq, seeds, kmeansRounds)
 
+  /** Per-cell population under q108's trained k ∝ N quantizer — the spec
+    * hook for the cell-size-band assertion (QuantizeSpec runs it at two
+    * corpus sizes and pins that mean cell size stays in band as N
+    * grows, the property q108 exists to enforce). */
   private[graft] def scaledCellSizes(spark: SparkSession, dir: String): DataFrame = {
     val eq = codedVectors(spark, dir).localCheckpoint(true)
     val k = scaledK(eq.count())
@@ -805,8 +821,8 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |eq AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
        |  FROM e),
-       |nk AS (SELECT greatest($ivfMinCentroids,
-       |    ceil(count(*) / $ivfTargetCellSize.0)::INT) AS k FROM eq),
+       |nk AS (SELECT least($ivfMaxCentroids, greatest($ivfMinCentroids,
+       |    ceil(count(*) / $ivfTargetCellSize.0)::INT)) AS k FROM eq),
        |sd AS (SELECT vec_id, q, row_number() OVER (
        |    ORDER BY ('0x'||substr(md5('seed:'||vec_id),1,15))::BIGINT, vec_id) AS srk
        |  FROM eq),

@@ -185,11 +185,11 @@ class PlanShapeSpec extends SparkSpec {
     // assert it for BOTH assignment kernels (literal projection at gate
     // k, mapPartitions matrix above the switch) — the kernel must change
     // WHERE cells come from, never the join shape
+    val eq = graft.operators.Similarity.specCodedVectors(spark, sf)
+    val cents = graft.operators.Similarity.specTrainCentroids(eq,
+      graft.operators.Similarity.scaledSeeds(eq,
+        graft.operators.Similarity.scaledK(eq.count())))
     for (kernel <- Seq(false, true)) {
-      val eq = graft.operators.Similarity.specCodedVectors(spark, sf)
-      val cents = graft.operators.Similarity.specTrainCentroids(eq,
-        graft.operators.Similarity.scaledSeeds(eq,
-          graft.operators.Similarity.scaledK(eq.count())))
       val celled = graft.operators.Similarity
         .withCellAssigned(eq, cents, useKernel = Some(kernel))
       val pairs = celled.as("a").join(celled.as("b"),

@@ -39,6 +39,9 @@ class QuantizeSpec extends SparkSpec {
     assert(scaledK(500) == ivfMinCentroids)
     assert(scaledK(2000) == 40 && scaledK(20000) == 400)
     assert(scaledK(40000) == 2 * scaledK(20000), "k must scale linearly above the floor")
+    // the broadcast ceiling: a 1e9-vector corpus caps at 4096 centroids
+    // instead of crashing the seed collect (the oracle mirrors via least())
+    assert(scaledK(1000000000L) == Similarity.ivfMaxCentroids)
     // the trained quantizer: occupied-cell populations at two real corpus
     // sizes (sf0.001: N=500 -> k=16; sf0.1: N=2000 -> k=40)
     val small = Similarity.scaledCellSizes(spark, sf).collect()

@@ -452,10 +452,18 @@ class TextDedupSpec extends SparkSpec {
       graft.functions.Text.tfidfDfCapRatio, 20).collect()
     val qids = wide.map(_.getLong(0)).distinct
     assert(qids.length == 20 && qids.forall(_ < 20), s"got ${qids.length} query docs")
-    val narrow = graft.functions.Text.q101TfidfRetrieval(spark, sf).collect()
+    val narrow = graft.functions.Text.q101TfidfRetrieval(spark, sf,
+      graft.functions.Text.tfidfDfCapRatio).collect()
     assert(wide.filter(_.getLong(0) < 10).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet == narrow.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
       "widening the query side must not change existing queries' results")
+    // the plain 2-arg API routes through the GENERAL default, not the
+    // corpus constant — the whole point of the split
+    val defaulted = graft.functions.Text.q101TfidfRetrieval(spark, sf).collect()
+    assert(defaulted.nonEmpty &&
+      defaulted.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet !=
+        narrow.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      "the default cap (0.5) must actually differ from the planted-corpus cap on this corpus")
   }
 
   test("q101 tf-idf retrieval equals a from-first-principles sparse recompute") {
@@ -483,7 +491,8 @@ class TextDedupSpec extends SparkSpec {
         .foldLeft(0.0) { case (a, (t, x)) => a + x * qs(t) }
       round6(s / (nrm(q) * nrm(d)) + 1e-9)
     }
-    val got = graft.functions.Text.q101TfidfRetrieval(spark, sf).collect()
+    val got = graft.functions.Text.q101TfidfRetrieval(spark, sf,
+        graft.functions.Text.tfidfDfCapRatio).collect()
       .groupBy(_.getLong(0))
     val qids = docs.map(_._1).filter(_ < 10)
     qids.foreach { q =>
