@@ -282,6 +282,64 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q110
+  /** Corpus-to-corpus containment: for every ordered source pair
+    * (source, vs_source), the fraction of `source`'s documents with a
+    * VERIFIED near-dup (exact 3-gram Jaccard ≥ 0.5 on LSH candidates —
+    * q27's bar) in `vs_source` — the "did my new crawl add anything the
+    * old one doesn't have" measurement that decides whether a corpus
+    * slice is worth keeping BEFORE paying to process it. Sources here
+    * are the `documents.source` column; in production they are crawls,
+    * snapshots, or vendor deliveries.
+    *
+    * Scale shape: entirely candidate-bounded — the band→bucket→verify
+    * pipeline is q26/q27's (collisions only, never all-pairs), and this
+    * operator adds two doc→source equi-joins on the VERIFIED pair set
+    * (near-dup-count-sized, the smallest frame in the pipeline) plus a
+    * (source, vs_source)-keyed aggregate bounded by the source-pair
+    * domain. Per-source totals are one corpus aggregate. Nothing in the
+    * addition grows faster than the verified pair count.
+    *
+    * Determinism: counts are exact integers; the ratio rounds once at
+    * the output boundary with the codebase-wide half-way nudge. */
+  def q110CorpusContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // materialized once for the same reason as q71: the candidate
+    // pipeline must not re-run per consumer
+    val vp = verifiedPairs(spark, dir).localCheckpoint(true)
+    val cross = vp
+      .join(ds.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+    // directed cover: each verified cross-source pair covers BOTH ends
+    val covered = cross
+      .select(col("src_b").as("source"), col("src_a").as("vs_source"),
+        col("doc_b").as("doc"))
+      .union(cross.select(col("src_a"), col("src_b"), col("doc_a")))
+      .groupBy(col("source"), col("vs_source"))
+      .agg(countDistinct(col("doc")).as("covered"))
+    val totals = ds.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    covered.join(totals, "source")
+      .select(col("source"), col("vs_source"), col("n_docs"), col("covered"),
+        round(col("covered") / col("n_docs") + 1e-9, 6).as("containment"))
+      .orderBy(col("source"), col("vs_source"))
+  }
+
+  val q110Sql: String =
+    s"""WITH $verifiedPairsSqlCtes,
+       |ds AS (SELECT doc_id, source FROM documents),
+       |cp AS (SELECT j.doc_a, j.doc_b, a.source AS src_a, b.source AS src_b
+       |  FROM j JOIN ds a ON j.doc_a = a.doc_id JOIN ds b ON j.doc_b = b.doc_id
+       |  WHERE j.jaccard >= 0.5 AND a.source <> b.source),
+       |cov AS (SELECT source, vs_source, count(DISTINCT doc) AS covered FROM (
+       |    SELECT src_b AS source, src_a AS vs_source, doc_b AS doc FROM cp
+       |    UNION ALL SELECT src_a, src_b, doc_a FROM cp) GROUP BY 1, 2),
+       |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT cov.source, cov.vs_source, tot.n_docs, cov.covered,
+       |  round(cov.covered::DOUBLE / tot.n_docs + 1e-9, 6) AS containment
+       |FROM cov JOIN tot ON cov.source = tot.source
+       |ORDER BY cov.source, cov.vs_source""".stripMargin
+
   // ---------------------------------------------------------------- q28
   /** 64-bit signature: bits 0-31 from h60(token), bits 32-63 from a
     * salted h60(token || "#2") — h60 is only 60 bits wide, so a single
@@ -725,6 +783,7 @@ object Dedup {
     "q62_incremental_dedup" -> q62IncrementalDedup _,
     "q71_minhash_estimate"  -> q71MinhashEstimate _,
     "q87_fuzzy_join"        -> q87FuzzyJoin _,
+    "q110_corpus_containment" -> q110CorpusContainment _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -737,5 +796,6 @@ object Dedup {
     "q62_incremental_dedup" -> q62Sql,
     "q71_minhash_estimate"  -> q71Sql,
     "q87_fuzzy_join"        -> q87Sql,
+    "q110_corpus_containment" -> q110Sql,
   )
 }

@@ -428,6 +428,34 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == cust.length)
   }
 
+  test("q110 corpus containment matches a recompute from the verified pair set") {
+    // run at sf0.01 — the spec corpus has too few cross-source near-dups
+    // to exercise the directed aggregation
+    val gateSf = "/root/testdata/sf0.01"
+    val pairs = graft.operators.Dedup.queries("q27_ngram_jaccard")(spark, gateSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val src = spark.read.parquet(s"$gateSf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nBySrc = src.values.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val cross = pairs.filter { case (a, b) => src(a) != src(b) }
+    assert(cross.nonEmpty, "corpus must have cross-source near-dups for this spec")
+    val expCovered: Map[(String, String), Int] =
+      (cross.map { case (a, b) => ((src(b), src(a)), b) } ++
+        cross.map { case (a, b) => ((src(a), src(b)), a) })
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).distinct.length }
+    val got = graft.operators.Dedup.queries("q110_corpus_containment")(spark, gateSf)
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == expCovered.keySet)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("covered") == expCovered(key).toLong, s"$key covered")
+      assert(r.getAs[Long]("n_docs") == nBySrc(key._1).toLong, s"$key n_docs")
+      assert(math.abs(r.getAs[Double]("containment") -
+        (expCovered(key).toDouble / nBySrc(key._1) + 1e-9)) < 1e-6, s"$key ratio")
+    }
+  }
+
   test("q101 df-cap defaults: the general default has margin; nQueries widens the query side") {
     // round-6 ADVICE: 0.772 sits inside this corpus's planted df band and
     // is therefore corpus-specific — the gate passes it explicitly. The
