@@ -1015,6 +1015,84 @@ object Relational {
       |WHERE best_qty IS NULL OR qty > best_qty
       |ORDER BY price_c""".stripMargin
 
+  // --------------------------------------------------------------- q111
+  /** Table-version diff — the backfill/migration validation pass: given
+    * two versions of a keyed table, classify every key as unchanged /
+    * updated / deleted / inserted and report per-status counts plus the
+    * summed absolute price drift of the updates. This is the check a
+    * lakehouse pipeline runs after every rewrite ("did the backfill
+    * change exactly what it was supposed to?"). price_drift is the
+    * per-status Σ|Δprice| — the reprice delta for updates, the full
+    * added/removed value for inserts/deletes, 0 for unchanged.
+    * Version B here is
+    * DERIVED deterministically from the orders table (keys % 11 = 0
+    * deleted, % 7 = 0 repriced +10%, % 13 = 0 re-inserted under offset
+    * keys) so the oracle can rebuild the identical pair of versions.
+    *
+    * Scale shape: ONE full-outer hash join on the key (each side
+    * shuffles once; AQE picks the strategy), status classification and
+    * per-row drift are map-side above it, and the output is bounded by
+    * the status domain (4 rows). No collects, no windows — the diff of
+    * two 100 TB table versions is exactly this plan.
+    *
+    * Determinism: statuses compare typed columns (no stringified row
+    * hashes — double/date formatting differs across engines); drift
+    * rounds PER ROW to 2 decimals (+1e-9 half-way nudge) before the
+    * sum, so the aggregate is an exact sum of 2-decimal values and
+    * safe to hash at any partitioning. */
+  def q111TableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+    val cols = a.columns.map(col).toSeq
+    // version B: deterministic simulated rewrite
+    val updated = a.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0,
+          round(col("o_totalprice") * 1.1 + 1e-9, 2))
+          .otherwise(col("o_totalprice")))
+    val inserted = a.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+    val b = updated.select(cols: _*).unionByName(inserted.select(cols: _*))
+    val av = a.select(col("o_orderkey").as("key"),
+      col("o_totalprice").as("price_a"), col("o_orderstatus").as("status_a"))
+    val bv = b.select(col("o_orderkey").as("key"),
+      col("o_totalprice").as("price_b"), col("o_orderstatus").as("status_b"))
+    av.join(bv, Seq("key"), "full_outer")
+      .select(
+        when(col("price_a").isNull, "inserted")
+          .when(col("price_b").isNull, "deleted")
+          .when(col("price_a") =!= col("price_b") ||
+            col("status_a") =!= col("status_b"), "updated")
+          .otherwise("unchanged").as("status"),
+        round(abs(coalesce(col("price_b"), lit(0.0)) -
+          coalesce(col("price_a"), lit(0.0))) + 1e-9, 2).as("drift"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("drift")) + 1e-9, 2).as("price_drift"))
+      .orderBy(col("status"))
+  }
+
+  val q111Sql: String =
+    """WITH a AS (SELECT o_orderkey AS key, o_totalprice AS price_a,
+      |    o_orderstatus AS status_a FROM orders),
+      |b0 AS (SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 7 = 0
+      |      THEN round(o_totalprice * 1.1 + 1e-9, 2) ELSE o_totalprice END AS price_b,
+      |    o_orderstatus AS status_b
+      |  FROM orders WHERE o_orderkey % 11 <> 0),
+      |ins AS (SELECT o_orderkey + 1000000000 AS key, o_totalprice AS price_b,
+      |    o_orderstatus AS status_b FROM orders WHERE o_orderkey % 13 = 0),
+      |b AS (SELECT * FROM b0 UNION ALL SELECT * FROM ins),
+      |d AS (SELECT
+      |    CASE WHEN a.price_a IS NULL THEN 'inserted'
+      |         WHEN b.price_b IS NULL THEN 'deleted'
+      |         WHEN a.price_a <> b.price_b OR a.status_a <> b.status_b THEN 'updated'
+      |         ELSE 'unchanged' END AS status,
+      |    round(abs(coalesce(b.price_b, 0.0) - coalesce(a.price_a, 0.0)) + 1e-9, 2) AS drift
+      |  FROM a FULL OUTER JOIN b ON a.key = b.key)
+      |SELECT status, count(*) AS n_rows,
+      |  round(sum(drift) + 1e-9, 2) AS price_drift
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project"  -> q02FilterProject _,
@@ -1048,6 +1126,7 @@ object Relational {
     "q103_recursive_spine" -> q103RecursiveSpine _,
     "q105_not_in"         -> q105NotIn _,
     "q106_variant_shred"  -> q106VariantShred _,
+    "q111_table_diff"     -> q111TableDiff _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1083,5 +1162,6 @@ object Relational {
     "q103_recursive_spine" -> q103Sql,
     "q105_not_in"         -> q105Sql,
     "q106_variant_shred"  -> q106Sql,
+    "q111_table_diff"     -> q111Sql,
   )
 }

@@ -53,4 +53,26 @@ class SqlEntrySpec extends SparkSpec {
       "SELECT k FROM probe2_v WHERE k NOT IN (SELECT k FROM build2_v)")
     assert(probeNull.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("q111 table diff conserves keys and classifies the simulated rewrite exactly") {
+    import org.apache.spark.sql.functions.col
+    val a = spark.read.parquet(s"$sf/orders.parquet")
+    val n = a.count()
+    val del = a.filter(col("o_orderkey") % 11 === 0).count()
+    val ins = a.filter(col("o_orderkey") % 13 === 0).count()
+    // updated = surviving keys whose price actually moves (price > 0, so
+    // the 10% reprice always changes the value)
+    val upd = a.filter(col("o_orderkey") % 11 =!= 0 &&
+      col("o_orderkey") % 7 === 0).count()
+    val got = graft.operators.Relational.q111TableDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("deleted")._1 == del && got("inserted")._1 == ins &&
+      got("updated")._1 == upd, s"got $got")
+    // conservation: every key of A ∪ B classified exactly once
+    assert(got.values.map(_._1).sum == n + ins,
+      s"classified ${got.values.map(_._1).sum} of ${n + ins} keys")
+    // drift semantics: unchanged rows carry zero drift; updates carry
+    // a positive reprice delta
+    assert(got("unchanged")._2 == 0.0 && got("updated")._2 > 0.0)
+  }
 }
