@@ -12,6 +12,12 @@ object Bench {
     Seq("lineitem", "events").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // recentProgress is capped by numRecentProgressUpdates (default 100):
+    // today's staged sources produce ≤ ~32 micro-batches, but a scale
+    // corpus with more source files would silently undercount "batches"
+    // and commitMs in the state tail (r7 ADVICE) — raise the cap well
+    // past any staged batch count for the bench session.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
     // Measure with a noop write, not .count(): count() lets Catalyst
     // prune every unreferenced projection, so pure-projection queries
     // would be charged only their scan. The noop sink fully evaluates
@@ -60,7 +66,11 @@ object Bench {
       "q101_tfidf_retrieval" -> 2.04, "q102_ann_recall" -> 1.42,
       "q108_semdedup_scaled" -> 1.10, "q109_pagerank_stable" -> 4.30,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 6.00,
-      "s03_trending_rocksdb" -> 5.80)
+      // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
+      // were samples of the 32-empty-store commit-contention distribution
+      // (8–16 s wall, 2.4× variance); with state parallelism sized to the
+      // region catalog the steady state is ~3.6 s flat (PLANS.md r8)
+      "s03_trending_rocksdb" -> 3.60)
     // A spread is NOISE (not signal) above this bar — the same bar that
     // decides whether an entry earns a third run and a "noisy" flag in
     // the artifact tail.
@@ -69,13 +79,21 @@ object Bench {
     // Self-diagnosis (round-6 verdict #1 — BENCH_r06 carried two in-suite
     // phantoms, q56 18.2 s vs 2.85 isolated, with their spread flags
     // truncated away): a measurement whose spread exceeds noiseBar OR
-    // whose min-of-2 exceeds 3× its steady-state reference gets ONE
+    // whose min-of-2 exceeds 1.5× its steady-state reference gets ONE
     // extra run after a fresh quiesce; if it still looks contended it is
-    // flagged in the "noisy" tail map that now survives truncation. A
-    // failure in EITHER run reports -1 (never a valid-looking time next
-    // to an errors entry).
+    // flagged in the "noisy" tail map that now survives truncation. The
+    // ref multiplier is 1.5 (was 3.0 — r7 verdict #2: the gate criterion
+    // is "within 2× of baseline", and a 3× bar let s03's real 1.56×
+    // drift arrive unflagged; the bench must be able to SEE a 2× drift
+    // before the gate does). A failure in EITHER run reports -1 (never a
+    // valid-looking time next to an errors entry).
     val spreads = scala.collection.mutable.Map[String, Double]()
     val noisy = scala.collection.mutable.Map[String, Double]()
+    // third-run failures: the re-run's error message must survive
+    // SOMEWHERE even though it is dropped from `errors` (the '-1 never
+    // next to errors' invariant) — r7 ADVICE: losing the failure class
+    // makes a flaky query undiagnosable from the artifact alone.
+    val rerunFails = scala.collection.mutable.Map[String, String]()
     def timeBoth(name: String, once: () => Double): Double = {
       quiesce()
       val a = once()
@@ -84,7 +102,7 @@ object Bench {
       var runs = List(a, b).sorted
       def suspect: Boolean =
         (runs(1) - runs(0)) > noiseBar(runs(0)) ||
-          refTimes.get(name).exists(r => runs(0) > math.max(1.0, 3.0 * r))
+          refTimes.get(name).exists(r => runs(0) > math.max(1.0, 1.5 * r))
       if (suspect) {
         quiesce()
         val hadError = errors.contains(name)
@@ -92,8 +110,10 @@ object Bench {
         if (c >= 0) runs = (c :: runs).sorted.take(2)
         // a FAILED extra run must not leave an errors entry beside the
         // still-valid min-of-2 (the '-1 never next to errors' invariant):
-        // drop the error it just recorded and keep the suspect flag
-        else if (!hadError) errors.remove(name)
+        // move the error it just recorded to the rerun-failure map, so
+        // the failure class still reaches the artifact
+        else if (!hadError)
+          errors.remove(name).foreach(m => rerunFails(name) = m)
         // still suspect after the extra run → the artifact must say so
         if (suspect || c < 0) noisy(name) = runs(1) - runs(0)
       }
@@ -195,9 +215,13 @@ object Bench {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination(300000L)
+          // clock FIRST, metrics after — bookkeeping must never ride
+          // inside the measurement (r7 ADVICE; recentProgress iteration
+          // is cheap but it belongs outside the timed region on principle)
+          val elapsed = (System.nanoTime() - t0) / 1e9
           recordState("s02_funnel_rocksdb", q)
+          elapsed
         } finally Session.rocksDBConfs.keys.foreach(spark.conf.unset)
-        (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           errors("s02_funnel_rocksdb") =
@@ -227,6 +251,16 @@ object Bench {
         val t0 = System.nanoTime()
         val ckpt = java.nio.file.Files.createTempDirectory("bench_s03_ckpt").toString
         Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        // state parallelism = f(catalog), not executor count: 32 stores
+        // for a 2-region key space measured 8–16 s wall / 130–210 s
+        // Σcommit from concurrent empty-store fsync contention (and WAS
+        // the r7 "s03 drift"); 4 stores run 3.6 s flat. See
+        // Tws.regionStateParallelism. s02 keeps 32: its user_id key
+        // space is corpus-sized, so every store carries real state.
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          graft.streaming.Tws.regionStateParallelism(
+            graft.operators.Geo.usaCatalog.size).toString)
         try {
           import spark.implicits._
           import org.apache.spark.sql.functions.col
@@ -242,9 +276,13 @@ object Bench {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination(300000L)
+          val elapsed = (System.nanoTime() - t0) / 1e9
           recordState("s03_trending_rocksdb", q)
-        } finally Session.rocksDBConfs.keys.foreach(spark.conf.unset)
-        (System.nanoTime() - t0) / 1e9
+          elapsed
+        } finally {
+          Session.rocksDBConfs.keys.foreach(spark.conf.unset)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
       } catch {
         case e: Throwable =>
           errors("s03_trending_rocksdb") =
@@ -284,6 +322,9 @@ object Bench {
       .mkString("{", ",", "}")
     val noisyJs = noisy.map { case (k, v) => Jsons.str(short(k)) + ":" + f(v) }
       .mkString("{", ",", "}")
+    val rerunJs = rerunFails.map { case (k, v) =>
+      Jsons.str(short(k)) + ":" + Jsons.str(v.take(120))
+    }.mkString("{", ",", "}")
     val qShort = results.map { case (k, v) => Jsons.str(short(k)) + ":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -295,7 +336,7 @@ object Bench {
     // got truncated), ALL per-query times under compact qNN keys, errors,
     // total. Budget: 113 compact entries ≈ 1.5k chars + state + flags
     // + errors + total < 2000.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","spread":$sp,"queries":$qs,"state":$state,"noisy":$noisyJs,"q":$qShort,"errors":$errs,"value":${f(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","spread":$sp,"queries":$qs,"state":$state,"noisy":$noisyJs,"rerunErrors":$rerunJs,"q":$qShort,"errors":$errs,"value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Deterministic release of `localCheckpoint` blocks.
+  *
+  * Iterative operators (PageRank supersteps, BFS frontiers, label
+  * propagation) checkpoint every round to keep lineage flat, which
+  * leaves one block set per round for the ContextCleaner to reclaim —
+  * but the cleaner only fires after the backing RDD is GC'd, and under
+  * back-to-back runs (the bench's min-of-N) run N's superstep blocks
+  * routinely survive into run N+1, doubling its memory pressure and
+  * producing a bimodal ~2× slow mode (measured on q109/q75 at 10–20×
+  * corpora, PLANS.md round 7). Releasing superstep N−1 as soon as
+  * superstep N is materialized caps live checkpoint state at O(1)
+  * rounds regardless of iteration count — the same discipline GraphX's
+  * Pregel applies with its own per-round unpersist.
+  *
+  * CONTRACT: a released local checkpoint cannot be recomputed (its
+  * lineage was truncated at checkpoint time), so callers must only
+  * release a frame once every consumer has either executed or been
+  * checkpointed itself. A violated contract fails loudly with a
+  * missing-checkpoint-block error — never a silent wrong answer.
+  */
+private[graft] object Checkpoints {
+
+  /** Unpersist the checkpoint blocks under `df` now (non-blocking).
+    *
+    * `Dataset.unpersist` can't do this: localCheckpoint persists at the
+    * RDD layer, not through the CacheManager, so the Dataset-level call
+    * is a no-op on it. The block holder is the `LogicalRDD` leaf the
+    * checkpoint rewrote the plan to — projections/filters over the
+    * checkpointed frame resolve to the same leaf, so releasing a
+    * derived frame releases its checkpoint. Frames whose leaves are not
+    * checkpoint scans (file relations, local tables) are untouched. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach { leaf =>
+      // LogicalRDD is private[sql]; Scala package-private compiles to
+      // public bytecode, so a reflective `rdd` call is safe at runtime
+      // (probed on 4.1.2) without shimming into Spark's namespace
+      if (leaf.getClass.getSimpleName == "LogicalRDD")
+        leaf.getClass.getMethod("rdd").invoke(leaf) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(blocking = false)
+          case _ => ()
+        }
+    }
+}

@@ -196,6 +196,12 @@ object Graph {
     while (iter < maxIters && !stable) {
       val next = pagerankStep(edgesD, ranks, lazyChain).localCheckpoint(true)
       val exactFixpoint = next.filter(col("r") =!= col("r_prev")).isEmpty
+      // superstep N−1's blocks are dead the moment N is materialized
+      // (the step consumed them; every later probe reads `next`) —
+      // release them NOW instead of leaving a block set per superstep
+      // for the ContextCleaner, which under back-to-back runs survives
+      // into the next run (the measured bimodal 2× slow mode)
+      Checkpoints.release(ranks)
       ranks = next.select(col("node"), col("r"))
       val order = topOrder(ranks)
       stable = exactFixpoint || order == prevOrder
@@ -222,6 +228,7 @@ object Graph {
       // probe = one scan of the checkpointed superstep (r_prev rides
       // along in the step output), not a join job
       converged = next.filter(col("r") =!= col("r_prev")).isEmpty
+      Checkpoints.release(ranks) // superstep N−1 dead once N materialized
       ranks = next.select(col("node"), col("r"))
       iter += 1
     }
@@ -295,14 +302,23 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(scale).as("r")).localCheckpoint(true)
     var prev: DataFrame = ranks
     for (_ <- 1 to lazyStableIters) {
+      val old = prev
       prev = ranks
       ranks = pagerankStep(edgesD, ranks, lazyChain = true)
         .select(col("node"), col("r")).localCheckpoint(true)
+      // the guard needs the LAST TWO supersteps; everything older is
+      // dead once the new superstep materializes — release superstep
+      // N−2 eagerly so live checkpoint state stays O(1), not O(14)
+      // (the round-7 bimodal slow mode was exactly these blocks
+      // surviving into the next run via ContextCleaner lag)
+      if (!(old eq prev)) Checkpoints.release(old)
     }
     def topOrder(r: DataFrame): Seq[Long] =
       r.orderBy(col("r").desc, col("node")).limit(20)
         .select(col("node")).collect().map(_.getLong(0)).toSeq
-    require(topOrder(ranks) == topOrder(prev),
+    val orderStable = topOrder(ranks) == topOrder(prev)
+    Checkpoints.release(prev) // guard done — last frame still needed below
+    require(orderStable,
       s"top-20 order still churning after $lazyStableIters lazy supersteps " +
         "on this corpus — raise lazyStableIters (and the oracle's unroll)")
     ranks
@@ -457,7 +473,12 @@ object Graph {
       val fresh = next.join(visited, Seq("seed", "node"), "left_anti")
         .localCheckpoint(true)
       levels = levels :+ fresh.withColumn("depth", lit(depth))
+      val oldVisited = visited
       visited = visited.union(fresh).localCheckpoint(true)
+      // the old visited set is folded into the new checkpoint; only the
+      // per-level `fresh` frames (kept in `levels`) are read again —
+      // release round N−1's visited blocks eagerly
+      if (depth > 1) Checkpoints.release(oldVisited)
       frontier = fresh
     }
     levels.reduce(_ union _)

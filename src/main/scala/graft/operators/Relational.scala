@@ -1049,6 +1049,12 @@ object Relational {
         when(col("o_orderkey") % 7 === 0,
           round(col("o_totalprice") * 1.1 + 1e-9, 2))
           .otherwise(col("o_totalprice")))
+    // Inserted-row keys are shifted by 1e9, which stays collision-free
+    // only while max(o_orderkey) < 1e9 — true through sf≈170 (o_orderkey
+    // tops out near 6M·sf·4). The oracle hardcodes the same constant, so
+    // a larger corpus needs BOTH sides to derive the offset from
+    // max(o_orderkey) (or widen it); below the bound the constant keeps
+    // the simulated version B fully deterministic with zero extra scans.
     val inserted = a.filter(col("o_orderkey") % 13 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
     val b = updated.select(cols: _*).unionByName(inserted.select(cols: _*))

@@ -197,6 +197,25 @@ object Tws {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stateful-shuffle parallelism for a REGION-keyed stream: the key
+    * universe is the geo catalog, so the state-store count must track
+    * CATALOG size, not executor count. Each stateful partition is a
+    * whole store instance paying per-batch open/commit/fsync whether or
+    * not it holds a key — with the default 32 shuffle partitions and a
+    * 2-region catalog, 27+ empty RocksDB instances commit concurrently
+    * every batch and their fsync/snapshot traffic contends on one disk:
+    * measured round 8 at sf0.1 (8 batches), 32 stores → 8–16 s wall /
+    * 130–210 s Σcommit (and 2.4× run-to-run variance — the r7 "s03
+    * drift" was this distribution being sampled, not a regression),
+    * 5 stores → 3.6 s wall / 3 s Σcommit, flat. ×2 headroom over the
+    * catalog keeps a slot free for skewed/unmatched keys; the floor
+    * keeps a one-region catalog from serializing. Set
+    * `spark.sql.shuffle.partitions` to this BEFORE the first start of a
+    * region-keyed stateful query (the store count is pinned into the
+    * checkpoint at first run). */
+  def regionStateParallelism(catalogSize: Int): Int =
+    math.max(4, 2 * catalogSize)
+
   /** Input for the rolling feature window: one measurement per event.
     * `event_id` rides along solely as the timestamp tie-break — the
     * batch twin q107 keeps its last-10 by (ts DESC, event_id DESC), so
@@ -207,7 +226,16 @@ object Tws {
   case class UserValue(user_id: Long, event_id: Long, value: Double,
                        ts: java.sql.Timestamp)
 
-  /** A buffered window entry (event-time micros + id tie-break + value). */
+  /** A buffered window entry (event-time micros + id tie-break + value).
+    *
+    * STATE-SCHEMA PIN: this shape IS the ListState encoder schema of
+    * [[featureWindowTws]] — any field change (the round-7 addition of
+    * `eventId` included) is a state-schema break, and a checkpoint
+    * written under the old shape fails restore with
+    * STATE_STORE_SCHEMA_INCOMPATIBLE rather than silently misreading
+    * bytes. That is the intended failure: bump/clear the checkpoint
+    * directory when evolving this class. Bench and specs are immune —
+    * they always start from fresh checkpoints. */
   case class WinEvent(tsUs: Long, eventId: Long, value: Double)
 
   /** Per-user features over the last ≤ maxN events, refreshed per batch. */

@@ -88,7 +88,9 @@ class GraphSpec extends SparkSpec {
     val budget = 3 // = pagerankMaxIters; literal so a budget bump re-asks the question
     val (_, stdIters, stdStable) = graft.operators.Graph
       .pagerankConvergeOrderStable(edgesD, nr0, topK = 20, maxIters = budget + 2)
-    assert(!stdStable && stdIters == budget + 2,
+    // !stdStable already implies the loop ran to its cap — asserting the
+    // exact iteration count again was a redundant, brittle pin (r7 ADVICE)
+    assert(!stdStable,
       s"sf0.01 top-20 order must NOT stabilize near the $budget-superstep budget " +
         s"(the round-6 claim this spec disproves), stable=$stdStable at $stdIters")
     val (_, lazyIters, lazyStable) = graft.operators.Graph
