@@ -449,7 +449,12 @@ object Similarity {
     cents
   }
 
-  def q90AnnTrained(spark: SparkSession, dir: String): DataFrame = {
+  /** The q90 training pipeline up to its celled corpus: 16 fixed seeds
+    * → `kmeansRounds` integer Lloyd rounds → map-side argmin cells over
+    * the full double vectors. Shared by q90 (full-vector cell search)
+    * and q113 (PQ-code cell search + re-rank) — identical cells, so
+    * their recall difference isolates the quantization effect. */
+  private def trainedCelledVectors(spark: SparkSession, dir: String): DataFrame = {
     // materialize the codes once: three training rounds + the seed
     // collect would otherwise re-run the parquet scan + code projection
     // per round (the q71/q56 localCheckpoint lesson)
@@ -461,12 +466,16 @@ object Similarity {
       .sortBy(_._1)
     require(seeds.length == 16, s"expected 16 seed centroids, got ${seeds.length}")
     val cents = trainCentroids(eq, seeds, kmeansRounds)
-    // search phase: identical to q46 but over the trained cells; codes
-    // re-derived map-side from the double vectors (no join back)
-    val withCell = normedVectors(spark, dir)
+    // codes re-derived map-side from the double vectors (no join back)
+    normedVectors(spark, dir)
       .withColumn("q", transform(col("v"), x => round(x * 1000 + 1e-9).cast("long")))
       .withColumn("cell", argminCellCol(cents))
       .drop("q")
+  }
+
+  def q90AnnTrained(spark: SparkSession, dir: String): DataFrame = {
+    // search phase: identical to q46 but over the trained cells
+    val withCell = trainedCelledVectors(spark, dir)
     val q = withCell.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell").as("q_cell"))
@@ -523,6 +532,113 @@ object Similarity {
        |SELECT q_id, vec_id, cos, rk FROM rk WHERE rk <= 3
        |ORDER BY q_id, rk""".stripMargin
   }
+
+  // --------------------------------------------------------------- q113
+  /** Candidate depth of the PQ code scan — how many code-ranked
+    * candidates per query survive to exact re-rank. The recall/cost
+    * dial of every production PQ index: larger R = more exact-distance
+    * work, higher recall. 10 here (>3× the final k). */
+  private[graft] val pqRerankDepth = 10
+
+  /** IVF-PQ composed search — the production 100 TB ANN shape, closing
+    * r7 verdict gap #2: q90 trains the IVF and q61 proves the int8
+    * quantization error bound, but q90's search still scans full double
+    * vectors inside cells. Here the cell scan runs on q61's int8 codes
+    * (64 bytes/vector — 8× smaller than the float64 vectors, the
+    * memory cut that lets a 10⁹-vector index live in executor RAM),
+    * producing [[pqRerankDepth]] candidates per query by approximate
+    * (dequantized) cosine, and only those candidates touch the full
+    * vectors for the exact top-3 re-rank.
+    *
+    * Scale shape: cells from the SAME trained quantizer as q90
+    * (identical assignment — the q102 recall delta isolates pure
+    * quantization loss). The code scan is the q46/q90 cell-equi-join
+    * with broadcast queries; the re-rank is a (queries × R)-row join
+    * back to the corpus on vec_id — candidate-sized, never
+    * corpus-sized. Queries keep full precision (standard IVF-PQ:
+    * only the CORPUS side is compressed).
+    *
+    * Determinism: codes/dequant are q61's exact formulas (same op
+    * order both engines), approximate cosine rounded to 6dp before
+    * ranking with vec_id tie-breaks, re-rank on exact rounded cosine —
+    * the full two-stage trajectory replays in SQL. */
+  def q113IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers (PQ side, query side, re-rank side) of one
+    // trained frame — materialize once
+    val withCell = trainedCelledVectors(spark, dir).localCheckpoint(true)
+    // corpus side compressed to int8 codes + (mn, mx) + dequantized
+    // form (dequant staged as a column so the per-pair dot doesn't
+    // re-expand the codes 10 times per candidate)
+    val staged = withCell.select(col("vec_id"), col("cell"), col("v"),
+      array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+    val q8 = transform(col("v"), x =>
+      when(col("mx") === col("mn"), lit(0))
+        .otherwise(round((x - col("mn")) * 255.0 / (col("mx") - col("mn")) + 1e-9)
+          .cast("int")))
+    val dv = transform(col("q8"), c =>
+      col("mn") + c.cast("double") * (col("mx") - col("mn")) / 255.0)
+    val pq = staged.withColumn("q8", q8)
+      .select(col("vec_id"), col("cell"), dv.as("dv"))
+      .withColumn("dnrm", sqrt(norm2(col("dv"))))
+    val q = withCell.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell").as("q_cell"))
+    // stage 1: code scan within the query's cell, approximate cosine
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("vec_id"))
+    val cands = pq.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("dv")) / (col("qnrm") * col("dnrm")), 6).as("acos"))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= pqRerankDepth)
+      .select(col("q_id"), col("vec_id"))
+    // stage 2: exact re-rank of the R candidates on full vectors
+    val exact = withCell.select(col("vec_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cands.join(exact, "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qnrm"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  val q113Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM e),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM eq WHERE vec_id >= 100 AND vec_id < 116),
+       |${(1 to kmeansRounds).map(lloydRoundSql).mkString(",\n")},
+       |df AS (SELECT eq.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
+       |  FROM eq CROSS JOIN c$kmeansRounds c),
+       |af AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM df) WHERE rk = 1),
+       |wc AS MATERIALIZED (SELECT e.vec_id, e.v, af.cell FROM e JOIN af USING (vec_id)),
+       |st AS (SELECT vec_id, cell, v, list_min(v) AS mn, list_max(v) AS mx FROM wc),
+       |pq AS (SELECT vec_id, cell, mn, mx,
+       |    list_transform(v, x -> CASE WHEN mx = mn THEN 0
+       |      ELSE round((x - mn) * 255.0 / (mx - mn) + 1e-9)::INT END) AS q8
+       |  FROM st),
+       |dq AS (SELECT vec_id, cell,
+       |    list_transform(q8, c -> mn + c * (mx - mn) / 255.0) AS dv
+       |  FROM pq),
+       |q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM wc WHERE vec_id < 10),
+       |sc AS (SELECT q.q_id, dq.vec_id, round(${cosineSql("q.qv", "dq.dv")}, 6) AS acos
+       |  FROM dq JOIN q ON dq.cell = q.q_cell AND dq.vec_id <> q.q_id),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, vec_id) AS crk
+       |    FROM sc) WHERE crk <= $pqRerankDepth),
+       |rr AS (SELECT c.q_id, c.vec_id, round(${cosineSql("q.qv", "w.v")}, 6) AS cos
+       |  FROM cand c JOIN wc w ON c.vec_id = w.vec_id JOIN q ON c.q_id = q.q_id),
+       |rk AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |  FROM rr)
+       |SELECT q_id, vec_id, cos, rk FROM rk WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
 
   // ---------------------------------------------------------------- q93
   /** Contrastive hard-negative mining: for each query vector, the top-3
@@ -610,6 +726,18 @@ object Similarity {
     val withCell = withCellAssigned(coded, cents)
       .drop("q")
       .localCheckpoint(true)
+    semdedupPairs(withCell)
+  }
+
+  /** The pair stage of semdedup over ANY celled frame — (vec_id, v,
+    * nrm, cell) in, one row per dropped vector out. Shared by the
+    * single-level quantizers (q99/q108, cells from a driver-broadcast
+    * argmin) and the two-level q112 (cells from the distributed
+    * residual split) — the within-cell join, theta filter, and
+    * keep-the-lowest-id keeper policy are identical; only where the
+    * cell ids come from differs. Caller materializes `withCell` (a
+    * self-join has no common-subplan reuse). */
+  private def semdedupPairs(withCell: DataFrame): DataFrame = {
     val pairs = withCell.as("a").join(withCell.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("dup_id"), col("a.vec_id").as("keeper_id"),
@@ -672,10 +800,12 @@ object Similarity {
   /** Centroid-count ceiling: the driver collects and broadcasts the
     * centroid matrix (4096 × 64 longs ≈ 2 MB — fine to broadcast), so
     * k is CAPPED here rather than allowed to crash the seed collect.
-    * Corpora past cap·targetCellSize (~205k vectors) fatten cells
-    * again — at that scale the next move is a sharded / hierarchical
-    * quantizer (train per shard, merge codebooks), out of this
-    * engine's scope and documented rather than faked. */
+    * Corpora past cap·targetCellSize (~205k vectors) fatten SINGLE-
+    * level cells again — past that scale the two-level quantizer
+    * (q112: this coarse level + a fully distributed per-cell residual
+    * split) carries the constant-cell-size guarantee to
+    * cap × cap × [[hierSubCellSize]] ≈ 168M vectors with driver state
+    * still bounded by this same constant. */
   private[graft] val ivfMaxCentroids = 4096
 
   /** k ∝ N, enforced: the centroid count a coarse quantizer gets for an
@@ -846,6 +976,229 @@ object Similarity {
        |SELECT dup_id, keeper_id, cell, cos FROM rk WHERE rk = 1
        |ORDER BY dup_id""".stripMargin
 
+  // --------------------------------------------------------------- q112
+  /** Final expected cell size of the TWO-LEVEL quantizer — the second
+    * level splits every coarse cell into ceil(cellN / this) sub-cells,
+    * so the pair/search stage sees ~this many vectors per cell at ANY
+    * corpus size up to [[ivfMaxCentroids]]² × this (≈ 168M), coarse
+    * driver state permitting. Smaller than [[ivfTargetCellSize]] so the
+    * sub-level is exercised (not degenerate) on the gate corpora. */
+  private[graft] val hierSubCellSize = 10
+
+  /** Per-cell sub-centroid budget — mirrored verbatim by the oracle's
+    * `greatest(1, least(4096, ceil(n_c / 10.0)))`. The per-cell 4096
+    * cap is the second level's analog of [[ivfMaxCentroids]]: beyond
+    * BOTH caps a third level would repeat the same recipe. */
+  private def subKCol: Column =
+    greatest(lit(1L), least(lit(4096L),
+      ceil(col("n_c") / lit(hierSubCellSize.toDouble))))
+
+  /** Exact integer L2 between two code arrays (sequential left fold —
+    * the oracle's list_sum order). */
+  private def intDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Nearest sub-centroid within each vector's own coarse cell.
+    * `celled` = (vec_id, cell, q); `cents` = (cell, scid, sq). One
+    * equi-join on cell (vectors only ever meet their own cell's
+    * sub-centroids — never a cross join) followed by a per-vector
+    * min(struct(dist, scid)) aggregation: partial-aggregable, so the
+    * argmin combines map-side and nothing resembling N × subK rows
+    * ever shuffles. Tie-break = lexicographic struct order ≡ the
+    * oracle's (dist, scid) row_number. `cell`/`q` are functionally
+    * dependent on vec_id (each vector sits in exactly one coarse
+    * cell), so first() carries them through the groupBy
+    * deterministically. */
+  private def assignSub(celled: DataFrame, cents: DataFrame): DataFrame =
+    celled.join(cents, "cell")
+      .select(col("vec_id"), col("cell"), col("scid"), col("q"),
+        intDist(col("q"), col("sq")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("scid"))).as("m"),
+        first(col("cell")).as("cell"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("cell"), col("m").getField("scid").as("scid"),
+        col("q"))
+
+  /** Second-level (residual) split of an already coarse-celled corpus:
+    * per-cell hash-sampled seeds → `rounds` DISTRIBUTED Lloyd
+    * iterations → final (vec_id, sub-cell) assignment. Returns
+    * (vec_id, cell) where cell is the sub-seed's globally-unique
+    * vec_id.
+    *
+    * THE scale property: unlike the coarse level (whose centroids are
+    * collected and broadcast, hence the [[ivfMaxCentroids]] cap), the
+    * sub-level's centroid state lives in a DataFrame keyed by
+    * (cell, scid) — up to 4096 sub-centroids per coarse cell, 16.8M
+    * effective cells, and the DRIVER never holds any of it. Each Lloyd
+    * round is: one equi-join on cell (assignment), one
+    * (cell, scid, pos) partial aggregation plus a (cell, scid)
+    * array-rebuild (update) — all hash-partitioned, all linear in N.
+    * "Residual" split note: sub-seeds are actual cell members, so
+    * argmin over raw codes within a cell ≡ argmin over residuals
+    * (subtracting the cell's coarse centroid shifts both sides of
+    * every distance equally) — no residual materialization needed.
+    *
+    * Determinism: md5-h60 per-cell seed ranks, exact integer
+    * distances, order-independent integer (Σ, n) updates, floor of one
+    * IEEE double division, min-struct tie-breaks — every round
+    * bit-replayable in SQL, so the full two-level trajectory is
+    * oracle-gated. Empty sub-cells keep their previous coordinates
+    * (LEFT JOIN + coalesce, the q90 Lloyd guard). Superstep N−1's
+    * checkpoint is released as soon as N materializes (the
+    * [[Checkpoints]] discipline). */
+  private[graft] def subCellAssign(celled: DataFrame, rounds: Int): DataFrame = {
+    val counts = celled.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+    val wk = Window.partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))
+    val seeds0 = celled
+      .join(broadcast(counts), "cell") // ≤ ivfMaxCentroids rows
+      .withColumn("h", call_function("graft_h60",
+        concat(lit("sseed:"), col("vec_id").cast("string"))))
+      .withColumn("srk", row_number().over(wk))
+      .filter(col("srk") <= subKCol)
+      .select(col("cell"), col("vec_id").as("scid"), col("q").as("sq"))
+    var cents = seeds0.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val upd = assignSub(celled, cents)
+        .select(col("cell"), col("scid"), posexplode(col("q")).as(Seq("pos", "qv")))
+        .groupBy(col("cell"), col("scid"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+        .groupBy(col("cell"), col("scid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos").as("p"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("v")))),
+          x => x.getField("v")).as("nq"))
+      val next = cents.join(upd, Seq("cell", "scid"), "left")
+        .select(col("cell"), col("scid"),
+          coalesce(col("nq"), col("sq")).as("sq"))
+        .localCheckpoint(true)
+      Checkpoints.release(cents)
+      cents = next
+    }
+    val out = assignSub(celled, cents)
+      .select(col("vec_id"), col("scid").as("cell"))
+      .localCheckpoint(true)
+    Checkpoints.release(cents)
+    out
+  }
+
+  /** Per-FINAL-cell population under the two-level quantizer — the
+    * spec hook for q112's cell-size-band assertion (the two-level
+    * analog of [[scaledCellSizes]]): QuantizeSpec pins that mean final
+    * cell size sits near [[hierSubCellSize]] and stays there as the
+    * corpus grows, and that the sub-level genuinely multiplies the
+    * effective cell count past the coarse k. */
+  private[graft] def hierCellSizes(spark: SparkSession, dir: String): DataFrame = {
+    val eq = codedVectors(spark, dir).localCheckpoint(true)
+    val k1 = scaledK(eq.count())
+    val cents = trainCentroids(eq, scaledSeeds(eq, k1), kmeansRounds)
+    val celled = withCellAssigned(eq, cents).localCheckpoint(true)
+    subCellAssign(celled, kmeansRounds)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+  }
+
+  /** SemDedup with the TWO-LEVEL k ∝ N quantizer — the answer to
+    * q108's one honest ceiling (r7 verdict #1). q108's guarantee
+    * ("expected cell size constant at any corpus scale") expires at
+    * N ≈ [[ivfMaxCentroids]]·[[ivfTargetCellSize]] ≈ 205k vectors,
+    * because coarse centroids must stay driver-collectable. Here the
+    * coarse level runs exactly q108's recipe (count → k = scaledK →
+    * hashed seeds → integer Lloyd → broadcast argmin, k ≤ 4096), and
+    * each coarse cell is then split by [[subCellAssign]] into
+    * ceil(cellN / [[hierSubCellSize]]) sub-cells whose training and
+    * assignment never leave the executors — so expected FINAL cell
+    * size stays ~[[hierSubCellSize]] to ~168M vectors with driver
+    * state unchanged at ≤ 4096 × 64 longs. The semdedup tail
+    * ([[semdedupPairs]]) rides the sub-cells; at gate scale the
+    * sub-level is genuinely exercised (coarse cells ~31 → subK ~4).
+    *
+    * Scale shape: one count + one top-k seed sample + kmeansRounds
+    * broadcast-argmin scans (coarse, unchanged from q108), then
+    * kmeansRounds+1 cell-equi-joins + partial aggregations (sub,
+    * distributed), then a pair join blocked by sub-cell — linear
+    * end-to-end, every shuffle keyed by cell/vec_id. */
+  def q112SemdedupHierarchical(spark: SparkSession, dir: String): DataFrame = {
+    val eq = codedVectors(spark, dir).localCheckpoint(true)
+    val k1 = scaledK(eq.count())
+    val coarse = trainCentroids(eq, scaledSeeds(eq, k1), kmeansRounds)
+    val celled = withCellAssigned(eq, coarse).localCheckpoint(true)
+    val fcells = subCellAssign(celled, kmeansRounds)
+    val withCell = normedVectors(spark, dir)
+      .join(fcells, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .localCheckpoint(true)
+    Checkpoints.release(celled)
+    Checkpoints.release(eq)
+    semdedupPairs(withCell)
+  }
+
+  /** One distributed sub-level Lloyd round as oracle CTEs
+    * (sc{r-1} → sc{r}), the two-level analog of [[lloydRoundSql]]:
+    * assignment joins each vector to its own cell's sub-centroids,
+    * the per-vector argmin is the same (dist, scid) row_number, and
+    * the update rebuilds each sub-centroid as the floor-mean of its
+    * members — bit-identical to [[subCellAssign]]'s round. */
+  private def subRoundSql(r: Int): String = {
+    val prev = s"sc${r - 1}"
+    s"""pd$r AS (SELECT a.vec_id, a.cell, a.q, s.scid,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (a.q[i]-s.sq[i])*(a.q[i]-s.sq[i]))) AS dist
+       |  FROM aq a JOIN $prev s ON a.cell = s.cell),
+       |pa$r AS (SELECT vec_id, cell, scid, q FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, scid) AS rk
+       |    FROM pd$r) WHERE rk = 1),
+       |pg$r AS (SELECT cell, scid, t.range AS dim, count(*) AS n, sum(q[t.range]) AS s
+       |  FROM pa$r CROSS JOIN range(1, ${dim + 1}) t GROUP BY 1, 2, 3),
+       |pu$r AS (SELECT cell, scid, list(floor(s::DOUBLE / n)::BIGINT ORDER BY dim) AS nq
+       |  FROM pg$r GROUP BY 1, 2),
+       |sc$r AS MATERIALIZED (SELECT p.cell, p.scid, coalesce(pu$r.nq, p.sq) AS sq
+       |  FROM $prev p LEFT JOIN pu$r ON p.cell = pu$r.cell AND p.scid = pu$r.scid)""".stripMargin
+  }
+
+  val q112Sql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM e),
+       |nk AS (SELECT least($ivfMaxCentroids, greatest($ivfMinCentroids,
+       |    ceil(count(*) / $ivfTargetCellSize.0)::INT)) AS k FROM eq),
+       |sd AS (SELECT vec_id, q, row_number() OVER (
+       |    ORDER BY ('0x'||substr(md5('seed:'||vec_id),1,15))::BIGINT, vec_id) AS srk
+       |  FROM eq),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM sd
+       |  WHERE srk <= (SELECT k FROM nk)),
+       |${(1 to kmeansRounds).map(lloydRoundSql).mkString(",\n")},
+       |df AS (SELECT eq.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
+       |  FROM eq CROSS JOIN c$kmeansRounds c),
+       |af AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM df) WHERE rk = 1),
+       |aq AS MATERIALIZED (SELECT af.vec_id, af.cell, eq.q FROM af JOIN eq USING (vec_id)),
+       |cn AS (SELECT cell, count(*) AS n_c FROM aq GROUP BY 1),
+       |ss0 AS (SELECT cell, vec_id, q, row_number() OVER (PARTITION BY cell
+       |    ORDER BY ('0x'||substr(md5('sseed:'||vec_id),1,15))::BIGINT, vec_id) AS srk
+       |  FROM aq),
+       |sc0 AS MATERIALIZED (SELECT s.cell, s.vec_id AS scid, s.q AS sq
+       |  FROM ss0 s JOIN cn ON s.cell = cn.cell
+       |  WHERE s.srk <= greatest(1, least(4096, ceil(cn.n_c / $hierSubCellSize.0)::BIGINT))),
+       |${(1 to kmeansRounds).map(subRoundSql).mkString(",\n")},
+       |fd AS (SELECT a.vec_id, s.scid,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> (a.q[i]-s.sq[i])*(a.q[i]-s.sq[i]))) AS dist
+       |  FROM aq a JOIN sc$kmeansRounds s ON a.cell = s.cell),
+       |fa AS (SELECT vec_id, scid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, scid) AS rk
+       |    FROM fd) WHERE rk = 1),
+       |nv AS (SELECT e.vec_id, fa.cell, e.v FROM e JOIN fa USING (vec_id)),
+       |p AS (SELECT b.vec_id AS dup_id, a.vec_id AS keeper_id, a.cell,
+       |    round(${cosineSql("a.v", "b.v")}, 6) AS cos
+       |  FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |f AS (SELECT * FROM p WHERE cos >= $semdedupTheta),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY dup_id ORDER BY cos DESC, keeper_id) AS rk
+       |  FROM f)
+       |SELECT dup_id, keeper_id, cell, cos FROM rk WHERE rk = 1
+       |ORDER BY dup_id""".stripMargin
+
   // --------------------------------------------------------------- q102
   /** ANN index-quality audit: recall@3 of the LSH (q31) and IVF (q46)
     * indexes against the exact brute-force ground truth (q30), per
@@ -865,18 +1218,25 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     val lsh = q31AnnLsh(spark, dir).select(col("q_id"), col("vec_id"))
     val ivf = q46AnnIvf(spark, dir).select(col("q_id"), col("vec_id"))
-    val lshHits = gt.join(lsh, Seq("q_id", "vec_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("lsh_hits"))
-    val ivfHits = gt.join(ivf, Seq("q_id", "vec_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("ivf_hits"))
+    // the IVF-PQ row (r7 verdict ask #4): same ground truth, so
+    // pq_recall − ivf_recall isolates what int8 compression costs on
+    // this corpus (q113 shares q90's training, not q46's fixed seeds —
+    // the audit carries both quantizer generations side by side)
+    val pqr = q113IvfPq(spark, dir).select(col("q_id"), col("vec_id"))
+    def hits(idx: DataFrame, as: String): DataFrame =
+      gt.join(idx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(as))
     gt.select(col("q_id")).distinct()
-      .join(lshHits, Seq("q_id"), "left")
-      .join(ivfHits, Seq("q_id"), "left")
+      .join(hits(lsh, "lsh_hits"), Seq("q_id"), "left")
+      .join(hits(ivf, "ivf_hits"), Seq("q_id"), "left")
+      .join(hits(pqr, "pq_hits"), Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
-        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"))
       .withColumn("lsh_recall", round(col("lsh_hits") / 3.0 + 1e-9, 4))
       .withColumn("ivf_recall", round(col("ivf_hits") / 3.0 + 1e-9, 4))
+      .withColumn("pq_recall", round(col("pq_hits") / 3.0 + 1e-9, 4))
       .orderBy(col("q_id"))
   }
 
@@ -884,15 +1244,20 @@ object Similarity {
     s"""WITH gt AS (SELECT q_id, vec_id FROM ($q30Sql) t WHERE rk <= 3),
        |lsh AS (SELECT q_id, vec_id FROM ($q31Sql) t),
        |ivf AS (SELECT q_id, vec_id FROM ($q46Sql) t),
+       |pqi AS (SELECT q_id, vec_id FROM ($q113Sql) t),
        |lh AS (SELECT gt.q_id, count(*) AS h FROM gt JOIN lsh USING (q_id, vec_id) GROUP BY 1),
        |ih AS (SELECT gt.q_id, count(*) AS h FROM gt JOIN ivf USING (q_id, vec_id) GROUP BY 1),
+       |ph AS (SELECT gt.q_id, count(*) AS h FROM gt JOIN pqi USING (q_id, vec_id) GROUP BY 1),
        |qs AS (SELECT DISTINCT q_id FROM gt)
        |SELECT qs.q_id,
        |  coalesce(lh.h, 0)::BIGINT AS lsh_hits,
        |  coalesce(ih.h, 0)::BIGINT AS ivf_hits,
+       |  coalesce(ph.h, 0)::BIGINT AS pq_hits,
        |  round(coalesce(lh.h, 0) / 3.0 + 1e-9, 4) AS lsh_recall,
-       |  round(coalesce(ih.h, 0) / 3.0 + 1e-9, 4) AS ivf_recall
+       |  round(coalesce(ih.h, 0) / 3.0 + 1e-9, 4) AS ivf_recall,
+       |  round(coalesce(ph.h, 0) / 3.0 + 1e-9, 4) AS pq_recall
        |FROM qs LEFT JOIN lh USING (q_id) LEFT JOIN ih USING (q_id)
+       |  LEFT JOIN ph USING (q_id)
        |ORDER BY q_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -907,6 +1272,8 @@ object Similarity {
     "q99_semdedup"          -> q99Semdedup _,
     "q102_ann_recall"       -> q102AnnRecall _,
     "q108_semdedup_scaled"  -> q108SemdedupScaled _,
+    "q112_semdedup_hier"    -> q112SemdedupHierarchical _,
+    "q113_ivfpq"            -> q113IvfPq _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -921,5 +1288,7 @@ object Similarity {
     "q99_semdedup"          -> q99Sql,
     "q102_ann_recall"       -> q102Sql,
     "q108_semdedup_scaled"  -> q108Sql,
+    "q112_semdedup_hier"    -> q112Sql,
+    "q113_ivfpq"            -> q113Sql,
   )
 }

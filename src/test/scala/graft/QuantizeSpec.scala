@@ -60,6 +60,29 @@ class QuantizeSpec extends SparkSpec {
       s"mean cell size grew ${mean(big) / mean(small)}x on a 4x corpus")
   }
 
+  test("q112: two-level split multiplies effective cells past the coarse k and final cell sizes stay in the sub band") {
+    import Similarity.{scaledK, hierSubCellSize}
+    // two corpus sizes (N=500 and N=2000, a 4x step): the guarantee the
+    // two-level quantizer adds over q108 is that FINAL cell size tracks
+    // hierSubCellSize — independent of both N and the coarse cap,
+    // because sub-centroid budgets grow per cell as cells fatten
+    val small = Similarity.hierCellSizes(spark, sf).collect()
+    val big = Similarity.hierCellSizes(spark, "/root/testdata/sf0.1").collect()
+    def mean(cells: Array[org.apache.spark.sql.Row]): Double =
+      cells.map(_.getAs[Long]("n")).sum.toDouble / cells.length
+    // the sub-level must actually split: strictly more final cells than
+    // the coarse quantizer has centroids (coarse cells ~31 and ~50 at
+    // these sizes, so subK ~3-5 per cell)
+    assert(small.length > scaledK(500), s"${small.length} final cells at N=500")
+    assert(big.length > scaledK(2000), s"${big.length} final cells at N=2000")
+    // the band: mean final cell size near the sub target at BOTH sizes —
+    // 4x the corpus must not fatten final cells (coarse cells it would)
+    assert(mean(small) <= 2.0 * hierSubCellSize,
+      s"mean final cell ${mean(small)} left the band at N=500")
+    assert(mean(big) <= 2.0 * hierSubCellSize,
+      s"mean final cell ${mean(big)} left the band at N=2000")
+  }
+
   test("argmin kernel switch: mapPartitions kernel and literal projection assign identical cells") {
     // the two kernels must be the SAME function — integer distances,
     // lowest-cid tie-break — or the k > switchK path silently diverges

@@ -90,8 +90,30 @@ def gen(out: String, reps: Int): Unit = {
       .map(t => t + "=" + spark.read.parquet(s"$out/$t.parquet").count()).mkString(" "))
 }
 
+// Embeddings-only tier (round 8): for the two-level-quantizer scale
+// point the OTHER tables are dead weight — only embeddings.parquet is
+// read by q108/q112. R=128 -> 256k vectors, deliberately PAST the flat
+// k-proportional-to-N ceiling (ivfMaxCentroids * targetCellSize = 205k):
+// flat k wants ceil(256k/50) = 5120 > 4096, so its coarse cells leave
+// the band, while q112's per-cell sub-split keeps final cells at ~10.
+def genEmb(out: String, reps: Int): Unit = {
+  val emb = spark.read.parquet(s"$src/embeddings.parquet")
+  (0 until reps).map { r =>
+    if (r == 0) emb
+    else emb.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + (pmod(xxhash64(col("vec_id"), i, lit(r)), lit(1001)) - 500).cast("double") * 1e-5)
+          .cast("float")).as("embedding"),
+      col("label"))
+  }.reduce(_ union _)
+    .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  println("GEN_DONE " + out + " embeddings=" +
+    spark.read.parquet(s"$out/embeddings.parquet").count())
+}
+
 gen("/tmp/graft_sf05", 5)
 gen("/tmp/graft_sf1", 10)
 // 20x tier (round 7): one more point for the steepest sweep queries
 // (q75 wedges / q73 pagerank / q87 fuzzy join) and the scaled-k q108 curve
 gen("/tmp/graft_sf2", 20)
+genEmb("/tmp/graft_emb128", 128)
