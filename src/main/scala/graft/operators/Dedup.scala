@@ -522,6 +522,7 @@ object Dedup {
       .localCheckpoint(true)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
+    val initLabels = labels // released with `und` once the result exists
     // The checkpoint blocks (und, initial labels, result) are NOT
     // persist()-cached — Dataset.unpersist can't release them; the
     // ContextCleaner reclaims them once the backing RDD is unreferenced
@@ -573,6 +574,13 @@ object Dedup {
         (col("doc_id") === col("label")).as("is_canonical"))
       .localCheckpoint(true)
     cached.unpersist()
+    // the edge list and the (long-superseded) init-label checkpoint are
+    // dead once the result frame is materialized — release them now
+    // rather than leaving them to ContextCleaner lag (the r8 eager-
+    // release discipline; under back-to-back runs these blocks survived
+    // into the next run and fed the bimodal slow mode)
+    Checkpoints.release(und)
+    Checkpoints.release(initLabels)
     result
   }
 

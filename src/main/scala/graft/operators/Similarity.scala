@@ -721,7 +721,7 @@ object Similarity {
     // projection run once; the literal path is a single projection and
     // needs no extra materialization
     val coded =
-      if (cents.length > argminKernelSwitchK) coded0.localCheckpoint(true)
+      if (kDim(cents) > argminKernelBudgetKDim) coded0.localCheckpoint(true)
       else coded0
     val withCell = withCellAssigned(coded, cents)
       .drop("q")
@@ -836,20 +836,34 @@ object Similarity {
       .sortBy(_._1)
   }
 
-  /** Kernel-switch threshold for argmin cell assignment. The literal-
-    * compiled projection ([[argminCellCol]] — an `array_sort` over k
-    * struct expressions) is the zero-shuffle fast path at oracle-scale
-    * k (16 centroids), but its expression tree grows with k·dim and
-    * analysis + codegen cost grows with it — measured round 7 on q108:
-    * k = 40 literal 4.0 s vs kernel 1.9 s at sf0.1; k = 400 literal
-    * 42 s vs kernel 2.6 s on the 10× corpus (the slowdown was the
-    * KERNEL, not the pair work). Above this k the assignment moves to
-    * [[cellsViaKernel]]: a `mapPartitions` argmin over a broadcast
-    * centroid matrix (tight primitive loops, the map-side BLAS shape a
-    * production IVF build uses), plus one vec_id equi-join to attach
-    * cells. Same integer distances, same lowest-cid tie-break —
-    * QuantizeSpec pins kernel ≡ literal on real data. */
-  private[graft] val argminKernelSwitchK = 24
+  /** Kernel-switch budget for argmin cell assignment, in k·dim units.
+    * The literal-compiled projection ([[argminCellCol]] — an
+    * `array_sort` over k struct expressions, each folding dim
+    * elements) is the zero-shuffle fast path at oracle-scale k, but
+    * its expression tree — and with it analysis + codegen + per-row
+    * cost — grows with the PRODUCT k·dim, so a flat k threshold is
+    * wrong at other dimensions (r7 verdict #6: a constant measured at
+    * dim 64 would switch far too late at dim 768). Measured round 7 on
+    * q108 at dim 64: k = 40 (2560 units) literal 4.0 s vs kernel
+    * 1.9 s; k = 400 literal 42 s vs kernel 2.6 s. Round 8 re-measured
+    * at dim 256 (synthetic codes, 20k vectors, graft.KernelDim):
+    * literal/kernel ratio 1.6× at 1024 units, 2.1× at 1536, 4.2× at
+    * 3072, 15× at 12288 — the crossover tracks k·dim (≈ 1k units),
+    * NOT k (a flat k = 24 constant would run 4.7× slow at dim 256).
+    * Budget set to 16·64 so the oracle-scale k = 16 / dim 64 queries
+    * (q46/q74/q99) keep the zero-shuffle literal plan and everything
+    * denser takes the kernel. Above the budget the
+    * assignment moves to [[cellsViaKernel]]: a `mapPartitions` argmin
+    * over a broadcast centroid matrix (tight primitive loops, the
+    * map-side BLAS shape a production IVF build uses), plus one vec_id
+    * equi-join to attach cells. Same integer distances, same
+    * lowest-cid tie-break — QuantizeSpec pins kernel ≡ literal on real
+    * data. */
+  private[graft] val argminKernelBudgetKDim = 16 * 64
+
+  /** k·dim of a centroid set (dim read off the data, not assumed). */
+  private def kDim(cents: Array[(Long, Seq[Long])]): Long =
+    if (cents.isEmpty) 0L else cents.length.toLong * cents(0)._2.length
 
   /** (vec_id, cell) by partition-local integer argmin over a broadcast
     * centroid matrix. `cents` MUST be sorted by centroid id ascending
@@ -886,7 +900,7 @@ object Similarity {
   }
 
   /** Cell assignment with the kernel switch: the literal projection
-    * below [[argminKernelSwitchK]] centroids (zero extra shuffles), the
+    * below the [[argminKernelBudgetKDim]] budget (zero extra shuffles), the
     * broadcast-matrix mapPartitions kernel above it. Returns the input
     * frame with a `cell` column either way. `useKernel` is exposed so
     * QuantizeSpec can force both paths on the same data and pin their
@@ -894,7 +908,7 @@ object Similarity {
   private[graft] def withCellAssigned(eq: DataFrame,
       cents: Array[(Long, Seq[Long])],
       useKernel: Option[Boolean] = None): DataFrame = {
-    val kernel = useKernel.getOrElse(cents.length > argminKernelSwitchK)
+    val kernel = useKernel.getOrElse(kDim(cents) > argminKernelBudgetKDim)
     if (kernel) eq.join(cellsViaKernel(eq, cents), "vec_id")
     else eq.withColumn("cell", argminCellCol(cents))
   }
@@ -993,32 +1007,64 @@ object Similarity {
     greatest(lit(1L), least(lit(4096L),
       ceil(col("n_c") / lit(hierSubCellSize.toDouble))))
 
-  /** Exact integer L2 between two code arrays (sequential left fold —
-    * the oracle's list_sum order). */
-  private def intDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  /** BALANCED coarse centroid count for the two-level quantizer:
+    * k₁ = ⌈√(N / [[hierSubCellSize]])⌉ (clamped to the same
+    * [[ivfMinCentroids]]/[[ivfMaxCentroids]] rails as [[scaledK]]).
+    * Why not q108's k = N/50: with that split the coarse level hits
+    * the 4096 broadcast cap at 205k vectors and every vector beyond
+    * pays cellN/10 sub-centroid comparisons — the per-vector work
+    * creeps back toward the cap constant (measured round 8 at 256k:
+    * k₁ = 4096 made q112 cost 2.2× q108, nearly all of it the 4-scan
+    * coarse kernel at the cap). Balancing the levels puts expected
+    * coarse cell size at √(10N) and subK at ~k₁, so per-vector
+    * assignment work is 2·√(N/10) distances — 320 at 256k vs 4102
+    * unbalanced (13× less), and neither level touches its cap until
+    * N ≈ 4096²·10 ≈ 168M, where both forms converge. Exact-count
+    * driver arithmetic (`ceil(sqrt(N/10))` on IEEE doubles) is
+    * mirrored by the oracle's SQL — identical correctly-rounded ops,
+    * identical k₁. */
+  private[graft] def hierCoarseK(n: Long): Int =
+    math.min(ivfMaxCentroids, math.max(ivfMinCentroids,
+      math.ceil(math.sqrt(n.toDouble / hierSubCellSize)).toInt))
 
   /** Nearest sub-centroid within each vector's own coarse cell.
-    * `celled` = (vec_id, cell, q); `cents` = (cell, scid, sq). One
-    * equi-join on cell (vectors only ever meet their own cell's
-    * sub-centroids — never a cross join) followed by a per-vector
+    * `celled` = (vec_id, cell, q, qd); `cents` staged by
+    * [[stageSubCents]] = (cell, scid, sq, sqd, sq2). One equi-join on
+    * cell (vectors only ever meet their own cell's sub-centroids —
+    * never a cross join) followed by a per-vector
     * min(struct(dist, scid)) aggregation: partial-aggregable, so the
     * argmin combines map-side and nothing resembling N × subK rows
-    * ever shuffles. Tie-break = lexicographic struct order ≡ the
-    * oracle's (dist, scid) row_number. `cell`/`q` are functionally
-    * dependent on vec_id (each vector sits in exactly one coarse
-    * cell), so first() carries them through the groupBy
-    * deterministically. */
+    * ever shuffles.
+    *
+    * The distance is the SURROGATE ‖sq‖² − 2·q·sq (the q46 trick):
+    * rank-equivalent to exact integer L2 per vector (the dropped ‖q‖²
+    * is constant across a vector's candidates), evaluated as ONE
+    * codegen'd `graft_dot` per candidate instead of an interpreted
+    * zip_with/aggregate fold — measured round 8 at 256k vectors /
+    * k₂ = 160: the HOF form made the sub-level cost 153 s end-to-end,
+    * the surrogate runs the same join at kernel-like speed (PLANS.md).
+    * Exactness: codes are |q| ≤ ~1.1e3, so every product and sum sits
+    * far below 2⁵³ — the double arithmetic is exact integer
+    * arithmetic, ties included, and the argmin + (dist, scid)
+    * tie-break is bit-identical to the oracle's (q[i]−sq[i])² form.
+    * `cell`/`q` are functionally dependent on vec_id (each vector sits
+    * in exactly one coarse cell), so first() carries them through the
+    * groupBy deterministically. */
   private def assignSub(celled: DataFrame, cents: DataFrame): DataFrame =
     celled.join(cents, "cell")
       .select(col("vec_id"), col("cell"), col("scid"), col("q"),
-        intDist(col("q"), col("sq")).as("dist"))
+        (col("sq2") - lit(2.0) * dot(col("qd"), col("sqd"))).as("dist"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("scid"))).as("m"),
         first(col("cell")).as("cell"), first(col("q")).as("q"))
       .select(col("vec_id"), col("cell"), col("m").getField("scid").as("scid"),
         col("q"))
+
+  /** Double-cast codes + precomputed ‖sq‖² for the surrogate argmin —
+    * computed once per sub-centroid, never per candidate pair. */
+  private def stageSubCents(c: DataFrame): DataFrame =
+    c.withColumn("sqd", toD(col("sq")))
+      .withColumn("sq2", dot(col("sqd"), col("sqd")))
 
   /** Second-level (residual) split of an already coarse-celled corpus:
     * per-cell hash-sampled seeds → `rounds` DISTRIBUTED Lloyd
@@ -1048,6 +1094,9 @@ object Similarity {
     * checkpoint is released as soon as N materializes (the
     * [[Checkpoints]] discipline). */
   private[graft] def subCellAssign(celled: DataFrame, rounds: Int): DataFrame = {
+    // qd staged once as a projection over the (checkpointed) celled
+    // frame — a map-side cast per join, never a per-candidate fold
+    val celledD = celled.withColumn("qd", toD(col("q")))
     val counts = celled.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
     val wk = Window.partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))
     val seeds0 = celled
@@ -1057,9 +1106,9 @@ object Similarity {
       .withColumn("srk", row_number().over(wk))
       .filter(col("srk") <= subKCol)
       .select(col("cell"), col("vec_id").as("scid"), col("q").as("sq"))
-    var cents = seeds0.localCheckpoint(true)
+    var cents = stageSubCents(seeds0).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val upd = assignSub(celled, cents)
+      val upd = assignSub(celledD, cents)
         .select(col("cell"), col("scid"), posexplode(col("q")).as(Seq("pos", "qv")))
         .groupBy(col("cell"), col("scid"), col("pos"))
         .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
@@ -1067,14 +1116,14 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos").as("p"),
           floor(col("s").cast("double") / col("n")).cast("long").as("v")))),
           x => x.getField("v")).as("nq"))
-      val next = cents.join(upd, Seq("cell", "scid"), "left")
-        .select(col("cell"), col("scid"),
-          coalesce(col("nq"), col("sq")).as("sq"))
+      val next = stageSubCents(cents.join(upd, Seq("cell", "scid"), "left")
+          .select(col("cell"), col("scid"),
+            coalesce(col("nq"), col("sq")).as("sq")))
         .localCheckpoint(true)
       Checkpoints.release(cents)
       cents = next
     }
-    val out = assignSub(celled, cents)
+    val out = assignSub(celledD, cents)
       .select(col("vec_id"), col("scid").as("cell"))
       .localCheckpoint(true)
     Checkpoints.release(cents)
@@ -1089,7 +1138,7 @@ object Similarity {
     * effective cell count past the coarse k. */
   private[graft] def hierCellSizes(spark: SparkSession, dir: String): DataFrame = {
     val eq = codedVectors(spark, dir).localCheckpoint(true)
-    val k1 = scaledK(eq.count())
+    val k1 = hierCoarseK(eq.count())
     val cents = trainCentroids(eq, scaledSeeds(eq, k1), kmeansRounds)
     val celled = withCellAssigned(eq, cents).localCheckpoint(true)
     subCellAssign(celled, kmeansRounds)
@@ -1101,9 +1150,10 @@ object Similarity {
     * ("expected cell size constant at any corpus scale") expires at
     * N ≈ [[ivfMaxCentroids]]·[[ivfTargetCellSize]] ≈ 205k vectors,
     * because coarse centroids must stay driver-collectable. Here the
-    * coarse level runs exactly q108's recipe (count → k = scaledK →
-    * hashed seeds → integer Lloyd → broadcast argmin, k ≤ 4096), and
-    * each coarse cell is then split by [[subCellAssign]] into
+    * coarse level runs q108's recipe with a BALANCED budget (count →
+    * k₁ = [[hierCoarseK]] = ⌈√(N/10)⌉ → hashed seeds → integer Lloyd →
+    * broadcast argmin, k₁ ≤ 4096 — see hierCoarseK for why √N, not
+    * N/50), and each coarse cell is then split by [[subCellAssign]] into
     * ceil(cellN / [[hierSubCellSize]]) sub-cells whose training and
     * assignment never leave the executors — so expected FINAL cell
     * size stays ~[[hierSubCellSize]] to ~168M vectors with driver
@@ -1118,7 +1168,7 @@ object Similarity {
     * end-to-end, every shuffle keyed by cell/vec_id. */
   def q112SemdedupHierarchical(spark: SparkSession, dir: String): DataFrame = {
     val eq = codedVectors(spark, dir).localCheckpoint(true)
-    val k1 = scaledK(eq.count())
+    val k1 = hierCoarseK(eq.count())
     val coarse = trainCentroids(eq, scaledSeeds(eq, k1), kmeansRounds)
     val celled = withCellAssigned(eq, coarse).localCheckpoint(true)
     val fcells = subCellAssign(celled, kmeansRounds)
@@ -1159,7 +1209,7 @@ object Similarity {
        |eq AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
        |  FROM e),
        |nk AS (SELECT least($ivfMaxCentroids, greatest($ivfMinCentroids,
-       |    ceil(count(*) / $ivfTargetCellSize.0)::INT)) AS k FROM eq),
+       |    ceil(sqrt(count(*) / $hierSubCellSize.0))::INT)) AS k FROM eq),
        |sd AS (SELECT vec_id, q, row_number() OVER (
        |    ORDER BY ('0x'||substr(md5('seed:'||vec_id),1,15))::BIGINT, vec_id) AS srk
        |  FROM eq),

@@ -61,7 +61,11 @@ class QuantizeSpec extends SparkSpec {
   }
 
   test("q112: two-level split multiplies effective cells past the coarse k and final cell sizes stay in the sub band") {
-    import Similarity.{scaledK, hierSubCellSize}
+    import Similarity.{scaledK, hierCoarseK, hierSubCellSize}
+    // the balanced coarse budget: √(N/10) clamped to the same rails
+    assert(hierCoarseK(500) == Similarity.ivfMinCentroids)
+    assert(hierCoarseK(1000000L) == 317 && hierCoarseK(256000L) == 160)
+    assert(hierCoarseK(1000000000L) == Similarity.ivfMaxCentroids)
     // two corpus sizes (N=500 and N=2000, a 4x step): the guarantee the
     // two-level quantizer adds over q108 is that FINAL cell size tracks
     // hierSubCellSize — independent of both N and the coarse cap,
@@ -71,10 +75,11 @@ class QuantizeSpec extends SparkSpec {
     def mean(cells: Array[org.apache.spark.sql.Row]): Double =
       cells.map(_.getAs[Long]("n")).sum.toDouble / cells.length
     // the sub-level must actually split: strictly more final cells than
-    // the coarse quantizer has centroids (coarse cells ~31 and ~50 at
-    // these sizes, so subK ~3-5 per cell)
-    assert(small.length > scaledK(500), s"${small.length} final cells at N=500")
-    assert(big.length > scaledK(2000), s"${big.length} final cells at N=2000")
+    // the coarse level has centroids — and at N=2000 more than even the
+    // SINGLE-level k ∝ N form would carry (subK ~3-13 per coarse cell)
+    assert(small.length > hierCoarseK(500), s"${small.length} final cells at N=500")
+    assert(big.length > math.max(hierCoarseK(2000), scaledK(2000)),
+      s"${big.length} final cells at N=2000")
     // the band: mean final cell size near the sub target at BOTH sizes —
     // 4x the corpus must not fatten final cells (coarse cells it would)
     assert(mean(small) <= 2.0 * hierSubCellSize,
