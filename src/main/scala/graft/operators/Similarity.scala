@@ -1310,6 +1310,126 @@ object Similarity {
        |  LEFT JOIN ph USING (q_id)
        |ORDER BY q_id""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** Incremental IVF index maintenance — what a production vector index
+    * runs on EVERY ingest, where q90/q108/q112 are what it runs once a
+    * quarter. The corpus splits at `cut = (max(vec_id)+1)·4/5`: vectors
+    * below are the BASE (the already-indexed corpus), vectors at/above
+    * are the DELTA (the new crawl). The quantizer trains on the base
+    * alone (q90's recipe: 16 fixed seeds → integer Lloyd) and is then
+    * FROZEN; the delta is assigned to the frozen cells map-side — the
+    * O(delta) maintenance path. Output: per cell, base/delta occupancy,
+    * the delta-share drift ratio, and a retrain flag where the incoming
+    * distribution has shifted into the cell at >2× its base share.
+    *
+    * Scale shape: the maintenance path never touches the base corpus —
+    * delta assignment is one map-side argmin over broadcast centroids
+    * (zero shuffles before the k-row occupancy aggregate; the base
+    * occupancy is stored index metadata on a real deployment and only
+    * recomputed here so the query is self-contained for the oracle).
+    * Ingesting 1 TB of deltas into a 100 TB index costs 1 TB of scan,
+    * not 101 — and the retrain flag is the trigger that schedules the
+    * quarterly q108/q112 retrain when drift says the frozen centroids
+    * have gone stale. Driver state: the same ≤ k·dim centroid array
+    * every IVF operator holds.
+    *
+    * Determinism: the integer trained trajectory is q90's (bit-identical
+    * in SQL); the drift test cross-multiplies integers
+    * (n_delta·base_n > 2·n_base·delta_n — exact, no float compare;
+    * products stay under 2⁶³ through 10⁹-vector corpora) and only the
+    * reported ratio is a rounded double. */
+  def q114IndexMaintain(spark: SparkSession, dir: String): DataFrame = {
+    // codes materialized once: seed collect + 3 Lloyd rounds + 2
+    // assignment passes would otherwise re-scan parquet per use
+    val eq = codedVectors(spark, dir).localCheckpoint(true)
+    val maxId = eq.agg(max(col("vec_id"))).head.getLong(0)
+    val cut = (maxId + 1L) * 4L / 5L
+    require(cut > 116, s"delta cut $cut overlaps the fixed seed window")
+    val base = eq.filter(col("vec_id") < cut)
+    val delta = eq.filter(col("vec_id") >= cut)
+    val seeds: Array[(Long, Seq[Long])] = base
+      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(seeds.length == 16, s"expected 16 base seeds, got ${seeds.length}")
+    val cents = trainCentroids(base, seeds, kmeansRounds)
+    maintainStats(withCellAssigned(base, cents),
+      withCellAssigned(delta, cents), cents.map(_._1).toSeq)
+  }
+
+  /** The drift detector of [[q114IndexMaintain]], factored over already
+    * cell-assigned frames so MaintainSpec can plant a skewed delta and
+    * prove the flag fires (and a uniform one and prove it doesn't)
+    * without running the trainer. */
+  private[graft] def maintainStats(baseAssigned: DataFrame,
+      deltaAssigned: DataFrame, spineCells: Seq[Long]): DataFrame = {
+    val spark = baseAssigned.sparkSession
+    import spark.implicits._
+    val baseOcc = baseAssigned
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val deltaOcc = deltaAssigned
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
+    // spine from the centroid ids: a cell that attracted nothing still
+    // reports (its emptiness is itself a drift signal)
+    val spine = spineCells.toDF("cell")
+    val totals = baseAssigned.agg(count(lit(1)).as("base_n"))
+      .crossJoin(deltaAssigned.agg(count(lit(1)).as("delta_n")))
+    spine.join(baseOcc, Seq("cell"), "left")
+      .join(deltaOcc, Seq("cell"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        col("base_n"), col("delta_n"))
+      .select(col("cell"), col("n_base"), col("n_delta"),
+        round(col("n_delta") * col("base_n") /
+          greatest(col("n_base") * col("delta_n"), lit(1L)).cast("double")
+          + 1e-9, 4).as("drift_ratio"),
+        when(col("n_delta") * col("base_n") >
+            col("n_base") * col("delta_n") * 2L ||
+            (col("n_base") === 0L && col("n_delta") > 0L), 1)
+          .otherwise(0).as("retrain"))
+      .orderBy(col("cell"))
+  }
+
+  val q114Sql: String = {
+    def assignSql(src: String, d: String, a: String): String =
+      s"""$d AS (SELECT $src.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> ($src.q[i]-c.cq[i])*($src.q[i]-c.cq[i]))) AS dist
+         |  FROM $src CROSS JOIN c$kmeansRounds c),
+         |$a AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM $d) WHERE rk = 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq0 AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM e),
+       |m AS (SELECT (max(vec_id)+1) * 4 // 5 AS cut FROM eq0),
+       |eq AS (SELECT eq0.vec_id, eq0.q FROM eq0, m WHERE eq0.vec_id < m.cut),
+       |dl AS (SELECT eq0.vec_id, eq0.q FROM eq0, m WHERE eq0.vec_id >= m.cut),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM eq WHERE vec_id >= 100 AND vec_id < 116),
+       |${(1 to kmeansRounds).map(lloydRoundSql).mkString(",\n")},
+       |${assignSql("eq", "db", "ab")},
+       |${assignSql("dl", "dd", "ad")},
+       |ob AS (SELECT cell, count(*) AS n_base FROM ab GROUP BY 1),
+       |od AS (SELECT cell, count(*) AS n_delta FROM ad GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM eq) AS base_n,
+       |  (SELECT count(*) FROM dl) AS delta_n),
+       |sp AS (SELECT cid AS cell FROM c0)
+       |SELECT sp.cell,
+       |  coalesce(ob.n_base, 0)::BIGINT AS n_base,
+       |  coalesce(od.n_delta, 0)::BIGINT AS n_delta,
+       |  round(coalesce(od.n_delta, 0) * tot.base_n
+       |    / greatest(coalesce(ob.n_base, 0) * tot.delta_n, 1)::DOUBLE + 1e-9, 4) AS drift_ratio,
+       |  (CASE WHEN coalesce(od.n_delta, 0) * tot.base_n
+       |      > coalesce(ob.n_base, 0) * tot.delta_n * 2
+       |      OR (coalesce(ob.n_base, 0) = 0 AND coalesce(od.n_delta, 0) > 0)
+       |    THEN 1 ELSE 0 END)::INTEGER AS retrain
+       |FROM sp LEFT JOIN ob USING (cell) LEFT JOIN od USING (cell) CROSS JOIN tot
+       |ORDER BY sp.cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce"    -> q30KnnBruteforce _,
     "q31_ann_lsh"           -> q31AnnLsh _,
@@ -1324,6 +1444,7 @@ object Similarity {
     "q108_semdedup_scaled"  -> q108SemdedupScaled _,
     "q112_semdedup_hier"    -> q112SemdedupHierarchical _,
     "q113_ivfpq"            -> q113IvfPq _,
+    "q114_index_maintain"   -> q114IndexMaintain _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1340,5 +1461,6 @@ object Similarity {
     "q108_semdedup_scaled"  -> q108Sql,
     "q112_semdedup_hier"    -> q112Sql,
     "q113_ivfpq"            -> q113Sql,
+    "q114_index_maintain"   -> q114Sql,
   )
 }

@@ -395,18 +395,25 @@ class TextDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.q46AnnIvf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.q113IvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val rows = Similarity.q102AnnRecall(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSet == gt.map(_._1))
     rows.foreach { r =>
       val q = r.getLong(0)
       val expLsh = gt.count { case (g, v) => g == q && lsh((q, v)) }
       val expIvf = gt.count { case (g, v) => g == q && ivf((q, v)) }
-      assert(r.getLong(1) == expLsh && r.getLong(2) == expIvf,
-        s"q=$q hits (${r.getLong(1)},${r.getLong(2)}) vs ($expLsh,$expIvf)")
+      val expPq = gt.count { case (g, v) => g == q && pq((q, v)) }
+      val (hLsh, hIvf, hPq) = (r.getAs[Long]("lsh_hits"),
+        r.getAs[Long]("ivf_hits"), r.getAs[Long]("pq_hits"))
+      assert(hLsh == expLsh && hIvf == expIvf && hPq == expPq,
+        s"q=$q hits ($hLsh,$hIvf,$hPq) vs ($expLsh,$expIvf,$expPq)")
       def recall4(h: Int): Double =
         BigDecimal(h / 3.0 + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(r.getDouble(3) == recall4(expLsh) && r.getDouble(4) == recall4(expIvf))
-      assert(r.getLong(1) <= 3 && r.getLong(2) <= 3)
+      assert(r.getAs[Double]("lsh_recall") == recall4(expLsh)
+        && r.getAs[Double]("ivf_recall") == recall4(expIvf)
+        && r.getAs[Double]("pq_recall") == recall4(expPq))
+      assert(hLsh <= 3 && hIvf <= 3 && hPq <= 3)
     }
   }
 
