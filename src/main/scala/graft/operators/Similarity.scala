@@ -1363,18 +1363,27 @@ object Similarity {
     * prove the flag fires (and a uniform one and prove it doesn't)
     * without running the trainer. */
   private[graft] def maintainStats(baseAssigned: DataFrame,
-      deltaAssigned: DataFrame, spineCells: Seq[Long]): DataFrame = {
-    val spark = baseAssigned.sparkSession
+      deltaAssigned: DataFrame, spineCells: Seq[Long]): DataFrame =
+    maintainStatsFromOcc(
+      baseAssigned.groupBy(col("cell")).agg(count(lit(1)).as("n_base")),
+      deltaAssigned.groupBy(col("cell")).agg(count(lit(1)).as("n_delta")),
+      spineCells)
+
+  /** [[maintainStats]] over already-aggregated occupancies — the form
+    * the STREAMING maintenance sink consumes, where base occupancy is
+    * stored index metadata (a (cell, n_base) frame, never re-derived
+    * from base vectors) and delta occupancy accumulates across
+    * micro-batches. Totals are occupancy sums — identical to row
+    * counts of the assigned frames by construction. */
+  private[graft] def maintainStatsFromOcc(baseOcc: DataFrame,
+      deltaOcc: DataFrame, spineCells: Seq[Long]): DataFrame = {
+    val spark = baseOcc.sparkSession
     import spark.implicits._
-    val baseOcc = baseAssigned
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
-    val deltaOcc = deltaAssigned
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
     // spine from the centroid ids: a cell that attracted nothing still
     // reports (its emptiness is itself a drift signal)
     val spine = spineCells.toDF("cell")
-    val totals = baseAssigned.agg(count(lit(1)).as("base_n"))
-      .crossJoin(deltaAssigned.agg(count(lit(1)).as("delta_n")))
+    val totals = baseOcc.agg(coalesce(sum(col("n_base")), lit(0L)).as("base_n"))
+      .crossJoin(deltaOcc.agg(coalesce(sum(col("n_delta")), lit(0L)).as("delta_n")))
     spine.join(baseOcc, Seq("cell"), "left")
       .join(deltaOcc, Seq("cell"), "left")
       .crossJoin(broadcast(totals))
@@ -1392,6 +1401,19 @@ object Similarity {
           .otherwise(0).as("retrain"))
       .orderBy(col("cell"))
   }
+
+  /** Fixed-point code + frozen-cell assignment over raw (vec_id,
+    * embedding) rows — the per-ingest kernel the streaming maintenance
+    * sink runs on every micro-batch. Same codes as [[codedVectors]],
+    * same kernel-switched argmin as every IVF operator. */
+  private[graft] def codeAndAssign(vecs: DataFrame,
+      cents: Array[(Long, Seq[Long])]): DataFrame =
+    withCellAssigned(
+      vecs.select(col("vec_id"),
+        transform(toD(col("embedding")),
+          x => round(x * 1000 + 1e-9).cast("long")).as("q")),
+      cents)
+      .select(col("vec_id"), col("cell"))
 
   val q114Sql: String = {
     def assignSql(src: String, d: String, a: String): String =

@@ -47,6 +47,71 @@ class MaintainSpec extends SparkSpec {
     assert(flagged.getAs[Int]("retrain") == 1, s"unseeded hot cell must flag: $flagged")
   }
 
+  test("streaming maintenance sink: per-batch drift, durable cumulative metadata, replay rewrites") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IndexMaintain
+    implicit val sqlCtx = spark.sqlContext
+    // two frozen cells on orthogonal axes; base occupancy 80/20 — the
+    // drift bar is RELATIVE to base share, so the spec's batches are
+    // written against these shares
+    val cents = Array((0L, Seq(1000L, 0L, 0L, 0L)), (1L, Seq(0L, 1000L, 0L, 0L)))
+    val baseOcc = Seq((0L, 80L), (1L, 20L)).toDF("cell", "n_base")
+    val root = java.nio.file.Files.createTempDirectory("graft_maintain").toString
+    val (out, ckpt, delta) = (s"$root/out", s"$root/ckpt", s"$root/delta")
+    def vec(id: Long, cell: Long) = IndexMaintain.NewVector(id,
+      if (cell == 0L) Seq(1.0, 0.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0, 0.0))
+    val input = MemoryStream[IndexMaintain.NewVector]
+    val q = IndexMaintain.maintainSink(input.toDF(), cents, baseOcc,
+      out, ckpt, delta,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    def batchRows(b: Long) = spark.read.parquet(out)
+      .filter(col("batch") === b).collect()
+      .map(r => r.getAs[Long]("cell") -> r).toMap
+    try {
+      // batch 0 tracks the base shares (6:2 vs 80:20) — no flags; the
+      // duplicate row for id 105 must collapse, not double-count
+      input.addData((100L to 105L).map(vec(_, 0L)) ++
+        Seq(vec(106L, 1L), vec(107L, 1L), vec(105L, 0L)))
+      q.processAllAvailable()
+      val b0 = batchRows(0L)
+      assert(b0(0L).getAs[Long]("n_delta") == 6L && b0(1L).getAs[Long]("n_delta") == 2L)
+      assert(b0.values.forall(_.getAs[Int]("retrain") == 0),
+        s"share-tracking batch must not flag: $b0")
+      // batch 1: 12 vectors into the 20%-share cell → cumulative 14 of
+      // 20 (3.5× its base share) — the flag must fire, on CUMULATIVE
+      // occupancy, not the batch alone
+      input.addData((200L until 212L).map(vec(_, 1L)))
+      q.processAllAvailable()
+      val b1 = batchRows(1L)
+      assert(b1(1L).getAs[Long]("n_delta") == 14L)
+      assert(b1(1L).getAs[Int]("retrain") == 1, s"skewed cell must flag: ${b1(1L)}")
+      assert(b1(0L).getAs[Int]("retrain") == 0)
+    } finally q.stop()
+    // replay batch 0 through a FRESH sink (new checkpoint, new driver
+    // state, same metadata dirs): the rewrite must land on partition
+    // batch=0 idempotently, and the fresh driver must see batch 1's
+    // durable delta it never processed — cumulative counts unchanged
+    val input2 = MemoryStream[IndexMaintain.NewVector]
+    input2.addData((100L to 105L).map(vec(_, 0L)) ++
+      Seq(vec(106L, 1L), vec(107L, 1L), vec(105L, 0L)))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_maintain_ckpt2").toString
+    val q2 = IndexMaintain.maintainSink(input2.toDF(), cents, baseOcc,
+      out, ckpt2, delta)
+    try q2.awaitTermination(120000L) finally q2.stop()
+    val replayed = batchRows(0L)
+    assert(replayed(0L).getAs[Long]("n_delta") == 6L,
+      s"replayed delta must overwrite, not append: ${replayed(0L)}")
+    val cum = spark.read.parquet(delta).groupBy(col("cell"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("n")).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n")).toMap
+    assert(cum == Map(0L -> 6L, 1L -> 14L),
+      s"cumulative metadata must survive the restart un-doubled: $cum")
+    // and the replay-recomputed audit sees the full cumulative picture
+    assert(replayed(1L).getAs[Long]("n_delta") == 14L,
+      "fresh driver must read batch 1's durable delta it never processed")
+    assert(replayed(1L).getAs[Int]("retrain") == 1)
+  }
+
   test("q114 end-to-end conserves the corpus split and spans every centroid") {
     val out = graft.operators.Similarity.queries("q114_index_maintain")(spark, sf)
       .collect()

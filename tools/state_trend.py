@@ -30,7 +30,13 @@ METRICS = ("rowsUpdated", "stateBytes", "commitMs")
 def extract_state(path):
     """Return the {query: {metric: value}} state map from an artifact."""
     with open(path) as f:
-        doc = json.load(f)
+        raw = f.read()
+    try:
+        doc = json.load(open(path))
+    except json.JSONDecodeError:
+        # raw bench stdout with an sbt "[info] " prefix (or other noise):
+        # fall back to brace-scanning the whole text for the state map
+        doc = {"tail": raw}
     if "state" in doc and isinstance(doc["state"], dict):
         return doc["state"]
     text = doc.get("tail", "") if isinstance(doc, dict) else ""
