@@ -24,6 +24,17 @@ object Session {
       // events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner frees shuffle files only when a GC collects their
+      // weak references — on a large heap organic GC is minutes apart, so
+      // a long-running driver accumulates dead shuffle state (measured:
+      // the iterative checkpointed queries' ~2x slow mode at 10-20x data,
+      // PLANS.md r8 — live RDDs bounded, shuffle files from prior work
+      // not). Default interval is 30min; 5min bounds dead shuffle state
+      // without the mid-query pause tax an aggressive interval costs
+      // (measured at 45s: 20x q109 runs tighten to ±0.5-3s but pay ~+10s
+      // level — forced GC landing INSIDE runs; boundary-time GC, which
+      // the bench quiesce provides, is the cheap form of the same fix).
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       .config("spark.ui.enabled", "false")

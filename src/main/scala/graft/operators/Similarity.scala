@@ -1141,8 +1141,15 @@ object Similarity {
     val k1 = hierCoarseK(eq.count())
     val cents = trainCentroids(eq, scaledSeeds(eq, k1), kmeansRounds)
     val celled = withCellAssigned(eq, cents).localCheckpoint(true)
-    subCellAssign(celled, kmeansRounds)
+    // subCellAssign's output checkpoint is eagerly materialized, so the
+    // upstream frames are dead before this returns (the returned
+    // aggregate rides the sub-assignment checkpoint alone — that one
+    // frame stays live for the caller)
+    val sized = subCellAssign(celled, kmeansRounds)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    Checkpoints.release(celled)
+    Checkpoints.release(eq)
+    sized
   }
 
   /** SemDedup with the TWO-LEVEL k ∝ N quantizer — the answer to
@@ -1176,6 +1183,11 @@ object Similarity {
       .join(fcells, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .localCheckpoint(true)
+    // everything below rides the withCell checkpoint alone — release
+    // the full upstream chain eagerly (fcells included: leaking one
+    // N-row block set per run is exactly the accumulation mode the
+    // r8 PRTrace work diagnosed)
+    Checkpoints.release(fcells)
     Checkpoints.release(celled)
     Checkpoints.release(eq)
     semdedupPairs(withCell)

@@ -21,18 +21,10 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * equi-keys, a property of the query, not the data. */
 class PlanAuditSpec extends SparkSpec {
 
-  /** Every node, descending into AQE wrappers (same discipline as
-    * PlanShapeSpec — TreeNode.collect alone sees only stage
-    * boundaries and absence assertions would pass vacuously). */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val extra = p match {
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-      case _ => Seq.empty
-    }
-    p +: (p.children ++ extra).flatMap(allNodes)
-  }
+  // traversal shared with PlanShapeSpec (PlanWalk): AQE wrapper +
+  // subquery descent, so a nested loop inside a scalar-subquery plan
+  // cannot pass the audit unseen
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanWalk.allNodes(p)
 
   /** The 15 queries that legitimately plan a nested-loop join, each
     * with the reason the shape stays bounded (never corpus × corpus).

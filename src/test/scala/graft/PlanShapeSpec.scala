@@ -14,30 +14,11 @@ import org.apache.spark.sql.execution.window.WindowGroupLimitExec
   * the executed plan rather than trusted. */
 class PlanShapeSpec extends SparkSpec {
 
-  private def executed(df: DataFrame): SparkPlan = {
-    // collect(), not count(): count() lets Catalyst prune the very
-    // projections these tests make claims about; collect() drives the
-    // honest full-output plan and finalizes AQE
-    df.collect()
-    df.queryExecution.executedPlan
-  }
-
-  /** Every node in the finalized plan. TreeNode.collect does NOT descend
-    * into AQE wrappers (QueryStageExec.plan and
-    * AdaptiveSparkPlanExec.executedPlan are fields, not children), so a
-    * naive collect sees only stage boundaries — and absence assertions
-    * would pass vacuously. */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val extra = p match {
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
-      case _ => Seq.empty
-    }
-    p +: (p.children ++ extra).flatMap(allNodes)
-  }
-  private def shuffles(p: SparkPlan) =
-    allNodes(p).collect { case s: ShuffleExchangeLike => s }.distinct
+  // traversal shared with PlanAuditSpec — see PlanWalk for the AQE
+  // wrapper + subquery descent rationale
+  private def executed(df: DataFrame): SparkPlan = PlanWalk.executed(df)
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanWalk.allNodes(p)
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = PlanWalk.shuffles(p)
 
   test("q61 quantization is map-side: only the output sort exchanges") {
     val p = executed(graft.operators.Similarity.queries("q61_quantize_embeddings")(spark, sf))
