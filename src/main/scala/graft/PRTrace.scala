@@ -7,25 +7,34 @@ import org.apache.spark.sql.functions._
   * several back-to-back runs, the instrument that separates "one slow
   * superstep" from "uniformly degraded run" and verifies the eager
   * checkpoint-release discipline actually bounds live block state.
+  * This is the tool that found BOTH round-8 loop results: the
+  * shuffle-file accumulation mode (rdds pinned at 5 while runs degrade
+  * uniformly → the surviving state is shuffle files, not blocks) and,
+  * via its PartProbe sibling, the AQE-discards-checkpoint-partitioning
+  * 4×-exchange tax. Default traces the SHIPPED loop shape
+  * (loopSession + partitioned edgesDegreed); arg 2 = "legacy" traces
+  * the pre-fix AQE shape, "gc" adds a full GC between runs (the
+  * ContextCleaner A/B switch).
   * Usage:
   *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 SPARK_GRAFT_CPUS=32 \
-  *     sbt "runMain graft.PRTrace 4"
+  *     sbt "runMain graft.PRTrace 4 [legacy|gc]"
   */
 object PRTrace {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
     val runs = args.headOption.map(_.toInt).getOrElse(3)
-    // "gc" as the 2nd arg: force a full GC between runs so ContextCleaner's
-    // weak references fire and run-N shuffle files are deleted before run
-    // N+1 starts — the A/B switch for the shuffle-accumulation hypothesis.
+    val legacy = args.lift(1).contains("legacy")
     val gcBetween = args.lift(1).contains("gc")
     val spark = Session.get()
     spark.sparkContext.setLogLevel("WARN")
     for (r <- 1 to runs) {
       val t0 = System.nanoTime()
-      val e = operators.Graph.shipEdgesForSpec(spark, sfDir)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      val edgesD = e.join(deg, "src").localCheckpoint(true)
+      val edgesD =
+        if (legacy) {
+          val e = operators.Graph.shipEdgesForSpec(spark, sfDir)
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+          e.join(deg, "src").localCheckpoint(true)
+        } else operators.Graph.shipEdgesDegreedForSpec(spark, sfDir)
       val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint(true)
       val tSetup = (System.nanoTime() - t0) / 1e9
       var ranks = nodes.select(col("node"), lit(1000000L).as("r")).localCheckpoint(true)
@@ -45,7 +54,7 @@ object PRTrace {
         f"total=$total%6.2f s rdds=${spark.sparkContext.getPersistentRDDs.size}")
       operators.Checkpoints.release(prev)
       operators.Checkpoints.release(ranks)
-      operators.Checkpoints.release(edgesD)
+      if (legacy) operators.Checkpoints.release(edgesD) // shared cache otherwise
       operators.Checkpoints.release(nodes)
       if (gcBetween) { System.gc(); Thread.sleep(2000) }
     }

@@ -86,6 +86,12 @@ object Graph {
   private[graft] def shipEdgesForSpec(spark: SparkSession, dir: String): DataFrame =
     edgesMaterialized(spark, dir)
 
+  /** Instrument hook (PRTrace): the SHIPPED loop inputs — the degreed,
+    * hash(src)-partitioned edge frame inside the AQE-off loop session,
+    * exactly what q73/q109 iterate over. */
+  private[graft] def shipEdgesDegreedForSpec(spark: SparkSession, dir: String): DataFrame =
+    edgesDegreed(loopSession(spark), dir)
+
   /** Child session for the superstep LOOPS (q73/q109), the q103
     * session-scoping pattern applied to physical planning: AQE is OFF
     * so `localCheckpoint` preserves hash partitioning into the next
