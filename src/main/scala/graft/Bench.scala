@@ -220,8 +220,11 @@ object Bench {
         val src = s02Src
         val t0 = System.nanoTime()
         val ckpt = java.nio.file.Files.createTempDirectory("bench_s02_ckpt").toString
-        Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        // conf mutation INSIDE the try (r8 ADVICE): a throw between a
+        // partial set and the try entry would skip the finally restore
+        // and leak RocksDB confs into every subsequent bench query
         try {
+          Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
           import spark.implicits._
           val ev = graft.streaming.Ingest.eventsFileStream(spark, src,
               maxFilesPerTrigger = 1)
@@ -271,18 +274,22 @@ object Bench {
         val src = s02Src
         val t0 = System.nanoTime()
         val ckpt = java.nio.file.Files.createTempDirectory("bench_s03_ckpt").toString
-        Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
         // state parallelism = f(catalog), not executor count: 32 stores
         // for a 2-region key space measured 8–16 s wall / 130–210 s
         // Σcommit from concurrent empty-store fsync contention (and WAS
-        // the r7 "s03 drift"); 4 stores run 3.6 s flat. See
+        // the r7 "s03 drift"); the shipped 4-store config measured
+        // 3.76 s wall / 1.6 s Σcommit (5-store probe: 3.6 s / 3 s). See
         // Tws.regionStateParallelism. s02 keeps 32: its user_id key
         // space is corpus-sized, so every store carries real state.
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions",
-          graft.streaming.Tws.regionStateParallelism(
-            graft.operators.Geo.usaCatalog.size).toString)
+        // conf mutation INSIDE the try (r8 ADVICE): a throw between a
+        // partial set and the try entry would skip the finally restore
+        // and leak a 4-partition shuffle config into every later query
         try {
+          Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+          spark.conf.set("spark.sql.shuffle.partitions",
+            graft.streaming.Tws.regionStateParallelism(
+              graft.operators.Geo.usaCatalog.size).toString)
           import spark.implicits._
           import org.apache.spark.sql.functions.col
           val ev = graft.streaming.Ingest.eventsFileStream(spark, src,

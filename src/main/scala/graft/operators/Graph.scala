@@ -296,6 +296,10 @@ object Graph {
     val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint(true)
     val r0 = nodes.select(col("node"), lit(scale).as("r"))
     val (ranks, _) = pagerankConverge(edgesD, r0, pagerankMaxIters)
+    // the node list is dead once the loop exits — r0 was checkpointed
+    // eagerly inside pagerankConverge, and `ranks` derives from the
+    // last superstep's checkpoint, not from `nodes` (r8 ADVICE)
+    Checkpoints.release(nodes)
     ranks
       .select(col("node"),
         when(col("node") % 2 === 0, "S").otherwise("C").as("kind"),
@@ -355,6 +359,9 @@ object Graph {
     val edgesD = edgesDegreed(s, dir)
     val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint(true)
     var ranks = nodes.select(col("node"), lit(scale).as("r")).localCheckpoint(true)
+    // r0 is materialized — the node list's blocks are already dead
+    // (every later superstep derives from the previous checkpoint)
+    Checkpoints.release(nodes)
     var prev: DataFrame = ranks
     for (_ <- 1 to lazyStableIters) {
       val old = prev

@@ -466,6 +466,11 @@ object Similarity {
       .sortBy(_._1)
     require(seeds.length == 16, s"expected 16 seed centroids, got ${seeds.length}")
     val cents = trainCentroids(eq, seeds, kmeansRounds)
+    // the codes checkpoint is dead once training returns (the frame
+    // below re-derives from the raw vectors) — release it eagerly
+    // instead of leaving an N-row block set per q90/q113/q102 run to
+    // the 5-min periodicGC (r8 ADVICE; the eager-release discipline)
+    Checkpoints.release(eq)
     // codes re-derived map-side from the double vectors (no join back)
     normedVectors(spark, dir)
       .withColumn("q", transform(col("v"), x => round(x * 1000 + 1e-9).cast("long")))
@@ -937,6 +942,9 @@ object Similarity {
     val eq = codedVectors(spark, dir).localCheckpoint(true)
     val k = scaledK(eq.count())
     val cents = trainCentroids(eq, scaledSeeds(eq, k), kmeansRounds)
+    // codes dead once trained — semdedupOverCells re-derives its own
+    // frame (r8 ADVICE eager-release discipline)
+    Checkpoints.release(eq)
     semdedupOverCells(cents, spark, dir)
   }
 
@@ -1366,8 +1374,15 @@ object Similarity {
       .sortBy(_._1)
     require(seeds.length == 16, s"expected 16 base seeds, got ${seeds.length}")
     val cents = trainCentroids(base, seeds, kmeansRounds)
-    maintainStats(withCellAssigned(base, cents),
+    // materialize the k-row output so the N-row codes checkpoint can be
+    // released NOW (the lazy result would otherwise pin it until the
+    // consumer executes — r8 ADVICE; the surviving checkpoint is 16
+    // rows, not the corpus)
+    val out = maintainStats(withCellAssigned(base, cents),
       withCellAssigned(delta, cents), cents.map(_._1).toSeq)
+      .localCheckpoint(true)
+    Checkpoints.release(eq)
+    out
   }
 
   /** The drift detector of [[q114IndexMaintain]], factored over already
