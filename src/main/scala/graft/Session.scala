@@ -24,6 +24,17 @@ object Session {
       // events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the staged testdata's parquet timestamps are annotated
+      // isAdjustedToUTC=0, which Spark 4's default NTZ inference reads
+      // as TIMESTAMP_NTZ (rows surface java.time.LocalDateTime) — a
+      // staging quirk that silently flips timestamp semantics across
+      // the whole engine (r9: three specs crashed on
+      // Row.getAs[java.sql.Timestamp]). Pin inference OFF so parquet
+      // timestamps always load as TimestampType (session-UTC instants,
+      // the semantics every query and the DuckDB oracle assume);
+      // SessionContractSpec asserts the resulting column type so a
+      // re-staging can't flip this silently again.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // ContextCleaner frees shuffle files only when a GC collects their
       // weak references — on a large heap organic GC is minutes apart, so
       // a long-running driver accumulates dead shuffle state (measured:

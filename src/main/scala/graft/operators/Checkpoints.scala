@@ -21,6 +21,21 @@ import org.apache.spark.sql.DataFrame
   * release a frame once every consumer has either executed or been
   * checkpointed itself. A violated contract fails loudly with a
   * missing-checkpoint-block error — never a silent wrong answer.
+  *
+  * CONTRACT (multi-leaf): `release(df)` unpersists EVERY `LogicalRDD`
+  * leaf reachable from `df`'s analyzed plan, not just one. A frame built
+  * by joining two checkpointed inputs releases BOTH on one call — which
+  * is the desired behavior for superstep frames (each round's frame is
+  * derived from the previous round's checkpoint plus static checkpointed
+  * sides), but means a caller must not pass a frame that still shares a
+  * checkpointed leaf with live downstream work. In practice this makes
+  * release-safety an ORDERING property at the call site: q114 eagerly
+  * materializes its two k-row occupancy aggregates (themselves
+  * checkpoints with no upstream leaf) before releasing the N-row codes
+  * checkpoint, and q109 releases its static `nodes`/`edges` checkpoints
+  * only after the final superstep frame has been checkpointed — reorder
+  * either and the release fires while a consumer can still trigger a
+  * recompute, which fails loudly per the contract above.
   */
 private[graft] object Checkpoints {
 

@@ -40,6 +40,13 @@ object Tables {
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      // a session without graft.Session's inferTimestampNTZ=false pin
+      // (harness-owned) reads the staged isAdjustedToUTC=0 annotation as
+      // NTZ; under the UTC session timezone the cast re-labels the same
+      // wall-clock instant, restoring the TimestampType contract every
+      // consumer (and the DuckDB oracle) assumes
+      raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
