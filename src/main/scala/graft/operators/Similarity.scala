@@ -449,6 +449,40 @@ object Similarity {
     cents
   }
 
+  /** The 16 fixed seed vectors (vec_ids 100–115) as integer centroids —
+    * the shared seeding of q90/q113/q102 and q114's base-corpus
+    * quantizer. Bounded driver collect (16 rows). */
+  private[graft] def fixedSeeds(eq: DataFrame): Array[(Long, Seq[Long])] = {
+    val seeds = eq.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    require(seeds.length == 16, s"expected 16 seed centroids, got ${seeds.length}")
+    seeds
+  }
+
+  /** Probe hooks (LoopProbe r10): the Lloyd loop's inputs and one
+    * round's update-aggregate frame, buildable under an arbitrary
+    * session so the probe can count the round's exchanges and time the
+    * SHIPPED trainer under AQE on vs off. Returns the materialized
+    * codes checkpoint (caller releases) and the one-round agg frame. */
+  private[graft] def lloydRoundForProbe(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val eq = codedVectors(spark, dir).localCheckpoint(true)
+    val agg = withCellAssigned(eq, fixedSeeds(eq))
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+    (eq, agg)
+  }
+
+  /** Probe hook: run the shipped `trainCentroids` over `eq` (from
+    * [[lloydRoundForProbe]]) and return wall seconds. */
+  private[graft] def lloydTrainTimed(eq: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    trainCentroids(eq, fixedSeeds(eq), kmeansRounds)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** The q90 training pipeline up to its celled corpus: 16 fixed seeds
     * → `kmeansRounds` integer Lloyd rounds → map-side argmin cells over
     * the full double vectors. Shared by q90 (full-vector cell search)
@@ -459,13 +493,7 @@ object Similarity {
     // collect would otherwise re-run the parquet scan + code projection
     // per round (the q71/q56 localCheckpoint lesson)
     val eq = codedVectors(spark, dir).localCheckpoint(true)
-    val seeds: Array[(Long, Seq[Long])] = eq
-      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
-    require(seeds.length == 16, s"expected 16 seed centroids, got ${seeds.length}")
-    val cents = trainCentroids(eq, seeds, kmeansRounds)
+    val cents = trainCentroids(eq, fixedSeeds(eq), kmeansRounds)
     // the codes checkpoint is dead once training returns (the frame
     // below re-derives from the raw vectors) — release it eagerly
     // instead of leaving an N-row block set per q90/q113/q102 run to
@@ -478,9 +506,11 @@ object Similarity {
       .drop("q")
   }
 
-  def q90AnnTrained(spark: SparkSession, dir: String): DataFrame = {
-    // search phase: identical to q46 but over the trained cells
-    val withCell = trainedCelledVectors(spark, dir)
+  /** The IVF SEARCH leg over an already-built celled corpus — q46's
+    * cell-equi-join + broadcast queries + per-query top-k, shared by
+    * q90 (which builds the index in-run) and q115 (which reads it from
+    * the session index cache). */
+  private def ivfSearch(withCell: DataFrame): DataFrame = {
     val q = withCell.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell").as("q_cell"))
@@ -492,6 +522,43 @@ object Similarity {
       .filter(col("rk") <= 3)
       .orderBy(col("q_id"), col("rk"))
   }
+
+  def q90AnnTrained(spark: SparkSession, dir: String): DataFrame =
+    // search phase: identical to q46 but over the trained cells
+    ivfSearch(trainedCelledVectors(spark, dir))
+
+  /** Session-scoped BUILT-INDEX cache (r8 ask #4 / r10): a production
+    * vector index is trained quarterly (q90's Lloyd leg) and BUILT once
+    * — what runs per query is only the cell-restricted search. Caching
+    * the celled corpus / PQ store as a materialized checkpoint per
+    * (session, dir) lets q115/q116 measure the SEARCH leg alone, the
+    * way q90/q113's in-run retrain cannot (their bench curve is the
+    * O(N) training scan, r8 verdict). Same lifecycle discipline as
+    * Graph.edgeCache: stopped sessions evicted, never released by
+    * queries — the index is shared state, exactly like a real one. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def cachedIndex(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val it = indexCache.keySet.iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    if (spark.sparkContext.isStopped) build.localCheckpoint(true)
+    else indexCache
+      .computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(key, build.localCheckpoint(true))
+  }
+
+  /** q115: q90's SEARCH leg over the session-cached built index — the
+    * per-query cost of a trained IVF, with the quarterly training scan
+    * amortized out (it runs once per session, not once per query).
+    * Identical output to q90 by construction (the cache holds the same
+    * deterministic trained trajectory), so the oracle is q90's
+    * verbatim — the correctness gate proves the cached index IS the
+    * freshly-trained one. */
+  def q115AnnSearch(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(cachedIndex(spark, s"ivf#$dir")(trainedCelledVectors(spark, dir)))
 
   /** One Lloyd round as oracle CTEs (c{r-1} → c{r}) — shared by the q90
     * and q108 oracles, which replay the identical integer training
@@ -567,10 +634,10 @@ object Similarity {
     * order both engines), approximate cosine rounded to 6dp before
     * ranking with vec_id tie-breaks, re-rank on exact rounded cosine —
     * the full two-stage trajectory replays in SQL. */
-  def q113IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    // three consumers (PQ side, query side, re-rank side) of one
-    // trained frame — materialize once
-    val withCell = trainedCelledVectors(spark, dir).localCheckpoint(true)
+  /** The compressed PQ store of a celled corpus: int8 codes dequantized
+    * to (vec_id, cell, dv, dnrm) — the 64-bytes-per-vector form the
+    * cell scan runs on. */
+  private def pqStoreOf(withCell: DataFrame): DataFrame = {
     // corpus side compressed to int8 codes + (mn, mx) + dequantized
     // form (dequant staged as a column so the per-pair dot doesn't
     // re-expand the codes 10 times per candidate)
@@ -582,9 +649,32 @@ object Similarity {
           .cast("int")))
     val dv = transform(col("q8"), c =>
       col("mn") + c.cast("double") * (col("mx") - col("mn")) / 255.0)
-    val pq = staged.withColumn("q8", q8)
+    staged.withColumn("q8", q8)
       .select(col("vec_id"), col("cell"), dv.as("dv"))
       .withColumn("dnrm", sqrt(norm2(col("dv"))))
+  }
+
+  def q113IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers (PQ side, query side, re-rank side) of one
+    // trained frame — materialize once
+    val withCell = trainedCelledVectors(spark, dir).localCheckpoint(true)
+    pqSearch(withCell, pqStoreOf(withCell))
+  }
+
+  /** q116: q113's SEARCH legs (code scan + exact re-rank) over the
+    * session-cached built index — the compressed store AND the celled
+    * full vectors both read from cache, so the run measures exactly
+    * what a 10⁹-vector deployment pays per query batch. Output ≡ q113
+    * (same trained trajectory, same codes), oracle is q113's verbatim. */
+  def q116IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val withCell = cachedIndex(spark, s"ivf#$dir")(trainedCelledVectors(spark, dir))
+    pqSearch(withCell, cachedIndex(spark, s"pq#$dir")(pqStoreOf(withCell)))
+  }
+
+  /** The two PQ search stages over built index frames: approximate
+    * code-scan to [[pqRerankDepth]] candidates, exact re-rank to
+    * top-3. */
+  private def pqSearch(withCell: DataFrame, pq: DataFrame): DataFrame = {
     val q = withCell.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell").as("q_cell"))
@@ -1367,22 +1457,23 @@ object Similarity {
     require(cut > 116, s"delta cut $cut overlaps the fixed seed window")
     val base = eq.filter(col("vec_id") < cut)
     val delta = eq.filter(col("vec_id") >= cut)
-    val seeds: Array[(Long, Seq[Long])] = base
-      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
-    require(seeds.length == 16, s"expected 16 base seeds, got ${seeds.length}")
-    val cents = trainCentroids(base, seeds, kmeansRounds)
-    // materialize the k-row output so the N-row codes checkpoint can be
-    // released NOW (the lazy result would otherwise pin it until the
-    // consumer executes — r8 ADVICE; the surviving checkpoint is 16
-    // rows, not the corpus)
-    val out = maintainStats(withCellAssigned(base, cents),
-      withCellAssigned(delta, cents), cents.map(_._1).toSeq)
+    val cents = trainCentroids(base, fixedSeeds(base), kmeansRounds)
+    // materialize the two k-row occupancy aggregates so the N-row codes
+    // checkpoint can be released NOW (the lazy result would otherwise
+    // pin it until the consumer executes — r8 ADVICE); the final
+    // spine-join + totals cross-join stays LAZY so its plan shape (the
+    // broadcast 1-row totals cross join, the map-side assignment)
+    // remains visible to PlanAuditSpec/Explain — r9's eager checkpoint
+    // of the whole result collapsed the plan to a LogicalRDD scan and
+    // made the query unauditable (r9 VERDICT What's-wrong #1)
+    val baseOcc = withCellAssigned(base, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+      .localCheckpoint(true)
+    val deltaOcc = withCellAssigned(delta, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
       .localCheckpoint(true)
     Checkpoints.release(eq)
-    out
+    maintainStatsFromOcc(baseOcc, deltaOcc, cents.map(_._1).toSeq)
   }
 
   /** The drift detector of [[q114IndexMaintain]], factored over already
@@ -1494,6 +1585,8 @@ object Similarity {
     "q112_semdedup_hier"    -> q112SemdedupHierarchical _,
     "q113_ivfpq"            -> q113IvfPq _,
     "q114_index_maintain"   -> q114IndexMaintain _,
+    "q115_ann_search"       -> q115AnnSearch _,
+    "q116_ivfpq_search"     -> q116IvfPqSearch _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1511,5 +1604,10 @@ object Similarity {
     "q112_semdedup_hier"    -> q112Sql,
     "q113_ivfpq"            -> q113Sql,
     "q114_index_maintain"   -> q114Sql,
+    // the search legs return the SAME rows as their in-run-trained
+    // counterparts (deterministic integer training trajectory) — the
+    // oracle equality is the proof that the cached index is fresh
+    "q115_ann_search"       -> q90Sql,
+    "q116_ivfpq_search"     -> q113Sql,
   )
 }
