@@ -517,21 +517,59 @@ object Dedup {
     // entire LSH+verify pipeline — per-round planning cost grows with it).
     // Checkpointing truncates the plan to a leaf; rounds then plan over
     // two tiny in-memory relations.
-    val und = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    //
+    // Round 10 (r8 ask #1 extension): the PROPAGATION ROUNDS run in the
+    // AQE-off loop session (Loops.session) over re-hosted, join-key-
+    // partitioned inputs — under AQE every round re-shuffled the static
+    // edge list and the label frame from partitioning-less LogicalRDD
+    // leaves (probed: 4 exchanges/round vs 1 here, LoopProbe r10; the
+    // same tax PartProbe measured at 2.7× on PageRank at 10×). The
+    // producer pipeline (LSH+verify) stays under the caller's AQE
+    // session — only the loop pays the re-plan tax. Hub skew is
+    // absorbed by the min-label partial aggregate (map-side), the same
+    // argument as PageRank's dst-sum — pinned by GraphSpec's heavy-hub
+    // fixture.
+    val parent = nodes.sparkSession
+    val s = Loops.session(parent)
+    val und0 = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint(true)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    val labels0 = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
+    // re-host into the loop session, partitioned on the loop's join
+    // keys: und by `a` (static — never re-exchanged again), labels by
+    // doc_id (each round's output inherits the layout through the
+    // AQE-off persist, so the label side of both joins stays exchange-
+    // free too; the only per-round shuffle is the neighbor-min
+    // aggregate, which changes key to `b`)
+    // sortWithinPartitions: localCheckpoint preserves outputOrdering as
+    // well as partitioning into the LogicalRDD leaf, so the loop's
+    // sort-merge joins skip the per-round sort of the static edge side
+    // (probed: the round-2 plan's Sort over the und scan disappears)
+    val und = Loops.rehost(und0, s).repartition(col("a"))
+      .sortWithinPartitions("a").localCheckpoint(true)
+    var labels = Loops.rehost(labels0, s).repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id").localCheckpoint(true)
+    Checkpoints.release(und0)
+    Checkpoints.release(labels0)
     val initLabels = labels // released with `und` once the result exists
-    // The checkpoint blocks (und, initial labels, result) are NOT
-    // persist()-cached — Dataset.unpersist can't release them; the
-    // ContextCleaner reclaims them once the backing RDD is unreferenced
-    // and GC'd. What we DO release deterministically is each round's
-    // persisted label frame. `cached` tracks the frame that actually
-    // holds the cache entry: `labels` becomes a select OVER it, and
-    // unpersist only works on the cached plan itself. (Its first value
-    // is the checkpointed init, for which unpersist is a harmless no-op.)
-    var cached = labels
+    // Per-round localCheckpoint, NOT persist (round-10 change, probed by
+    // LoopProbe): the round body references `labels` twice (neighbor-min
+    // feed + the join-back), which is a SELF-join after the first round —
+    // Spark's self-join attribute disambiguation rewrites one side's
+    // lineage, the rewritten side MISSES the cache of the previous
+    // round's persisted frame, and the executed plan re-derives the
+    // whole previous round inline (probe dump: a nested SortMergeJoin
+    // re-running round N−1 from the checkpoint leaves, one extra
+    // exchange and a growing right-spine of recomputes). A checkpoint
+    // is a LEAF: nothing to re-derive on the rewritten side, and under
+    // the AQE-off loop session its doc_id partitioning carries into the
+    // next round's plan — each round is exactly ONE exchange (the
+    // neighbor-min aggregate, whose key genuinely changes to `b`).
+    // prevRound tracks round N−1's checkpoint, released as soon as
+    // round N is materialized (O(1) live rounds, the Checkpoints
+    // discipline).
+    var prevRound: DataFrame = null
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -546,20 +584,20 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label")).as("moved"))
-        .persist()
+        .localCheckpoint(true) // eager: materializes the round
       changed = next.filter(col("moved")).count()
-      cached.unpersist()
-      cached = next
+      if (prevRound != null) Checkpoints.release(prevRound)
+      prevRound = next
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     // a silent non-converged return would emit labels that are NOT the
     // component minimum (and mismatch the transitive-closure oracle with
-    // no hint why) — fail loudly, releasing the last round's persisted
-    // labels first so a caught failure doesn't pin that cache entry for
-    // the rest of the session (checkpoint blocks free via ContextCleaner)
+    // no hint why) — fail loudly, releasing the last round's checkpoint
+    // first so a caught failure doesn't pin its blocks for the rest of
+    // the session
     if (changed != 0) {
-      cached.unpersist()
+      if (prevRound != null) Checkpoints.release(prevRound)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still moving) — raise maxIter for this graph")
@@ -573,7 +611,7 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .localCheckpoint(true)
-    cached.unpersist()
+    if (prevRound != null) Checkpoints.release(prevRound)
     // the edge list and the (long-superseded) init-label checkpoint are
     // dead once the result frame is materialized — release them now
     // rather than leaving them to ContextCleaner lag (the r8 eager-
@@ -581,7 +619,9 @@ object Dedup {
     // into the next run and fed the bimodal slow mode)
     Checkpoints.release(und)
     Checkpoints.release(initLabels)
-    result
+    // hand the (checkpoint-backed, loop-sized) labels back to the
+    // caller's session — q56 joins them against the corpus under AQE
+    Loops.rehost(result, parent)
   }
 
   /** q56 iterates ONLY over the collision subgraph (docs appearing in a
@@ -589,14 +629,23 @@ object Dedup {
     * else is trivially its own canonical cluster and joins back in one
     * map-side coalesce. At 10⁹ docs this is the difference between
     * propagating labels across the corpus and across the duplicates. */
-  def q56DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Probe/spec hook: the q56 collision subgraph — (nodes, edges) of
+    * the verified near-dup pair graph, edges persisted (the caller
+    * unpersists). LoopProbe drives the propagation loop over the REAL
+    * subgraph in both AQE modes with this. */
+  private[graft] def collisionGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // persisted: the LSH+jaccard pipeline feeds both the node list and
     // the undirected edge list — without this it would run once per use
     val edges = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .persist()
-    val graphNodes = edges.select(col("doc_a").as("doc_id"))
+    val nodes = edges.select(col("doc_a").as("doc_id"))
       .union(edges.select(col("doc_b").as("doc_id")))
       .distinct()
+    (nodes, edges)
+  }
+
+  def q56DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (graphNodes, edges) = collisionGraph(spark, dir)
     val comps = connectedComponents(graphNodes, edges)
       .select(col("doc_id"), col("cluster_id"))
     edges.unpersist() // comps is checkpoint-backed; lineage no longer needed

@@ -122,22 +122,18 @@ object Graph {
       .getOrElseUpdate(dir + "#degreed", {
         val e = edgesMaterialized(spark, dir)
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-        e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+        // sortWithinPartitions: checkpoint keeps the ordering too, so a
+        // consumer whose join plans sort-merge (q81's frontier loop at
+        // scale) skips the per-superstep sort of this static frame; the
+        // PageRank loops' shuffled-hash joins are unaffected
+        e.join(deg, "src").repartition(col("src"))
+          .sortWithinPartitions("src").localCheckpoint(true)
       })
 
-  private val loopSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def loopSession(spark: SparkSession): SparkSession = {
-    val it = loopSessions.keySet.iterator()
-    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-    if (spark.sparkContext.isStopped) spark
-    else loopSessions.computeIfAbsent(spark, p => {
-      val ns = p.newSession()
-      ns.conf.set("spark.sql.adaptive.enabled", "false")
-      ns.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-      ns
-    })
-  }
+  // round 10: the child-session machinery generalized to Loops so the
+  // other iterative operators (q56 CC, q81 BFS) share it — semantics
+  // unchanged for q73/q109
+  private def loopSession(spark: SparkSession): SparkSession = Loops.session(spark)
 
   // ---------------------------------------------------------------- q73
   /** Fixed-point PageRank to CONVERGENCE (exact integer fixpoint,
@@ -547,9 +543,17 @@ object Graph {
   }
 
   def q81BfsReach(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesMaterialized(spark, dir)
+    // round 10 (r8 ask #1 extension): run the frontier loop in the
+    // AQE-off loop session over the hash(src)-partitioned edge frame
+    // q73/q109 already cache — the static edge side then plans ZERO
+    // exchanges in every superstep (probed: 5 exchanges/superstep under
+    // AQE vs 2 here, LoopProbe r10), and the saved exchanges are
+    // re-shuffles of the full edge frame — the frame that is 100 TB-
+    // sized when the frontier is not
+    val s = loopSession(spark)
+    val e = edgesDegreed(s, dir)
     // suppliers 1, 2, 3 in packed node ids
-    bfsLevels(spark, e, Seq(2L, 4L, 6L), 3)
+    bfsLevels(s, e, Seq(2L, 4L, 6L), 3)
       .groupBy(expr("seed div 2").as("seed_supplier"), col("depth"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("seed_supplier"), col("depth"))

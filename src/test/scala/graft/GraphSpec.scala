@@ -27,6 +27,53 @@ class GraphSpec extends SparkSpec {
     assert(r1s == Map(1L -> 150000L, 2L -> 575000L, 3L -> 575000L), s"got $r1s")
   }
 
+  test("heavy-hub skew is absorbed map-side in the AQE-off loop session") {
+    // The loopSession trade documented in Loops.scala: no AQE in-loop
+    // means no runtime skew-join splitting, which is safe ONLY because
+    // every loop's per-key reduce (PageRank's dst-sum, CC's min-label)
+    // is partial-aggregable — a hub key collapses to ≤ one row per
+    // partition BEFORE the shuffle. This pins that claim with metrics:
+    // a 20k-edge star (every edge into node 0 — the worst skew a graph
+    // can have) must move O(partitions + spokes) rows through the
+    // superstep's exchanges, never O(edges).
+    val s = graft.operators.Loops.session(spark)
+    import s.implicits._
+    val n = 20000
+    val hubEdges = (1 to n).map(i => (i.toLong, 0L)) // all inflow → hub 0
+    val edges = hubEdges.toDF("src", "dst").withColumn("od", lit(1L))
+      .repartition(col("src")).sortWithinPartitions("src").localCheckpoint(true)
+    val r0 = (0L +: (1 to n).map(_.toLong)).toDF("node")
+      .select(col("node"), lit(1000000L).as("r"))
+      .repartition(col("node")).localCheckpoint(true)
+    val r1 = graft.operators.Graph.pagerankStep(edges, r0)
+    val rows = r1.collect()
+    // correctness under skew: hub holds all inflow, spokes only the base
+    val byNode = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNode(0L) == 150000L + 85L * (n.toLong * (1000000L / 1L)) / 100L,
+      "hub rank = base + damped sum of all contributions")
+    assert((1 to n).forall(i => byNode(i.toLong) == 150000L),
+      "spokes get no inflow in a pure-in star")
+    // the skew proof: every shuffle exchange in the superstep moved
+    // far fewer records than the edge count — the partial aggregate
+    // collapsed the hub's 20k contributions before the wire
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      PlanWalk.allNodes(p)
+    val shuffled = allNodes(r1.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.metrics.get("numOutputRows").orElse(e.metrics.get("shuffleRecordsWritten"))
+          .map(_.value).getOrElse(-1L)
+    }
+    assert(shuffled.nonEmpty, "superstep must contain a measurable exchange")
+    shuffled.foreach { recs =>
+      assert(recs >= 0 && recs < n / 2,
+        s"an exchange moved $recs records — hub contributions were NOT " +
+          s"collapsed map-side (edge count $n); the no-AQE-skew-split " +
+          "trade in Loops.session is unsafe for this plan")
+    }
+    graft.operators.Checkpoints.release(edges)
+    graft.operators.Checkpoints.release(r0)
+  }
+
   test("pagerankConverge: fixpoint stop fires on a d-regular graph after one superstep") {
     // 3-cycle is 1-regular directed: the damped update maps r=10⁶ to
     // itself, so the exact-integer delta check must stop the loop at
