@@ -216,6 +216,23 @@ object Tws {
   def regionStateParallelism(catalogSize: Int): Int =
     math.max(4, 2 * catalogSize)
 
+  /** The same rule generalized to any key universe (round 10, r8 ask
+    * #3): per-batch state-commit work is ~(fixed per-store cost ×
+    * stores) + (row cost × keys), and the fixed term dominates until a
+    * store holds on the order of a couple hundred keys. s02's funnel
+    * (1,500 user keys) measured at sf0.1, 8 batches, min-of-2:
+    * 32 stores → 6.4 s wall / 71.6 s Σcommit; 16 → 4.0 / 17.5;
+    * 8 → 3.5 / 3.8 — an 18× commit-draw cut from sizing stores to the
+    * key universe, the direct sequel to regionStateParallelism's
+    * empty-store finding. One store per ~192 keys puts 1,500 keys at 8
+    * stores (the measured knee); the ceiling keeps a corpus-sized key
+    * universe from exceeding the executor-sized shuffle parallelism —
+    * at 10⁹ keys this returns `ceiling`, which is correct: every store
+    * is then row-cost-dominated. Same checkpoint pin as above: set
+    * BEFORE the query's first start. */
+  def stateParallelism(keyUniverse: Long, ceiling: Int): Int =
+    math.max(1, math.min(ceiling.toLong, keyUniverse / 192L + 1L).toInt)
+
   /** Input for the rolling feature window: one measurement per event.
     * `event_id` rides along solely as the timestamp tie-break — the
     * batch twin q107 keeps its last-10 by (ts DESC, event_id DESC), so

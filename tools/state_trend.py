@@ -1,14 +1,25 @@
 #!/usr/bin/env python3
-"""Cross-round streaming-state trend check (r7 verdict ask #7).
+"""Cross-round bench trend check (r7 verdict ask #7 + r8 ask #2).
 
-The bench emits per-query state-store metrics (batches, rowsUpdated,
-rowsTotal, stateBytes, commitMs) into the artifact tail, but nothing
-compared them across rounds — s02's 112 s cumulative commit time was a
-number with no trend line. This tool diffs the two most recent bench
-artifacts (or any two given explicitly) and flags per-batch drifts
-> 1.5x in either direction for rowsUpdated, stateBytes, and commitMs —
-the early-warning channel for state-design regressions that wall-clock
-hides behind per-batch fixed costs.
+Two sections, one tool:
+
+STATE (r7): the bench emits per-query state-store metrics (batches,
+rowsUpdated, rowsTotal, stateBytes, commitMs) into the artifact tail;
+this diffs the two most recent bench artifacts and flags per-batch
+drifts > 1.5x in either direction for rowsUpdated, stateBytes, and
+commitMs — the early-warning channel for state-design regressions that
+wall-clock hides behind per-batch fixed costs.
+
+BATCH (r10, r8 ask #2): the same diff over every qNN batch-query
+timing recoverable from the artifacts (the driver keeps the bench
+line's last 2000 chars; r7+ artifacts carry the full ~114-query map,
+earlier ones a suffix — the tool diffs the intersection and reports
+coverage). Flags ratio > 1.5x either way; sub-second entries are
+annotated as noise-prone rather than counted, because the contended
+suite routinely wobbles 0.2 <-> 0.5 s entries (the q22/q03 signature,
+PLANS.md r9) — a flag there would page on noise every round. q103's
+unexplained r8 tripling (0.84 -> 2.42 s) is exactly the class of drift
+this section exists to catch the round it happens.
 
 Usage:
     python3 tools/state_trend.py                 # two newest BENCH_r*.json
@@ -24,6 +35,7 @@ import re
 import sys
 
 BAR = 1.5
+NOISE_FLOOR = 1.0  # seconds: below this, batch drift is annotated, not flagged
 METRICS = ("rowsUpdated", "stateBytes", "commitMs")
 
 
@@ -67,6 +79,66 @@ def per_batch(entry):
     return {m: entry.get(m, 0) / b for m in METRICS}
 
 
+def extract_queries(path):
+    """Return {qname: seconds} for every batch query recoverable from the
+    artifact, preferring in-suite timings: pairs inside the "noisy"
+    re-run map are kept separately and only used when the suite timing
+    for that query is outside the visible tail window."""
+    with open(path) as f:
+        raw = f.read()
+    try:
+        doc = json.loads(raw)
+        text = doc["tail"] if isinstance(doc, dict) and "tail" in doc else raw
+    except json.JSONDecodeError:
+        text = raw
+    noisy_span = (len(text), len(text))
+    m = re.search(r'"noisy":\{', text)
+    if m:
+        end = text.find("}", m.end())
+        noisy_span = (m.start(), end if end != -1 else len(text))
+    suite, noisy = {}, {}
+    for pm in re.finditer(r'"(q\d+[a-z0-9_]*)":([0-9][0-9.]*)', text):
+        name, val = pm.group(1), float(pm.group(2))
+        # noisy map keys are short (q75) vs suite keys (q75_triangle_count)
+        if noisy_span[0] <= pm.start() < noisy_span[1]:
+            noisy[name] = val
+        else:
+            suite[name] = val
+    for short, val in noisy.items():
+        if not any(k == short or k.startswith(short + "_") for k in suite):
+            suite[short] = val
+    return suite
+
+
+def batch_section(old_p, new_p):
+    """Diff per-query batch timings; returns the number of hard flags."""
+    old, new = extract_queries(old_p), extract_queries(new_p)
+    both = sorted(set(old) & set(new))
+    if not both:
+        print("batch_trend: no overlapping query timings (pre-r7 artifact?)")
+        return 0
+    flags = 0
+    for q in both:
+        o, n = old[q], new[q]
+        ratio = n / o if o else float("inf") if n else 1.0
+        if ratio <= BAR and ratio >= 1 / BAR:
+            continue  # steady entries stay quiet; coverage line says how many
+        if max(o, n) >= NOISE_FLOOR:
+            mark = "  <-- FLAG"
+            flags += 1
+        else:
+            mark = "  (sub-second, noise-prone)"
+        print(f"{q:24s} {o:8.2f} -> {n:8.2f} s ({ratio:5.2f}x){mark}")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"batch_trend: {len(only_new)} quer{'y' if len(only_new)==1 else 'ies'} "
+              f"new in {new_p}: {', '.join(only_new[:8])}"
+              + ("..." if len(only_new) > 8 else ""))
+    print(f"batch_trend: {old_p} -> {new_p}, {len(both)} compared, "
+          f"{flags} flag(s) at {BAR}x (floor {NOISE_FLOOR}s)")
+    return flags
+
+
 def main():
     if len(sys.argv) == 3:
         old_p, new_p = sys.argv[1], sys.argv[2]
@@ -76,13 +148,14 @@ def main():
             print("state_trend: need two BENCH_r*.json artifacts")
             return 2
         old_p, new_p = arts[-2], arts[-1]
+    batch_flags = batch_section(old_p, new_p)
     old, new = extract_state(old_p), extract_state(new_p)
     if not old or not new:
         missing = [p for p, s in ((old_p, old), (new_p, new)) if not s]
         print(f"state_trend: no state map in {', '.join(missing)} "
               "(pre-r7 artifacts carry none)")
         return 2
-    flags = 0
+    flags = batch_flags
     for q in sorted(set(old) & set(new)):
         po, pn = per_batch(old[q]), per_batch(new[q])
         for m in METRICS:
