@@ -530,12 +530,16 @@ object Dedup {
     // argument as PageRank's dst-sum — pinned by GraphSpec's heavy-hub
     // fixture.
     val parent = nodes.sparkSession
-    val s = Loops.session(parent)
     val und0 = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint(true)
     val labels0 = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
+    // loop parallelism sized to the collision subgraph (Loops scaladoc:
+    // AQE-off loops must size their stages at entry; a 4-partition loop
+    // over a few-hundred-row subgraph beats 32-task stage overhead)
+    val s = Loops.session(parent, Loops.dataSizedParts(und0.count(),
+      parent.sparkContext.defaultParallelism))
     // re-host into the loop session, partitioned on the loop's join
     // keys: und by `a` (static — never re-exchanged again), labels by
     // doc_id (each round's output inherits the layout through the

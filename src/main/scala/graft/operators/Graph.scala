@@ -90,7 +90,7 @@ object Graph {
     * hash(src)-partitioned edge frame inside the AQE-off loop session,
     * exactly what q73/q109 iterate over. */
   private[graft] def shipEdgesDegreedForSpec(spark: SparkSession, dir: String): DataFrame =
-    edgesDegreed(loopSession(spark), dir)
+    edgesDegreed(loopSession(spark, dir), dir)
 
   /** Child session for the superstep LOOPS (q73/q109), the q103
     * session-scoping pattern applied to physical planning: AQE is OFF
@@ -131,9 +131,16 @@ object Graph {
       })
 
   // round 10: the child-session machinery generalized to Loops so the
-  // other iterative operators (q56 CC, q81 BFS) share it — semantics
-  // unchanged for q73/q109
-  private def loopSession(spark: SparkSession): SparkSession = Loops.session(spark)
+  // other iterative operators (q56 CC, q81 BFS) share it, and the
+  // loop's shuffle parallelism sized to the EDGE COUNT (LoopParts probe:
+  // 32-partition superstep stages over a ~300k-row frame pay 2.3× in
+  // per-stage fixed overhead vs data-sized 8–16; the count reads off the
+  // parent-session materialized edge frame, cached like everything else)
+  private def loopSession(spark: SparkSession, dir: String): SparkSession = {
+    val n = edgesMaterialized(spark, dir).count()
+    Loops.session(spark,
+      Loops.dataSizedParts(n, spark.sparkContext.defaultParallelism))
+  }
 
   // ---------------------------------------------------------------- q73
   /** Fixed-point PageRank to CONVERGENCE (exact integer fixpoint,
@@ -285,7 +292,7 @@ object Graph {
   }
 
   def q73Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val s = loopSession(spark)
+    val s = loopSession(spark, dir)
     // hash(src) baked into the cached checkpoint — zero edge-side
     // exchanges in every superstep (see loopSession/edgesDegreed)
     val edgesD = edgesDegreed(s, dir)
@@ -349,7 +356,7 @@ object Graph {
     * bounded top-20 collects. Oracle unrolls the same 14 lazy rounds —
     * integer arithmetic keeps every superstep bit-identical. */
   def q109PagerankStable(spark: SparkSession, dir: String): DataFrame = {
-    val s = loopSession(spark)
+    val s = loopSession(spark, dir)
     // hash(src) baked into the cached checkpoint — zero edge-side
     // exchanges across all 14 supersteps (see loopSession/edgesDegreed)
     val edgesD = edgesDegreed(s, dir)
@@ -550,7 +557,7 @@ object Graph {
     // AQE vs 2 here, LoopProbe r10), and the saved exchanges are
     // re-shuffles of the full edge frame — the frame that is 100 TB-
     // sized when the frontier is not
-    val s = loopSession(spark)
+    val s = loopSession(spark, dir)
     val e = edgesDegreed(s, dir)
     // suppliers 1, 2, 3 in packed node ids
     bfsLevels(s, e, Seq(2L, 4L, 6L), 3)

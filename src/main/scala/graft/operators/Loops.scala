@@ -33,21 +33,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object Loops {
 
   private val children =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]()
 
-  /** The AQE-off, hash-join-preferring child of `spark` — one per root
-    * session, cached: frame caches key by session, so a fresh child per
-    * call would re-materialize static loop inputs on every run. Evicts
-    * stopped sessions; returns `spark` itself if already stopped (the
-    * caller's problem, don't cache). */
-  def session(spark: SparkSession): SparkSession = {
+  /** Rows per loop shuffle partition. Turning AQE off in-loop also gave
+    * up AQE's partition COALESCING, and LoopParts (checked in) measured
+    * the cost at bench scale: the 14-superstep q109 lazy loop over the
+    * 1.17M-row sf0.1 edge frame runs 5.9–6.7 s with 32-partition stages
+    * but 2.5–3.3 s at 8 (~147k rows/partition) — per-stage fixed
+    * overhead, not data movement, is the superstep floor when tasks
+    * hold too few rows. So the loop session applies AQE's rule at loop
+    * ENTRY, where the input cardinality is already known: partitions =
+    * rows/128k (the probe's sweet spot), floored at 4 (keep some
+    * parallelism for tiny collision subgraphs), ceilinged by executor
+    * parallelism — at 100 TB the ceiling always binds and this knob
+    * vanishes; it only exists because a loop's stage sizing cannot be
+    * re-planned per-superstep without AQE. */
+  val loopRowsPerPartition = 131072L
+
+  def dataSizedParts(rows: Long, ceiling: Int): Int =
+    math.max(4L, math.min(ceiling.toLong, rows / loopRowsPerPartition + 1L)).toInt
+
+  /** The AQE-off, hash-join-preferring child of `spark` — one per
+    * (root session, partition count), cached: frame caches key by
+    * session, so a fresh child per call would re-materialize static
+    * loop inputs on every run. `parts = 0` inherits the parent's
+    * shuffle parallelism; a positive value pins the child's shuffle
+    * partitions so every loop stage (joins, aggregates, repartitions)
+    * agrees on one data-sized layout. Evicts stopped sessions; returns
+    * `spark` itself if already stopped (the caller's problem, don't
+    * cache). */
+  def session(spark: SparkSession, parts: Int = 0): SparkSession = {
     val it = children.keySet.iterator()
-    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     if (spark.sparkContext.isStopped) spark
-    else children.computeIfAbsent(spark, p => {
+    else children.computeIfAbsent((spark, parts), { case (p, np) =>
       val ns = p.newSession()
       ns.conf.set("spark.sql.adaptive.enabled", "false")
       ns.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      if (np > 0) ns.conf.set("spark.sql.shuffle.partitions", np.toString)
       ns
     })
   }
