@@ -99,6 +99,9 @@ object Bench {
       // the in-suite number is the steady one). The 1.5× bar now
       // catches the next phantom the round it appears.
       "q103_recursive_spine" -> 0.90,
+      // round-10 addition, ref from its first isolated min-of-2 (the
+      // trainer's 3 vocab rounds dominate; the encode join is map-side)
+      "q118_bpe_encode" -> 1.60,
       // round-8 additions, refs from their first full-suite run
       "q110_corpus_containment" -> 1.85, "q112_semdedup_hier" -> 4.40,
       "q113_ivfpq" -> 2.85, "q114_index_maintain" -> 2.50,

@@ -238,6 +238,80 @@ object Text {
       |WHERE repetition_ratio > 0.05
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q117
+  /** The composed quality-filter CHAIN — the actual "clean the crawl"
+    * job every pretraining pipeline runs, where q22/q23/q47 are the
+    * individual heuristics: five rules in a FIXED order, each document
+    * attributed to the FIRST rule it fails (the filter-funnel waterfall
+    * report that tells a data engineer which rule is doing the killing
+    * and in what order), survivors counted as 'kept'. Per (source,
+    * verdict): document count.
+    *
+    * Rules (C4/Gopher-family heuristics, thresholds set from the staged
+    * corpus so every rule has both passing and failing docs):
+    *   1. too_short      n_tokens < 16
+    *   2. too_long       n_tokens > 88
+    *   3. repetitive     repeated-bigram ratio > 1/12 (native pair-set
+    *                     count, q47's kernel)
+    *   4. low_diversity  type-token ratio < 0.30
+    *   5. low_stopword   stopword ratio < 0.05 (q22's stopword list)
+    *
+    * Scale shape: ONE corpus scan — every per-doc statistic is a
+    * map-side projection (codegen'd HOFs + the native bigram kernel),
+    * the waterfall is a when-chain, and the only shuffle is the final
+    * (source, verdict)-domain aggregate whose output is bounded by
+    * #sources × 6. This is the plan shape a 100 TB filter run needs:
+    * attribution comes free with the verdict, no per-rule re-scans.
+    *
+    * Determinism: every threshold compares INTEGER cross-products
+    * (n_stop·20 < n, nd·10 < n·3, (nb−nbd)·12 > nb) — no float ratio
+    * ever crosses an engine boundary. */
+  def q117FilterChain(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = toks(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val stats = d.select(col("source"),
+      size(t).as("n"),
+      size(filter(t, x => array_contains(stopArr, x))).as("n_stop"),
+      size(array_distinct(t)).as("nd"),
+      (size(t) - 1).as("nb"),
+      call_function("graft_bigram_distinct", t).as("nbd"))
+    val verdict =
+      when(col("n") < 16, "too_short")
+        .when(col("n") > 88, "too_long")
+        .when((col("nb") - col("nbd")) * 12 > col("nb"), "repetitive")
+        .when(col("nd") * 10 < col("n") * 3, "low_diversity")
+        .when(col("n_stop") * 20 < col("n"), "low_stopword")
+        .otherwise("kept")
+    stats.select(col("source"), verdict.as("verdict"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
+  val q117Sql: String =
+    """WITH s AS (SELECT source,
+      |    len(string_split(text,' ')) AS n,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> list_contains(['the','a','of','and','to'], x))) AS n_stop,
+      |    len(list_distinct(string_split(text,' '))) AS nd,
+      |    len(string_split(text,' ')) - 1 AS nb,
+      |    len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+      |        i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' ')))) AS nbd
+      |  FROM documents),
+      |v AS (SELECT source,
+      |    CASE WHEN n < 16 THEN 'too_short'
+      |         WHEN n > 88 THEN 'too_long'
+      |         WHEN (nb - nbd) * 12 > nb THEN 'repetitive'
+      |         WHEN nd * 10 < n * 3 THEN 'low_diversity'
+      |         WHEN n_stop * 20 < n THEN 'low_stopword'
+      |         ELSE 'kept' END AS verdict
+      |  FROM s)
+      |SELECT source, verdict, count(*) AS n_docs
+      |FROM v
+      |GROUP BY source, verdict
+      |ORDER BY source, verdict""".stripMargin
+
   // ---------------------------------------------------------------- q58
   /** Corpus-frequency scoring — the global-stats-then-score shape behind
     * IDF weighting and perplexity-style quality filters: pass 1 builds
@@ -801,6 +875,7 @@ object Text {
     // 2-arg API defaults to the general margin-bearing cap instead
     "q101_tfidf_retrieval" -> ((s: SparkSession, d: String) =>
       q101TfidfRetrieval(s, d, tfidfDfCapRatio, tfidfNQueries)),
+    "q117_filter_chain" -> q117FilterChain _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -817,5 +892,6 @@ object Text {
     "q96_source_divergence" -> q96Sql,
     "q100_k_anonymity"  -> q100Sql,
     "q101_tfidf_retrieval" -> q101Sql,
+    "q117_filter_chain" -> q117Sql,
   )
 }

@@ -411,6 +411,18 @@ object TrainingData {
     * order (count desc, left asc, right asc); the merge fold is the same
     * left-to-right non-overlapping fold in both engines. */
   def q70BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, syms) = bpeTrain(spark, dir)
+    Checkpoints.release(syms)
+    merges.toDF("round", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** The q70 trainer factored to ALSO return its final state: the
+    * vocab with each word's merged symbol list — which IS the trained
+    * tokenizer q118 applies. Caller releases the returned checkpoint. */
+  private def bpeTrain(spark: SparkSession,
+      dir: String): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
@@ -446,13 +458,53 @@ object TrainingData {
                 element_at(acc, -1) === lit(a) && x === lit(b),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
               .otherwise(concat(acc, array(x))))
+          val prev = syms
           syms = syms.select(col("word"), col("f"), merged.as("sym"))
             .localCheckpoint(true)
+          // round N−1's vocab checkpoint is dead once N is materialized
+          Checkpoints.release(prev)
       }
     }
-    import spark.implicits._
-    merges.result().toDF("round", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("round"))
+    (merges.result(), syms)
+  }
+
+  // --------------------------------------------------------------- q118
+  /** Tokenizer APPLICATION — the other half of q70's story: encode the
+    * corpus with the trained merges and report what the tokenizer buys.
+    * The scale shape is the important part: merges are applied to the
+    * VOCAB (Heaps-law-bounded — q70's final per-word symbol lists ARE
+    * the trained tokenizer's encode table), and the corpus-sized side
+    * only joins its (source, word) occurrence counts against that
+    * table — encoding 100 TB never re-runs the merge fold per token
+    * occurrence, it's one vocab join. Output per source: whitespace
+    * tokens, character-level symbols (the no-tokenizer baseline), BPE
+    * symbols after [[bpeRounds]] merges, and symbols saved — the
+    * compression the trained merges bought, by source.
+    *
+    * Determinism: pure integer sums; the symbol lists come from the
+    * same deterministic trainer the q70 oracle replays. */
+  def q118BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, syms) = bpeTrain(spark, dir)
+    val perSourceWord = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    // materialize the sources-sized aggregate so the trainer's vocab
+    // checkpoint can be released NOW (q114's corrected discipline:
+    // checkpoint the BOUNDED intermediate, never the final frame — the
+    // projection below stays lazy and plan-visible to the audits)
+    val agg = perSourceWord
+      .join(syms.select(col("word"), size(split(col("word"), "")).as("n_raw"),
+        size(col("sym")).as("n_bpe")), "word")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("n_raw")).as("n_symbols_raw"),
+        sum(col("n") * col("n_bpe")).as("n_symbols_bpe"))
+      .localCheckpoint(true)
+    Checkpoints.release(syms)
+    agg.select(col("source"), col("n_tokens"), col("n_symbols_raw"),
+        col("n_symbols_bpe"),
+        (col("n_symbols_raw") - col("n_symbols_bpe")).as("symbols_saved"))
+      .orderBy(col("source"))
   }
 
   private def bpeRoundSqlCte(r: Int): String =
@@ -478,6 +530,29 @@ object TrainingData {
           s"  SELECT $r AS round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM best$r")
           .mkString("\n  UNION ALL\n")})
        |ORDER BY round""".stripMargin
+
+  /** Oracle: replay q70's training CTEs to the final vocab s3, then the
+    * same vocab join against per-(source, word) counts. */
+  val q118Sql: String =
+    s"""WITH w AS (SELECT word, count(*)::BIGINT AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS (SELECT word, f, string_split(word, '') AS sym FROM w),
+       |${(1 to bpeRounds).map(bpeRoundSqlCte).mkString(",\n")},
+       |c AS (SELECT source, word, count(*)::BIGINT AS n
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |j AS (SELECT c.source, c.n,
+       |    len(string_split(c.word, '')) AS n_raw, len(s.sym) AS n_bpe
+       |  FROM c JOIN s$bpeRounds s ON c.word = s.word)
+       |SELECT source,
+       |  sum(n)::BIGINT AS n_tokens,
+       |  sum(n * n_raw)::BIGINT AS n_symbols_raw,
+       |  sum(n * n_bpe)::BIGINT AS n_symbols_bpe,
+       |  (sum(n * n_raw) - sum(n * n_bpe))::BIGINT AS symbols_saved
+       |FROM j
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q79
   /** Intra-corpus duplicated-substring coverage (the Lee et al.
@@ -717,6 +792,7 @@ object TrainingData {
     "q63_group_sample"      -> q63GroupSample _,
     "q64_mix_plan"          -> q64MixPlan _,
     "q70_bpe_merges"        -> q70BpeMerges _,
+    "q118_bpe_encode"       -> q118BpeEncode _,
     "q72_cdc_chunking"      -> q72CdcChunking _,
     "q79_dupgram_coverage"  -> q79DupgramCoverage _,
     "q92_sequence_pack"     -> q92SequencePack _,
@@ -731,6 +807,7 @@ object TrainingData {
     "q63_group_sample"      -> q63Sql,
     "q64_mix_plan"          -> q64Sql,
     "q70_bpe_merges"        -> q70Sql,
+    "q118_bpe_encode"       -> q118Sql,
     "q72_cdc_chunking"      -> q72Sql,
     "q79_dupgram_coverage"  -> q79Sql,
     "q92_sequence_pack"     -> q92Sql,

@@ -7,6 +7,39 @@ import graft.operators.{Dedup, Similarity}
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q117 filter chain: waterfall is exclusive, exhaustive, and matches a first-principles recompute") {
+    val out = Text.q117FilterChain(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+    // independent recompute: plain Scala over the raw text, same fixed
+    // rule order — the engine's HOFs/native kernel never touched
+    val stopSet = Set("the", "a", "of", "and", "to")
+    val expected = docs.groupBy { r =>
+      val toks = r.getString(1).split(" ").toSeq
+      val n = toks.size
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val nb = math.max(0, n - 1)
+      val nbd = bigrams.distinct.size
+      val verdict =
+        if (n < 16) "too_short"
+        else if (n > 88) "too_long"
+        else if ((nb - nbd) * 12 > nb) "repetitive"
+        else if (toks.distinct.size * 10 < n * 3) "low_diversity"
+        else if (toks.count(stopSet) * 20 < n) "low_stopword"
+        else "kept"
+      (r.getString(0), verdict)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(out == expected, s"waterfall mismatch: got $out expected $expected")
+    // exhaustive: every doc counted exactly once
+    assert(out.values.sum == docs.length.toLong)
+    // the corpus must exercise the chain: survivors AND at least three
+    // distinct failing rules (thresholds were set against this corpus)
+    val verdicts = out.keySet.map(_._2)
+    assert(verdicts.contains("kept"))
+    assert((verdicts - "kept").size >= 3, s"degenerate thresholds: $verdicts")
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val df = Seq(
       ("a", "the quick brown fox"),

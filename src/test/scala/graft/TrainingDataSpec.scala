@@ -186,6 +186,44 @@ class TrainingDataSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q118 BPE encode matches a from-first-principles tokenizer application") {
+    // recompute: train the 3 merges in Scala (q70's spec logic), apply
+    // them to every word, and total symbols per source independently
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+    val words = new scala.collection.mutable.HashMap[String, Long]()
+    docs.foreach(_.getString(1).split(" ").foreach(w =>
+      words(w) = words.getOrElse(w, 0L) + 1L))
+    var syms: Map[String, List[String]] = words.keys.map(w => w -> w.split("").toList).toMap
+    for (_ <- 1 to 3) {
+      val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((w, f) <- words; Seq(a, b) <- syms(w).sliding(2))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+      val ((a, b), _) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      syms = syms.map { case (w, s) =>
+        w -> s.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    }
+    val expected = docs.groupBy(_.getString(0)).view.mapValues { rs =>
+      val toks = rs.flatMap(_.getString(1).split(" "))
+      (toks.length.toLong,
+        toks.map(_.length.toLong).sum,
+        toks.map(w => syms(w).length.toLong).sum)
+    }.toMap
+    val got = TrainingData.queries("q118_bpe_encode")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // the merges must actually buy something on this corpus
+    val rows = TrainingData.queries("q118_bpe_encode")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(4) > 0L),
+      "three trained merges must save symbols in every source")
+    assert(rows.forall(r => r.getLong(2) - r.getLong(3) == r.getLong(4)))
+  }
+
   test("native graft_cdc_ids equals the HOF flags+prefix reference") {
     val tk = org.apache.spark.sql.functions.split(col("text"), " ")
     val cmp = graft.sources.Tables.documents(spark, sf)
