@@ -92,29 +92,17 @@ object Graph {
   private[graft] def shipEdgesDegreedForSpec(spark: SparkSession, dir: String): DataFrame =
     edgesDegreed(loopSession(spark, dir), dir)
 
-  /** Child session for the superstep LOOPS (q73/q109), the q103
-    * session-scoping pattern applied to physical planning: AQE is OFF
-    * so `localCheckpoint` preserves hash partitioning into the next
-    * superstep's plan (under AQE the LogicalRDD leaf's partitioning is
-    * discarded and EVERY superstep re-shuffles both join sides —
-    * measured: 4 exchanges per superstep with AQE vs 1 without, the
-    * survivor being the dst-keyed partial aggregate), and shuffled-hash
-    * join is preferred over sort-merge so the co-partitioned edge⋈rank
-    * join needs no per-superstep sort either (probe at 10×: best run
-    * 21.0 s vs 27.3 AQE — and on a real cluster the saved exchanges
-    * are 14 re-shuffles of the big static edge frame, pure network).
-    * The trade, documented: no AQE in-loop means no runtime skew-join
-    * splitting — acceptable here because the dst aggregate absorbs hub
-    * skew map-side; a heavy-hub graph would salt the join instead.
-    * One child per root session, cached: [[edgesMaterialized]] keys
-    * its cache by session, so a fresh child per call would
-    * re-materialize the edge frame on every run. */
   /** The degree-annotated, hash(src)-partitioned edge frame the
     * PageRank loops iterate over — cached per (session, dir) with the
     * same discipline (and in the same map) as the raw edge list: it is
     * a STATIC input of every superstep of every run, and the
     * repartition that bakes in the layout is only worth paying once.
-    * Never released by queries — it is shared across calls. */
+    * Never released by queries — it is shared across calls. Why the
+    * loops run in an AQE-off child session at all (checkpoint
+    * partitioning preservation, the measured 4-exchanges-per-superstep
+    * AQE tax, the no-skew-split trade) is documented once on
+    * [[Loops]]; the r8 probe history (21.0 s vs 27.3 at 10×) is in
+    * PLANS.md. */
   private def edgesDegreed(spark: SparkSession, dir: String): DataFrame =
     edgeCache
       .computeIfAbsent(spark,

@@ -107,6 +107,12 @@ def extract_queries(path):
     for short, val in noisy.items():
         if not any(k == short or k.startswith(short + "_") for k in suite):
             suite[short] = val
+    # full bench lines carry BOTH the full-name "queries" map and the
+    # compact "q" map — drop a short key whenever its full-name sibling
+    # is present so each query diffs once
+    for short in [k for k in suite if "_" not in k]:
+        if any(k != short and k.startswith(short + "_") for k in suite):
+            del suite[short]
     return suite
 
 
