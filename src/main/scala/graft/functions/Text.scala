@@ -266,28 +266,38 @@ object Text {
     * Determinism: every threshold compares INTEGER cross-products
     * (n_stop·20 < n, nd·10 < n·3, (nb−nbd)·12 > nb) — no float ratio
     * ever crosses an engine boundary. */
-  def q117FilterChain(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** The per-document filter-chain verdict of [[q117FilterChain]],
+    * appended as a `verdict` column over any frame carrying `text` —
+    * factored so the STREAMING ingest gate
+    * ([[graft.streaming.Ingest.qualityGateSink]]) applies byte-identical
+    * rule semantics per micro-batch: stream ≡ batch by construction,
+    * the q104/trendingTws discipline. */
+  private[graft] def withFilterVerdict(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
-    val stats = d.select(col("source"),
-      size(t).as("n"),
-      size(filter(t, x => array_contains(stopArr, x))).as("n_stop"),
-      size(array_distinct(t)).as("nd"),
-      (size(t) - 1).as("nb"),
-      call_function("graft_bigram_distinct", t).as("nbd"))
+    val statCols = Seq(
+      size(t).as("fc_n"),
+      size(filter(t, x => array_contains(stopArr, x))).as("fc_stop"),
+      size(array_distinct(t)).as("fc_nd"),
+      (size(t) - 1).as("fc_nb"),
+      call_function("graft_bigram_distinct", t).as("fc_nbd"))
     val verdict =
-      when(col("n") < 16, "too_short")
-        .when(col("n") > 88, "too_long")
-        .when((col("nb") - col("nbd")) * 12 > col("nb"), "repetitive")
-        .when(col("nd") * 10 < col("n") * 3, "low_diversity")
-        .when(col("n_stop") * 20 < col("n"), "low_stopword")
+      when(col("fc_n") < 16, "too_short")
+        .when(col("fc_n") > 88, "too_long")
+        .when((col("fc_nb") - col("fc_nbd")) * 12 > col("fc_nb"), "repetitive")
+        .when(col("fc_nd") * 10 < col("fc_n") * 3, "low_diversity")
+        .when(col("fc_stop") * 20 < col("fc_n"), "low_stopword")
         .otherwise("kept")
-    stats.select(col("source"), verdict.as("verdict"))
+    docs.select(col("*") +: statCols: _*)
+      .withColumn("verdict", verdict)
+      .drop("fc_n", "fc_stop", "fc_nd", "fc_nb", "fc_nbd")
+  }
+
+  def q117FilterChain(spark: SparkSession, dir: String): DataFrame =
+    withFilterVerdict(Tables.documents(spark, dir).select(col("source"), col("text")))
       .groupBy(col("source"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("verdict"))
-  }
 
   val q117Sql: String =
     """WITH s AS (SELECT source,

@@ -188,6 +188,52 @@ object Ingest {
       .start()
   }
 
+  /** Streaming QUALITY gate — q117's composed filter chain applied at
+    * ingest time, the online form of the clean-the-crawl pass (where
+    * [[dedupGateSink]] is the online q62): per micro-batch, every doc
+    * gets its first-failed-rule verdict from the SAME factored
+    * expression the batch query uses
+    * ([[graft.functions.Text.withFilterVerdict]] — stream ≡ batch by
+    * construction), survivors land under `outDir/batch=<id>` and the
+    * per-(source, verdict) waterfall counts land under
+    * `auditDir/batch=<id>` as durable metadata. Both writes are dynamic
+    * partition overwrites keyed by batch id, so a replayed batch
+    * rewrites its own partitions idempotently (the delta-index
+    * discipline); rejected docs are not retained — the audit records
+    * what was killed and why, which is what the pipeline operator
+    * reads, and the raw source remains the system of record.
+    *
+    * Scale shape: verdicts are one map-side projection per batch (the
+    * native bigram kernel + codegen'd HOFs — no shuffle before the
+    * audit's (source, verdict)-domain aggregate), so gate throughput
+    * is scan-bound at any corpus rate. */
+  def qualityGateSink(newDocs: DataFrame, outDir: String,
+                      checkpointDir: String, auditDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        // collapse row-level re-delivery (byte-identical copies) so a
+        // doc is judged and counted once per batch
+        val judged = graft.functions.Text
+          .withFilterVerdict(rawBatch.dropDuplicates("doc_id"))
+          .localCheckpoint(true) // two consumers of one verdict pass
+        graft.sources.Layout.overwritePartitions(
+          judged.filter(col("verdict") === "kept").drop("verdict")
+            .withColumn("batch", lit(batchId)),
+          outDir, Seq("batch"))
+        graft.sources.Layout.overwritePartitions(
+          judged.groupBy(col("source"), col("verdict"))
+            .agg(count(lit(1)).as("n_docs"))
+            .withColumn("batch", lit(batchId)),
+          auditDir, Seq("batch"))
+        // both consumers have executed — release the batch's verdict
+        // blocks now (the eager-release discipline)
+        graft.operators.Checkpoints.release(judged)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** O7 (Kafka shape): per-row routing via the `topic` column — Spark's
     * Kafka sink routes each row to its `topic`; `value` carries the
     * serialized envelope (to_json ≙ `json.Marshal`, regionSpout.go:152).

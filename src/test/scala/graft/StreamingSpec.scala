@@ -289,6 +289,59 @@ class StreamingSpec extends SparkSpec {
       s"USA0 replaced by batch 2, USA1 kept from batch 1; got $rows")
   }
 
+  test("streaming quality gate: stream verdicts equal the batch chain; audit + replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_qgate_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qgate_ckpt").toString
+    val auditDir = java.nio.file.Files.createTempDirectory("graft_qgate_audit").toString
+    // real corpus docs so several rules actually fire, split in two batches
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    val q = Ingest.qualityGateSink(
+      input.toDF().toDF("doc_id", "source", "text"), outDir, ckpt, auditDir,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      // batch 1 includes a same-id re-delivery — judged once
+      input.addData((b2 :+ b2.head).toSeq); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"gate must survive both batches: ${q.exception}")
+    } finally q.stop()
+    // the static chain over the same corpus is the ground truth
+    val staticJudged = graft.functions.Text.withFilterVerdict(
+      graft.sources.Tables.documents(spark, sf).select("doc_id", "source", "text"))
+    val expectKept = staticJudged.filter(col("verdict") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotKept = spark.read.parquet(outDir).select("doc_id").collect()
+      .map(_.getLong(0))
+    assert(gotKept.length == gotKept.toSet.size, "re-delivered doc judged once")
+    assert(gotKept.toSet == expectKept, "stream-kept set ≡ batch-kept set")
+    // audit waterfall: summed across batches it must equal the batch query
+    val audit = spark.read.parquet(auditDir)
+      .groupBy("source", "verdict").agg(sum("n_docs").as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expectAudit = staticJudged.groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(audit == expectAudit, s"audit mismatch: $audit vs $expectAudit")
+    // replay: re-delivering batch 1's data as a NEW run (fresh checkpoint,
+    // same dirs) rewrites only its own batch partitions — totals unchanged
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_qgate_ckpt2").toString
+    val input2 = MemoryStream[(Long, String, String)]
+    val q2 = Ingest.qualityGateSink(
+      input2.toDF().toDF("doc_id", "source", "text"), outDir, ckpt2, auditDir,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try { input2.addData(b1.toSeq); q2.processAllAvailable() } finally q2.stop()
+    val keptAfterReplay = spark.read.parquet(outDir).select("doc_id").collect()
+      .map(_.getLong(0))
+    assert(keptAfterReplay.length == keptAfterReplay.toSet.size &&
+      keptAfterReplay.toSet == expectKept,
+      "replayed batch overwrites its own partition — no duplicates, no loss")
+  }
+
   test("streaming dedup gate: all-skip first batch, same-id re-delivery in one batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
