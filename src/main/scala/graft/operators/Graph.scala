@@ -213,9 +213,13 @@ object Graph {
     * graph the STANDARD chain pays ~26–31 supersteps for this (the
     * period-2 oscillation, see [[pagerankMaxIters]]); `lazyChain = true`
     * damps that mode and fires in ~13–14 (measured, round 7) — the form
-    * a top-k consumer should run. The exact-fixpoint probe stays as a
-    * secondary exit (a truly converged state is also order-stable one
-    * step later, but d-regular graphs hit it first). Not used by q73:
+    * a top-k consumer should run. There is deliberately NO separate
+    * exact-fixpoint probe (round 10): identical ranks produce an
+    * identical (r desc, node) top-K sequence, so an exact fixpoint
+    * implies an order repeat AT THE SAME iteration — the probe the loop
+    * carried was one redundant scan job per superstep (GraphSpec's
+    * fixpoint-stops-at-1 pin holds through the order probe alone).
+    * Not used by q73:
     * its oracle unrolls a FIXED superstep count, and an order-stable
     * exit leaves rank VALUES short of the unrolled oracle's — this form
     * is for interactive/top-k use where the ranking, not the scores, is
@@ -239,7 +243,6 @@ object Graph {
     var stable = false
     while (iter < maxIters && !stable) {
       val next = pagerankStep(edgesD, ranks, lazyChain).localCheckpoint(true)
-      val exactFixpoint = next.filter(col("r") =!= col("r_prev")).isEmpty
       // superstep N−1's blocks are dead the moment N is materialized
       // (the step consumed them; every later probe reads `next`) —
       // release them NOW instead of leaving a block set per superstep
@@ -248,7 +251,7 @@ object Graph {
       Checkpoints.release(ranks)
       ranks = next.select(col("node"), col("r"))
       val order = topOrder(ranks)
-      stable = exactFixpoint || order == prevOrder
+      stable = order == prevOrder // an exact fixpoint repeats the order too
       prevOrder = order
       iter += 1
     }
