@@ -535,7 +535,11 @@ object Similarity {
     * way q90/q113's in-run retrain cannot (their bench curve is the
     * O(N) training scan, r8 verdict). Same lifecycle discipline as
     * Graph.edgeCache: stopped sessions evicted, never released by
-    * queries — the index is shared state, exactly like a real one. */
+    * queries — the index is shared state, exactly like a real one.
+    * Same cluster caveat too: localCheckpoint blocks are executor-local
+    * and non-fault-tolerant; a multi-executor deployment holds the
+    * built index as a materialized TABLE (parquet/bucketed) instead —
+    * the production form of the same build-once/search-many split. */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
