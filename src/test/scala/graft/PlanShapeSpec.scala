@@ -197,4 +197,32 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "legacy BroadcastNestedLoopJoin must not appear")
   }
 
+  test("q115/q116 search legs are training-free: no file scan once the index is built") {
+    // first call builds (and caches) the index — training reads parquet
+    graft.operators.Similarity.queries("q115_ann_search")(spark, sf).collect()
+    graft.operators.Similarity.queries("q116_ivfpq_search")(spark, sf).collect()
+    // every subsequent plan must read ONLY the cached index (RDD scan
+    // leaves) — a parquet scan or a Lloyd aggregate appearing here
+    // would mean the "search leg" silently re-trains, which is exactly
+    // the measurement error q115/q116 exist to remove
+    for (name <- Seq("q115_ann_search", "q116_ivfpq_search")) {
+      val p = executed(graft.operators.Similarity.queries(name)(spark, sf))
+      val fileScans = allNodes(p).filter(
+        _.getClass.getSimpleName.contains("FileSourceScan"))
+      assert(fileScans.isEmpty,
+        s"$name reads ${fileScans.size} file scan(s) — the search leg re-trained")
+    }
+  }
+
+  test("Loops.dataSizedParts: floor, knee, and ceiling") {
+    import graft.operators.Loops
+    assert(Loops.dataSizedParts(0L, 32) == 4, "floor holds on empty inputs")
+    assert(Loops.dataSizedParts(100000L, 32) == 4, "sub-knee inputs stay at the floor")
+    // the measured sf0.1 point: 1.17M edges -> ~9 partitions (~130k rows each)
+    val p = Loops.dataSizedParts(1173742L, 32)
+    assert(p >= 8 && p <= 10, s"1.17M rows must land near the probe's sweet spot, got $p")
+    assert(Loops.dataSizedParts(100000000L, 32) == 32, "ceiling binds at scale")
+    assert(Loops.dataSizedParts(100000000L, 4) == 4, "ceiling is the executor count")
+  }
+
 }
