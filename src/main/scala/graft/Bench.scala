@@ -102,6 +102,10 @@ object Bench {
       // round-10 addition, ref from its first isolated min-of-2 (the
       // trainer's 3 vocab rounds dominate; the encode join is map-side)
       "q118_bpe_encode" -> 1.60,
+      // round-10 addition: ~500 byte-shingles × 2 md5-h60 hashes per
+      // doc is the signature pass — the md5 backbone is the price of
+      // an oracle-replayable signature (5.73/5.78 isolated min-of-2)
+      "q119_media_neardup" -> 5.70,
       // round-8 additions, refs from their first full-suite run
       "q110_corpus_containment" -> 1.85, "q112_semdedup_hier" -> 4.40,
       "q113_ivfpq" -> 2.85, "q114_index_maintain" -> 2.50,

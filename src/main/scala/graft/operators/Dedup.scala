@@ -350,9 +350,12 @@ object Dedup {
     * buckets went quadratic. Same pigeonhole guarantee (hamming ≤ 3 over
     * 4 bands → ≥ 1 exact band). */
   private val simBits = 64
-  private val bandBits = 16
-  private val nSimBands = simBits / bandBits
-  private val bandMask = (1L << bandBits) - 1
+  // banding constants are private[graft]: q119's payload near-dup
+  // (Multimodal) bands its byte-shingle signatures with the SAME
+  // geometry — one source of truth for the 4×16-bit scheme
+  private[graft] val bandBits = 16
+  private[graft] val nSimBands = simBits / bandBits
+  private[graft] val bandMask = (1L << bandBits) - 1
 
   /** Per-bit weight 2^b as a signed-64 literal (bit 63 = Long.MinValue;
     * sums of distinct powers never carry, so bit-wise OR ≡ addition in

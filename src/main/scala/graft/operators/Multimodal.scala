@@ -232,11 +232,106 @@ object Multimodal {
        |  round(sum(nb)::DOUBLE / sum(n * nb) + 1e-9, 6) AS stored_frac
        |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  /** Perceptual-style NEAR-dup detection over opaque binary payloads —
+    * what q97's exact CAS dedup cannot see: re-encoded/partially-edited
+    * media whose bytes differ but mostly overlap (the pHash-bucketing
+    * shape of an image/audio store, run here on the payload bytes the
+    * container actually has). The payload is treated as pure bytes: no
+    * tokenizer, no text assumption — overlapping 8-BYTE shingles over
+    * the hex encoding (stride one byte), SimHashed with the native
+    * one-pass kernel, banded 4×16-bit with Dedup's geometry (one source
+    * of truth), and verified at Hamming ≤ 3. The MODALITY rides in the
+    * band key, so image/audio/video payloads can never pair — each
+    * modality's store dedups independently, which is how a real CAS
+    * shards anyway.
+    *
+    * Scale shape: signatures are one map-side pass (codegen'd h60 per
+    * shingle + the native simhash fold); payload bytes never shuffle —
+    * only (doc_id, modality, 64-bit sh) reaches the band group-and-
+    * explode, whose buckets are collision-sized by construction (q29's
+    * economics). Linear in corpus bytes at any scale.
+    *
+    * Determinism: hex() is uppercase in BOTH engines; shingling,
+    * hashing, banding, and the Hamming verify replay exactly in SQL. */
+  def q119MediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.h60
+    val hx = hex(col("text").cast("binary"))
+    val m = Tables.documents(spark, dir).select(col("doc_id"),
+      mediaTypeCol(col("source")).as("media_type"), hx.as("hx"))
+    // byte-aligned 8-byte windows: hex positions 1, 3, 5, … (2 hex
+    // chars per byte); a payload under 8 bytes contributes its whole
+    // (shorter) hex string as the single shingle
+    val shingles = transform(
+      sequence(lit(1), greatest(length(col("hx")) - 15, lit(1)), lit(2)),
+      i => col("hx").substr(i, lit(16)))
+    val sigs = m.select(col("doc_id"), col("media_type"), shingles.as("sg"))
+      .select(col("doc_id"), col("media_type"),
+        call_function("graft_simhash64",
+          transform(col("sg"), s => h60(s)),
+          transform(col("sg"), s => h60(concat(s, lit("#2"))))).as("sh"))
+    val banded = sigs.select(col("doc_id"), col("media_type"), col("sh"),
+      explode(array((0 until graft.operators.Dedup.nSimBands).map { b =>
+        concat_ws(":", col("media_type"), lit(b.toString),
+          shiftright(col("sh"), graft.operators.Dedup.bandBits * b)
+            .bitwiseAND(lit(graft.operators.Dedup.bandMask)))
+      }: _*)).as("band"))
+    banded
+      .groupBy(col("band"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("media_type"),
+        col("sh")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(col("xs")) - 1), i =>
+          transform(sequence(i + 1, size(col("xs"))), j =>
+            struct(element_at(col("xs"), i).as("a"),
+              element_at(col("xs"), j).as("b")))))).as("p"))
+      .select(col("p.a.media_type").as("media_type"),
+        col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("media_type"), col("doc_a"), col("doc_b"))
+  }
+
+  val q119Sql: String = {
+    import graft.functions.Text.h60Sql
+    val nBands = graft.operators.Dedup.nSimBands
+    val bandBits = graft.operators.Dedup.bandBits
+    val bandMask = graft.operators.Dedup.bandMask
+    val simBits = nBands * bandBits
+    val terms = (0 until simBits).map { b =>
+      val (arr, bit) = if (b < 32) ("hh1", b) else ("hh2", b - 32)
+      s"(CASE WHEN list_sum(list_transform($arr, h -> CASE WHEN (h >> $bit) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (${1L << b})::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    val bandList = (0 until nBands).map { b =>
+      s"media_type || ':$b:' || ((sh >> ${bandBits * b}) & $bandMask)"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH m AS (SELECT doc_id, ${mediaTypeSql("source")} AS media_type,
+       |    hex(encode(text)) AS hx FROM documents),
+       |sg AS (SELECT doc_id, media_type,
+       |    list_transform(range(1, greatest(len(hx) - 15, 1) + 1, 2),
+       |      i -> substr(hx, i, 16)) AS sg
+       |  FROM m),
+       |hh AS (SELECT doc_id, media_type,
+       |    list_transform(sg, s -> ${h60Sql("s")}) AS hh1,
+       |    list_transform(sg, s -> ${h60Sql("s || '#2'")}) AS hh2
+       |  FROM sg),
+       |sig AS (SELECT doc_id, media_type, ($terms)::BIGINT AS sh FROM hh),
+       |banded AS (SELECT doc_id, media_type, sh, unnest($bandList) AS band FROM sig)
+       |SELECT DISTINCT x.media_type AS media_type, x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.sh, y.sh)) AS hamming
+       |FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 3
+       |ORDER BY media_type, doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_metadata"  -> q37MediaMetadata _,
     "q38_frame_sample"    -> q38FrameSample _,
     "q52_decode_features" -> q52DecodeFeatures _,
     "q97_media_dedup"     -> q97MediaDedup _,
+    "q119_media_neardup"  -> q119MediaNeardup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -244,5 +339,6 @@ object Multimodal {
     "q38_frame_sample"    -> q38Sql,
     "q52_decode_features" -> q52Sql,
     "q97_media_dedup"     -> q97Sql,
+    "q119_media_neardup"  -> q119Sql,
   )
 }
