@@ -214,6 +214,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q117 filter chain is one corpus scan: two-column read, domain-sized exchanges only") {
+    val df = graft.functions.Text.queries("q117_filter_chain")(spark, sf)
+    val p = executed(df)
+    val scans = allNodes(p).filter(_.getClass.getSimpleName.contains("FileSourceScan"))
+    assert(scans.size == 1, s"waterfall attribution must not re-scan per rule, got ${scans.size} scans")
+    assert(scans.head.output.map(_.name).toSet == Set("source", "text"),
+      s"column pruning must reach the scan, read ${scans.head.output.map(_.name)}")
+    // the (source, verdict) aggregate + the output sort — nothing fact-sized
+    assert(shuffles(p).size <= 2,
+      s"expected agg + sort exchanges only, got ${shuffles(p).size}")
+  }
+
   test("Loops.dataSizedParts: floor, knee, and ceiling") {
     import graft.operators.Loops
     assert(Loops.dataSizedParts(0L, 32) == 4, "floor holds on empty inputs")
