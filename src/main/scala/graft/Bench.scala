@@ -102,6 +102,13 @@ object Bench {
       // round-10 addition, ref from its first isolated min-of-2 (the
       // trainer's 3 vocab rounds dominate; the encode join is map-side)
       "q118_bpe_encode" -> 1.60,
+      // round-11 additions — EXCEPTION to the ≥1 s rule above: these two
+      // guard a STRUCTURAL split (the session-cached built index), where
+      // the failure mode is not noise but a cache miss re-running the
+      // full O(N) train (0.2 s → ~4 s, 20×) — exactly the regression the
+      // r10 ADVICE wants flagged. Refs from the two stable r10 full-suite
+      // runs (0.127/0.198 and 0.207/0.278)
+      "q115_ann_search" -> 0.20, "q116_ivfpq_search" -> 0.28,
       // round-10 addition: ~500 byte-shingles × 2 md5-h60 hashes per
       // doc is the signature pass — the md5 backbone is the price of
       // an oracle-replayable signature (5.73/5.78 isolated min-of-2)

@@ -605,6 +605,12 @@ object Dedup {
     // the session
     if (changed != 0) {
       if (prevRound != null) Checkpoints.release(prevRound)
+      // mirror the success path's eager release: the rehosted edge list
+      // and init-label checkpoints are loop-session state a CAUGHT
+      // failure would otherwise pin until ContextCleaner GC — the exact
+      // lag class the r8 eager-release work removed (r10 ADVICE)
+      Checkpoints.release(und)
+      Checkpoints.release(initLabels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still moving) — raise maxIter for this graph")

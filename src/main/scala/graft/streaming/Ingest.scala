@@ -212,10 +212,26 @@ object Ingest {
                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        // collapse row-level re-delivery (byte-identical copies) so a
-        // doc is judged and counted once per batch
+        // collapse row-level re-delivery in two layers: dropDuplicates()
+        // over ALL columns kills byte-identical copies, then a residual
+        // doc_id collision (same id, DIFFERENT bytes — producer bug, but
+        // it happens) picks the max-payload-hash row DETERMINISTICALLY,
+        // so a replayed batch re-emits the identical survivor set (a
+        // bare dropDuplicates("doc_id") keeps an arbitrary row and the
+        // idempotent-replay guarantee silently degrades to "some row").
+        // Same shuffle count as before: the exact-dup pass and the
+        // collision pick share the one doc_id-keyed exchange.
+        val allCols = rawBatch.columns.map(col)
+        val uniq = rawBatch.dropDuplicates()
+          .withColumn("__pick",
+            xxhash64(allCols.toIndexedSeq: _*))
+        val picked = uniq
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("__pick").desc)))
+          .filter(col("__rn") === 1).drop("__pick", "__rn")
         val judged = graft.functions.Text
-          .withFilterVerdict(rawBatch.dropDuplicates("doc_id"))
+          .withFilterVerdict(picked)
           .localCheckpoint(true) // two consumers of one verdict pass
         graft.sources.Layout.overwritePartitions(
           judged.filter(col("verdict") === "kept").drop("verdict")
