@@ -109,10 +109,16 @@ object Bench {
       // r10 ADVICE wants flagged. Refs from the two stable r10 full-suite
       // runs (0.127/0.198 and 0.207/0.278)
       "q115_ann_search" -> 0.20, "q116_ivfpq_search" -> 0.28,
-      // round-10 addition: ~500 byte-shingles × 2 md5-h60 hashes per
-      // doc is the signature pass — the md5 backbone is the price of
-      // an oracle-replayable signature (5.73/5.78 isolated min-of-2)
-      "q119_media_neardup" -> 5.70,
+      // q119 ref re-based 5.70 → 1.65 round 11: the signature pass moved
+      // to the native byte-level kernel (graft_simhash64_bytes) — same
+      // ~500 shingles × 2 md5 per doc (the md5 inputs define the
+      // oracle-replayable signature and are unchanged, parity-spec'd),
+      // but the hex column / substring array / boxed hash arrays the
+      // column pipeline materialized per doc are gone. Controlled A/B,
+      // isolated min-of-2 on the same VM: hex path 5.73/5.78 (r10),
+      // native 1.72/1.62 — the old cost was the materialization, not
+      // the md5
+      "q119_media_neardup" -> 1.65,
       // round-8 additions, refs from their first full-suite run
       "q110_corpus_containment" -> 1.85, "q112_semdedup_hier" -> 4.40,
       "q113_ivfpq" -> 2.85, "q114_index_maintain" -> 2.50,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the vector hot path (SURVEY §7.3:
@@ -86,11 +86,71 @@ object GraftHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def h60(bytes: Array[Byte]): Long = {
-    val d = md.get().digest(bytes) // digest() resets the instance
+  private def packH60(d: Array[Byte]): Long =
     ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
       ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
       ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+
+  def h60(bytes: Array[Byte]): Long =
+    packH60(md.get().digest(bytes)) // digest() resets the instance
+
+  private val hexDigits = "0123456789ABCDEF".getBytes
+  private val simTag2 = "#2".getBytes
+
+  /** One-pass media SimHash of a BINARY payload — the native kernel
+    * behind `graft_simhash64_bytes` (q119's signature pass). Replays the
+    * column-level hex pipeline EXACTLY — hex(payload) → byte-aligned
+    * 16-hex-char windows (stride 2 chars = 1 byte; a payload under 8
+    * bytes contributes its whole shorter hex as the single shingle) →
+    * h60(w) / h60(w ++ "#2") → the [[simhash64]] majority fold — so the
+    * signature, the banding, the pairs output, and the DuckDB oracle are
+    * all bit-identical to the hex path (ExpressionsSpec asserts it on
+    * the real corpus). What it removes is every intermediate the column
+    * form materializes per doc: the 2×-payload hex STRING column, the
+    * ~N-element array of 16-char substring COPIES, two boxed
+    * array<long> hash columns, and the second pass the fold makes over
+    * them — here one shared hex buffer is written once and md5 reads
+    * windows from it in place. The md5 calls themselves are unchanged
+    * (they must be: their input defines the oracle-replayable
+    * signature, see the q119 scaladoc). */
+  def mediaSimhash(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val hex = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val v = payload(i) & 0xff
+      hex(2 * i) = hexDigits(v >>> 4)
+      hex(2 * i + 1) = hexDigits(v & 0xf)
+      i += 1
+    }
+    val m = md.get()
+    val counts = new Array[Int](64)
+    var nsh = 0
+    var off = 0
+    val last = if (n < 8) 0 else 2 * (n - 8)
+    val len = if (n < 8) 2 * n else 16
+    while (off <= last) {
+      m.update(hex, off, len)
+      val h1 = packH60(m.digest())
+      m.update(hex, off, len)
+      m.update(simTag2)
+      val h2 = packH60(m.digest())
+      var b = 0
+      while (b < 32) {
+        if (((h1 >>> b) & 1L) == 1L) counts(b) += 1
+        if (((h2 >>> b) & 1L) == 1L) counts(b + 32) += 1
+        b += 1
+      }
+      nsh += 1
+      off += 2
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) > nsh) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 
   /** MinHash machinery shared by the native expression and the operator
@@ -315,6 +375,38 @@ case class SimHash64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_simhash64_bytes(payload)`: 64-bit media SimHash of a BINARY
+  * payload in ONE native pass — the byte-level shingle kernel replacing
+  * q119's four-column hex pipeline (hex string → substring array → two
+  * array<long> hash columns → fold). Bit-identical to that pipeline by
+  * construction ([[GraftHash.mediaSimhash]] replays its md5 inputs
+  * exactly), so the DuckDB oracle is unchanged; ExpressionsSpec asserts
+  * parity on the real corpus including the <8-byte and empty-payload
+  * edge shingles. */
+case class SimHashBytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64_bytes expects a binary argument, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_simhash64_bytes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHash.mediaSimhash(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.mediaSimhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBytes =
+    copy(child = newChild)
+}
+
 /** `graft_bigram_distinct(tokens)`: distinct adjacent-bigram count of an
   * ARRAY<STRING> in one native pass — replaces the per-bigram
   * string-building HOF chain (`transform` + `slice` + `concat_ws` +
@@ -483,6 +575,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_dot", GraftExtensions.dotBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_h60", GraftExtensions.h60Builder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_simhash64", GraftExtensions.simhash64Builder, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_simhash64_bytes", GraftExtensions.simhashBytesBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_bigram_distinct", GraftExtensions.bigramDistinctBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_minhash_sig", GraftExtensions.minhashSigBuilder, "scala_udf")
       reg.createOrReplaceTempFunction("graft_ngram8", GraftExtensions.ngram8Builder, "scala_udf")
@@ -508,6 +601,9 @@ object GraftExtensions {
 
   private[expressions] val simhash64Builder: Seq[Expression] => Expression =
     children => SimHash64(children(0), children(1))
+
+  private[expressions] val simhashBytesBuilder: Seq[Expression] => Expression =
+    children => SimHashBytes(children.head)
 
   private[expressions] val bigramDistinctBuilder: Seq[Expression] => Expression =
     children => BigramDistinct(children.head)
@@ -557,6 +653,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       GraftExtensions.simhash64Builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64_bytes"),
+      new ExpressionInfo(classOf[SimHashBytes].getName, "graft_simhash64_bytes"),
+      GraftExtensions.simhashBytesBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_bigram_distinct"),
       new ExpressionInfo(classOf[BigramDistinct].getName, "graft_bigram_distinct"),

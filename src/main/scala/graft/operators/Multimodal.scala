@@ -255,21 +255,13 @@ object Multimodal {
     * Determinism: hex() is uppercase in BOTH engines; shingling,
     * hashing, banding, and the Hamming verify replay exactly in SQL. */
   def q119MediaNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Text.h60
-    val hx = hex(col("text").cast("binary"))
-    val m = Tables.documents(spark, dir).select(col("doc_id"),
-      mediaTypeCol(col("source")).as("media_type"), hx.as("hx"))
-    // byte-aligned 8-byte windows: hex positions 1, 3, 5, … (2 hex
-    // chars per byte); a payload under 8 bytes contributes its whole
-    // (shorter) hex string as the single shingle
-    val shingles = transform(
-      sequence(lit(1), greatest(length(col("hx")) - 15, lit(1)), lit(2)),
-      i => col("hx").substr(i, lit(16)))
-    val sigs = m.select(col("doc_id"), col("media_type"), shingles.as("sg"))
-      .select(col("doc_id"), col("media_type"),
-        call_function("graft_simhash64",
-          transform(col("sg"), s => h60(s)),
-          transform(col("sg"), s => h60(concat(s, lit("#2"))))).as("sh"))
+    // signature pass: the native byte-level kernel (round-11; before it,
+    // this was the column pipeline kept below as q119HexSigs) — one
+    // codegen'd expression per doc, no hex column / shingle array /
+    // boxed hash arrays on the wire. Bit-identical to the hex path by
+    // construction (GraftHash.mediaSimhash replays its md5 inputs), so
+    // the SQL oracle below still describes exactly what this computes.
+    val sigs = q119NativeSigs(spark, dir)
     val banded = sigs.select(col("doc_id"), col("media_type"), col("sh"),
       explode(array((0 until graft.operators.Dedup.nSimBands).map { b =>
         concat_ws(":", col("media_type"), lit(b.toString),
@@ -292,6 +284,38 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("media_type"), col("doc_a"), col("doc_b"))
+  }
+
+  /** q119's signature frame via the native kernel — factored so the
+    * parity spec compares exactly what the query runs. */
+  private[graft] def q119NativeSigs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      mediaTypeCol(col("source")).as("media_type"),
+      call_function("graft_simhash64_bytes",
+        col("text").cast("binary")).as("sh"))
+
+  /** The pre-round-11 COLUMN form of q119's signature pass — hex string
+    * → byte-aligned 16-char windows → h60 / h60(+"#2") arrays →
+    * graft_simhash64 fold. Kept solely as the parity reference for the
+    * native kernel (ExpressionsSpec asserts `graft_simhash64_bytes`
+    * equals this per doc on the real corpus); the query itself no
+    * longer runs it. */
+  private[graft] def q119HexSigs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text.h60
+    val hx = hex(col("text").cast("binary"))
+    val m = Tables.documents(spark, dir).select(col("doc_id"),
+      mediaTypeCol(col("source")).as("media_type"), hx.as("hx"))
+    // byte-aligned 8-byte windows: hex positions 1, 3, 5, … (2 hex
+    // chars per byte); a payload under 8 bytes contributes its whole
+    // (shorter) hex string as the single shingle
+    val shingles = transform(
+      sequence(lit(1), greatest(length(col("hx")) - 15, lit(1)), lit(2)),
+      i => col("hx").substr(i, lit(16)))
+    m.select(col("doc_id"), col("media_type"), shingles.as("sg"))
+      .select(col("doc_id"), col("media_type"),
+        call_function("graft_simhash64",
+          transform(col("sg"), s => h60(s)),
+          transform(col("sg"), s => h60(concat(s, lit("#2"))))).as("sh"))
   }
 
   val q119Sql: String = {

@@ -47,6 +47,39 @@ class ExpressionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("graft_simhash64_bytes equals the hex-path column pipeline on the real corpus") {
+    val native = graft.operators.Multimodal.q119NativeSigs(spark, sf)
+    val hexPath = graft.operators.Multimodal.q119HexSigs(spark, sf)
+    val mismatches = native.as("n")
+      .join(hexPath.as("h"), Seq("doc_id"))
+      .filter(col("n.sh") =!= col("h.sh"))
+      .count()
+    assert(mismatches == 0,
+      "native byte kernel and hex column pipeline must be bit-identical " +
+        "for the q119 oracle to stay valid")
+  }
+
+  test("graft_simhash64_bytes edge shingles: empty and <8-byte payloads") {
+    // under 8 bytes the hex path's single shingle is the WHOLE shorter
+    // hex string (greatest(len-15, 1)); empty payload shingles "" / "#2"
+    val payloads = Seq("", "a", "1234567", "12345678", "123456789")
+      .map(s => Tuple1(s.getBytes("UTF-8")))
+    val df = payloads.toDF("b")
+    val hx = hex(col("b"))
+    val shingles = transform(
+      sequence(lit(1), greatest(length(hx) - 15, lit(1)), lit(2)),
+      i => hx.substr(i, lit(16)))
+    val mismatches = df.select(
+      call_function("graft_simhash64_bytes", col("b")).as("native"),
+      call_function("graft_simhash64",
+        transform(shingles, s => graft.functions.Text.h60(s)),
+        transform(shingles, s =>
+          graft.functions.Text.h60(concat(s, lit("#2"))))).as("ref"))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("graft_bigram_distinct equals the HOF bigram-string form on real docs") {
     val d = graft.sources.Tables.documents(spark, sf).limit(300)
     val t = split(col("text"), " ")

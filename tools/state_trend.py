@@ -10,16 +10,19 @@ drifts > 1.5x in either direction for rowsUpdated, stateBytes, and
 commitMs — the early-warning channel for state-design regressions that
 wall-clock hides behind per-batch fixed costs.
 
-BATCH (r10, r8 ask #2): the same diff over every qNN batch-query
-timing recoverable from the artifacts (the driver keeps the bench
-line's last 2000 chars; r7+ artifacts carry the full ~114-query map,
-earlier ones a suffix — the tool diffs the intersection and reports
-coverage). Flags ratio > 1.5x either way; sub-second entries are
-annotated as noise-prone rather than counted, because the contended
-suite routinely wobbles 0.2 <-> 0.5 s entries (the q22/q03 signature,
-PLANS.md r9) — a flag there would page on noise every round. q103's
-unexplained r8 tripling (0.84 -> 2.42 s) is exactly the class of drift
-this section exists to catch the round it happens.
+BATCH (r10, r8 ask #2; sNN wall-clock added r11 per the r10 verdict
+ask #6): the same diff over every qNN batch-query AND sNN streaming
+wall-clock timing recoverable from the artifacts (the driver keeps the
+bench line's last 2000 chars; r7+ artifacts carry the full ~114-query
+map, earlier ones a suffix — the tool diffs the intersection and
+reports coverage). Flags ratio > 1.5x either way; sub-second entries
+are annotated as noise-prone rather than counted, because the
+contended suite routinely wobbles 0.2 <-> 0.5 s entries (the q22/q03
+signature, PLANS.md r9) — a flag there would page on noise every
+round. q103's unexplained r8 tripling (0.84 -> 2.42 s) is exactly the
+class of drift this section exists to catch the round it happens; the
+sNN entries close the channel s02's r9 wall-clock regression slipped
+through (it was caught by commitMs, not wall).
 
 Usage:
     python3 tools/state_trend.py                 # two newest BENCH_r*.json
@@ -97,7 +100,7 @@ def extract_queries(path):
         end = text.find("}", m.end())
         noisy_span = (m.start(), end if end != -1 else len(text))
     suite, noisy = {}, {}
-    for pm in re.finditer(r'"(q\d+[a-z0-9_]*)":([0-9][0-9.]*)', text):
+    for pm in re.finditer(r'"([qs]\d+[a-z0-9_]*)":([0-9][0-9.]*)', text):
         name, val = pm.group(1), float(pm.group(2))
         # noisy map keys are short (q75) vs suite keys (q75_triangle_count)
         if noisy_span[0] <= pm.start() < noisy_span[1]:
