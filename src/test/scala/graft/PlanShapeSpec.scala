@@ -226,6 +226,57 @@ class PlanShapeSpec extends SparkSpec {
       s"expected agg + sort exchanges only, got ${shuffles(p).size}")
   }
 
+  test("q120/q121 published-table search legs scan the bucketed tables, corpus never shuffles") {
+    // first calls publish the tables (train → session cache → bucketed
+    // table); subsequent plans must read the TABLE — the production form
+    for (name <- Seq("q120_ann_search_table", "q121_ivfpq_search_table")) {
+      graft.operators.Similarity.queries(name)(spark, sf).collect()
+      val p = executed(graft.operators.Similarity.queries(name)(spark, sf))
+      val scans = allNodes(p).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, s"$name must read the published index table")
+      assert(scans.forall(_.relation.bucketSpec.isDefined),
+        s"$name read a non-bucketed file: " +
+          scans.filter(_.relation.bucketSpec.isEmpty).map(_.tableIdentifier))
+      // the corpus side joins by broadcast of the 10-query frame; the
+      // only exchanges left are candidate-sized (per-query top-k window
+      // + the final presentation sort) — nothing corpus-sized
+      assert(shuffles(p).size <= 2,
+        s"$name: corpus side must not shuffle, got ${shuffles(p).size} exchanges")
+    }
+  }
+
+  test("published index halves co-join on cell with zero exchanges (bucket-for-bucket)") {
+    // the layout claim of the published form: the re-rank re-attach
+    // (cells ⋈ codes on (cell, vec_id)) is bucket-aligned, so with
+    // broadcast off the planner gets a sort-merge join with NO exchange
+    // on either side — at 10⁹ vectors this is the join that would
+    // otherwise shuffle the whole index
+    graft.operators.Similarity.queries("q121_ivfpq_search_table")(spark, sf).collect()
+    val cells = spark.table(graft.operators.Similarity.indexTableName(sf, "cells"))
+    val pq = spark.table(graft.operators.Similarity.indexTableName(sf, "pq"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevReq = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // hash(cell) buckets cluster (cell, vec_id) keys too — same cell ⇒
+      // same bucket; the default-on strictness knob would force a
+      // two-key re-shuffle anyway, and relaxing it is exactly the
+      // deployment setting a bucketed index serve uses
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val p = executed(cells.join(pq, Seq("cell", "vec_id")))
+      assert(allNodes(p).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, "expected a sort-merge join over the bucketed halves")
+      assert(shuffles(p).isEmpty,
+        s"bucket-aligned join must plan zero exchanges, got ${shuffles(p).size}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", prevReq)
+    }
+  }
+
   test("Loops.dataSizedParts: floor, knee, and ceiling") {
     import graft.operators.Loops
     assert(Loops.dataSizedParts(0L, 32) == 4, "floor holds on empty inputs")
