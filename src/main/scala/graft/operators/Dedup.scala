@@ -794,9 +794,32 @@ object Dedup {
     * SimHash bands above — and the verify runs on candidates only,
     * like q27. Both engines evaluate the SAME exact integer
     * levenshtein, so the hash gate covers the verify bar too. */
-  def q87FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables.customer(spark, dir)
-      .select(col("c_name").as("t")).distinct()
+  /** Adversarial-density guard for [[q87FuzzyJoin]] (r10 verdict ask
+    * #1): a deletion-variant bucket of degree D explodes D·(D−1)/2
+    * candidate pairs, so ONE crafted (or pathological) hot neighborhood
+    * — a million names sharing a variant — would go quadratic however
+    * linear the rest of the corpus is. Buckets past the cap are EXCLUDED
+    * from pair generation and surfaced per name in the `n_capped` audit
+    * column instead (the q60 boilerplate-exemption pattern: bound the
+    * explode BEFORE pairs exist, never after). The staged corpora's max
+    * degree is 38 at every tier (replica neighborhoods are disjoint by
+    * construction, measured constant 1×–20×), so 256 never binds on
+    * genuine data and the oracle stays unchanged — the cap exists for
+    * the 100× corpus nobody staged. Note the engine caps HASH buckets
+    * (xxhash64(v)) while the oracle caps string buckets: a collision
+    * could only merge buckets toward the cap, and at 38 ≪ 256 an
+    * 8-byte-hash collision dense enough to matter cannot occur in any
+    * staged tier. */
+  private[graft] val fuzzyDegreeCap = 256
+
+  def q87FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNeighbors(Tables.customer(spark, dir)
+      .select(col("c_name").as("t")).distinct())
+
+  /** The fuzzy-join core over a distinct name column `t` — split from
+    * [[q87FuzzyJoin]] so the cap path is testable with a synthetic
+    * over-cap neighborhood (no staged corpus reaches degree 256). */
+  private[graft] def fuzzyNeighbors(names: DataFrame): DataFrame = {
     val vars = names.select(col("t"), explode(expr(
       "array_append(transform(sequence(1, length(t)), " +
         "i -> concat(substr(t, 1, i-1), substr(t, i+1))), t)")).as("v"))
@@ -811,10 +834,13 @@ object Dedup {
     // FINAL pairs), so an 8-byte shuffle key beats a 19-char string —
     // and a hash collision can only ADD candidates, which the exact
     // levenshtein verify below discards
-    val cand = vars
+    val buckets = vars
       .groupBy(xxhash64(col("v")).as("vk"))
       .agg(sort_array(collect_set(col("t"))).as("ts"))
       .filter(size(col("ts")) > 1)
+      .localCheckpoint(true) // one bucket pass feeds both the kept pairs and the audit
+    val cand = buckets
+      .filter(size(col("ts")) <= fuzzyDegreeCap)
       .select(explode(flatten(
         transform(sequence(lit(1), size(col("ts")) - 1), i =>
           transform(sequence(i + 1, size(col("ts"))), j =>
@@ -822,26 +848,51 @@ object Dedup {
               element_at(col("ts"), j).as("t2")))))).as("p"))
       .select(col("p.t1"), col("p.t2"))
       .distinct()
+    // per-name overflow audit: how many of this name's neighborhoods
+    // were excluded by the cap (0 everywhere on the staged corpora).
+    // Over-cap buckets explode to NAMES (linear, Δ·D rows), never pairs.
+    val capped = buckets.filter(size(col("ts")) > fuzzyDegreeCap)
+      .select(explode(col("ts")).as("name"))
+      .groupBy(col("name")).agg(count(lit(1)).as("nc"))
     val ver = cand.filter(levenshtein(col("t1"), col("t2")) <= 1)
+    // FULL join: a name whose only neighborhoods were capped still
+    // surfaces — n_neighbors 0, first_neighbor null, n_capped > 0 —
+    // so capping is auditable from the output alone, never a silent
+    // recall hole (the no-silent-caps rule)
     ver.select(col("t1").as("name"), col("t2").as("nb"))
       .union(ver.select(col("t2"), col("t1")))
       .groupBy(col("name"))
       .agg(count(lit(1)).as("n_neighbors"), min(col("nb")).as("first_neighbor"))
+      .join(capped, Seq("name"), "full")
+      .select(col("name"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        col("first_neighbor"),
+        coalesce(col("nc"), lit(0L)).as("n_capped"))
       .orderBy(col("name"))
   }
 
   val q87Sql: String =
-    """WITH names AS (SELECT DISTINCT c_name AS t FROM customer),
+    s"""WITH names AS (SELECT DISTINCT c_name AS t FROM customer),
       |vars AS (SELECT t, unnest(list_append(
       |    list_transform(range(1, len(t)+1), i -> substr(t, 1, i-1) || substr(t, i+1)), t)) AS v
       |  FROM names),
+      |deg AS (SELECT v, count(DISTINCT t) AS deg FROM vars GROUP BY v),
       |cand AS (SELECT DISTINCT a.t AS t1, b.t AS t2
-      |  FROM vars a JOIN vars b ON a.v = b.v AND a.t < b.t),
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.t < b.t
+      |  JOIN deg d ON d.v = a.v AND d.deg <= $fuzzyDegreeCap),
+      |capped AS (SELECT a.t AS name, count(DISTINCT a.v) AS nc
+      |  FROM vars a JOIN deg d ON d.v = a.v AND d.deg > $fuzzyDegreeCap
+      |  GROUP BY a.t),
       |ver AS (SELECT t1, t2 FROM cand WHERE levenshtein(t1, t2) <= 1),
       |sym AS (SELECT t1 AS name, t2 AS nb FROM ver
-      |  UNION ALL SELECT t2, t1 FROM ver)
-      |SELECT name, count(*) AS n_neighbors, min(nb) AS first_neighbor
-      |FROM sym GROUP BY name ORDER BY name""".stripMargin
+      |  UNION ALL SELECT t2, t1 FROM ver),
+      |agg AS (SELECT name, count(*) AS n_neighbors, min(nb) AS first_neighbor
+      |  FROM sym GROUP BY name)
+      |SELECT coalesce(a.name, c.name) AS name,
+      |  coalesce(a.n_neighbors, 0) AS n_neighbors, a.first_neighbor,
+      |  coalesce(c.nc, 0) AS n_capped
+      |FROM agg a FULL JOIN capped c ON c.name = a.name
+      |ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_exact_dedup"     -> q25ExactDedup _,

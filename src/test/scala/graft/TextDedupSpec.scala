@@ -366,11 +366,42 @@ class TextDedupSpec extends SparkSpec {
       a <- names; b <- names if a != b && lev(a, b) <= 1
     } yield a -> b).groupBy(_._1)
       .map { case (n, ps) => n -> ((ps.length.toLong, ps.map(_._2).min)) }
-    val got = graft.operators.Dedup.q87FuzzyJoin(spark, sf).collect()
-      .map(r => r.getAs[String]("name") ->
+    val rows = graft.operators.Dedup.q87FuzzyJoin(spark, sf).collect()
+    val got = rows.map(r => r.getAs[String]("name") ->
         ((r.getAs[Long]("n_neighbors"), r.getAs[String]("first_neighbor")))).toMap
     assert(got == expected,
       s"degree mismatch: sizes ${got.size} vs ${expected.size}")
+    // the adversarial-density cap must never bind on genuine corpora
+    assert(rows.forall(_.getAs[Long]("n_capped") == 0L),
+      "degree cap bound on the staged corpus — cap set too low")
+  }
+
+  test("q87 degree cap: an over-cap neighborhood yields audit rows, not quadratic pairs") {
+    import spark.implicits._
+    // the adversarial shape the cap exists for: single-char INSERTIONS
+    // of one stem — deleting the inserted char maps every one of them
+    // back onto the stem, so they all land in ONE deletion-variant
+    // bucket of degree ≈ 312 (> the 256 cap). Without the cap this one
+    // bucket would explode ~48k candidate pairs.
+    val stem = "adversarialstem"
+    val ins = for (k <- 0 until 12; c <- 'a' to 'z') yield
+      stem.take(k) + c + stem.drop(k)
+    val names = ins.distinct // 300+ single-insertion variants of the stem
+    assert(names.size > graft.operators.Dedup.fuzzyDegreeCap,
+      s"fixture must exceed the cap, got ${names.size}")
+    val out = graft.operators.Dedup
+      .fuzzyNeighbors(names.toDF("t")).collect()
+    // every name appears with the stem-bucket counted in n_capped
+    assert(out.nonEmpty, "capped names must still surface as audit rows")
+    assert(out.forall(_.getAs[Long]("n_capped") >= 1L),
+      "each name's stem neighborhood was capped and must be audited")
+    // and the quadratic pair set was NOT materialized: many of these
+    // names are levenshtein-2 apart (insert+insert), so had the bucket
+    // exploded, n_neighbors would be inflated; with the cap the only
+    // surviving neighbors come from residual small buckets
+    val maxN = out.map(_.getAs[Long]("n_neighbors")).max
+    assert(maxN < names.size.toLong - 1,
+      s"cap failed to bound the hot bucket: max n_neighbors $maxN")
   }
 
   // shared driver-side recompute helpers for q99 ---------------------
