@@ -116,6 +116,12 @@ object Bench {
       // scan of the table vs the in-memory checkpoint, the price of the
       // fault-tolerant multi-executor form)
       "q120_ann_search_table" -> 0.45, "q121_ivfpq_search_table" -> 0.50,
+      // the maintenance leg over the published base index (r11): its
+      // steady state is the DELTA scan + broadcast argmin + k-row
+      // stats (1.18/1.21 isolated min-of-2); a catalog miss re-running
+      // the base training per call would read ~q114's in-run level —
+      // the same publish-lifecycle guard as q120/q121
+      "q122_index_maintain_table" -> 1.20,
       // q119 ref re-based 5.70 → 1.65 round 11: the signature pass moved
       // to the native byte-level kernel (graft_simhash64_bytes) — same
       // ~500 shingles × 2 md5 per doc (the md5 inputs define the

@@ -721,19 +721,24 @@ object Similarity {
   private def publishedIndex(spark: SparkSession, dir: String, which: String)
                             (build: => DataFrame): DataFrame = publishLock.synchronized {
     val tbl = indexTableName(dir, which)
-    if (!spark.catalog.tableExists(tbl)) {
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = java.nio.file.Paths.get(warehouse, tbl)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      build.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(indexTableBuckets, "cell").sortBy("cell")
-        .format("parquet").saveAsTable(tbl)
-    }
+    if (!spark.catalog.tableExists(tbl)) writeIndexTable(spark, tbl, build)
     spark.table(tbl)
+  }
+
+  /** One bucketed-table publish: clear any orphaned managed location a
+    * prior JVM left in the warehouse, then write bucketed + bucket-sorted
+    * by `cell`. Shared by [[publishedIndex]] and [[publishedMaintIndex]]. */
+  private def writeIndexTable(spark: SparkSession, tbl: String, df: DataFrame): Unit = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, tbl)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(indexTableBuckets, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(tbl)
   }
 
   /** The published celled corpus — the one producer both table-backed
@@ -760,6 +765,71 @@ object Similarity {
   def q121IvfPqSearchTable(spark: SparkSession, dir: String): DataFrame = {
     val cells = publishedCells(spark, dir)
     pqSearch(cells, publishedIndex(spark, dir, "pq")(pqStoreOf(cells)))
+  }
+
+  /** Publish-once of the MAINTENANCE base index — the stored state
+    * q114's scaladoc says a deployment holds instead of re-deriving:
+    * the base-corpus cell assignments (`mbase`: vec_id, cell — base
+    * occupancy is a group-count over this table) and the frozen
+    * integer centroids (`mcents`: cell, cq — the k-row quantizer every
+    * ingest broadcasts). One training run feeds both tables, guarded by
+    * the same publish lock / catalog check / orphaned-location cleanup
+    * as the serving tables. The training trajectory is q114's verbatim
+    * (same cut, same seeds, same integer Lloyd), so everything derived
+    * from these tables is bit-identical to the self-contained form. */
+  private def publishedMaintIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    publishLock.synchronized {
+      val bTbl = indexTableName(dir, "mbase")
+      val cTbl = indexTableName(dir, "mcents")
+      if (!spark.catalog.tableExists(bTbl) || !spark.catalog.tableExists(cTbl)) {
+        val eq = codedVectors(spark, dir).localCheckpoint(true)
+        val maxId = eq.agg(max(col("vec_id"))).head.getLong(0)
+        val cut = (maxId + 1L) * 4L / 5L
+        require(cut > 116, s"delta cut $cut overlaps the fixed seed window")
+        val base = eq.filter(col("vec_id") < cut)
+        val cents = trainCentroids(base, fixedSeeds(base), kmeansRounds)
+        writeIndexTable(spark, bTbl,
+          withCellAssigned(base, cents).select(col("vec_id"), col("cell")))
+        import spark.implicits._
+        writeIndexTable(spark, cTbl, cents.toSeq.toDF("cell", "cq"))
+        Checkpoints.release(eq)
+      }
+      (spark.table(bTbl), spark.table(cTbl))
+    }
+
+  /** q122: q114's maintenance leg over the PUBLISHED base index — the
+    * production form of per-ingest index maintenance, completing the
+    * table-backed lifecycle (q120/q121 serve, q122 maintains). The
+    * per-ingest path touches ONLY: the `mbase` assignments table (base
+    * occupancy — a group-count on the bucket column, which the bucketed
+    * layout satisfies with ZERO exchange), the k-row `mcents` table
+    * (the frozen quantizer, a bounded driver collect like every IVF
+    * operator's), and the DELTA scan with its vec_id lower bound pushed
+    * to parquet. The base corpus is never re-read: ingesting 1 TB of
+    * deltas into a 100 TB index costs 1 TB of scan plus an
+    * assignments-table metadata read — and unlike q114's self-contained
+    * form there is no occupancy checkpoint to hold, so the deliberate
+    * ~16-row session leak documented there does not exist here.
+    *
+    * The delta bound is the table's high-water mark max(vec_id)+1 — the
+    * metadata a real index keeps — which selects exactly q114's
+    * `vec_id >= cut` rows because no vector exists between the last
+    * base id and the cut. Output ≡ q114 (same frozen trajectory read
+    * back from parquet — integer codes are exact); the oracle is
+    * q114's verbatim, proving the published base index is the fresh
+    * one. */
+  def q122IndexMaintainTable(spark: SparkSession, dir: String): DataFrame = {
+    val (mbase, mcents) = publishedMaintIndex(spark, dir)
+    val cents: Array[(Long, Seq[Long])] = mcents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(cents.nonEmpty && cents.length <= ivfMaxCentroids,
+      s"frozen quantizer must stay driver-sized, got ${cents.length} centroids")
+    val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val baseOcc = mbase.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val deltaOcc = codeAndAssign(
+        Tables.embeddings(spark, dir).filter(col("vec_id") >= cut), cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
+    maintainStatsFromOcc(baseOcc, deltaOcc, cents.map(_._1).toSeq)
   }
 
   /** The two PQ search stages over built index frames: approximate
@@ -1552,11 +1622,11 @@ object Similarity {
     // materialize the two k-row occupancy aggregates so the N-row codes
     // checkpoint can be released NOW (the lazy result would otherwise
     // pin it until the consumer executes — r8 ADVICE); the final
-    // spine-join + totals cross-join stays LAZY so its plan shape (the
-    // broadcast 1-row totals cross join, the map-side assignment)
-    // remains visible to PlanAuditSpec/Explain — r9's eager checkpoint
-    // of the whole result collapsed the plan to a LogicalRDD scan and
-    // made the query unauditable (r9 VERDICT What's-wrong #1)
+    // spine-join + totals window stays LAZY so its plan shape (the
+    // k-row totals window, the map-side assignment) remains visible to
+    // PlanAuditSpec/Explain — r9's eager checkpoint of the whole result
+    // collapsed the plan to a LogicalRDD scan and made the query
+    // unauditable (r9 VERDICT What's-wrong #1)
     // DELIBERATE leak: baseOcc/deltaOcc (k≈16 rows each) are the BACKING
     // STORE of the lazy result frame below — releasing them here would
     // free blocks the not-yet-executed plan still reads (the Checkpoints
@@ -1600,15 +1670,22 @@ object Similarity {
     // spine from the centroid ids: a cell that attracted nothing still
     // reports (its emptiness is itself a drift signal)
     val spine = spineCells.toDF("cell")
-    val totals = baseOcc.agg(coalesce(sum(col("n_base")), lit(0L)).as("base_n"))
-      .crossJoin(deltaOcc.agg(coalesce(sum(col("n_delta")), lit(0L)).as("delta_n")))
+    // corpus totals as a window sum over the k-row spine frame, not a
+    // cross join of re-aggregated occupancies: each occupancy subtree
+    // is referenced exactly ONCE, so a consumer that derives occupancy
+    // from a corpus scan (q122's delta leg) scans the corpus once —
+    // the cross-join form re-planned the whole delta scan inside the
+    // totals leg, doubling the dominant per-ingest cost. The window's
+    // single-partition exchange moves k≈16 rows (partitioned by a
+    // constant to keep the declared shape explicit).
+    val w = Window.partitionBy(lit(0))
     spine.join(baseOcc, Seq("cell"), "left")
       .join(deltaOcc, Seq("cell"), "left")
-      .crossJoin(broadcast(totals))
       .select(col("cell"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
-        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
-        col("base_n"), col("delta_n"))
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("base_n", sum(col("n_base")).over(w))
+      .withColumn("delta_n", sum(col("n_delta")).over(w))
       .select(col("cell"), col("n_base"), col("n_delta"),
         round(col("n_delta") * col("base_n") /
           greatest(col("n_base") * col("delta_n"), lit(1L)).cast("double")
@@ -1689,6 +1766,7 @@ object Similarity {
     "q116_ivfpq_search"     -> q116IvfPqSearch _,
     "q120_ann_search_table" -> q120AnnSearchTable _,
     "q121_ivfpq_search_table" -> q121IvfPqSearchTable _,
+    "q122_index_maintain_table" -> q122IndexMaintainTable _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1716,5 +1794,9 @@ object Similarity {
     // index (doubles are exact in parquet) changed nothing
     "q120_ann_search_table" -> q90Sql,
     "q121_ivfpq_search_table" -> q113Sql,
+    // the maintenance leg over the published base index replays q114's
+    // frozen trajectory from parquet — oracle equality proves the
+    // stored assignments + centroids ARE the fresh base training
+    "q122_index_maintain_table" -> q114Sql,
   )
 }

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     "q98_join_card_estimate" -> "sketch x sketch 1-row summaries",
     "q102_ann_recall" -> "runs q30 ground truth internally",
     "q104_heavy_hitters" -> "1-row token-count frame cross join",
-    "q114_index_maintain" -> "1-row totals cross join; assignment map-side",
+    // q114/q122 are deliberately absent: their corpus totals are a
+    // window sum over the k-row spine frame (round 11) — the former
+    // 1-row totals cross join re-planned the occupancy subtrees twice,
+    // which doubled q122's delta scan
   )
 
   test("no query plans a cartesian product or nested-loop join off the allow-list") {

@@ -247,6 +247,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q122 maintenance path: delta-bounded corpus scan, bucketed base table, zero base exchange") {
+    // first call publishes the base index (train → mbase/mcents tables)
+    graft.operators.Similarity.queries("q122_index_maintain_table")(spark, sf).collect()
+    val p = executed(graft.operators.Similarity.queries("q122_index_maintain_table")(spark, sf))
+    val scans = allNodes(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the only corpus read is the DELTA: its vec_id lower bound must
+    // reach the parquet scan — a maintenance pass that re-reads the
+    // base corpus is the O(N)-per-ingest failure mode
+    val corpus = scans.filter(_.relation.bucketSpec.isEmpty)
+    assert(corpus.size == 1, s"expected one delta corpus scan, got ${corpus.size}")
+    assert(corpus.head.dataFilters.exists(_.references.exists(_.name == "vec_id")),
+      s"delta bound not pushed to the corpus scan: ${corpus.head.dataFilters}")
+    // base occupancy comes off the bucketed assignments table
+    assert(scans.exists(_.relation.bucketSpec.isDefined),
+      "base occupancy must read the published mbase table")
+    // ... and the bucket layout satisfies the group-by's distribution:
+    // the occupancy aggregate alone plans ZERO exchanges — at 10⁹
+    // indexed vectors this is the difference between reading metadata
+    // and shuffling the index
+    val mbaseT = spark.table(graft.operators.Similarity.indexTableName(sf, "mbase"))
+    val occ = executed(mbaseT.groupBy("cell").count())
+    assert(shuffles(occ).isEmpty,
+      s"bucketed occupancy aggregate must not exchange, got ${shuffles(occ).size}")
+  }
+
   test("published index halves co-join on cell with zero exchanges (bucket-for-bucket)") {
     // the layout claim of the published form: the re-rank re-attach
     // (cells ⋈ codes on (cell, vec_id)) is bucket-aligned, so with
