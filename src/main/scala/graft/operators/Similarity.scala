@@ -818,12 +818,24 @@ object Similarity {
     * back from parquet — integer codes are exact); the oracle is
     * q114's verbatim, proving the published base index is the fresh
     * one. */
-  def q122IndexMaintainTable(spark: SparkSession, dir: String): DataFrame = {
+  /** The published base index in the shape its consumers hold it:
+    * the bucketed assignments table plus the frozen quantizer collected
+    * off the k-row centroids table (the same bounded driver collect
+    * every IVF operator's search side holds). Shared by q122 and the
+    * streaming maintenance sink's deployment entry point
+    * ([[graft.streaming.IndexMaintain.maintainPublishedSink]]). */
+  private[graft] def publishedMaintFor(spark: SparkSession,
+      dir: String): (DataFrame, Array[(Long, Seq[Long])]) = {
     val (mbase, mcents) = publishedMaintIndex(spark, dir)
     val cents: Array[(Long, Seq[Long])] = mcents.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
     require(cents.nonEmpty && cents.length <= ivfMaxCentroids,
       s"frozen quantizer must stay driver-sized, got ${cents.length} centroids")
+    (mbase, cents)
+  }
+
+  def q122IndexMaintainTable(spark: SparkSession, dir: String): DataFrame = {
+    val (mbase, cents) = publishedMaintFor(spark, dir)
     val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val baseOcc = mbase.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
     val deltaOcc = codeAndAssign(

@@ -82,4 +82,25 @@ object IndexMaintain {
       .trigger(trigger)
       .start()
   }
+
+  /** [[maintainSink]] wired to the PUBLISHED base index (q122's
+    * bucketed tables) — the deployment entry point, where the stream
+    * maintains the same stored index the batch maintenance leg reads:
+    * frozen centroids off the k-row `mcents` table, base occupancy as
+    * the `mbase` assignments table's group-count (zero-exchange on the
+    * bucket column; k rows thereafter). First call publishes the index
+    * if the warehouse lacks it — after that the stream never touches
+    * the base corpus, only its own deltas. Stream ≡ batch: a single
+    * batch carrying exactly q122's delta rows re-emits q122's audit
+    * verbatim (MaintainSpec pins it on the real corpus). */
+  def maintainPublishedSink(newVecs: DataFrame, dir: String,
+      outDir: String, checkpointDir: String, deltaDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = newVecs.sparkSession
+    val (mbase, cents) =
+      graft.operators.Similarity.publishedMaintFor(spark, dir)
+    maintainSink(newVecs, cents,
+      mbase.groupBy(col("cell")).agg(count(lit(1)).as("n_base")),
+      outDir, checkpointDir, deltaDir, trigger)
+  }
 }

@@ -112,6 +112,44 @@ class MaintainSpec extends SparkSpec {
     assert(replayed(1L).getAs[Int]("retrain") == 1)
   }
 
+  test("published-index streaming maintenance re-emits q122's audit verbatim (stream ≡ batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IndexMaintain
+    implicit val sqlCtx = spark.sqlContext
+    // the batch leg's audit over the published index ...
+    val batch = graft.operators.Similarity
+      .queries("q122_index_maintain_table")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cell") -> r).toMap
+    // ... and the SAME delta rows delivered as one streaming batch into
+    // the deployment sink, against the SAME published tables
+    val mbase = spark.table(graft.operators.Similarity.indexTableName(sf, "mbase"))
+    val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val deltaVecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") >= cut).collect()
+      .map(r => IndexMaintain.NewVector(r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)))
+    val root = java.nio.file.Files.createTempDirectory("graft_pubmaint").toString
+    val input = MemoryStream[IndexMaintain.NewVector]
+    input.addData(deltaVecs.toSeq)
+    val q = IndexMaintain.maintainPublishedSink(input.toDF(), sf,
+      s"$root/out", s"$root/ckpt", s"$root/delta")
+    try q.awaitTermination(120000L) finally q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .filter(col("batch") === 0L).collect()
+      .map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"cell spines differ: ${streamed.keySet} vs ${batch.keySet}")
+    for ((cell, b) <- batch) {
+      val s = streamed(cell)
+      for (c <- Seq("n_base", "n_delta"))
+        assert(s.getAs[Long](c) == b.getAs[Long](c), s"$c differs at cell $cell")
+      assert(s.getAs[Double]("drift_ratio") == b.getAs[Double]("drift_ratio"),
+        s"drift_ratio differs at cell $cell")
+      assert(s.getAs[Int]("retrain") == b.getAs[Int]("retrain"),
+        s"retrain differs at cell $cell")
+    }
+  }
+
   test("q114 end-to-end conserves the corpus split and spans every centroid") {
     val out = graft.operators.Similarity.queries("q114_index_maintain")(spark, sf)
       .collect()
