@@ -212,20 +212,18 @@ object Ingest {
                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        // collapse row-level re-delivery in two layers: dropDuplicates()
-        // over ALL columns kills byte-identical copies, then a residual
-        // doc_id collision (same id, DIFFERENT bytes — producer bug, but
-        // it happens) picks the max-payload-hash row DETERMINISTICALLY,
-        // so a replayed batch re-emits the identical survivor set (a
-        // bare dropDuplicates("doc_id") keeps an arbitrary row and the
+        // collapse row-level re-delivery to ONE deterministic row per
+        // doc_id in a single doc_id-keyed exchange: rank rows by the
+        // all-column hash and keep the max. Byte-identical copies tie on
+        // the hash, so the survivor is the same CONTENT whichever copy
+        // wins; a residual doc_id collision (same id, DIFFERENT bytes —
+        // producer bug, but it happens) resolves to the max-hash row, so
+        // a replayed batch re-emits the identical survivor set (a bare
+        // dropDuplicates("doc_id") keeps an arbitrary row and the
         // idempotent-replay guarantee silently degrades to "some row").
-        // Same shuffle count as before: the exact-dup pass and the
-        // collision pick share the one doc_id-keyed exchange.
         val allCols = rawBatch.columns.map(col)
-        val uniq = rawBatch.dropDuplicates()
-          .withColumn("__pick",
-            xxhash64(allCols.toIndexedSeq: _*))
-        val picked = uniq
+        val picked = rawBatch
+          .withColumn("__pick", xxhash64(allCols.toIndexedSeq: _*))
           .withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("doc_id")).orderBy(col("__pick").desc)))
