@@ -61,15 +61,22 @@ object StoreDirs {
     // RocksDB working dirs nest inside the per-context spark-* dir
     // (created at context init, so a top-level diff misses them) —
     // count StateStore* dirs anywhere under a root as the applied-knob
-    // evidence
-    def stateStoreDirs(root: String): Int = {
+    // evidence. `exclude`: the fallback root (java.io.tmpdir) is an
+    // ANCESTOR of the /tmp layouts, so its count must skip paths inside
+    // the configured dirs or a correctly-applied knob prints the same
+    // tmpdir signature as the knob-failure case the probe exists to
+    // catch. A walk that races Spark's own temp-file deletion returns
+    // -1, which the caller prints as `?` instead of a nonsense delta.
+    def stateStoreDirs(root: String, exclude: Seq[String]): Int = {
+      val ex = exclude.filterNot(_ == root).map(Paths.get(_))
       val s = Files.walk(Paths.get(root), 4)
       try {
         val it = s.iterator(); var n = 0
         while (it.hasNext) {
           val f = it.next()
           if (f.getFileName != null &&
-              f.getFileName.toString.startsWith("StateStore")) n += 1
+              f.getFileName.toString.startsWith("StateStore") &&
+              !ex.exists(f.startsWith(_))) n += 1
         }
         n
       } catch { case _: java.io.UncheckedIOException => -1 } finally s.close()
@@ -94,7 +101,7 @@ object StoreDirs {
     val tmpRoot = System.getProperty("java.io.tmpdir")
     val watched = (dirs :+ tmpRoot).distinct
     for (stores <- Seq(32, 8); rep <- 1 to 2) {
-      val before = watched.map(d => d -> stateStoreDirs(d)).toMap
+      val before = watched.map(d => d -> stateStoreDirs(d, dirs)).toMap
       val ckpt = Files.createTempDirectory("storedirs_ckpt").toString
       Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
       spark.conf.set("spark.sql.shuffle.partitions", stores.toString)
@@ -112,16 +119,20 @@ object StoreDirs {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(600000L)
+      val finished = q.awaitTermination(600000L)
+      if (!finished) q.stop() // a wedged run must not overlap the next cell
       val wall = (System.nanoTime() - t0) / 1e9
       val sos = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
       val commitS = sos.map(_.commitTimeMs).sum / 1e3
       val spread = watched.map { d =>
-        s"${d.takeRight(12)}:ss+${stateStoreDirs(d) - before(d)}"
+        val (b, a) = (before(d), stateStoreDirs(d, dirs))
+        val delta = if (b < 0 || a < 0) "?" else s"+${a - b}"
+        s"${d.takeRight(12)}:ss$delta"
       }.mkString(" ")
       Session.rocksDBConfs.keys.foreach(spark.conf.unset)
       println(f"[storedirs] layout=$layoutTag%-8s stores=$stores%2d run=$rep " +
-        f"wall=$wall%6.2f commitSum=$commitS%7.2f dirs[$spread]")
+        f"wall=$wall%6.2f commitSum=$commitS%7.2f dirs[$spread]" +
+        (if (finished) "" else " TIMEOUT — not a valid measurement"))
     }
     spark.stop()
   }

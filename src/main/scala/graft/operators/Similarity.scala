@@ -690,10 +690,14 @@ object Similarity {
   private[graft] val indexTableBuckets = 16
 
   /** Catalog name of one half of the published index for a corpus dir —
-    * unsigned-hex dir hash keeps names catalog-legal and distinct across
-    * staged corpora sharing one warehouse. */
+    * a 60-bit MD5-derived dir tag keeps names catalog-legal and distinct
+    * across staged corpora sharing one warehouse. (32-bit String.hashCode
+    * was not enough: path pairs collide routinely at that width, and a
+    * collision makes maintainPublishedSink — the no-oracle deployment
+    * entry point — silently maintain the WRONG corpus's index.) */
   private[graft] def indexTableName(dir: String, which: String): String =
-    s"graft_annidx_${which}_${java.lang.Integer.toHexString(dir.hashCode)}"
+    s"graft_annidx_${which}_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
 
   private val publishLock = new Object
 
@@ -783,16 +787,21 @@ object Similarity {
       val cTbl = indexTableName(dir, "mcents")
       if (!spark.catalog.tableExists(bTbl) || !spark.catalog.tableExists(cTbl)) {
         val eq = codedVectors(spark, dir).localCheckpoint(true)
-        val maxId = eq.agg(max(col("vec_id"))).head.getLong(0)
-        val cut = (maxId + 1L) * 4L / 5L
-        require(cut > 116, s"delta cut $cut overlaps the fixed seed window")
-        val base = eq.filter(col("vec_id") < cut)
-        val cents = trainCentroids(base, fixedSeeds(base), kmeansRounds)
-        writeIndexTable(spark, bTbl,
-          withCellAssigned(base, cents).select(col("vec_id"), col("cell")))
-        import spark.implicits._
-        writeIndexTable(spark, cTbl, cents.toSeq.toDF("cell", "cq"))
-        Checkpoints.release(eq)
+        // release in finally: a FAILED publish (disk full, a concurrent
+        // JVM rewriting the shared warehouse location) must not pin the
+        // N-row coded-corpus checkpoint until session end — the caught-
+        // failure leak class the CC loop's throw path also releases
+        try {
+          val maxId = eq.agg(max(col("vec_id"))).head.getLong(0)
+          val cut = (maxId + 1L) * 4L / 5L
+          require(cut > 116, s"delta cut $cut overlaps the fixed seed window")
+          val base = eq.filter(col("vec_id") < cut)
+          val cents = trainCentroids(base, fixedSeeds(base), kmeansRounds)
+          writeIndexTable(spark, bTbl,
+            withCellAssigned(base, cents).select(col("vec_id"), col("cell")))
+          import spark.implicits._
+          writeIndexTable(spark, cTbl, cents.toSeq.toDF("cell", "cq"))
+        } finally Checkpoints.release(eq)
       }
       (spark.table(bTbl), spark.table(cTbl))
     }
