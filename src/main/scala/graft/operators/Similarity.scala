@@ -716,25 +716,64 @@ object Similarity {
     * by every reader of the warehouse, exactly like a production vector
     * index behind a serving fleet.
     *
-    * Built at most once per (warehouse, corpus): the build short-circuits
-    * through the session [[cachedIndex]] (train once per session), and a
-    * JVM that finds the table in the catalog never rebuilds. Cross-JVM,
-    * the in-memory catalog forgets the table while the warehouse keeps
-    * its files — same hazard as `Layout.bucketizeFacts`, same fix: clear
-    * the orphaned managed location before the rewrite. */
+    * Built at most once per (warehouse, corpus) — ACROSS engine
+    * restarts, not just within a JVM: the build short-circuits through
+    * the session [[cachedIndex]] (train once per session), a JVM that
+    * finds the table in the catalog never rebuilds, and a NEW JVM whose
+    * in-memory catalog has forgotten the table ATTACHES the published
+    * files instead of retraining ([[attachIndexTable]] — the tables are
+    * external, and a `_GRAFT_PUBLISHED` marker written only after a
+    * complete publish carries the schema + bucket spec the attach DDL
+    * re-declares). Only a location with NO marker — a crashed partial
+    * publish, or a pre-marker layout — is cleared and rebuilt (the
+    * `Layout.bucketizeFacts` hazard, now narrowed to genuinely broken
+    * remains). */
   private def publishedIndex(spark: SparkSession, dir: String, which: String)
                             (build: => DataFrame): DataFrame = publishLock.synchronized {
     val tbl = indexTableName(dir, which)
-    if (!spark.catalog.tableExists(tbl)) writeIndexTable(spark, tbl, build)
+    if (!spark.catalog.tableExists(tbl) && !attachIndexTable(spark, tbl))
+      writeIndexTable(spark, tbl, build)
     spark.table(tbl)
   }
 
-  /** One bucketed-table publish: clear any orphaned managed location a
-    * prior JVM left in the warehouse, then write bucketed + bucket-sorted
-    * by `cell`. Shared by [[publishedIndex]] and [[publishedMaintIndex]]. */
-  private def writeIndexTable(spark: SparkSession, tbl: String, df: DataFrame): Unit = {
+  private def indexTableLoc(spark: SparkSession, tbl: String): java.nio.file.Path = {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(warehouse, tbl)
+    java.nio.file.Paths.get(warehouse, tbl)
+  }
+  private def markerPath(loc: java.nio.file.Path): java.nio.file.Path =
+    loc.resolve("_GRAFT_PUBLISHED")
+
+  /** Re-attach a complete prior publish to a catalog that has forgotten
+    * it (new JVM, in-memory catalog) — the deployment move a serving
+    * fleet makes at startup: the index files are the durable artifact,
+    * the catalog entry is re-declared from the marker's schema + bucket
+    * spec. Bucket ids live in the file NAMES the bucketed writer
+    * produced, so the re-declared table keeps the zero-exchange join
+    * property (the attach spec pins it). Returns false when there is
+    * nothing attachable — no marker means no complete publish. */
+  private def attachIndexTable(spark: SparkSession, tbl: String): Boolean = {
+    val loc = indexTableLoc(spark, tbl)
+    val mk = markerPath(loc)
+    if (!java.nio.file.Files.exists(mk)) return false
+    val Array(buckets, schemaDdl) =
+      new String(java.nio.file.Files.readAllBytes(mk), "UTF-8").split("\n", 2)
+    spark.sql(
+      s"""CREATE TABLE `$tbl` ($schemaDdl)
+         |USING parquet
+         |CLUSTERED BY (cell) SORTED BY (cell) INTO ${buckets.toInt} BUCKETS
+         |LOCATION '${loc.toUri}'""".stripMargin)
+    true
+  }
+
+  /** One bucketed-table publish: clear whatever an incomplete prior
+    * publish left at the location, write bucketed + bucket-sorted by
+    * `cell` as an EXTERNAL table (the files, not the catalog entry, are
+    * the durable artifact), then drop the marker that makes the publish
+    * attachable — marker LAST, so a crash mid-write leaves an
+    * unmarked location the next publisher clears. Shared by
+    * [[publishedIndex]] and [[publishedMaintIndex]]. */
+  private def writeIndexTable(spark: SparkSession, tbl: String, df: DataFrame): Unit = {
+    val loc = indexTableLoc(spark, tbl)
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
@@ -742,7 +781,10 @@ object Similarity {
     }
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(indexTableBuckets, "cell").sortBy("cell")
+      .option("path", loc.toString)
       .format("parquet").saveAsTable(tbl)
+    java.nio.file.Files.write(markerPath(loc),
+      s"$indexTableBuckets\n${df.schema.toDDL}".getBytes("UTF-8"))
   }
 
   /** The published celled corpus — the one producer both table-backed
@@ -785,7 +827,12 @@ object Similarity {
     publishLock.synchronized {
       val bTbl = indexTableName(dir, "mbase")
       val cTbl = indexTableName(dir, "mcents")
-      if (!spark.catalog.tableExists(bTbl) || !spark.catalog.tableExists(cTbl)) {
+      // attach-or-build per table: both halves publish from ONE training
+      // run, so either both markers exist (complete publish — attach) or
+      // the unmarked remains are cleared and both rebuild together
+      def present(t: String): Boolean =
+        spark.catalog.tableExists(t) || attachIndexTable(spark, t)
+      if (!present(bTbl) || !present(cTbl)) {
         val eq = codedVectors(spark, dir).localCheckpoint(true)
         // release in finally: a FAILED publish (disk full, a concurrent
         // JVM rewriting the shared warehouse location) must not pin the

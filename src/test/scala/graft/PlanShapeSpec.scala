@@ -304,6 +304,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("published index survives catalog loss: attach re-declares, never retrains or rewrites") {
+    import graft.operators.Similarity
+    // ensure all four index tables are published (serve + maintain legs)
+    val servedBefore = Similarity.queries("q121_ivfpq_search_table")(spark, sf).collect()
+    val maintBefore = Similarity.queries("q122_index_maintain_table")(spark, sf).collect()
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val tbls = Seq("cells", "pq", "mbase", "mcents").map(Similarity.indexTableName(sf, _))
+    def fileStamps(): Map[String, Long] = tbls.flatMap { t =>
+      val d = java.nio.file.Paths.get(warehouse, t)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+    val stamps = fileStamps()
+    assert(stamps.nonEmpty, "published index files must exist in the warehouse")
+    tbls.foreach { t =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(warehouse, t, "_GRAFT_PUBLISHED")),
+        s"$t must carry the publish marker")
+      // simulated engine restart: the in-memory catalog forgets the
+      // table; the external files — the durable artifact — survive
+      spark.sql(s"DROP TABLE `$t`")
+      assert(!spark.catalog.tableExists(t))
+    }
+    // serve + maintain again: the attach path must re-declare the
+    // published files — identical results, and the files untouched
+    // (an mtime change would mean the engine silently retrained)
+    val servedAfter = Similarity.queries("q121_ivfpq_search_table")(spark, sf).collect()
+    val maintAfter = Similarity.queries("q122_index_maintain_table")(spark, sf).collect()
+    assert(servedAfter.toSeq == servedBefore.toSeq, "served results must replay exactly")
+    assert(maintAfter.toSeq == maintBefore.toSeq, "maintain audit must replay exactly")
+    assert(fileStamps() == stamps, "attach must not rewrite any published file")
+    // the re-declared table keeps its bucket layout: the occupancy
+    // aggregate still plans zero exchanges off the attached metadata
+    val occ = executed(spark.table(Similarity.indexTableName(sf, "mbase"))
+      .groupBy("cell").count())
+    assert(shuffles(occ).isEmpty,
+      s"attached bucketed table lost its layout: ${shuffles(occ).size} exchanges")
+  }
+
   test("Loops.dataSizedParts: floor, knee, and ceiling") {
     import graft.operators.Loops
     assert(Loops.dataSizedParts(0L, 32) == 4, "floor holds on empty inputs")
