@@ -724,15 +724,20 @@ object Similarity {
     * files instead of retraining ([[attachIndexTable]] — the tables are
     * external, and a `_GRAFT_PUBLISHED` marker written only after a
     * complete publish carries the schema + bucket spec the attach DDL
-    * re-declares). Only a location with NO marker — a crashed partial
-    * publish, or a pre-marker layout — is cleared and rebuilt (the
-    * `Layout.bucketizeFacts` hazard, now narrowed to genuinely broken
-    * remains). */
+    * re-declares, plus the corpus snapshot fingerprint that version-
+    * locks the index to the corpus it was trained on
+    * ([[corpusFingerprint]])). Only a location with NO marker for the
+    * current snapshot — a crashed partial publish, a pre-marker layout,
+    * or an index of a corpus that has since changed — is cleared and
+    * rebuilt (the `Layout.bucketizeFacts` hazard, now narrowed to
+    * genuinely unservable remains). */
   private def publishedIndex(spark: SparkSession, dir: String, which: String)
                             (build: => DataFrame): DataFrame = publishLock.synchronized {
     val tbl = indexTableName(dir, which)
-    if (!spark.catalog.tableExists(tbl) && !attachIndexTable(spark, tbl))
-      writeIndexTable(spark, tbl, build)
+    if (!spark.catalog.tableExists(tbl)) {
+      val fp = corpusFingerprint(dir)
+      if (!attachIndexTable(spark, tbl, fp)) writeIndexTable(spark, tbl, fp, build)
+    }
     spark.table(tbl)
   }
 
@@ -743,6 +748,32 @@ object Similarity {
   private def markerPath(loc: java.nio.file.Path): java.nio.file.Path =
     loc.resolve("_GRAFT_PUBLISHED")
 
+  /** Corpus snapshot id for the publish marker — the staleness guard on
+    * cross-JVM attach: the warehouse outlives any JVM and the table name
+    * keys on the corpus PATH, so a corpus regenerated in place would
+    * otherwise be served by an index trained on its previous contents,
+    * with no oracle in the deployment path to notice. A metadata-only
+    * fingerprint ((name, size, mtime) of the embeddings parquet — no
+    * data scan, the index must stay cheaper to attach than to read) is
+    * how a real index version-locks to its corpus snapshot; an mtime-
+    * only touch costs at worst one spurious retrain, never a stale
+    * serve. */
+  private def corpusFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    import scala.jdk.CollectionConverters._
+    val parts =
+      if (java.nio.file.Files.isDirectory(root))
+        java.nio.file.Files.walk(root).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      else Seq(root)
+    val desc = parts.map { p =>
+      s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    }.mkString("|")
+    java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(desc.getBytes("UTF-8")))
+  }
+
   /** Re-attach a complete prior publish to a catalog that has forgotten
     * it (new JVM, in-memory catalog) — the deployment move a serving
     * fleet makes at startup: the index files are the durable artifact,
@@ -751,18 +782,25 @@ object Similarity {
     * produced, so the re-declared table keeps the zero-exchange join
     * property (the attach spec pins it). Returns false when there is
     * nothing attachable — no marker means no complete publish. */
-  private def attachIndexTable(spark: SparkSession, tbl: String): Boolean = {
+  private def attachIndexTable(spark: SparkSession, tbl: String,
+                               corpusFp: String): Boolean = {
     val loc = indexTableLoc(spark, tbl)
     val mk = markerPath(loc)
     if (!java.nio.file.Files.exists(mk)) return false
-    val Array(buckets, schemaDdl) =
-      new String(java.nio.file.Files.readAllBytes(mk), "UTF-8").split("\n", 2)
-    spark.sql(
-      s"""CREATE TABLE `$tbl` ($schemaDdl)
-         |USING parquet
-         |CLUSTERED BY (cell) SORTED BY (cell) INTO ${buckets.toInt} BUCKETS
-         |LOCATION '${loc.toUri}'""".stripMargin)
-    true
+    new String(java.nio.file.Files.readAllBytes(mk), "UTF-8").split("\n", 3) match {
+      case Array(buckets, markerFp, schemaDdl) if markerFp == corpusFp =>
+        spark.sql(
+          s"""CREATE TABLE `$tbl` ($schemaDdl)
+             |USING parquet
+             |CLUSTERED BY (cell) SORTED BY (cell) INTO ${buckets.toInt} BUCKETS
+             |LOCATION '${loc.toUri}'""".stripMargin)
+        true
+      // snapshot mismatch (the corpus at this path changed since the
+      // publish — attaching would serve an index of the PREVIOUS corpus)
+      // or a marker this engine version doesn't read: fall through to
+      // the rebuild, which clears the stale remains
+      case _ => false
+    }
   }
 
   /** One bucketed-table publish: clear whatever an incomplete prior
@@ -772,7 +810,8 @@ object Similarity {
     * attachable — marker LAST, so a crash mid-write leaves an
     * unmarked location the next publisher clears. Shared by
     * [[publishedIndex]] and [[publishedMaintIndex]]. */
-  private def writeIndexTable(spark: SparkSession, tbl: String, df: DataFrame): Unit = {
+  private def writeIndexTable(spark: SparkSession, tbl: String, corpusFp: String,
+                              df: DataFrame): Unit = {
     val loc = indexTableLoc(spark, tbl)
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
@@ -784,7 +823,7 @@ object Similarity {
       .option("path", loc.toString)
       .format("parquet").saveAsTable(tbl)
     java.nio.file.Files.write(markerPath(loc),
-      s"$indexTableBuckets\n${df.schema.toDDL}".getBytes("UTF-8"))
+      s"$indexTableBuckets\n$corpusFp\n${df.schema.toDDL}".getBytes("UTF-8"))
   }
 
   /** The published celled corpus — the one producer both table-backed
@@ -828,10 +867,12 @@ object Similarity {
       val bTbl = indexTableName(dir, "mbase")
       val cTbl = indexTableName(dir, "mcents")
       // attach-or-build per table: both halves publish from ONE training
-      // run, so either both markers exist (complete publish — attach) or
-      // the unmarked remains are cleared and both rebuild together
+      // run, so either both carry markers for the CURRENT corpus
+      // snapshot (complete publish — attach) or the stale/unmarked
+      // remains are cleared and both rebuild together
+      lazy val fp = corpusFingerprint(dir)
       def present(t: String): Boolean =
-        spark.catalog.tableExists(t) || attachIndexTable(spark, t)
+        spark.catalog.tableExists(t) || attachIndexTable(spark, t, fp)
       if (!present(bTbl) || !present(cTbl)) {
         val eq = codedVectors(spark, dir).localCheckpoint(true)
         // release in finally: a FAILED publish (disk full, a concurrent
@@ -844,10 +885,10 @@ object Similarity {
           require(cut > 116, s"delta cut $cut overlaps the fixed seed window")
           val base = eq.filter(col("vec_id") < cut)
           val cents = trainCentroids(base, fixedSeeds(base), kmeansRounds)
-          writeIndexTable(spark, bTbl,
+          writeIndexTable(spark, bTbl, fp,
             withCellAssigned(base, cents).select(col("vec_id"), col("cell")))
           import spark.implicits._
-          writeIndexTable(spark, cTbl, cents.toSeq.toDF("cell", "cq"))
+          writeIndexTable(spark, cTbl, fp, cents.toSeq.toDF("cell", "cq"))
         } finally Checkpoints.release(eq)
       }
       (spark.table(bTbl), spark.table(cTbl))

@@ -345,6 +345,38 @@ class PlanShapeSpec extends SparkSpec {
       s"attached bucketed table lost its layout: ${shuffles(occ).size} exchanges")
   }
 
+  test("attach is version-locked: a changed corpus snapshot rebuilds instead of serving stale") {
+    import graft.operators.Similarity
+    // a corpus the test owns (same bytes as sf — only the snapshot
+    // identity will change), so /root/testdata stays untouched
+    val dir = java.nio.file.Files.createTempDirectory("attach_stale").toString
+    val emb = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(sf, "embeddings.parquet"), emb)
+    val first = Similarity.queries("q120_ann_search_table")(spark, dir).collect()
+    val tbl = Similarity.indexTableName(dir, "cells")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def stamps(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(warehouse, tbl))
+        .iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val published = stamps()
+    // the corpus is regenerated in place (identical content here — the
+    // guard keys on the snapshot metadata, not a data scan) ...
+    java.nio.file.Files.setLastModifiedTime(emb,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(emb).toMillis + 1234))
+    // ... and the catalog forgets the table (new JVM)
+    spark.sql(s"DROP TABLE `$tbl`")
+    val second = Similarity.queries("q120_ann_search_table")(spark, dir).collect()
+    // same bytes trained → same result; but it must come from a REBUILD,
+    // not an attach of the now-unverifiable prior publish
+    assert(second.toSeq == first.toSeq)
+    assert(stamps() != published,
+      "stale-snapshot attach served the previous corpus's index files")
+  }
+
   test("Loops.dataSizedParts: floor, knee, and ceiling") {
     import graft.operators.Loops
     assert(Loops.dataSizedParts(0L, 32) == 4, "floor holds on empty inputs")
