@@ -122,6 +122,12 @@ object Bench {
       // the base training per call would read ~q114's in-run level —
       // the same publish-lifecycle guard as q120/q121
       "q122_index_maintain_table" -> 1.20,
+      // the epoch roll's steady state is the handoff audit over the
+      // published old/new tables + the delta assignment (isolated
+      // min-of-2 1.061/1.041); a catalog+marker miss re-running the
+      // full-corpus retrain per call would read ~q90's train level —
+      // the same publish-lifecycle guard as q120-q122
+      "q123_index_epoch_roll" -> 1.05,
       // q119 ref re-based 5.70 → 1.65 round 11: the signature pass moved
       // to the native byte-level kernel (graft_simhash64_bytes) — same
       // ~500 shingles × 2 md5 per doc (the md5 inputs define the

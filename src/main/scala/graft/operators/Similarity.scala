@@ -573,22 +573,29 @@ object Similarity {
   /** One Lloyd round as oracle CTEs (c{r-1} → c{r}) — shared by the q90
     * and q108 oracles, which replay the identical integer training
     * trajectory over different seed sets. */
-  private def lloydRoundSql(r: Int): String = {
-    val prev = s"c${r - 1}"
-    s"""d$r AS (SELECT eq.vec_id, c.cid, eq.q,
+  /** One integer-Lloyd round as DuckDB CTEs, generalized over the
+    * training source CTE (`src`, columns vec_id + q) and a centroid-CTE
+    * prefix (`pfx` — rounds chain $pfx0 → $pfx1 → …), so one query can
+    * replay TWO trainings (q123: the old base-trained epoch and the new
+    * full-corpus epoch) without CTE-name collisions. */
+  private def lloydRoundSqlOver(src: String, pfx: String)(r: Int): String = {
+    val prev = s"$pfx${r - 1}"
+    s"""${pfx}d$r AS (SELECT $src.vec_id, c.cid, $src.q,
        |    list_sum(list_transform(range(1, ${dim + 1}),
-       |      i -> (eq.q[i]-c.cq[i])*(eq.q[i]-c.cq[i]))) AS dist
-       |  FROM eq CROSS JOIN $prev c),
-       |a$r AS (SELECT vec_id, cid AS cell, q FROM (
+       |      i -> ($src.q[i]-c.cq[i])*($src.q[i]-c.cq[i]))) AS dist
+       |  FROM $src CROSS JOIN $prev c),
+       |${pfx}a$r AS (SELECT vec_id, cid AS cell, q FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-       |    FROM d$r) WHERE rk = 1),
-       |g$r AS (SELECT cell, t.range AS dim, count(*) AS n, sum(q[t.range]) AS s
-       |  FROM a$r CROSS JOIN range(1, ${dim + 1}) t GROUP BY 1, 2),
-       |u$r AS (SELECT cell AS cid, list(floor(s::DOUBLE / n)::BIGINT ORDER BY dim) AS newq
-       |  FROM g$r GROUP BY 1),
-       |c$r AS (SELECT p.cid, coalesce(u$r.newq, p.cq) AS cq
-       |  FROM $prev p LEFT JOIN u$r ON p.cid = u$r.cid)""".stripMargin
+       |    FROM ${pfx}d$r) WHERE rk = 1),
+       |${pfx}g$r AS (SELECT cell, t.range AS dim, count(*) AS n, sum(q[t.range]) AS s
+       |  FROM ${pfx}a$r CROSS JOIN range(1, ${dim + 1}) t GROUP BY 1, 2),
+       |${pfx}u$r AS (SELECT cell AS cid, list(floor(s::DOUBLE / n)::BIGINT ORDER BY dim) AS newq
+       |  FROM ${pfx}g$r GROUP BY 1),
+       |$pfx$r AS (SELECT p.cid, coalesce(${pfx}u$r.newq, p.cq) AS cq
+       |  FROM $prev p LEFT JOIN ${pfx}u$r ON p.cid = ${pfx}u$r.cid)""".stripMargin
   }
+
+  private def lloydRoundSql(r: Int): String = lloydRoundSqlOver("eq", "c")(r)
 
   val q90Sql: String = {
     def lloydRound(r: Int): String = lloydRoundSql(r)
@@ -863,13 +870,39 @@ object Similarity {
     * (same cut, same seeds, same integer Lloyd), so everything derived
     * from these tables is bit-identical to the self-contained form. */
   private def publishedMaintIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    publishAssignPair(spark, dir, "mbase", "mcents") { eq =>
+      val maxId = eq.agg(max(col("vec_id"))).head.getLong(0)
+      val cut = (maxId + 1L) * 4L / 5L
+      require(cut > 116, s"delta cut $cut overlaps the fixed seed window")
+      val base = eq.filter(col("vec_id") < cut)
+      val cents = trainCentroids(base, fixedSeeds(base), kmeansRounds)
+      (withCellAssigned(base, cents), cents)
+    }
+
+  /** The NEXT-epoch maintenance index — the retrain [[q114IndexMaintain]]'s
+    * drift flags schedule, trained over the FULL corpus (base + delta
+    * folded) with the same deterministic recipe. That trajectory is
+    * exactly q90's in-run training, so on the new epoch the maintenance
+    * index's assignments COINCIDE with the serve index's cells — the
+    * two published structures re-align at every roll. */
+  private def publishedEpochIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    publishAssignPair(spark, dir, "mbase2", "mcents2") { eq =>
+      val cents = trainCentroids(eq, fixedSeeds(eq), kmeansRounds)
+      (withCellAssigned(eq, cents), cents)
+    }
+
+  /** Shared publish core for an (assignments, quantizer) table pair —
+    * attach-or-build per table: both halves publish from ONE training
+    * run, so either both carry markers for the CURRENT corpus snapshot
+    * (complete publish — attach) or the stale/unmarked remains are
+    * cleared and both rebuild together. `train` maps the materialized
+    * coded corpus to (cell-assigned rows, driver-held centroids). */
+  private def publishAssignPair(spark: SparkSession, dir: String,
+      bWhich: String, cWhich: String)
+      (train: DataFrame => (DataFrame, Array[(Long, Seq[Long])])): (DataFrame, DataFrame) =
     publishLock.synchronized {
-      val bTbl = indexTableName(dir, "mbase")
-      val cTbl = indexTableName(dir, "mcents")
-      // attach-or-build per table: both halves publish from ONE training
-      // run, so either both carry markers for the CURRENT corpus
-      // snapshot (complete publish — attach) or the stale/unmarked
-      // remains are cleared and both rebuild together
+      val bTbl = indexTableName(dir, bWhich)
+      val cTbl = indexTableName(dir, cWhich)
       lazy val fp = corpusFingerprint(dir)
       def present(t: String): Boolean =
         spark.catalog.tableExists(t) || attachIndexTable(spark, t, fp)
@@ -880,13 +913,9 @@ object Similarity {
         // N-row coded-corpus checkpoint until session end — the caught-
         // failure leak class the CC loop's throw path also releases
         try {
-          val maxId = eq.agg(max(col("vec_id"))).head.getLong(0)
-          val cut = (maxId + 1L) * 4L / 5L
-          require(cut > 116, s"delta cut $cut overlaps the fixed seed window")
-          val base = eq.filter(col("vec_id") < cut)
-          val cents = trainCentroids(base, fixedSeeds(base), kmeansRounds)
+          val (assigned, cents) = train(eq)
           writeIndexTable(spark, bTbl, fp,
-            withCellAssigned(base, cents).select(col("vec_id"), col("cell")))
+            assigned.select(col("vec_id"), col("cell")))
           import spark.implicits._
           writeIndexTable(spark, cTbl, fp, cents.toSeq.toDF("cell", "cq"))
         } finally Checkpoints.release(eq)
@@ -939,6 +968,55 @@ object Similarity {
         Tables.embeddings(spark, dir).filter(col("vec_id") >= cut), cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
     maintainStatsFromOcc(baseOcc, deltaOcc, cents.map(_._1).toSeq)
+  }
+
+  /** q123: the EPOCH ROLL — the retrain q114/q122's drift flags
+    * schedule, closing the published-index lifecycle loop (train →
+    * publish → serve → maintain → ROLL → publish …). The delta is
+    * folded into the base and the quantizer retrained over the full
+    * corpus with the same deterministic recipe (fixed seeds +
+    * [[kmeansRounds]] integer Lloyd — exactly q90's in-run trajectory,
+    * so the rolled maintenance index re-aligns with the serve index's
+    * cells), published as the next epoch's tables through the same
+    * attach-or-build machinery as every published half. The output is
+    * the HANDOFF AUDIT a deployment reads before switching epochs: per
+    * new cell, total occupancy and how many vectors MOVED relative to
+    * their old-epoch assignment (old = stored `mbase` assignments for
+    * the base + frozen-quantizer assignment for the delta — the state
+    * q122 maintains; nothing of the old epoch is retrained to audit
+    * it).
+    *
+    * Scale shape: the retrain is O(N) by nature — it is the scheduled
+    * quarterly cost the drift flag gates, not a per-ingest cost (q122
+    * is the per-ingest path). The audit join moves only (vec_id, cell)
+    * pairs — 16 bytes a row at any corpus width, never embeddings —
+    * and everything after it is k-row. Repeat calls within a corpus
+    * snapshot attach the already-published epoch tables and pay only
+    * the audit.
+    *
+    * Determinism: both trajectories are exact-integer (bit-identical
+    * in SQL); the moved test is integer equality of cell ids. */
+  def q123IndexEpochRoll(spark: SparkSession, dir: String): DataFrame = {
+    val (mbase, centsOld) = publishedMaintFor(spark, dir)
+    val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val oldAssign = mbase.select(col("vec_id"), col("cell").as("cell_old"))
+      .unionByName(codeAndAssign(
+          Tables.embeddings(spark, dir).filter(col("vec_id") >= cut), centsOld)
+        .select(col("vec_id"), col("cell").as("cell_old")))
+    val (mbase2, mcents2) = publishedEpochIndex(spark, dir)
+    // spine from the new quantizer: a cell that attracted nothing still
+    // reports (same rule as the maintain spine)
+    val audit = mbase2.select(col("vec_id"), col("cell"))
+      .join(oldAssign, "vec_id")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("cell_old") =!= col("cell"), 1L).otherwise(0L)).as("n_moved"))
+    mcents2.select(col("cell"))
+      .join(audit, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_moved"), lit(0L)).as("n_moved"))
+      .orderBy(col("cell"))
   }
 
   /** The two PQ search stages over built index frames: approximate
@@ -1856,6 +1934,46 @@ object Similarity {
        |ORDER BY sp.cell""".stripMargin
   }
 
+  /** q123's oracle replays BOTH integer trainings — the old epoch
+    * (base-trained, q114's trajectory: c-prefixed CTEs over `eq`) and
+    * the new epoch (full-corpus, q90's trajectory: f-prefixed CTEs over
+    * `eq0`) — then audits the handoff: per new cell, total occupancy
+    * and vectors whose cell changed. */
+  val q123Sql: String = {
+    def assignSql(src: String, cents: String, d: String, a: String): String =
+      s"""$d AS (SELECT $src.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> ($src.q[i]-c.cq[i])*($src.q[i]-c.cq[i]))) AS dist
+         |  FROM $src CROSS JOIN $cents c),
+         |$a AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM $d) WHERE rk = 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq0 AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM e),
+       |m AS (SELECT (max(vec_id)+1) * 4 // 5 AS cut FROM eq0),
+       |eq AS (SELECT eq0.vec_id, eq0.q FROM eq0, m WHERE eq0.vec_id < m.cut),
+       |dl AS (SELECT eq0.vec_id, eq0.q FROM eq0, m WHERE eq0.vec_id >= m.cut),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM eq WHERE vec_id >= 100 AND vec_id < 116),
+       |${(1 to kmeansRounds).map(lloydRoundSqlOver("eq", "c")).mkString(",\n")},
+       |${assignSql("eq", s"c$kmeansRounds", "ob_d", "ob_a")},
+       |${assignSql("dl", s"c$kmeansRounds", "od_d", "od_a")},
+       |old AS (SELECT vec_id, cell AS cell_old FROM ob_a
+       |  UNION ALL SELECT vec_id, cell FROM od_a),
+       |f0 AS (SELECT vec_id AS cid, q AS cq FROM eq0 WHERE vec_id >= 100 AND vec_id < 116),
+       |${(1 to kmeansRounds).map(lloydRoundSqlOver("eq0", "f")).mkString(",\n")},
+       |${assignSql("eq0", s"f$kmeansRounds", "nw_d", "nw_a")},
+       |sp AS (SELECT cid AS cell FROM f0),
+       |ag AS (SELECT nw_a.cell, count(*) AS n_total,
+       |    sum(CASE WHEN old.cell_old <> nw_a.cell THEN 1 ELSE 0 END) AS n_moved
+       |  FROM nw_a JOIN old USING (vec_id) GROUP BY 1)
+       |SELECT sp.cell,
+       |  coalesce(ag.n_total, 0)::BIGINT AS n_total,
+       |  coalesce(ag.n_moved, 0)::BIGINT AS n_moved
+       |FROM sp LEFT JOIN ag USING (cell)
+       |ORDER BY sp.cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce"    -> q30KnnBruteforce _,
     "q31_ann_lsh"           -> q31AnnLsh _,
@@ -1876,6 +1994,7 @@ object Similarity {
     "q120_ann_search_table" -> q120AnnSearchTable _,
     "q121_ivfpq_search_table" -> q121IvfPqSearchTable _,
     "q122_index_maintain_table" -> q122IndexMaintainTable _,
+    "q123_index_epoch_roll" -> q123IndexEpochRoll _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1907,5 +2026,9 @@ object Similarity {
     // frozen trajectory from parquet — oracle equality proves the
     // stored assignments + centroids ARE the fresh base training
     "q122_index_maintain_table" -> q114Sql,
+    // the epoch roll replays BOTH trajectories (old base-trained, new
+    // full-corpus) — oracle equality proves the rolled tables hold
+    // exactly the retraining a from-scratch engine would produce
+    "q123_index_epoch_roll" -> q123Sql,
   )
 }

@@ -274,6 +274,28 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed occupancy aggregate must not exchange, got ${shuffles(occ).size}")
   }
 
+  test("q123 epoch roll steady state: one delta corpus scan, all index state off bucketed tables") {
+    // first call trains + publishes the epoch tables; the steady-state
+    // plan (what every later audit pays) must read the OLD epoch's
+    // assignments and the NEW epoch's assignments + spine from the
+    // published bucketed tables, and touch the raw corpus only for the
+    // delta's frozen-quantizer assignment — with its vec_id bound pushed
+    graft.operators.Similarity.queries("q123_index_epoch_roll")(spark, sf).collect()
+    val p = executed(graft.operators.Similarity.queries("q123_index_epoch_roll")(spark, sf))
+    val scans = allNodes(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val corpus = scans.filter(_.relation.bucketSpec.isEmpty)
+    assert(corpus.size == 1, s"expected one delta corpus scan, got ${corpus.size}")
+    assert(corpus.head.dataFilters.exists(_.references.exists(_.name == "vec_id")),
+      s"delta bound not pushed to the corpus scan: ${corpus.head.dataFilters}")
+    assert(scans.count(_.relation.bucketSpec.isDefined) >= 3,
+      "old assignments, new assignments, and the spine must come off published tables")
+    assert(allNodes(p).collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "epoch audit must not plan a cartesian join")
+  }
+
   test("published index halves co-join on cell with zero exchanges (bucket-for-bucket)") {
     // the layout claim of the published form: the re-rank re-attach
     // (cells ⋈ codes on (cell, vec_id)) is bucket-aligned, so with
