@@ -816,7 +816,7 @@ object Similarity {
     * the durable artifact), then drop the marker that makes the publish
     * attachable — marker LAST, so a crash mid-write leaves an
     * unmarked location the next publisher clears. Shared by
-    * [[publishedIndex]] and [[publishedMaintIndex]]. */
+    * [[publishedIndex]] and [[publishAssignPair]]. */
   private def writeIndexTable(spark: SparkSession, tbl: String, corpusFp: String,
                               df: DataFrame): Unit = {
     val loc = indexTableLoc(spark, tbl)
