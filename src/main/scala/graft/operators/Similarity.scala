@@ -544,6 +544,17 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
+  /** Session-cache key for a built index: kind + corpus dir + corpus
+    * snapshot fingerprint. The fingerprint matters beyond the cross-JVM
+    * attach path: a corpus regenerated in place MID-SESSION would
+    * otherwise keep serving (and — the real hazard — REPUBLISHING,
+    * since the publish build short-circuits through this cache) the
+    * previous contents' training under the new snapshot's name. With
+    * the fingerprint in the key, a changed snapshot is simply a cache
+    * miss and retrains. */
+  private def sessionIndexKey(kind: String, dir: String): String =
+    s"$kind#$dir#${corpusFingerprint(dir)}"
+
   private def cachedIndex(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val it = indexCache.keySet.iterator()
     while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
@@ -568,11 +579,8 @@ object Similarity {
     * verbatim — the correctness gate proves the cached index IS the
     * freshly-trained one. */
   def q115AnnSearch(spark: SparkSession, dir: String): DataFrame =
-    ivfSearch(cachedIndex(spark, s"ivf#$dir")(trainedCelledVectors(spark, dir)))
+    ivfSearch(cachedIndex(spark, sessionIndexKey("ivf", dir))(trainedCelledVectors(spark, dir)))
 
-  /** One Lloyd round as oracle CTEs (c{r-1} → c{r}) — shared by the q90
-    * and q108 oracles, which replay the identical integer training
-    * trajectory over different seed sets. */
   /** One integer-Lloyd round as DuckDB CTEs, generalized over the
     * training source CTE (`src`, columns vec_id + q) and a centroid-CTE
     * prefix (`pfx` — rounds chain $pfx0 → $pfx1 → …), so one query can
@@ -596,6 +604,19 @@ object Similarity {
   }
 
   private def lloydRoundSql(r: Int): String = lloydRoundSqlOver("eq", "c")(r)
+
+  /** Frozen-quantizer assignment as two oracle CTEs ($d: distances, $a:
+    * argmin cells) — the SQL twin of [[argminCellCol]], shared by the
+    * q114 and q123 oracles so the argmin/tiebreak shape can never
+    * desynchronize between them. */
+  private def assignCteSql(src: String, cents: String, d: String, a: String): String =
+    s"""$d AS (SELECT $src.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> ($src.q[i]-c.cq[i])*($src.q[i]-c.cq[i]))) AS dist
+       |  FROM $src CROSS JOIN $cents c),
+       |$a AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM $d) WHERE rk = 1)""".stripMargin
 
   val q90Sql: String = {
     def lloydRound(r: Int): String = lloydRoundSql(r)
@@ -684,8 +705,8 @@ object Similarity {
     * what a 10⁹-vector deployment pays per query batch. Output ≡ q113
     * (same trained trajectory, same codes), oracle is q113's verbatim. */
   def q116IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
-    val withCell = cachedIndex(spark, s"ivf#$dir")(trainedCelledVectors(spark, dir))
-    pqSearch(withCell, cachedIndex(spark, s"pq#$dir")(pqStoreOf(withCell)))
+    val withCell = cachedIndex(spark, sessionIndexKey("ivf", dir))(trainedCelledVectors(spark, dir))
+    pqSearch(withCell, cachedIndex(spark, sessionIndexKey("pq", dir))(pqStoreOf(withCell)))
   }
 
   // ------------------------------------------- q120/q121: published index
@@ -796,12 +817,22 @@ object Similarity {
     if (!java.nio.file.Files.exists(mk)) return false
     new String(java.nio.file.Files.readAllBytes(mk), "UTF-8").split("\n", 3) match {
       case Array(buckets, markerFp, schemaDdl) if markerFp == corpusFp =>
-        spark.sql(
-          s"""CREATE TABLE `$tbl` ($schemaDdl)
-             |USING parquet
-             |CLUSTERED BY (cell) SORTED BY (cell) INTO ${buckets.toInt} BUCKETS
-             |LOCATION '${loc.toUri}'""".stripMargin)
-        true
+        // a torn marker (non-atomic write + crash: fp line intact,
+        // buckets/schema garbage) must degrade to `false` — the rebuild
+        // clears the location and self-heals — not throw on every
+        // subsequent call until someone deletes the marker by hand
+        try {
+          spark.sql(
+            s"""CREATE TABLE `$tbl` ($schemaDdl)
+               |USING parquet
+               |CLUSTERED BY (cell) SORTED BY (cell) INTO ${buckets.toInt} BUCKETS
+               |LOCATION '${loc.toUri}'""".stripMargin)
+          true
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE `$tbl`")
+            false
+        }
       // snapshot mismatch (the corpus at this path changed since the
       // publish — attaching would serve an index of the PREVIOUS corpus)
       // or a marker this engine version doesn't read: fall through to
@@ -838,7 +869,7 @@ object Similarity {
     * bucketed table (serve forever). */
   private def publishedCells(spark: SparkSession, dir: String): DataFrame =
     publishedIndex(spark, dir, "cells")(
-      cachedIndex(spark, s"ivf#$dir")(trainedCelledVectors(spark, dir)))
+      cachedIndex(spark, sessionIndexKey("ivf", dir))(trainedCelledVectors(spark, dir)))
 
   /** q120: q115's IVF search leg over the PUBLISHED bucketed index table
     * instead of the session checkpoint — the multi-executor production
@@ -1899,13 +1930,7 @@ object Similarity {
 
   val q114Sql: String = {
     def assignSql(src: String, d: String, a: String): String =
-      s"""$d AS (SELECT $src.vec_id, c.cid,
-         |    list_sum(list_transform(range(1, ${dim + 1}),
-         |      i -> ($src.q[i]-c.cq[i])*($src.q[i]-c.cq[i]))) AS dist
-         |  FROM $src CROSS JOIN c$kmeansRounds c),
-         |$a AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-         |    FROM $d) WHERE rk = 1)""".stripMargin
+      assignCteSql(src, s"c$kmeansRounds", d, a)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |eq0 AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
        |  FROM e),
@@ -1940,14 +1965,6 @@ object Similarity {
     * `eq0`) — then audits the handoff: per new cell, total occupancy
     * and vectors whose cell changed. */
   val q123Sql: String = {
-    def assignSql(src: String, cents: String, d: String, a: String): String =
-      s"""$d AS (SELECT $src.vec_id, c.cid,
-         |    list_sum(list_transform(range(1, ${dim + 1}),
-         |      i -> ($src.q[i]-c.cq[i])*($src.q[i]-c.cq[i]))) AS dist
-         |  FROM $src CROSS JOIN $cents c),
-         |$a AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-         |    FROM $d) WHERE rk = 1)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |eq0 AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
        |  FROM e),
@@ -1956,13 +1973,13 @@ object Similarity {
        |dl AS (SELECT eq0.vec_id, eq0.q FROM eq0, m WHERE eq0.vec_id >= m.cut),
        |c0 AS (SELECT vec_id AS cid, q AS cq FROM eq WHERE vec_id >= 100 AND vec_id < 116),
        |${(1 to kmeansRounds).map(lloydRoundSqlOver("eq", "c")).mkString(",\n")},
-       |${assignSql("eq", s"c$kmeansRounds", "ob_d", "ob_a")},
-       |${assignSql("dl", s"c$kmeansRounds", "od_d", "od_a")},
+       |${assignCteSql("eq", s"c$kmeansRounds", "ob_d", "ob_a")},
+       |${assignCteSql("dl", s"c$kmeansRounds", "od_d", "od_a")},
        |old AS (SELECT vec_id, cell AS cell_old FROM ob_a
        |  UNION ALL SELECT vec_id, cell FROM od_a),
        |f0 AS (SELECT vec_id AS cid, q AS cq FROM eq0 WHERE vec_id >= 100 AND vec_id < 116),
        |${(1 to kmeansRounds).map(lloydRoundSqlOver("eq0", "f")).mkString(",\n")},
-       |${assignSql("eq0", s"f$kmeansRounds", "nw_d", "nw_a")},
+       |${assignCteSql("eq0", s"f$kmeansRounds", "nw_d", "nw_a")},
        |sp AS (SELECT cid AS cell FROM f0),
        |ag AS (SELECT nw_a.cell, count(*) AS n_total,
        |    sum(CASE WHEN old.cell_old <> nw_a.cell THEN 1 ELSE 0 END) AS n_moved

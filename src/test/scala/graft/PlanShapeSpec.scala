@@ -397,6 +397,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(second.toSeq == first.toSeq)
     assert(stamps() != published,
       "stale-snapshot attach served the previous corpus's index files")
+    // the deeper staleness hazard: the SESSION cache must be snapshot-
+    // keyed too, or the rebuild republishes the cached OLD training
+    // under the new fingerprint. Regenerate the corpus with genuinely
+    // different geometry (a vec_id-dependent shift — sign flips and
+    // dimension permutations preserve all cosines and would prove
+    // nothing) and re-serve: the result must CHANGE; a republished
+    // stale cache would reproduce `first` byte-for-byte.
+    import org.apache.spark.sql.functions.{col, lit, transform => arrTransform}
+    val emb2 = java.nio.file.Paths.get(dir, "embeddings_regen_tmp")
+    spark.read.parquet(emb.toString)
+      .withColumn("embedding",
+        arrTransform(col("embedding"),
+          x => x + col("vec_id").cast("double") * lit(0.01)))
+      .write.parquet(emb2.toString)
+    java.nio.file.Files.delete(emb)
+    java.nio.file.Files.move(emb2, emb)
+    spark.sql(s"DROP TABLE `$tbl`")
+    val third = Similarity.queries("q120_ann_search_table")(spark, dir).collect()
+    assert(third.toSeq != first.toSeq,
+      "regenerated corpus must retrain from the new bytes, not re-serve the session-cached index")
   }
 
   test("Loops.dataSizedParts: floor, knee, and ceiling") {
