@@ -749,7 +749,7 @@ object Similarity {
     * the session [[cachedIndex]] (train once per session), a JVM that
     * finds the table in the catalog never rebuilds, and a NEW JVM whose
     * in-memory catalog has forgotten the table ATTACHES the published
-    * files instead of retraining ([[attachIndexTable]] — the tables are
+    * files instead of retraining ([[graft.sources.Published.ensure]] — the tables are
     * external, and a `_GRAFT_PUBLISHED` marker written only after a
     * complete publish carries the schema + bucket spec the attach DDL
     * re-declares, plus the corpus snapshot fingerprint that version-
@@ -762,107 +762,23 @@ object Similarity {
   private def publishedIndex(spark: SparkSession, dir: String, which: String)
                             (build: => DataFrame): DataFrame = publishLock.synchronized {
     val tbl = indexTableName(dir, which)
-    if (!spark.catalog.tableExists(tbl)) {
-      val fp = corpusFingerprint(dir)
-      if (!attachIndexTable(spark, tbl, fp)) writeIndexTable(spark, tbl, fp, build)
-    }
+    graft.sources.Published.attachOrBuild(
+      spark, tbl, "cell", indexTableBuckets, corpusFingerprint(dir))(build)
     spark.table(tbl)
   }
-
-  private def indexTableLoc(spark: SparkSession, tbl: String): java.nio.file.Path = {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    java.nio.file.Paths.get(warehouse, tbl)
-  }
-  private def markerPath(loc: java.nio.file.Path): java.nio.file.Path =
-    loc.resolve("_GRAFT_PUBLISHED")
 
   /** Corpus snapshot id for the publish marker — the staleness guard on
     * cross-JVM attach: the warehouse outlives any JVM and the table name
     * keys on the corpus PATH, so a corpus regenerated in place would
     * otherwise be served by an index trained on its previous contents,
-    * with no oracle in the deployment path to notice. A metadata-only
-    * fingerprint ((name, size, mtime) of the embeddings parquet — no
-    * data scan, the index must stay cheaper to attach than to read) is
-    * how a real index version-locks to its corpus snapshot; an mtime-
-    * only touch costs at worst one spurious retrain, never a stale
-    * serve. */
-  private def corpusFingerprint(dir: String): String = {
-    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    import scala.jdk.CollectionConverters._
-    val parts =
-      if (java.nio.file.Files.isDirectory(root))
-        java.nio.file.Files.walk(root).iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_)).toSeq.sortBy(_.toString)
-      else Seq(root)
-    val desc = parts.map { p =>
-      s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-    }.mkString("|")
-    java.lang.Long.toHexString(
-      graft.expressions.GraftHash.h60(desc.getBytes("UTF-8")))
-  }
-
-  /** Re-attach a complete prior publish to a catalog that has forgotten
-    * it (new JVM, in-memory catalog) — the deployment move a serving
-    * fleet makes at startup: the index files are the durable artifact,
-    * the catalog entry is re-declared from the marker's schema + bucket
-    * spec. Bucket ids live in the file NAMES the bucketed writer
-    * produced, so the re-declared table keeps the zero-exchange join
-    * property (the attach spec pins it). Returns false when there is
-    * nothing attachable — no marker means no complete publish. */
-  private def attachIndexTable(spark: SparkSession, tbl: String,
-                               corpusFp: String): Boolean = {
-    val loc = indexTableLoc(spark, tbl)
-    val mk = markerPath(loc)
-    if (!java.nio.file.Files.exists(mk)) return false
-    new String(java.nio.file.Files.readAllBytes(mk), "UTF-8").split("\n", 3) match {
-      case Array(buckets, markerFp, schemaDdl) if markerFp == corpusFp =>
-        // a torn marker (non-atomic write + crash: fp line intact,
-        // buckets/schema garbage) must degrade to `false` — the rebuild
-        // clears the location and self-heals — not throw on every
-        // subsequent call until someone deletes the marker by hand
-        try {
-          spark.sql(
-            s"""CREATE TABLE `$tbl` ($schemaDdl)
-               |USING parquet
-               |CLUSTERED BY (cell) SORTED BY (cell) INTO ${buckets.toInt} BUCKETS
-               |LOCATION '${loc.toUri}'""".stripMargin)
-          true
-        } catch {
-          case scala.util.control.NonFatal(_) =>
-            if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE `$tbl`")
-            false
-        }
-      // snapshot mismatch (the corpus at this path changed since the
-      // publish — attaching would serve an index of the PREVIOUS corpus)
-      // or a marker this engine version doesn't read: fall through to
-      // the rebuild, which clears the stale remains
-      case _ => false
-    }
-  }
-
-  /** One bucketed-table publish: clear whatever an incomplete prior
-    * publish left at the location, write bucketed + bucket-sorted by
-    * `cell` as an EXTERNAL table (the files, not the catalog entry, are
-    * the durable artifact), then drop the marker that makes the publish
-    * attachable — marker LAST, so a crash mid-write leaves an
-    * unmarked location the next publisher clears. Shared by
-    * [[publishedIndex]] and [[publishAssignPair]]. */
-  private def writeIndexTable(spark: SparkSession, tbl: String, corpusFp: String,
-                              df: DataFrame): Unit = {
-    val loc = indexTableLoc(spark, tbl)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(indexTableBuckets, "cell").sortBy("cell")
-      .option("path", loc.toString)
-      .format("parquet").saveAsTable(tbl)
-    java.nio.file.Files.write(markerPath(loc),
-      s"$indexTableBuckets\n$corpusFp\n${df.schema.toDDL}".getBytes("UTF-8"))
-  }
+    * with no oracle in the deployment path to notice. Metadata-only
+    * ([[graft.sources.Published.fingerprint]] — no data scan, the index
+    * must stay cheaper to attach than to read), which is how a real
+    * index version-locks to its corpus snapshot; an mtime-only touch
+    * costs at worst one spurious retrain, never a stale serve. */
+  private def corpusFingerprint(dir: String): String =
+    graft.sources.Published.fingerprint(dir,
+      Seq(java.nio.file.Paths.get(dir, "embeddings.parquet")))
 
   /** The published celled corpus — the one producer both table-backed
     * search legs read. Publish lineage: session cache (train once) →
@@ -936,7 +852,7 @@ object Similarity {
       val cTbl = indexTableName(dir, cWhich)
       lazy val fp = corpusFingerprint(dir)
       def present(t: String): Boolean =
-        spark.catalog.tableExists(t) || attachIndexTable(spark, t, fp)
+        graft.sources.Published.ensure(spark, t, "cell", indexTableBuckets, fp)
       if (!present(bTbl) || !present(cTbl)) {
         val eq = codedVectors(spark, dir).localCheckpoint(true)
         // release in finally: a FAILED publish (disk full, a concurrent
@@ -945,10 +861,11 @@ object Similarity {
         // failure leak class the CC loop's throw path also releases
         try {
           val (assigned, cents) = train(eq)
-          writeIndexTable(spark, bTbl, fp,
-            assigned.select(col("vec_id"), col("cell")))
+          graft.sources.Published.write(spark, bTbl, "cell", indexTableBuckets,
+            fp, assigned.select(col("vec_id"), col("cell")))
           import spark.implicits._
-          writeIndexTable(spark, cTbl, fp, cents.toSeq.toDF("cell", "cq"))
+          graft.sources.Published.write(spark, cTbl, "cell", indexTableBuckets,
+            fp, cents.toSeq.toDF("cell", "cq"))
         } finally Checkpoints.release(eq)
       }
       (spark.table(bTbl), spark.table(cTbl))

@@ -34,26 +34,25 @@ object Layout {
   /** Bucket both fact tables by the join key (+ sort within buckets):
     * orders⋈lineitem then needs no exchange on either side. */
   def bucketizeFacts(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
-    // idempotent: drop catalog entries and any orphaned managed locations
-    // (in-memory catalog forgets tables across JVMs; the warehouse doesn't)
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    Seq("orders_bucketed", "lineitem_bucketed").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = java.nio.file.Paths.get(warehouse, t)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
-    Tables.orders(spark, dir)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .format("parquet").saveAsTable("orders_bucketed")
-    Tables.lineitem(spark, dir)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .format("parquet").saveAsTable("lineitem_bucketed")
+    // attach-or-build (round 11, the Published machinery the ANN index
+    // tables share): re-clustering the fact tables is the 100 TB-scale
+    // cost here — a per-JVM rewrite was acceptable only at test scale.
+    // A new JVM re-declares the already-bucketed files when the marker
+    // matches (same source snapshot, same bucket layout) and rewrites
+    // only when the facts or the requested layout changed. The
+    // fingerprint folds in the source dir and bucket count, so
+    // switching corpora or re-bucketizing at a different count rebuilds
+    // — ensure() drops a same-named catalog entry serving any OTHER
+    // request rather than serving it.
+    def publishFact(tbl: String, key: String, src: String,
+                    build: => org.apache.spark.sql.DataFrame): Unit =
+      Published.attachOrBuild(spark, tbl, key, buckets,
+        Published.fingerprint(s"$dir#$buckets",
+          Seq(java.nio.file.Paths.get(dir, src))))(build)
+    publishFact("orders_bucketed", "o_orderkey", "orders.parquet",
+      Tables.orders(spark, dir))
+    publishFact("lineitem_bucketed", "l_orderkey", "lineitem.parquet",
+      Tables.lineitem(spark, dir))
   }
 
   /** CSV round-trip with explicit schema (headers on, ISO timestamps):

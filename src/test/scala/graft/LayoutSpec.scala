@@ -25,6 +25,34 @@ class LayoutSpec extends SparkSpec {
       s"expected zero exchanges over bucketed tables, got ${shuffles.size}")
   }
 
+  test("bucketized facts survive catalog loss: attach re-declares, never re-bucketizes") {
+    // re-clustering the facts is the 100 TB cost — a new JVM must
+    // re-declare the published files (Published attach), not rewrite
+    Layout.bucketizeFacts(spark, sf, buckets = 4)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def stamps(): Map[String, Long] =
+      Seq("orders_bucketed", "lineitem_bucketed").flatMap { t =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(warehouse, t))
+          .iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+          .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }.toMap
+    val expected = Layout.colocatedOrderRevenue(spark).collect()
+    val published = stamps()
+    Seq("orders_bucketed", "lineitem_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE `$t`") // external: files survive, catalog forgets
+      assert(!spark.catalog.tableExists(t))
+    }
+    Layout.bucketizeFacts(spark, sf, buckets = 4)
+    assert(Layout.colocatedOrderRevenue(spark).collect().toSeq == expected.toSeq)
+    assert(stamps() == published, "attach must not rewrite any bucketed fact file")
+    // ... while a DIFFERENT requested layout is a rebuild, not a serve
+    // of the mismatched files
+    Layout.bucketizeFacts(spark, sf, buckets = 2)
+    assert(stamps() != published, "a changed bucket layout must re-bucketize")
+    Layout.bucketizeFacts(spark, sf, buckets = 4) // restore for other tests
+  }
+
   test("schema evolution: mergeSchema reads old and new parquet slices together") {
     // lakes evolve: an early slice lacks a column later slices carry —
     // mergeSchema must union the schemas, null-filling the old slice
