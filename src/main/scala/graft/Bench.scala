@@ -128,6 +128,11 @@ object Bench {
       // full-corpus retrain per call would read ~q90's train level —
       // the same publish-lifecycle guard as q120-q122
       "q123_index_epoch_roll" -> 1.05,
+      // minor compaction: steady state is a no-op high-water check +
+      // the table-local audit (isolated min-of-2 0.80/0.78/0.76 at
+      // 1×/10×/20× — flat); a marker miss re-cloning the base per call
+      // would read ~2× — the same publish-lifecycle guard
+      "q124_index_compact" -> 0.80,
       // q119 ref re-based 5.70 → 1.65 round 11: the signature pass moved
       // to the native byte-level kernel (graft_simhash64_bytes) — same
       // ~500 shingles × 2 md5 per doc (the md5 inputs define the

@@ -967,6 +967,81 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** q124: MINOR compaction — the NIGHTLY counterpart of q123's
+    * quarterly roll: fold the maintained delta into the stored
+    * assignments under the FROZEN quantizer, no retrain. The compacted
+    * assignments live in their own bucketed table (`mbasec`) so the
+    * drift-audit legs (q122/q114, which replay the base/delta split)
+    * keep their stored state untouched. Bootstrap clones the stored
+    * base assignments once; every later compaction appends ONLY rows
+    * past the compacted table's own high-water mark — O(new delta)
+    * assignment + bucketed append (multiple files per bucket id; the
+    * bucket property survives appends, so reads stay exchange-free) —
+    * and an up-to-date index compacts to a no-op. The output audit is
+    * computed entirely FROM the compacted table: per cell, total
+    * occupancy and how many rows arrived via delta — zero corpus
+    * scans, and the occupancy aggregate rides the bucket layout with
+    * zero exchanges (PlanShapeSpec pins both).
+    *
+    * Determinism: the frozen-quantizer assignment is exact-integer
+    * (bit-identical in SQL — the oracle assigns the full corpus under
+    * the base-trained centroids and splits counts at the stored cut),
+    * and the append set is defined by the integer high-water mark, so
+    * replays and repeat calls are idempotent. */
+  def q124IndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (mbase, cents) = publishedMaintFor(spark, dir)
+    val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val cTbl = indexTableName(dir, "mbasec")
+    publishLock.synchronized {
+      if (!graft.sources.Published.ensure(
+          spark, cTbl, "cell", indexTableBuckets, corpusFingerprint(dir)))
+        // bootstrap: clone the stored base assignments (one-time; from
+        // the bucketed table, never the corpus)
+        graft.sources.Published.write(spark, cTbl, "cell", indexTableBuckets,
+          corpusFingerprint(dir), mbase.select(col("vec_id"), col("cell")))
+      val hw = spark.table(cTbl).agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val fresh = codeAndAssign(
+        Tables.embeddings(spark, dir).filter(col("vec_id") >= hw), cents)
+      if (!fresh.isEmpty)
+        fresh.select(col("vec_id"), col("cell"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(indexTableBuckets, "cell").sortBy("cell")
+          .format("parquet").saveAsTable(cTbl)
+    }
+    import spark.implicits._
+    cents.map(_._1).toSeq.toDF("cell")
+      .join(spark.table(cTbl).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("vec_id") >= cut, 1L).otherwise(0L)).as("n_from_delta")),
+        Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_from_delta"), lit(0L)).as("n_from_delta"))
+      .orderBy(col("cell"))
+  }
+
+  /** q124's oracle: assign the FULL corpus under the frozen base-trained
+    * quantizer (exactly what the compacted table holds) and split the
+    * per-cell counts at the stored cut. */
+  val q124Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq0 AS (SELECT vec_id, list_transform(v, x -> round(x*1000 + 1e-9)::BIGINT) AS q
+       |  FROM e),
+       |m AS (SELECT (max(vec_id)+1) * 4 // 5 AS cut FROM eq0),
+       |eq AS (SELECT eq0.vec_id, eq0.q FROM eq0, m WHERE eq0.vec_id < m.cut),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM eq WHERE vec_id >= 100 AND vec_id < 116),
+       |${(1 to kmeansRounds).map(lloydRoundSqlOver("eq", "c")).mkString(",\n")},
+       |${assignCteSql("eq0", s"c$kmeansRounds", "cf_d", "cf_a")},
+       |sp AS (SELECT cid AS cell FROM c0),
+       |ag AS (SELECT cf_a.cell, count(*) AS n_total,
+       |    sum(CASE WHEN cf_a.vec_id >= m.cut THEN 1 ELSE 0 END) AS n_from_delta
+       |  FROM cf_a, m GROUP BY 1)
+       |SELECT sp.cell,
+       |  coalesce(ag.n_total, 0)::BIGINT AS n_total,
+       |  coalesce(ag.n_from_delta, 0)::BIGINT AS n_from_delta
+       |FROM sp LEFT JOIN ag USING (cell)
+       |ORDER BY sp.cell""".stripMargin
+
   /** The two PQ search stages over built index frames: approximate
     * code-scan to [[pqRerankDepth]] candidates, exact re-rank to
     * top-3. */
@@ -1929,6 +2004,7 @@ object Similarity {
     "q121_ivfpq_search_table" -> q121IvfPqSearchTable _,
     "q122_index_maintain_table" -> q122IndexMaintainTable _,
     "q123_index_epoch_roll" -> q123IndexEpochRoll _,
+    "q124_index_compact"    -> q124IndexCompact _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1964,5 +2040,9 @@ object Similarity {
     // full-corpus) — oracle equality proves the rolled tables hold
     // exactly the retraining a from-scratch engine would produce
     "q123_index_epoch_roll" -> q123Sql,
+    // the minor compaction's audit reads ONLY the compacted table; the
+    // oracle derives the same content from first principles (frozen-
+    // quantizer assignment of the full corpus, counts split at the cut)
+    "q124_index_compact"    -> q124Sql,
   )
 }

@@ -296,6 +296,33 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "epoch audit must not plan a cartesian join")
   }
 
+  test("q124 compaction: audit is table-local and near-exchange-free; re-compaction appends nothing") {
+    import graft.operators.Similarity
+    Similarity.queries("q124_index_compact")(spark, sf).collect() // bootstrap + compact
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def files(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(warehouse,
+          Similarity.indexTableName(sf, "mbasec")))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+    }
+    val compacted = files()
+    // second call: an up-to-date index compacts to a NO-OP (idempotent
+    // by the high-water mark) and the audit reads ONLY the compacted
+    // bucketed table — no corpus scan, occupancy riding the bucket
+    // layout (the one exchange left is the k-row presentation sort)
+    val p = executed(Similarity.queries("q124_index_compact")(spark, sf))
+    assert(files() == compacted, "re-compaction must not append or rewrite any file")
+    val scans = allNodes(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.relation.bucketSpec.isDefined),
+      s"audit must read only the compacted table, got ${scans.map(_.tableIdentifier)}")
+    assert(shuffles(p).size <= 1,
+      s"expected at most the k-row output sort, got ${shuffles(p).size} exchanges")
+  }
+
   test("published index halves co-join on cell with zero exchanges (bucket-for-bucket)") {
     // the layout claim of the published form: the re-rank re-attach
     // (cells ⋈ codes on (cell, vec_id)) is bucket-aligned, so with
