@@ -987,7 +987,11 @@ object Similarity {
     * (bit-identical in SQL — the oracle assigns the full corpus under
     * the base-trained centroids and splits counts at the stored cut),
     * and the append set is defined by the integer high-water mark, so
-    * replays and repeat calls are idempotent. */
+    * replays and repeat calls are idempotent. ONE compactor at a time:
+    * the publish lock serializes compaction within a JVM; across JVMs a
+    * deployment runs a single compaction job per index (the standard
+    * arrangement — two concurrent compactors could both read the same
+    * high-water mark and double-append the window between them). */
   def q124IndexCompact(spark: SparkSession, dir: String): DataFrame = {
     val (mbase, cents) = publishedMaintFor(spark, dir)
     val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
