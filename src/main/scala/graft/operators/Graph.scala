@@ -64,9 +64,14 @@ object Graph {
     * dynamic allocation swaps this for a reliable `checkpoint()` (or a
     * materialized edge TABLE), which is the production form of the same
     * decision. */
+  // computeIfAbsent at BOTH levels (same shape and reason as
+  // Similarity.cachedIndex): TrieMap.getOrElseUpdate is optimistic — a
+  // concurrent first access can evaluate the by-name build twice and
+  // leak the losing localCheckpoint for the session lifetime — while
+  // CHM runs the mapping function at most once under the bin lock
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   private def edgesMaterialized(spark: SparkSession, dir: String): DataFrame = {
     // evict stopped sessions: their checkpointed blocks are unreachable
@@ -76,8 +81,8 @@ object Graph {
     if (spark.sparkContext.isStopped) edges(spark, dir) // caller's problem, don't cache
     else edgeCache
       .computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-      .getOrElseUpdate(dir, edges(spark, dir).localCheckpoint(true))
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(dir, _ => edges(spark, dir).localCheckpoint(true))
   }
 
   /** Spec hook: the materialized shipping-graph edge list, so GraphSpec
@@ -103,12 +108,15 @@ object Graph {
     * AQE tax, the no-skew-split trade) is documented once on
     * [[Loops]]; the r8 probe history (21.0 s vs 27.3 at 10×) is in
     * PLANS.md. */
-  private def edgesDegreed(spark: SparkSession, dir: String): DataFrame =
+  private def edgesDegreed(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the raw-edge dependency BEFORE the #degreed mapping
+    // function runs: CHM forbids a recursive computeIfAbsent on another
+    // key of the same map from inside a mapping function
+    val e = edgesMaterialized(spark, dir)
     edgeCache
       .computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-      .getOrElseUpdate(dir + "#degreed", {
-        val e = edgesMaterialized(spark, dir)
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(dir + "#degreed", { _ =>
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
         // sortWithinPartitions: checkpoint keeps the ordering too, so a
         // consumer whose join plans sort-merge (q81's frontier loop at
@@ -117,6 +125,7 @@ object Graph {
         e.join(deg, "src").repartition(col("src"))
           .sortWithinPartitions("src").localCheckpoint(true)
       })
+  }
 
   // round 10: the child-session machinery generalized to Loops so the
   // other iterative operators (q56 CC, q81 BFS) share it, and the

@@ -987,16 +987,22 @@ object Similarity {
     * (bit-identical in SQL — the oracle assigns the full corpus under
     * the base-trained centroids and splits counts at the stored cut),
     * and the append set is defined by the integer high-water mark, so
-    * replays and repeat calls are idempotent. ONE compactor at a time:
-    * the publish lock serializes compaction within a JVM; across JVMs a
-    * deployment runs a single compaction job per index (the standard
-    * arrangement — two concurrent compactors could both read the same
-    * high-water mark and double-append the window between them). */
+    * replays and repeat calls are idempotent. ONE compactor at a time,
+    * MECHANIZED (r11 verdict ask #2): the publish lock serializes
+    * within a JVM, and the whole read-high-water-mark → append window
+    * runs under the table's cross-JVM single-writer lease
+    * ([[graft.sources.Published.withLease]]) — a second concurrent
+    * compactor (thread or JVM sharing the warehouse) throws
+    * [[graft.sources.Published.LeaseHeld]] instead of reading the same
+    * high-water mark and double-appending the window between them
+    * (spec: LayoutSpec "concurrent compactors"). */
   def q124IndexCompact(spark: SparkSession, dir: String): DataFrame = {
     val (mbase, cents) = publishedMaintFor(spark, dir)
     val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val cTbl = indexTableName(dir, "mbasec")
     publishLock.synchronized {
+      graft.sources.Published.withLease(
+        graft.sources.Published.tableLoc(spark, cTbl), s"compact:$cTbl") {
       if (!graft.sources.Published.ensure(
           spark, cTbl, "cell", indexTableBuckets, corpusFingerprint(dir)))
         // bootstrap: clone the stored base assignments (one-time; from
@@ -1011,6 +1017,7 @@ object Similarity {
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .bucketBy(indexTableBuckets, "cell").sortBy("cell")
           .format("parquet").saveAsTable(cTbl)
+      }
     }
     import spark.implicits._
     cents.map(_._1).toSeq.toDF("cell")
@@ -1876,7 +1883,15 @@ object Similarity {
     * stored index metadata (a (cell, n_base) frame, never re-derived
     * from base vectors) and delta occupancy accumulates across
     * micro-batches. Totals are occupancy sums — identical to row
-    * counts of the assigned frames by construction. */
+    * counts of the assigned frames by construction.
+    *
+    * PRECONDITION: every occupancy row's `cell` must appear in
+    * `spineCells`. The corpus totals are window sums over the
+    * spine-joined frame (see below for why), so an out-of-spine
+    * occupancy row is silently EXCLUDED from `base_n`/`delta_n` and
+    * every drift ratio shifts. All production callers satisfy this by
+    * construction — assignments only ever target spine centroids — but
+    * a test feeding arbitrary frames must keep cells ⊆ spine. */
   private[graft] def maintainStatsFromOcc(baseOcc: DataFrame,
       deltaOcc: DataFrame, spineCells: Seq[Long]): DataFrame = {
     val spark = baseOcc.sparkSession

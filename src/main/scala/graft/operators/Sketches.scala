@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -9,10 +9,20 @@ import graft.sources.Tables
   * quantiles). The reference has nothing comparable; these are mandated by
   * the extension surface.
   *
-  * q39 (exact interpolated percentiles) is oracle-gated. q40 (HLL) has no
-  * oracle entry on purpose: approximate answers can't hash-match an exact
-  * engine — the driver records a rows-only check, and the spec bounds the
-  * HLL error against the exact count instead.
+  * All five entries are oracle-gated (r11 verdict ask #4). The three
+  * approximate ones (q40/q91/q98) follow q104's deterministic-face
+  * pattern (`functions/HeavyHitters`): an approximate answer can't
+  * hash-match an exact engine, so the QUERY OUTPUT is the audit a
+  * deployment actually gates on — the exact values recomputed beside the
+  * sketch plus 0/1 invariant flags proving the estimates landed inside
+  * their error envelopes ON THIS RUN. HLL register-max merging is
+  * order-independent, so the estimates (and hence the flags) are
+  * deterministic per dataset; the envelopes are set 5–6× above the worst
+  * error measured across sf0.001/0.01/0.1 (SketchProbe, PLANS.md r12),
+  * far below each sketch's configured rsd would justify flagging. An
+  * implementation bug (wrong rsd wiring, a broken merge, inclusion–
+  * exclusion over mismatched sketches) flips a flag and fails the gate;
+  * SketchesSpec additionally bounds the raw errors.
   */
 object Sketches {
 
@@ -46,15 +56,32 @@ object Sketches {
 
   // ---------------------------------------------------------------- q40
   /** HLL++ distinct counts beside the exact answer — the constant-memory
-    * form of q10 at scale. No oracle (approximate); rows-only check +
-    * error-bound spec. */
-  def q40ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * form of q10 at scale — reduced to the deterministic audit face:
+    * exact count per priority + a flag that the HLL++ estimate (rsd
+    * 0.02) landed within 5% of it. Measured worst error across three
+    * SFs: 0.85% (SketchProbe) — the flag only flips on a real bug. The
+    * estimate itself is deterministic (register maxes commute) but not
+    * oracle-computable; SketchesSpec bounds it directly. */
+  /** The raw estimates (spec surface: SketchesSpec bounds these). */
+  private[graft] def q40RawEstimates(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
         countDistinct(col("o_custkey")).as("exact_customers"),
         approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"))
+
+  def q40ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    q40RawEstimates(spark, dir)
+      .select(col("o_orderpriority"), col("exact_customers"),
+        when(abs(col("approx_customers") - col("exact_customers"))
+          <= col("exact_customers") * 0.05, 1).otherwise(0)
+          .cast("int").as("approx_in_bounds"))
       .orderBy(col("o_orderpriority"))
+
+  val q40Sql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_customers,
+      |  1 AS approx_in_bounds
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q59
   /** Data-profiling audit — the table-health scan a pipeline runs before
@@ -118,11 +145,17 @@ object Sketches {
     * falls back to the raw harmonic estimator), so merged and whole
     * estimates legitimately differ by a little while BOTH stay inside
     * the configured error bounds — the invariant a 100 TB dashboard
-    * actually relies on, and the one SketchesSpec pins (measured at
-    * sf0.01: merged 1488 vs whole 1494 vs exact 1500). No oracle on
-    * purpose (approximate answers can't hash-match an exact engine —
-    * q40's rule); the driver records a rows-only check. */
-  def q91SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    * actually relies on, emitted here as the deterministic audit face
+    * (q104's pattern): the exact count plus flags that merged and
+    * whole each landed within 5% of exact and within 2% of each other
+    * (measured: merged ≤1.0%, whole ≤0.81%, gap ≤0.40% across three
+    * SFs — SketchProbe; at sf0.01: merged 1488, whole 1494, exact
+    * 1500). SketchesSpec bounds the raw estimates directly. */
+  private def inBounds(est: Column, ref: Column, tol: Double): Column =
+    when(abs(est - ref) <= ref * tol, 1).otherwise(0).cast("int")
+
+  /** The raw estimates (spec surface). */
+  private[graft] def q91RawEstimates(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = to_timestamp(lit("1997-01-01 00:00:00"))
     val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderdate"))
     val perSlice = o
@@ -136,11 +169,22 @@ object Sketches {
       hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("whole_estimate"),
       countDistinct(col("o_custkey")).as("exact_customers"))
     merged.crossJoin(whole)
-      .select(col("merged_estimate"), col("whole_estimate"), col("exact_customers"),
-        (col("merged_estimate") === col("whole_estimate")).as("merge_matches_whole"),
-        round(abs(col("merged_estimate") - col("exact_customers"))
-          / col("exact_customers"), 6).as("rel_err"))
   }
+
+  def q91SketchMerge(spark: SparkSession, dir: String): DataFrame =
+    q91RawEstimates(spark, dir)
+      .select(col("exact_customers"),
+        inBounds(col("merged_estimate"), col("exact_customers"), 0.05)
+          .as("merged_in_bounds"),
+        inBounds(col("whole_estimate"), col("exact_customers"), 0.05)
+          .as("whole_in_bounds"),
+        inBounds(col("merged_estimate"), col("whole_estimate"), 0.02)
+          .as("merged_tracks_whole"))
+
+  val q91Sql: String =
+    """SELECT count(DISTINCT o_custkey) AS exact_customers,
+      |  1 AS merged_in_bounds, 1 AS whole_in_bounds, 1 AS merged_tracks_whole
+      |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------- q98
   /** Sketch-based JOIN-KEY overlap estimation — the optimizer statistic
@@ -148,27 +192,48 @@ object Sketches {
     * `orders` and `customer` share? Exact inclusion–exclusion over HLL
     * sketches (|A∩B| ≈ est(A) + est(B) − est(A∪B)) needs one scan per
     * side and constant memory, vs the exact semi-join's full shuffle.
-    * One audit row: per-side estimates, union estimate, derived overlap
-    * estimate, the exact overlap, and relative error. Rows-only gate
-    * (approximate — q40's rule); SketchesSpec bounds the error. */
-  def q98JoinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    * One audit row, deterministic face (q104's pattern): the exact
+    * per-side distinct counts and exact overlap, plus flags that each
+    * side estimate landed within 5% of its exact count and the derived
+    * overlap within 5% of the exact overlap (measured worst: sides
+    * 0.81%, overlap 0.61% across three SFs — SketchProbe).
+    * SketchesSpec bounds the raw estimates. */
+  /** The raw estimates incl. the derived `est_overlap` (spec surface). */
+  private[graft] def q98RawEstimates(spark: SparkSession, dir: String): DataFrame = {
     val oKeys = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
     val cKeys = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
     val sk = oKeys.agg(hll_sketch_agg(col("k")).as("sk"))
       .unionAll(cKeys.agg(hll_sketch_agg(col("k")).as("sk")))
-    val ests = oKeys.agg(hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_orders"))
-      .crossJoin(cKeys.agg(hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_customer")))
+    val ests = oKeys.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_orders"),
+        countDistinct(col("k")).as("exact_orders_keys"))
+      .crossJoin(cKeys.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("k"))).as("est_customer"),
+        countDistinct(col("k")).as("exact_customer_keys")))
       .crossJoin(sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union")))
     val exact = cKeys.join(oKeys, cKeys("k") === oKeys("k"), "left_semi")
       .agg(countDistinct(col("k")).as("exact_overlap"))
     ests.crossJoin(exact)
-      .select(col("est_orders"), col("est_customer"), col("est_union"),
-        (col("est_orders") + col("est_customer") - col("est_union")).as("est_overlap"),
-        col("exact_overlap"),
-        round(abs(col("est_orders") + col("est_customer") - col("est_union")
-          - col("exact_overlap")).cast("double") / col("exact_overlap"), 6)
-          .as("rel_err"))
+      .withColumn("est_overlap",
+        col("est_orders") + col("est_customer") - col("est_union"))
   }
+
+  def q98JoinCardEstimate(spark: SparkSession, dir: String): DataFrame =
+    q98RawEstimates(spark, dir)
+      .select(col("exact_orders_keys"), col("exact_customer_keys"),
+        col("exact_overlap"),
+        when(inBounds(col("est_orders"), col("exact_orders_keys"), 0.05) === 1
+          && inBounds(col("est_customer"), col("exact_customer_keys"), 0.05) === 1,
+          1).otherwise(0).cast("int").as("sides_in_bounds"),
+        inBounds(col("est_overlap"), col("exact_overlap"), 0.05).as("overlap_in_bounds"))
+
+  val q98Sql: String =
+    """SELECT
+      |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_orders_keys,
+      |  (SELECT count(DISTINCT c_custkey) FROM customer) AS exact_customer_keys,
+      |  (SELECT count(DISTINCT c_custkey) FROM customer
+      |     WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS exact_overlap,
+      |  1 AS sides_in_bounds, 1 AS overlap_in_bounds""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"     -> q39Percentiles _,
@@ -178,9 +243,11 @@ object Sketches {
     "q98_join_card_estimate" -> q98JoinCardEstimate _,
   )
 
-  /** q40, q91, and q98 intentionally absent — see their docs (approximate). */
   val oracle: Map[String, String] = Map(
-    "q39_percentiles" -> q39Sql,
-    "q59_profile"     -> q59Sql,
+    "q39_percentiles"     -> q39Sql,
+    "q40_approx_distinct" -> q40Sql,
+    "q59_profile"         -> q59Sql,
+    "q91_sketch_merge"    -> q91Sql,
+    "q98_join_card_estimate" -> q98Sql,
   )
 }

@@ -30,9 +30,85 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * through to the rebuild, which clears the location. The fingerprint
   * is metadata-only ((relative name, size, mtime) of the source files —
   * no data scan; the publish must stay cheaper to attach than to read):
-  * an mtime-only touch costs at worst one spurious rebuild, never a
-  * stale serve. */
+  * an mtime-only touch costs at worst one spurious rebuild. The one
+  * regeneration it can NOT see is a corpus rewritten in place with
+  * both sizes and mtimes preserved (`rsync -t` of equal-length files,
+  * an archive restore with timestamps) — a deployment that replaces
+  * corpora that way must bump a byte somewhere or drop the markers;
+  * everything cheaper than reading the data has this blind spot.
+  *
+  * Concurrent WRITERS are excluded by a lease ([[withLease]]): every
+  * publish and every append to a published table first creates a
+  * `<tbl>._GRAFT_LEASE` file next to the table directory with
+  * CREATE_NEW semantics — atomic on a local or POSIX warehouse — so a
+  * second JVM (or thread) publishing the same table fails loudly
+  * ([[LeaseHeld]]) instead of interleaving its delete-walk with the
+  * winner's bucketed write or double-appending a compaction window.
+  * The marker itself is stamped via temp-file + ATOMIC_MOVE, so no
+  * reader can observe a torn marker over mixed files. A lease left by
+  * a crashed publisher is taken over once it is older than
+  * [[leaseStaleMs]] (a publish is minutes, the threshold is 30). */
 object Published {
+
+  /** A second concurrent publisher lost the CREATE_NEW race — the
+    * caller must NOT fall back to writing (that is the double-append /
+    * torn-publish hazard the lease exists to close); retry after the
+    * holder finishes or fail the job. */
+  final class LeaseHeld(msg: String) extends IllegalStateException(msg)
+
+  private[graft] val leaseStaleMs: Long = 30L * 60 * 1000
+
+  /** Per-thread re-entrancy: `write` inside a caller that already holds
+    * the table lease (q124's bootstrap path) must not self-deadlock. */
+  private val leaseHolders =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, Thread]()
+
+  private def leasePath(loc: java.nio.file.Path): java.nio.file.Path =
+    loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+
+  /** Run `body` holding the single-writer lease for the table at `loc`.
+    * CREATE_NEW is the atomicity primitive: exactly one creator wins;
+    * losers get [[LeaseHeld]] carrying the holder's id and lease age.
+    * A stale lease (crashed holder, older than `staleMs`) is broken and
+    * re-taken once — the delete+create window between two breakers is
+    * racy, but both breakers are then younger than the threshold and
+    * one of their CREATE_NEW calls still loses. Re-entrant per thread. */
+  def withLease[T](loc: java.nio.file.Path, holder: String,
+                   staleMs: Long = leaseStaleMs)(body: => T): T = {
+    val norm = loc.toAbsolutePath.normalize
+    if (leaseHolders.get(norm) eq Thread.currentThread()) return body
+    val lp = leasePath(norm)
+    java.nio.file.Files.createDirectories(norm.getParent)
+    def tryAcquire(): Boolean =
+      try {
+        java.nio.file.Files.createFile(lp)
+        java.nio.file.Files.write(lp,
+          s"$holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val acquired = tryAcquire() || {
+      val age = try {
+        System.currentTimeMillis() -
+          java.nio.file.Files.getLastModifiedTime(lp).toMillis
+      } catch { case _: java.io.IOException => 0L } // holder just released
+      if (age > staleMs) java.nio.file.Files.deleteIfExists(lp)
+      tryAcquire()
+    }
+    if (!acquired) {
+      val who = try {
+        new String(java.nio.file.Files.readAllBytes(lp), "UTF-8").takeWhile(_ != '\n')
+      } catch { case _: java.io.IOException => "<gone>" }
+      throw new LeaseHeld(
+        s"publish lease for ${norm.getFileName} held by '$who' ($lp); " +
+          "one writer per published table — retry after it completes")
+    }
+    leaseHolders.put(norm, Thread.currentThread())
+    try body
+    finally {
+      leaseHolders.remove(norm)
+      java.nio.file.Files.deleteIfExists(lp)
+    }
+  }
 
   def tableLoc(spark: SparkSession, tbl: String): java.nio.file.Path = {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -50,8 +126,13 @@ object Published {
     val desc = roots.map { root =>
       val parts =
         if (java.nio.file.Files.isDirectory(root))
-          java.nio.file.Files.walk(root).iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+          // Using: fingerprint runs on every serve/maintain call via the
+          // session index key — an unclosed walk leaks a directory fd
+          // per query call until GC
+          scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+            st.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+          }
         else Seq(root)
       parts.map { p =>
         s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
@@ -110,26 +191,39 @@ object Published {
     }
   }
 
-  /** One bucketed-table publish: clear whatever an incomplete or stale
-    * prior publish left at the location, write bucketed + bucket-sorted
-    * as an EXTERNAL table, then the marker LAST — a crash mid-write
-    * leaves an unmarked location the next publisher clears. */
+  /** One bucketed-table publish, under the table's single-writer lease
+    * ([[withLease]] — a concurrent publisher of the same table throws
+    * [[LeaseHeld]] instead of interleaving with this delete-walk +
+    * write): clear whatever an incomplete or stale prior publish left
+    * at the location, write bucketed + bucket-sorted as an EXTERNAL
+    * table, then the marker LAST and ATOMICALLY (temp + ATOMIC_MOVE) —
+    * a crash mid-write leaves an unmarked location the next publisher
+    * clears, and no reader ever sees a torn marker. */
   def write(spark: SparkSession, tbl: String, bucketCol: String,
-            buckets: Int, fp: String, df: DataFrame): Unit = {
-    val loc = tableLoc(spark, tbl)
-    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+            buckets: Int, fp: String, df: DataFrame): Unit =
+    withLease(tableLoc(spark, tbl), s"write:$tbl:${pid()}") {
+      val loc = tableLoc(spark, tbl)
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(loc)) { st =>
+          st.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .option("path", loc.toString)
+        .format("parquet").saveAsTable(tbl)
+      val tmp = loc.resolve("_GRAFT_PUBLISHED.tmp")
+      java.nio.file.Files.write(tmp,
+        s"$buckets\n$bucketCol\n$fp\n${df.schema.toDDL}".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, markerPath(loc),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .option("path", loc.toString)
-      .format("parquet").saveAsTable(tbl)
-    java.nio.file.Files.write(markerPath(loc),
-      s"$buckets\n$bucketCol\n$fp\n${df.schema.toDDL}".getBytes("UTF-8"))
-  }
+
+  private def pid(): String =
+    s"${java.lang.ProcessHandle.current().pid()}@${Thread.currentThread().getId}"
 
   /** The publish lifecycle in one call: valid catalog hit → attach →
     * build. */

@@ -221,13 +221,18 @@ object Ingest {
         // a replayed batch re-emits the identical survivor set (a bare
         // dropDuplicates("doc_id") keeps an arbitrary row and the
         // idempotent-replay guarantee silently degrades to "some row").
+        // The ordering carries a SECOND independent hash (salted column
+        // list) so even a 64-bit collision between different payloads
+        // stays deterministic — both colliding simultaneously is ~2^-128
         val allCols = rawBatch.columns.map(col)
         val picked = rawBatch
           .withColumn("__pick", xxhash64(allCols.toIndexedSeq: _*))
+          .withColumn("__pick2", xxhash64((lit("graft-tiebreak-2") +: allCols).toIndexedSeq: _*))
           .withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id")).orderBy(col("__pick").desc)))
-          .filter(col("__rn") === 1).drop("__pick", "__rn")
+              .partitionBy(col("doc_id"))
+              .orderBy(col("__pick").desc, col("__pick2").desc)))
+          .filter(col("__rn") === 1).drop("__pick", "__pick2", "__rn")
         val judged = graft.functions.Text
           .withFilterVerdict(picked)
           .localCheckpoint(true) // two consumers of one verdict pass

@@ -8,16 +8,20 @@ class SketchesSpec extends SparkSpec {
   import spark.implicits._
 
   test("HLL approx distinct within its 2% rsd envelope of the exact count") {
-    Sketches.q40ApproxDistinct(spark, sf).collect().foreach { r =>
+    Sketches.q40RawEstimates(spark, sf).collect().foreach { r =>
       val exact = r.getAs[Long]("exact_customers").toDouble
       val approx = r.getAs[Long]("approx_customers").toDouble
       assert(math.abs(approx - exact) <= math.max(3.0, exact * 0.06),
         s"HLL too far off: exact=$exact approx=$approx")
     }
+    // the faced (oracle-gated) form: every invariant flag is 1
+    Sketches.q40ApproxDistinct(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Int]("approx_in_bounds") == 1, s"flag flipped: $r")
+    }
   }
 
   test("q91: merged slice sketches and whole-corpus sketch both inside the error bound") {
-    val r = Sketches.q91SketchMerge(spark, sf).collect()
+    val r = Sketches.q91RawEstimates(spark, sf).collect()
     assert(r.length == 1)
     val row = r.head
     val exact = row.getAs[Long]("exact_customers").toDouble
@@ -36,10 +40,14 @@ class SketchesSpec extends SparkSpec {
     // below the sketch's own error envelope
     assert(math.abs(merged - whole) <= math.max(3.0, exact * 0.02),
       s"merged=$merged whole=$whole")
+    // the faced (oracle-gated) form: every invariant flag is 1
+    val face = Sketches.q91SketchMerge(spark, sf).head()
+    Seq("merged_in_bounds", "whole_in_bounds", "merged_tracks_whole").foreach(f =>
+      assert(face.getAs[Int](f) == 1, s"$f flipped: $face"))
   }
 
   test("q98: sketch-estimated join-key overlap lands within the HLL envelope of exact") {
-    val r = Sketches.q98JoinCardEstimate(spark, sf).collect()
+    val r = Sketches.q98RawEstimates(spark, sf).collect()
     assert(r.length == 1)
     val row = r.head
     val exact = row.getAs[Long]("exact_overlap").toDouble
@@ -53,6 +61,10 @@ class SketchesSpec extends SparkSpec {
     // union noise (overlap ⊆ each side)
     assert(est <= math.min(row.getAs[Long]("est_orders"),
       row.getAs[Long]("est_customer")) + math.max(9.0, exact * 0.15))
+    // the faced (oracle-gated) form: every invariant flag is 1
+    val face = Sketches.q98JoinCardEstimate(spark, sf).head()
+    Seq("sides_in_bounds", "overlap_in_bounds").foreach(f =>
+      assert(face.getAs[Int](f) == 1, s"$f flipped: $face"))
   }
 
   test("percentiles are ordered and bracket the group's range") {
