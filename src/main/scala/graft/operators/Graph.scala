@@ -139,6 +139,40 @@ object Graph {
       Loops.dataSizedParts(n, spark.sparkContext.defaultParallelism))
   }
 
+  /** JIT pre-warm for the superstep path — BUILT, MEASURED, AND
+    * REJECTED as a default (r11 verdict ask #5, "measurement either
+    * way"): two synthetic supersteps + a convergence probe drive the
+    * same join + agg + checkpoint + filter plan SHAPES through the
+    * engine, but the measured transfer is net zero — ColdJit at sf0.1:
+    * cold 11.7 s vs 3.5 s prewarm + 9.6 s cold; at 10×: 28.2 vs
+    * 3.0 + 25.9 (PLANS.md r12). The fresh-JVM cold cost is dominated
+    * by compiling the REAL plans' generated code and first-contact
+    * shuffle machinery at real data sizes, which a 200-edge mini-loop
+    * cannot stand in for. The cold first run is therefore an accepted
+    * once-per-JVM constant (priced in PLANS.md), and NOTHING in the
+    * engine calls this; it stays as the reproducible experiment behind
+    * that decision (ColdJit's `prewarm` arg). */
+  private val jitWarmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def jitPrewarmLoops(spark: SparkSession): Unit =
+    if (jitWarmed.compareAndSet(false, true)) {
+      val s = Loops.session(spark, 4)
+      val edges = s.range(0, 200).select(
+        (col("id") % 50).as("src"), ((col("id") * 7 + 1) % 50).as("dst"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val e = edges.join(deg, "src").repartition(col("src"))
+        .sortWithinPartitions("src").localCheckpoint(true)
+      var r = e.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(scale).as("r")).localCheckpoint(true)
+      for (_ <- 1 to 2) {
+        val n = pagerankStep(e, r, lazyChain = true).localCheckpoint(true)
+        n.filter(col("r") =!= col("r_prev")).isEmpty // the probe shape
+        Checkpoints.release(r)
+        r = n.select(col("node"), col("r"))
+      }
+      Checkpoints.release(r)
+      Checkpoints.release(e)
+    }
+
   // ---------------------------------------------------------------- q73
   /** Fixed-point PageRank to CONVERGENCE (exact integer fixpoint,
     * capped at [[pagerankMaxIters]] supersteps — see its scaladoc for

@@ -42,6 +42,30 @@ NOISE_FLOOR = 1.0  # seconds: below this, batch drift is annotated, not flagged
 METRICS = ("rowsUpdated", "stateBytes", "commitMs")
 
 
+def find_full_record(text):
+    """Resolve a TRUNCATED driver artifact tail to the full structured
+    bench record the suite itself wrote into bench_history/ (r11 verdict
+    ask #6: stop regex-scanning 2000-char tails when the full object
+    exists). Match key: the suite total ('"value":X' closes the line and
+    always survives the driver's tail window) — three-decimal totals
+    don't collide across rounds in practice; ambiguity returns None and
+    the caller keeps the regex fallback."""
+    m = re.search(r'"value":([0-9.]+)\}', text)
+    if not m:
+        return None
+    target = float(m.group(1))
+    here = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    hits = []
+    for fp in glob.glob(__import__("os").path.join(here, "..", "bench_history", "bench_*.json")):
+        try:
+            d = json.loads(open(fp).read())
+        except (json.JSONDecodeError, OSError):
+            continue
+        if isinstance(d, dict) and abs(float(d.get("value", -1)) - target) < 5e-4:
+            hits.append(d)
+    return hits[0] if len(hits) == 1 else None
+
+
 def extract_state(path):
     """Return the {query: {metric: value}} state map from an artifact."""
     with open(path) as f:
@@ -54,6 +78,10 @@ def extract_state(path):
         doc = {"tail": raw}
     if "state" in doc and isinstance(doc["state"], dict):
         return doc["state"]
+    if isinstance(doc, dict) and "tail" in doc:
+        full = find_full_record(doc["tail"])
+        if full and isinstance(full.get("state"), dict):
+            return full["state"]
     text = doc.get("tail", "") if isinstance(doc, dict) else ""
     m = re.search(r'"state":\{', text)
     if not m:
@@ -94,6 +122,18 @@ def extract_queries(path):
         text = doc["tail"] if isinstance(doc, dict) and "tail" in doc else raw
     except json.JSONDecodeError:
         text = raw
+    # structured path first: a truncated driver tail that resolves to
+    # its full bench_history record yields the COMPLETE query map with
+    # no regex scanning (noisy re-run pairs handled per the same rule)
+    if '"metric"' not in text[:40]:
+        full = find_full_record(text)
+        if full and isinstance(full.get("queries"), dict):
+            suite = {k: float(v) for k, v in full["queries"].items()
+                     if isinstance(v, (int, float)) and float(v) >= 0}
+            for short, val in (full.get("noisy") or {}).items():
+                if not any(k == short or k.startswith(short + "_") for k in suite):
+                    suite[short] = float(val)
+            return suite
     noisy_span = (len(text), len(text))
     m = re.search(r'"noisy":\{', text)
     if m:
