@@ -4,8 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // one shared session recipe (Session.builder) — only parallelism varies
-    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // one shared session recipe (Session.builder) — only parallelism
+    // varies; SPARK_GRAFT_MASTER can point a bench leg at a
+    // local-cluster for multi-process measurements
+    val spark = Session.builderFromEnv(cpus.toInt, cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT + codegen + parquet footer caches, so the first timed
     // query isn't charged session start-up costs.

@@ -12,8 +12,10 @@ object Verify {
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // one shared session recipe (Session.builder) — only parallelism varies
-    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // one shared session recipe (Session.builder) — only parallelism
+    // varies; SPARK_GRAFT_MASTER=local-cluster[...] re-runs the whole
+    // dump with separate worker JVMs (multi-process validation)
+    val spark = Session.builderFromEnv(cpus.toInt, cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>

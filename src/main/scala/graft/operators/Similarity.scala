@@ -995,7 +995,7 @@ object Similarity {
     * compactor (thread or JVM sharing the warehouse) throws
     * [[graft.sources.Published.LeaseHeld]] instead of reading the same
     * high-water mark and double-appending the window between them
-    * (spec: LayoutSpec "concurrent compactors"). */
+    * (PublishedSpec "q124 compaction under a foreign lease"). */
   def q124IndexCompact(spark: SparkSession, dir: String): DataFrame = {
     val (mbase, cents) = publishedMaintFor(spark, dir)
     val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
