@@ -46,7 +46,9 @@ object StreamClusterProbe {
       .schema(spark.read.parquet(staging).schema).parquet(staging)
     val q1 = graft.streaming.IndexMaintain.maintainPublishedSink(
       deltaStream, dir, s"$root/out", s"$root/ckpt", s"$root/delta")
-    try q1.awaitTermination(300000L) finally q1.stop()
+    try require(q1.awaitTermination(300000L),
+      "maintenance stream timed out — NOT a stream-vs-batch divergence")
+    finally q1.stop()
     val streamed = spark.read.parquet(s"$root/out")
       .collect().map(r => r.getAs[Long]("cell") -> r).toMap
     require(streamed.keySet == batchAudit.keySet,
@@ -69,7 +71,9 @@ object StreamClusterProbe {
       .schema(spark.read.parquet(docsIn).schema).parquet(docsIn)
     val q2 = graft.streaming.Ingest.qualityGateSink(
       docStream, s"$root/qout", s"$root/qckpt", s"$root/qaudit")
-    try q2.awaitTermination(300000L) finally q2.stop()
+    try require(q2.awaitTermination(300000L),
+      "quality-gate stream timed out — NOT a stream-vs-batch divergence")
+    finally q2.stop()
     val staticJudged = graft.functions.Text.withFilterVerdict(
       graft.sources.Tables.documents(spark, dir).select("doc_id", "source", "text"))
     val expectKept = staticJudged.filter(col("verdict") === "kept")

@@ -1012,11 +1012,17 @@ object Similarity {
       val hw = spark.table(cTbl).agg(max(col("vec_id"))).head.getLong(0) + 1L
       val fresh = codeAndAssign(
         Tables.embeddings(spark, dir).filter(col("vec_id") >= hw), cents)
-      if (!fresh.isEmpty)
+      if (!fresh.isEmpty) {
+        // commit point: a compaction that overran the lease's stale
+        // threshold was broken by a rival — abort before appending over
+        // its writes (Published.LeaseLost), never double-append
+        graft.sources.Published.assertLeaseOwned(
+          graft.sources.Published.tableLoc(spark, cTbl))
         fresh.select(col("vec_id"), col("cell"))
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .bucketBy(indexTableBuckets, "cell").sortBy("cell")
           .format("parquet").saveAsTable(cTbl)
+      }
       }
     }
     import spark.implicits._

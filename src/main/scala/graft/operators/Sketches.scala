@@ -17,12 +17,16 @@ import graft.sources.Tables
   * sketch plus 0/1 invariant flags proving the estimates landed inside
   * their error envelopes ON THIS RUN. HLL register-max merging is
   * order-independent, so the estimates (and hence the flags) are
-  * deterministic per dataset; the envelopes are set 5–6× above the worst
-  * error measured across sf0.001/0.01/0.1 (SketchProbe, PLANS.md r12),
-  * far below each sketch's configured rsd would justify flagging. An
-  * implementation bug (wrong rsd wiring, a broken merge, inclusion–
-  * exclusion over mismatched sketches) flips a flag and fails the gate;
-  * SketchesSpec additionally bounds the raw errors.
+  * deterministic per dataset; each envelope is ≥5 standard deviations of
+  * its estimator's configured error (q40: rsd 0.02 → 10%; q91/q98:
+  * lgK-12 Datasketches rse ≈1.6% → 8%), so a FRESH corpus — a new draw
+  * per estimate — flips a flag with probability ≈ P(|Z|>5) ≈ 6e-7, not
+  * the ~1% a 2.5σ bound would carry, while the worst error actually
+  * measured (0.85–1.0% across sf0.001/0.01/0.1, SketchProbe PLANS.md
+  * r12) sits 8–12× inside every envelope. An implementation bug (wrong
+  * rsd wiring, a broken merge, inclusion–exclusion over mismatched
+  * sketches) lands orders of magnitude outside and fails the gate;
+  * SketchesSpec keeps the TIGHT bounds on the raw estimates.
   */
 object Sketches {
 
@@ -58,10 +62,10 @@ object Sketches {
   /** HLL++ distinct counts beside the exact answer — the constant-memory
     * form of q10 at scale — reduced to the deterministic audit face:
     * exact count per priority + a flag that the HLL++ estimate (rsd
-    * 0.02) landed within 5% of it. Measured worst error across three
-    * SFs: 0.85% (SketchProbe) — the flag only flips on a real bug. The
+    * 0.02) landed within 10% = 5σ of it (false-flip ≈6e-7 per estimate
+    * on a fresh corpus; measured worst error 0.85%, SketchProbe). The
     * estimate itself is deterministic (register maxes commute) but not
-    * oracle-computable; SketchesSpec bounds it directly. */
+    * oracle-computable; SketchesSpec bounds it tightly. */
   /** The raw estimates (spec surface: SketchesSpec bounds these). */
   private[graft] def q40RawEstimates(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -74,7 +78,7 @@ object Sketches {
     q40RawEstimates(spark, dir)
       .select(col("o_orderpriority"), col("exact_customers"),
         when(abs(col("approx_customers") - col("exact_customers"))
-          <= col("exact_customers") * 0.05, 1).otherwise(0)
+          <= col("exact_customers") * 0.10, 1).otherwise(0)
           .cast("int").as("approx_in_bounds"))
       .orderBy(col("o_orderpriority"))
 
@@ -147,7 +151,8 @@ object Sketches {
     * the configured error bounds — the invariant a 100 TB dashboard
     * actually relies on, emitted here as the deterministic audit face
     * (q104's pattern): the exact count plus flags that merged and
-    * whole each landed within 5% of exact and within 2% of each other
+    * whole each landed within 8% = 5σ of exact (lgK-12 rse ≈1.6%) and
+    * within 4% of each other (the HIP-fallback gap, measured ≤0.40%)
     * (measured: merged ≤1.0%, whole ≤0.81%, gap ≤0.40% across three
     * SFs — SketchProbe; at sf0.01: merged 1488, whole 1494, exact
     * 1500). SketchesSpec bounds the raw estimates directly. */
@@ -174,11 +179,11 @@ object Sketches {
   def q91SketchMerge(spark: SparkSession, dir: String): DataFrame =
     q91RawEstimates(spark, dir)
       .select(col("exact_customers"),
-        inBounds(col("merged_estimate"), col("exact_customers"), 0.05)
+        inBounds(col("merged_estimate"), col("exact_customers"), 0.08)
           .as("merged_in_bounds"),
-        inBounds(col("whole_estimate"), col("exact_customers"), 0.05)
+        inBounds(col("whole_estimate"), col("exact_customers"), 0.08)
           .as("whole_in_bounds"),
-        inBounds(col("merged_estimate"), col("whole_estimate"), 0.02)
+        inBounds(col("merged_estimate"), col("whole_estimate"), 0.04)
           .as("merged_tracks_whole"))
 
   val q91Sql: String =
@@ -194,8 +199,9 @@ object Sketches {
     * side and constant memory, vs the exact semi-join's full shuffle.
     * One audit row, deterministic face (q104's pattern): the exact
     * per-side distinct counts and exact overlap, plus flags that each
-    * side estimate landed within 5% of its exact count and the derived
-    * overlap within 5% of the exact overlap (measured worst: sides
+    * side estimate landed within 8% = 5σ of its exact count and the
+    * derived overlap within 12% of the exact overlap (inclusion–
+    * exclusion compounds ~3 sketch errors) (measured worst: sides
     * 0.81%, overlap 0.61% across three SFs — SketchProbe).
     * SketchesSpec bounds the raw estimates. */
   /** The raw estimates incl. the derived `est_overlap` (spec surface). */
@@ -222,10 +228,10 @@ object Sketches {
     q98RawEstimates(spark, dir)
       .select(col("exact_orders_keys"), col("exact_customer_keys"),
         col("exact_overlap"),
-        when(inBounds(col("est_orders"), col("exact_orders_keys"), 0.05) === 1
-          && inBounds(col("est_customer"), col("exact_customer_keys"), 0.05) === 1,
+        when(inBounds(col("est_orders"), col("exact_orders_keys"), 0.08) === 1
+          && inBounds(col("est_customer"), col("exact_customer_keys"), 0.08) === 1,
           1).otherwise(0).cast("int").as("sides_in_bounds"),
-        inBounds(col("est_overlap"), col("exact_overlap"), 0.05).as("overlap_in_bounds"))
+        inBounds(col("est_overlap"), col("exact_overlap"), 0.12).as("overlap_in_bounds"))
 
   val q98Sql: String =
     """SELECT

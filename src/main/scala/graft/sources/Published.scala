@@ -56,58 +56,147 @@ object Published {
     * holder finishes or fail the job. */
   final class LeaseHeld(msg: String) extends IllegalStateException(msg)
 
+  /** The lease file no longer carries THIS holder's token at a commit
+    * point — a breaker decided this holder was dead (a publish ran past
+    * `staleMs`) and someone else may be writing. The commit must not
+    * happen. */
+  final class LeaseLost(msg: String) extends IllegalStateException(msg)
+
+  /** Size to the deployment's longest publish: a holder that runs past
+    * this is treated as crashed and its lease broken, so a legitimate
+    * publish longer than the threshold would lose exclusivity silently
+    * if [[assertLeaseOwned]] didn't guard every commit point (it does —
+    * the marker stamp and q124's append verify ownership first, so the
+    * overrun holder fails LOUDLY instead of interleaving). */
   private[graft] val leaseStaleMs: Long = 30L * 60 * 1000
 
-  /** Per-thread re-entrancy: `write` inside a caller that already holds
-    * the table lease (q124's bootstrap path) must not self-deadlock. */
+  /** Per-thread re-entrancy + ownership token: `write` inside a caller
+    * that already holds the table lease (q124's bootstrap path) must
+    * not self-deadlock, and commit points verify the on-disk lease
+    * still carries this holder's token. */
+  private final case class Held(thread: Thread, token: String)
   private val leaseHolders =
-    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, Thread]()
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, Held]()
+  private val tokenSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private def leasePath(loc: java.nio.file.Path): java.nio.file.Path =
     loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
 
   /** Run `body` holding the single-writer lease for the table at `loc`.
-    * CREATE_NEW is the atomicity primitive: exactly one creator wins;
-    * losers get [[LeaseHeld]] carrying the holder's id and lease age.
-    * A stale lease (crashed holder, older than `staleMs`) is broken and
-    * re-taken once — the delete+create window between two breakers is
-    * racy, but both breakers are then younger than the threshold and
-    * one of their CREATE_NEW calls still loses. Re-entrant per thread. */
+    *
+    * CREATE_NEW on the lease file is the atomicity primitive: exactly
+    * one creator wins; losers get [[LeaseHeld]] carrying the holder's
+    * id and the lease path. Re-entrant per thread.
+    *
+    * STALE-BREAK PROTOCOL (a crashed holder must not wedge the table
+    * forever, but breaking must never delete a LIVE rival's lease —
+    * the naive check-age-then-delete lets breaker A delete the fresh
+    * lease breaker B just created in the window after A's age check):
+    * a breaker first claims the exclusive right to break via CREATE_NEW
+    * on a sibling `.break` file — only one breaker proceeds; the rest
+    * throw [[LeaseHeld]]. Acquirers treat an existing `.break` file as
+    * lease-held, so while the break claim stands nobody can create a
+    * fresh lease for the breaker to destroy. The break winner then
+    * RE-READS the lease: only if it is still the same stale one does it
+    * delete it; a lease that meanwhile vanished or changed aborts the
+    * break. Finally the breaker releases its claim and races CREATE_NEW
+    * like everyone else. A `.break` file orphaned by a crashed breaker
+    * is itself aged out the same way; deleting a break file never
+    * deletes anyone's lease, so that recursion is safe — the residual
+    * hole needs a fresh file to READ as older than `staleMs`, i.e.
+    * half-hour clock skew on one shared filesystem.
+    *
+    * The lease content carries a per-acquisition TOKEN; commit points
+    * call [[assertLeaseOwned]] so a holder whose lease WAS legitimately
+    * broken (it overran `staleMs`) fails loudly before committing
+    * instead of interleaving with the breaker's writes. */
   def withLease[T](loc: java.nio.file.Path, holder: String,
                    staleMs: Long = leaseStaleMs)(body: => T): T = {
     val norm = loc.toAbsolutePath.normalize
-    if (leaseHolders.get(norm) eq Thread.currentThread()) return body
+    val reentrant = leaseHolders.get(norm)
+    if (reentrant != null && (reentrant.thread eq Thread.currentThread())) return body
     val lp = leasePath(norm)
+    val bp = lp.resolveSibling(lp.getFileName.toString + ".break")
     java.nio.file.Files.createDirectories(norm.getParent)
-    def tryAcquire(): Boolean =
+    val token = s"$holder#${java.lang.ProcessHandle.current().pid()}" +
+      s"#${System.nanoTime()}#${tokenSeq.incrementAndGet()}"
+    def readOrNull(p: java.nio.file.Path): String =
+      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      catch { case _: java.io.IOException => null }
+    def ageOf(p: java.nio.file.Path): Long =
+      try System.currentTimeMillis() -
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => 0L } // just released
+    def tryAcquire(): Boolean = {
+      if (java.nio.file.Files.exists(bp)) {
+        // a break is in progress — count as held; an ORPHANED break
+        // claim (crashed breaker) ages out harmlessly: removing it
+        // deletes no one's lease
+        if (ageOf(bp) > staleMs) java.nio.file.Files.deleteIfExists(bp)
+        if (java.nio.file.Files.exists(bp)) return false
+      }
       try {
         java.nio.file.Files.createFile(lp)
-        java.nio.file.Files.write(lp,
-          s"$holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+        try java.nio.file.Files.write(lp, s"$token\n$holder".getBytes("UTF-8"))
+        catch { case e: java.io.IOException =>
+          // failure-atomic: never leave a token-less orphan lease
+          java.nio.file.Files.deleteIfExists(lp); throw e
+        }
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    val acquired = tryAcquire() || {
-      val age = try {
-        System.currentTimeMillis() -
-          java.nio.file.Files.getLastModifiedTime(lp).toMillis
-      } catch { case _: java.io.IOException => 0L } // holder just released
-      if (age > staleMs) java.nio.file.Files.deleteIfExists(lp)
-      tryAcquire()
     }
+    def tryBreakStale(): Unit = {
+      val staleContent = readOrNull(lp)
+      if (staleContent == null || ageOf(lp) <= staleMs) return
+      val claimed =
+        try { java.nio.file.Files.createFile(bp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (!claimed) return // another breaker owns the break; we just lose
+      try {
+        // re-read under the break claim: only the SAME stale lease dies
+        val now = readOrNull(lp)
+        if (now != null && now == staleContent && ageOf(lp) > staleMs)
+          java.nio.file.Files.deleteIfExists(lp)
+      } finally java.nio.file.Files.deleteIfExists(bp)
+    }
+    val acquired = tryAcquire() || { tryBreakStale(); tryAcquire() }
     if (!acquired) {
-      val who = try {
-        new String(java.nio.file.Files.readAllBytes(lp), "UTF-8").takeWhile(_ != '\n')
-      } catch { case _: java.io.IOException => "<gone>" }
+      val who = Option(readOrNull(lp))
+        .flatMap(_.linesIterator.toSeq.lift(1)).getOrElse("<gone>")
       throw new LeaseHeld(
         s"publish lease for ${norm.getFileName} held by '$who' ($lp); " +
           "one writer per published table — retry after it completes")
     }
-    leaseHolders.put(norm, Thread.currentThread())
+    leaseHolders.put(norm, Held(Thread.currentThread(), token))
     try body
     finally {
       leaseHolders.remove(norm)
-      java.nio.file.Files.deleteIfExists(lp)
+      // release only OUR lease: if a breaker aged us out and a new
+      // holder acquired, the file carries their token — leave it
+      val cur = readOrNull(lp)
+      if (cur != null && cur.startsWith(token + "\n"))
+        java.nio.file.Files.deleteIfExists(lp)
     }
+  }
+
+  /** Verify the on-disk lease still carries the CURRENT thread's token
+    * for `loc` — called at commit points (the marker stamp, q124's
+    * append) so a holder whose lease was broken mid-publish (it overran
+    * `staleMs`) throws [[LeaseLost]] instead of committing over a
+    * rival's writes. No-op when the thread holds no tracked lease (the
+    * caller ran without withLease — nothing to verify against). */
+  def assertLeaseOwned(loc: java.nio.file.Path): Unit = {
+    val norm = loc.toAbsolutePath.normalize
+    val held = leaseHolders.get(norm)
+    if (held == null || (held.thread ne Thread.currentThread())) return
+    val cur =
+      try new String(java.nio.file.Files.readAllBytes(leasePath(norm)), "UTF-8")
+      catch { case _: java.io.IOException => "" }
+    if (!cur.startsWith(held.token + "\n"))
+      throw new LeaseLost(
+        s"lease for ${norm.getFileName} no longer carries this holder's " +
+          s"token — the publish overran the ${leaseStaleMs / 60000} min stale " +
+          "threshold and was broken; aborting before the commit")
   }
 
   def tableLoc(spark: SparkSession, tbl: String): java.nio.file.Path = {
@@ -215,6 +304,10 @@ object Published {
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .option("path", loc.toString)
         .format("parquet").saveAsTable(tbl)
+      // commit point: a publish that overran the stale threshold lost
+      // its lease to a breaker — fail loudly, never stamp a marker over
+      // a location a rival may be rewriting
+      assertLeaseOwned(loc)
       val tmp = loc.resolve("_GRAFT_PUBLISHED.tmp")
       java.nio.file.Files.write(tmp,
         s"$buckets\n$bucketCol\n$fp\n${df.schema.toDDL}".getBytes("UTF-8"))
@@ -226,9 +319,29 @@ object Published {
     s"${java.lang.ProcessHandle.current().pid()}@${Thread.currentThread().getId}"
 
   /** The publish lifecycle in one call: valid catalog hit → attach →
-    * build. */
+    * build. A build that loses the lease race WAITS for the winner and
+    * attaches its publish instead of failing the job: this is a SERVE
+    * path — two JVMs first-touching the same table (a Verify and a
+    * Bench started together on a cold shared warehouse) both need the
+    * table, and only one needs to build it. Rethrows [[LeaseHeld]]
+    * only if the winner still holds the lease after `waitMs` — a
+    * legitimately long build; the caller retries when it finishes. */
   def attachOrBuild(spark: SparkSession, tbl: String, bucketCol: String,
-                    buckets: Int, fp: String)(build: => DataFrame): Unit =
-    if (!ensure(spark, tbl, bucketCol, buckets, fp))
-      write(spark, tbl, bucketCol, buckets, fp, build)
+                    buckets: Int, fp: String, waitMs: Long = 10L * 60 * 1000)
+                   (build: => DataFrame): Unit =
+    if (!ensure(spark, tbl, bucketCol, buckets, fp)) {
+      try write(spark, tbl, bucketCol, buckets, fp, build)
+      catch { case held: LeaseHeld =>
+        val deadline = System.currentTimeMillis() + waitMs
+        val lp = leasePath(tableLoc(spark, tbl).toAbsolutePath.normalize)
+        while (java.nio.file.Files.exists(lp)) {
+          if (System.currentTimeMillis() > deadline) throw held
+          Thread.sleep(500)
+        }
+        // winner finished: attach its publish; a winner that crashed
+        // (lease gone, no matching marker) leaves us to build after all
+        if (!ensure(spark, tbl, bucketCol, buckets, fp))
+          write(spark, tbl, bucketCol, buckets, fp, build)
+      }
+    }
 }

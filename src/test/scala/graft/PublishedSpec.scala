@@ -20,22 +20,25 @@ class PublishedSpec extends SparkSpec {
 
   test("concurrent lease claimants: exactly one wins, the loser throws LeaseHeld") {
     val loc = tmpLoc()
-    val start = new CountDownLatch(1)
+    // deterministic overlap (no sleep race): the second claimant only
+    // tries once the first is PROVABLY inside the lease body, and the
+    // first only leaves once the second has finished losing
     val inBody = new CountDownLatch(1)
+    val loserDone = new CountDownLatch(1)
     val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    def claimant(id: String) = new Thread(() => {
-      start.await()
-      try Published.withLease(loc, id) {
-        inBody.countDown()
-        Thread.sleep(150) // hold long enough that the loser overlaps
-        results.add(s"$id:won")
-      } catch {
-        case _: Published.LeaseHeld => results.add(s"$id:lost")
-      }
+    val a = new Thread(() => Published.withLease(loc, "a") {
+      inBody.countDown()
+      loserDone.await(10, TimeUnit.SECONDS)
+      results.add("a:won")
     })
-    val a = claimant("a"); val b = claimant("b")
-    a.start(); b.start(); start.countDown()
-    a.join(10000); b.join(10000)
+    val b = new Thread(() => {
+      inBody.await(10, TimeUnit.SECONDS)
+      try Published.withLease(loc, "b") { results.add("b:won") }
+      catch { case _: Published.LeaseHeld => results.add("b:lost") }
+      finally loserDone.countDown()
+    })
+    a.start(); b.start()
+    a.join(15000); b.join(15000)
     val rs = results.toArray(Array.empty[String]).toSeq
     assert(rs.count(_.endsWith(":won")) == 1, s"exactly one winner, got $rs")
     assert(rs.count(_.endsWith(":lost")) == 1, s"exactly one loud loser, got $rs")
@@ -68,7 +71,8 @@ class PublishedSpec extends SparkSpec {
     val loc = tmpLoc()
     Files.createDirectories(loc.getParent)
     val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
-    Files.write(lp, s"other-jvm\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    // content format: token first line, holder id second
+    Files.write(lp, s"tok-foreign\nother-jvm".getBytes("UTF-8"))
     val e = intercept[Published.LeaseHeld] {
       Published.withLease(loc, "me") { fail("body must not run") }
     }
@@ -99,6 +103,92 @@ class PublishedSpec extends SparkSpec {
     // once the foreign compactor releases, compaction replays idempotently
     val after = Similarity.queries("q124_index_compact")(spark, sf).collect()
     assert(after.toSeq == before.toSeq, "compaction must replay identically after contention")
+  }
+
+  test("a break claim in progress blocks acquisition (no fresh lease to mis-delete)") {
+    val loc = tmpLoc()
+    Files.createDirectories(loc.getParent)
+    val bp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE.break")
+    Files.write(bp, "breaker".getBytes("UTF-8"))
+    // no lease file at all — but the standing break claim must still
+    // block: this is exactly the window where a naive acquirer would
+    // create the fresh lease a racing breaker then deletes
+    intercept[Published.LeaseHeld] {
+      Published.withLease(loc, "me") { fail("body must not run") }
+    }
+    Files.deleteIfExists(bp)
+    // claim gone → acquisition proceeds normally
+    assert(Published.withLease(loc, "me") { 7 } == 7)
+  }
+
+  test("a breaker never deletes a lease that changed since its staleness check") {
+    val loc = tmpLoc()
+    Files.createDirectories(loc.getParent)
+    val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+    // a FRESH foreign lease whose mtime lies (reads as stale): the
+    // content re-read under the break claim matches, so it IS broken —
+    // then recreate the scenario where the content CHANGES between the
+    // age check and the break: simulate by holding from another thread
+    // (fresh mtime) — the breaker path must leave it alone
+    Files.write(lp, s"tok-x\nother".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lp, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - Published.leaseStaleMs - 60000))
+    assert(Published.withLease(loc, "taker") { "ran" } == "ran") // stale → broken
+    // now a live holder (fresh mtime): claimant must throw, not break
+    Files.write(lp, s"tok-y\nlive-holder".getBytes("UTF-8"))
+    val e = intercept[Published.LeaseHeld] {
+      Published.withLease(loc, "me") { fail("body must not run") }
+    }
+    assert(e.getMessage.contains("live-holder"))
+    assert(Files.exists(lp), "live lease must survive the failed claim")
+    Files.deleteIfExists(lp)
+  }
+
+  test("assertLeaseOwned: a holder whose lease was broken fails LeaseLost at commit") {
+    val loc = tmpLoc()
+    val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+    intercept[Published.LeaseLost] {
+      Published.withLease(loc, "overrunner") {
+        // a breaker decided we were dead (overran staleMs) and replaced
+        // the lease with its own
+        Files.write(lp, "someone-elses-token\nrival".getBytes("UTF-8"))
+        Published.assertLeaseOwned(loc) // the commit-point guard
+      }
+    }
+    Files.deleteIfExists(lp)
+    // and with OUR token intact it passes silently
+    Published.withLease(loc, "ok") { Published.assertLeaseOwned(loc) }
+  }
+
+  test("attachOrBuild loser waits for the winner and attaches instead of dying") {
+    import spark.implicits._
+    val tbl = "pubspec_wait_attach"
+    val fp = "cafe01"
+    val loc = Published.tableLoc(spark, tbl)
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val winnerPublishing = new CountDownLatch(1)
+    val letWinnerFinish = new CountDownLatch(1)
+    // the "winner" JVM: holds the table lease while it publishes
+    val winner = new Thread(() => Published.withLease(loc, "winner") {
+      winnerPublishing.countDown()
+      letWinnerFinish.await(20, TimeUnit.SECONDS)
+      Published.write(spark, tbl, "k", 2, fp, Seq((1L, "a")).toDF("k", "v"))
+    })
+    winner.start()
+    assert(winnerPublishing.await(10, TimeUnit.SECONDS))
+    // the loser: its own build must NOT run (the winner's publish is
+    // the one that counts) — it waits, then attaches
+    @volatile var loserBuilt = false
+    val release = new Thread(() => { Thread.sleep(1500); letWinnerFinish.countDown() })
+    release.start()
+    Published.attachOrBuild(spark, tbl, "k", 2, fp, waitMs = 30000) {
+      loserBuilt = true; Seq((9L, "z")).toDF("k", "v")
+    }
+    winner.join(15000); release.join(5000)
+    assert(!loserBuilt, "loser must attach the winner's publish, not rebuild")
+    assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the served rows are the winner's")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
 
   test("publish marker is stamped atomically (no .tmp remains, marker complete)") {

@@ -34,6 +34,7 @@ Exits 1 when any flag fires, 0 otherwise (2 = metrics unavailable).
 """
 import glob
 import json
+import os
 import re
 import sys
 
@@ -42,27 +43,35 @@ NOISE_FLOOR = 1.0  # seconds: below this, batch drift is annotated, not flagged
 METRICS = ("rowsUpdated", "stateBytes", "commitMs")
 
 
-def find_full_record(text):
+def find_full_record(text, art_sf=None):
     """Resolve a TRUNCATED driver artifact tail to the full structured
     bench record the suite itself wrote into bench_history/ (r11 verdict
     ask #6: stop regex-scanning 2000-char tails when the full object
     exists). Match key: the suite total ('"value":X' closes the line and
-    always survives the driver's tail window) — three-decimal totals
-    don't collide across rounds in practice; ambiguity returns None and
-    the caller keeps the regex fallback."""
+    always survives the driver's tail window), narrowed by the
+    artifact's sf when the wrapper carries one (so a coincidental total
+    from another corpus's record can't be picked up). Ambiguity returns
+    None and the caller keeps the regex fallback."""
     m = re.search(r'"value":([0-9.]+)\}', text)
     if not m:
         return None
     target = float(m.group(1))
-    here = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    here = os.path.dirname(os.path.abspath(__file__))
     hits = []
-    for fp in glob.glob(__import__("os").path.join(here, "..", "bench_history", "bench_*.json")):
+    for fp in glob.glob(os.path.join(here, "..", "bench_history", "bench_*.json")):
         try:
             d = json.loads(open(fp).read())
         except (json.JSONDecodeError, OSError):
             continue
-        if isinstance(d, dict) and abs(float(d.get("value", -1)) - target) < 5e-4:
-            hits.append(d)
+        if not (isinstance(d, dict) and abs(float(d.get("value", -1)) - target) < 5e-4):
+            continue
+        # the record's sf is the corpus dir string; the driver wrapper's
+        # is a number — require the dir to end with "sf<number>"
+        if art_sf is not None:
+            rec_sf = str(d.get("sf", "")).rstrip("/")
+            if not rec_sf.endswith(f"sf{art_sf}"):
+                continue
+        hits.append(d)
     return hits[0] if len(hits) == 1 else None
 
 
@@ -79,7 +88,7 @@ def extract_state(path):
     if "state" in doc and isinstance(doc["state"], dict):
         return doc["state"]
     if isinstance(doc, dict) and "tail" in doc:
-        full = find_full_record(doc["tail"])
+        full = find_full_record(doc["tail"], doc.get("sf"))
         if full and isinstance(full.get("state"), dict):
             return full["state"]
     text = doc.get("tail", "") if isinstance(doc, dict) else ""
@@ -117,16 +126,19 @@ def extract_queries(path):
     for that query is outside the visible tail window."""
     with open(path) as f:
         raw = f.read()
+    art_sf = None
     try:
         doc = json.loads(raw)
         text = doc["tail"] if isinstance(doc, dict) and "tail" in doc else raw
+        if isinstance(doc, dict):
+            art_sf = doc.get("sf")
     except json.JSONDecodeError:
         text = raw
     # structured path first: a truncated driver tail that resolves to
     # its full bench_history record yields the COMPLETE query map with
     # no regex scanning (noisy re-run pairs handled per the same rule)
     if '"metric"' not in text[:40]:
-        full = find_full_record(text)
+        full = find_full_record(text, art_sf)
         if full and isinstance(full.get("queries"), dict):
             suite = {k: float(v) for k, v in full["queries"].items()
                      if isinstance(v, (int, float)) and float(v) >= 0}
