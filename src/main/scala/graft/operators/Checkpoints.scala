@@ -39,6 +39,44 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Checkpoints {
 
+  /** Session conf key: `true` switches every loop-state materialization
+    * routed through [[materialize]] from `localCheckpoint` (executor-
+    * local blocks — the fast default, lost with the executor) to a
+    * RELIABLE `checkpoint()` (files under [[checkpointDirKey]] or
+    * `<warehouse>/_graft_checkpoints`), which is the production form
+    * for iterative jobs that must survive executor loss: a superstep
+    * chain whose blocks die with a killed executor cannot recompute
+    * (lineage was truncated at checkpoint time), while reliable
+    * checkpoint files on shared storage let the lost stages re-read
+    * and the loop complete (demonstrated under kill -9 of a worker
+    * executor — FaultProbe, PLANS.md r12). Runtime-settable per
+    * session; read at every materialize call. */
+  val reliableKey = "spark.graft.reliableCheckpoints"
+  val checkpointDirKey = "spark.graft.checkpointDir"
+
+  /** Materialize loop state per the session's fault-tolerance mode —
+    * the single switch point for every iterative operator's superstep
+    * and static-frame checkpoints. Both modes produce the same
+    * `LogicalRDD` plan leaf, so plan pins, [[release]], and the
+    * eager-release discipline are mode-blind. */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption(reliableKey).contains("true")) {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(spark.conf.getOption(checkpointDirKey).getOrElse(
+          spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+            + "/_graft_checkpoints"))
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
+  /** Chaining form: `frame.materialized` reads like the
+    * `.localCheckpoint(true)` it replaces at every loop site. */
+  implicit final class MaterializeOps(private val df: DataFrame) extends AnyVal {
+    def materialized: DataFrame = Checkpoints.materialize(df)
+  }
+
   /** Unpersist the checkpoint blocks under `df` now (non-blocking).
     *
     * `Dataset.unpersist` can't do this: localCheckpoint persists at the
@@ -47,7 +85,11 @@ private[graft] object Checkpoints {
     * checkpoint rewrote the plan to — projections/filters over the
     * checkpointed frame resolve to the same leaf, so releasing a
     * derived frame releases its checkpoint. Frames whose leaves are not
-    * checkpoint scans (file relations, local tables) are untouched. */
+    * checkpoint scans (file relations, local tables) are untouched.
+    * RELIABLE checkpoints additionally delete their files (the
+    * ContextCleaner leaves them by default — `cleanCheckpoints` is
+    * false — so a 14-superstep loop would otherwise leave 14 file sets
+    * per run); same release-ordering contract as the blocks. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach { leaf =>
       // LogicalRDD is private[sql]; Scala package-private compiles to
@@ -55,7 +97,15 @@ private[graft] object Checkpoints {
       // (probed on 4.1.2) without shimming into Spark's namespace
       if (leaf.getClass.getSimpleName == "LogicalRDD")
         leaf.getClass.getMethod("rdd").invoke(leaf) match {
-          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(blocking = false)
+          case r: org.apache.spark.rdd.RDD[_] =>
+            r.unpersist(blocking = false)
+            r.getCheckpointFile.foreach { p =>
+              try {
+                val path = new org.apache.hadoop.fs.Path(p)
+                path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+                  .delete(path, true)
+              } catch { case scala.util.control.NonFatal(_) => () }
+            }
           case _ => ()
         }
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Text.{h60, h60Sql}
 import graft.sources.Tables
+import Checkpoints.MaterializeOps
 
 /** Deduplication surface over `documents` (BASELINE.json extension):
   * exact hash-dedup, MinHash+LSH near-dup candidate generation, exact
@@ -535,9 +536,9 @@ object Dedup {
     val parent = nodes.sparkSession
     val und0 = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .localCheckpoint(true)
+      .materialized
     val labels0 = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+      .materialized
     // loop parallelism sized to the collision subgraph (Loops scaladoc:
     // AQE-off loops must size their stages at entry; a 4-partition loop
     // over a few-hundred-row subgraph beats 32-task stage overhead)
@@ -554,9 +555,9 @@ object Dedup {
     // sort-merge joins skip the per-round sort of the static edge side
     // (probed: the round-2 plan's Sort over the und scan disappears)
     val und = Loops.rehost(und0, s).repartition(col("a"))
-      .sortWithinPartitions("a").localCheckpoint(true)
+      .sortWithinPartitions("a").materialized
     var labels = Loops.rehost(labels0, s).repartition(col("doc_id"))
-      .sortWithinPartitions("doc_id").localCheckpoint(true)
+      .sortWithinPartitions("doc_id").materialized
     Checkpoints.release(und0)
     Checkpoints.release(labels0)
     val initLabels = labels // released with `und` once the result exists
@@ -591,7 +592,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label")).as("moved"))
-        .localCheckpoint(true) // eager: materializes the round
+        .materialized // eager: materializes the round
       changed = next.filter(col("moved")).count()
       if (prevRound != null) Checkpoints.release(prevRound)
       prevRound = next
@@ -623,7 +624,7 @@ object Dedup {
     val result = labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
-      .localCheckpoint(true)
+      .materialized
     if (prevRound != null) Checkpoints.release(prevRound)
     // the edge list and the (long-superseded) init-label checkpoint are
     // dead once the result frame is materialized — release them now

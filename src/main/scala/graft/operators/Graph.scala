@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import Checkpoints.MaterializeOps
 
 /** Graph analytics over the order network — the three canonical
   * distributed-graph shapes (iterative rank propagation, frontier
@@ -59,11 +60,12 @@ object Graph {
     * to be explicit. The sweep bounds retention to live sessions (plus
     * stopped ones only until the next graph query), and the isStopped
     * guard rebuilds if a caller holds a stopped-but-referenced session.
-    * localCheckpoint blocks are executor-local and non-fault-tolerant —
-    * fine in this single-JVM deployment; a multi-executor cluster with
-    * dynamic allocation swaps this for a reliable `checkpoint()` (or a
-    * materialized edge TABLE), which is the production form of the same
-    * decision. */
+    * Materialization mode is the session's ([[Checkpoints.materialize]],
+    * r12): localCheckpoint by default (executor-local blocks — fast,
+    * lost with the executor), reliable `checkpoint()` files under
+    * `spark.graft.reliableCheckpoints=true` — the production form for a
+    * multi-executor cluster, demonstrated surviving kill -9 of a worker
+    * executor mid-loop (FaultProbe, PLANS.md r12). */
   // computeIfAbsent at BOTH levels (same shape and reason as
   // Similarity.cachedIndex): TrieMap.getOrElseUpdate is optimistic — a
   // concurrent first access can evaluate the by-name build twice and
@@ -72,6 +74,42 @@ object Graph {
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  /** Cache keys carry the session's materialization mode: a frame
+    * local-checkpointed before the session switched to reliable
+    * checkpoints must not be served as if it were fault-tolerant. */
+  private def modeKey(spark: SparkSession, key: String): String =
+    key + (if (spark.conf.getOption(Checkpoints.reliableKey).contains("true"))
+      "@reliable" else "@local")
+
+  /** Self-healing for the default localCheckpoint mode: an executor
+    * lost mid-session takes its checkpoint blocks with it, and a cached
+    * static frame whose blocks died would otherwise POISON every later
+    * graph query in the session (post-kill q109 kept failing with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — FaultProbe, PLANS.md r12).
+    * Lost-block failures are detected by error class, the session-level
+    * frame caches dropped (they rebuild lazily from parquet), and the
+    * query retried ONCE — retry semantics, the honest fault story of
+    * the fast mode: the in-flight run pays a full rebuild instead of
+    * dying, and the session stays healthy. The reliable-checkpoint mode
+    * never takes this path (its supersteps re-read files and survive
+    * the kill in-flight, no retry). A second consecutive loss
+    * propagates — that is an infrastructure problem, not a cache one. */
+  private val cacheRecoveries = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def recoveryCount: Long = cacheRecoveries.get()
+
+  private def isLostBlock(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists(t =>
+      String.valueOf(t.getMessage).contains("CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"))
+
+  private def withCacheRecovery[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable if isLostBlock(e) =>
+        cacheRecoveries.incrementAndGet()
+        edgeCache.clear() // every session: the context lost the blocks
+        body
+    }
 
   private def edgesMaterialized(spark: SparkSession, dir: String): DataFrame = {
     // evict stopped sessions: their checkpointed blocks are unreachable
@@ -82,7 +120,7 @@ object Graph {
     else edgeCache
       .computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(dir, _ => edges(spark, dir).localCheckpoint(true))
+      .computeIfAbsent(modeKey(spark, dir), _ => edges(spark, dir).materialized)
   }
 
   /** Spec hook: the materialized shipping-graph edge list, so GraphSpec
@@ -116,14 +154,14 @@ object Graph {
     edgeCache
       .computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(dir + "#degreed", { _ =>
+      .computeIfAbsent(modeKey(spark, dir + "#degreed"), { _ =>
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
         // sortWithinPartitions: checkpoint keeps the ordering too, so a
         // consumer whose join plans sort-merge (q81's frontier loop at
         // scale) skips the per-superstep sort of this static frame; the
         // PageRank loops' shuffled-hash joins are unaffected
         e.join(deg, "src").repartition(col("src"))
-          .sortWithinPartitions("src").localCheckpoint(true)
+          .sortWithinPartitions("src").materialized
       })
   }
 
@@ -160,11 +198,11 @@ object Graph {
         (col("id") % 50).as("src"), ((col("id") * 7 + 1) % 50).as("dst"))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
       val e = edges.join(deg, "src").repartition(col("src"))
-        .sortWithinPartitions("src").localCheckpoint(true)
+        .sortWithinPartitions("src").materialized
       var r = e.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(scale).as("r")).localCheckpoint(true)
+        .select(col("node"), lit(scale).as("r")).materialized
       for (_ <- 1 to 2) {
-        val n = pagerankStep(e, r, lazyChain = true).localCheckpoint(true)
+        val n = pagerankStep(e, r, lazyChain = true).materialized
         n.filter(col("r") =!= col("r_prev")).isEmpty // the probe shape
         Checkpoints.release(r)
         r = n.select(col("node"), col("r"))
@@ -280,12 +318,12 @@ object Graph {
     def topOrder(r: DataFrame): Seq[Long] =
       r.orderBy(col("r").desc, col("node")).limit(topK)
         .select(col("node")).collect().map(_.getLong(0)).toSeq
-    var ranks = r0.localCheckpoint(true)
+    var ranks = r0.materialized
     var prevOrder = topOrder(ranks)
     var iter = 0
     var stable = false
     while (iter < maxIters && !stable) {
-      val next = pagerankStep(edgesD, ranks, lazyChain).localCheckpoint(true)
+      val next = pagerankStep(edgesD, ranks, lazyChain).materialized
       // superstep N−1's blocks are dead the moment N is materialized
       // (the step consumed them; every later probe reads `next`) —
       // release them NOW instead of leaving a block set per superstep
@@ -310,11 +348,11 @@ object Graph {
     * graph converges after ONE superstep: every node keeps rank 10⁶). */
   private[graft] def pagerankConverge(edgesD: DataFrame, r0: DataFrame,
                                       maxIters: Int): (DataFrame, Int) = {
-    var ranks = r0.localCheckpoint(true)
+    var ranks = r0.materialized
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val next = pagerankStep(edgesD, ranks).localCheckpoint(true)
+      val next = pagerankStep(edgesD, ranks).materialized
       // probe = one scan of the checkpointed superstep (r_prev rides
       // along in the step output), not a join job
       converged = next.filter(col("r") =!= col("r_prev")).isEmpty
@@ -325,12 +363,12 @@ object Graph {
     (ranks, iter)
   }
 
-  def q73Pagerank(spark: SparkSession, dir: String): DataFrame = {
+  def q73Pagerank(spark: SparkSession, dir: String): DataFrame = withCacheRecovery {
     val s = loopSession(spark, dir)
     // hash(src) baked into the cached checkpoint — zero edge-side
     // exchanges in every superstep (see loopSession/edgesDegreed)
     val edgesD = edgesDegreed(s, dir)
-    val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val nodes = edgesD.select(col("src").as("node")).distinct().materialized
     val r0 = nodes.select(col("node"), lit(scale).as("r"))
     val (ranks, _) = pagerankConverge(edgesD, r0, pagerankMaxIters)
     // the node list is dead once the loop exits — r0 was checkpointed
@@ -389,13 +427,13 @@ object Graph {
     * honest price of an order-stable answer; the guard adds two
     * bounded top-20 collects. Oracle unrolls the same 14 lazy rounds —
     * integer arithmetic keeps every superstep bit-identical. */
-  def q109PagerankStable(spark: SparkSession, dir: String): DataFrame = {
+  def q109PagerankStable(spark: SparkSession, dir: String): DataFrame = withCacheRecovery {
     val s = loopSession(spark, dir)
     // hash(src) baked into the cached checkpoint — zero edge-side
     // exchanges across all 14 supersteps (see loopSession/edgesDegreed)
     val edgesD = edgesDegreed(s, dir)
-    val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint(true)
-    var ranks = nodes.select(col("node"), lit(scale).as("r")).localCheckpoint(true)
+    val nodes = edgesD.select(col("src").as("node")).distinct().materialized
+    var ranks = nodes.select(col("node"), lit(scale).as("r")).materialized
     // r0 is materialized — the node list's blocks are already dead
     // (every later superstep derives from the previous checkpoint)
     Checkpoints.release(nodes)
@@ -404,7 +442,7 @@ object Graph {
       val old = prev
       prev = ranks
       ranks = pagerankStep(edgesD, ranks, lazyChain = true)
-        .select(col("node"), col("r")).localCheckpoint(true)
+        .select(col("node"), col("r")).materialized
       // the guard needs the LAST TWO supersteps; everything older is
       // dead once the new superstep materializes — release superstep
       // N−2 eagerly so live checkpoint state stays O(1), not O(14)
@@ -471,7 +509,7 @@ object Graph {
     * Shape: one co-partitioned self-join on the order key (pair
     * generation), one (pa, pb) aggregation, then wedge⋈edge closure —
     * the pruned edge set is broadcast-sized by construction. */
-  def q75TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+  def q75TriangleCount(spark: SparkSession, dir: String): DataFrame = withCacheRecovery {
     // distinct (order, part) FIRST: a part on two lineitems of one order
     // must count as one basket membership, or a single shared basket
     // inflates the pair count past the support bar it's supposed to fail
@@ -570,10 +608,10 @@ object Graph {
         .select(col("seed"), col("dst").as("node"))
         .distinct()
       val fresh = next.join(visited, Seq("seed", "node"), "left_anti")
-        .localCheckpoint(true)
+        .materialized
       levels = levels :+ fresh.withColumn("depth", lit(depth))
       val oldVisited = visited
-      visited = visited.union(fresh).localCheckpoint(true)
+      visited = visited.union(fresh).materialized
       // the old visited set is folded into the new checkpoint; only the
       // per-level `fresh` frames (kept in `levels`) are read again —
       // release round N−1's visited blocks eagerly
@@ -583,7 +621,7 @@ object Graph {
     levels.reduce(_ union _)
   }
 
-  def q81BfsReach(spark: SparkSession, dir: String): DataFrame = {
+  def q81BfsReach(spark: SparkSession, dir: String): DataFrame = withCacheRecovery {
     // round 10 (r8 ask #1 extension): run the frontier loop in the
     // AQE-off loop session over the hash(src)-partitioned edge frame
     // q73/q109 already cache — the static edge side then plans ZERO

@@ -66,13 +66,27 @@ private[graft] object Loops {
     val it = children.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     if (spark.sparkContext.isStopped) spark
-    else children.computeIfAbsent((spark, parts), { case (p, np) =>
-      val ns = p.newSession()
-      ns.conf.set("spark.sql.adaptive.enabled", "false")
-      ns.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-      if (np > 0) ns.conf.set("spark.sql.shuffle.partitions", np.toString)
-      ns
-    })
+    else {
+      val child = children.computeIfAbsent((spark, parts), { case (p, np) =>
+        val ns = p.newSession()
+        ns.conf.set("spark.sql.adaptive.enabled", "false")
+        ns.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        if (np > 0) ns.conf.set("spark.sql.shuffle.partitions", np.toString)
+        ns
+      })
+      // propagate the checkpoint fault-tolerance mode on EVERY call:
+      // it is runtime-settable on the parent, the child's conf is a
+      // snapshot from creation, and the in-loop materializations read
+      // the CHILD session — without this sync a parent that switched
+      // to reliable checkpoints would silently loop on local ones
+      Seq(Checkpoints.reliableKey, Checkpoints.checkpointDirKey).foreach { k =>
+        spark.conf.getOption(k) match {
+          case Some(v) => child.conf.set(k, v)
+          case None    => child.conf.unset(k)
+        }
+      }
+      child
+    }
   }
 
   /** Re-host a MATERIALIZED (checkpointed/persisted) frame into another

@@ -179,4 +179,32 @@ class GraphSpec extends SparkSpec {
     assert(d0.map(_.getAs[Long]("seed_supplier")).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(d0.forall(_.getAs[Long]("n_nodes") == 1L))
   }
+
+  test("reliable-checkpoint mode: identical loop results, superstep files released") {
+    import graft.operators.Checkpoints
+    val base = graft.operators.Graph.q109PagerankStable(spark, sf)
+      .collect().map(_.toString).toSeq
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_relckpt")
+    spark.conf.set(Checkpoints.checkpointDirKey, ckptDir.toString)
+    spark.conf.set(Checkpoints.reliableKey, "true")
+    try {
+      val rel = graft.operators.Graph.q109PagerankStable(spark, sf)
+        .collect().map(_.toString).toSeq
+      // same fixed-point trajectory, just durable supersteps
+      assert(rel == base, "reliable mode must not change the loop's results")
+      // the eager-release discipline deletes each superstep's FILES too
+      // (ContextCleaner leaves reliable checkpoints by default): after a
+      // 14-superstep run only O(1) frames may remain on disk — the
+      // final ranks, the guard's prev, and the session-cached statics
+      import scala.jdk.CollectionConverters._
+      def rddDirs = java.nio.file.Files.walk(ckptDir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).toSeq
+      val remaining = rddDirs.size
+      assert(remaining <= 6,
+        s"superstep checkpoint files must be released, $remaining remain")
+    } finally {
+      spark.conf.unset(Checkpoints.reliableKey)
+      spark.conf.unset(Checkpoints.checkpointDirKey)
+    }
+  }
 }
