@@ -24,8 +24,7 @@ import org.apache.spark.sql.functions._
   * classpath exists only in the driver). */
 object ClusterProbe {
 
-  private def canon(rows: Array[Row]): Seq[String] =
-    rows.map(_.toString).sorted.toSeq
+  import ProbeKit.canon
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

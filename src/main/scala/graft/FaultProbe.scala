@@ -1,6 +1,5 @@
 package graft
 
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 
 /** Executor-loss fault injection under `local-cluster` (r12): kill -9 a
@@ -26,13 +25,7 @@ import org.apache.spark.sql.Row
   * Results in PLANS.md r12. */
 object FaultProbe {
 
-  private def canon(rows: Array[Row]): Seq[String] = rows.map(_.toString).sorted.toSeq
-
-  private def executorPids(): Seq[Long] =
-    ProcessHandle.allProcesses().iterator().asScala
-      .filter(_.info().commandLine().orElse("")
-        .contains("CoarseGrainedExecutorBackend"))
-      .map(_.pid()).toSeq.sorted
+  import ProbeKit.{canon, executorPids}
 
   def main(args: Array[String]): Unit = {
     val query = args.headOption.getOrElse("q109_pagerank_stable")
@@ -50,13 +43,7 @@ object FaultProbe {
     val before = executorPids()
     require(before.size >= 2, s"need 2 separate executor processes, saw $before")
 
-    val killer = new Thread(() => {
-      Thread.sleep(killAt)
-      val pid = executorPids().headOption
-      pid.foreach(p => ProcessHandle.of(p).ifPresent(h => { h.destroyForcibly(); () }))
-      println(s"FAULTPROBE killed executor pid=${pid.getOrElse(-1L)} at ${killAt}ms")
-    })
-    killer.start()
+    val killer = ProbeKit.killExecutorAfter(killAt, "FAULTPROBE")
     val verdict =
       try {
         val r = run()

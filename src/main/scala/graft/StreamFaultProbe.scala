@@ -1,6 +1,5 @@
 package graft
 
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 /** Executor-loss fault injection for the STATEFUL STREAMING path —
@@ -22,11 +21,7 @@ import org.apache.spark.sql.functions._
   * Results in PLANS.md r12. */
 object StreamFaultProbe {
 
-  private def executorPids(): Seq[Long] =
-    ProcessHandle.allProcesses().iterator().asScala
-      .filter(_.info().commandLine().orElse("")
-        .contains("CoarseGrainedExecutorBackend"))
-      .map(_.pid()).toSeq.sorted
+  import ProbeKit.executorPids
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -81,13 +76,7 @@ object StreamFaultProbe {
     val baseline = runOnce("base")
     println(s"STREAMFAULT baseline users=${baseline.size}")
     require(executorPids().size >= 2, "need 2 separate executor processes")
-    val killer = new Thread(() => {
-      Thread.sleep(killAt)
-      val pid = executorPids().headOption
-      pid.foreach(p => ProcessHandle.of(p).ifPresent(h => { h.destroyForcibly(); () }))
-      println(s"STREAMFAULT killed executor pid=${pid.getOrElse(-1L)} at ${killAt}ms")
-    })
-    killer.start()
+    val killer = ProbeKit.killExecutorAfter(killAt, "STREAMFAULT")
     val killed = runOnce("kill")
     killer.join(30000)
     val same = killed == baseline

@@ -59,14 +59,23 @@ private[graft] object Checkpoints {
     * and static-frame checkpoints. Both modes produce the same
     * `LogicalRDD` plan leaf, so plan pins, [[release]], and the
     * eager-release discipline are mode-blind. */
+  /** The dir LAST APPLIED per context — `sc.getCheckpointDir` can't be
+    * compared against the conf (setCheckpointDir stores a UUID subdir
+    * of what it was given), and a first-set-wins rule would silently
+    * ignore an operator re-pointing `spark.graft.checkpointDir` at
+    * durable storage mid-session — voiding the exact survival the
+    * reliable mode promises. */
+  private val appliedCkptDir =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
   def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption(reliableKey).contains("true")) {
       val sc = spark.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(spark.conf.getOption(checkpointDirKey).getOrElse(
-          spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-            + "/_graft_checkpoints"))
+      val want = spark.conf.getOption(checkpointDirKey).getOrElse(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+          + "/_graft_checkpoints")
+      if (appliedCkptDir.put(sc, want) != want) sc.setCheckpointDir(want)
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
   }

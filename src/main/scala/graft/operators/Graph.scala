@@ -107,7 +107,16 @@ object Graph {
     catch {
       case e: Throwable if isLostBlock(e) =>
         cacheRecoveries.incrementAndGet()
-        edgeCache.clear() // every session: the context lost the blocks
+        // every session: the context lost the blocks. RELEASE before
+        // dropping the references — the dead executor's blocks are
+        // gone, but each frame's replicas on SURVIVING executors would
+        // otherwise stay pinned in storage memory for the session
+        // lifetime (unpersist on already-missing blocks is a no-op)
+        import scala.jdk.CollectionConverters._
+        edgeCache.values().asScala.foreach(_.values().asScala.foreach(f =>
+          try Checkpoints.release(f)
+          catch { case scala.util.control.NonFatal(_) => () }))
+        edgeCache.clear()
         body
     }
 

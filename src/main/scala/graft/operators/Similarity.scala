@@ -1022,6 +1022,19 @@ object Similarity {
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .bucketBy(indexTableBuckets, "cell").sortBy("cell")
           .format("parquet").saveAsTable(cTbl)
+        // the append JOB is the commit and is not atomic with the
+        // pre-check: if the append itself ran past the stale threshold
+        // a rival may have compacted the same window concurrently.
+        // Detect it AFTER the fact and fail with the recovery recipe —
+        // the compacted table is derived state, so the fix is cheap
+        try graft.sources.Published.assertLeaseOwned(
+          graft.sources.Published.tableLoc(spark, cTbl))
+        catch { case e: graft.sources.Published.LeaseLost =>
+          throw new graft.sources.Published.LeaseLost(e.getMessage +
+            s"; the append itself overran the lease — `$cTbl` may hold a " +
+            "duplicated window: drop the table and its location to force " +
+            "a clean bootstrap from the stored base on the next compaction")
+        }
       }
       }
     }

@@ -171,11 +171,21 @@ object Published {
     try body
     finally {
       leaseHolders.remove(norm)
-      // release only OUR lease: if a breaker aged us out and a new
-      // holder acquired, the file carries their token — leave it
-      val cur = readOrNull(lp)
-      if (cur != null && cur.startsWith(token + "\n"))
-        java.nio.file.Files.deleteIfExists(lp)
+      // release under the SAME .break claim the stale-break path uses:
+      // lease deletion anywhere outside a claim reopens the
+      // check-then-delete race (an overrun release could otherwise read
+      // its own token, lose the CPU, and then delete the lease a
+      // breaker+new-holder cycle just created). Claim lost ⇒ an active
+      // breaker owns this lease's fate (only stale leases attract
+      // breakers) — leave it to them.
+      val claimed =
+        try { java.nio.file.Files.createFile(bp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) try {
+        val cur = readOrNull(lp)
+        if (cur != null && cur.startsWith(token + "\n"))
+          java.nio.file.Files.deleteIfExists(lp)
+      } finally java.nio.file.Files.deleteIfExists(bp)
     }
   }
 
@@ -328,20 +338,27 @@ object Published {
     * legitimately long build; the caller retries when it finishes. */
   def attachOrBuild(spark: SparkSession, tbl: String, bucketCol: String,
                     buckets: Int, fp: String, waitMs: Long = 10L * 60 * 1000)
-                   (build: => DataFrame): Unit =
-    if (!ensure(spark, tbl, bucketCol, buckets, fp)) {
-      try write(spark, tbl, bucketCol, buckets, fp, build)
+                   (build: => DataFrame): Unit = {
+    val deadline = System.currentTimeMillis() + waitMs
+    val lp = leasePath(tableLoc(spark, tbl).toAbsolutePath.normalize)
+    val bp = lp.resolveSibling(lp.getFileName.toString + ".break")
+    // LOOP, not a single retry: with three cold-starting JVMs (or a
+    // winner whose build throws and releases markerless) the wait can
+    // end in ANOTHER lease race, and the loser of that race must wait
+    // again — a one-shot retry would die with budget remaining. Each
+    // iteration: attach if the winner's marker landed, else try to be
+    // the builder, else wait out whoever holds the lease (or a break
+    // claim — LeaseHeld with no lease file).
+    while (true) {
+      if (ensure(spark, tbl, bucketCol, buckets, fp)) return
+      try { write(spark, tbl, bucketCol, buckets, fp, build); return }
       catch { case held: LeaseHeld =>
-        val deadline = System.currentTimeMillis() + waitMs
-        val lp = leasePath(tableLoc(spark, tbl).toAbsolutePath.normalize)
-        while (java.nio.file.Files.exists(lp)) {
+        while (java.nio.file.Files.exists(lp) || java.nio.file.Files.exists(bp)) {
           if (System.currentTimeMillis() > deadline) throw held
           Thread.sleep(500)
         }
-        // winner finished: attach its publish; a winner that crashed
-        // (lease gone, no matching marker) leaves us to build after all
-        if (!ensure(spark, tbl, bucketCol, buckets, fp))
-          write(spark, tbl, bucketCol, buckets, fp, build)
+        if (System.currentTimeMillis() > deadline) throw held
       }
     }
+  }
 }
