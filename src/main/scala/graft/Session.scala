@@ -63,7 +63,12 @@ object Session {
     * `SPARK_SCALA_VERSION=2.13` in the environment. */
   def builderFromEnv(cpus: Int, shufflePartitions: Int): SparkSession.Builder = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val b = builder(master, shufflePartitions)
+    val b0 = builder(master, shufflePartitions)
+    // SPARK_GRAFT_RELIABLE=true: run the whole surface with the loops'
+    // reliable-checkpoint mode on (mode-equivalence validation — the
+    // oracle gate must be mode-blind)
+    val b = if (sys.env.get("SPARK_GRAFT_RELIABLE").contains("true"))
+      b0.config(graft.operators.Checkpoints.reliableKey, "true") else b0
     if (master.startsWith("local-cluster")) {
       val jar = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_JAR",
         "target/scala-2.13/connorfunstreamproducerspark_2.13-0.1.0.jar"))
