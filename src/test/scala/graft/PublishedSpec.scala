@@ -191,6 +191,33 @@ class PublishedSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
 
+  test("lease hammer: 8 threads x 25 attempts, never two concurrent holders, no debris") {
+    val loc = tmpLoc()
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { tid =>
+      new Thread(() => (1 to 25).foreach { _ =>
+        try Published.withLease(loc, s"hammer-$tid") {
+          if (active.incrementAndGet() != 1) overlaps.incrementAndGet()
+          Thread.sleep(1)
+          active.decrementAndGet()
+          wins.incrementAndGet()
+        } catch { case _: Published.LeaseHeld => losses.incrementAndGet() }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(overlaps.get() == 0, s"${overlaps.get()} overlapping holders observed")
+    assert(wins.get() + losses.get() == 200, "every attempt accounted for")
+    assert(wins.get() >= 1, "at least one acquisition must succeed")
+    // release-under-claim leaves neither a lease nor a break file behind
+    val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+    assert(!Files.exists(lp), "no lease debris")
+    assert(!Files.exists(lp.resolveSibling(lp.getFileName.toString + ".break")),
+      "no break-claim debris")
+  }
+
   test("publish marker is stamped atomically (no .tmp remains, marker complete)") {
     import spark.implicits._
     val tbl = "pubspec_atomic_marker"
