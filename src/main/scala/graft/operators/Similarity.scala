@@ -860,12 +860,33 @@ object Similarity {
         // N-row coded-corpus checkpoint until session end — the caught-
         // failure leak class the CC loop's throw path also releases
         try {
-          val (assigned, cents) = train(eq)
-          graft.sources.Published.write(spark, bTbl, "cell", indexTableBuckets,
-            fp, assigned.select(col("vec_id"), col("cell")))
-          import spark.implicits._
-          graft.sources.Published.write(spark, cTbl, "cell", indexTableBuckets,
-            fp, cents.toSeq.toDF("cell", "cq"))
+          // wait-and-attach loop (attachOrBuild's rule, for the PAIR):
+          // a serve JVM that loses the lease race to a concurrent
+          // first-build waits for the winner and attaches its publish
+          // instead of dying — two JVMs cold-starting the ANN index on
+          // a shared warehouse both serve. Only a still-missing half is
+          // written (training is deterministic, so a half published by
+          // a crashed winner composes exactly with ours).
+          val deadline = System.currentTimeMillis() + 10L * 60 * 1000
+          var done = false
+          while (!done) {
+            if (present(bTbl) && present(cTbl)) done = true
+            else try {
+              val (assigned, cents) = train(eq)
+              if (!present(bTbl))
+                graft.sources.Published.write(spark, bTbl, "cell", indexTableBuckets,
+                  fp, assigned.select(col("vec_id"), col("cell")))
+              import spark.implicits._
+              if (!present(cTbl))
+                graft.sources.Published.write(spark, cTbl, "cell", indexTableBuckets,
+                  fp, cents.toSeq.toDF("cell", "cq"))
+              done = true
+            } catch { case held: graft.sources.Published.LeaseHeld =>
+              graft.sources.Published.awaitNoWriter(
+                Seq(bTbl, cTbl).map(graft.sources.Published.tableLoc(spark, _)),
+                deadline, held)
+            }
+          }
         } finally Checkpoints.release(eq)
       }
       (spark.table(bTbl), spark.table(cTbl))

@@ -340,8 +340,6 @@ object Published {
                     buckets: Int, fp: String, waitMs: Long = 10L * 60 * 1000)
                    (build: => DataFrame): Unit = {
     val deadline = System.currentTimeMillis() + waitMs
-    val lp = leasePath(tableLoc(spark, tbl).toAbsolutePath.normalize)
-    val bp = lp.resolveSibling(lp.getFileName.toString + ".break")
     // LOOP, not a single retry: with three cold-starting JVMs (or a
     // winner whose build throws and releases markerless) the wait can
     // end in ANOTHER lease race, and the loser of that race must wait
@@ -353,12 +351,25 @@ object Published {
       if (ensure(spark, tbl, bucketCol, buckets, fp)) return
       try { write(spark, tbl, bucketCol, buckets, fp, build); return }
       catch { case held: LeaseHeld =>
-        while (java.nio.file.Files.exists(lp) || java.nio.file.Files.exists(bp)) {
-          if (System.currentTimeMillis() > deadline) throw held
-          Thread.sleep(500)
-        }
-        if (System.currentTimeMillis() > deadline) throw held
+        awaitNoWriter(Seq(tableLoc(spark, tbl)), deadline, held)
       }
+    }
+  }
+
+  /** The serve path's wait primitive ([[attachOrBuild]],
+    * `Similarity.publishAssignPair`): poll until NO writer artifact —
+    * lease file or break claim — exists for any of `locs`, rethrowing
+    * `held` once `deadline` passes (a legitimately long build; the
+    * caller retries when it finishes). */
+  def awaitNoWriter(locs: Seq[java.nio.file.Path], deadline: Long,
+                    held: LeaseHeld): Unit = {
+    val watched = locs.map(_.toAbsolutePath.normalize).flatMap { n =>
+      val lp = leasePath(n)
+      Seq(lp, lp.resolveSibling(lp.getFileName.toString + ".break"))
+    }
+    while (watched.exists(java.nio.file.Files.exists(_))) {
+      if (System.currentTimeMillis() > deadline) throw held
+      Thread.sleep(500)
     }
   }
 }

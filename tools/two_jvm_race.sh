@@ -39,6 +39,22 @@ assert a == b and len(a) > 0, "racers must serve identical rows"
 print(f"leg 1 OK: both racers serve {len(a)} identical oracle-checked rows")
 EOF
 
+echo "== leg 1b: cold ANN-index race (two JVMs first-touch q120's published pair)"
+OUT_E=$(mktemp -d /tmp/graft-race-e.XXXX); OUT_F=$(mktemp -d /tmp/graft-race-f.XXXX)
+SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_E q120" >/tmp/race_e.log 2>&1 &
+E=$!
+SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_F q120" >/tmp/race_f.log 2>&1 &
+F=$!
+wait $E; wait $F
+for log in /tmp/race_e.log /tmp/race_f.log; do
+  if grep -aq "\[verify\].*failed" "$log"; then
+    echo "FAIL: an ANN racer reported a query failure ($log)"; exit 1
+  fi
+done
+python3 tools/oracle_check.py "$SF" "$OUT_E" | tail -1
+python3 tools/oracle_check.py "$SF" "$OUT_F" | tail -1
+echo "leg 1b OK: both ANN racers pass the oracle off one shared publish"
+
 echo "== leg 2: compaction under a foreign process's lease"
 sbt -batch "runMain graft.LeaseHold $SF 45" >/tmp/leasehold_race.log 2>&1 &
 H=$!
