@@ -29,14 +29,19 @@ object ClusterProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val compareDir = args.lift(1)
-    val jar = new java.io.File(args.lift(2).getOrElse(
-      "target/scala-2.13/connorfunstreamproducerspark_2.13-0.1.0.jar")).getAbsolutePath
-    require(new java.io.File(jar).exists(), s"run `sbt package` first: $jar missing")
-
-    val spark = Session.builder("local-cluster[2,8,4096]", 16)
-      .config("spark.executor.memory", "3g")
-      .config("spark.jars", jar)
-      .getOrCreate()
+    // master via SPARK_GRAFT_MASTER (builderFromEnv wires spark.jars +
+    // executor memory); default = the 2-worker arrangement, overridable
+    // to e.g. local-cluster[4,4,2048] to probe more executors
+    val spark = {
+      if (sys.env.get("SPARK_GRAFT_MASTER").forall(_.isEmpty)) {
+        val jar = new java.io.File(args.lift(2).getOrElse(
+          "target/scala-2.13/connorfunstreamproducerspark_2.13-0.1.0.jar")).getAbsolutePath
+        require(new java.io.File(jar).exists(), s"run `sbt package` first: $jar missing")
+        Session.builder("local-cluster[2,8,4096]", 16)
+          .config("spark.executor.memory", "3g")
+          .config("spark.jars", jar)
+      } else Session.builderFromEnv(16, 16)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // 1. separate-process executors, and work lands on both (a small
