@@ -32,6 +32,12 @@ object ClusterProbe {
     // master via SPARK_GRAFT_MASTER (builderFromEnv wires spark.jars +
     // executor memory); default = the 2-worker arrangement, overridable
     // to e.g. local-cluster[4,4,2048] to probe more executors
+    // the CLI jar arg only applies to the default-master branch; under
+    // an env master builderFromEnv reads SPARK_GRAFT_JAR — silently
+    // ignoring an explicit arg would test stale default-jar classes
+    require(args.lift(2).isEmpty || sys.env.get("SPARK_GRAFT_MASTER").forall(_.isEmpty)
+        || sys.env.contains("SPARK_GRAFT_JAR"),
+      "with SPARK_GRAFT_MASTER set, pass the jar via SPARK_GRAFT_JAR, not arg 3")
     val spark = {
       if (sys.env.get("SPARK_GRAFT_MASTER").forall(_.isEmpty)) {
         val jar = new java.io.File(args.lift(2).getOrElse(

@@ -16,7 +16,10 @@ object LeaseHold {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val secs = args.lift(1).map(_.toInt).getOrElse(30)
-    val tbl = graft.operators.Similarity.indexTableName(dir, "mbasec")
+    // arg 3: which index half to pin — "mbasec" (q124's compactor, the
+    // fail-loudly demo) or "mbase" (q122's pair, the wait-and-attach demo)
+    val tbl = graft.operators.Similarity.indexTableName(dir,
+      args.lift(2).getOrElse("mbasec"))
     val loc = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"), tbl)
     graft.sources.Published.withLease(loc,

@@ -867,7 +867,8 @@ object Similarity {
           // a shared warehouse both serve. Only a still-missing half is
           // written (training is deterministic, so a half published by
           // a crashed winner composes exactly with ours).
-          val deadline = System.currentTimeMillis() + 10L * 60 * 1000
+          val deadline =
+            System.currentTimeMillis() + graft.sources.Published.defaultWaitMs
           var done = false
           while (!done) {
             if (present(bTbl) && present(cTbl)) done = true

@@ -336,8 +336,13 @@ object Published {
     * table, and only one needs to build it. Rethrows [[LeaseHeld]]
     * only if the winner still holds the lease after `waitMs` — a
     * legitimately long build; the caller retries when it finishes. */
+  /** One wait budget for every serve path (attachOrBuild and the ANN
+    * pair publish) — a split constant is how one path times out while
+    * the other still waits. Size to the longest legitimate build. */
+  val defaultWaitMs: Long = 10L * 60 * 1000
+
   def attachOrBuild(spark: SparkSession, tbl: String, bucketCol: String,
-                    buckets: Int, fp: String, waitMs: Long = 10L * 60 * 1000)
+                    buckets: Int, fp: String, waitMs: Long = defaultWaitMs)
                    (build: => DataFrame): Unit = {
     val deadline = System.currentTimeMillis() + waitMs
     // LOOP, not a single retry: with three cold-starting JVMs (or a
@@ -359,8 +364,12 @@ object Published {
   /** The serve path's wait primitive ([[attachOrBuild]],
     * `Similarity.publishAssignPair`): poll until NO writer artifact —
     * lease file or break claim — exists for any of `locs`, rethrowing
-    * `held` once `deadline` passes (a legitimately long build; the
-    * caller retries when it finishes). */
+    * `held` once `deadline` passes. The deadline is enforced even when
+    * no artifact is (or remains) visible — `waitMs` is an UPPER BOUND
+    * on the whole wait-and-retry call, not just on time spent watching
+    * a lease: without the trailing check a winner that keeps failing
+    * markerless would have the loser re-entering its own (train +)
+    * build forever, silently ignoring the budget. */
   def awaitNoWriter(locs: Seq[java.nio.file.Path], deadline: Long,
                     held: LeaseHeld): Unit = {
     val watched = locs.map(_.toAbsolutePath.normalize).flatMap { n =>
@@ -371,5 +380,6 @@ object Published {
       if (System.currentTimeMillis() > deadline) throw held
       Thread.sleep(500)
     }
+    if (System.currentTimeMillis() > deadline) throw held
   }
 }

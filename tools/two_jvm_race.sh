@@ -14,6 +14,10 @@
 # verify skill). Exits non-zero on any violated expectation.
 set -euo pipefail
 SF=${1:-/root/testdata/sf0.01}
+# compile ONCE before launching concurrent sbt JVMs: two racers that
+# both find stale classes recompile target/ concurrently and one loads
+# a half-written classes dir (ClassNotFoundException: graft.Verify)
+sbt -batch compile >/dev/null 2>&1
 RACE_WH=$(mktemp -d /tmp/graft-race-wh.XXXX)
 OUT_A=$(mktemp -d /tmp/graft-race-a.XXXX); OUT_B=$(mktemp -d /tmp/graft-race-b.XXXX)
 
@@ -39,11 +43,14 @@ assert a == b and len(a) > 0, "racers must serve identical rows"
 print(f"leg 1 OK: both racers serve {len(a)} identical oracle-checked rows")
 EOF
 
-echo "== leg 1b: cold ANN-index race (two JVMs first-touch q120's published pair)"
+# q122, not q120: the serve legs publish via attachOrBuild, while q122
+# publishes its (mbase, mcents) PAIR via Similarity.publishAssignPair -
+# the pair-level wait-and-attach loop this leg exists to exercise
+echo "== leg 1b: cold ANN-pair race (two JVMs first-touch q122's published pair)"
 OUT_E=$(mktemp -d /tmp/graft-race-e.XXXX); OUT_F=$(mktemp -d /tmp/graft-race-f.XXXX)
-SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_E q120" >/tmp/race_e.log 2>&1 &
+SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_E q122" >/tmp/race_e.log 2>&1 &
 E=$!
-SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_F q120" >/tmp/race_f.log 2>&1 &
+SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_F q122" >/tmp/race_f.log 2>&1 &
 F=$!
 wait $E; wait $F
 for log in /tmp/race_e.log /tmp/race_f.log; do
@@ -53,21 +60,51 @@ for log in /tmp/race_e.log /tmp/race_f.log; do
 done
 python3 tools/oracle_check.py "$SF" "$OUT_E" | tail -1
 python3 tools/oracle_check.py "$SF" "$OUT_F" | tail -1
-echo "leg 1b OK: both ANN racers pass the oracle off one shared publish"
+echo "leg 1b OK: both ANN-pair racers pass the oracle off one shared publish"
+# evidence: did the JVMs actually contend, or did sbt startup skew
+# serialize them? Either is a pass (results correct; PublishedSpec
+# exercises the wait path deterministically with threads) - but the
+# artifact should SAY which scenario this run proved.
+if grep -aq "publish lease for" /tmp/race_a.log /tmp/race_b.log /tmp/race_e.log /tmp/race_f.log; then
+  echo "legs 1/1b evidence: CONTENDED (a racer waited out a lease)"
+else
+  echo "legs 1/1b evidence: serialized by startup skew (no lease wait exercised this run)"
+fi
+
+echo "== leg 1c: pair build WAITS out a foreign process's lease (deterministic)"
+# a fresh warehouse so q122 must first-build its pair; a foreign JVM
+# pins the mbase lease for 60s - the builder must WAIT (not die) and
+# then build and pass (Similarity.publishAssignPair's loop, cross-JVM)
+WAIT_WH=$(mktemp -d /tmp/graft-race-wwh.XXXX); rm -rf "$WAIT_WH"
+SPARK_GRAFT_WAREHOUSE=$WAIT_WH sbt -batch "runMain graft.LeaseHold $SF 60 mbase" >/tmp/leasehold_wait.log 2>&1 &
+W=$!
+for i in $(seq 1 40); do
+  grep -aq "LEASEHOLD acquired" /tmp/leasehold_wait.log && break; sleep 2
+done
+OUT_G=$(mktemp -d /tmp/graft-race-g.XXXX)
+SPARK_GRAFT_WAREHOUSE=$WAIT_WH sbt -batch "runMain graft.Verify $SF $OUT_G q122" >/tmp/race_g.log 2>&1
+wait $W
+grep -aq "\[verify\].*failed" /tmp/race_g.log &&
+  { echo "FAIL: pair build died instead of waiting out the foreign lease"; exit 1; }
+python3 tools/oracle_check.py "$SF" "$OUT_G" | tail -1
+echo "leg 1c OK: pair build waited out the 60s foreign lease and passed"
 
 echo "== leg 2: compaction under a foreign process's lease"
-sbt -batch "runMain graft.LeaseHold $SF 45" >/tmp/leasehold_race.log 2>&1 &
+# leg 2 in the SAME scratch warehouse - never the shared default:
+# pinning /tmp/graft-warehouse's real lease would fail any concurrent
+# session's q124 and append compaction windows to shared state
+SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.LeaseHold $SF 90" >/tmp/leasehold_race.log 2>&1 &
 H=$!
 for i in $(seq 1 40); do
   grep -aq "LEASEHOLD acquired" /tmp/leasehold_race.log && break; sleep 2
 done
 OUT_C=$(mktemp -d /tmp/graft-race-c.XXXX)
-sbt -batch "runMain graft.Verify $SF $OUT_C q124" >/tmp/race_c.log 2>&1 || true
+SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_C q124" >/tmp/race_c.log 2>&1 || true
 grep -a "publish lease for .* held by 'leasehold-demo" /tmp/race_c.log >/dev/null ||
   { echo "FAIL: contended compaction did not fail with the holder's id"; exit 1; }
 echo "leg 2a OK: contended compaction failed loudly with the holder id"
 wait $H
-sbt -batch "runMain graft.Verify $SF $OUT_C q124" >/tmp/race_d.log 2>&1
+SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_C q124" >/tmp/race_d.log 2>&1
 grep -aq "\[verify\].*failed" /tmp/race_d.log &&
   { echo "FAIL: post-release replay failed"; exit 1; }
 python3 tools/oracle_check.py "$SF" "$OUT_C" | tail -1
