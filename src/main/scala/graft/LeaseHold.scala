@@ -20,7 +20,7 @@ object LeaseHold {
     // fail-loudly demo) or "mbase" (q122's pair, the wait-and-attach demo)
     val tbl = graft.operators.Similarity.indexTableName(dir,
       args.lift(2).getOrElse("mbasec"))
-    val loc = java.nio.file.Paths.get(
+    val loc = new org.apache.hadoop.fs.Path(
       sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"), tbl)
     graft.sources.Published.withLease(loc,
       s"leasehold-demo:${java.lang.ProcessHandle.current().pid()}") {

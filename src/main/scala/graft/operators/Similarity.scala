@@ -727,7 +727,21 @@ object Similarity {
     s"graft_annidx_${which}_${java.lang.Long.toHexString(
       graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
 
-  private val publishLock = new Object
+  /** Intra-JVM publish serialization, scoped PER TABLE (r12 ADVICE):
+    * the pair publish can sleep up to [[graft.sources.Published.defaultWaitMs]]
+    * waiting out a foreign JVM's lease, and under one global lock that
+    * wait stalled every unrelated publish/compaction in the process —
+    * q124 on another corpus, a cells publish for a different dir. A
+    * per-table monitor keeps the correct property (threads of THIS JVM
+    * racing the SAME table serialize; cross-JVM exclusion is the file
+    * lease's job) without coupling unrelated tables. Lock order is
+    * acyclic: nesting only ever goes derived-table → producer-table
+    * (q121's pq build locks pq, then cells via publishedCells), and no
+    * producer build acquires a derived table's lock. */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishLock(tbl: String): Object =
+    publishLocks.computeIfAbsent(tbl, _ => new Object)
 
   /** The PRODUCTION (multi-executor) form of [[cachedIndex]] — the
     * cluster caveat its scaladoc names, closed (r10 verdict ask #2): a
@@ -760,11 +774,13 @@ object Similarity {
     * rebuilt (the `Layout.bucketizeFacts` hazard, now narrowed to
     * genuinely unservable remains). */
   private def publishedIndex(spark: SparkSession, dir: String, which: String)
-                            (build: => DataFrame): DataFrame = publishLock.synchronized {
+                            (build: => DataFrame): DataFrame = {
     val tbl = indexTableName(dir, which)
-    graft.sources.Published.attachOrBuild(
-      spark, tbl, "cell", indexTableBuckets, corpusFingerprint(dir))(build)
-    spark.table(tbl)
+    publishLock(tbl).synchronized {
+      graft.sources.Published.attachOrBuild(
+        spark, tbl, "cell", indexTableBuckets, corpusFingerprint(dir))(build)
+      spark.table(tbl)
+    }
   }
 
   /** Corpus snapshot id for the publish marker — the staleness guard on
@@ -778,7 +794,7 @@ object Similarity {
     * costs at worst one spurious retrain, never a stale serve. */
   private def corpusFingerprint(dir: String): String =
     graft.sources.Published.fingerprint(dir,
-      Seq(java.nio.file.Paths.get(dir, "embeddings.parquet")))
+      Seq(new org.apache.hadoop.fs.Path(dir, "embeddings.parquet")))
 
   /** The published celled corpus — the one producer both table-backed
     * search legs read. Publish lineage: session cache (train once) →
@@ -846,10 +862,13 @@ object Similarity {
     * coded corpus to (cell-assigned rows, driver-held centroids). */
   private def publishAssignPair(spark: SparkSession, dir: String,
       bWhich: String, cWhich: String)
-      (train: DataFrame => (DataFrame, Array[(Long, Seq[Long])])): (DataFrame, DataFrame) =
-    publishLock.synchronized {
-      val bTbl = indexTableName(dir, bWhich)
-      val cTbl = indexTableName(dir, cWhich)
+      (train: DataFrame => (DataFrame, Array[(Long, Seq[Long])])): (DataFrame, DataFrame) = {
+    val bTbl = indexTableName(dir, bWhich)
+    val cTbl = indexTableName(dir, cWhich)
+    // one lock for the PAIR, keyed on its assignments half: both halves
+    // always publish together from one training run, so a second thread
+    // after either is a second publisher of the pair
+    publishLock(bTbl).synchronized {
       lazy val fp = corpusFingerprint(dir)
       def present(t: String): Boolean =
         graft.sources.Published.ensure(spark, t, "cell", indexTableBuckets, fp)
@@ -892,6 +911,7 @@ object Similarity {
       }
       (spark.table(bTbl), spark.table(cTbl))
     }
+  }
 
   /** q122: q114's maintenance leg over the PUBLISHED base index — the
     * production form of per-ingest index maintenance, completing the
@@ -1022,7 +1042,7 @@ object Similarity {
     val (mbase, cents) = publishedMaintFor(spark, dir)
     val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val cTbl = indexTableName(dir, "mbasec")
-    publishLock.synchronized {
+    publishLock(cTbl).synchronized {
       graft.sources.Published.withLease(
         graft.sources.Published.tableLoc(spark, cTbl), s"compact:$cTbl") {
       if (!graft.sources.Published.ensure(
@@ -1047,16 +1067,24 @@ object Similarity {
         // the append JOB is the commit and is not atomic with the
         // pre-check: if the append itself ran past the stale threshold
         // a rival may have compacted the same window concurrently.
-        // Detect it AFTER the fact and fail with the recovery recipe —
-        // the compacted table is derived state, so the fix is cheap
+        // Detect it AFTER the fact and fail BEFORE re-stamping the
+        // marker's manifest — the un-restamped marker then no longer
+        // accounts for the appended files, so ensure() refuses to serve
+        // the possibly-duplicated window and the next compaction
+        // bootstraps clean from the stored base (the compacted table is
+        // derived state; the rebuild is the recovery)
         try graft.sources.Published.assertLeaseOwned(
           graft.sources.Published.tableLoc(spark, cTbl))
         catch { case e: graft.sources.Published.LeaseLost =>
           throw new graft.sources.Published.LeaseLost(e.getMessage +
             s"; the append itself overran the lease — `$cTbl` may hold a " +
-            "duplicated window: drop the table and its location to force " +
-            "a clean bootstrap from the stored base on the next compaction")
+            "duplicated window; its marker was NOT re-stamped, so the next " +
+            "serve refuses the location and compaction bootstraps clean " +
+            "from the stored base")
         }
+        // manifest re-stamp is the append's serve-side commit: only now
+        // does ensure() account for the appended files
+        graft.sources.Published.restampManifest(spark, cTbl)
       }
       }
     }

@@ -48,7 +48,7 @@ object Layout {
                     build: => org.apache.spark.sql.DataFrame): Unit =
       Published.attachOrBuild(spark, tbl, key, buckets,
         Published.fingerprint(s"$dir#$buckets",
-          Seq(java.nio.file.Paths.get(dir, src))))(build)
+          Seq(new org.apache.hadoop.fs.Path(dir, src))))(build)
     publishFact("orders_bucketed", "o_orderkey", "orders.parquet",
       Tables.orders(spark, dir))
     publishFact("lineitem_bucketed", "l_orderkey", "lineitem.parquet",

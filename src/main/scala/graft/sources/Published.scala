@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Durable bucketed-table publishing — attach-or-build with a completion
@@ -15,10 +17,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * artifact — and a `_GRAFT_PUBLISHED` marker written only AFTER a
   * complete publish carries everything a new JVM needs to re-declare
   * the table (`CREATE TABLE … CLUSTERED BY … LOCATION`): bucket count,
-  * bucket/sort column, source-snapshot fingerprint, schema DDL. Bucket
-  * ids live in the file names the bucketed writer produced, so the
-  * re-declared table keeps its zero-exchange join property (pinned by
-  * PlanShapeSpec for the index, LayoutSpec for the facts).
+  * bucket/sort column, source-snapshot fingerprint, a manifest hash of
+  * the table's own data files, schema DDL. Bucket ids live in the file
+  * names the bucketed writer produced, so the re-declared table keeps
+  * its zero-exchange join property (pinned by PlanShapeSpec for the
+  * index, LayoutSpec for the facts).
+  *
+  * ALL filesystem access goes through the Hadoop FileSystem API
+  * resolved from the warehouse path's own scheme, so the same machinery
+  * runs against `file:///`, HDFS, or any mounted Hadoop-compatible
+  * store — the warehouse a 100 TB deployment actually has. The one
+  * primitive whose guarantee is storage-specific, atomic create-new,
+  * is isolated in [[createNewAtomic]] with a per-scheme contract.
   *
   * [[ensure]] validates EVERY hit against the request — including
   * catalog hits: a table left in this JVM's catalog by a publish for a
@@ -26,31 +36,42 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * across corpus dirs; an index whose corpus was regenerated in place
   * mid-session) is stale for THIS request and is dropped, not served.
   * Anything non-matching — a crashed partial publish (no marker), a
-  * torn marker, a different bucket layout, a changed source — falls
-  * through to the rebuild, which clears the location. The fingerprint
-  * is metadata-only ((relative name, size, mtime) of the source files —
-  * no data scan; the publish must stay cheaper to attach than to read):
-  * an mtime-only touch costs at worst one spurious rebuild. The one
-  * regeneration it can NOT see is a corpus rewritten in place with
-  * both sizes and mtimes preserved (`rsync -t` of equal-length files,
-  * an archive restore with timestamps) — a deployment that replaces
-  * corpora that way must bump a byte somewhere or drop the markers;
-  * everything cheaper than reading the data has this blind spot.
+  * torn marker, a different bucket layout, a changed source, a location
+  * holding files the marker's manifest does not account for — falls
+  * through to the rebuild. The source fingerprint is metadata-only
+  * ((relative name, size, mtime) of the source files — no data scan;
+  * the publish must stay cheaper to attach than to read): an mtime-only
+  * touch costs at worst one spurious rebuild. The one regeneration it
+  * can NOT see is a corpus rewritten in place with both sizes and
+  * mtimes preserved (`rsync -t` of equal-length files, an archive
+  * restore with timestamps) — a deployment that replaces corpora that
+  * way must bump a byte somewhere or drop the markers; everything
+  * cheaper than reading the data has this blind spot.
   *
   * Concurrent WRITERS are excluded by a lease ([[withLease]]): every
   * publish and every append to a published table first creates a
-  * `<tbl>._GRAFT_LEASE` file next to the table directory with
-  * CREATE_NEW semantics — atomic on a local or POSIX warehouse — so a
-  * second JVM (or thread) publishing the same table fails loudly
-  * ([[LeaseHeld]]) instead of interleaving its delete-walk with the
-  * winner's bucketed write or double-appending a compaction window.
-  * The marker itself is stamped via temp-file + ATOMIC_MOVE, so no
-  * reader can observe a torn marker over mixed files. A lease left by
-  * a crashed publisher is taken over once it is older than
-  * [[leaseStaleMs]] (a publish is minutes, the threshold is 30). */
+  * `<tbl>._GRAFT_LEASE` file next to the table directory with atomic
+  * create-new semantics, so a second JVM (or thread) publishing the
+  * same table fails loudly ([[LeaseHeld]]) instead of interleaving its
+  * writes with the winner's. A publish builds in a private per-token
+  * STAGING directory and swaps it into the serve location with a
+  * single rename only after re-verifying lease ownership — so even a
+  * writer that overran the stale threshold and lost its lease can
+  * never land files in the serve location (its job wrote to its own
+  * staging dir; its commit fails [[LeaseLost]] before the swap). The
+  * marker rides inside the staged directory, so the swap rename IS the
+  * commit: readers see either the old complete table or the new one,
+  * never a torn mix. Appends re-stamp the marker's manifest hash after
+  * their post-append ownership check ([[restampManifest]]) — an append
+  * that overran its lease leaves a manifest mismatch that [[ensure]]
+  * refuses to serve, degrading to a rebuild instead of serving
+  * duplicated rows. A lease left by a crashed publisher is taken over
+  * once it is older than [[leaseStaleMs]] (a publish is minutes, the
+  * default threshold is 30 — tunable via SPARK_GRAFT_LEASE_STALE_MS
+  * for deployments whose longest publish differs). */
 object Published {
 
-  /** A second concurrent publisher lost the CREATE_NEW race — the
+  /** A second concurrent publisher lost the create-new race — the
     * caller must NOT fall back to writing (that is the double-append /
     * torn-publish hazard the lease exists to close); retry after the
     * holder finishes or fail the job. */
@@ -66,205 +87,372 @@ object Published {
     * this is treated as crashed and its lease broken, so a legitimate
     * publish longer than the threshold would lose exclusivity silently
     * if [[assertLeaseOwned]] didn't guard every commit point (it does —
-    * the marker stamp and q124's append verify ownership first, so the
-    * overrun holder fails LOUDLY instead of interleaving). */
-  private[graft] val leaseStaleMs: Long = 30L * 60 * 1000
+    * the pre-swap check and q124's append verify ownership first, so
+    * the overrun holder fails LOUDLY, and its files never reach the
+    * serve location because they only ever landed in its private
+    * staging dir). Env-overridable so crash probes don't wait 30 min. */
+  private[graft] val leaseStaleMs: Long =
+    sys.env.get("SPARK_GRAFT_LEASE_STALE_MS").map(_.toLong)
+      .getOrElse(30L * 60 * 1000)
+
+  // ---------------------------------------------------------------
+  // Hadoop-FS plumbing. The Configuration prefers the active session's
+  // (it carries fs.defaultFS + connector settings on a real cluster);
+  // a session-less caller (the LeaseHold demo) gets Hadoop defaults,
+  // which still resolve any EXPLICIT-scheme path correctly. A plain
+  // Configuration seen before any session exists is upgraded to the
+  // session-derived one at the next call, then pinned.
+  @volatile private var sessionConf: Configuration = null
+  private def hconf: Configuration = {
+    val c = sessionConf
+    if (c != null) c
+    else SparkSession.getActiveSession match {
+      case Some(s) =>
+        val sc = s.sessionState.newHadoopConf(); sessionConf = sc; sc
+      case None => new Configuration()
+    }
+  }
+
+  /** The FileSystem serving `p`, with the local checksummed wrapper
+    * unwrapped: lease/marker files are control metadata, and RAW local
+    * semantics (create/rename map directly to open(2)/rename(2), no
+    * `.crc` sidecars) are what the atomicity argument is stated over. */
+  private[graft] def fsOf(p: HPath): FileSystem =
+    p.getFileSystem(hconf) match {
+      case c: ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
+  /** For the local scheme, the java.nio view of `p` (the atomic-
+    * primitive override below); None on any other filesystem. */
+  private def localOf(fs: FileSystem, p: HPath): Option[java.nio.file.Path] =
+    if ("file" == fs.getUri.getScheme)
+      Some(java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath))
+    else None
+
+  /** THE atomicity primitive the lease protocol stands on: create `p`
+    * with `content` iff it does not exist, exactly one concurrent
+    * caller succeeding. Per-scheme contract:
+    *  - `file://` — java.nio CREATE_NEW, i.e. open(2) O_CREAT|O_EXCL:
+    *    atomic on POSIX. (Hadoop's RawLocalFileSystem.create(p, false)
+    *    is check-then-act and would reopen the race, hence the
+    *    override.)
+    *  - HDFS — FileSystem.create(p, overwrite=false): the existence
+    *    check and creation are one namenode operation; atomic.
+    *  - Object stores (S3A and kin) — create-no-overwrite is NOT
+    *    atomic on connectors that check-then-put; a deployment whose
+    *    warehouse lives there must point this at a connector with
+    *    conditional-put create (S3A over S3 conditional writes
+    *    supports it) or front the warehouse with HDFS semantics. The
+    *    contract is create-new atomicity; this method is the single
+    *    place a deployment plugs a different primitive into.
+    * Failure-atomic: a create that wins but fails writing `content`
+    * removes the file — never a token-less orphan lease. */
+  private[graft] def createNewAtomic(fs: FileSystem, p: HPath,
+                                     content: Array[Byte]): Boolean =
+    localOf(fs, p) match {
+      case Some(lp) =>
+        try {
+          java.nio.file.Files.createFile(lp)
+          try { java.nio.file.Files.write(lp, content); true }
+          catch { case e: java.io.IOException =>
+            java.nio.file.Files.deleteIfExists(lp); throw e
+          }
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case None =>
+        try {
+          val out = fs.create(p, false)
+          try { out.write(content); out.close(); true }
+          catch { case e: java.io.IOException =>
+            try out.close() catch { case _: java.io.IOException => () }
+            try fs.delete(p, false) catch { case _: java.io.IOException => () }
+            throw e
+          }
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    }
+
+  private def exists(fs: FileSystem, p: HPath): Boolean = fs.exists(p)
+
+  private def deleteIfExists(fs: FileSystem, p: HPath): Unit =
+    try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+
+  private def readOrNull(fs: FileSystem, p: HPath): String =
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      scala.util.Using.resource(fs.open(p))(_.readFully(0, buf))
+      new String(buf, "UTF-8")
+    } catch { case _: java.io.IOException => null }
+
+  private def ageOf(fs: FileSystem, p: HPath): Long =
+    try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.IOException => 0L } // just released
+
+  private def writeFile(fs: FileSystem, p: HPath, content: Array[Byte]): Unit =
+    scala.util.Using.resource(fs.create(p, true))(_.write(content))
+
+  /** Replace `dst` with `tmp`. Local: one atomic rename(2). Other
+    * schemes: delete + rename — the rename itself is atomic on HDFS,
+    * and the marker-less window in between degrades a concurrent
+    * ensure() to "not served" (the caller waits out our lease), never
+    * to a torn read. */
+  private def replace(fs: FileSystem, tmp: HPath, dst: HPath): Unit =
+    localOf(fs, tmp) match {
+      case Some(ltmp) =>
+        java.nio.file.Files.move(ltmp,
+          java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case None =>
+        deleteIfExists(fs, dst)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
+
+  // ---------------------------------------------------------------
 
   /** Per-thread re-entrancy + ownership token: `write` inside a caller
     * that already holds the table lease (q124's bootstrap path) must
     * not self-deadlock, and commit points verify the on-disk lease
-    * still carries this holder's token. */
+    * still carries this holder's token. Keyed by the fs-qualified
+    * location URI so `/w/t` and `file:///w/t` are one lease. */
   private final case class Held(thread: Thread, token: String)
   private val leaseHolders =
-    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, Held]()
+    new java.util.concurrent.ConcurrentHashMap[String, Held]()
   private val tokenSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  private def leasePath(loc: java.nio.file.Path): java.nio.file.Path =
-    loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+  private def leasePath(loc: HPath): HPath =
+    new HPath(loc.getParent, loc.getName + "._GRAFT_LEASE")
+  private def breakPath(lp: HPath): HPath =
+    new HPath(lp.getParent, lp.getName + ".break")
 
   /** Run `body` holding the single-writer lease for the table at `loc`.
     *
-    * CREATE_NEW on the lease file is the atomicity primitive: exactly
-    * one creator wins; losers get [[LeaseHeld]] carrying the holder's
-    * id and the lease path. Re-entrant per thread.
+    * [[createNewAtomic]] on the lease file is the exclusion primitive:
+    * exactly one creator wins; losers get [[LeaseHeld]] carrying the
+    * holder's id and the lease path. Re-entrant per thread.
     *
     * STALE-BREAK PROTOCOL (a crashed holder must not wedge the table
     * forever, but breaking must never delete a LIVE rival's lease —
     * the naive check-age-then-delete lets breaker A delete the fresh
     * lease breaker B just created in the window after A's age check):
-    * a breaker first claims the exclusive right to break via CREATE_NEW
+    * a breaker first claims the exclusive right to break via create-new
     * on a sibling `.break` file — only one breaker proceeds; the rest
     * throw [[LeaseHeld]]. Acquirers treat an existing `.break` file as
     * lease-held, so while the break claim stands nobody can create a
     * fresh lease for the breaker to destroy. The break winner then
     * RE-READS the lease: only if it is still the same stale one does it
     * delete it; a lease that meanwhile vanished or changed aborts the
-    * break. Finally the breaker releases its claim and races CREATE_NEW
+    * break. Finally the breaker releases its claim and races create-new
     * like everyone else. A `.break` file orphaned by a crashed breaker
     * is itself aged out the same way; deleting a break file never
     * deletes anyone's lease, so that recursion is safe — the residual
     * hole needs a fresh file to READ as older than `staleMs`, i.e.
-    * half-hour clock skew on one shared filesystem.
+    * half-hour clock skew between writers of one shared filesystem
+    * (HDFS stamps mtimes namenode-side, collapsing that skew to one
+    * clock; local POSIX is one host by construction).
     *
     * The lease content carries a per-acquisition TOKEN; commit points
     * call [[assertLeaseOwned]] so a holder whose lease WAS legitimately
     * broken (it overran `staleMs`) fails loudly before committing
     * instead of interleaving with the breaker's writes. */
-  def withLease[T](loc: java.nio.file.Path, holder: String,
+  def withLease[T](loc: HPath, holder: String,
                    staleMs: Long = leaseStaleMs)(body: => T): T = {
-    val norm = loc.toAbsolutePath.normalize
-    val reentrant = leaseHolders.get(norm)
+    val fs = fsOf(loc)
+    val norm = fs.makeQualified(loc)
+    val key = norm.toString
+    val reentrant = leaseHolders.get(key)
     if (reentrant != null && (reentrant.thread eq Thread.currentThread())) return body
     val lp = leasePath(norm)
-    val bp = lp.resolveSibling(lp.getFileName.toString + ".break")
-    java.nio.file.Files.createDirectories(norm.getParent)
+    val bp = breakPath(lp)
+    fs.mkdirs(norm.getParent)
     val token = s"$holder#${java.lang.ProcessHandle.current().pid()}" +
       s"#${System.nanoTime()}#${tokenSeq.incrementAndGet()}"
-    def readOrNull(p: java.nio.file.Path): String =
-      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      catch { case _: java.io.IOException => null }
-    def ageOf(p: java.nio.file.Path): Long =
-      try System.currentTimeMillis() -
-        java.nio.file.Files.getLastModifiedTime(p).toMillis
-      catch { case _: java.io.IOException => 0L } // just released
     def tryAcquire(): Boolean = {
-      if (java.nio.file.Files.exists(bp)) {
+      if (exists(fs, bp)) {
         // a break is in progress — count as held; an ORPHANED break
         // claim (crashed breaker) ages out harmlessly: removing it
         // deletes no one's lease
-        if (ageOf(bp) > staleMs) java.nio.file.Files.deleteIfExists(bp)
-        if (java.nio.file.Files.exists(bp)) return false
+        if (ageOf(fs, bp) > staleMs) deleteIfExists(fs, bp)
+        if (exists(fs, bp)) return false
       }
-      try {
-        java.nio.file.Files.createFile(lp)
-        try java.nio.file.Files.write(lp, s"$token\n$holder".getBytes("UTF-8"))
-        catch { case e: java.io.IOException =>
-          // failure-atomic: never leave a token-less orphan lease
-          java.nio.file.Files.deleteIfExists(lp); throw e
-        }
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      createNewAtomic(fs, lp, s"$token\n$holder".getBytes("UTF-8"))
     }
     def tryBreakStale(): Unit = {
-      val staleContent = readOrNull(lp)
-      if (staleContent == null || ageOf(lp) <= staleMs) return
-      val claimed =
-        try { java.nio.file.Files.createFile(bp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      if (!claimed) return // another breaker owns the break; we just lose
+      val staleContent = readOrNull(fs, lp)
+      if (staleContent == null || ageOf(fs, lp) <= staleMs) return
+      if (!createNewAtomic(fs, bp, token.getBytes("UTF-8")))
+        return // another breaker owns the break; we just lose
       try {
         // re-read under the break claim: only the SAME stale lease dies
-        val now = readOrNull(lp)
-        if (now != null && now == staleContent && ageOf(lp) > staleMs)
-          java.nio.file.Files.deleteIfExists(lp)
-      } finally java.nio.file.Files.deleteIfExists(bp)
+        val now = readOrNull(fs, lp)
+        if (now != null && now == staleContent && ageOf(fs, lp) > staleMs)
+          deleteIfExists(fs, lp)
+      } finally deleteIfExists(fs, bp)
     }
     val acquired = tryAcquire() || { tryBreakStale(); tryAcquire() }
     if (!acquired) {
-      val who = Option(readOrNull(lp))
+      val who = Option(readOrNull(fs, lp))
         .flatMap(_.linesIterator.toSeq.lift(1)).getOrElse("<gone>")
       throw new LeaseHeld(
-        s"publish lease for ${norm.getFileName} held by '$who' ($lp); " +
+        s"publish lease for ${norm.getName} held by '$who' ($lp); " +
           "one writer per published table — retry after it completes")
     }
-    leaseHolders.put(norm, Held(Thread.currentThread(), token))
+    leaseHolders.put(key, Held(Thread.currentThread(), token))
     try body
     finally {
-      leaseHolders.remove(norm)
+      leaseHolders.remove(key)
       // release under the SAME .break claim the stale-break path uses:
       // lease deletion anywhere outside a claim reopens the
       // check-then-delete race (an overrun release could otherwise read
       // its own token, lose the CPU, and then delete the lease a
-      // breaker+new-holder cycle just created). Claim lost ⇒ an active
-      // breaker owns this lease's fate (only stale leases attract
-      // breakers) — leave it to them.
-      val claimed =
-        try { java.nio.file.Files.createFile(bp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      // breaker+new-holder cycle just created). A LOST claim is retried
+      // briefly — a breaker holds the claim only for a re-read + delete
+      // (milliseconds), and a breaker that ABORTED (content changed
+      // under it) leaves our live lease standing, which without the
+      // retry would wedge the table for staleMs and starve waiting
+      // attachers. If the claim stays contended past the retry budget,
+      // fall back to leaving the lease to whoever owns the claim.
+      var claimed = false
+      var tries = 0
+      while (!claimed && tries < 20) {
+        claimed = createNewAtomic(fs, bp, ("release:" + token).getBytes("UTF-8"))
+        if (!claimed) { tries += 1; Thread.sleep(50) }
+      }
       if (claimed) try {
-        val cur = readOrNull(lp)
-        if (cur != null && cur.startsWith(token + "\n"))
-          java.nio.file.Files.deleteIfExists(lp)
-      } finally java.nio.file.Files.deleteIfExists(bp)
+        val cur = readOrNull(fs, lp)
+        if (cur != null && cur.startsWith(token + "\n")) deleteIfExists(fs, lp)
+      } finally deleteIfExists(fs, bp)
     }
   }
 
   /** Verify the on-disk lease still carries the CURRENT thread's token
-    * for `loc` — called at commit points (the marker stamp, q124's
+    * for `loc` — called at commit points (the pre-swap gate, q124's
     * append) so a holder whose lease was broken mid-publish (it overran
     * `staleMs`) throws [[LeaseLost]] instead of committing over a
     * rival's writes. No-op when the thread holds no tracked lease (the
     * caller ran without withLease — nothing to verify against). */
-  def assertLeaseOwned(loc: java.nio.file.Path): Unit = {
-    val norm = loc.toAbsolutePath.normalize
-    val held = leaseHolders.get(norm)
+  def assertLeaseOwned(loc: HPath): Unit = {
+    val fs = fsOf(loc)
+    val norm = fs.makeQualified(loc)
+    val held = leaseHolders.get(norm.toString)
     if (held == null || (held.thread ne Thread.currentThread())) return
-    val cur =
-      try new String(java.nio.file.Files.readAllBytes(leasePath(norm)), "UTF-8")
-      catch { case _: java.io.IOException => "" }
-    if (!cur.startsWith(held.token + "\n"))
+    val cur = readOrNull(fs, leasePath(norm))
+    if (cur == null || !cur.startsWith(held.token + "\n"))
       throw new LeaseLost(
-        s"lease for ${norm.getFileName} no longer carries this holder's " +
+        s"lease for ${norm.getName} no longer carries this holder's " +
           s"token — the publish overran the ${leaseStaleMs / 60000} min stale " +
           "threshold and was broken; aborting before the commit")
   }
 
-  def tableLoc(spark: SparkSession, tbl: String): java.nio.file.Path = {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    java.nio.file.Paths.get(warehouse, tbl)
-  }
+  def tableLoc(spark: SparkSession, tbl: String): HPath =
+    new HPath(spark.conf.get("spark.sql.warehouse.dir"), tbl)
 
-  private def markerPath(loc: java.nio.file.Path): java.nio.file.Path =
-    loc.resolve("_GRAFT_PUBLISHED")
+  private val Marker = "_GRAFT_PUBLISHED"
+  private def markerPath(loc: HPath): HPath = new HPath(loc, Marker)
 
   /** Metadata-only snapshot fingerprint of a set of source paths (files
     * or directories of part files); `tag` folds in whatever else the
     * publish depends on (corpus dir, bucket count). */
-  def fingerprint(tag: String, roots: Seq[java.nio.file.Path]): String = {
-    import scala.jdk.CollectionConverters._
+  def fingerprint(tag: String, roots: Seq[HPath]): String = {
     val desc = roots.map { root =>
-      val parts =
-        if (java.nio.file.Files.isDirectory(root))
-          // Using: fingerprint runs on every serve/maintain call via the
-          // session index key — an unclosed walk leaks a directory fd
-          // per query call until GC
-          scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-            st.iterator().asScala
-              .filter(java.nio.file.Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      val fs = fsOf(root)
+      val qr = fs.makeQualified(root).toString
+      val entries =
+        if (fs.getFileStatus(root).isDirectory) {
+          val it = fs.listFiles(root, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile) {
+              val rel = st.getPath.toString.stripPrefix(qr).stripPrefix("/")
+              buf += s"$rel:${st.getLen}:${st.getModificationTime}"
+            }
           }
-        else Seq(root)
-      parts.map { p =>
-        s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-      }.mkString("|")
+          buf.sorted.toSeq
+        } else {
+          val st = fs.getFileStatus(root)
+          Seq(s":${st.getLen}:${st.getModificationTime}")
+        }
+      entries.mkString("|")
     }.mkString(s"$tag||", "||", "")
     java.lang.Long.toHexString(
       graft.expressions.GraftHash.h60(desc.getBytes("UTF-8")))
   }
 
-  /** Marker header (buckets, bucketCol, fp, schemaDdl) if present and
-    * well-formed. */
-  private def readMarker(loc: java.nio.file.Path): Option[Array[String]] = {
+  /** Hash of the DATA files currently at `loc` — the files a Spark scan
+    * of the location would read (every file whose path has no `_`/`.`
+    * hidden segment), as (relative name, size). Stamped into the marker
+    * at publish/append commit, re-checked by [[ensure]] on every serve:
+    * a location holding files the manifest does not account for — an
+    * overrun appender's late job commit, a rival's stray part files —
+    * is refused and rebuilt, never served. Size+name suffices: part
+    * file names embed the writing job's UUID, so a foreign job's files
+    * can't alias a manifest entry. */
+  private[graft] def manifestHash(fs: FileSystem, loc: HPath): String = {
+    val qr = fs.makeQualified(loc).toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(loc)) {
+      val it = fs.listFiles(loc, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(qr).stripPrefix("/")
+        val hidden = rel.split("/").exists(s =>
+          s.startsWith("_") || s.startsWith("."))
+        if (st.isFile && !hidden) buf += s"$rel:${st.getLen}"
+      }
+    }
+    java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(buf.sorted.mkString("|").getBytes("UTF-8")))
+  }
+
+  /** Marker header (buckets, bucketCol, fp, manifest, schemaDdl) if
+    * present and well-formed. */
+  private def readMarker(fs: FileSystem, loc: HPath): Option[Array[String]] = {
     val mk = markerPath(loc)
-    if (!java.nio.file.Files.exists(mk)) None
-    else new String(java.nio.file.Files.readAllBytes(mk), "UTF-8").split("\n", 4) match {
-      case a @ Array(_, _, _, _) => Some(a)
+    val content = readOrNull(fs, mk)
+    if (content == null) None
+    else content.split("\n", 5) match {
+      case a @ Array(_, _, _, _, _) => Some(a)
       case _ => None
     }
   }
 
+  private def markerBytes(buckets: Int, bucketCol: String, fp: String,
+                          manifest: String, ddl: String): Array[Byte] =
+    s"$buckets\n$bucketCol\n$fp\n$manifest\n$ddl".getBytes("UTF-8")
+
+  /** The attach DDL — shared by the marker attach ([[ensure]]) and the
+    * post-swap declaration ([[write]]): external parquet table over the
+    * published location, re-stating the bucket spec the file names
+    * already carry. */
+  private def declare(spark: SparkSession, tbl: String, bucketCol: String,
+                      buckets: Int, ddl: String, loc: HPath): Unit =
+    spark.sql(
+      s"""CREATE TABLE `$tbl` ($ddl)
+         |USING parquet
+         |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $buckets BUCKETS
+         |LOCATION '${fsOf(loc).makeQualified(loc).toUri}'""".stripMargin)
+
   /** True iff `tbl` is, after this call, a catalog table serving THIS
-    * request (bucket layout + source snapshot). A catalog hit whose
+    * request (bucket layout + source snapshot + a location whose data
+    * files are exactly the marker's manifest). A catalog hit whose
     * marker does not match the request — a different corpus published
     * under the same fixed name, a corpus regenerated in place since the
-    * publish — is DROPPED (external table: files untouched) and the
-    * call returns false. A marker match with no catalog entry attaches
-    * (new JVM). No building happens here. */
+    * publish, a location contaminated by a foreign writer's files — is
+    * DROPPED (external table: files untouched) and the call returns
+    * false. A marker match with no catalog entry attaches (new JVM).
+    * No building happens here. */
   def ensure(spark: SparkSession, tbl: String, bucketCol: String,
              buckets: Int, fp: String): Boolean = {
     val loc = tableLoc(spark, tbl)
-    val matched = readMarker(loc).filter(m =>
-      m(0) == buckets.toString && m(1) == bucketCol && m(2) == fp)
+    val fs = fsOf(loc)
+    val matched = readMarker(fs, loc).filter(m =>
+      m(0) == buckets.toString && m(1) == bucketCol && m(2) == fp &&
+        m(3) == manifestHash(fs, loc))
     if (spark.catalog.tableExists(tbl)) {
       if (matched.isDefined) return true
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
@@ -275,14 +463,8 @@ object Published {
       case Some(m) =>
         // a torn schema line must degrade to `false` — the rebuild
         // clears the location and self-heals — not throw on every call
-        try {
-          spark.sql(
-            s"""CREATE TABLE `$tbl` (${m(3)})
-               |USING parquet
-               |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $buckets BUCKETS
-               |LOCATION '${loc.toUri}'""".stripMargin)
-          true
-        } catch {
+        try { declare(spark, tbl, bucketCol, buckets, m(4), loc); true }
+        catch {
           case scala.util.control.NonFatal(_) =>
             if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE `$tbl`")
             false
@@ -292,41 +474,89 @@ object Published {
 
   /** One bucketed-table publish, under the table's single-writer lease
     * ([[withLease]] — a concurrent publisher of the same table throws
-    * [[LeaseHeld]] instead of interleaving with this delete-walk +
-    * write): clear whatever an incomplete or stale prior publish left
-    * at the location, write bucketed + bucket-sorted as an EXTERNAL
-    * table, then the marker LAST and ATOMICALLY (temp + ATOMIC_MOVE) —
-    * a crash mid-write leaves an unmarked location the next publisher
-    * clears, and no reader ever sees a torn marker. */
+    * [[LeaseHeld]] instead of interleaving with this write). The write
+    * lands in a PRIVATE per-token staging directory next to the serve
+    * location; only after [[assertLeaseOwned]] re-verifies the lease is
+    * the serve location cleared and the staged directory renamed into
+    * place. Consequences: a holder that overran the stale threshold
+    * fails LeaseLost with its files still in its own staging dir — the
+    * serve location never holds two writers' files; a crash mid-write
+    * leaves staging debris the next lease holder sweeps; and because
+    * the marker is stamped INTO the stage before the swap, the rename
+    * is the commit — no reader ever sees files without their marker or
+    * a marker over foreign files. */
   def write(spark: SparkSession, tbl: String, bucketCol: String,
-            buckets: Int, fp: String, df: DataFrame): Unit =
+            buckets: Int, fp: String, df: => DataFrame): Unit =
     withLease(tableLoc(spark, tbl), s"write:$tbl:${pid()}") {
+      // by-name frame, forced only under the held lease: a lease-race
+      // LOSER must not evaluate its build at all — for the ANN tables
+      // the frame CONSTRUCTION embeds the training collects, so a
+      // strict parameter had the loser paying a full train before
+      // throwing LeaseHeld and attaching the winner's publish anyway
+      val frame = df
       val loc = tableLoc(spark, tbl)
-      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(loc)) { st =>
-          st.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
-      df.write.mode(SaveMode.Overwrite)
+      val fs = fsOf(loc)
+      val qloc = fs.makeQualified(loc)
+      val parent = qloc.getParent
+      val stagePrefix = qloc.getName + "._GRAFT_STAGE_"
+      // sweep stage debris of crashed/overrun prior publishers — safe
+      // under the lease: any live owner of these dirs already lost its
+      // lease (we hold it), so its commit can only end in LeaseLost
+      if (fs.exists(parent))
+        fs.listStatus(parent).iterator
+          .filter(_.getPath.getName.startsWith(stagePrefix))
+          .foreach(s => fs.delete(s.getPath, true))
+      val suffix = java.lang.Long.toHexString(graft.expressions.GraftHash.h60(
+        Option(leaseHolders.get(qloc.toString)).map(_.token)
+          .getOrElse(s"${pid()}#${System.nanoTime()}").getBytes("UTF-8")))
+      val stage = new HPath(parent, stagePrefix + suffix)
+      val stageTbl = s"${tbl}_stage_$suffix"
+      spark.sql(s"DROP TABLE IF EXISTS `$stageTbl`")
+      frame.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .option("path", loc.toString)
-        .format("parquet").saveAsTable(tbl)
-      // commit point: a publish that overran the stale threshold lost
-      // its lease to a breaker — fail loudly, never stamp a marker over
-      // a location a rival may be rewriting
+        .option("path", stage.toString)
+        .format("parquet").saveAsTable(stageTbl)
+      spark.sql(s"DROP TABLE `$stageTbl`") // external: the files stay
+      writeFile(fs, markerPath(stage), markerBytes(
+        buckets, bucketCol, fp, manifestHash(fs, stage), frame.schema.toDDL))
+      // commit gate: a publish that overran the stale threshold lost
+      // its lease to a breaker — fail loudly BEFORE touching the serve
+      // location; the staged files are this writer's private garbage
       assertLeaseOwned(loc)
-      val tmp = loc.resolve("_GRAFT_PUBLISHED.tmp")
-      java.nio.file.Files.write(tmp,
-        s"$buckets\n$bucketCol\n$fp\n${df.schema.toDDL}".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, markerPath(loc),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      fs.delete(qloc, true)
+      if (!fs.rename(stage, qloc))
+        throw new java.io.IOException(s"publish swap $stage -> $qloc failed")
+      declare(spark, tbl, bucketCol, buckets, frame.schema.toDDL, qloc)
     }
+
+  /** Re-stamp the marker's manifest hash over the location's CURRENT
+    * data files — the append-path commit ([[manifestHash]]'s contract):
+    * called by q124 after its bucketed append passes the post-append
+    * ownership check, so the marker accounts for the appended files and
+    * [[ensure]] keeps serving. An appender that dies (or loses its
+    * lease) between the append job and this stamp leaves a manifest
+    * mismatch — the table degrades to a rebuild, never serves the
+    * unaccounted window. */
+  def restampManifest(spark: SparkSession, tbl: String): Unit = {
+    val loc = tableLoc(spark, tbl)
+    val fs = fsOf(loc)
+    assertLeaseOwned(loc)
+    val m = readMarker(fs, loc).getOrElse(throw new IllegalStateException(
+      s"restampManifest($tbl): no well-formed marker at $loc"))
+    val tmp = new HPath(loc, Marker + ".tmp")
+    writeFile(fs, tmp,
+      markerBytes(m(0).toInt, m(1), m(2), manifestHash(fs, loc), m(4)))
+    replace(fs, tmp, markerPath(loc))
+  }
 
   private def pid(): String =
     s"${java.lang.ProcessHandle.current().pid()}@${Thread.currentThread().getId}"
+
+  /** One wait budget for every serve path (attachOrBuild and the ANN
+    * pair publish) — a split constant is how one path times out while
+    * the other still waits. Size to the longest legitimate build. */
+  val defaultWaitMs: Long = 10L * 60 * 1000
 
   /** The publish lifecycle in one call: valid catalog hit → attach →
     * build. A build that loses the lease race WAITS for the winner and
@@ -336,11 +566,6 @@ object Published {
     * table, and only one needs to build it. Rethrows [[LeaseHeld]]
     * only if the winner still holds the lease after `waitMs` — a
     * legitimately long build; the caller retries when it finishes. */
-  /** One wait budget for every serve path (attachOrBuild and the ANN
-    * pair publish) — a split constant is how one path times out while
-    * the other still waits. Size to the longest legitimate build. */
-  val defaultWaitMs: Long = 10L * 60 * 1000
-
   def attachOrBuild(spark: SparkSession, tbl: String, bucketCol: String,
                     buckets: Int, fp: String, waitMs: Long = defaultWaitMs)
                    (build: => DataFrame): Unit = {
@@ -370,13 +595,14 @@ object Published {
     * a lease: without the trailing check a winner that keeps failing
     * markerless would have the loser re-entering its own (train +)
     * build forever, silently ignoring the budget. */
-  def awaitNoWriter(locs: Seq[java.nio.file.Path], deadline: Long,
+  def awaitNoWriter(locs: Seq[HPath], deadline: Long,
                     held: LeaseHeld): Unit = {
-    val watched = locs.map(_.toAbsolutePath.normalize).flatMap { n =>
-      val lp = leasePath(n)
-      Seq(lp, lp.resolveSibling(lp.getFileName.toString + ".break"))
+    val watched = locs.map { l =>
+      val fs = fsOf(l)
+      val lp = leasePath(fs.makeQualified(l))
+      (fs, Seq(lp, breakPath(lp)))
     }
-    while (watched.exists(java.nio.file.Files.exists(_))) {
+    while (watched.exists { case (fs, ps) => ps.exists(exists(fs, _)) }) {
       if (System.currentTimeMillis() > deadline) throw held
       Thread.sleep(500)
     }

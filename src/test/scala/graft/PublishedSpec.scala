@@ -3,20 +3,41 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.{CountDownLatch, TimeUnit}
 
+import org.apache.hadoop.fs.{Path => HPath}
+
 import graft.sources.Published
 
 /** The cross-JVM single-writer lease on published tables (r11 verdict
-  * ask #2): two concurrent publishers of the same table must never
-  * interleave a delete-walk with a bucketed write, and two concurrent
-  * q124 compactors must never both read the same high-water mark and
-  * double-append the window between them. `withLease` mechanizes the
-  * previously-documented one-writer assumption with a CREATE_NEW lease
-  * file — one writer wins, the other throws [[Published.LeaseHeld]]
-  * loudly instead of corrupting the table. */
+  * ask #2), now over the Hadoop FileSystem API (r12 verdict ask #1):
+  * two concurrent publishers of the same table must never interleave
+  * their writes, and two concurrent q124 compactors must never both
+  * read the same high-water mark and double-append the window between
+  * them. `withLease` mechanizes the one-writer rule with an atomic
+  * create-new lease file — one writer wins, the other throws
+  * [[Published.LeaseHeld]] loudly instead of corrupting the table.
+  *
+  * All locations here carry an EXPLICIT `file:` scheme, so every
+  * operation in the module demonstrably goes through
+  * `org.apache.hadoop.fs` path resolution (the 100 TB warehouse is
+  * HDFS/object storage; the local POSIX profile is just the `file`
+  * scheme of the same code path). Test setup/inspection uses java.nio
+  * on the same underlying files — that's the point: the Hadoop view
+  * and the POSIX view are one filesystem. */
 class PublishedSpec extends SparkSpec {
 
-  private def tmpLoc() =
-    Files.createTempDirectory("pubspec").resolve("some_table")
+  /** A fresh table location under an explicit file:// scheme. */
+  private def tmpLoc(): HPath =
+    new HPath("file://" + Files.createTempDirectory("pubspec").toString +
+      "/some_table")
+
+  /** The java.nio view of a file:-scheme Hadoop path. */
+  private def local(p: HPath): java.nio.file.Path =
+    Paths.get(p.toUri.getPath)
+
+  private def leaseLocal(loc: HPath): java.nio.file.Path = {
+    val l = local(loc)
+    l.getParent.resolve(l.getFileName.toString + "._GRAFT_LEASE")
+  }
 
   test("concurrent lease claimants: exactly one wins, the loser throws LeaseHeld") {
     val loc = tmpLoc()
@@ -43,8 +64,7 @@ class PublishedSpec extends SparkSpec {
     assert(rs.count(_.endsWith(":won")) == 1, s"exactly one winner, got $rs")
     assert(rs.count(_.endsWith(":lost")) == 1, s"exactly one loud loser, got $rs")
     // the winner's release leaves no lease behind
-    assert(!Files.exists(loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")),
-      "lease file must be deleted on release")
+    assert(!Files.exists(leaseLocal(loc)), "lease file must be deleted on release")
   }
 
   test("lease is re-entrant per thread (q124 bootstrap publishes under its own lease)") {
@@ -55,10 +75,27 @@ class PublishedSpec extends SparkSpec {
     assert(out == 42)
   }
 
+  test("scheme-qualified and schemeless forms of one location are ONE lease") {
+    val loc = tmpLoc()
+    val bare = new HPath(loc.toUri.getPath) // no scheme: /tmp/.../some_table
+    val inBody = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val holder = new Thread(() => Published.withLease(bare, "schemeless-holder") {
+      inBody.countDown(); release.await(10, TimeUnit.SECONDS); ()
+    })
+    holder.start()
+    assert(inBody.await(10, TimeUnit.SECONDS))
+    // the file:// spelling must collide with the schemeless holder —
+    // path qualification, not string equality, keys the lease
+    try intercept[Published.LeaseHeld] {
+      Published.withLease(loc, "qualified-claimant") { fail("must not run") }
+    } finally { release.countDown(); holder.join(10000) }
+  }
+
   test("a stale lease (crashed holder) is broken and re-taken") {
     val loc = tmpLoc()
-    Files.createDirectories(loc.getParent)
-    val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+    Files.createDirectories(local(loc).getParent)
+    val lp = leaseLocal(loc)
     Files.write(lp, "dead-holder\n0".getBytes("UTF-8"))
     Files.setLastModifiedTime(lp, java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - Published.leaseStaleMs - 60000))
@@ -69,8 +106,8 @@ class PublishedSpec extends SparkSpec {
 
   test("a fresh foreign lease blocks: claimant fails loudly, does not wait") {
     val loc = tmpLoc()
-    Files.createDirectories(loc.getParent)
-    val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+    Files.createDirectories(local(loc).getParent)
+    val lp = leaseLocal(loc)
     // content format: token first line, holder id second
     Files.write(lp, s"tok-foreign\nother-jvm".getBytes("UTF-8"))
     val e = intercept[Published.LeaseHeld] {
@@ -107,8 +144,9 @@ class PublishedSpec extends SparkSpec {
 
   test("a break claim in progress blocks acquisition (no fresh lease to mis-delete)") {
     val loc = tmpLoc()
-    Files.createDirectories(loc.getParent)
-    val bp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE.break")
+    Files.createDirectories(local(loc).getParent)
+    val bp = leaseLocal(loc).resolveSibling(
+      leaseLocal(loc).getFileName.toString + ".break")
     Files.write(bp, "breaker".getBytes("UTF-8"))
     // no lease file at all — but the standing break claim must still
     // block: this is exactly the window where a naive acquirer would
@@ -123,8 +161,8 @@ class PublishedSpec extends SparkSpec {
 
   test("a breaker never deletes a lease that changed since its staleness check") {
     val loc = tmpLoc()
-    Files.createDirectories(loc.getParent)
-    val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+    Files.createDirectories(local(loc).getParent)
+    val lp = leaseLocal(loc)
     // a FRESH foreign lease whose mtime lies (reads as stale): the
     // content re-read under the break claim matches, so it IS broken —
     // then recreate the scenario where the content CHANGES between the
@@ -146,7 +184,7 @@ class PublishedSpec extends SparkSpec {
 
   test("assertLeaseOwned: a holder whose lease was broken fails LeaseLost at commit") {
     val loc = tmpLoc()
-    val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+    val lp = leaseLocal(loc)
     intercept[Published.LeaseLost] {
       Published.withLease(loc, "overrunner") {
         // a breaker decided we were dead (overran staleMs) and replaced
@@ -212,24 +250,81 @@ class PublishedSpec extends SparkSpec {
     assert(wins.get() + losses.get() == 200, "every attempt accounted for")
     assert(wins.get() >= 1, "at least one acquisition must succeed")
     // release-under-claim leaves neither a lease nor a break file behind
-    val lp = loc.getParent.resolve(loc.getFileName.toString + "._GRAFT_LEASE")
+    val lp = leaseLocal(loc)
     assert(!Files.exists(lp), "no lease debris")
     assert(!Files.exists(lp.resolveSibling(lp.getFileName.toString + ".break")),
       "no break-claim debris")
   }
 
-  test("publish marker is stamped atomically (no .tmp remains, marker complete)") {
+  test("publish commits via staging swap: marker complete, no stage debris") {
     import spark.implicits._
     val tbl = "pubspec_atomic_marker"
     val fp = "deadbeef"
     Published.write(spark, tbl, "k", 2, fp,
       Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
-    val loc = Published.tableLoc(spark, tbl)
+    val loc = local(Published.tableLoc(spark, tbl))
     assert(!Files.exists(loc.resolve("_GRAFT_PUBLISHED.tmp")),
       "temp marker must have been moved, not left behind")
     val marker = new String(Files.readAllBytes(loc.resolve("_GRAFT_PUBLISHED")), "UTF-8")
-    assert(marker.split("\n", 4).length == 4, s"marker complete: $marker")
+    assert(marker.split("\n", 5).length == 5,
+      s"marker carries buckets/col/fp/manifest/ddl: $marker")
+    // the staging directory was renamed INTO the serve location — no
+    // `<tbl>._GRAFT_STAGE_*` sibling may remain after a clean publish
+    import scala.jdk.CollectionConverters._
+    val stale = Files.list(loc.getParent).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"$tbl._GRAFT_STAGE_")).toSeq
+    assert(stale.isEmpty, s"stage debris left behind: $stale")
     assert(Published.ensure(spark, tbl, "k", 2, fp))
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
+  test("ensure refuses a location holding files the manifest does not account for") {
+    import spark.implicits._
+    val tbl = "pubspec_manifest_guard"
+    val fp = "feedface"
+    Published.write(spark, tbl, "k", 2, fp,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(Published.ensure(spark, tbl, "k", 2, fp), "clean publish serves")
+    // a foreign writer's stray data file lands in the serve location
+    // (the overrun-holder hazard the staging swap prevents for whole
+    // publishes; this is the reader-side defense for anything else)
+    val loc = local(Published.tableLoc(spark, tbl))
+    import scala.jdk.CollectionConverters._
+    val aPart = Files.list(loc).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val foreign = loc.resolve("part-99999-foreign.c000.snappy.parquet")
+    Files.copy(aPart, foreign)
+    assert(!Published.ensure(spark, tbl, "k", 2, fp),
+      "a contaminated location must not be served")
+    assert(!spark.catalog.tableExists(tbl),
+      "the stale catalog entry must have been dropped")
+    // removing the foreign file restores the manifest → serves again
+    Files.delete(foreign)
+    assert(Published.ensure(spark, tbl, "k", 2, fp),
+      "the uncontaminated location re-attaches")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
+  test("restampManifest is the append commit: unstamped appends are refused, stamped serve") {
+    import spark.implicits._
+    val tbl = "pubspec_restamp"
+    val fp = "0ddba11"
+    Published.write(spark, tbl, "k", 2, fp, Seq((1L, "a")).toDF("k", "v"))
+    val loc = Published.tableLoc(spark, tbl)
+    Published.withLease(loc, "appender") {
+      // a real bucketed append (q124's shape) into the published table
+      Seq((2L, "b")).toDF("k", "v")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(2, "k").sortBy("k").format("parquet").saveAsTable(tbl)
+      // appended but NOT yet re-stamped: a reader must refuse the
+      // location (this is exactly the crashed/overrun-appender state)
+      assert(!Published.ensure(spark, tbl, "k", 2, fp),
+        "un-restamped append must not be served")
+      Published.restampManifest(spark, tbl)
+    }
+    assert(Published.ensure(spark, tbl, "k", 2, fp),
+      "restamped append serves again")
+    assert(spark.table(tbl).count() == 2, "both rows present after the append")
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
 }
