@@ -14,9 +14,14 @@ private[graft] object ProbeKit {
   def canon(rows: Array[Row]): Seq[String] = rows.map(_.toString).sorted.toSeq
 
   /** PIDs of the separate-process executors a local-cluster master
-    * spawned (absent under plain local[N] — the probes require ≥2). */
+    * spawned (absent under plain local[N] — the probes require ≥2).
+    * Scanned from THIS driver JVM's descendant tree, never the whole
+    * machine's process table: local-cluster workers launch executors as
+    * children of the driver's process tree, and a machine-wide match on
+    * the executor main class could select — and kill -9 — an executor
+    * belonging to someone else's cluster on a shared host. */
   def executorPids(): Seq[Long] =
-    ProcessHandle.allProcesses().iterator().asScala
+    ProcessHandle.current().descendants().iterator().asScala
       .filter(_.info().commandLine().orElse("")
         .contains("CoarseGrainedExecutorBackend"))
       .map(_.pid()).toSeq.sorted

@@ -102,21 +102,39 @@ object Graph {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists(t =>
       String.valueOf(t.getMessage).contains("CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"))
 
-  private def withCacheRecovery[T](body: => T): T =
+  private def withCacheRecovery[T](spark: SparkSession)(body: => T): T =
     try body
     catch {
       case e: Throwable if isLostBlock(e) =>
         cacheRecoveries.incrementAndGet()
-        // every session: the context lost the blocks. RELEASE before
-        // dropping the references — the dead executor's blocks are
-        // gone, but each frame's replicas on SURVIVING executors would
-        // otherwise stay pinned in storage memory for the session
-        // lifetime (unpersist on already-missing blocks is a no-op)
+        // scope the recovery to THIS query's session family — the
+        // caller's session plus its cached loop children (the sessions
+        // whose frames this query's plans can reference). Clearing
+        // every session's entry (the r12 shape) had two spillovers on
+        // a concurrent UNRELATED graph query: its cached static frames
+        // unpersisted mid-flight (a failure+retry it didn't need), and
+        // in reliable mode release() deleting checkpoint FILES it was
+        // still scanning. RELEASE before dropping the references — the
+        // dead executor's blocks are gone, but each frame's replicas
+        // on SURVIVING executors would otherwise stay pinned in
+        // storage memory for the session lifetime (unpersist on
+        // already-missing blocks is a no-op). Frames under a
+        // `@reliable` key are NOT touched at all: their file-backed
+        // checkpoints survive executor loss by construction, so they
+        // are still valid — and releasing them would delete files a
+        // concurrent reader may still be scanning.
         import scala.jdk.CollectionConverters._
-        edgeCache.values().asScala.foreach(_.values().asScala.foreach(f =>
-          try Checkpoints.release(f)
-          catch { case scala.util.control.NonFatal(_) => () }))
-        edgeCache.clear()
+        Loops.familyOf(spark).foreach { s =>
+          val m = edgeCache.get(s)
+          if (m != null) m.keySet().asScala.toSeq.foreach { k =>
+            if (!k.endsWith("@reliable")) {
+              val f = m.remove(k)
+              if (f != null)
+                try Checkpoints.release(f)
+                catch { case scala.util.control.NonFatal(_) => () }
+            }
+          }
+        }
         body
     }
 
@@ -372,7 +390,7 @@ object Graph {
     (ranks, iter)
   }
 
-  def q73Pagerank(spark: SparkSession, dir: String): DataFrame = withCacheRecovery {
+  def q73Pagerank(spark: SparkSession, dir: String): DataFrame = withCacheRecovery(spark) {
     val s = loopSession(spark, dir)
     // hash(src) baked into the cached checkpoint — zero edge-side
     // exchanges in every superstep (see loopSession/edgesDegreed)
@@ -436,7 +454,7 @@ object Graph {
     * honest price of an order-stable answer; the guard adds two
     * bounded top-20 collects. Oracle unrolls the same 14 lazy rounds —
     * integer arithmetic keeps every superstep bit-identical. */
-  def q109PagerankStable(spark: SparkSession, dir: String): DataFrame = withCacheRecovery {
+  def q109PagerankStable(spark: SparkSession, dir: String): DataFrame = withCacheRecovery(spark) {
     val s = loopSession(spark, dir)
     // hash(src) baked into the cached checkpoint — zero edge-side
     // exchanges across all 14 supersteps (see loopSession/edgesDegreed)
@@ -518,7 +536,7 @@ object Graph {
     * Shape: one co-partitioned self-join on the order key (pair
     * generation), one (pa, pb) aggregation, then wedge⋈edge closure —
     * the pruned edge set is broadcast-sized by construction. */
-  def q75TriangleCount(spark: SparkSession, dir: String): DataFrame = withCacheRecovery {
+  def q75TriangleCount(spark: SparkSession, dir: String): DataFrame = withCacheRecovery(spark) {
     // distinct (order, part) FIRST: a part on two lineitems of one order
     // must count as one basket membership, or a single shared basket
     // inflates the pair count past the support bar it's supposed to fail
@@ -630,7 +648,7 @@ object Graph {
     levels.reduce(_ union _)
   }
 
-  def q81BfsReach(spark: SparkSession, dir: String): DataFrame = withCacheRecovery {
+  def q81BfsReach(spark: SparkSession, dir: String): DataFrame = withCacheRecovery(spark) {
     // round 10 (r8 ask #1 extension): run the frontier loop in the
     // AQE-off loop session over the hash(src)-partitioned edge frame
     // q73/q109 already cache — the static edge side then plans ZERO

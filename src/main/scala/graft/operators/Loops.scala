@@ -62,6 +62,17 @@ private[graft] object Loops {
     * agrees on one data-sized layout. Evicts stopped sessions; returns
     * `spark` itself if already stopped (the caller's problem, don't
     * cache). */
+  /** The session plus its cached loop children — the blast radius of a
+    * session-scoped cache recovery (`Graph.withCacheRecovery`): exactly
+    * the sessions whose cached frames a query entered through `spark`
+    * can reference. */
+  def familyOf(spark: SparkSession): Set[SparkSession] = {
+    import scala.jdk.CollectionConverters._
+    children.entrySet().asScala.collect {
+      case e if e.getKey._1 eq spark => e.getValue
+    }.toSet + spark
+  }
+
   def session(spark: SparkSession, parts: Int = 0): SparkSession = {
     val it = children.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()

@@ -1,0 +1,86 @@
+#!/usr/bin/env bash
+# Two DRIVER-crash probes (r12 verdict asks #2 and #3) — the crashes the
+# lease and the checkpoint exist for, executed for real with kill -9 /
+# Runtime.halt on whole JVMs:
+#
+#   leg A (mid-publish writer death): a JVM first-building q120's
+#     published ANN index is kill -9'd while its bucketed write is
+#     in flight — provably mid-publish: the kill triggers on the
+#     appearance of the private staging directory, before any marker
+#     exists. A second JVM must then (1) find the dead writer's lease,
+#     (2) break it once stale, (3) sweep the staging debris, (4)
+#     rebuild, and (5) pass the DuckDB oracle — with no lease, break
+#     or stage debris left behind. SPARK_GRAFT_LEASE_STALE_MS shrinks
+#     the stale threshold so the probe doesn't wait 30 minutes.
+#
+#   leg B (mid-stream driver death): StreamRestartProbe runs the
+#     streaming dedup gate over 8 staged files (one per micro-batch),
+#     halts the driver JVM after exactly 2 committed batches, restarts
+#     the sink from its checkpoint in a NEW JVM, and requires the
+#     crashed+resumed decision lineage to be IDENTICAL to an
+#     uninterrupted run — no doc decided twice, none lost.
+#
+# Run from the repo root. Exits non-zero on any violated expectation.
+set -euo pipefail
+SF=${1:-/root/testdata/sf0.01}
+sbt -batch compile >/dev/null 2>&1
+# honoring SPARK_GRAFT_MASTER=local-cluster[...] reruns the legs with
+# real separate worker JVMs (the executors die with their driver's
+# process group in leg A); that master needs the packaged jar shipped
+# to workers and the Scala version pinned for the executor launcher
+if [[ "${SPARK_GRAFT_MASTER:-}" == local-cluster* ]]; then
+  sbt -batch package >/dev/null 2>&1
+  export SPARK_SCALA_VERSION=2.13
+fi
+
+echo "== leg A: kill -9 a publisher mid-write, stale-break + rebuild in a second JVM"
+WH=$(mktemp -d /tmp/graft-crash-wh.XXXX); rm -rf "$WH"
+OUT=$(mktemp -d /tmp/graft-crash-out.XXXX)
+setsid env SPARK_GRAFT_WAREHOUSE="$WH" \
+  sbt -batch "runMain graft.Verify $SF $OUT/a q120" >/tmp/crash_a.log 2>&1 &
+A=$!
+# kill the MOMENT the staging dir appears: the lease is held (staging
+# only ever starts under it) and the marker cannot exist yet (it is
+# stamped into the stage only after the bucketed write completes)
+for i in $(seq 1 1200); do
+  ls "$WH" 2>/dev/null | grep -q "_GRAFT_STAGE_" && break
+  sleep 0.1
+done
+ls "$WH" | grep -q "_GRAFT_STAGE_" || { echo "FAIL: no staging dir ever appeared"; exit 1; }
+kill -9 -- "-$A" 2>/dev/null || kill -9 "$A" || true
+wait "$A" 2>/dev/null || true
+echo "-- warehouse at kill: $(ls "$WH" | tr '\n' ' ')"
+ls "$WH" | grep -q "_GRAFT_LEASE$" || { echo "FAIL: dead writer left no lease"; exit 1; }
+ls "$WH"/graft_annidx_cells_*/ 2>/dev/null | grep -q "_GRAFT_PUBLISHED" && \
+  { echo "FAIL: kill landed after the publish completed (marker exists)"; exit 1; }
+sleep 3  # let the orphaned lease age past the shrunken stale threshold
+SPARK_GRAFT_WAREHOUSE="$WH" SPARK_GRAFT_LEASE_STALE_MS=2000 \
+  sbt -batch "runMain graft.Verify $SF $OUT/b q120" >/tmp/crash_b.log 2>&1
+grep -aq "\[verify\].*failed" /tmp/crash_b.log && \
+  { echo "FAIL: the rebuilding JVM reported a query failure"; exit 1; }
+python3 tools/oracle_check.py "$SF" "$OUT/b" | tail -1
+python3 tools/oracle_check.py "$SF" "$OUT/b" >/dev/null || \
+  { echo "FAIL: rebuilt index failed the oracle"; exit 1; }
+ls "$WH" | grep -q "_GRAFT_STAGE_" && { echo "FAIL: stage debris remains"; exit 1; }
+ls "$WH" | grep -q "_GRAFT_LEASE" && { echo "FAIL: lease/break debris remains"; exit 1; }
+ls "$WH"/graft_annidx_cells_*/_GRAFT_PUBLISHED >/dev/null 2>&1 || \
+  { echo "FAIL: rebuilt table carries no marker"; exit 1; }
+echo "leg A OK: mid-publish death -> stale-break -> clean rebuild, oracle green"
+
+echo "== leg B: halt the streaming driver after 2 committed batches, resume in a new JVM"
+ROOT=$(mktemp -d /tmp/graft-restart.XXXX)
+sbt -batch "runMain graft.StreamRestartProbe base $SF $ROOT" >/tmp/restart_base.log 2>&1
+grep -a "RESTARTPROBE base" /tmp/restart_base.log || { echo "FAIL: base leg produced nothing"; exit 1; }
+# run1 halts its own JVM (exit 137) — sbt reports the nonzero exit
+sbt -batch "runMain graft.StreamRestartProbe run1 $SF $ROOT" >/tmp/restart_run1.log 2>&1 || true
+grep -a "RESTARTPROBE halting" /tmp/restart_run1.log || \
+  { echo "FAIL: run1 did not halt mid-stream (drained or died early)"; exit 1; }
+grep -aq "RESTARTPROBE run1 FAILED" /tmp/restart_run1.log && \
+  { echo "FAIL: run1 drained the whole source before halting"; exit 1; }
+sbt -batch "runMain graft.StreamRestartProbe run2 $SF $ROOT" >/tmp/restart_run2.log 2>&1
+grep -a "RESTARTPROBE run2" /tmp/restart_run2.log || { echo "FAIL: run2 resume failed"; exit 1; }
+sbt -batch "runMain graft.StreamRestartProbe check $SF $ROOT" >/tmp/restart_check.log 2>&1
+grep -a "RESTARTPROBE ALL OK" /tmp/restart_check.log || \
+  { echo "FAIL: crashed+resumed decisions diverge from uninterrupted run"; cat /tmp/restart_check.log | grep -a RESTARTPROBE; exit 1; }
+echo "leg B OK: driver death after 2 batches -> checkpoint resume -> identical decisions"
+echo "ALL OK"
