@@ -458,7 +458,32 @@ object Bench {
     // got truncated), ALL per-query times under compact qNN keys, errors,
     // total. Budget: 113 compact entries ≈ 1.5k chars + state + flags
     // + errors + total < 2000.
-    val artifact = s"""{"metric":"total","unit":"sec","sf":"$sfDir","spread":$sp,"queries":$qs,"state":$state,"noisy":$noisyJs,"rerunErrors":$rerunJs,"q":$qShort,"errors":$errs,"value":${f(total)}}"""
+    // build identity (git HEAD, no exec — read the ref files directly):
+    // state_trend's idle-min suppression window must only pool samples
+    // from the SAME build, or a genuine regression whose build has one
+    // sample would be suppressed by the previous build's idle minima
+    val build = try {
+      val git = java.nio.file.Paths.get(".git")
+      val head = new String(java.nio.file.Files.readAllBytes(
+        git.resolve("HEAD")), "UTF-8").trim
+      val sha =
+        if (!head.startsWith("ref: ")) head
+        else {
+          val ref = head.stripPrefix("ref: ")
+          val loose = git.resolve(ref)
+          if (java.nio.file.Files.exists(loose))
+            new String(java.nio.file.Files.readAllBytes(loose), "UTF-8").trim
+          else {
+            val packed = git.resolve("packed-refs")
+            if (!java.nio.file.Files.exists(packed)) ""
+            else new String(java.nio.file.Files.readAllBytes(packed), "UTF-8")
+              .linesIterator.find(_.endsWith(" " + ref))
+              .map(_.split(" ")(0)).getOrElse("")
+          }
+        }
+      sha.take(12)
+    } catch { case _: Exception => "" }
+    val artifact = s"""{"metric":"total","unit":"sec","sf":"$sfDir","spread":$sp,"queries":$qs,"state":$state,"noisy":$noisyJs,"rerunErrors":$rerunJs,"q":$qShort,"errors":$errs,"build":"$build","value":${f(total)}}"""
     println(artifact)
     // the driver snapshots only the line's last 2000 chars into
     // BENCH_r{N}.json — ALSO append the full line to a repo-local

@@ -888,18 +888,24 @@ object Similarity {
           // a crashed winner composes exactly with ours).
           val deadline =
             System.currentTimeMillis() + graft.sources.Published.defaultWaitMs
+          // LAZY train, forced only inside Published.write's by-name
+          // frame — i.e. only once a table lease is actually HELD: a
+          // lease-race loser must not pay the full training (driver
+          // collects and all) just to throw LeaseHeld and attach the
+          // winner's publish. Training is deterministic, so one forced
+          // trajectory serves both halves and every loop iteration.
+          lazy val trained = train(eq)
           var done = false
           while (!done) {
             if (present(bTbl) && present(cTbl)) done = true
             else try {
-              val (assigned, cents) = train(eq)
               if (!present(bTbl))
                 graft.sources.Published.write(spark, bTbl, "cell", indexTableBuckets,
-                  fp, assigned.select(col("vec_id"), col("cell")))
+                  fp, trained._1.select(col("vec_id"), col("cell")))
               import spark.implicits._
               if (!present(cTbl))
                 graft.sources.Published.write(spark, cTbl, "cell", indexTableBuckets,
-                  fp, cents.toSeq.toDF("cell", "cq"))
+                  fp, trained._2.toSeq.toDF("cell", "cq"))
               done = true
             } catch { case held: graft.sources.Published.LeaseHeld =>
               graft.sources.Published.awaitNoWriter(

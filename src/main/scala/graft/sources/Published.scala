@@ -92,8 +92,15 @@ object Published {
     * serve location because they only ever landed in its private
     * staging dir). Env-overridable so crash probes don't wait 30 min. */
   private[graft] val leaseStaleMs: Long =
-    sys.env.get("SPARK_GRAFT_LEASE_STALE_MS").map(_.toLong)
-      .getOrElse(30L * 60 * 1000)
+    sys.env.get("SPARK_GRAFT_LEASE_STALE_MS").flatMap { v =>
+      val parsed = scala.util.Try(v.trim.toLong).toOption
+      // tolerate-and-warn, never throw: this is object-init code, and a
+      // malformed value ('30m') would otherwise surface as an opaque
+      // ExceptionInInitializerError on the first touch of Published
+      if (parsed.isEmpty) System.err.println(
+        s"[graft] ignoring malformed SPARK_GRAFT_LEASE_STALE_MS='$v' (want millis)")
+      parsed
+    }.getOrElse(30L * 60 * 1000)
 
   // ---------------------------------------------------------------
   // Hadoop-FS plumbing. The Configuration prefers the active session's
@@ -318,14 +325,23 @@ object Published {
       // fall back to leaving the lease to whoever owns the claim.
       var claimed = false
       var tries = 0
-      while (!claimed && tries < 20) {
+      var interrupted = false
+      while (!claimed && !interrupted && tries < 20) {
         claimed = createNewAtomic(fs, bp, ("release:" + token).getBytes("UTF-8"))
-        if (!claimed) { tries += 1; Thread.sleep(50) }
+        if (!claimed) {
+          tries += 1
+          // an interrupt must not abort the release from inside this
+          // finally (it would mask the body's result and skip cleanup);
+          // stop retrying, leave the lease to the claim owner, re-flag
+          try Thread.sleep(50)
+          catch { case _: InterruptedException => interrupted = true }
+        }
       }
       if (claimed) try {
         val cur = readOrNull(fs, lp)
         if (cur != null && cur.startsWith(token + "\n")) deleteIfExists(fs, lp)
       } finally deleteIfExists(fs, bp)
+      if (interrupted) Thread.currentThread().interrupt()
     }
   }
 
@@ -450,9 +466,24 @@ object Published {
              buckets: Int, fp: String): Boolean = {
     val loc = tableLoc(spark, tbl)
     val fs = fsOf(loc)
-    val matched = readMarker(fs, loc).filter(m =>
-      m(0) == buckets.toString && m(1) == bucketCol && m(2) == fp &&
-        m(3) == manifestHash(fs, loc))
+    // the manifest re-check lists the location on EVERY serve call —
+    // deliberately uncached: a cache keyed on marker content would mask
+    // exactly the contamination the manifest exists to catch (files
+    // landing WITHOUT a marker change — the overrun appender). The cost
+    // is one LIST of O(table files) per serve, the same metadata-RPC
+    // class as Spark's own file-index refresh, and the file count is
+    // bounded by the bucket layout plus q124's compaction — hundreds,
+    // not parquet-lake millions. IOException inside the check is a
+    // RIVAL WRITER mid-commit (its swap deleting the location under
+    // our listing, an append renaming files out of _temporary) — the
+    // serve contract degrades that to "not served now"; the caller
+    // waits out the writer's lease and retries. It must never crash
+    // the serve path.
+    val matched =
+      try readMarker(fs, loc).filter(m =>
+        m(0) == buckets.toString && m(1) == bucketCol && m(2) == fp &&
+          m(3) == manifestHash(fs, loc))
+      catch { case _: java.io.IOException => None }
     if (spark.catalog.tableExists(tbl)) {
       if (matched.isDefined) return true
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")

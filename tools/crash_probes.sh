@@ -51,8 +51,11 @@ kill -9 -- "-$A" 2>/dev/null || kill -9 "$A" || true
 wait "$A" 2>/dev/null || true
 echo "-- warehouse at kill: $(ls "$WH" | tr '\n' ' ')"
 ls "$WH" | grep -q "_GRAFT_LEASE$" || { echo "FAIL: dead writer left no lease"; exit 1; }
-ls "$WH"/graft_annidx_cells_*/ 2>/dev/null | grep -q "_GRAFT_PUBLISHED" && \
-  { echo "FAIL: kill landed after the publish completed (marker exists)"; exit 1; }
+# only a marker in the SERVE directory means the publish committed — a
+# marker inside a ._GRAFT_STAGE_ dir is the staged pre-swap copy and
+# does NOT mean the kill came too late
+find "$WH" -maxdepth 2 -name "_GRAFT_PUBLISHED" -not -path "*_GRAFT_STAGE_*" 2>/dev/null | grep -q . && \
+  { echo "FAIL: kill landed after the publish completed (serve marker exists)"; exit 1; }
 sleep 3  # let the orphaned lease age past the shrunken stale threshold
 SPARK_GRAFT_WAREHOUSE="$WH" SPARK_GRAFT_LEASE_STALE_MS=2000 \
   sbt -batch "runMain graft.Verify $SF $OUT/b q120" >/tmp/crash_b.log 2>&1

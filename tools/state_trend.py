@@ -174,15 +174,22 @@ def extract_queries(path):
 def idle_min(path, k=3):
     """The repo's no-single-sample rule, mechanized (r12 verdict ask #4):
     per-query MIN over the artifact's own bench_history record and the
-    k-1 same-sf records preceding it. A suite total wobbles +-10% with
-    VM contention, so one contended closing sample (r12: q75 3.43 s vs
-    2.3-2.5 s in the round's idle samples) must never read as a
-    regression when an idle sample from the same build says otherwise.
-    Returns {} when the artifact's record isn't in bench_history (the
-    caller then falls back to single-sample comparison)."""
+    k-1 records preceding it with the same sf AND (when recorded) the
+    same build id. A suite total wobbles +-10% with VM contention, so
+    one contended closing sample (r12: q75 3.43 s vs 2.3-2.5 s in the
+    round's idle samples) must never read as a regression when an idle
+    sample from the same build says otherwise — while a genuinely
+    regressed NEW build with a single sample must not borrow the old
+    build's idle minima (hence the build filter; records predating the
+    build field fall back to sf-only pooling). Returns {} when the
+    artifact's record isn't in bench_history (the caller then falls
+    back to single-sample comparison)."""
     with open(path) as f:
         text = f.read()
-    m = re.search(r'"value":([0-9.]+)\}?', text)
+    # same anchored form as find_full_record: the suite total CLOSES the
+    # bench line; an unanchored match could pick up a different "value"
+    # key and map the artifact to the wrong record
+    m = re.search(r'"value":([0-9.]+)\}', text)
     if not m:
         return {}
     target = float(m.group(1))
@@ -215,7 +222,11 @@ def idle_min(path, k=3):
            if abs(float(d.get("value", -1)) - target) < 5e-4]
     if not own:
         return {}
-    window = recs[max(0, own[-1] - k + 1):own[-1] + 1]
+    idx = own[-1]
+    own_build = recs[idx].get("build")
+    pool = [d for d in recs[:idx + 1]
+            if not own_build or d.get("build") == own_build]
+    window = pool[-k:]
     out = {}
     for d in window:
         for q, v in d["queries"].items():
