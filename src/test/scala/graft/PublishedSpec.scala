@@ -305,6 +305,55 @@ class PublishedSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
 
+  test("the lease protocol runs unchanged on a NON-file scheme (generic create-new branch)") {
+    // register the mock scheme the way a deployment registers an
+    // object-store connector; Published resolves through the session's
+    // live Hadoop configuration, so the registration is visible
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftmock.impl", classOf[GraftMockFileSystem].getName)
+    val dir = Files.createTempDirectory("pubspec_mock")
+    val loc = new HPath(s"graftmock://$dir/some_table")
+    val nioLease = dir.resolve("some_table._GRAFT_LEASE")
+    // 1. the full acquire/release cycle, with the lease file observable
+    //    on the backing store mid-hold
+    val out = Published.withLease(loc, "mock-holder") {
+      assert(Files.exists(nioLease), "lease file must exist on the backing store")
+      Published.assertLeaseOwned(loc)
+      "ran"
+    }
+    assert(out == "ran")
+    assert(!Files.exists(nioLease), "released cleanly on the mock scheme")
+    // 2. generic-branch create-new: loses against an existing file and
+    //    maps Hadoop's FileAlreadyExistsException to a clean false
+    val fs = Published.fsOf(loc)
+    assert(fs.isInstanceOf[GraftMockFileSystem],
+      s"graftmock:// must resolve to the mock fs, got ${fs.getClass}")
+    val p = new HPath(s"graftmock://$dir/claim")
+    assert(Published.createNewAtomic(fs, p, "one".getBytes("UTF-8")),
+      "first creator wins")
+    assert(!Published.createNewAtomic(fs, p, "two".getBytes("UTF-8")),
+      "second creator must lose, not overwrite")
+    assert(new String(Files.readAllBytes(dir.resolve("claim")), "UTF-8") == "one",
+      "the winner's content survives the lost race")
+    // 3. a foreign fresh lease blocks acquisition on this scheme too
+    Files.write(nioLease, "tok-z\nmock-foreign".getBytes("UTF-8"))
+    val e = intercept[Published.LeaseHeld] {
+      Published.withLease(loc, "me") { fail("body must not run") }
+    }
+    assert(e.getMessage.contains("mock-foreign"))
+    Files.deleteIfExists(nioLease)
+    // 4. fingerprint walks a non-file-scheme DIRECTORY root through the
+    //    same fs (the listStatus-based walk defers permission loading,
+    //    so the re-schemed RawLocalFileSystem double survives it — and
+    //    the serve path never pays per-file permission resolution)
+    Files.write(dir.resolve("part-0"), "abc".getBytes("UTF-8"))
+    val fp1 = Published.fingerprint("t", Seq(new HPath(s"graftmock://$dir")))
+    assert(fp1.nonEmpty)
+    Files.write(dir.resolve("part-1"), "d".getBytes("UTF-8"))
+    assert(Published.fingerprint("t", Seq(new HPath(s"graftmock://$dir"))) != fp1,
+      "a new source file must change the fingerprint")
+  }
+
   test("restampManifest is the append commit: unstamped appends are refused, stamped serve") {
     import spark.implicits._
     val tbl = "pubspec_restamp"
