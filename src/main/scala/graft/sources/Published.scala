@@ -367,9 +367,6 @@ object Published {
   private val Marker = "_GRAFT_PUBLISHED"
   private def markerPath(loc: HPath): HPath = new HPath(loc, Marker)
 
-  /** Metadata-only snapshot fingerprint of a set of source paths (files
-    * or directories of part files); `tag` folds in whatever else the
-    * publish depends on (corpus dir, bucket count). */
   /** Recursive file walk via listStatus, NOT FileSystem.listFiles: the
     * latter wraps every entry in a LocatedFileStatus, whose
     * construction eagerly resolves per-file permissions — on the raw
@@ -377,13 +374,22 @@ object Published {
     * attribute syscall or exec, turning a 200-file table listing into
     * seconds on the serve hot path (measured this round: q124 at 20×
     * 0.8 s → 3.2 s from exactly this). listStatus defers permission
-    * loading, and the fingerprint/manifest only read name+size+mtime. */
-  private def walkFiles(fs: FileSystem, root: HPath)
+    * loading, and the fingerprint/manifest only read name+size+mtime.
+    * `descend` prunes subtrees (the manifest skips hidden dirs — an
+    * in-flight append's `_temporary` tree can be large and every file
+    * in it would be filtered anyway). */
+  private def walkFiles(fs: FileSystem, root: HPath,
+                        descend: String => Boolean = _ => true)
                        (f: org.apache.hadoop.fs.FileStatus => Unit): Unit =
     fs.listStatus(root).foreach { st =>
-      if (st.isDirectory) walkFiles(fs, st.getPath)(f) else f(st)
+      if (st.isDirectory) {
+        if (descend(st.getPath.getName)) walkFiles(fs, st.getPath, descend)(f)
+      } else f(st)
     }
 
+  /** Metadata-only snapshot fingerprint of a set of source paths (files
+    * or directories of part files); `tag` folds in whatever else the
+    * publish depends on (corpus dir, bucket count). */
   def fingerprint(tag: String, roots: Seq[HPath]): String = {
     val desc = roots.map { root =>
       val fs = fsOf(root)
@@ -418,11 +424,11 @@ object Published {
   private[graft] def manifestHash(fs: FileSystem, loc: HPath): String = {
     val qr = fs.makeQualified(loc).toString
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (fs.exists(loc)) walkFiles(fs, loc) { st =>
-      val rel = st.getPath.toString.stripPrefix(qr).stripPrefix("/")
-      val hidden = rel.split("/").exists(s =>
-        s.startsWith("_") || s.startsWith("."))
-      if (!hidden) buf += s"$rel:${st.getLen}"
+    if (fs.exists(loc)) walkFiles(fs, loc,
+      descend = d => !d.startsWith("_") && !d.startsWith(".")) { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        buf += s"${st.getPath.toString.stripPrefix(qr).stripPrefix("/")}:${st.getLen}"
     }
     java.lang.Long.toHexString(
       graft.expressions.GraftHash.h60(buf.sorted.mkString("|").getBytes("UTF-8")))
