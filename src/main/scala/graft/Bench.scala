@@ -463,7 +463,16 @@ object Bench {
     // from the SAME build, or a genuine regression whose build has one
     // sample would be suppressed by the previous build's idle minima
     val build = try {
-      val git = java.nio.file.Paths.get(".git")
+      // `.git` is a FILE in worktrees ("gitdir: <path>") — follow it,
+      // or build identity silently vanishes exactly where parallel
+      // bench runs are most likely to happen
+      val dotGit = java.nio.file.Paths.get(".git")
+      val git =
+        if (java.nio.file.Files.isRegularFile(dotGit))
+          java.nio.file.Paths.get(new String(
+            java.nio.file.Files.readAllBytes(dotGit), "UTF-8")
+            .trim.stripPrefix("gitdir: "))
+        else dotGit
       val head = new String(java.nio.file.Files.readAllBytes(
         git.resolve("HEAD")), "UTF-8").trim
       val sha =
@@ -483,6 +492,12 @@ object Bench {
         }
       sha.take(12)
     } catch { case _: Exception => "" }
+    // an EMPTY build id makes state_trend fall back to cross-build
+    // pooling — the suppression hole the field exists to close — so
+    // losing identity must at least be loud in the run log
+    if (build.isEmpty)
+      System.err.println("[bench] WARNING: build id unresolved; " +
+        "idle-min trend suppression will pool across builds")
     val artifact = s"""{"metric":"total","unit":"sec","sf":"$sfDir","spread":$sp,"queries":$qs,"state":$state,"noisy":$noisyJs,"rerunErrors":$rerunJs,"q":$qShort,"errors":$errs,"build":"$build","value":${f(total)}}"""
     println(artifact)
     // the driver snapshots only the line's last 2000 chars into

@@ -65,10 +65,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * their post-append ownership check ([[restampManifest]]) — an append
   * that overran its lease leaves a manifest mismatch that [[ensure]]
   * refuses to serve, degrading to a rebuild instead of serving
-  * duplicated rows. A lease left by a crashed publisher is taken over
-  * once it is older than [[leaseStaleMs]] (a publish is minutes, the
-  * default threshold is 30 — tunable via SPARK_GRAFT_LEASE_STALE_MS
-  * for deployments whose longest publish differs). */
+  * duplicated rows. A live holder HEARTBEATS its lease (mtime refresh
+  * at [[leaseStaleMs]]/4), so arbitrarily long publishes keep their
+  * exclusivity; a lease left by a CRASHED publisher stops aging-refresh
+  * and is taken over once older than [[leaseStaleMs]] (default 30 min
+  * of crash-detection latency — tunable via
+  * SPARK_GRAFT_LEASE_STALE_MS). */
 object Published {
 
   /** A second concurrent publisher lost the create-new race — the
@@ -83,14 +85,16 @@ object Published {
     * happen. */
   final class LeaseLost(msg: String) extends IllegalStateException(msg)
 
-  /** Size to the deployment's longest publish: a holder that runs past
-    * this is treated as crashed and its lease broken, so a legitimate
-    * publish longer than the threshold would lose exclusivity silently
-    * if [[assertLeaseOwned]] didn't guard every commit point (it does —
-    * the pre-swap check and q124's append verify ownership first, so
-    * the overrun holder fails LOUDLY, and its files never reach the
-    * serve location because they only ever landed in its private
-    * staging dir). Env-overridable so crash probes don't wait 30 min. */
+  /** Crash-DETECTION latency, not a ceiling on publish duration: a
+    * live holder's heartbeat ([[withLease]]) refreshes the lease mtime
+    * at a quarter of this period, so only a lease whose holder STOPPED
+    * — crashed JVM, killed process — ages past the threshold and is
+    * broken. The threshold therefore sizes how long a dead writer can
+    * wedge a table, and how much clock skew the mtime comparison must
+    * absorb; [[assertLeaseOwned]] still guards every commit point so
+    * even a pathologically-broken live holder fails LOUDLY, with its
+    * files still in its private staging dir, never in the serve
+    * location. Env-overridable so crash probes don't wait 30 min. */
   private[graft] val leaseStaleMs: Long =
     sys.env.get("SPARK_GRAFT_LEASE_STALE_MS").flatMap { v =>
       val parsed = scala.util.Try(v.trim.toLong).toOption
@@ -103,17 +107,25 @@ object Published {
     }.getOrElse(30L * 60 * 1000)
 
   // ---------------------------------------------------------------
-  // Hadoop-FS plumbing. The Configuration is the active session's LIVE
-  // context configuration — the same object every other Hadoop-touching
-  // path in the engine resolves against (`Ingest`'s delta reads, the
-  // checkpoint dirs) — so fs.defaultFS and connector registrations
-  // (including ones made at runtime, e.g. an object-store scheme's
-  // fs.<scheme>.impl) apply here too. A session-less caller (the
-  // LeaseHold demo) gets cached Hadoop defaults, which still resolve
-  // any EXPLICIT-scheme path correctly.
+  // Hadoop-FS plumbing. The Configuration is the session's LIVE
+  // context configuration — the same object the engine's streaming
+  // sinks resolve against — so fs.defaultFS, spark.hadoop.* settings,
+  // and connector registrations (including ones made at RUNTIME via
+  // hadoopConfiguration.set("fs.<scheme>.impl", …)) apply here too.
+  // getActiveSession is thread-local, so fall back to the process-wide
+  // default session — a helper thread that never called
+  // setActiveSession must not silently resolve against bare Hadoop
+  // defaults. Deliberately NOT sessionState.newHadoopConf(): that is a
+  // per-call clone carrying per-session SQL-conf overlays — publish
+  // artifacts are WAREHOUSE-scoped, shared by every session of the
+  // context, so session-scoped fs settings should not fork their
+  // semantics (and a clone per filesystem op is measurable on the
+  // serve path). A fully session-less caller (the LeaseHold demo) gets
+  // cached Hadoop defaults, which still resolve any EXPLICIT-scheme
+  // path correctly.
   private lazy val defaultConf = new Configuration()
   private def hconf: Configuration =
-    SparkSession.getActiveSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(defaultConf)
 
@@ -306,8 +318,39 @@ object Published {
           "one writer per published table — retry after it completes")
     }
     leaseHolders.put(key, Held(Thread.currentThread(), token))
+    // HEARTBEAT: refresh the lease's mtime at staleMs/4 while the body
+    // runs, so a LIVE holder never reads as stale no matter how long
+    // its publish takes — `staleMs` is thereby crash-DETECTION latency,
+    // not a ceiling on legitimate publish duration (moving training
+    // under the lease made long holds routine; without the heartbeat a
+    // train+write longer than the threshold would be broken mid-run
+    // and die LeaseLost at its commit gate after paying the full
+    // build). The touch is mtime-only — content equality is what the
+    // break re-read compares, so a heartbeat can never confuse a
+    // breaker into keeping a DEAD lease; it only keeps a live one
+    // young. Ownership is re-read before every touch: once a breaker
+    // has legitimately replaced this lease (clock skew pathologies),
+    // the heartbeat stops rather than refresh a rival's file. A
+    // crashed JVM stops heartbeating and ages out as before.
+    val heartbeat = new Thread(() => {
+      val period = math.max(250L, staleMs / 4)
+      try {
+        var live = true
+        while (live) {
+          Thread.sleep(period)
+          val cur = readOrNull(fs, lp)
+          if (cur == null || !cur.startsWith(token + "\n")) live = false
+          else try fs.setTimes(lp, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    heartbeat.setDaemon(true)
+    heartbeat.setName(s"graft-lease-heartbeat-${norm.getName}")
+    heartbeat.start()
     try body
     finally {
+      heartbeat.interrupt()
       leaseHolders.remove(key)
       // release under the SAME .break claim the stale-break path uses:
       // lease deletion anywhere outside a claim reopens the
@@ -482,17 +525,32 @@ object Published {
     // is one LIST of O(table files) per serve, the same metadata-RPC
     // class as Spark's own file-index refresh, and the file count is
     // bounded by the bucket layout plus q124's compaction — hundreds,
-    // not parquet-lake millions. IOException inside the check is a
-    // RIVAL WRITER mid-commit (its swap deleting the location under
-    // our listing, an append renaming files out of _temporary) — the
-    // serve contract degrades that to "not served now"; the caller
-    // waits out the writer's lease and retries. It must never crash
-    // the serve path.
-    val matched =
-      try readMarker(fs, loc).filter(m =>
+    // not parquet-lake millions.
+    def tryMatch(): Option[Array[String]] =
+      readMarker(fs, loc).filter(m =>
         m(0) == buckets.toString && m(1) == bucketCol && m(2) == fp &&
           m(3) == manifestHash(fs, loc))
-      catch { case _: java.io.IOException => None }
+    // IOException triage: with a WRITER ARTIFACT visible (lease/break
+    // file), the failure is a rival mid-commit (its swap deleting the
+    // location under our listing, its append renaming files out of
+    // _temporary) — degrade to "not served now"; the caller waits out
+    // the lease and retries. With NO writer visible, it is either the
+    // tiny window after a writer's release (one immediate re-try
+    // settles it) or genuine infrastructure failure (throttled LIST,
+    // expired credentials) — which must stay LOUD: swallowing it would
+    // drop a healthy catalog table and loop into a full rebuild on
+    // every transient blip.
+    val matched =
+      try tryMatch()
+      catch { case e: java.io.IOException =>
+        val lp = leasePath(fs.makeQualified(loc))
+        val writerVisible =
+          try exists(fs, lp) || exists(fs, breakPath(lp))
+          catch { case _: java.io.IOException => false }
+        if (writerVisible) None
+        else try tryMatch()
+        catch { case _: java.io.IOException => throw e }
+      }
     if (spark.catalog.tableExists(tbl)) {
       if (matched.isDefined) return true
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")

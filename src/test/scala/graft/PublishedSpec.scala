@@ -92,6 +92,34 @@ class PublishedSpec extends SparkSpec {
     } finally { release.countDown(); holder.join(10000) }
   }
 
+  test("a live holder's heartbeat keeps a long publish from going stale") {
+    val loc = tmpLoc()
+    val inBody = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var ownedAtEnd = false
+    // staleMs=1s, hold for 3s: without the heartbeat the rival below
+    // would break the lease and the holder's commit-gate check would
+    // throw LeaseLost — exactly the train-longer-than-threshold death
+    // the heartbeat exists to prevent
+    val holder = new Thread(() =>
+      Published.withLease(loc, "slow-publisher", staleMs = 1000) {
+        inBody.countDown()
+        release.await(20, TimeUnit.SECONDS)
+        Published.assertLeaseOwned(loc)
+        ownedAtEnd = true
+      })
+    holder.start()
+    assert(inBody.await(10, TimeUnit.SECONDS))
+    Thread.sleep(3000) // 3x the stale threshold
+    intercept[Published.LeaseHeld] {
+      Published.withLease(loc, "rival", staleMs = 1000) { fail("must not run") }
+    }
+    release.countDown(); holder.join(10000)
+    assert(ownedAtEnd,
+      "holder must still own its lease after exceeding staleMs")
+    assert(!Files.exists(leaseLocal(loc)), "released cleanly after the long hold")
+  }
+
   test("a stale lease (crashed holder) is broken and re-taken") {
     val loc = tmpLoc()
     Files.createDirectories(local(loc).getParent)

@@ -185,7 +185,20 @@ def idle_min(path, k=3):
     artifact's record isn't in bench_history (the caller then falls
     back to single-sample comparison)."""
     with open(path) as f:
-        text = f.read()
+        raw = f.read()
+    # parse the driver wrapper FIRST (like extract_queries): the wrapper
+    # stores the bench tail as a JSON string, so its quotes are escaped
+    # in the raw file text and a regex over `raw` never matches — which
+    # silently disabled the suppression for exactly the BENCH_r*.json
+    # artifacts main() feeds in by default
+    art_sf = None
+    try:
+        doc = json.loads(raw)
+        text = doc["tail"] if isinstance(doc, dict) and "tail" in doc else raw
+        if isinstance(doc, dict):
+            art_sf = doc.get("sf")
+    except json.JSONDecodeError:
+        text = raw
     # same anchored form as find_full_record: the suite total CLOSES the
     # bench line; an unanchored match could pick up a different "value"
     # key and map the artifact to the wrong record
@@ -193,13 +206,6 @@ def idle_min(path, k=3):
     if not m:
         return {}
     target = float(m.group(1))
-    art_sf = None
-    try:
-        doc = json.loads(text)
-        if isinstance(doc, dict):
-            art_sf = doc.get("sf")
-    except json.JSONDecodeError:
-        pass
     here = os.path.dirname(os.path.abspath(__file__))
     recs = []
     for fp in sorted(glob.glob(os.path.join(here, "..", "bench_history",
