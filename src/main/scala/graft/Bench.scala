@@ -473,17 +473,30 @@ object Bench {
             java.nio.file.Files.readAllBytes(dotGit), "UTF-8")
             .trim.stripPrefix("gitdir: "))
         else dotGit
+      // In a worktree the gitdir holds HEAD but NOT the refs: a branch
+      // HEAD says "ref: refs/heads/<b>", and that loose ref (and
+      // packed-refs) live in the COMMON .git the worktree's `commondir`
+      // file points at (usually "../.." relative to the worktree
+      // gitdir). Resolving refs against the worktree gitdir missed
+      // every on-branch worktree — exactly the parallel-bench scenario
+      // this lookup exists for — and silently fell back to "".
+      val commonFile = git.resolve("commondir")
+      val common =
+        if (java.nio.file.Files.isRegularFile(commonFile))
+          git.resolve(new String(java.nio.file.Files.readAllBytes(commonFile),
+            "UTF-8").trim).normalize()
+        else git
       val head = new String(java.nio.file.Files.readAllBytes(
         git.resolve("HEAD")), "UTF-8").trim
       val sha =
         if (!head.startsWith("ref: ")) head
         else {
           val ref = head.stripPrefix("ref: ")
-          val loose = git.resolve(ref)
+          val loose = common.resolve(ref)
           if (java.nio.file.Files.exists(loose))
             new String(java.nio.file.Files.readAllBytes(loose), "UTF-8").trim
           else {
-            val packed = git.resolve("packed-refs")
+            val packed = common.resolve("packed-refs")
             if (!java.nio.file.Files.exists(packed)) ""
             else new String(java.nio.file.Files.readAllBytes(packed), "UTF-8")
               .linesIterator.find(_.endsWith(" " + ref))

@@ -32,13 +32,25 @@ import org.apache.spark.sql.streaming.Trigger
   * Identical micro-batch boundaries by construction: one staged file
   * per trigger (`maxFilesPerTrigger=1`), same listing order in every
   * phase, so base and the crashed+resumed lineage see the same batch
-  * composition and the decision stream is deterministic. The halt
-  * fires from the progress listener — after a batch's sink writes AND
-  * checkpoint commit — so run2 resumes at batch 2; a halt landing
-  * between sink write and checkpoint commit (the other torn state)
-  * would merely re-deliver one batch, which the sink's dynamic
-  * partition overwrite rewrites idempotently — either way `check` must
-  * see base's exact rows. */
+  * composition and the decision stream is deterministic. The halt is
+  * gated on the checkpoint COMMIT LOG, not the listener bus (r13
+  * advice #4: a progress listener fires asynchronously, so extra
+  * batches could commit — or the stream drain entirely — between the
+  * event being posted and `Runtime.halt` executing): a watcher thread
+  * polls `<ckpt>/commits/<id>` — written atomically (temp + rename) by
+  * HDFSMetadataLog immediately after a batch commits, BEFORE the next
+  * trigger's work starts — every 5 ms and halts the moment commit
+  * `haltAfterBatches-1` lands; the next batch's full
+  * read+dedup-join+two-partition-overwrite cycle is orders of
+  * magnitude longer than the poll period. And because any residual
+  * race must be LOUD, not silently weakening (the other half of the
+  * advice): `run2` reads the commit log BEFORE restarting and requires
+  * it to hold exactly commits `0..haltAfterBatches-1` — direct
+  * synchronous evidence of where run1 died, independent of any
+  * listener timing. A halt landing between sink write and checkpoint
+  * commit (the other torn state) would merely re-deliver one batch,
+  * which the sink's dynamic partition overwrite rewrites idempotently
+  * — either way `check` must see base's exact rows. */
 object StreamRestartProbe {
 
   def main(args: Array[String]): Unit = {
@@ -57,33 +69,48 @@ object StreamRestartProbe {
     def corpusIndex = graft.operators.Dedup.bandedIndex(
       docs.filter(col("doc_id") < cut).select("doc_id", "text"))
 
+    /** The ids present in the stream's commit log — one file per
+      * committed batch, named by batch id, written atomically after the
+      * batch's sink writes land and before the next trigger plans. */
+    def committedBatches(ckpt: String): Seq[Long] = {
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      if (!java.nio.file.Files.isDirectory(commits)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(commits)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+        } finally s.close()
+      }
+    }
+
     def runSink(tag: String, haltAfterBatches: Int): Unit = {
-      if (haltAfterBatches > 0)
-        spark.streams.addListener(
-          new org.apache.spark.sql.streaming.StreamingQueryListener {
-            override def onQueryStarted(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-            override def onQueryTerminated(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-            override def onQueryProgress(
-                e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-              if (e.progress.batchId >= haltAfterBatches - 1) {
-                // progress fires after the batch committed: exactly
-                // `haltAfterBatches` batches are durable, the rest of
-                // the source is unread — and the driver dies NOW, no
-                // hooks, no stop()
-                println(s"RESTARTPROBE halting driver after committed " +
-                  s"batch ${e.progress.batchId}")
-                System.out.flush()
-                Runtime.getRuntime.halt(137)
-              }
-          })
+      val ckpt = s"$root/ckpt_$tag"
+      if (haltAfterBatches > 0) {
+        // kill-switch gated on the COMMIT LOG, not the listener bus:
+        // commit file N-1 appears the instant batch N-1 is durable,
+        // strictly before batch N's (hundreds-of-ms) work could
+        // commit — so the driver dies with exactly `haltAfterBatches`
+        // batches on disk. run2 re-verifies that from the log itself.
+        val watcher = new Thread(() => {
+          val target = java.nio.file.Paths.get(
+            ckpt, "commits", (haltAfterBatches - 1).toString)
+          while (!java.nio.file.Files.exists(target)) Thread.sleep(5)
+          println(s"RESTARTPROBE halting driver after committed " +
+            s"batch ${haltAfterBatches - 1}")
+          System.out.flush()
+          Runtime.getRuntime.halt(137)
+        })
+        watcher.setDaemon(true)
+        watcher.start()
+      }
       val in = spark.readStream
         .schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
       val q = graft.streaming.Ingest.dedupGateSink(in, corpusIndex,
-        s"$root/out_$tag", s"$root/ckpt_$tag", s"$root/idx_$tag",
+        s"$root/out_$tag", ckpt, s"$root/idx_$tag",
         Trigger.AvailableNow())
       try require(q.awaitTermination(300000L), s"$tag stream timed out")
       finally q.stop()
@@ -109,6 +136,16 @@ object StreamRestartProbe {
         println("RESTARTPROBE run1 FAILED to halt — stream drained first")
         sys.exit(1)
       case "run2" =>
+        // the mid-stream guarantee, read off the commit log BEFORE
+        // resuming: run1 died with EXACTLY its target batches durable —
+        // any extra id here means the halt overran its gate (and any
+        // fewer means it fired early); either way this run fails loudly
+        // instead of silently weakening the probe's claim
+        val committed = committedBatches(s"$root/ckpt_restart")
+        require(committed == Seq(0L, 1L),
+          s"RESTARTPROBE FAIL: run1 was meant to die after committed " +
+            s"batches [0, 1], but the commit log holds $committed")
+        println(s"RESTARTPROBE run1 verified dead after commits $committed")
         runSink("restart", haltAfterBatches = 0)
         println(s"RESTARTPROBE run2 drained remaining batches; " +
           s"decisions=${decisions("restart").size}")

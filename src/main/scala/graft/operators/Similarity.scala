@@ -1040,17 +1040,36 @@ object Similarity {
     * within a JVM, and the whole read-high-water-mark → append window
     * runs under the table's cross-JVM single-writer lease
     * ([[graft.sources.Published.withLease]]) — a second concurrent
-    * compactor (thread or JVM sharing the warehouse) throws
-    * [[graft.sources.Published.LeaseHeld]] instead of reading the same
-    * high-water mark and double-appending the window between them
-    * (PublishedSpec "q124 compaction under a foreign lease"). */
+    * compactor (thread or JVM sharing the warehouse) can never read
+    * the same high-water mark and double-append the window between
+    * them. Contention WAITS instead of failing (r13 advice #3):
+    * compaction is idempotent — the loser re-reads the high-water mark
+    * under its own lease and an already-compacted window folds to an
+    * empty append — so a rival holder (another compactor, or any
+    * writer that reached this table's lease through a different lock
+    * path) is waited out with the same
+    * [[graft.sources.Published.awaitNoWriter]] budget the serve paths
+    * use, and [[graft.sources.Published.LeaseHeld]] surfaces only once
+    * that budget is exhausted (PublishedSpec "q124 compaction under a
+    * foreign lease"). */
   def q124IndexCompact(spark: SparkSession, dir: String): DataFrame = {
     val (mbase, cents) = publishedMaintFor(spark, dir)
     val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val cTbl = indexTableName(dir, "mbasec")
+    val cLoc = graft.sources.Published.tableLoc(spark, cTbl)
+    val deadline =
+      System.currentTimeMillis() + graft.sources.Published.defaultWaitMs
+    def underLease[T](body: => T): T = {
+      while (true) {
+        try return graft.sources.Published.withLease(cLoc, s"compact:$cTbl")(body)
+        catch { case held: graft.sources.Published.LeaseHeld =>
+          graft.sources.Published.awaitNoWriter(Seq(cLoc), deadline, held)
+        }
+      }
+      sys.error("unreachable")
+    }
     publishLock(cTbl).synchronized {
-      graft.sources.Published.withLease(
-        graft.sources.Published.tableLoc(spark, cTbl), s"compact:$cTbl") {
+      underLease {
       if (!graft.sources.Published.ensure(
           spark, cTbl, "cell", indexTableBuckets, corpusFingerprint(dir)))
         // bootstrap: clone the stored base assignments (one-time; from

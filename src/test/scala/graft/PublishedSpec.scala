@@ -145,7 +145,7 @@ class PublishedSpec extends SparkSpec {
     Files.deleteIfExists(lp)
   }
 
-  test("q124 compaction under a foreign lease fails loudly instead of double-appending") {
+  test("q124 compaction under a foreign lease waits it out, then replays idempotently") {
     import graft.operators.Similarity
     // first compaction bootstraps the compacted table (and proves the
     // happy path still goes through under its own lease)
@@ -154,7 +154,12 @@ class PublishedSpec extends SparkSpec {
     val loc = Published.tableLoc(spark, cTbl)
     // another JVM's compactor holds the table lease: simulate by taking
     // it from a DIFFERENT thread (per-thread re-entrancy must not let
-    // this thread slip through)
+    // this thread slip through). Compaction is idempotent, so a rival
+    // holder is WAITED OUT with the serve paths' awaitNoWriter budget
+    // (r13 advice #3 — the old fail-loud answer punished any writer
+    // that reached this table's lease through a different lock path);
+    // the loser re-reads the high-water mark under its own lease and an
+    // already-compacted window folds to an empty append.
     val held = new CountDownLatch(1)
     val release = new CountDownLatch(1)
     val holder = new Thread(() => Published.withLease(loc, "other-compactor") {
@@ -162,12 +167,18 @@ class PublishedSpec extends SparkSpec {
     })
     holder.start()
     assert(held.await(10, TimeUnit.SECONDS))
-    try intercept[Published.LeaseHeld] {
-      Similarity.queries("q124_index_compact")(spark, sf).collect()
-    } finally { release.countDown(); holder.join(10000) }
-    // once the foreign compactor releases, compaction replays idempotently
-    val after = Similarity.queries("q124_index_compact")(spark, sf).collect()
-    assert(after.toSeq == before.toSeq, "compaction must replay identically after contention")
+    // release the foreign hold ~2s in: the contended compactor must be
+    // BLOCKED (not failed) during the hold, then proceed
+    val releaser = new Thread(() => { Thread.sleep(2000); release.countDown() })
+    releaser.start()
+    val t0 = System.nanoTime()
+    val contended = Similarity.queries("q124_index_compact")(spark, sf).collect()
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    holder.join(10000); releaser.join(10000)
+    assert(waitedMs >= 1500,
+      s"compactor must wait out the foreign hold, but returned in ${waitedMs}ms")
+    assert(contended.toSeq == before.toSeq,
+      "compaction must replay identically after waiting out contention")
   }
 
   test("a break claim in progress blocks acquisition (no fresh lease to mis-delete)") {

@@ -7,8 +7,9 @@
 #      (the lease loser waits and attaches; see
 #      Published.attachOrBuild).
 #   2. COMPACTION CONTENTION: a LeaseHold JVM pins q124's table lease
-#      while a second JVM compacts — the second must fail LOUDLY with
-#      the holder's id, then replay green after release.
+#      while a second JVM compacts — the second must WAIT OUT the hold
+#      (compaction is idempotent; r13 advice #3) and pass the oracle
+#      once the holder releases.
 #
 # Run from the repo root (sbt + duckdb-python required, same as the
 # verify skill). Exits non-zero on any violated expectation.
@@ -99,14 +100,16 @@ for i in $(seq 1 40); do
   grep -aq "LEASEHOLD acquired" /tmp/leasehold_race.log && break; sleep 2
 done
 OUT_C=$(mktemp -d /tmp/graft-race-c.XXXX)
-SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_C q124" >/tmp/race_c.log 2>&1 || true
-grep -a "publish lease for .* held by 'leasehold-demo" /tmp/race_c.log >/dev/null ||
-  { echo "FAIL: contended compaction did not fail with the holder's id"; exit 1; }
-echo "leg 2a OK: contended compaction failed loudly with the holder id"
+# compaction is idempotent, so a foreign holder is WAITED OUT (r13
+# advice #3) with the serve paths' awaitNoWriter budget instead of
+# failing the job: the contended q124 below must BLOCK until the 90s
+# hold releases, then pass the oracle — and must NOT have failed loudly
+SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_C q124" >/tmp/race_c.log 2>&1
+grep -aq "\[verify\].*failed" /tmp/race_c.log &&
+  { echo "FAIL: contended compaction failed instead of waiting out the lease"; exit 1; }
 wait $H
-SPARK_GRAFT_WAREHOUSE=$RACE_WH sbt -batch "runMain graft.Verify $SF $OUT_C q124" >/tmp/race_d.log 2>&1
-grep -aq "\[verify\].*failed" /tmp/race_d.log &&
-  { echo "FAIL: post-release replay failed"; exit 1; }
+grep -aq "LEASEHOLD released" /tmp/leasehold_race.log ||
+  { echo "FAIL: leasehold JVM did not report a clean release"; exit 1; }
 python3 tools/oracle_check.py "$SF" "$OUT_C" | tail -1
-echo "leg 2b OK: post-release compaction replayed green"
+echo "leg 2 OK: contended compaction waited out the 90s foreign lease and passed"
 echo "ALL OK"
