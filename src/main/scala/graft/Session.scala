@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Session {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+              shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -49,6 +49,20 @@ object Session {
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_HDFS_SIM=true intercepts the `hdfs` scheme with
+    // graft.sources.HdfsSimFileSystem (namenode-strict create-new and
+    // rename over local disk) so the whole engine — publish machinery,
+    // Spark committers, bucketed-table DDL — can run with an
+    // hdfs://-schemed warehouse in an image that cannot boot a real
+    // MiniDFS. Strictly opt-in: a deployment pointing its warehouse at
+    // REAL HDFS must never have the scheme hijacked. spark.hadoop.*
+    // lands in hadoopConfiguration on driver AND executors, so the sim
+    // resolves identically under local-cluster's separate worker JVMs.
+    if (sys.env.get("SPARK_GRAFT_HDFS_SIM").contains("true"))
+      b.config("spark.hadoop.fs.hdfs.impl",
+        classOf[graft.sources.HdfsSimFileSystem].getName)
+    else b
+  }
 
   /** [[builder]] with the master read from `SPARK_GRAFT_MASTER` (default
     * `local[cpus]`) — the knob the multi-process validation runs use:

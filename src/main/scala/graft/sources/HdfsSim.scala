@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FSDataOutputStream, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** An HDFS-SEMANTICS simulation filesystem — the closest executable
+  * stand-in this zero-egress image allows for the r13 verdict's
+  * MiniDFSCluster ask (the image ships only `hadoop-client-api` /
+  * `hadoop-client-runtime`; no namenode/datanode classes exist to
+  * boot a real MiniDFS, and nothing can be downloaded).
+  *
+  * What it is: local disk behind `org.apache.hadoop.fs` resolution,
+  * registered under the `hdfs` scheme (opt-in —
+  * `SPARK_GRAFT_HDFS_SIM=true`, wired in [[graft.Session.builder]]),
+  * with HDFS's DOCUMENTED semantics enforced where they are STRICTER
+  * than the backing POSIX ones, so code that would misbehave on real
+  * HDFS fails here instead of silently passing on local leniency:
+  *
+  *  - `create(p, overwrite=false)` is ATOMIC create-new (HDFS: one
+  *    namenode `startFile` op). RawLocalFileSystem's version is
+  *    check-then-act — exactly the reopened race
+  *    [[Published.createNewAtomic]]'s scaladoc warns about and
+  *    LeaseContractSpec demonstrates — so both create overloads route
+  *    the no-overwrite claim through nio `createFile` (open(2)
+  *    O_CREAT|O_EXCL): exactly-one-winner, like the namenode.
+  *  - `rename(src, dst)` follows HDFS rules, NOT rename(2): a dst
+  *    that exists as a FILE fails the rename (returns false — POSIX
+  *    would silently clobber it); a dst that is a DIRECTORY moves src
+  *    INTO it (fails if the target name is taken); renaming a
+  *    directory onto an existing empty directory — POSIX-legal —
+  *    fails too. Running the whole engine over this proves no publish
+  *    or committer path leans on rename-overwrite.
+  *  - One authority (`hdfs://graftsim`), one clock: mtimes are
+  *    stamped by the backing store at operation time, which is also
+  *    HDFS's story (namenode-side stamps) collapsed to one host.
+  *
+  * What it is NOT, stated so nobody mistakes the evidence: a real
+  * namenode. RPC latency, lease recovery on open write streams,
+  * block-level replication and safe-mode behavior are absent — those
+  * claims stay scaladoc reasoning ([[Published.createNewAtomic]],
+  * [[Published.withLease]]) until a deployment runs the suite against
+  * real HDFS. What DOES become executed fact with this sim: every
+  * non-`file`-scheme branch of the publish machinery (generic
+  * create-new, delete-then-rename `replace`, content-bump heartbeat,
+  * manifest walks) and Spark's own read/write/committer stack
+  * resolving the warehouse through a foreign scheme end-to-end
+  * (HdfsSimSpec; full Verify + oracle + bench + crash probe runs
+  * recorded in PLANS.md r14). */
+class HdfsSimFileSystem extends RawLocalFileSystem {
+
+  override def getUri: URI = URI.create("hdfs://graftsim")
+
+  override def getScheme: String = "hdfs"
+
+  /** The namenode-atomic create-new claim: exactly one concurrent
+    * no-overwrite create of `f` may win. nio createFile is O_EXCL —
+    * the winner holds the (empty) file before its stream opens, so
+    * the subsequent open can safely overwrite its own claim. */
+  private def claimNew(f: Path): Unit = {
+    val local = pathToFile(f).toPath
+    java.nio.file.Files.createDirectories(local.getParent)
+    try { java.nio.file.Files.createFile(local); () }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"hdfssim: $f already exists (namenode-atomic create-new)")
+    }
+  }
+
+  // Both public create overloads must be intercepted: the convenience
+  // create(p, overwrite) chain ends at the 6-arg boolean variant
+  // without passing through the FsPermission one.
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    if (!overwrite) {
+      claimNew(f)
+      super.create(f, true, bufferSize, replication, blockSize, progress)
+    } else super.create(f, overwrite, bufferSize, replication, blockSize,
+      progress)
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    if (!overwrite) {
+      claimNew(f)
+      super.create(f, permission, true, bufferSize, replication, blockSize,
+        progress)
+    } else super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+
+  /** HDFS rename rules (FileSystem-contract rename, the one
+    * DistributedFileSystem implements): never clobber. An existing
+    * FILE dst fails; an existing DIRECTORY dst means "move src into
+    * it" and fails if dst/src.name is taken. POSIX rename(2) — which
+    * the Raw local fallback uses — would overwrite a dst file and an
+    * empty dst dir; running the engine here catches any code path
+    * leaning on that. */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcF = pathToFile(src)
+    val dstF = pathToFile(dst)
+    if (!srcF.exists()) false
+    else if (dstF.isDirectory) {
+      val into = new java.io.File(dstF, srcF.getName)
+      if (into.exists()) false
+      else super.rename(src, new Path(dst, srcF.getName))
+    } else if (dstF.exists()) false
+    else super.rename(src, dst)
+  }
+}

@@ -36,7 +36,18 @@ fi
 echo "== leg A: kill -9 a publisher mid-write, stale-break + rebuild in a second JVM"
 WH=$(mktemp -d /tmp/graft-crash-wh.XXXX); rm -rf "$WH"
 OUT=$(mktemp -d /tmp/graft-crash-out.XXXX)
-setsid env SPARK_GRAFT_WAREHOUSE="$WH" \
+# SPARK_GRAFT_HDFS_SIM=true reruns the leg with the warehouse resolved
+# through the hdfs:// scheme (graft.sources.HdfsSimFileSystem backs it
+# onto the same local dir, so the script's out-of-band ls/find
+# assertions keep inspecting the real files while every JVM-side
+# operation — lease, staging, swap, heartbeat — goes through the
+# non-file-scheme code paths)
+WH_URI="$WH"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  WH_URI="hdfs://graftsim$WH"
+  echo "-- hdfs-sim mode: warehouse URI $WH_URI"
+fi
+setsid env SPARK_GRAFT_WAREHOUSE="$WH_URI" \
   sbt -batch "runMain graft.Verify $SF $OUT/a q120" >/tmp/crash_a.log 2>&1 &
 A=$!
 # kill the MOMENT the staging dir appears: the lease is held (staging
@@ -57,7 +68,7 @@ ls "$WH" | grep -q "_GRAFT_LEASE$" || { echo "FAIL: dead writer left no lease"; 
 find "$WH" -maxdepth 2 -name "_GRAFT_PUBLISHED" -not -path "*_GRAFT_STAGE_*" 2>/dev/null | grep -q . && \
   { echo "FAIL: kill landed after the publish completed (serve marker exists)"; exit 1; }
 sleep 3  # let the orphaned lease age past the shrunken stale threshold
-SPARK_GRAFT_WAREHOUSE="$WH" SPARK_GRAFT_LEASE_STALE_MS=2000 \
+SPARK_GRAFT_WAREHOUSE="$WH_URI" SPARK_GRAFT_LEASE_STALE_MS=2000 \
   sbt -batch "runMain graft.Verify $SF $OUT/b q120" >/tmp/crash_b.log 2>&1
 grep -aq "\[verify\].*failed" /tmp/crash_b.log && \
   { echo "FAIL: the rebuilding JVM reported a query failure"; exit 1; }
