@@ -214,10 +214,15 @@ object Published {
     scala.util.Using.resource(fs.create(p, true))(_.write(content))
 
   /** Replace `dst` with `tmp`. Local: one atomic rename(2). Other
-    * schemes: delete + rename — the rename itself is atomic on HDFS,
-    * and the marker-less window in between degrades a concurrent
-    * ensure() to "not served" (the caller waits out our lease), never
-    * to a torn read. */
+    * schemes (where the FileSystem rename contract never clobbers):
+    * rename `dst` ASIDE, rename `tmp` in, drop the aside — the
+    * dst-less window is two metadata renames, not a delete + rename,
+    * and a crash between them leaves the old content recoverable in
+    * the aside instead of destroyed. The aside name starts with `_`
+    * so [[manifestHash]] ignores it, and a stale aside (crash debris)
+    * is dropped before the swap, not clobbered by it. Either way a
+    * concurrent ensure() in the window degrades to "not served" (the
+    * caller waits out our lease), never to a torn read. */
   private def replace(fs: FileSystem, tmp: HPath, dst: HPath): Unit =
     localOf(fs, tmp) match {
       case Some(ltmp) =>
@@ -226,9 +231,13 @@ object Published {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       case None =>
-        deleteIfExists(fs, dst)
+        val aside = new HPath(dst.getParent, dst.getName + ".old")
+        deleteIfExists(fs, aside)
+        if (exists(fs, dst) && !fs.rename(dst, aside))
+          throw new java.io.IOException(s"rename $dst -> $aside failed")
         if (!fs.rename(tmp, dst))
           throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        deleteIfExists(fs, aside)
     }
 
   // ---------------------------------------------------------------
@@ -668,12 +677,14 @@ object Published {
       val qloc = fs.makeQualified(loc)
       val parent = qloc.getParent
       val stagePrefix = qloc.getName + "._GRAFT_STAGE_"
-      // sweep stage debris of crashed/overrun prior publishers — safe
-      // under the lease: any live owner of these dirs already lost its
-      // lease (we hold it), so its commit can only end in LeaseLost
+      val retirePrefix = qloc.getName + "._GRAFT_RETIRE_"
+      // sweep stage/retire debris of crashed/overrun prior publishers —
+      // safe under the lease: any live owner of these dirs already lost
+      // its lease (we hold it), so its commit can only end in LeaseLost
       if (fs.exists(parent))
         fs.listStatus(parent).iterator
-          .filter(_.getPath.getName.startsWith(stagePrefix))
+          .filter(s => s.getPath.getName.startsWith(stagePrefix) ||
+            s.getPath.getName.startsWith(retirePrefix))
           .foreach(s => fs.delete(s.getPath, true))
       val suffix = java.lang.Long.toHexString(graft.expressions.GraftHash.h60(
         Option(leaseHolders.get(qloc.toString)).map(_.token)
@@ -693,8 +704,24 @@ object Published {
       // location; the staged files are this writer's private garbage
       assertLeaseOwned(loc)
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-      fs.delete(qloc, true)
-      if (!fs.rename(stage, qloc))
+      // swap by RETIRE-aside, not recursive delete: the serve-absent
+      // window is two metadata renames instead of O(old table files)
+      // delete ops — on a 100 TB warehouse the old generation can hold
+      // thousands of files, and a reader arriving mid-delete should
+      // wait out two namenode ops, not a bulk delete. A crash between
+      // the renames leaves the old generation intact in the retire dir
+      // (recoverable debris the next lease holder sweeps) rather than
+      // half-destroyed in place. The old generation's bytes are
+      // dropped only AFTER the new marker is live.
+      if (exists(fs, qloc)) {
+        val retired = new HPath(parent, retirePrefix + suffix)
+        if (!fs.rename(qloc, retired))
+          throw new java.io.IOException(s"retire $qloc -> $retired failed")
+        if (!fs.rename(stage, qloc))
+          throw new java.io.IOException(s"publish swap $stage -> $qloc failed")
+        try { fs.delete(retired, true); () }
+        catch { case _: java.io.IOException => () } // debris; swept later
+      } else if (!fs.rename(stage, qloc))
         throw new java.io.IOException(s"publish swap $stage -> $qloc failed")
       declare(spark, tbl, bucketCol, buckets, frame.schema.toDDL, qloc)
     }

@@ -87,9 +87,12 @@ class HdfsSimSpec extends SparkSpec {
     // taken name inside the dir: refuse again
     val a2 = mk("a", "A2")
     assert(!fs.rename(a2, d), "rename into a dir with the name taken must fail")
-    // the swap shape replace() uses — delete dst, then rename — works
-    fs.delete(b, false)
-    assert(fs.rename(a2, b), "rename to a cleared dst succeeds")
+    // the swap shape replace()/write() use — rename dst ASIDE, then
+    // rename the new content in — works without ever needing clobber
+    val aside = new HPath(base, "b.old")
+    assert(fs.rename(b, aside), "retire-aside rename succeeds")
+    assert(fs.rename(a2, b), "rename to the vacated dst succeeds")
+    fs.delete(aside, false)
   }
 
   test("long-held heartbeating lease on hdfs:// survives a rival; dead writer's " +

@@ -317,6 +317,33 @@ class PublishedSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
 
+  test("republish retires the old generation aside: new fp served, no retire debris") {
+    import spark.implicits._
+    val tbl = "pubspec_retire_swap"
+    Published.write(spark, tbl, "k", 2, "fp_v1",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(Published.ensure(spark, tbl, "k", 2, "fp_v1"))
+    // corpus changed → second publish over a LIVE serve location: the
+    // swap must rename the old generation aside (two metadata ops, not
+    // a recursive delete under a reader), commit the new one, and drop
+    // the retired bytes only after the new marker is live
+    Published.write(spark, tbl, "k", 2, "fp_v2",
+      Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("k", "v"))
+    assert(!Published.ensure(spark, tbl, "k", 2, "fp_v1"),
+      "the old fingerprint must no longer serve")
+    assert(Published.ensure(spark, tbl, "k", 2, "fp_v2"),
+      "the new generation serves")
+    assert(spark.table(tbl).count() == 3, "new generation's rows served")
+    val loc = local(Published.tableLoc(spark, tbl))
+    import scala.jdk.CollectionConverters._
+    val debris = Files.list(loc.getParent).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(s"$tbl._GRAFT_RETIRE_") ||
+        n.startsWith(s"$tbl._GRAFT_STAGE_")).toSeq
+    assert(debris.isEmpty, s"retire/stage debris left behind: $debris")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   test("ensure refuses a location holding files the manifest does not account for") {
     import spark.implicits._
     val tbl = "pubspec_manifest_guard"
