@@ -23,13 +23,16 @@
 # Run from the repo root. Exits non-zero on any violated expectation.
 set -euo pipefail
 SF=${1:-/root/testdata/sf0.01}
-sbt -batch compile >/dev/null 2>&1
+# package once; probe JVMs launch via tools/graft_java.sh (bare java
+# against the jar — no sbt boot-server socket collisions, no ~15 s sbt
+# startup inside the kill-timing window)
+sbt -batch package >/dev/null 2>&1
+RUN="tools/graft_java.sh"
 # honoring SPARK_GRAFT_MASTER=local-cluster[...] reruns the legs with
 # real separate worker JVMs (the executors die with their driver's
-# process group in leg A); that master needs the packaged jar shipped
-# to workers and the Scala version pinned for the executor launcher
+# process group in leg A); that master needs the Scala version pinned
+# for the executor launcher
 if [[ "${SPARK_GRAFT_MASTER:-}" == local-cluster* ]]; then
-  sbt -batch package >/dev/null 2>&1
   export SPARK_SCALA_VERSION=2.13
 fi
 
@@ -48,7 +51,7 @@ if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
   echo "-- hdfs-sim mode: warehouse URI $WH_URI"
 fi
 setsid env SPARK_GRAFT_WAREHOUSE="$WH_URI" \
-  sbt -batch "runMain graft.Verify $SF $OUT/a q120" >/tmp/crash_a.log 2>&1 &
+  $RUN graft.Verify $SF $OUT/a q120 >/tmp/crash_a.log 2>&1 &
 A=$!
 # kill the MOMENT the staging dir appears: the lease is held (staging
 # only ever starts under it) and the marker cannot exist yet (it is
@@ -69,7 +72,7 @@ find "$WH" -maxdepth 2 -name "_GRAFT_PUBLISHED" -not -path "*_GRAFT_STAGE_*" 2>/
   { echo "FAIL: kill landed after the publish completed (serve marker exists)"; exit 1; }
 sleep 3  # let the orphaned lease age past the shrunken stale threshold
 SPARK_GRAFT_WAREHOUSE="$WH_URI" SPARK_GRAFT_LEASE_STALE_MS=2000 \
-  sbt -batch "runMain graft.Verify $SF $OUT/b q120" >/tmp/crash_b.log 2>&1
+  $RUN graft.Verify $SF $OUT/b q120 >/tmp/crash_b.log 2>&1
 grep -aq "\[verify\].*failed" /tmp/crash_b.log && \
   { echo "FAIL: the rebuilding JVM reported a query failure"; exit 1; }
 python3 tools/oracle_check.py "$SF" "$OUT/b" | tail -1
@@ -83,17 +86,17 @@ echo "leg A OK: mid-publish death -> stale-break -> clean rebuild, oracle green"
 
 echo "== leg B: halt the streaming driver after 2 committed batches, resume in a new JVM"
 ROOT=$(mktemp -d /tmp/graft-restart.XXXX)
-sbt -batch "runMain graft.StreamRestartProbe base $SF $ROOT" >/tmp/restart_base.log 2>&1
+$RUN graft.StreamRestartProbe base $SF $ROOT >/tmp/restart_base.log 2>&1
 grep -a "RESTARTPROBE base" /tmp/restart_base.log || { echo "FAIL: base leg produced nothing"; exit 1; }
-# run1 halts its own JVM (exit 137) — sbt reports the nonzero exit
-sbt -batch "runMain graft.StreamRestartProbe run1 $SF $ROOT" >/tmp/restart_run1.log 2>&1 || true
+# run1 halts its own JVM (exit 137) — the nonzero exit is expected
+$RUN graft.StreamRestartProbe run1 $SF $ROOT >/tmp/restart_run1.log 2>&1 || true
 grep -a "RESTARTPROBE halting" /tmp/restart_run1.log || \
   { echo "FAIL: run1 did not halt mid-stream (drained or died early)"; exit 1; }
 grep -aq "RESTARTPROBE run1 FAILED" /tmp/restart_run1.log && \
   { echo "FAIL: run1 drained the whole source before halting"; exit 1; }
-sbt -batch "runMain graft.StreamRestartProbe run2 $SF $ROOT" >/tmp/restart_run2.log 2>&1
+$RUN graft.StreamRestartProbe run2 $SF $ROOT >/tmp/restart_run2.log 2>&1
 grep -a "RESTARTPROBE run2" /tmp/restart_run2.log || { echo "FAIL: run2 resume failed"; exit 1; }
-sbt -batch "runMain graft.StreamRestartProbe check $SF $ROOT" >/tmp/restart_check.log 2>&1
+$RUN graft.StreamRestartProbe check $SF $ROOT >/tmp/restart_check.log 2>&1
 grep -a "RESTARTPROBE ALL OK" /tmp/restart_check.log || \
   { echo "FAIL: crashed+resumed decisions diverge from uninterrupted run"; cat /tmp/restart_check.log | grep -a RESTARTPROBE; exit 1; }
 echo "leg B OK: driver death after 2 batches -> checkpoint resume -> identical decisions"
