@@ -1057,9 +1057,13 @@ object Similarity {
     val cut = mbase.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val cTbl = indexTableName(dir, "mbasec")
     val cLoc = graft.sources.Published.tableLoc(spark, cTbl)
-    val deadline =
-      System.currentTimeMillis() + graft.sources.Published.defaultWaitMs
     def underLease[T](body: => T): T = {
+      // deadline starts when THIS thread begins contending cross-JVM —
+      // i.e. inside publishLock — so time spent queued behind a
+      // same-JVM compaction is not charged against the awaitNoWriter
+      // budget (publishAssignPair sets its deadline the same way)
+      val deadline =
+        System.currentTimeMillis() + graft.sources.Published.defaultWaitMs
       while (true) {
         try return graft.sources.Published.withLease(cLoc, s"compact:$cTbl")(body)
         catch { case held: graft.sources.Published.LeaseHeld =>

@@ -6,6 +6,54 @@ import org.apache.hadoop.fs.{FSDataOutputStream, Path, RawLocalFileSystem}
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
+/** Intercepts EVERY create-no-overwrite entry point of a
+  * [[RawLocalFileSystem]]-backed filesystem. RawLocalFileSystem
+  * overrides both public create shapes — the 6-arg boolean variant
+  * (which `FileSystem.create(p, overwrite)` convenience chains end at,
+  * routing to a private helper WITHOUT passing through the
+  * FsPermission variant) and the FsPermission variant — so anything
+  * changing create-new semantics must intercept both or silently miss
+  * the exact call [[Published.createNewAtomic]] makes. ONE copy of
+  * that subtlety lives here; [[HdfsSimFileSystem]] and the
+  * LeaseContractSpec mock stores all mix it in. */
+private[graft] trait CreateNoOverwriteIntercept extends RawLocalFileSystem {
+  /** Runs before a no-overwrite create opens its stream: throw Hadoop's
+    * FileAlreadyExistsException to refuse, or atomically claim the
+    * path. After it returns, the open proceeds with overwrite=true (the
+    * claim, if any, already holds the file). */
+  protected def onCreateNoOverwrite(f: Path): Unit
+
+  /** Cleanup when the stream open fails AFTER [[onCreateNoOverwrite]]
+    * claimed the path: claim-style interceptors delete their claim so a
+    * transient open failure can't orphan an empty token-less file that
+    * every later acquirer loses to until the stale break. */
+  protected def onOpenFailedAfterClaim(f: Path): Unit = ()
+
+  private def opened(f: Path)(open: => FSDataOutputStream): FSDataOutputStream =
+    try open
+    catch { case e: Throwable => onOpenFailedAfterClaim(f); throw e }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    if (!overwrite) {
+      onCreateNoOverwrite(f)
+      opened(f)(super.create(f, true, bufferSize, replication, blockSize,
+        progress))
+    } else super.create(f, overwrite, bufferSize, replication, blockSize,
+      progress)
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    if (!overwrite) {
+      onCreateNoOverwrite(f)
+      opened(f)(super.create(f, permission, true, bufferSize, replication,
+        blockSize, progress))
+    } else super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+}
+
 /** An HDFS-SEMANTICS simulation filesystem — the closest executable
   * stand-in this zero-egress image allows for the r13 verdict's
   * MiniDFSCluster ask (the image ships only `hadoop-client-api` /
@@ -49,7 +97,8 @@ import org.apache.hadoop.util.Progressable
   * resolving the warehouse through a foreign scheme end-to-end
   * (HdfsSimSpec; full Verify + oracle + bench + crash probe runs
   * recorded in PLANS.md r14). */
-class HdfsSimFileSystem extends RawLocalFileSystem {
+class HdfsSimFileSystem extends RawLocalFileSystem
+    with CreateNoOverwriteIntercept {
 
   override def getUri: URI = URI.create("hdfs://graftsim")
 
@@ -59,7 +108,7 @@ class HdfsSimFileSystem extends RawLocalFileSystem {
     * no-overwrite create of `f` may win. nio createFile is O_EXCL —
     * the winner holds the (empty) file before its stream opens, so
     * the subsequent open can safely overwrite its own claim. */
-  private def claimNew(f: Path): Unit = {
+  override protected def onCreateNoOverwrite(f: Path): Unit = {
     val local = pathToFile(f).toPath
     java.nio.file.Files.createDirectories(local.getParent)
     try { java.nio.file.Files.createFile(local); () }
@@ -69,27 +118,13 @@ class HdfsSimFileSystem extends RawLocalFileSystem {
     }
   }
 
-  // Both public create overloads must be intercepted: the convenience
-  // create(p, overwrite) chain ends at the 6-arg boolean variant
-  // without passing through the FsPermission one.
-  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
-                      replication: Short, blockSize: Long,
-                      progress: Progressable): FSDataOutputStream =
-    if (!overwrite) {
-      claimNew(f)
-      super.create(f, true, bufferSize, replication, blockSize, progress)
-    } else super.create(f, overwrite, bufferSize, replication, blockSize,
-      progress)
-
-  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
-                      bufferSize: Int, replication: Short, blockSize: Long,
-                      progress: Progressable): FSDataOutputStream =
-    if (!overwrite) {
-      claimNew(f)
-      super.create(f, permission, true, bufferSize, replication, blockSize,
-        progress)
-    } else super.create(f, permission, overwrite, bufferSize, replication,
-      blockSize, progress)
+  /** Failure atomicity, matching [[Published.createNewAtomic]]'s local
+    * branch: a stream open that fails AFTER the O_EXCL claim succeeded
+    * must not orphan an empty token-less file — every later acquirer
+    * would lose to the ghost until the stale break. */
+  override protected def onOpenFailedAfterClaim(f: Path): Unit = {
+    java.nio.file.Files.deleteIfExists(pathToFile(f).toPath); ()
+  }
 
   /** HDFS rename rules (FileSystem-contract rename, the one
     * DistributedFileSystem implements): never clobber. An existing

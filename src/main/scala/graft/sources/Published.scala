@@ -366,9 +366,25 @@ object Published {
     // re-read before every bump, so once a breaker has legitimately
     // replaced this lease the heartbeat stops rather than refresh a
     // rival's file, and a crashed JVM stops heartbeating and ages out
-    // as before. A heartbeat that CANNOT refresh (both mechanisms
-    // failing) must be LOUD, not a silent downgrade (r13 advice #2):
-    // after 3 consecutive failed beats it warns once that `staleMs` has
+    // as before. Two hazards close the remaining gaps:
+    //  - a touch must be VERIFIED (mtime re-read, before vs after):
+    //    FileSystem.setTimes is a documented NO-OP on the base class
+    //    and on most object-store connectors — an unverified touch
+    //    would count a no-op as a successful beat, silently masking
+    //    total refresh failure behind the fallback path.
+    //  - a beat NEVER writes to a lease whose age is within 2 periods
+    //    of staleMs: a lease that old means our refreshes have been
+    //    failing and a rival's stale-break may be in flight — a rewrite
+    //    landing just after the breaker's delete would resurrect this
+    //    holder's ownership over the rival's fresh lease (cross-JVM
+    //    check-then-write). Healthy beats keep age ≈ one period, so
+    //    the guard never fires in normal operation; a holder stalled
+    //    long enough to trip it stops refreshing for good and dies
+    //    LeaseLost at its commit gate — availability, never two
+    //    writers.
+    // A heartbeat that CANNOT refresh (both mechanisms failing) must
+    // be LOUD, not a silent downgrade (r13 advice #2): after 3
+    // consecutive failed beats it warns once that `staleMs` has
     // degraded back to a ceiling on publish duration — an overrunning
     // publish may be broken and die LeaseLost at its commit gate
     // (availability, never corruption: the commit gates still hold).
@@ -378,7 +394,15 @@ object Published {
       var beat = 0L
       var failedBeats = 0
       var warned = false
-      def touch(): Unit = fs.setTimes(lp, System.currentTimeMillis(), -1)
+      def mtime(): Long =
+        try fs.getFileStatus(lp).getModificationTime
+        catch { case _: java.io.IOException => -1L }
+      def touchVerified(): Unit = {
+        val before = mtime()
+        fs.setTimes(lp, System.currentTimeMillis(), -1)
+        if (mtime() <= before)
+          throw new java.io.IOException(s"setTimes on $lp is a no-op")
+      }
       def bumpContent(): Unit =
         writeFile(fs, lp, s"$token\n$holder\nhb:$beat".getBytes("UTF-8"))
       try {
@@ -391,17 +415,20 @@ object Published {
             else {
               beat += 1
               val ok =
-                try { if (isLocal) touch() else bumpContent(); true }
-                catch {
-                  case _: java.io.IOException | _: UnsupportedOperationException =>
-                    // scheme-preferred refresh refused — try the other
-                    // mechanism before calling the beat failed
-                    try { if (isLocal) bumpContent() else touch(); true }
-                    catch {
-                      case _: java.io.IOException |
-                           _: UnsupportedOperationException => false
-                    }
-                }
+                if (System.currentTimeMillis() - mtime() >=
+                    staleMs - 2 * period) false // break window — no write
+                else
+                  try { if (isLocal) touchVerified() else bumpContent(); true }
+                  catch {
+                    case _: java.io.IOException | _: UnsupportedOperationException =>
+                      // scheme-preferred refresh refused — try the other
+                      // mechanism before calling the beat failed
+                      try { if (isLocal) bumpContent() else touchVerified(); true }
+                      catch {
+                        case _: java.io.IOException |
+                             _: UnsupportedOperationException => false
+                      }
+                  }
               failedBeats = if (ok) 0 else failedBeats + 1
               if (failedBeats >= 3 && !warned) {
                 warned = true

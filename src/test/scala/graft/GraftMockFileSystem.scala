@@ -28,37 +28,11 @@ class GraftMockFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("graftmock:///")
 }
 
-/** Intercepts EVERY create-no-overwrite entry point. RawLocalFileSystem
-  * overrides both public create shapes — the 6-arg boolean variant
-  * (which `FileSystem.create(p, overwrite)` convenience chains end at,
-  * routing to a private helper WITHOUT passing through the FsPermission
-  * variant) and the FsPermission variant — so a mock that changes
-  * create-new semantics must intercept both or silently miss the exact
-  * call `Published.createNewAtomic` makes. */
-private[graft] trait CreateNoOverwriteIntercept extends RawLocalFileSystem {
-  /** Runs before a no-overwrite create opens its stream: throw Hadoop's
-    * FileAlreadyExistsException to refuse, or atomically claim the
-    * path. After it returns, the open proceeds with overwrite=true (the
-    * claim, if any, already holds the file). */
-  protected def onCreateNoOverwrite(f: Path): Unit
-  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
-                      replication: Short, blockSize: Long,
-                      progress: Progressable): FSDataOutputStream =
-    if (!overwrite) {
-      onCreateNoOverwrite(f)
-      super.create(f, true, bufferSize, replication, blockSize, progress)
-    } else super.create(f, overwrite, bufferSize, replication, blockSize,
-      progress)
-  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
-                      bufferSize: Int, replication: Short, blockSize: Long,
-                      progress: Progressable): FSDataOutputStream =
-    if (!overwrite) {
-      onCreateNoOverwrite(f)
-      super.create(f, permission, true, bufferSize, replication, blockSize,
-        progress)
-    } else super.create(f, permission, overwrite, bufferSize, replication,
-      blockSize, progress)
-}
+// The create-no-overwrite interception subtlety (BOTH public create
+// overloads must be caught) lives in ONE place:
+// graft.sources.CreateNoOverwriteIntercept — shared by the main-source
+// HdfsSimFileSystem and every mock store below.
+import graft.sources.CreateNoOverwriteIntercept
 
 object NoSetTimesFileSystem {
   /** How often ANY instance was asked for a client-stamped touch —
@@ -84,19 +58,14 @@ class NoSetTimesFileSystem extends RawLocalFileSystem {
   }
 }
 
-/** A store that refuses BOTH heartbeat mechanisms for lease files — no
-  * setTimes AND lease rewrites rejected. On this (pathological) profile
-  * the stale threshold genuinely degrades back to a ceiling on publish
-  * duration, and the heartbeat's contract is to say so LOUDLY after 3
-  * consecutive failed beats instead of silently dropping the guarantee.
-  * Only `_GRAFT_LEASE` OVERWRITES are refused: the initial create-new
-  * acquisition and all data writes succeed, isolating the failure to
-  * the refresh path the WARN is about. */
-class NoRefreshFileSystem extends NoSetTimesFileSystem {
-  override def getUri: URI = URI.create("graftnorf:///")
+/** Refuses `_GRAFT_LEASE` OVERWRITES only: the initial create-new
+  * acquisition and all data writes succeed, isolating a refresh-path
+  * failure from everything else a spec touches. */
+private[graft] trait RefuseLeaseRewrites extends RawLocalFileSystem {
   private def refuse(f: Path, overwrite: Boolean): Unit =
     if (overwrite && f.getName.endsWith("._GRAFT_LEASE"))
-      throw new java.io.IOException(s"graftnorf: lease rewrite refused: $f")
+      throw new java.io.IOException(
+        s"${getUri.getScheme}: lease rewrite refused: $f")
   override def create(f: Path, overwrite: Boolean, bufferSize: Int,
                       replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
@@ -110,6 +79,31 @@ class NoRefreshFileSystem extends NoSetTimesFileSystem {
     super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
   }
+}
+
+/** A store that refuses BOTH heartbeat mechanisms for lease files — no
+  * setTimes AND lease rewrites rejected. On this (pathological) profile
+  * the stale threshold genuinely degrades back to a ceiling on publish
+  * duration, and the heartbeat's contract is to say so LOUDLY after 3
+  * consecutive failed beats instead of silently dropping the guarantee. */
+class NoRefreshFileSystem extends NoSetTimesFileSystem
+    with RefuseLeaseRewrites {
+  override def getUri: URI = URI.create("graftnorf:///")
+}
+
+/** The SNEAKIER profile of the same degradation: `setTimes` is a SILENT
+  * no-op — Hadoop's `FileSystem` base implementation and most
+  * object-store connectors (S3A included) return without doing
+  * anything — and lease rewrites are refused. An UNVERIFIED touch on
+  * this store reports success while the lease quietly ages to
+  * breakable: the exact shape that would mask total refresh failure
+  * behind the fallback path. The heartbeat's contract here is the same
+  * LOUD ceiling warning as [[NoRefreshFileSystem]] — which it can only
+  * deliver by VERIFYING that a touch actually moved the mtime. */
+class SilentMtimeFileSystem extends RawLocalFileSystem
+    with RefuseLeaseRewrites {
+  override def getUri: URI = URI.create("graftsmt:///")
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
 }
 
 /** Schedulable interleaving point for the create-new contract specs:

@@ -115,6 +115,37 @@ class LeaseContractSpec extends SparkSpec {
       "the warning must fire ONCE, not every beat")
   }
 
+  test("a SILENT no-op setTimes cannot masquerade as a successful beat: the " +
+      "ceiling warning still fires") {
+    // Hadoop's FileSystem base setTimes is a documented no-op and most
+    // object-store connectors inherit it: the fallback touch "succeeds"
+    // without moving the mtime. An unverified heartbeat would count
+    // every such beat as ok — no warning, lease quietly aging to
+    // breakable. The verified touch must detect the unmoved mtime and
+    // degrade LOUDLY, same contract as the throwing profile above.
+    register("graftsmt", classOf[SilentMtimeFileSystem])
+    val dir = Files.createTempDirectory("leasecontract_smt")
+    val loc = new HPath(s"graftsmt://$dir/tbl")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(
+      new java.io.OutputStream {
+        override def write(b: Int): Unit = { errBuf.write(b); oldErr.write(b) }
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+          errBuf.write(b, off, len); oldErr.write(b, off, len)
+        }
+      }, true))
+    try {
+      Published.withLease(loc, "masked-publisher", staleMs = 1000) {
+        Thread.sleep(2000)
+        Published.assertLeaseOwned(loc)
+      }
+    } finally System.setErr(oldErr)
+    val err = errBuf.toString("UTF-8")
+    assert(err.contains("cannot refresh") && err.contains("CEILING"),
+      s"a no-op touch must be detected as a FAILED beat, got: $err")
+  }
+
   /** One deterministic schedule, replayed against both connector
     * shapes: racer A enters create-no-overwrite first and stalls at the
     * hook; racer B then runs its create to completion; A resumes. */

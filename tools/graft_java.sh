@@ -15,7 +15,10 @@
 # _HDFS_SIM, _LEASE_STALE_MS, SPARK_DRIVER_MEM...).
 set -euo pipefail
 REPO=$(cd "$(dirname "$0")/.." && pwd)
-JAR=$(ls "$REPO"/target/scala-2.13/connorfunstreamproducerspark_*.jar 2>/dev/null | head -1)
+# `|| true` inside the substitution: under `set -euo pipefail` an
+# unmatched glob fails `ls`, which would kill the script BEFORE the
+# missing-jar diagnostic below could print
+JAR=$(ls "$REPO"/target/scala-2.13/connorfunstreamproducerspark_*.jar 2>/dev/null | head -1 || true)
 if [[ -z "$JAR" ]]; then
   echo "graft_java.sh: no packaged jar — run 'sbt -batch package' first" >&2
   exit 1
