@@ -125,8 +125,16 @@ object Published {
   // semantics (and a clone per filesystem op is measurable on the
   // serve path). A fully session-less caller (the LeaseHold demo) gets
   // cached Hadoop defaults, which still resolve any EXPLICIT-scheme
-  // path correctly.
-  private lazy val defaultConf = new Configuration()
+  // path correctly — with one registration mirrored from
+  // Session.builder: the opt-in hdfs-sim scheme override, so a
+  // session-less probe JVM pointed at an `hdfs://graftsim` warehouse
+  // resolves it like every session JVM instead of dialing a namenode.
+  private lazy val defaultConf = {
+    val c = new Configuration()
+    if (sys.env.get("SPARK_GRAFT_HDFS_SIM").contains("true"))
+      c.set("fs.hdfs.impl", classOf[HdfsSimFileSystem].getName)
+    c
+  }
   private def hconf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)

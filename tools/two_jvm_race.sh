@@ -22,14 +22,25 @@ SF=${1:-/root/testdata/sf0.01}
 # used to serialize the racers past the lease window
 sbt -batch package >/dev/null 2>&1
 RUN="tools/graft_java.sh"
+# SPARK_GRAFT_HDFS_SIM=true reruns every leg with the warehouses
+# resolved through hdfs:// (HdfsSimFileSystem backs them onto the same
+# local dirs — cross-JVM lease contention through the non-file-scheme
+# code paths, same as crash_probes.sh's mode)
+wh_uri() {
+  if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+    echo "hdfs://graftsim$1"
+  else
+    echo "$1"
+  fi
+}
 RACE_WH=$(mktemp -d /tmp/graft-race-wh.XXXX)
 OUT_A=$(mktemp -d /tmp/graft-race-a.XXXX); OUT_B=$(mktemp -d /tmp/graft-race-b.XXXX)
 
 echo "== leg 1: cold-warehouse race (warehouse $RACE_WH)"
 rm -rf "$RACE_WH"
-SPARK_GRAFT_WAREHOUSE=$RACE_WH $RUN graft.Verify $SF $OUT_A q50 >/tmp/race_a.log 2>&1 &
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$RACE_WH") $RUN graft.Verify $SF $OUT_A q50 >/tmp/race_a.log 2>&1 &
 A=$!
-SPARK_GRAFT_WAREHOUSE=$RACE_WH $RUN graft.Verify $SF $OUT_B q50 >/tmp/race_b.log 2>&1 &
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$RACE_WH") $RUN graft.Verify $SF $OUT_B q50 >/tmp/race_b.log 2>&1 &
 B=$!
 wait $A; wait $B
 for log in /tmp/race_a.log /tmp/race_b.log; do
@@ -52,9 +63,9 @@ EOF
 # the pair-level wait-and-attach loop this leg exists to exercise
 echo "== leg 1b: cold ANN-pair race (two JVMs first-touch q122's published pair)"
 OUT_E=$(mktemp -d /tmp/graft-race-e.XXXX); OUT_F=$(mktemp -d /tmp/graft-race-f.XXXX)
-SPARK_GRAFT_WAREHOUSE=$RACE_WH $RUN graft.Verify $SF $OUT_E q122 >/tmp/race_e.log 2>&1 &
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$RACE_WH") $RUN graft.Verify $SF $OUT_E q122 >/tmp/race_e.log 2>&1 &
 E=$!
-SPARK_GRAFT_WAREHOUSE=$RACE_WH $RUN graft.Verify $SF $OUT_F q122 >/tmp/race_f.log 2>&1 &
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$RACE_WH") $RUN graft.Verify $SF $OUT_F q122 >/tmp/race_f.log 2>&1 &
 F=$!
 wait $E; wait $F
 for log in /tmp/race_e.log /tmp/race_f.log; do
@@ -80,13 +91,13 @@ echo "== leg 1c: pair build WAITS out a foreign process's lease (deterministic)"
 # pins the mbase lease for 60s - the builder must WAIT (not die) and
 # then build and pass (Similarity.publishAssignPair's loop, cross-JVM)
 WAIT_WH=$(mktemp -d /tmp/graft-race-wwh.XXXX); rm -rf "$WAIT_WH"
-SPARK_GRAFT_WAREHOUSE=$WAIT_WH $RUN graft.LeaseHold $SF 60 mbase >/tmp/leasehold_wait.log 2>&1 &
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$WAIT_WH") $RUN graft.LeaseHold $SF 60 mbase >/tmp/leasehold_wait.log 2>&1 &
 W=$!
 for i in $(seq 1 40); do
   grep -aq "LEASEHOLD acquired" /tmp/leasehold_wait.log && break; sleep 2
 done
 OUT_G=$(mktemp -d /tmp/graft-race-g.XXXX)
-SPARK_GRAFT_WAREHOUSE=$WAIT_WH $RUN graft.Verify $SF $OUT_G q122 >/tmp/race_g.log 2>&1
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$WAIT_WH") $RUN graft.Verify $SF $OUT_G q122 >/tmp/race_g.log 2>&1
 wait $W
 grep -aq "\[verify\].*failed" /tmp/race_g.log &&
   { echo "FAIL: pair build died instead of waiting out the foreign lease"; exit 1; }
@@ -97,7 +108,7 @@ echo "== leg 2: compaction under a foreign process's lease"
 # leg 2 in the SAME scratch warehouse - never the shared default:
 # pinning /tmp/graft-warehouse's real lease would fail any concurrent
 # session's q124 and append compaction windows to shared state
-SPARK_GRAFT_WAREHOUSE=$RACE_WH $RUN graft.LeaseHold $SF 90 >/tmp/leasehold_race.log 2>&1 &
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$RACE_WH") $RUN graft.LeaseHold $SF 90 >/tmp/leasehold_race.log 2>&1 &
 H=$!
 for i in $(seq 1 40); do
   grep -aq "LEASEHOLD acquired" /tmp/leasehold_race.log && break; sleep 2
@@ -107,7 +118,7 @@ OUT_C=$(mktemp -d /tmp/graft-race-c.XXXX)
 # advice #3) with the serve paths' awaitNoWriter budget instead of
 # failing the job: the contended q124 below must BLOCK until the 90s
 # hold releases, then pass the oracle — and must NOT have failed loudly
-SPARK_GRAFT_WAREHOUSE=$RACE_WH $RUN graft.Verify $SF $OUT_C q124 >/tmp/race_c.log 2>&1
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$RACE_WH") $RUN graft.Verify $SF $OUT_C q124 >/tmp/race_c.log 2>&1
 grep -aq "\[verify\].*failed" /tmp/race_c.log &&
   { echo "FAIL: contended compaction failed instead of waiting out the lease"; exit 1; }
 wait $H
