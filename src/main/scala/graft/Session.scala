@@ -58,10 +58,21 @@ object Session {
     // REAL HDFS must never have the scheme hijacked. spark.hadoop.*
     // lands in hadoopConfiguration on driver AND executors, so the sim
     // resolves identically under local-cluster's separate worker JVMs.
-    if (sys.env.get("SPARK_GRAFT_HDFS_SIM").contains("true"))
+    val b1 = if (sys.env.get("SPARK_GRAFT_HDFS_SIM").contains("true"))
       b.config("spark.hadoop.fs.hdfs.impl",
         classOf[graft.sources.HdfsSimFileSystem].getName)
     else b
+    // SPARK_GRAFT_S3_SIM=true likewise intercepts the `s3a` scheme with
+    // graft.sources.S3SimFileSystem — OBJECT-STORE semantics (copy+delete
+    // rename, silent-no-op setTimes, conditional-put create) over local
+    // disk, so the engine can run with an s3a://-schemed warehouse in an
+    // image that ships no real S3A connector. Same opt-in rule: a
+    // deployment with a real connector on the classpath must never have
+    // its scheme hijacked.
+    if (sys.env.get("SPARK_GRAFT_S3_SIM").contains("true"))
+      b1.config("spark.hadoop.fs.s3a.impl",
+        classOf[graft.sources.S3SimFileSystem].getName)
+    else b1
   }
 
   /** [[builder]] with the master read from `SPARK_GRAFT_MASTER` (default

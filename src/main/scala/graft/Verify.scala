@@ -23,6 +23,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full stack to stderr: a probe run's only artifact is its log,
+        // and a one-line message has no frame to debug a scheme- or
+        // committer-level failure from
+        e.printStackTrace()
       }
     }
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))

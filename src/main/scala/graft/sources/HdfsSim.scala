@@ -54,6 +54,33 @@ private[graft] trait CreateNoOverwriteIntercept extends RawLocalFileSystem {
       blockSize, progress)
 }
 
+/** Materializes permissions into every [[org.apache.hadoop.fs.FileStatus]]
+  * the sim returns, instead of RawLocalFileSystem's DEPRECATED lazy
+  * status whose `getPermission` shells out via `new java.io.File(uri)` —
+  * a constructor that rejects any non-`file` URI. That lazy load is
+  * harmless under `file://` and never fires on the plain-`listStatus`
+  * paths, but Spark lists `s3a`-schemed roots through
+  * `FileSystem.listFiles` (the `spark.sql.files.useListFilesFileSystemList`
+  * default), whose `LocatedFileStatus` construction eagerly reads
+  * permissions — crashing any RawLocal-backed sim registered under a
+  * foreign scheme ("URI scheme is not file", found by the first q50 run
+  * against the s3 sim). Fixed permissions are also the FAITHFUL
+  * behavior: real object-store connectors report synthetic permissions
+  * (S3A: 666/777), and HDFS stamps them namenode-side — neither ever
+  * execs a local `ls`. */
+private[graft] trait MaterializedPermissions extends RawLocalFileSystem {
+  private def worm(st: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+      st.getReplication, st.getBlockSize, st.getModificationTime,
+      st.getAccessTime,
+      if (st.isDirectory) FsPermission.getDirDefault else FsPermission.getFileDefault,
+      "graft", "graft", null, st.getPath)
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    worm(super.getFileStatus(f))
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(worm)
+}
+
 /** An HDFS-SEMANTICS simulation filesystem — the closest executable
   * stand-in this zero-egress image allows for the r13 verdict's
   * MiniDFSCluster ask (the image ships only `hadoop-client-api` /
@@ -98,7 +125,7 @@ private[graft] trait CreateNoOverwriteIntercept extends RawLocalFileSystem {
   * (HdfsSimSpec; full Verify + oracle + bench + crash probe runs
   * recorded in PLANS.md r14). */
 class HdfsSimFileSystem extends RawLocalFileSystem
-    with CreateNoOverwriteIntercept {
+    with CreateNoOverwriteIntercept with MaterializedPermissions {
 
   override def getUri: URI = URI.create("hdfs://graftsim")
 

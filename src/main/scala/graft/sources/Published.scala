@@ -133,6 +133,8 @@ object Published {
     val c = new Configuration()
     if (sys.env.get("SPARK_GRAFT_HDFS_SIM").contains("true"))
       c.set("fs.hdfs.impl", classOf[HdfsSimFileSystem].getName)
+    if (sys.env.get("SPARK_GRAFT_S3_SIM").contains("true"))
+      c.set("fs.s3a.impl", classOf[S3SimFileSystem].getName)
     c
   }
   private def hconf: Configuration =

@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+/** Hooks for the object-store sim, separated so specs can schedule a
+  * deterministic interleaving inside a rename's copy phase without the
+  * filesystem class itself carrying test state. */
+private[graft] object S3Sim {
+  /** Called after EACH file lands in a rename's copy phase (arg: the
+    * just-copied destination). Specs park here to observe the torn
+    * window a copy-rename store exposes; default no-op. */
+  @volatile var renameFileHook: Path => Unit = _ => ()
+
+  /** Per-file sleep (ms) inside a rename's copy phase — the subprocess
+    * crash probes set this to widen the mid-swap window enough to land
+    * a kill -9 inside it. 0 in normal operation. */
+  lazy val slowRenameMs: Long =
+    sys.env.get("SPARK_GRAFT_S3_SLOW_RENAME_MS")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
+}
+
+/** An OBJECT-STORE-SEMANTICS simulation filesystem — the third storage
+  * class the publish machinery claims to survive, after POSIX local and
+  * the HDFS sim ([[HdfsSimFileSystem]]). Registered under the `s3a`
+  * scheme (opt-in — `SPARK_GRAFT_S3_SIM=true`, wired in
+  * [[graft.Session.builder]]; this image ships no real S3A connector,
+  * so nothing is hijacked), backing onto local disk so specs and probe
+  * scripts inspect state with java.nio while every engine operation
+  * resolves through `org.apache.hadoop.fs` like a real connector.
+  *
+  * The semantics enforced are the ones that make object stores the
+  * HARD case for publish machinery — each one strictly worse than the
+  * POSIX behavior the local backing would otherwise leak through:
+  *
+  *  - '''rename is NOT a metadata operation.''' S3 has no rename; S3A
+  *    emulates it as per-object COPY + per-object DELETE — O(files),
+  *    non-atomic, with every intermediate state (partial destination,
+  *    then doubled content, then shrinking source) visible to a
+  *    concurrent lister. This sim does exactly that: copy every file
+  *    (each copy a fresh PUT the store itself timestamps), THEN delete
+  *    the source tree, with an injectable per-file hook
+  *    ([[S3Sim.renameFileHook]]) and an env stall
+  *    (`SPARK_GRAFT_S3_SLOW_RENAME_MS`) so specs and crash probes can
+  *    land inside the window. The publish machinery's correctness
+  *    argument on such a store is NOT rename atomicity — it is the
+  *    marker manifest: a reader that lists a half-copied table sees
+  *    files the marker's manifest does not account for (or no marker
+  *    at all) and refuses to serve ([[Published.ensure]]), degrading
+  *    to wait-out-the-writer's-lease. S3SimSpec executes that torn
+  *    window; the subprocess probes (PLANS.md r14) kill a publisher
+  *    INSIDE the swap copy and require the next JVM to sweep and
+  *    rebuild.
+  *  - '''rename never clobbers.''' S3A's rename returns false onto an
+  *    existing file destination and moves INTO an existing directory —
+  *    same contract surface as HDFS, kept here so the engine cannot
+  *    lean on POSIX rename-overwrite under this scheme either.
+  *  - '''`setTimes` is a SILENT no-op''' — Hadoop's `FileSystem` base
+  *    behavior, which S3A inherits: objects have no touch; the call
+  *    "succeeds" without moving Last-Modified. This is the store
+  *    profile the lease heartbeat's verified-touch + content-bump
+  *    machinery exists for ([[Published.withLease]]): on a non-local
+  *    scheme the bump is primary, each bump a fresh PUT the store
+  *    timestamps server-side.
+  *  - '''create-no-overwrite is an atomic conditional put.''' S3
+  *    conditional writes (`If-None-Match: *`) give exactly-one-winner
+  *    PUT semantics, which is precisely the contract
+  *    [[Published.createNewAtomic]] requires of an object-store
+  *    connector (its scaladoc; pinned executable by LeaseContractSpec's
+  *    racy-vs-conditional schedules). The sim models a connector WITH
+  *    conditional put — a check-then-put connector is demonstrated
+  *    double-winning in LeaseContractSpec and is outside the contract.
+  *
+  * What it is NOT: a real object store. Request latency, throttling
+  * (503 SlowDown), multipart upload boundaries, and IAM failures are
+  * absent; directory objects exist for free because the backing store
+  * is a local filesystem (S3A presents the same dir facade over key
+  * prefixes). List-after-write consistency is NOT simulated as a gap
+  * because S3 itself has been strongly consistent since 2020-12 — the
+  * machinery's reasoning never depends on read-after-list anyway
+  * (markers gate serving; leases gate writing). */
+class S3SimFileSystem extends RawLocalFileSystem
+    with CreateNoOverwriteIntercept with MaterializedPermissions {
+
+  override def getUri: URI = URI.create("s3a://graftbucket")
+
+  override def getScheme: String = "s3a"
+
+  /** Conditional-put create-new: exactly one concurrent no-overwrite
+    * create of `f` wins (S3 `If-None-Match: *`). nio createFile is
+    * O_EXCL — the winner holds the (empty) object before its stream
+    * opens, so the open overwrites only its own claim. */
+  override protected def onCreateNoOverwrite(f: Path): Unit = {
+    val local = pathToFile(f).toPath
+    java.nio.file.Files.createDirectories(local.getParent)
+    try { java.nio.file.Files.createFile(local); () }
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"s3sim: $f already exists (conditional put refused)")
+    }
+  }
+
+  /** A stream open that fails AFTER the conditional put claimed the key
+    * must not orphan an empty token-less object (same failure atomicity
+    * as [[Published.createNewAtomic]]'s local branch). */
+  override protected def onOpenFailedAfterClaim(f: Path): Unit = {
+    java.nio.file.Files.deleteIfExists(pathToFile(f).toPath); ()
+  }
+
+  /** Objects have no touch: silently succeed without moving mtime
+    * (Hadoop base-class behavior, inherited by S3A). The lease
+    * heartbeat's VERIFIED touch detects exactly this shape — an
+    * unverified one would count the no-op as a successful beat. */
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+
+  /** S3A-shaped rename: never clobbers, and is executed as per-object
+    * copy (fresh PUTs, store-stamped mtimes) followed by per-object
+    * delete — non-atomic, intermediate states visible. */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcF = pathToFile(src)
+    val dstF = pathToFile(dst)
+    if (!srcF.exists()) false
+    else if (dstF.isDirectory) {
+      val into = new java.io.File(dstF, srcF.getName)
+      if (into.exists()) false
+      else copyThenDelete(srcF, into)
+    } else if (dstF.exists()) false
+    else copyThenDelete(srcF, dstF)
+  }
+
+  /** The copy phase lands every file at the destination (hook + stall
+    * after each), the delete phase then removes the source tree —
+    * S3A's two-pass emulation. A crash anywhere in between leaves
+    * partial-dst/complete-src, doubled content, or partial-src states;
+    * none may ever be SERVED (that is the marker manifest's job, not
+    * this method's). */
+  private def copyThenDelete(src: java.io.File, dst: java.io.File): Boolean = {
+    def copyTree(s: java.io.File, d: java.io.File): Unit =
+      if (s.isDirectory) {
+        java.nio.file.Files.createDirectories(d.toPath)
+        // sorted for a deterministic copy order — specs and probes
+        // reason about "first k files copied"
+        s.listFiles().sortBy(_.getName).foreach(c =>
+          copyTree(c, new java.io.File(d, c.getName)))
+      } else {
+        Option(d.getParentFile).foreach(p =>
+          java.nio.file.Files.createDirectories(p.toPath))
+        // copy WITHOUT attributes: the "PUT" gets the store's own
+        // fresh Last-Modified, like a real object copy
+        java.nio.file.Files.copy(s.toPath, d.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        if (S3Sim.slowRenameMs > 0) Thread.sleep(S3Sim.slowRenameMs)
+        S3Sim.renameFileHook(new Path(d.toURI.getPath))
+      }
+    def deleteTree(s: java.io.File): Unit = {
+      if (s.isDirectory) s.listFiles().foreach(deleteTree)
+      s.delete(); ()
+    }
+    copyTree(src, dst)
+    deleteTree(src)
+    true
+  }
+}

@@ -50,6 +50,14 @@ if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
   WH_URI="hdfs://graftsim$WH"
   echo "-- hdfs-sim mode: warehouse URI $WH_URI"
 fi
+# SPARK_GRAFT_S3_SIM=true likewise resolves the warehouse through the
+# s3a:// scheme (graft.sources.S3SimFileSystem — object-store semantics:
+# copy+delete rename, silent setTimes, conditional-put create) and adds
+# leg C below: a kill -9 INSIDE the non-atomic swap copy.
+if [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  WH_URI="s3a://graftbucket$WH"
+  echo "-- s3-sim mode: warehouse URI $WH_URI"
+fi
 setsid env SPARK_GRAFT_WAREHOUSE="$WH_URI" \
   $RUN graft.Verify $SF $OUT/a q120 >/tmp/crash_a.log 2>&1 &
 A=$!
@@ -100,4 +108,58 @@ $RUN graft.StreamRestartProbe check $SF $ROOT >/tmp/restart_check.log 2>&1
 grep -a "RESTARTPROBE ALL OK" /tmp/restart_check.log || \
   { echo "FAIL: crashed+resumed decisions diverge from uninterrupted run"; cat /tmp/restart_check.log | grep -a RESTARTPROBE; exit 1; }
 echo "leg B OK: driver death after 2 batches -> checkpoint resume -> identical decisions"
+
+# leg C (s3-sim mode only): kill -9 INSIDE the publish swap's COPY phase.
+# On an object store rename(stage -> serve) is per-object copy + delete,
+# not a metadata op — a writer dying mid-swap leaves a PARTIAL serve
+# directory (possibly with a complete-looking marker: the marker sorts
+# first in the copy order). The next JVM must refuse to serve the torn
+# table (manifest mismatch), stale-break the dead lease, retire the
+# partial dir aside, rebuild, and pass the oracle with zero debris.
+# SPARK_GRAFT_S3_SLOW_RENAME_MS widens the copy window enough to land
+# the kill deterministically.
+if [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  echo "== leg C: kill -9 a publisher mid-SWAP-COPY (s3 rename is copy+delete)"
+  WH2=$(mktemp -d /tmp/graft-crash-wh.XXXX); rm -rf "$WH2"
+  OUT2=$(mktemp -d /tmp/graft-crash-out.XXXX)
+  WH2_URI="s3a://graftbucket$WH2"
+  setsid env SPARK_GRAFT_WAREHOUSE="$WH2_URI" SPARK_GRAFT_S3_SLOW_RENAME_MS=150 \
+    $RUN graft.Verify $SF $OUT2/a q120 >/tmp/crash_c.log 2>&1 &
+  C=$!
+  # mid-swap signature: a serve dir X exists WHILE its X._GRAFT_STAGE_*
+  # sibling still exists — only the swap's copy/delete phases expose
+  # both (the committer's internal renames all land inside the stage)
+  TBL=""
+  for i in $(seq 1 2400); do
+    for d in "$WH2"/*._GRAFT_STAGE_*; do
+      [[ -e "$d" ]] || continue
+      t="${d%%._GRAFT_STAGE_*}"
+      [[ -d "$t" ]] && { TBL="$t"; break 2; }
+    done
+    sleep 0.05
+  done
+  [[ -n "$TBL" ]] || { echo "FAIL: never observed the mid-swap window"; exit 1; }
+  kill -9 -- "-$C" 2>/dev/null || kill -9 "$C" || true
+  wait "$C" 2>/dev/null || true
+  SERVE_N=$(find "$TBL" -maxdepth 1 -type f -name "part-*" 2>/dev/null | wc -l)
+  STAGE_N=$(find "$TBL"._GRAFT_STAGE_* -maxdepth 1 -type f -name "part-*" 2>/dev/null | wc -l)
+  echo "-- at kill: serve '$(basename "$TBL")' has $SERVE_N/$STAGE_N data files"
+  [[ "$SERVE_N" -lt "$STAGE_N" ]] || \
+    { echo "FAIL: kill landed after the copy phase completed ($SERVE_N/$STAGE_N)"; exit 1; }
+  ls "$WH2" | grep -q "_GRAFT_LEASE$" || { echo "FAIL: dead writer left no lease"; exit 1; }
+  sleep 3
+  SPARK_GRAFT_WAREHOUSE="$WH2_URI" SPARK_GRAFT_LEASE_STALE_MS=2000 \
+    $RUN graft.Verify $SF $OUT2/b q120 >/tmp/crash_c2.log 2>&1
+  grep -aq "\[verify\].*failed" /tmp/crash_c2.log && \
+    { echo "FAIL: the rebuilding JVM reported a query failure"; exit 1; }
+  python3 tools/oracle_check.py "$SF" "$OUT2/b" | tail -1
+  python3 tools/oracle_check.py "$SF" "$OUT2/b" >/dev/null || \
+    { echo "FAIL: rebuilt index failed the oracle"; exit 1; }
+  ls "$WH2" | grep -q "_GRAFT_STAGE_" && { echo "FAIL: stage debris remains"; exit 1; }
+  ls "$WH2" | grep -q "_GRAFT_RETIRE_" && { echo "FAIL: retire debris remains"; exit 1; }
+  ls "$WH2" | grep -q "_GRAFT_LEASE" && { echo "FAIL: lease/break debris remains"; exit 1; }
+  ls "$WH2"/graft_annidx_cells_*/_GRAFT_PUBLISHED >/dev/null 2>&1 || \
+    { echo "FAIL: rebuilt table carries no marker"; exit 1; }
+  echo "leg C OK: mid-swap-copy death -> torn serve refused -> stale-break -> clean rebuild, oracle green"
+fi
 echo "ALL OK"
