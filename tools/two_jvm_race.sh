@@ -29,6 +29,11 @@ RUN="tools/graft_java.sh"
 wh_uri() {
   if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
     echo "hdfs://graftsim$1"
+  elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+    # object-store semantics (S3SimFileSystem): the same cross-JVM
+    # races with copy+delete renames, no-op setTimes (heartbeats must
+    # content-bump), and conditional-put create-new
+    echo "s3a://graftbucket$1"
   else
     echo "$1"
   fi
