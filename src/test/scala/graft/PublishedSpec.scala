@@ -420,6 +420,92 @@ class PublishedSpec extends SparkSpec {
       "a new source file must change the fingerprint")
   }
 
+  test("stale-break chaos hammer: heartbeating holders, corpse leases, and " +
+      "breakers interleaved for 10s — exclusion and liveness both hold") {
+    // The plain hammer above never lets a lease go stale (1 ms bodies,
+    // 30 min threshold) — it exercises only acquire/lose/release. THIS
+    // hammer runs the full protocol state machine under contention:
+    // staleMs=2s, holder bodies up to 2.25x the threshold (alive only
+    // through the heartbeat), a corpse injector dropping dead leases
+    // (the kill -9 artifact) that workers must stale-break, and every
+    // failed acquisition attempting the break path concurrently. On a
+    // NON-file scheme with ATOMIC create-new (the hdfs sim — the mock
+    // scheme's check-then-act create would false-fail exclusion, which
+    // is LeaseContractSpec's point), so heartbeats run as content
+    // bumps and breaks race torn rewrites. Invariants:
+    //   SAFETY — never two holders inside the body at once, and no
+    //     LIVE (heartbeating) holder is ever broken (assertLeaseOwned
+    //     at body end never throws LeaseLost);
+    //   LIVENESS — workers keep winning despite corpses (every corpse
+    //     is eventually broken), and the end state carries no
+    //     lease/break debris.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.hdfs.impl", classOf[graft.sources.HdfsSimFileSystem].getName)
+    val dir = Files.createTempDirectory("pubspec_chaos")
+    val loc = new HPath(s"hdfs://graftsim$dir/chaos_table")
+    val fs = Published.fsOf(loc)
+    val leaseHP = new HPath(s"hdfs://graftsim$dir/chaos_table._GRAFT_LEASE")
+    val staleMs = 2000L
+    val deadline = System.currentTimeMillis() + 10000
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val leaseLost = new java.util.concurrent.atomic.AtomicInteger(0)
+    val corpses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val workers = (1 to 4).map { tid =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(42 + tid)
+        while (System.currentTimeMillis() < deadline) {
+          try {
+            Published.withLease(loc, s"chaos-$tid", staleMs = staleMs) {
+              if (active.incrementAndGet() != 1) overlaps.incrementAndGet()
+              // mostly short holds; ~1 in 6 holds 4.5s — 2.25x the stale
+              // threshold, alive only through the content-bump heartbeat
+              Thread.sleep(if (rnd.nextInt(6) == 0) 4500 else 100 + rnd.nextInt(600))
+              active.decrementAndGet()
+              try { Published.assertLeaseOwned(loc); wins.incrementAndGet() }
+              catch { case _: Published.LeaseLost => leaseLost.incrementAndGet() }
+            }
+            // a publisher does not instantly republish — and the idle
+            // window is what lets the corpse injector land its artifact
+            Thread.sleep(100 + rnd.nextInt(200))
+          } catch { case _: Published.LeaseHeld => Thread.sleep(50 + rnd.nextInt(100)) }
+        }
+      })
+    }
+    val injector = new Thread(() => {
+      var n = 0
+      while (System.currentTimeMillis() < deadline) {
+        Thread.sleep(25)
+        // the kill -9 artifact: a valid-looking lease with no process
+        // (no heartbeat) behind it — lands only when nobody holds the
+        // lease; workers must age it out and break it. After landing
+        // one, back off so workers get to break it and make progress.
+        if (Published.createNewAtomic(fs, leaseHP,
+            s"corpse#0#$n#0\nchaos-corpse".getBytes("UTF-8"))) {
+          corpses.incrementAndGet(); n += 1
+          Thread.sleep(staleMs)
+        }
+      }
+    })
+    (workers :+ injector).foreach(_.start())
+    (workers :+ injector).foreach(_.join(40000))
+    assert(overlaps.get() == 0, s"${overlaps.get()} overlapping holders")
+    assert(leaseLost.get() == 0,
+      s"${leaseLost.get()} LIVE heartbeating holders were broken — the " +
+        "heartbeat failed to keep a legitimate long hold alive")
+    assert(wins.get() >= 3, s"liveness: expected several wins, got ${wins.get()}")
+    assert(corpses.get() >= 1, s"the injector never landed a corpse")
+    // drain: whatever the end state (held, corpse, or clean), one final
+    // acquisition after the stale threshold must go through and leave
+    // nothing behind
+    Thread.sleep(staleMs + 500)
+    Published.withLease(loc, "chaos-final", staleMs = staleMs) { () }
+    assert(!fs.exists(leaseHP), "no lease debris after the final release")
+    assert(!fs.exists(new HPath(leaseHP.getParent,
+      leaseHP.getName + ".break")), "no break-claim debris")
+  }
+
   test("restampManifest is the append commit: unstamped appends are refused, stamped serve") {
     import spark.implicits._
     val tbl = "pubspec_restamp"
