@@ -60,7 +60,11 @@ object Session {
     // resolves identically under local-cluster's separate worker JVMs.
     val b1 = if (sys.env.get("SPARK_GRAFT_HDFS_SIM").contains("true"))
       b.config("spark.hadoop.fs.hdfs.impl",
-        classOf[graft.sources.HdfsSimFileSystem].getName)
+          classOf[graft.sources.HdfsSimFileSystem].getName)
+        // the FileContext face of the same sim (streaming checkpoints
+        // resolve through AbstractFileSystem, not FileSystem)
+        .config("spark.hadoop.fs.AbstractFileSystem.hdfs.impl",
+          classOf[graft.sources.HdfsSimAbstractFileSystem].getName)
     else b
     // SPARK_GRAFT_S3_SIM=true likewise intercepts the `s3a` scheme with
     // graft.sources.S3SimFileSystem — OBJECT-STORE semantics (copy+delete
@@ -71,7 +75,9 @@ object Session {
     // its scheme hijacked.
     if (sys.env.get("SPARK_GRAFT_S3_SIM").contains("true"))
       b1.config("spark.hadoop.fs.s3a.impl",
-        classOf[graft.sources.S3SimFileSystem].getName)
+          classOf[graft.sources.S3SimFileSystem].getName)
+        .config("spark.hadoop.fs.AbstractFileSystem.s3a.impl",
+          classOf[graft.sources.S3SimAbstractFileSystem].getName)
     else b1
   }
 

@@ -71,18 +71,16 @@ object StreamRestartProbe {
 
     /** The ids present in the stream's commit log — one file per
       * committed batch, named by batch id, written atomically after the
-      * batch's sink writes land and before the next trigger plans. */
+      * batch's sink writes land and before the next trigger plans.
+      * Hadoop-FS resolution, not java.nio: the probe root may carry a
+      * foreign scheme (the hdfs/s3 sims), and the commit log lives
+      * wherever the checkpoint does. */
     def committedBatches(ckpt: String): Seq[Long] = {
-      val commits = java.nio.file.Paths.get(ckpt, "commits")
-      if (!java.nio.file.Files.isDirectory(commits)) Seq.empty
-      else {
-        val s = java.nio.file.Files.list(commits)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
-        } finally s.close()
-      }
+      val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
+      val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(commits)) Seq.empty
+      else fs.listStatus(commits).map(_.getPath.getName)
+        .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
     }
 
     def runSink(tag: String, haltAfterBatches: Int): Unit = {
@@ -94,9 +92,11 @@ object StreamRestartProbe {
         // commit — so the driver dies with exactly `haltAfterBatches`
         // batches on disk. run2 re-verifies that from the log itself.
         val watcher = new Thread(() => {
-          val target = java.nio.file.Paths.get(
-            ckpt, "commits", (haltAfterBatches - 1).toString)
-          while (!java.nio.file.Files.exists(target)) Thread.sleep(5)
+          val target = new org.apache.hadoop.fs.Path(
+            s"$ckpt/commits/${haltAfterBatches - 1}")
+          val tfs = target.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          while (!tfs.exists(target)) Thread.sleep(5)
           println(s"RESTARTPROBE halting driver after committed " +
             s"batch ${haltAfterBatches - 1}")
           System.out.flush()

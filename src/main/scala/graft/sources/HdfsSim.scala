@@ -81,6 +81,17 @@ private[graft] trait MaterializedPermissions extends RawLocalFileSystem {
     super.listStatus(f).map(worm)
 }
 
+/** The [[org.apache.hadoop.fs.AbstractFileSystem]] face of the hdfs sim
+  * (`fs.AbstractFileSystem.hdfs.impl`): the FileContext API — which
+  * Spark's streaming CheckpointFileManager prefers — would otherwise
+  * resolve the `hdfs` scheme to the real `org.apache.hadoop.fs.Hdfs`
+  * client and dial a namenode called `graftsim`. Registered only under
+  * the same opt-in env as the sim itself. */
+class HdfsSimAbstractFileSystem(uri: java.net.URI,
+                                conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new HdfsSimFileSystem, conf, "hdfs", false)
+
 /** An HDFS-SEMANTICS simulation filesystem — the closest executable
   * stand-in this zero-egress image allows for the r13 verdict's
   * MiniDFSCluster ask (the image ships only `hadoop-client-api` /

@@ -131,10 +131,16 @@ object Published {
   // resolves it like every session JVM instead of dialing a namenode.
   private lazy val defaultConf = {
     val c = new Configuration()
-    if (sys.env.get("SPARK_GRAFT_HDFS_SIM").contains("true"))
+    if (sys.env.get("SPARK_GRAFT_HDFS_SIM").contains("true")) {
       c.set("fs.hdfs.impl", classOf[HdfsSimFileSystem].getName)
-    if (sys.env.get("SPARK_GRAFT_S3_SIM").contains("true"))
+      c.set("fs.AbstractFileSystem.hdfs.impl",
+        classOf[HdfsSimAbstractFileSystem].getName)
+    }
+    if (sys.env.get("SPARK_GRAFT_S3_SIM").contains("true")) {
       c.set("fs.s3a.impl", classOf[S3SimFileSystem].getName)
+      c.set("fs.AbstractFileSystem.s3a.impl",
+        classOf[S3SimAbstractFileSystem].getName)
+    }
     c
   }
   private def hconf: Configuration =

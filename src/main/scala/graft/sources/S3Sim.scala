@@ -21,6 +21,19 @@ private[graft] object S3Sim {
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
 }
 
+/** The [[org.apache.hadoop.fs.AbstractFileSystem]] face of the s3 sim —
+  * what the FileContext API resolves (`fs.AbstractFileSystem.s3a.impl`).
+  * Spark's streaming CheckpointFileManager prefers FileContext, so a
+  * checkpoint located under `s3a://` needs this binding exactly like a
+  * real deployment needs hadoop-aws's `S3A` class; without it the
+  * stream dies at plan time with ClassNotFoundException (found by the
+  * first s3-rooted StreamRestartProbe run). Delegation preserves the
+  * sim's semantics — FileContext renames route to the copy+delete
+  * [[S3SimFileSystem.rename]]. */
+class S3SimAbstractFileSystem(uri: URI, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new S3SimFileSystem, conf, "s3a", false)
+
 /** An OBJECT-STORE-SEMANTICS simulation filesystem — the third storage
   * class the publish machinery claims to survive, after POSIX local and
   * the HDFS sim ([[HdfsSimFileSystem]]). Registered under the `s3a`

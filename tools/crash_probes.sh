@@ -94,6 +94,15 @@ echo "leg A OK: mid-publish death -> stale-break -> clean rebuild, oracle green"
 
 echo "== leg B: halt the streaming driver after 2 committed batches, resume in a new JVM"
 ROOT=$(mktemp -d /tmp/graft-restart.XXXX)
+# in a sim mode the probe root — SOURCE, CHECKPOINT, sink, index — all
+# resolve through the foreign scheme too: the stream's commit log and
+# resume machinery run on the simulated store's semantics (FileContext
+# resolves the sims' AbstractFileSystem delegates)
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  ROOT="hdfs://graftsim$ROOT"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  ROOT="s3a://graftbucket$ROOT"
+fi
 $RUN graft.StreamRestartProbe base $SF $ROOT >/tmp/restart_base.log 2>&1
 grep -a "RESTARTPROBE base" /tmp/restart_base.log || { echo "FAIL: base leg produced nothing"; exit 1; }
 # run1 halts its own JVM (exit 137) — the nonzero exit is expected
