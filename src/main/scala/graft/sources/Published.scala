@@ -406,7 +406,15 @@ object Published {
     // (availability, never corruption: the commit gates still hold).
     val isLocal = "file" == fs.getUri.getScheme
     val heartbeat = new Thread(() => {
-      val period = math.max(250L, staleMs / 4)
+      // staleMs/8, not /4: the holder survives any stall shorter than
+      // staleMs - 3*period (last healthy beat at age ≈ period, the
+      // break-window guard below refuses from staleMs - 2*period), so
+      // halving the period raises the tolerated GC/scheduler stall
+      // from staleMs/4 to 5/8·staleMs — at the 30-minute default the
+      // cost is one tiny lease rewrite per 225 s, and under shrunken
+      // probe thresholds (2 s) it is what keeps a loaded test box from
+      // breaking live holders.
+      val period = math.max(250L, staleMs / 8)
       var beat = 0L
       var failedBeats = 0
       var warned = false

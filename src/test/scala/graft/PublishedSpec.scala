@@ -421,7 +421,8 @@ class PublishedSpec extends SparkSpec {
   }
 
   test("stale-break chaos hammer: heartbeating holders, corpse leases, and " +
-      "breakers interleaved for 10s — exclusion and liveness both hold") {
+      "breakers interleaved until liveness targets met — exclusion and " +
+      "liveness both hold") {
     // The plain hammer above never lets a lease go stale (1 ms bodies,
     // 30 min threshold) — it exercises only acquire/lose/release. THIS
     // hammer runs the full protocol state machine under contention:
@@ -446,16 +447,48 @@ class PublishedSpec extends SparkSpec {
     val fs = Published.fsOf(loc)
     val leaseHP = new HPath(s"hdfs://graftsim$dir/chaos_table._GRAFT_LEASE")
     val staleMs = 2000L
-    val deadline = System.currentTimeMillis() + 10000
+    // ADAPTIVE window, not a fixed one: a fixed 10 s draw sometimes
+    // fits only two completed holds (two 4.5 s heartbeat-survival
+    // holds plus the ≥2 s a corpse must age before anyone can break
+    // it), which failed the liveness count without any protocol
+    // misbehavior. The chaos runs until the liveness targets are met
+    // (≥3 wins, ≥1 corpse, ≥8 s of real interleaving) or a 25 s hard
+    // cap — so the count assertions below only trip on genuine
+    // no-progress, never on an unlucky schedule.
+    val start = System.currentTimeMillis()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
     val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
     val wins = new java.util.concurrent.atomic.AtomicInteger(0)
     val leaseLost = new java.util.concurrent.atomic.AtomicInteger(0)
     val corpses = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Scheduler watchdog: the heartbeat survives any stall shorter
+    // than staleMs - 3*period (the break-window guard refuses beats
+    // from staleMs - 2*period, healthy beats land at age ≈ period) —
+    // 1250 ms at these settings. A loaded test box (parallel suites,
+    // GC) can stall threads longer than that, and then a live holder
+    // LEGITIMATELY loses its lease: that is the protocol's documented
+    // availability trade, not a safety failure. Measure the worst
+    // observed stall so the liveness assertions can tell the two
+    // apart; the SAFETY invariant (no overlapping holders) stays
+    // absolute either way.
+    val maxStall = new java.util.concurrent.atomic.AtomicLong(0)
+    val watchdogDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = new Thread(() => {
+      var prev = System.nanoTime()
+      while (!watchdogDone.get()) {
+        Thread.sleep(50)
+        val now = System.nanoTime()
+        val stall = (now - prev) / 1000000L - 50
+        if (stall > maxStall.get()) maxStall.set(stall)
+        prev = now
+      }
+    })
+    watchdog.setDaemon(true)
     val workers = (1 to 4).map { tid =>
       new Thread(() => {
         val rnd = new scala.util.Random(42 + tid)
-        while (System.currentTimeMillis() < deadline) {
+        while (!done.get()) {
           try {
             Published.withLease(loc, s"chaos-$tid", staleMs = staleMs) {
               if (active.incrementAndGet() != 1) overlaps.incrementAndGet()
@@ -475,7 +508,7 @@ class PublishedSpec extends SparkSpec {
     }
     val injector = new Thread(() => {
       var n = 0
-      while (System.currentTimeMillis() < deadline) {
+      while (!done.get()) {
         Thread.sleep(25)
         // the kill -9 artifact: a valid-looking lease with no process
         // (no heartbeat) behind it — lands only when nobody holds the
@@ -488,13 +521,34 @@ class PublishedSpec extends SparkSpec {
         }
       }
     })
+    watchdog.start()
     (workers :+ injector).foreach(_.start())
+    while (!done.get()) {
+      Thread.sleep(100)
+      val elapsed = System.currentTimeMillis() - start
+      if ((wins.get() >= 3 && corpses.get() >= 1 && elapsed >= 8000) ||
+          elapsed >= 25000) done.set(true)
+    }
     (workers :+ injector).foreach(_.join(40000))
+    watchdogDone.set(true)
     assert(overlaps.get() == 0, s"${overlaps.get()} overlapping holders")
-    assert(leaseLost.get() == 0,
-      s"${leaseLost.get()} LIVE heartbeating holders were broken — the " +
-        "heartbeat failed to keep a legitimate long hold alive")
-    assert(wins.get() >= 3, s"liveness: expected several wins, got ${wins.get()}")
+    // the heartbeat's stall budget at these settings (staleMs=2000,
+    // period=250): beats refuse inside the 2-period break window, so
+    // anything under staleMs - 3*period is survivable; leave one
+    // period of measurement slack below that line
+    val stallBudget = staleMs - 4 * 250
+    val starved = maxStall.get() > stallBudget
+    if (starved) info(s"scheduler stalls up to ${maxStall.get()} ms " +
+      s"(budget $stallBudget ms) — live-holder breaks are legitimate " +
+      "this run; liveness thresholds relaxed")
+    assert(leaseLost.get() == 0 || starved,
+      s"${leaseLost.get()} LIVE heartbeating holders were broken under a " +
+        s"responsive scheduler (max stall ${maxStall.get()} ms ≤ budget " +
+        s"$stallBudget ms) — the heartbeat failed to keep a legitimate " +
+        "long hold alive")
+    assert(wins.get() >= (if (starved) 1 else 3),
+      s"liveness: expected several wins, got ${wins.get()} " +
+        s"(max stall ${maxStall.get()} ms)")
     assert(corpses.get() >= 1, s"the injector never landed a corpse")
     // drain: whatever the end state (held, corpse, or clean), one final
     // acquisition after the stale threshold must go through and leave
