@@ -608,6 +608,50 @@ object Published {
       graft.expressions.GraftHash.h60(buf.sorted.mkString("|").getBytes("UTF-8")))
   }
 
+  /** The manifest hash each session last SERVED a table at — the
+    * staleness edge Spark's relation cache cannot see. A catalog table
+    * resolves through SessionCatalog's tableRelationCache, whose file
+    * index was listed when the table was last (re)planned; a FOREIGN
+    * JVM's republish swaps the files underneath without touching this
+    * session's catalog, so the next scan would read a deleted
+    * generation's paths (FileNotFoundException at best). [[ensure]]
+    * already re-reads the marker manifest on every serve — remembering
+    * what it served last makes the swap detectable: manifest changed ⇒
+    * `refreshTable` (drop the cached relation; next plan re-lists).
+    * Keyed weakly per session: the relation cache being invalidated is
+    * itself per-session state. */
+  private val servedManifests =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def manifestsOf(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, String] =
+    servedManifests.synchronized {
+      var mm = servedManifests.get(spark)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        servedManifests.put(spark, mm)
+      }
+      mm
+    }
+
+  /** Record the manifest a fresh declare/publish just served — the
+    * relation cache is fresh at this instant, no refresh needed. */
+  private def recordServed(spark: SparkSession, tbl: String,
+                           manifest: String): Unit =
+    manifestsOf(spark).put(tbl, manifest)
+
+  /** Catalog-hit path: the table was planned some time ago — if the
+    * manifest moved since (or this session has no record of what it
+    * planned), drop the cached relation so the next plan re-lists. One
+    * extra LIST beats scanning a retired generation's deleted paths. */
+  private def noteServed(spark: SparkSession, tbl: String,
+                         manifest: String): Unit = {
+    val prev = manifestsOf(spark).put(tbl, manifest)
+    if (prev != manifest && spark.catalog.tableExists(tbl))
+      spark.catalog.refreshTable(tbl)
+  }
+
   /** Marker header (buckets, bucketCol, fp, manifest, schemaDdl) if
     * present and well-formed. */
   private def readMarker(fs: FileSystem, loc: HPath): Option[Array[String]] = {
@@ -683,7 +727,15 @@ object Published {
         catch { case _: java.io.IOException => throw e }
       }
     if (spark.catalog.tableExists(tbl)) {
-      if (matched.isDefined) return true
+      if (matched.isDefined) {
+        // the files can have been swapped by a FOREIGN JVM's republish
+        // since this session last planned the table — same fp, new
+        // manifest. The marker matches, but the cached relation's file
+        // index would still point at the retired (deleted) generation:
+        // refresh on manifest change so the next plan re-lists.
+        noteServed(spark, tbl, matched.get(3))
+        return true
+      }
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
       return false
     }
@@ -692,7 +744,8 @@ object Published {
       case Some(m) =>
         // a torn schema line must degrade to `false` — the rebuild
         // clears the location and self-heals — not throw on every call
-        try { declare(spark, tbl, bucketCol, buckets, m(4), loc); true }
+        try { declare(spark, tbl, bucketCol, buckets, m(4), loc)
+              recordServed(spark, tbl, m(3)); true }
         catch {
           case scala.util.control.NonFatal(_) =>
             if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE `$tbl`")
@@ -748,8 +801,9 @@ object Published {
         .option("path", stage.toString)
         .format("parquet").saveAsTable(stageTbl)
       spark.sql(s"DROP TABLE `$stageTbl`") // external: the files stay
+      val stagedManifest = manifestHash(fs, stage)
       writeFile(fs, markerPath(stage), markerBytes(
-        buckets, bucketCol, fp, manifestHash(fs, stage), frame.schema.toDDL))
+        buckets, bucketCol, fp, stagedManifest, frame.schema.toDDL))
       // commit gate: a publish that overran the stale threshold lost
       // its lease to a breaker — fail loudly BEFORE touching the serve
       // location; the staged files are this writer's private garbage
@@ -775,6 +829,9 @@ object Published {
       } else if (!fs.rename(stage, qloc))
         throw new java.io.IOException(s"publish swap $stage -> $qloc failed")
       declare(spark, tbl, bucketCol, buckets, frame.schema.toDDL, qloc)
+      // relative paths survive the swap rename, so the serve manifest
+      // equals the one stamped into the stage's marker
+      recordServed(spark, tbl, stagedManifest)
     }
 
   /** Re-stamp the marker's manifest hash over the location's CURRENT
@@ -792,9 +849,13 @@ object Published {
     val m = readMarker(fs, loc).getOrElse(throw new IllegalStateException(
       s"restampManifest($tbl): no well-formed marker at $loc"))
     val tmp = new HPath(loc, Marker + ".tmp")
+    val manifest = manifestHash(fs, loc)
     writeFile(fs, tmp,
-      markerBytes(m(0).toInt, m(1), m(2), manifestHash(fs, loc), m(4)))
+      markerBytes(m(0).toInt, m(1), m(2), manifest, m(4)))
     replace(fs, tmp, markerPath(loc))
+    // the appender's own catalog entry planned the pre-append file set;
+    // refresh it so this session's next scan sees the appended files
+    noteServed(spark, tbl, manifest)
   }
 
   private def pid(): String =

@@ -560,6 +560,35 @@ class PublishedSpec extends SparkSpec {
       leaseHP.getName + ".break")), "no break-claim debris")
   }
 
+  test("a foreign republish is detected at serve time: ensure refreshes the " +
+      "stale cached relation instead of scanning the retired generation") {
+    // Two sessions share the external catalog but have SEPARATE
+    // relation caches — the same shape as two JVMs sharing a
+    // warehouse: a republish by one leaves the other's cached file
+    // listing pointing at the retired (deleted) generation. ensure()'s
+    // manifest re-check must notice the manifest moved since this
+    // session last planned the table and refresh, or the next scan
+    // throws FileNotFoundException on the old paths (the failure
+    // two_jvm_race.sh leg 3 observes live, cross-JVM).
+    import spark.implicits._
+    val tbl = "pubspec_foreign_swap"
+    val fp = "f0re1gn"
+    val reader = spark.newSession()
+    Published.write(spark, tbl, "k", 2, fp,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(Published.ensure(reader, tbl, "k", 2, fp), "reader attaches")
+    assert(reader.table(tbl).count() == 2) // plans + caches the listing
+    // the "foreign" republish: same fingerprint and schema, new files
+    Published.write(spark, tbl, "k", 2, fp,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    assert(Published.ensure(reader, tbl, "k", 2, fp),
+      "reader re-serves the republished generation")
+    assert(reader.table(tbl).count() == 3,
+      "the re-serve must read the NEW generation's files — a stale " +
+        "cached listing would have thrown on the retired paths")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   test("restampManifest is the append commit: unstamped appends are refused, stamped serve") {
     import spark.implicits._
     val tbl = "pubspec_restamp"

@@ -131,4 +131,40 @@ grep -aq "LEASEHOLD released" /tmp/leasehold_race.log ||
   { echo "FAIL: leasehold JVM did not report a clean release"; exit 1; }
 python3 tools/oracle_check.py "$SF" "$OUT_C" | tail -1
 echo "leg 2 OK: contended compaction waited out the 90s foreign lease and passed"
+
+echo "== leg 3: a long-lived reader re-serves across a rival's republish swaps"
+# the r13 verdict's remaining swap caveat, from the READER's seat: while
+# a hammer JVM republishes orders_bucketed (identical content, same
+# fingerprint — full staged-write -> retire-aside -> swap each round),
+# a reader JVM re-serves the q50 join through the per-serve contract.
+# Every completed serve must equal the first; landing inside a swap
+# window is a counted RETRY (stale listing / absent marker), never
+# wrong rows; the final serve passes the DuckDB oracle.
+SWAP_WH=$(mktemp -d /tmp/graft-race-swh.XXXX); rm -rf "$SWAP_WH"
+OUT_R=$(mktemp -d /tmp/graft-race-r.XXXX)
+# cold-publish one generation first so the reader starts on a served table
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$SWAP_WH") $RUN graft.ServeLoop $SF $OUT_R 1 >/tmp/serve_cold.log 2>&1
+grep -aq "SERVELOOP OK" /tmp/serve_cold.log || { echo "FAIL: cold serve failed"; exit 1; }
+# in s3 mode, stretch the hammer's per-object copy so the reader lands
+# inside the (copy+delete) swap window reliably — crash-probe leg C's knob
+HAMMER_ENV=""
+if [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then HAMMER_ENV="SPARK_GRAFT_S3_SLOW_RENAME_MS=100"; fi
+env $HAMMER_ENV SPARK_GRAFT_WAREHOUSE=$(wh_uri "$SWAP_WH") $RUN graft.RepublishHammer $SF 6 >/tmp/republish.log 2>&1 &
+R3=$!
+SPARK_GRAFT_WAREHOUSE=$(wh_uri "$SWAP_WH") $RUN graft.ServeLoop $SF $OUT_R 15 >/tmp/serveloop.log 2>&1 || \
+  { echo "FAIL: reader died across republish swaps"; grep -a SERVELOOP /tmp/serveloop.log | tail -5; exit 1; }
+wait $R3
+grep -aq "REPUBLISH HAMMER done" /tmp/republish.log || \
+  { echo "FAIL: republish hammer did not finish its rounds"; exit 1; }
+grep -a "SERVELOOP OK" /tmp/serveloop.log
+python3 tools/oracle_check.py "$SF" "$OUT_R" | tail -1
+python3 tools/oracle_check.py "$SF" "$OUT_R" >/dev/null || \
+  { echo "FAIL: reader's final serve failed the oracle"; exit 1; }
+# evidence line: did the reader actually overlap the hammer's swaps?
+if grep -aq "raced a swap" /tmp/serveloop.log; then
+  echo "leg 3 evidence: CONTENDED (reader landed inside a swap window and retried)"
+else
+  echo "leg 3 evidence: no swap window hit this run (republishes committed between serves)"
+fi
+echo "leg 3 OK: reader served identical oracle-checked rows across $(grep -ac 'REPUBLISH .* committed' /tmp/republish.log) republish swaps"
 echo "ALL OK"
