@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared machinery of the driver-death stream probes
+  * ([[StreamRestartProbe]], [[MaintainRestartProbe]]): reading a
+  * stream's checkpoint COMMIT LOG and halting the driver the instant a
+  * target batch commits.
+  *
+  * Hadoop-FS resolution throughout, not java.nio: probe roots may
+  * carry a foreign scheme (the hdfs/s3 sims), and the commit log lives
+  * wherever the checkpoint does. */
+private[graft] object RestartKit {
+
+  /** The ids present in the stream's commit log — one file per
+    * committed batch, named by batch id, written atomically after the
+    * batch's sink writes land and before the next trigger plans. */
+  def committedBatches(spark: SparkSession, ckpt: String): Seq[Long] = {
+    val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) Seq.empty
+    else fs.listStatus(commits).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+  }
+
+  /** Kill-switch gated on the COMMIT LOG, not the listener bus (r13
+    * advice #4: a progress listener fires asynchronously, so extra
+    * batches could commit — or the stream drain entirely — between the
+    * event being posted and the halt executing): a daemon thread polls
+    * `<ckpt>/commits/<haltAfterBatches-1>` — written atomically
+    * (temp + rename) by HDFSMetadataLog immediately after that batch
+    * commits, BEFORE the next trigger's work starts — every 5 ms and
+    * `Runtime.halt`s (a kill -9-grade death: no shutdown hooks, no
+    * stream.stop) the moment it lands. The next batch's full
+    * read/transform/write cycle is orders of magnitude longer than the
+    * poll period; the resuming phase re-verifies the actual death
+    * point from the log itself, so any residual overrun is LOUD. */
+  def haltOnCommit(spark: SparkSession, ckpt: String,
+                   haltAfterBatches: Int): Unit = {
+    val watcher = new Thread(() => {
+      val target = new org.apache.hadoop.fs.Path(
+        s"$ckpt/commits/${haltAfterBatches - 1}")
+      val tfs = target.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      while (!tfs.exists(target)) Thread.sleep(5)
+      println(s"RESTARTPROBE halting driver after committed " +
+        s"batch ${haltAfterBatches - 1}")
+      System.out.flush()
+      Runtime.getRuntime.halt(137)
+    })
+    watcher.setDaemon(true)
+    watcher.start()
+  }
+}

@@ -69,42 +69,18 @@ object StreamRestartProbe {
     def corpusIndex = graft.operators.Dedup.bandedIndex(
       docs.filter(col("doc_id") < cut).select("doc_id", "text"))
 
-    /** The ids present in the stream's commit log — one file per
-      * committed batch, named by batch id, written atomically after the
-      * batch's sink writes land and before the next trigger plans.
-      * Hadoop-FS resolution, not java.nio: the probe root may carry a
-      * foreign scheme (the hdfs/s3 sims), and the commit log lives
-      * wherever the checkpoint does. */
-    def committedBatches(ckpt: String): Seq[Long] = {
-      val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
-      val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(commits)) Seq.empty
-      else fs.listStatus(commits).map(_.getPath.getName)
-        .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
-    }
+    def committedBatches(ckpt: String): Seq[Long] =
+      RestartKit.committedBatches(spark, ckpt)
 
     def runSink(tag: String, haltAfterBatches: Int): Unit = {
       val ckpt = s"$root/ckpt_$tag"
-      if (haltAfterBatches > 0) {
-        // kill-switch gated on the COMMIT LOG, not the listener bus:
-        // commit file N-1 appears the instant batch N-1 is durable,
-        // strictly before batch N's (hundreds-of-ms) work could
-        // commit — so the driver dies with exactly `haltAfterBatches`
-        // batches on disk. run2 re-verifies that from the log itself.
-        val watcher = new Thread(() => {
-          val target = new org.apache.hadoop.fs.Path(
-            s"$ckpt/commits/${haltAfterBatches - 1}")
-          val tfs = target.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          while (!tfs.exists(target)) Thread.sleep(5)
-          println(s"RESTARTPROBE halting driver after committed " +
-            s"batch ${haltAfterBatches - 1}")
-          System.out.flush()
-          Runtime.getRuntime.halt(137)
-        })
-        watcher.setDaemon(true)
-        watcher.start()
-      }
+      // kill-switch gated on the COMMIT LOG, not the listener bus:
+      // commit file N-1 appears the instant batch N-1 is durable,
+      // strictly before batch N's (hundreds-of-ms) work could
+      // commit — so the driver dies with exactly `haltAfterBatches`
+      // batches on disk. run2 re-verifies that from the log itself.
+      if (haltAfterBatches > 0)
+        RestartKit.haltOnCommit(spark, ckpt, haltAfterBatches)
       val in = spark.readStream
         .schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)

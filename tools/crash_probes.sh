@@ -118,6 +118,34 @@ grep -a "RESTARTPROBE ALL OK" /tmp/restart_check.log || \
   { echo "FAIL: crashed+resumed decisions diverge from uninterrupted run"; cat /tmp/restart_check.log | grep -a RESTARTPROBE; exit 1; }
 echo "leg B OK: driver death after 2 batches -> checkpoint resume -> identical decisions"
 
+echo "== leg D: halt the index-maintenance stream driver after 2 committed batches, resume in a new JVM"
+# StreamRestartProbe's twin over the PUBLISHED-index lifecycle: every
+# micro-batch writes two durable stores (occupancy delta + drift audit)
+# against warehouse-published tables; the crashed+resumed delta table
+# and per-batch audits must equal the uninterrupted run's row-for-row.
+ROOTM=$(mktemp -d /tmp/graft-maintain.XXXX)
+WHM=$(mktemp -d /tmp/graft-maintain-wh.XXXX); rm -rf "$WHM"
+ROOTM_URI="$ROOTM"; WHM_URI="$WHM"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  ROOTM_URI="hdfs://graftsim$ROOTM"; WHM_URI="hdfs://graftsim$WHM"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  ROOTM_URI="s3a://graftbucket$ROOTM"; WHM_URI="s3a://graftbucket$WHM"
+fi
+SPARK_GRAFT_WAREHOUSE="$WHM_URI" $RUN graft.MaintainRestartProbe base $SF $ROOTM_URI >/tmp/maintain_base.log 2>&1
+grep -a "MAINTAINPROBE base" /tmp/maintain_base.log || { echo "FAIL: maintain base leg produced nothing"; exit 1; }
+# run1 halts its own JVM (exit 137) — the nonzero exit is expected
+SPARK_GRAFT_WAREHOUSE="$WHM_URI" $RUN graft.MaintainRestartProbe run1 $SF $ROOTM_URI >/tmp/maintain_run1.log 2>&1 || true
+grep -a "RESTARTPROBE halting" /tmp/maintain_run1.log || \
+  { echo "FAIL: maintain run1 did not halt mid-stream (drained or died early)"; exit 1; }
+grep -aq "MAINTAINPROBE run1 FAILED" /tmp/maintain_run1.log && \
+  { echo "FAIL: maintain run1 drained the whole source before halting"; exit 1; }
+SPARK_GRAFT_WAREHOUSE="$WHM_URI" $RUN graft.MaintainRestartProbe run2 $SF $ROOTM_URI >/tmp/maintain_run2.log 2>&1
+grep -a "MAINTAINPROBE run2" /tmp/maintain_run2.log || { echo "FAIL: maintain run2 resume failed"; exit 1; }
+SPARK_GRAFT_WAREHOUSE="$WHM_URI" $RUN graft.MaintainRestartProbe check $SF $ROOTM_URI >/tmp/maintain_check.log 2>&1
+grep -a "MAINTAINPROBE ALL OK" /tmp/maintain_check.log || \
+  { echo "FAIL: crashed+resumed index maintenance diverges from uninterrupted run"; grep -a MAINTAINPROBE /tmp/maintain_check.log; exit 1; }
+echo "leg D OK: driver death after 2 batches -> checkpoint resume -> identical delta table + drift audits"
+
 # leg C (s3-sim mode only): kill -9 INSIDE the publish swap's COPY phase.
 # On an object store rename(stage -> serve) is per-object copy + delete,
 # not a metadata op — a writer dying mid-swap leaves a PARTIAL serve
