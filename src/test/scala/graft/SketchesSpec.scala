@@ -75,6 +75,55 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q125: merged KLL quantiles inside a tight rank envelope, count exact, " +
+      "blob merge associative across repartitionings") {
+    // raw estimates: tighter than the face's 8%-of-rank gate — the
+    // merged p50/p95 must land between the exact quantiles at p∓0.05
+    // (k=200 rank error ≈1.65% at 99% conf; 5% ≈ 8σ), and the sketch's
+    // exactly-tracked N must equal the scanned rows
+    val r = Sketches.q125RawEstimates(spark, sf).head()
+    val n = r.getAs[Long]("n_rows")
+    assert(r.getAs[Long]("sketch_n") == n, "KLL count must be exact")
+    assert(r.getAs[Long]("slices") == 3L, "lineitem has 3 return flags")
+    val ex = r.getSeq[Double](r.fieldIndex("ex")) // 0.42,0.5,0.58,0.87,0.95,1.0
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(expr("percentile(CAST(l_extendedprice AS DOUBLE), " +
+        "array(0.45, 0.55, 0.90, 1.0))").as("p"))
+      .head().getSeq[Double](0)
+    val p50 = r.getAs[Double]("est_p50")
+    val p95 = r.getAs[Double]("est_p95")
+    assert(p50 >= exact(0) && p50 <= exact(1),
+      s"p50 estimate $p50 outside exact(0.45..0.55)=${exact.take(2)}")
+    assert(p95 >= exact(2) && p95 <= exact(3),
+      s"p95 estimate $p95 outside exact(0.90..1.0)=${exact.drop(2)}")
+    assert(ex == ex.sorted, "exact quantile vector must be monotone")
+    // the faced (oracle-gated) form: every invariant flag is 1
+    val f = Sketches.q125QuantileSketchMerge(spark, sf).head()
+    for (c <- Seq("merged_count_exact", "p50_in_bounds", "p95_in_bounds"))
+      assert(f.getAs[Int](c) == 1, s"flag $c flipped: $f")
+    // mergeability: a DIFFERENT partitioning produces different
+    // per-partition blobs, but the merged count is still exact and the
+    // identity blob is absorbed — merge wiring is layout-independent
+    val vals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("slice"),
+        col("l_extendedprice").cast("double").as("v"))
+      .repartition(7).as[(String, Double)]
+    val blobs7 = vals.mapPartitions { it =>
+      val sks = scala.collection.mutable.HashMap
+        .empty[String, org.apache.datasketches.kll.KllDoublesSketch]
+      it.foreach { case (s, v) =>
+        sks.getOrElseUpdate(s, org.apache.datasketches.kll
+          .KllDoublesSketch.newHeapInstance(Sketches.kllK)).update(v)
+      }
+      sks.iterator.map { case (s, sk) => (s, sk.toByteArray) }
+    }.collect().map(_._2)
+    val merged7 = blobs7.foldLeft(Array.emptyByteArray)(Sketches.kllMergeBlobs)
+    assert(Sketches.kllHeapify(merged7).getN == n,
+      "merged count must be exact under any partitioning")
+    assert(Sketches.kllMergeBlobs(Array.emptyByteArray, merged7)
+      .sameElements(merged7), "empty blob is the merge identity")
+  }
+
   /** O3 demux analogue: malformed payloads route to null, clean rows pass —
     * the typed replacement for the reference's message demux
     * (regionSpout.go:127-130; its catch-all logger was dead code). */
