@@ -62,7 +62,9 @@ class PlanAuditSpec extends SparkSpec {
     "q98_join_card_estimate" -> "sketch x sketch 1-row summaries",
     "q102_ann_recall" -> "runs q30 ground truth internally",
     "q104_heavy_hitters" -> "1-row token-count frame cross join",
-    "q125_quantile_sketch_merge" -> "merged-sketch x exact-percentiles 1-row summaries",
+    // q125 is deliberately absent: its exact quantiles enter as
+    // literals (Sketches.exactQuantilesDistributed), so the face is
+    // the sketch aggregation's own 1-row plan — no join at all
     // q114/q122 are deliberately absent: their corpus totals are a
     // window sum over the k-row spine frame (round 11) — the former
     // 1-row totals cross join re-planned the occupancy subtrees twice,

@@ -101,6 +101,22 @@ class SketchesSpec extends SparkSpec {
     val f = Sketches.q125QuantileSketchMerge(spark, sf).head()
     for (c <- Seq("merged_count_exact", "p50_in_bounds", "p95_in_bounds"))
       assert(f.getAs[Int](c) == 1, s"flag $c flipped: $f")
+    // the distributed exact-quantile kernel must agree with Spark's own
+    // exact `percentile` to float precision — same (n-1)p interpolation,
+    // computed by range-sort + rank lookup instead of the built-in's
+    // single-reducer value-map merge
+    val ps = Seq(0.42, 0.5, 0.58, 0.87, 0.95, 1.0)
+    val (nD, exD) = Sketches.exactQuantilesDistributed(
+      spark.read.parquet(s"$sf/lineitem.parquet"), "l_extendedprice", ps)
+    val builtin = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(expr("percentile(CAST(l_extendedprice AS DOUBLE), " +
+        "array(0.42, 0.5, 0.58, 0.87, 0.95, 1.0))").as("p"))
+      .head().getSeq[Double](0)
+    assert(nD == n, "distributed kernel row count")
+    exD.zip(builtin).zip(ps).foreach { case ((d, b), p) =>
+      assert(math.abs(d - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"distributed exact quantile at p=$p: $d vs builtin $b")
+    }
     // mergeability: a DIFFERENT partitioning produces different
     // per-partition blobs, but the merged count is still exact and the
     // identity blob is absorbed — merge wiring is layout-independent
