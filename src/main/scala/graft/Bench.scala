@@ -414,12 +414,61 @@ object Bench {
           -1.0
       }
     }
+    // s04: the streaming quantile sketch (ValueState KLL blob) over the
+    // geo-assigned events stream — per-region value percentiles, the
+    // distribution dashboard beside s03's frequent items. Same
+    // discipline: shared 8-file source, fresh checkpoint + RocksDB per
+    // run, state parallelism sized to the region catalog (one blob per
+    // region per batch is the entire state write traffic).
+    def quantilesOnce(): Double = {
+      try {
+        val src = s02Src
+        val t0 = System.nanoTime()
+        val ckpt = java.nio.file.Files.createTempDirectory("bench_s04_ckpt").toString
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        try {
+          Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+          spark.conf.set("spark.sql.shuffle.partitions",
+            graft.streaming.Tws.regionStateParallelism(
+              graft.operators.Geo.usaCatalog.size).toString)
+          import spark.implicits._
+          import org.apache.spark.sql.functions.col
+          val ev = graft.streaming.Ingest.eventsFileStream(spark, src,
+            maxFilesPerTrigger = 1)
+          val values = graft.operators.Geo.assignRegion(spark, ev)
+            .filter(col("value").isNotNull)
+            .select(col("region"), col("value").cast("double").as("v"))
+            .as[graft.streaming.Tws.RegionValue]
+          val q = graft.streaming.Tws.quantilesTws(values)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000L)
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          recordState("s04_quantiles_rocksdb", q)
+          elapsed
+        } finally {
+          Session.rocksDBConfs.keys.foreach(spark.conf.unset)
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+      } catch {
+        case e: Throwable =>
+          errors("s04_quantiles_rocksdb") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+          System.err.println(s"[bench] s04_quantiles_rocksdb FAILED: ${errors("s04_quantiles_rocksdb")}")
+          -1.0
+      }
+    }
     val results = SparkEntry.queries.collect {
       case (name, fn) if nameFilter(name) => name -> time(name, fn)
     } ++ Seq(
       "s01_stream_envelope" -> (() => streamOnce()),
       "s02_funnel_rocksdb" -> (() => statefulOnce()),
-      "s03_trending_rocksdb" -> (() => trendingOnce())).collect {
+      "s03_trending_rocksdb" -> (() => trendingOnce()),
+      "s04_quantiles_rocksdb" -> (() => quantilesOnce())).collect {
       case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
     }
     // ms precision: full ns resolution is noise (spreads are 10-100 ms).

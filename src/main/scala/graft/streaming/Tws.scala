@@ -197,6 +197,76 @@ object Tws {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Input value for the streaming quantile sketch: `v` is whatever
+    * distribution the caller watches — event values for an ops
+    * dashboard, document lengths for a corpus monitor. */
+  case class RegionValue(region: String, v: Double)
+
+  /** One quantile gauge after a batch: exactly-tracked count + p50/p95
+    * estimates from the region's cumulative KLL sketch. */
+  case class QuantileGauge(region: String, n: Long, p50: Double, p95: Double)
+
+  /** Streaming KLL quantiles per region — `Sketches.q125`'s mergeable
+    * distribution sketch as CONTINUOUS state, completing the streaming
+    * sketch pair (trendingTws holds frequent items; this holds the
+    * value DISTRIBUTION — the latency/size percentile dashboard that
+    * batch percentile() can only recompute from scratch).
+    *
+    * State is one `ValueState[Array[Byte]]` blob per region —
+    * deliberately NOT MapState (the MG counters' shape): KLL's
+    * compactor rewrites whole internal levels on overflow, so there is
+    * no entry-level diff to exploit; the sketch IS one ~KB compact
+    * blob, and one value write per region per batch is the minimal
+    * RocksDB traffic.
+    *
+    * Transition parity is BY CONSTRUCTION: each batch builds a plain
+    * KLL over its own rows and folds it into the stored blob through
+    * `Sketches.kllMergeBlobs` — the SAME kernel q125's two merge
+    * layers use — so the streamed state after batches b₁…bₙ is exactly
+    * a kllMergeBlobs fold over per-batch sketches of the same rows.
+    * The COUNT is exact under any batching (KLL tracks N exactly;
+    * StreamingSpec pins it), and while compaction randomness means
+    * byte-level equality with a one-pass batch sketch isn't guaranteed
+    * in general, below the sketch's k the sketch stores every value and
+    * the streamed quantiles EQUAL the batch-built ones deterministically
+    * — the spec's script stays under k to pin that. */
+  class RegionQuantilesProcessor
+      extends StatefulProcessor[String, RegionValue, QuantileGauge] {
+
+    @transient private var sketch: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketch = getHandle.getValueState[Array[Byte]]("kll",
+        Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(region: String, rows: Iterator[RegionValue],
+                                 timers: TimerValues): Iterator[QuantileGauge] = {
+      import graft.operators.Sketches
+      val batchSk = org.apache.datasketches.kll.KllDoublesSketch
+        .newHeapInstance(Sketches.kllK)
+      rows.foreach(r => batchSk.update(r.v))
+      val prev = if (sketch.exists()) sketch.get() else Array.emptyByteArray
+      val merged = Sketches.kllMergeBlobs(prev, batchSk.toByteArray)
+      sketch.update(merged)
+      val sk = Sketches.kllHeapify(merged)
+      val inc = org.apache.datasketches.quantilescommon
+        .QuantileSearchCriteria.INCLUSIVE
+      Iterator.single(QuantileGauge(region, sk.getN,
+        sk.getQuantile(0.5, inc), sk.getQuantile(0.95, inc)))
+    }
+  }
+
+  /** [[RegionQuantilesProcessor]] as a query stage (k is the batch
+    * sketch's `Sketches.kllK` — stream and batch answer the same
+    * question with the same memory bound). */
+  def quantilesTws(values: Dataset[RegionValue]): Dataset[QuantileGauge] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.region)
+      .transformWithState(new RegionQuantilesProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stateful-shuffle parallelism for a REGION-keyed stream: the key
     * universe is the geo catalog, so the state-store count must track
     * CATALOG size, not executor count. Each stateful partition is a

@@ -769,6 +769,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KLL quantiles on ValueState: cumulative sketch matches a " +
+      "batch-built one across batches, count exact per region") {
+    // Tws.quantilesTws = q125's KLL blob as continuous ValueState. The
+    // script keeps every region's total under the sketch's k (=200), so
+    // NO compaction fires and the sketch stores every value — quantiles
+    // are exact order statistics and byte-level randomness is out of
+    // play: the streamed result after 3 batches must EQUAL a one-pass
+    // sketch built over the same values (parity by construction:
+    // handleInputRows folds through Sketches.kllMergeBlobs itself).
+    // b2/b3 only work if b1/b2's blob round-trips through RocksDB.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Tws
+    import graft.operators.Sketches
+    val prev = Session.rocksDBConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Session.rocksDBConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[Tws.RegionValue]
+      val q = Tws.quantilesTws(input.toDS())
+        .writeStream.format("memory").queryName("kll_tws")
+        .outputMode("update").start()
+      try {
+        def batch(vals: Seq[(String, Double)]): Map[String, (Long, Double, Double)] = {
+          val mark = spark.table("kll_tws").count()
+          input.addData(vals.map { case (r, v) => Tws.RegionValue(r, v) })
+          q.processAllAvailable()
+          spark.table("kll_tws").collect().drop(mark.toInt)
+            .map(r => r.getAs[String]("region") ->
+              ((r.getAs[Long]("n"), r.getAs[Double]("p50"),
+                r.getAs[Double]("p95")))).toMap
+        }
+        val b1 = batch((1 to 10).map(i => "USA0" -> i.toDouble))
+        assert(b1("USA0")._1 == 10L, s"b1 count, got $b1")
+        val b2 = batch((11 to 30).map(i => "USA0" -> i.toDouble) ++
+          Seq("USA1" -> 100.0, "USA1" -> 200.0))
+        assert(b2("USA0")._1 == 30L,
+          s"the blob must survive the batch boundary, got $b2")
+        assert(b2("USA1")._1 == 2L, "regions key independent sketches")
+        val b3 = batch(Seq("USA0" -> 0.5))
+        assert(b3("USA0")._1 == 31L, s"b3 count, got $b3")
+        // parity: a one-pass sketch over the same per-region sequences
+        // answers identically (n < k: exact, no randomness in play)
+        val usa0 = (1 to 30).map(_.toDouble) :+ 0.5
+        val inc = org.apache.datasketches.quantilescommon
+          .QuantileSearchCriteria.INCLUSIVE
+        val ref = org.apache.datasketches.kll.KllDoublesSketch
+          .newHeapInstance(Sketches.kllK)
+        usa0.foreach(ref.update)
+        assert(b3("USA0")._2 == ref.getQuantile(0.5, inc) &&
+          b3("USA0")._3 == ref.getQuantile(0.95, inc),
+          s"streamed quantiles must equal the batch-built sketch's: " +
+            s"${b3("USA0")} vs (${ref.getQuantile(0.5, inc)}, " +
+            s"${ref.getQuantile(0.95, inc)})")
+        // and those are plain order statistics of the value multiset
+        assert(b3("USA0")._2 == usa0.sorted.apply(
+          math.ceil(0.5 * usa0.size).toInt - 1))
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("rolling feature window on ListState: append path, overflow trim, late arrival — across batches") {
     // Tws.featureWindowTws: last-maxN per-user features. Batch script
     // (maxN = 4, one user):
