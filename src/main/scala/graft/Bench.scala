@@ -153,6 +153,10 @@ object Bench {
       // 8 stores instead of 32), cutting the per-store fixed commit
       // draw 18× (Σcommit 71.6 → 3.8 s) and wall 6.4 → 3.2-3.7 s
       // across five consecutive runs (r8 ask #3 closed)
+      // round-14 additions, first measurements on a ~1.3x-slow boot
+      // (q125 isolated warm min 2.3-3.0, s04 in-suite 3.50 beside s03's
+      // 3.74-vs-3.60-ref) — re-base both on the next idle boot
+      "q125_quantile_sketch_merge" -> 2.50, "s04_quantiles_rocksdb" -> 3.40,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
