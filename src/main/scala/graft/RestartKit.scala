@@ -42,7 +42,21 @@ private[graft] object RestartKit {
         s"$ckpt/commits/${haltAfterBatches - 1}")
       val tfs = target.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      while (!tfs.exists(target)) Thread.sleep(5)
+      // wait for a COMPLETE commit file, not mere existence: on a
+      // copy-rename store (the s3 sim — and real S3A checkpoints have
+      // the same hazard) HDFSMetadataLog's temp+rename lands as
+      // create-dst + write + delete-src, so the name is visible while
+      // the bytes are still landing; halting on a torn commit would
+      // crash run2's log replay, not prove the resume. Stable non-zero
+      // length across two polls = the copy closed.
+      def len(): Long =
+        try { val st = tfs.getFileStatus(target); st.getLen }
+        catch { case _: java.io.IOException => -1L }
+      var prev = -1L
+      var cur = len()
+      while (cur <= 0 || cur != prev) {
+        Thread.sleep(5); prev = cur; cur = len()
+      }
       println(s"RESTARTPROBE halting driver after committed " +
         s"batch ${haltAfterBatches - 1}")
       System.out.flush()

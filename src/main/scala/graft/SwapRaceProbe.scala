@@ -84,10 +84,25 @@ object ServeLoop {
       }
     }
     // final serve dumped for the DuckDB oracle — proves the post-chaos
-    // generation is not merely self-consistent but CORRECT
-    graft.sources.Layout.q50BucketedJoin(spark, sfDir)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/q50_bucketed_join")
+    // generation is not merely self-consistent but CORRECT. Same retry
+    // protection as the loop: the hammer can still be mid-swap when the
+    // 15th iteration finishes, and this serve racing that window is the
+    // scenario under test, not a probe failure.
+    var dumped = false
+    while (!dumped) {
+      try {
+        graft.sources.Layout.q50BucketedJoin(spark, sfDir)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/q50_bucketed_join")
+        dumped = true
+      } catch {
+        case e: Throwable if isTransientSwapRace(e) && retries < 60 =>
+          retries += 1
+          println(s"SERVELOOP final dump raced a swap (retry $retries): " +
+            s"${e.getClass.getSimpleName}")
+          Thread.sleep(250)
+      }
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
       s"""{${Jsons.str("q50_bucketed_join")}: ${

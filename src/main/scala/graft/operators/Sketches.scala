@@ -302,23 +302,33 @@ object Sketches {
       org.apache.spark.sql.Encoders.BINARY
   }
 
+  /** One KLL sketch per slice per partition over (slice, value) rows —
+    * the per-partition build kernel (one pass, constant memory, values
+    * never leave their partition; the returned blobs are what
+    * shuffles). Shared by q125 and the spec's forced-repartition
+    * mergeability leg so both exercise the SAME builder. */
+  private[graft] def sliceBlobs(
+      rows: org.apache.spark.sql.Dataset[(String, Double)]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val sks = scala.collection.mutable.HashMap
+        .empty[String, org.apache.datasketches.kll.KllDoublesSketch]
+      it.foreach { case (s, v) =>
+        sks.getOrElseUpdate(s, org.apache.datasketches.kll
+          .KllDoublesSketch.newHeapInstance(kllK)).update(v)
+      }
+      sks.iterator.map { case (s, sk) => (s, sk.toByteArray) }
+    }.toDF("slice", "blob")
+  }
+
   /** The per-slice sketch blobs — the persisted dashboard state (spec
     * surface; q125 merges these). One row per (slice × partition). */
   private[graft] def q125SliceBlobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
+    sliceBlobs(Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("slice"),
         col("l_extendedprice").cast("double").as("v"))
-      .as[(String, Double)]
-      .mapPartitions { it =>
-        val sks = scala.collection.mutable.HashMap
-          .empty[String, org.apache.datasketches.kll.KllDoublesSketch]
-        it.foreach { case (s, v) =>
-          sks.getOrElseUpdate(s, org.apache.datasketches.kll
-            .KllDoublesSketch.newHeapInstance(kllK)).update(v)
-        }
-        sks.iterator.map { case (s, sk) => (s, sk.toByteArray) }
-      }.toDF("slice", "blob")
+      .as[(String, Double)])
   }
 
   /** DISTRIBUTED exact interpolated quantiles — the audit's reference

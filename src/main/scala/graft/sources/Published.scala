@@ -388,16 +388,17 @@ object Published {
     //    and on most object-store connectors — an unverified touch
     //    would count a no-op as a successful beat, silently masking
     //    total refresh failure behind the fallback path.
-    //  - a beat NEVER writes to a lease whose age is within 2 periods
-    //    of staleMs: a lease that old means our refreshes have been
-    //    failing and a rival's stale-break may be in flight — a rewrite
-    //    landing just after the breaker's delete would resurrect this
-    //    holder's ownership over the rival's fresh lease (cross-JVM
-    //    check-then-write). Healthy beats keep age ≈ one period, so
-    //    the guard never fires in normal operation; a holder stalled
-    //    long enough to trip it stops refreshing for good and dies
-    //    LeaseLost at its commit gate — availability, never two
-    //    writers.
+    //  - a beat NEVER writes to a lease older than staleMs/2: a lease
+    //    that old means our refreshes have been failing and a rival's
+    //    stale-break may be in flight — a rewrite landing just after
+    //    the breaker's delete would resurrect this holder's ownership
+    //    over the rival's fresh lease (cross-JVM check-then-write).
+    //    Half the threshold (not a period-derived offset) keeps the
+    //    guard margin at staleMs/2 regardless of beat frequency.
+    //    Healthy beats keep age ≈ one period, so the guard never fires
+    //    in normal operation; a holder stalled long enough to trip it
+    //    stops refreshing for good and dies LeaseLost at its commit
+    //    gate — availability, never two writers.
     // A heartbeat that CANNOT refresh (both mechanisms failing) must
     // be LOUD, not a silent downgrade (r13 advice #2): after 3
     // consecutive failed beats it warns once that `staleMs` has
@@ -407,12 +408,12 @@ object Published {
     val isLocal = "file" == fs.getUri.getScheme
     val heartbeat = new Thread(() => {
       // staleMs/8, not /4: the holder survives any stall shorter than
-      // staleMs - 3*period (last healthy beat at age ≈ period, the
-      // break-window guard below refuses from staleMs - 2*period), so
-      // halving the period raises the tolerated GC/scheduler stall
-      // from staleMs/4 to 5/8·staleMs — at the 30-minute default the
-      // cost is one tiny lease rewrite per 225 s, and under shrunken
-      // probe thresholds (2 s) it is what keeps a loaded test box from
+      // staleMs/2 - period (last healthy beat at age ≈ period, the
+      // break-window guard below refuses from staleMs/2), so halving
+      // the period raises the tolerated GC/scheduler stall from
+      // staleMs/4 to 3/8·staleMs — at the 30-minute default the cost
+      // is one tiny lease rewrite per 225 s, and under shrunken probe
+      // thresholds (2 s) it is what keeps a loaded test box from
       // breaking live holders.
       val period = math.max(250L, staleMs / 8)
       var beat = 0L
@@ -439,8 +440,18 @@ object Published {
             else {
               beat += 1
               val ok =
+                // break window at HALF the stale threshold, not a
+                // period-derived offset: with period=staleMs/8 a
+                // "staleMs - 2*period" guard would leave only 2 periods
+                // between the last allowed write and a breaker's
+                // earliest delete — a stall landing in that gap
+                // overwrites a rival's fresh lease (the check-then-write
+                // race this guard exists for). staleMs/2 keeps the old
+                // guard margin (staleMs/2) while the shorter period
+                // still lifts the survivable stall from staleMs/4 to
+                // 3/8·staleMs (healthy beat at age ≈ period).
                 if (System.currentTimeMillis() - mtime() >=
-                    staleMs - 2 * period) false // break window — no write
+                    staleMs / 2) false // break window — no write
                 else
                   try { if (isLocal) touchVerified() else bumpContent(); true }
                   catch {

@@ -124,15 +124,8 @@ class SketchesSpec extends SparkSpec {
       .select(col("l_returnflag").as("slice"),
         col("l_extendedprice").cast("double").as("v"))
       .repartition(7).as[(String, Double)]
-    val blobs7 = vals.mapPartitions { it =>
-      val sks = scala.collection.mutable.HashMap
-        .empty[String, org.apache.datasketches.kll.KllDoublesSketch]
-      it.foreach { case (s, v) =>
-        sks.getOrElseUpdate(s, org.apache.datasketches.kll
-          .KllDoublesSketch.newHeapInstance(Sketches.kllK)).update(v)
-      }
-      sks.iterator.map { case (s, sk) => (s, sk.toByteArray) }
-    }.collect().map(_._2)
+    val blobs7 = Sketches.sliceBlobs(vals)
+      .collect().map(_.getAs[Array[Byte]]("blob"))
     val merged7 = blobs7.foldLeft(Array.emptyByteArray)(Sketches.kllMergeBlobs)
     assert(Sketches.kllHeapify(merged7).getN == n,
       "merged count must be exact under any partitioning")

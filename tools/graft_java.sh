@@ -22,7 +22,7 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 # connorfunstreamproducerspark_*-tests.jar, which sorts BEFORE the main
 # jar ('-' < '.') and carries no main classes — the glob must never
 # pick it (found when a race script's every JVM died ClassNotFound)
-JAR=$(ls "$REPO"/target/scala-2.13/connorfunstreamproducerspark_*.jar 2>/dev/null | grep -v -- '-tests' | head -1 || true)
+JAR=$(ls "$REPO"/target/scala-2.13/connorfunstreamproducerspark_*.jar 2>/dev/null | grep -v -- '-tests\.jar$' | head -1 || true)
 if [[ -z "$JAR" ]]; then
   echo "graft_java.sh: no packaged jar — run 'sbt -batch package' first" >&2
   exit 1

@@ -152,7 +152,8 @@ if [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then HAMMER_ENV="SPARK_GRAFT_S3_SL
 env $HAMMER_ENV SPARK_GRAFT_WAREHOUSE=$(wh_uri "$SWAP_WH") $RUN graft.RepublishHammer $SF 6 >/tmp/republish.log 2>&1 &
 R3=$!
 SPARK_GRAFT_WAREHOUSE=$(wh_uri "$SWAP_WH") $RUN graft.ServeLoop $SF $OUT_R 15 >/tmp/serveloop.log 2>&1 || \
-  { echo "FAIL: reader died across republish swaps"; grep -a SERVELOOP /tmp/serveloop.log | tail -5; exit 1; }
+  { echo "FAIL: reader died across republish swaps"; grep -a SERVELOOP /tmp/serveloop.log | tail -5; \
+    kill "$R3" 2>/dev/null || true; wait "$R3" 2>/dev/null || true; exit 1; }
 wait $R3
 grep -aq "REPUBLISH HAMMER done" /tmp/republish.log || \
   { echo "FAIL: republish hammer did not finish its rounds"; exit 1; }
