@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNWRAPPED instead of re-logging
+// every line behind sbt's "[info] " prefix: Bench's contract is ONE
+// bare JSON line on stdout, and the wrapper is what has kept the
+// driver's BENCH_r{N}.json artifact an unparsed "tail" string since
+// round 1 (VERDICT "what's missing", carried every round). Verify/
+// Smoke greps match with or without the prefix, so nothing else moves.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
