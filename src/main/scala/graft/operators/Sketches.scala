@@ -415,6 +415,40 @@ object Sketches {
       |  1 AS merged_count_exact, 1 AS p50_in_bounds, 1 AS p95_in_bounds
       |FROM lineitem""".stripMargin
 
+  // --------------------------------------------------------------- q126
+  /** EXACT global quantiles, distributed — [[exactQuantilesDistributed]]
+    * as a first-class query rather than q125's audit reference. q39's
+    * built-in `percentile` is the right tool for bounded per-group
+    * buffers; for a GLOBAL exact quantile over one huge column its
+    * final merge concentrates the whole value-count map on one reducer.
+    * This form pays a parallel range-sort + one rank-lookup pass
+    * instead and ships a dozen doubles to the driver at any corpus
+    * size (measured 10× data → ~2.1× wall in q125's kernel point).
+    * Unlike the sketch faces, the oracle here is STRICT value
+    * equality: the same (n−1)p interpolation DuckDB's quantile_cont
+    * computes, hash-matched to 2dp. */
+  def q126ExactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val (nRows, ex) = exactQuantilesDistributed(
+      Tables.lineitem(spark, dir), "l_extendedprice", ps)
+    import spark.implicits._
+    Seq((nRows, ex(0), ex(1), ex(2), ex(3))).toDF(
+        "n_rows", "raw25", "raw50", "raw75", "raw95")
+      .select(col("n_rows"),
+        round(col("raw25") + 1e-9, 2).as("p25"),
+        round(col("raw50") + 1e-9, 2).as("p50"),
+        round(col("raw75") + 1e-9, 2).as("p75"),
+        round(col("raw95") + 1e-9, 2).as("p95"))
+  }
+
+  val q126Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) + 1e-9, 2) AS p25,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) + 1e-9, 2) AS p50,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) + 1e-9, 2) AS p75,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) + 1e-9, 2) AS p95
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"     -> q39Percentiles _,
     "q40_approx_distinct" -> q40ApproxDistinct _,
@@ -422,6 +456,7 @@ object Sketches {
     "q91_sketch_merge"    -> q91SketchMerge _,
     "q98_join_card_estimate" -> q98JoinCardEstimate _,
     "q125_quantile_sketch_merge" -> q125QuantileSketchMerge _,
+    "q126_exact_quantiles" -> q126ExactQuantiles _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -431,5 +466,6 @@ object Sketches {
     "q91_sketch_merge"    -> q91Sql,
     "q98_join_card_estimate" -> q98Sql,
     "q125_quantile_sketch_merge" -> q125Sql,
+    "q126_exact_quantiles" -> q126Sql,
   )
 }
