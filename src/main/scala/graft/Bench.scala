@@ -157,6 +157,7 @@ object Bench {
       // (q125 isolated warm min 2.3-3.0, s04 in-suite 3.50 beside s03's
       // 3.74-vs-3.60-ref) — re-base both on the next idle boot
       "q125_quantile_sketch_merge" -> 2.50, "s04_quantiles_rocksdb" -> 3.40,
+      "q126_exact_quantiles" -> 1.85,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
