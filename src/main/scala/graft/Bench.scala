@@ -240,6 +240,16 @@ object Bench {
           s""","stateBytes":${sos.map(_.memoryUsedBytes).max}""" +
           s""","commitMs":${sos.map(_.commitTimeMs).sum}}"""
     }
+    // awaitTermination(timeout) returns FALSE on timeout without killing
+    // the query — ignoring the boolean records ~300 s as a "valid" sample
+    // and leaks a live stream past the finally that restores RocksDB confs
+    // (r14 ADVICE). Route the timeout to the errors map and always stop.
+    def awaitStream(name: String,
+                    q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try {
+        if (!q.awaitTermination(300000L))
+          throw new RuntimeException(s"$name: stream still running after 300 s")
+      } finally { if (q.isActive) q.stop() }
     // the reference's whole job — geo ingest → envelope → routed sink —
     // as one timed streaming pass over the events table. min-of-2 with a
     // fresh checkpoint + source dir per run, same discipline as batch.
@@ -265,12 +275,12 @@ object Bench {
         } else java.nio.file.Files.copy(ep, src.resolve("events.parquet"))
         val events = graft.streaming.Ingest.eventsFileStream(spark, src.toString,
           maxFilesPerTrigger = 1)
-        graft.streaming.Ingest.envelope(spark, events)
+        val q = graft.streaming.Ingest.envelope(spark, events)
           .writeStream.format("noop")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-          .awaitTermination(300000L)
+        awaitStream("s01_stream_envelope", q)
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -334,7 +344,7 @@ object Bench {
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          q.awaitTermination(300000L)
+          awaitStream("s02_funnel_rocksdb", q)
           // clock FIRST, metrics after — bookkeeping must never ride
           // inside the measurement (r7 ADVICE; recentProgress iteration
           // is cheap but it belongs outside the timed region on principle)
@@ -402,7 +412,7 @@ object Bench {
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          q.awaitTermination(300000L)
+          awaitStream("s03_trending_rocksdb", q)
           val elapsed = (System.nanoTime() - t0) / 1e9
           recordState("s03_trending_rocksdb", q)
           elapsed
@@ -450,7 +460,7 @@ object Bench {
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          q.awaitTermination(300000L)
+          awaitStream("s04_quantiles_rocksdb", q)
           val elapsed = (System.nanoTime() - t0) / 1e9
           recordState("s04_quantiles_rocksdb", q)
           elapsed
@@ -587,6 +597,24 @@ object Bench {
         System.err.println(s"[bench] history write skipped: ${e.getMessage}")
       }
     }
+    // The driver snapshots the last 2000 chars of stdout and tries to
+    // parse a JSON line out of it; the full artifact above is >2000
+    // chars (129 long-name entries + spreads + state), so its HEAD is
+    // what gets truncated and r1–r14 all landed with "parsed": null.
+    // Emit a final COMPACT line that is complete, valid JSON inside the
+    // snapshot even with sbt's trailing "[success] Total time: …" line
+    // (~75 chars) after it. Budget: 130 compact 2dp entries ≈ 1.6k +
+    // ~120 overhead + 75 sbt ≈ 1.8k < 2000 — ~15 more queries of
+    // headroom; if the suite outgrows it, drop to 1dp or split the
+    // queries map (full detail always lives in the line above and in
+    // bench_history/).
+    val sfTagShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val compact = s"""{"metric":"total","unit":"sec","sf":${Jsons.str(sfTagShort)},"queries":$qShort,"errors":$errs,"build":"$build","value":${f(total)}}"""
+    if (compact.length > 1880)
+      System.err.println(s"[bench] WARNING: compact artifact line is " +
+        s"${compact.length} chars — approaching the driver's 2000-char " +
+        "tail snapshot; shrink the encoding before it truncates")
+    println(compact)
     spark.stop()
   }
 }

@@ -32,6 +32,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${Jsons.str(k)}: ${Jsons.str(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // fault-campaign accounting (r15): the fault probe asserts its run
+    // was non-vacuous — a green pass at "5%" that injected nothing
+    // proves nothing — and a FAILING campaign run needs the count in
+    // its only artifact, the log
+    val injected = graft.sources.S3Sim.faultsInjected.get()
+    if (injected > 0)
+      System.err.println(s"[verify] s3sim faults injected: $injected")
     spark.stop()
   }
 }

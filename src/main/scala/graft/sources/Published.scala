@@ -88,6 +88,13 @@ object Published {
     * happen. */
   final class LeaseLost(msg: String) extends IllegalStateException(msg)
 
+  /** Count of "heartbeat degraded" warnings issued JVM-wide — the
+    * observable face of the 3-consecutive-failed-beats loud-degrade
+    * contract (r13 advice #2), so the fault specs can assert the
+    * warning FIRED instead of scraping stderr. */
+  private[graft] val heartbeatDegradedWarnings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Crash-DETECTION latency, not a ceiling on publish duration: a
     * live holder's heartbeat ([[withLease]]) refreshes the lease
     * at a quarter of this period, so only a lease whose holder STOPPED
@@ -436,10 +443,21 @@ object Published {
           Thread.sleep(period)
           held.synchronized {
             val cur = readOrNull(fs, lp)
-            if (cur == null || !cur.startsWith(token + "\n")) live = false
+            // ONLY a readable lease carrying a FOREIGN token stops the
+            // thread (a breaker+rival legitimately replaced us). A null
+            // read is ambiguous — transient store fault OR deleted
+            // lease — and must count as a FAILED BEAT, not lease loss:
+            // one GET blip on a long hold would otherwise kill refresh
+            // permanently (found designing the r15 fault campaign).
+            // Beating on is safe because a beat only ever WRITES when
+            // the re-read matches our own token — a deleted lease reads
+            // null forever and is never resurrected by this loop.
+            if (cur != null && !cur.startsWith(token + "\n")) live = false
             else {
               beat += 1
               val ok =
+                if (cur == null) false // unreadable — never write blind
+                else
                 // break window at HALF the stale threshold, not a
                 // period-derived offset: with period=staleMs/8 a
                 // "staleMs - 2*period" guard would leave only 2 periods
@@ -467,6 +485,7 @@ object Published {
               failedBeats = if (ok) 0 else failedBeats + 1
               if (failedBeats >= 3 && !warned) {
                 warned = true
+                heartbeatDegradedWarnings.incrementAndGet()
                 System.err.println("[graft] WARNING: lease heartbeat for " +
                   s"${norm.getName} cannot refresh ($failedBeats consecutive " +
                   "failures: the store rejects both setTimes and lease " +
@@ -503,7 +522,15 @@ object Published {
       var tries = 0
       var interrupted = false
       while (!claimed && !interrupted && tries < 20) {
-        claimed = createNewAtomic(fs, bp, ("release:" + token).getBytes("UTF-8"))
+        // a TRANSIENT store fault on the claim PUT must not abort the
+        // release from inside this finally (it would mask a completed
+        // body's result with an infrastructure blip); count it as a
+        // failed attempt and retry — if the store stays down, the
+        // un-released lease ages out via the stale break, an
+        // availability cost, never a masked publish
+        claimed =
+          try createNewAtomic(fs, bp, ("release:" + token).getBytes("UTF-8"))
+          catch { case _: java.io.IOException => false }
         if (!claimed) {
           tries += 1
           // an interrupt must not abort the release from inside this
@@ -921,7 +948,13 @@ object Published {
       val lp = leasePath(fs.makeQualified(l))
       (fs, Seq(lp, breakPath(lp)))
     }
-    while (watched.exists { case (fs, ps) => ps.exists(exists(fs, _)) }) {
+    // a transient LIST/HEAD fault while polling reads as "writer still
+    // present" — conservative: keep waiting (bounded by the deadline)
+    // rather than racing into a build on a blip
+    def writerVisible(): Boolean =
+      try watched.exists { case (fs, ps) => ps.exists(exists(fs, _)) }
+      catch { case _: java.io.IOException => true }
+    while (writerVisible()) {
       if (System.currentTimeMillis() > deadline) throw held
       Thread.sleep(500)
     }

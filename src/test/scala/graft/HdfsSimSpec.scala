@@ -33,8 +33,7 @@ import graft.sources.{HdfsSimFileSystem, Published}
 class HdfsSimSpec extends SparkSpec {
 
   private def freshLoc(tag: String): HPath = {
-    spark.sparkContext.hadoopConfiguration.set(
-      "fs.hdfs.impl", classOf[HdfsSimFileSystem].getName)
+    registerSchemeImpl("fs.hdfs.impl", classOf[HdfsSimFileSystem])
     val dir = Files.createTempDirectory(s"hdfssim_$tag")
     new HPath(s"hdfs://graftsim$dir/tbl")
   }

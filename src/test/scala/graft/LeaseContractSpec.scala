@@ -29,8 +29,7 @@ import graft.sources.Published
 class LeaseContractSpec extends SparkSpec {
 
   private def register(scheme: String, cls: Class[_]): Unit =
-    spark.sparkContext.hadoopConfiguration.set(
-      s"fs.$scheme.impl", cls.getName)
+    registerSchemeImpl(s"fs.$scheme.impl", cls)
 
   test("heartbeat on a setTimes-less store: content bump keeps a long hold alive " +
       "against a rival's break") {

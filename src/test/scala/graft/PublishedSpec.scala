@@ -375,8 +375,8 @@ class PublishedSpec extends SparkSpec {
     // register the mock scheme the way a deployment registers an
     // object-store connector; Published resolves through the session's
     // live Hadoop configuration, so the registration is visible
-    spark.sparkContext.hadoopConfiguration.set(
-      "fs.graftmock.impl", classOf[GraftMockFileSystem].getName)
+    // (suite-restored in afterAll — r14 ADVICE)
+    registerSchemeImpl("fs.graftmock.impl", classOf[GraftMockFileSystem])
     val dir = Files.createTempDirectory("pubspec_mock")
     val loc = new HPath(s"graftmock://$dir/some_table")
     val nioLease = dir.resolve("some_table._GRAFT_LEASE")
@@ -440,8 +440,7 @@ class PublishedSpec extends SparkSpec {
     //   LIVENESS — workers keep winning despite corpses (every corpse
     //     is eventually broken), and the end state carries no
     //     lease/break debris.
-    spark.sparkContext.hadoopConfiguration.set(
-      "fs.hdfs.impl", classOf[graft.sources.HdfsSimFileSystem].getName)
+    registerSchemeImpl("fs.hdfs.impl", classOf[graft.sources.HdfsSimFileSystem])
     val dir = Files.createTempDirectory("pubspec_chaos")
     val loc = new HPath(s"hdfs://graftsim$dir/chaos_table")
     val fs = Published.fsOf(loc)

@@ -1,0 +1,254 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+import graft.sources.{Published, S3Sim, S3SimFileSystem}
+
+/** TRANSIENT store faults executed against the publish machinery (r14
+  * verdict ask #1) — the retryable-error class a real object store
+  * throws (500s, resets, throttling surfaced as IOException once the
+  * connector's own retries are exhausted), injected at the FileSystem
+  * API boundary by [[graft.sources.S3Sim.maybeFault]].
+  *
+  * What becomes executed fact here:
+  *
+  *  - a lease heartbeat whose content-bump PUTs fail repeatedly
+  *    degrades LOUDLY (the 3-consecutive-failures warning) while
+  *    EXCLUSION holds — a rival still gets LeaseHeld, the holder still
+  *    owns its commit gate, and the release leaves no debris;
+  *  - one transient GET blip on the lease read does NOT kill the
+  *    heartbeat thread (it counts as a failed beat and the next beat
+  *    recovers) — a long publish must not lose its refresh to a single
+  *    dropped read;
+  *  - a publish-shaped rename whose per-object copies fault mid-swap
+  *    never leaves a SERVE-able torn state: whatever the fault leaves
+  *    at the destination fails the marker/manifest gate, and a retry
+  *    once the store recovers serves exactly the staged bytes;
+  *  - reads under GET/LIST faults either throw or return the exact
+  *    fault-free answer — never a silently divergent one.
+  *
+  * The whole-engine campaign (Verify's q120–q124 lifecycle at a
+  * nonzero env-driven fault rate, with Spark task retries absorbing
+  * the data-plane faults) runs as a subprocess probe —
+  * tools/fault_probes.sh — because the warehouse dir is a static conf
+  * baked into the suite's shared session. */
+class S3FaultSpec extends SparkSpec {
+
+  private def freshBase(tag: String): HPath = {
+    registerSchemeImpl("fs.s3a.impl", classOf[S3SimFileSystem])
+    val dir = Files.createTempDirectory(s"s3fault_$tag")
+    new HPath(s"s3a://graftbucket$dir")
+  }
+
+  /** Every test resets the injection globals — the suite JVM is shared. */
+  private def withFaults[A](body: => A): A =
+    try body
+    finally {
+      S3Sim.faultHook = (_, _) => false
+      S3Sim.faultPct = 0.0
+      S3Sim.faultOps = Set("put", "putif", "copy", "delete", "deletefile",
+        "list", "get")
+    }
+
+  private def put(fs: org.apache.hadoop.fs.FileSystem, dir: HPath,
+                  name: String, content: String): Unit =
+    scala.util.Using.resource(fs.create(new HPath(dir, name), true))(
+      _.write(content.getBytes("UTF-8")))
+
+  test("sustained bump-PUT faults mid-hold: loud degrade warning fires, " +
+      "rival is still excluded, release is clean") { withFaults {
+    val base = freshBase("hbput")
+    val fs = Published.fsOf(base)
+    val loc = new HPath(base, "tbl")
+    val inBody = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var ownedAtEnd = false
+    val warnBase = Published.heartbeatDegradedWarnings.get()
+    // staleMs=4000 -> beat period 500 ms, break-window guard at age 2 s.
+    // The hook faults only PLAIN PUTs ("put" — the heartbeat's content
+    // bumps); the rival's acquire attempt is a conditional put ("putif")
+    // and must stay un-faulted so its LeaseHeld is the protocol's
+    // verdict, not the fault's.
+    val holder = new Thread(() =>
+      Published.withLease(loc, "fault-holder", staleMs = 4000) {
+        inBody.countDown()
+        release.await(30, TimeUnit.SECONDS)
+        Published.assertLeaseOwned(loc) // throws LeaseLost if exclusion broke
+        ownedAtEnd = true
+      })
+    holder.start()
+    assert(inBody.await(10, TimeUnit.SECONDS), "holder never entered the body")
+    S3Sim.faultHook = (op, p) =>
+      op == "put" && p.getName.endsWith("._GRAFT_LEASE")
+    try {
+      // 3 consecutive failed beats land by ~1.5 s; poll the observable
+      // counter (bump PUT faults -> setTimes fallback is a silent no-op
+      // on this store -> beat failed)
+      var polls = 0
+      while (Published.heartbeatDegradedWarnings.get() == warnBase && polls < 80) {
+        Thread.sleep(100); polls += 1
+      }
+      assert(Published.heartbeatDegradedWarnings.get() > warnBase,
+        "the 3-consecutive-failed-beats warning never fired under sustained " +
+          "bump-PUT faults")
+      // exclusion holds mid-degrade: the lease file still carries the
+      // holder's token (bumps failed, nothing overwrote it), so a rival
+      // loses the acquire and cannot stale-break (age < staleMs)
+      val rival = intercept[Published.LeaseHeld] {
+        Published.withLease(loc, "rival", staleMs = 4000) {
+          fail("rival must never enter the body while the degraded holder is live")
+        }
+      }
+      assert(rival.getMessage.contains("held by"),
+        s"unexpected LeaseHeld shape: ${rival.getMessage}")
+    } finally {
+      S3Sim.faultHook = (_, _) => false
+      release.countDown()
+    }
+    holder.join(20000)
+    assert(!holder.isAlive, "holder thread wedged")
+    assert(ownedAtEnd, "holder lost its commit gate despite never being broken")
+    val leaseNio = java.nio.file.Paths.get(
+      new HPath(base, "tbl._GRAFT_LEASE").toUri.getPath)
+    assert(!Files.exists(leaseNio), "lease not released")
+    assert(!Files.exists(java.nio.file.Paths.get(
+      new HPath(base, "tbl._GRAFT_LEASE.break").toUri.getPath)),
+      "break-claim debris left behind")
+  }}
+
+  test("one transient GET blip on the lease read does not kill the heartbeat") { withFaults {
+    val base = freshBase("hbget")
+    val fs = Published.fsOf(base)
+    val loc = new HPath(base, "tbl")
+    val nioLease = java.nio.file.Paths.get(
+      new HPath(base, "tbl._GRAFT_LEASE").toUri.getPath)
+    val inBody = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val warnBase = Published.heartbeatDegradedWarnings.get()
+    def hbCount(): Long = {
+      // nio read bypasses the fault taps; a torn mid-rewrite read just
+      // yields an unparsable tail and the poll retries
+      if (!Files.exists(nioLease)) -1L
+      else new String(Files.readAllBytes(nioLease), "UTF-8").linesIterator
+        .toSeq.lastOption.filter(_.startsWith("hb:"))
+        .flatMap(l => scala.util.Try(l.stripPrefix("hb:").trim.toLong).toOption)
+        .getOrElse(-1L)
+    }
+    val holder = new Thread(() =>
+      Published.withLease(loc, "blip-holder", staleMs = 2000) {
+        inBody.countDown()
+        release.await(30, TimeUnit.SECONDS); ()
+      })
+    holder.start()
+    try {
+      assert(inBody.await(10, TimeUnit.SECONDS), "holder never entered the body")
+      // wait for the FIRST healthy bump, so the blip lands on a beat
+      // that is mid-cadence, not the acquire
+      var polls = 0
+      while (hbCount() < 1 && polls < 100) { Thread.sleep(50); polls += 1 }
+      val atBlip = hbCount()
+      assert(atBlip >= 1, "heartbeat never bumped before the blip")
+      val once = new AtomicBoolean(false)
+      S3Sim.faultHook = (op, p) =>
+        op == "get" && p.getName.endsWith("._GRAFT_LEASE") &&
+          once.compareAndSet(false, true)
+      // the blipped beat fails (no write); the NEXT beat must recover —
+      // pre-fix, cur==null flipped live=false and refresh died for good
+      polls = 0
+      while (hbCount() <= atBlip + 1 && polls < 100) { Thread.sleep(50); polls += 1 }
+      assert(once.get(), "the GET blip never fired (test is vacuous)")
+      assert(hbCount() > atBlip + 1,
+        s"heartbeat died after one GET blip (stuck at hb:${hbCount()})")
+      assert(Published.heartbeatDegradedWarnings.get() == warnBase,
+        "a single blip must not trip the 3-consecutive-failures warning")
+    } finally {
+      S3Sim.faultHook = (_, _) => false
+      release.countDown()
+    }
+    holder.join(20000)
+    assert(!Files.exists(nioLease), "lease not released")
+  }}
+
+  test("publish-shaped rename under probabilistic copy faults: torn dst " +
+      "never passes the manifest gate; retry after recovery serves exactly " +
+      "the staged bytes") { withFaults {
+    val base = freshBase("swap")
+    val fs = Published.fsOf(base)
+    val stage = new HPath(base, "stage")
+    fs.mkdirs(stage)
+    put(fs, stage, "_GRAFT_PUBLISHED", "marker")
+    (1 to 6).foreach(i => put(fs, stage, s"part-0000$i", s"data-$i" * 20))
+    val completeManifest = Published.manifestHash(fs, stage)
+    val dst = new HPath(base, "tbl")
+    val injectedBefore = S3Sim.faultsInjected.get()
+    // 25% per-object copy faults: each swap attempt copies marker + 6
+    // parts, so most attempts die mid-copy; the schedule is seeded
+    // (env/default), so the campaign is reproducible per JVM op order
+    S3Sim.faultOps = Set("copy")
+    S3Sim.faultPct = 25.0
+    var renamed = false
+    var attempts = 0
+    var tornObserved = 0
+    while (!renamed && attempts < 300) {
+      attempts += 1
+      try renamed = fs.rename(stage, dst)
+      catch {
+        case _: java.io.IOException =>
+          // THE invariant: whatever the fault left at dst must not be
+          // serve-able — marker present AND manifest matching is the
+          // only state ensure() accepts
+          val servable = fs.exists(new HPath(dst, "_GRAFT_PUBLISHED")) &&
+            Published.manifestHash(fs, dst) == completeManifest
+          assert(!servable,
+            s"attempt $attempts left a torn dst that PASSES the manifest gate")
+          tornObserved += 1
+          // the sweep a next lease holder performs; stage is intact
+          // (copy-phase faults never touch the source)
+          fs.delete(dst, true)
+          assert(fs.exists(new HPath(stage, "part-00006")),
+            "copy-phase fault damaged the SOURCE")
+      }
+    }
+    assert(renamed, s"swap never completed in $attempts attempts")
+    assert(tornObserved >= 1,
+      "campaign was vacuous — no attempt ever faulted mid-copy")
+    assert(S3Sim.faultsInjected.get() > injectedBefore, "no faults injected")
+    assert(Published.manifestHash(fs, dst) == completeManifest,
+      "completed swap does not carry exactly the staged data files")
+    assert(!fs.exists(stage), "source not fully consumed by the final swap")
+  }}
+
+  test("reads under GET/LIST faults: every successful read equals the " +
+      "fault-free answer; failures are loud, never divergent") { withFaults {
+    val base = freshBase("read")
+    val fs = Published.fsOf(base)
+    val tbl = new HPath(base, "tbl")
+    fs.mkdirs(tbl)
+    put(fs, tbl, "_GRAFT_PUBLISHED", "marker")
+    (1 to 4).foreach(i => put(fs, tbl, s"part-0000$i", s"data-$i" * 20))
+    val trueManifest = Published.manifestHash(fs, tbl)
+    S3Sim.faultOps = Set("get", "list")
+    S3Sim.faultPct = 20.0
+    var ok = 0
+    var failed = 0
+    (1 to 60).foreach { _ =>
+      try {
+        val m = Published.manifestHash(fs, tbl) // LIST path
+        val markerContent = scala.util.Using.resource( // GET path
+          fs.open(new HPath(tbl, "_GRAFT_PUBLISHED"))) { in =>
+          val buf = new Array[Byte]("marker".length)
+          in.readFully(0, buf); new String(buf, "UTF-8")
+        }
+        assert(m == trueManifest, s"LIST under faults returned a DIVERGENT manifest $m")
+        assert(markerContent == "marker", "GET under faults returned divergent bytes")
+        ok += 1
+      } catch { case _: java.io.IOException => failed += 1 }
+    }
+    assert(ok >= 1, "no read ever succeeded at a 20% fault rate (rate too hot)")
+    assert(failed >= 1, "no read ever faulted (campaign vacuous)")
+  }}
+}

@@ -33,8 +33,7 @@ import graft.sources.{Published, S3Sim, S3SimFileSystem}
 class S3SimSpec extends SparkSpec {
 
   private def freshBase(tag: String): HPath = {
-    spark.sparkContext.hadoopConfiguration.set(
-      "fs.s3a.impl", classOf[S3SimFileSystem].getName)
+    registerSchemeImpl("fs.s3a.impl", classOf[S3SimFileSystem])
     val dir = Files.createTempDirectory(s"s3sim_$tag")
     new HPath(s"s3a://graftbucket$dir")
   }
