@@ -346,7 +346,10 @@ object Sketches {
       valueCol: String, ps: Seq[Double]): (Long, Seq[Double]) = {
     val sorted = df.select(col(valueCol).cast("double")).rdd
       .map(_.getDouble(0)).sortBy(identity).zipWithIndex().map(_.swap)
-    sorted.cache()
+    // MEMORY_AND_DISK, not cache(): the ranked column is the whole
+    // corpus — at the sizes this kernel exists for it must spill, not
+    // recompute the range-sort on the second pass (or OOM an executor).
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = sorted.count()
       require(n > 0, s"exact quantiles over an empty $valueCol")
@@ -396,8 +399,10 @@ object Sketches {
   def q125QuantileSketchMerge(spark: SparkSession, dir: String): DataFrame =
     q125RawEstimates(spark, dir)
       .select(col("n_rows"), col("slices"),
-        round(element_at(col("ex"), 2), 2).as("exact_p50"),
-        round(element_at(col("ex"), 5), 2).as("exact_p95"),
+        // +1e-9 like q126: nudges values off exact .005 boundaries where
+        // Spark's HALF_UP and DuckDB's rounding could disagree.
+        round(element_at(col("ex"), 2) + 1e-9, 2).as("exact_p50"),
+        round(element_at(col("ex"), 5) + 1e-9, 2).as("exact_p95"),
         when(col("sketch_n") === col("n_rows"), 1).otherwise(0)
           .cast("int").as("merged_count_exact"),
         when(col("est_p50").between(
@@ -410,8 +415,8 @@ object Sketches {
   val q125Sql: String =
     """SELECT count(*) AS n_rows,
       |  count(DISTINCT l_returnflag) AS slices,
-      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS exact_p50,
-      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 2) AS exact_p95,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) + 1e-9, 2) AS exact_p50,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) + 1e-9, 2) AS exact_p95,
       |  1 AS merged_count_exact, 1 AS p50_in_bounds, 1 AS p95_in_bounds
       |FROM lineitem""".stripMargin
 
@@ -449,6 +454,193 @@ object Sketches {
       |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) + 1e-9, 2) AS p95
       |FROM lineitem""".stripMargin
 
+  // --------------------------------------------------------------- q127
+  /** q125's dashboard state made DURABLE (r14 verdict ask #3): the
+    * per-slice KLL blobs published as a bucketed warehouse table under
+    * [[graft.sources.Published]]'s marker/manifest/lease discipline —
+    * the same lifecycle the ANN index got (q120 serve / q124 compact),
+    * applied to the mergeable-quantile family. The table holds one row
+    * per (slice × segment): the slice's KLL blob over the half-open
+    * l_orderkey window [lo, hi), its EXACT row count (KLL tracks n
+    * exactly), and the window bounds. Bootstrap publishes the base
+    * window [0, cut), cut = ⌊(max+1)·4/5⌋; every later call appends
+    * ONLY the window past the table's own high-water mark — O(delta)
+    * build (the range predicate reaches the parquet scan; at scale
+    * row-group stats skip the base), kilobytes stored — then re-stamps
+    * the marker's manifest exactly like q124's compaction commit. An
+    * up-to-date table appends nothing and the call is a pure
+    * blob-table read.
+    *
+    * The SERVE path ([[kllServeFromSegments]]) reads ONLY stored blobs
+    * — base ∪ delta quantiles without rescanning base (the 100 TB
+    * story: the corpus is petabytes, the blob table is kilobytes);
+    * Q127 spec pins the executed serve plan's scan set to the
+    * published table's files. The FACE then recomputes the exact
+    * envelope from the corpus once — that scan is the correctness
+    * gate's reference (same discipline as q125), not the dashboard
+    * read path. Restart-attach is probed cross-JVM by
+    * tools/fault_probes.sh's final fault-free pass (a fresh JVM
+    * attaches the published segments and serves). */
+  private[graft] val kllTableBuckets = 4
+
+  private[graft] def kllTableName(dir: String): String =
+    s"graft_kllq_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+
+  private def kllFingerprint(dir: String): String =
+    graft.sources.Published.fingerprint(dir,
+      Seq(new org.apache.hadoop.fs.Path(dir, "lineitem.parquet")))
+
+  // intra-JVM publish serialization per table (Similarity.publishLock's
+  // pattern): same-JVM racers queue on the monitor, cross-JVM exclusion
+  // is the file lease's job
+  private val kllPublishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def kllPublishLock(tbl: String): Object =
+    kllPublishLocks.computeIfAbsent(tbl, _ => new Object)
+
+  private def kllNUdf =
+    udf((b: Array[Byte]) => kllHeapify(b).getN)
+
+  /** One published SEGMENT: per-slice KLL blob + exact count over the
+    * l_orderkey window [lo, hi) — one corpus pass over the window, one
+    * kilobyte-row per slice out. */
+  private def kllSegment(spark: SparkSession, dir: String,
+                         lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    val kllMerge = udaf(KllMergeAgg)
+    sliceBlobs(Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+        .select(col("l_returnflag").as("slice"),
+          col("l_extendedprice").cast("double").as("v"))
+        .as[(String, Double)])
+      .groupBy(col("slice"))
+      .agg(kllMerge(col("blob")).as("blob"))
+      .select(col("slice"), col("blob"), kllNUdf(col("blob")).as("n"),
+        lit(lo).as("lo"), lit(hi).as("hi"))
+  }
+
+  /** Attach-or-build + catch-up append of the blob table; returns the
+    * catalog frame. Single writer per table cross-JVM (lease), waiting
+    * out rivals with the serve paths' budget; the append's commit is
+    * the manifest re-stamp — an appender dying (or losing its lease)
+    * between the append job and the stamp leaves an unaccounted
+    * segment that [[graft.sources.Published.ensure]] refuses to serve,
+    * and the next call rebuilds (the table is derived state). */
+  private[graft] def publishedKllSegments(spark: SparkSession,
+                                          dir: String): DataFrame = {
+    val tbl = kllTableName(dir)
+    val fp = kllFingerprint(dir)
+    val loc = graft.sources.Published.tableLoc(spark, tbl)
+    def maxKey(): Long = Tables.lineitem(spark, dir)
+      .agg(max(col("l_orderkey"))).head.getLong(0)
+    def underLease[T](body: => T): T = {
+      val deadline =
+        System.currentTimeMillis() + graft.sources.Published.defaultWaitMs
+      while (true) {
+        try return graft.sources.Published.withLease(loc, s"kllq:$tbl")(body)
+        catch { case held: graft.sources.Published.LeaseHeld =>
+          graft.sources.Published.awaitNoWriter(Seq(loc), deadline, held)
+        }
+      }
+      sys.error("unreachable")
+    }
+    kllPublishLock(tbl).synchronized {
+      underLease {
+        if (!graft.sources.Published.ensure(
+            spark, tbl, "slice", kllTableBuckets, fp)) {
+          val cut = (maxKey() + 1L) * 4L / 5L
+          graft.sources.Published.write(spark, tbl, "slice", kllTableBuckets,
+            fp, kllSegment(spark, dir, 0L, cut))
+        }
+        val hwRow = spark.table(tbl).agg(max(col("hi"))).head
+        val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
+        val top = maxKey() + 1L
+        if (hw < top) {
+          // commit gates bracket the append exactly like q124: abort
+          // BEFORE appending over a rival's writes, and if the append
+          // job itself overran the lease, fail BEFORE the re-stamp so
+          // the unaccounted segment can never be served
+          graft.sources.Published.assertLeaseOwned(loc)
+          kllSegment(spark, dir, hw, top)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .bucketBy(kllTableBuckets, "slice").sortBy("slice")
+            .format("parquet").saveAsTable(tbl)
+          try graft.sources.Published.assertLeaseOwned(loc)
+          catch { case e: graft.sources.Published.LeaseLost =>
+            throw new graft.sources.Published.LeaseLost(e.getMessage +
+              s"; the append itself overran the lease — `$tbl`'s marker was " +
+              "NOT re-stamped, so the unaccounted segment is never served " +
+              "and the next call rebuilds clean")
+          }
+          graft.sources.Published.restampManifest(spark, tbl)
+        }
+      }
+    }
+    spark.table(tbl)
+  }
+
+  /** The dashboard read path — STORED BLOBS ONLY (no corpus column in
+    * this plan; Q127 spec pins the executed scan set): per-slice blob
+    * union, then the global union, O(#segments) kilobyte merges. */
+  private[graft] def kllServeFromSegments(segments: DataFrame): DataFrame = {
+    val kllMerge = udaf(KllMergeAgg)
+    val kllQuantiles = udf((b: Array[Byte], ps: Seq[Double]) => {
+      val sk = kllHeapify(b)
+      ps.map(p => sk.getQuantile(p,
+        org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+    })
+    segments.groupBy(col("slice"))
+      .agg(kllMerge(col("blob")).as("sk"), sum(col("n")).as("n_slice"))
+      .agg(kllMerge(col("sk")).as("sk"),
+        sum(col("n_slice")).as("n_rows"),
+        count(lit(1)).as("slices"))
+      .select(col("n_rows"), col("slices"),
+        kllNUdf(col("sk")).as("sketch_n"),
+        element_at(kllQuantiles(col("sk"),
+          typedLit(Seq(0.5, 0.95))), 1).as("est_p50"),
+        element_at(kllQuantiles(col("sk"),
+          typedLit(Seq(0.5, 0.95))), 2).as("est_p95"))
+  }
+
+  def q127PublishedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val segs = publishedKllSegments(spark, dir)
+    // base/delta split from stored segment METADATA (k rows, eager —
+    // literals keep the face join-free, q125's discipline)
+    val meta = segs.agg(
+      sum(when(col("lo") === 0L, col("n")).otherwise(0L)).as("n_base"),
+      sum(when(col("lo") > 0L, col("n")).otherwise(0L)).as("n_delta")).head
+    val nBase = if (meta.isNullAt(0)) 0L else meta.getLong(0)
+    val nDelta = if (meta.isNullAt(1)) 0L else meta.getLong(1)
+    // the gate's reference: exact envelope + fresh count, recomputed
+    // from the corpus (the one place the face touches lineitem)
+    val (nFresh, ex) = exactQuantilesDistributed(
+      Tables.lineitem(spark, dir), "l_extendedprice",
+      Seq(0.42, 0.5, 0.58, 0.87, 0.95, 1.0))
+    kllServeFromSegments(segs).select(
+      col("n_rows"),
+      lit(nBase).as("n_base"),
+      lit(nDelta).as("n_delta"),
+      col("slices"),
+      when(col("n_rows") === lit(nFresh) &&
+          col("sketch_n") === lit(nFresh), 1)
+        .otherwise(0).cast("int").as("count_exact"),
+      when(col("est_p50").between(
+        lit(ex(0)), lit(ex(2))), 1).otherwise(0).cast("int").as("p50_in_bounds"),
+      when(col("est_p95").between(
+        lit(ex(3)), lit(ex(5))), 1).otherwise(0).cast("int").as("p95_in_bounds"))
+  }
+
+  val q127Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(*) FILTER (WHERE l_orderkey <
+      |    (SELECT (max(l_orderkey)+1)*4//5 FROM lineitem)) AS n_base,
+      |  count(*) FILTER (WHERE l_orderkey >=
+      |    (SELECT (max(l_orderkey)+1)*4//5 FROM lineitem)) AS n_delta,
+      |  count(DISTINCT l_returnflag) AS slices,
+      |  1 AS count_exact, 1 AS p50_in_bounds, 1 AS p95_in_bounds
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"     -> q39Percentiles _,
     "q40_approx_distinct" -> q40ApproxDistinct _,
@@ -457,6 +649,7 @@ object Sketches {
     "q98_join_card_estimate" -> q98JoinCardEstimate _,
     "q125_quantile_sketch_merge" -> q125QuantileSketchMerge _,
     "q126_exact_quantiles" -> q126ExactQuantiles _,
+    "q127_published_quantiles" -> q127PublishedQuantiles _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -467,5 +660,6 @@ object Sketches {
     "q98_join_card_estimate" -> q98Sql,
     "q125_quantile_sketch_merge" -> q125Sql,
     "q126_exact_quantiles" -> q126Sql,
+    "q127_published_quantiles" -> q127Sql,
   )
 }

@@ -133,6 +133,84 @@ class SketchesSpec extends SparkSpec {
       .sameElements(merged7), "empty blob is the merge identity")
   }
 
+  test("q127: published KLL segments — bootstrap + O(delta) append, counts " +
+      "exact across the append, serve reads STORED BLOBS ONLY, re-calls " +
+      "attach without rewriting") {
+    // a PRIVATE corpus copy: the table name/location key on the dir, so
+    // a fresh tmpdir guarantees this run exercises bootstrap AND append
+    // itself (the shared-sf table may already be complete from an
+    // earlier suite run — attach-only, which the second-call leg pins)
+    val dir = java.nio.file.Files.createTempDirectory("q127corpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/lineitem.parquet"),
+      dir.resolve("lineitem.parquet"))
+    val d = dir.toString
+    val segs = Sketches.publishedKllSegments(spark, d)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val total = li.count()
+    val maxKey = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    val cut = (maxKey + 1L) * 4L / 5L
+    // both windows published: base rows at lo=0 hi=cut, delta at lo=cut
+    val rows = segs.collect()
+    assert(rows.exists(r => r.getAs[Long]("lo") == 0L &&
+      r.getAs[Long]("hi") == cut), s"no base segment at [0,$cut): ${rows.toSeq}")
+    assert(rows.exists(r => r.getAs[Long]("lo") == cut &&
+      r.getAs[Long]("hi") == maxKey + 1),
+      s"no delta segment at [$cut,${maxKey + 1}): ${rows.toSeq}")
+    // count exactness ACROSS the append — stored per-segment counts sum
+    // to the corpus, split exactly at the cut
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "stored counts != corpus")
+    assert(rows.filter(_.getAs[Long]("lo") == 0L).map(_.getAs[Long]("n")).sum ==
+      li.filter(col("l_orderkey") < cut).count(), "base segment counts wrong")
+    // SERVE from stored blobs: merged count exact, estimates inside the
+    // same tight rank envelope the q125 spec uses (p50 within exact
+    // p45..p55, p95 within p90..p100)
+    val served = Sketches.kllServeFromSegments(segs).head()
+    assert(served.getAs[Long]("n_rows") == total)
+    assert(served.getAs[Long]("sketch_n") == total,
+      "stored-blob merge lost or doubled rows vs the fresh corpus count")
+    assert(served.getAs[Long]("slices") == 3L)
+    val exact = li.agg(expr("percentile(CAST(l_extendedprice AS DOUBLE), " +
+      "array(0.45, 0.55, 0.90, 1.0))").as("p")).head().getSeq[Double](0)
+    val p50 = served.getAs[Double]("est_p50")
+    val p95 = served.getAs[Double]("est_p95")
+    assert(p50 >= exact(0) && p50 <= exact(1),
+      s"served p50 $p50 outside exact(0.45..0.55)=${exact.take(2)}")
+    assert(p95 >= exact(2) && p95 <= exact(3),
+      s"served p95 $p95 outside exact(0.90..1.0)=${exact.drop(2)}")
+    // the serve plan reads ONLY the published blob table — every file
+    // scan is bucketed and none touches the corpus (this is the 100 TB
+    // claim: base ∪ delta quantiles without rescanning base)
+    val p = PlanWalk.executed(Sketches.kllServeFromSegments(
+      spark.table(Sketches.kllTableName(d))))
+    val scans = PlanWalk.allNodes(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "serve must read the published table")
+    assert(scans.forall(_.relation.bucketSpec.isDefined),
+      "serve read a non-bucketed file (corpus leak?)")
+    assert(scans.forall(s => !s.relation.location.inputFiles.exists(
+        _.contains("lineitem"))),
+      "serve plan scans the corpus — the blob table exists to avoid that")
+    // idempotent re-call: attaches, appends nothing, rewrites nothing —
+    // the manifest is byte-identical (restart-attach's in-suite face;
+    // the cross-JVM form runs in tools/fault_probes.sh's final pass)
+    val tblLoc = graft.sources.Published.tableLoc(spark, Sketches.kllTableName(d))
+    val fs = graft.sources.Published.fsOf(tblLoc)
+    val manifestBefore = graft.sources.Published.manifestHash(fs, tblLoc)
+    val again = Sketches.publishedKllSegments(spark, d).collect()
+    assert(graft.sources.Published.manifestHash(fs, tblLoc) == manifestBefore,
+      "an up-to-date table must attach without appending or rewriting")
+    assert(again.map(_.getAs[Long]("n")).sum == total)
+    // the oracle-gated face: every flag 1
+    val f = Sketches.q127PublishedQuantiles(spark, d).head()
+    for (c <- Seq("count_exact", "p50_in_bounds", "p95_in_bounds"))
+      assert(f.getAs[Int](c) == 1, s"flag $c flipped: $f")
+    assert(f.getAs[Long]("n_base") + f.getAs[Long]("n_delta") ==
+      f.getAs[Long]("n_rows"), "base/delta split does not cover the corpus")
+    spark.sql(s"DROP TABLE IF EXISTS `${Sketches.kllTableName(d)}`")
+  }
+
   /** O3 demux analogue: malformed payloads route to null, clean rows pass —
     * the typed replacement for the reference's message demux
     * (regionSpout.go:127-130; its catch-all logger was dead code). */
