@@ -543,8 +543,19 @@ object Published {
       if (claimed) try held.synchronized {
         // on the Held monitor: an interrupted heartbeat can be mid-bump
         // (interrupt only breaks its sleep) and a torn self-read here
-        // would skip the delete, leaking the lease until it ages out
-        val cur = readOrNull(fs, lp)
+        // would skip the delete, leaking the lease until it ages out.
+        // The verify-read RETRIES a couple of transient nulls (r15
+        // fault campaign: one GET blip here leaked the lease and cost
+        // a rival its whole wait budget); a read that stays null after
+        // the retries still skips the delete — unreadable might mean
+        // foreign, and a leak that ages out beats deleting blind
+        var cur = readOrNull(fs, lp)
+        var reads = 1
+        while (cur == null && reads < 3) {
+          Thread.sleep(20)
+          cur = readOrNull(fs, lp)
+          reads += 1
+        }
         if (cur != null && cur.startsWith(token + "\n")) deleteIfExists(fs, lp)
       } finally deleteIfExists(fs, bp)
       if (interrupted) Thread.currentThread().interrupt()
@@ -950,9 +961,17 @@ object Published {
     }
     // a transient LIST/HEAD fault while polling reads as "writer still
     // present" — conservative: keep waiting (bounded by the deadline)
-    // rather than racing into a build on a blip
+    // rather than racing into a build on a blip. An artifact OLDER than
+    // the stale threshold does NOT count as a live writer (r15 fault
+    // campaign): a leaked lease (release read blipped) otherwise wedges
+    // every waiter for the full budget even though the write path could
+    // stale-break it — returning early hands it to the caller's retry,
+    // whose acquire re-verifies staleness UNDER a break claim before
+    // deleting anything (a genuinely live holder's heartbeat keeps its
+    // age low, so this never wakes on one)
     def writerVisible(): Boolean =
-      try watched.exists { case (fs, ps) => ps.exists(exists(fs, _)) }
+      try watched.exists { case (fs, ps) =>
+        ps.exists(p => exists(fs, p) && ageOf(fs, p) <= leaseStaleMs) }
       catch { case _: java.io.IOException => true }
     while (writerVisible()) {
       if (System.currentTimeMillis() > deadline) throw held

@@ -619,4 +619,39 @@ class PublishedSpec extends SparkSpec {
     assert(spark.table(tbl).count() == 2, "both rows present after the append")
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
+
+  test("awaitNoWriter wakes on a stale-aged lease instead of burning its " +
+      "whole budget (r15 fault campaign: a leaked lease wedged a waiter " +
+      "for the full 10-minute budget though it was breakable at 30 s)") {
+    val loc = tmpLoc()
+    val lp = leaseLocal(loc)
+    Files.createDirectories(lp.getParent)
+    Files.writeString(lp, "corpse#0#0#0\ncorpse")
+    // age the corpse past the JVM's stale threshold (default 30 min —
+    // nio setLastModifiedTime, bypassing the FS API)
+    Files.setLastModifiedTime(lp, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 45L * 60 * 1000))
+    val held = new Published.LeaseHeld("spec corpse")
+    val t0 = System.nanoTime()
+    // deadline far away: pre-fix this call returned only AT the
+    // deadline (throwing `held`); post-fix the stale age means "no
+    // LIVE writer" and it returns immediately, handing the corpse to
+    // the caller's write retry (whose acquire breaks it under a claim)
+    Published.awaitNoWriter(Seq(loc),
+      System.currentTimeMillis() + 60000, held)
+    val waitedMs = (System.nanoTime() - t0) / 1000000
+    assert(waitedMs < 5000,
+      s"stale-aged lease kept awaitNoWriter polling for ${waitedMs}ms")
+    // a FRESH lease still blocks until the deadline, then rethrows
+    Files.setLastModifiedTime(lp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val t1 = System.nanoTime()
+    val thrown = intercept[Published.LeaseHeld] {
+      Published.awaitNoWriter(Seq(loc),
+        System.currentTimeMillis() + 1500, held)
+    }
+    assert(thrown eq held)
+    assert((System.nanoTime() - t1) / 1000000 >= 1500,
+      "a live-aged lease must be waited out to the deadline")
+  }
 }

@@ -173,6 +173,30 @@ class S3FaultSpec extends SparkSpec {
     assert(!Files.exists(nioLease), "lease not released")
   }}
 
+  test("GET blips on the release's verify-read do not leak the lease") { withFaults {
+    // r15 fault campaign, attempt 2: ONE unlucky GET on the release
+    // read left the lease behind, and the same JVM's retry then burned
+    // its whole wait budget on the corpse. The release now retries the
+    // read; two consecutive blips must still end in a clean delete.
+    val base = freshBase("release")
+    val loc = new HPath(base, "tbl")
+    val nioLease = java.nio.file.Paths.get(
+      new HPath(base, "tbl._GRAFT_LEASE").toUri.getPath)
+    val blips = new java.util.concurrent.atomic.AtomicInteger(0)
+    Published.withLease(loc, "release-blip", staleMs = 60000) {
+      // staleMs=60 s -> heartbeat period 7.5 s; arming the hook just
+      // before the body returns leaves the release's reads as the only
+      // realistic GET consumers of the window
+      S3Sim.faultHook = (op, p) =>
+        op == "get" && p.getName.endsWith("._GRAFT_LEASE") &&
+          blips.incrementAndGet() <= 2
+    }
+    assert(blips.get() >= 2, "the release never consumed the two GET blips " +
+      "(test is vacuous — did the release stop reading the lease?)")
+    assert(!Files.exists(nioLease),
+      "lease leaked: the release gave up after transient GET blips")
+  }}
+
   test("publish-shaped rename under probabilistic copy faults: torn dst " +
       "never passes the manifest gate; retry after recovery serves exactly " +
       "the staged bytes") { withFaults {
