@@ -50,10 +50,26 @@ object ServeLoop {
       while (cur != null && !seen.contains(cur) && !hit) {
         seen += cur
         val msg = Option(cur.getMessage).getOrElse("")
+        // the retryable class is "a file the plan listed vanished or
+        // tore under the read". Spark surfaces it three ways: FNF at
+        // file OPEN; nio NoSuchFileException when the delete lands
+        // MID-read (the vectored-IO path re-opens by raw path — its
+        // message is just the path, no "does not exist"; caught by the
+        // r15 s3 leg-3 rerun, where one in ~5 runs landed the hammer's
+        // swap-delete inside an in-flight read instead of before the
+        // open); and FAILED_READ_FILE wrapping either — or wrapping a
+        // torn HALF-COPIED object, which cannot yield wrong rows (the
+        // parquet footer is at the tail, so a partial copy is
+        // unreadable, never silently truncated) and is the same
+        // raced-a-swap incident. Genuine persistent corruption exhausts
+        // the bounded retries and still dies loudly.
         hit = cur.isInstanceOf[java.io.FileNotFoundException] ||
+          cur.isInstanceOf[java.nio.file.NoSuchFileException] ||
           msg.contains("FileNotFoundException") ||
+          msg.contains("NoSuchFileException") ||
           msg.contains("does not exist") ||
-          msg.contains("REFRESH TABLE")
+          msg.contains("REFRESH TABLE") ||
+          msg.contains("FAILED_READ_FILE")
         cur = cur.getCause
       }
       hit

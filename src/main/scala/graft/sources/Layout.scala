@@ -127,14 +127,23 @@ object Layout {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + 1e-9, 2)
         .as("revenue"))
 
-  /** Once-per-(session, dir) bucketize: q50 runs under Verify and Bench,
-    * which call each query repeatedly — the table WRITE is layout setup,
-    * not the measured query, so it must not repeat. */
-  private val bucketizedFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-SERVE attach-or-build — NOT a per-session memo. The table
+    * WRITE still happens at most once per warehouse generation
+    * (attachOrBuild attaches on marker match; repeat calls pay only
+    * the fingerprint + ensure metadata LISTs, the same RPC class as
+    * Spark's own file-index refresh), but the per-serve ensure() is
+    * load-bearing: it is what re-checks the manifest and refreshes a
+    * relation whose files a FOREIGN JVM's republish swapped since this
+    * session last planned it. The r11-era once-per-session memo here
+    * bypassed exactly that — ServeLoop's final serve, landing after
+    * its memoized first bucketize while the republish hammer was still
+    * swapping, replayed a retired generation's cached listing through
+    * all 60 of its retries (r15 s3 leg-3 rerun) because nothing on the
+    * memoized path ever re-listed. Every other published-table serve
+    * (q120-q124, q127) already runs ensure() per call for this reason;
+    * q50 now does too. */
   def ensureBucketized(spark: SparkSession, dir: String): Unit =
-    bucketizedFor.computeIfAbsent(
-      spark.sessionState.hashCode().toString + ":" + dir,
-      _ => { bucketizeFacts(spark, dir); "done" })
+    bucketizeFacts(spark, dir)
 
   /** q50: the bucketed co-located fact⋈fact join, driver-gated. The
     * oracle is the plain lineitem⋈orders SQL — bucketing must change the
