@@ -153,11 +153,22 @@ object Bench {
       // 8 stores instead of 32), cutting the per-store fixed commit
       // draw 18× (Σcommit 71.6 → 3.8 s) and wall 6.4 → 3.2-3.7 s
       // across five consecutive runs (r8 ask #3 closed)
-      // round-14 additions, first measurements on a ~1.3x-slow boot
-      // (q125 isolated warm min 2.3-3.0, s04 in-suite 3.50 beside s03's
-      // 3.74-vs-3.60-ref) — re-base both on the next idle boot
-      "q125_quantile_sketch_merge" -> 2.50, "s04_quantiles_rocksdb" -> 3.40,
-      "q126_exact_quantiles" -> 1.85,
+      // q125/q126/s04 re-based round 15 (r14 verdict ask #2): the r14
+      // stamps were first measurements on a ~1.3x-slow boot, and q125's
+      // 2.50 predated the distributed-exact rewrite that halved it.
+      // Trails: q125 1.89/1.58 (r14 close) + 1.33/1.59 (r15 idle pair)
+      // -> 1.50; q126 1.84/1.12 (r15 pair; the 1.85 was the slow-boot
+      // stamp) -> 1.40; s04 3.34/2.84 (r14 close) + 3.02/2.70 (r15
+      // pair) -> 2.80
+      "q125_quantile_sketch_merge" -> 1.50, "s04_quantiles_rocksdb" -> 2.80,
+      "q126_exact_quantiles" -> 1.40,
+      // q127 first measurement (r15): steady state is attach + the
+      // blob-table serve + the exact-envelope reference (the range-sort
+      // dominates, q126's kernel); 1.60 from the r15 pair's idle sample
+      // — its 3.52 sibling included the cold publish plus post-probe
+      // box contention. A marker miss re-publishing per call would read
+      // ~2.5x — the same publish-lifecycle guard as q120-q124
+      "q127_published_quantiles" -> 1.60,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
