@@ -371,12 +371,6 @@ object Sketches {
     * face is the sketch aggregation's own 1-row plan. */
   private[graft] def q125RawEstimates(spark: SparkSession, dir: String): DataFrame = {
     val kllMerge = udaf(KllMergeAgg)
-    val kllQuantiles = udf((b: Array[Byte], ps: Seq[Double]) => {
-      val sk = kllHeapify(b)
-      ps.map(p => sk.getQuantile(p,
-        org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
-    })
-    val kllN = udf((b: Array[Byte]) => kllHeapify(b).getN)
     val (nRows, ex) = exactQuantilesDistributed(
       Tables.lineitem(spark, dir), "l_extendedprice",
       Seq(0.42, 0.5, 0.58, 0.87, 0.95, 1.0))
@@ -386,8 +380,8 @@ object Sketches {
         kllMerge(col("sk")).as("sk"),
         count(lit(1)).as("slices"))
       .select(col("slices"),
-        kllN(col("sk")).as("sketch_n"),
-        kllQuantiles(col("sk"),
+        kllNUdf(col("sk")).as("sketch_n"),
+        kllQuantilesUdf(col("sk"),
           typedLit(Seq(0.5, 0.95))).as("est"))
       .select(col("slices"), col("sketch_n"),
         element_at(col("est"), 1).as("est_p50"),
@@ -499,8 +493,19 @@ object Sketches {
   private def kllPublishLock(tbl: String): Object =
     kllPublishLocks.computeIfAbsent(tbl, _ => new Object)
 
-  private def kllNUdf =
+  private lazy val kllNUdf =
     udf((b: Array[Byte]) => kllHeapify(b).getN)
+
+  /** ONE deserialize-and-query kernel for every KLL face (q125's audit,
+    * q127's published serve) — review finding r15: per-site copies of
+    * this UDF risked the serve path silently diverging from the audit
+    * path it documents itself as mirroring. */
+  private lazy val kllQuantilesUdf =
+    udf((b: Array[Byte], ps: Seq[Double]) => {
+      val sk = kllHeapify(b)
+      ps.map(p => sk.getQuantile(p,
+        org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+    })
 
   /** One published SEGMENT: per-slice KLL blob + exact count over the
     * l_orderkey window [lo, hi) — one corpus pass over the window, one
@@ -585,11 +590,6 @@ object Sketches {
     * union, then the global union, O(#segments) kilobyte merges. */
   private[graft] def kllServeFromSegments(segments: DataFrame): DataFrame = {
     val kllMerge = udaf(KllMergeAgg)
-    val kllQuantiles = udf((b: Array[Byte], ps: Seq[Double]) => {
-      val sk = kllHeapify(b)
-      ps.map(p => sk.getQuantile(p,
-        org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
-    })
     segments.groupBy(col("slice"))
       .agg(kllMerge(col("blob")).as("sk"), sum(col("n")).as("n_slice"))
       .agg(kllMerge(col("sk")).as("sk"),
@@ -597,10 +597,10 @@ object Sketches {
         count(lit(1)).as("slices"))
       .select(col("n_rows"), col("slices"),
         kllNUdf(col("sk")).as("sketch_n"),
-        element_at(kllQuantiles(col("sk"),
-          typedLit(Seq(0.5, 0.95))), 1).as("est_p50"),
-        element_at(kllQuantiles(col("sk"),
-          typedLit(Seq(0.5, 0.95))), 2).as("est_p95"))
+        kllQuantilesUdf(col("sk"), typedLit(Seq(0.5, 0.95))).as("est"))
+      .select(col("n_rows"), col("slices"), col("sketch_n"),
+        element_at(col("est"), 1).as("est_p50"),
+        element_at(col("est"), 2).as("est_p95"))
   }
 
   def q127PublishedQuantiles(spark: SparkSession, dir: String): DataFrame = {

@@ -549,12 +549,15 @@ object Published {
         // a rival its whole wait budget); a read that stays null after
         // the retries still skips the delete — unreadable might mean
         // foreign, and a leak that ages out beats deleting blind
+        // the retry sleep must not let a pending interrupt abort the
+        // release from inside this finally (it would mask the body's
+        // result AND leak the lease — the claim loop above guards the
+        // same way): convert it to the interrupted flag and stop
         var cur = readOrNull(fs, lp)
         var reads = 1
-        while (cur == null && reads < 3) {
-          Thread.sleep(20)
-          cur = readOrNull(fs, lp)
-          reads += 1
+        while (cur == null && reads < 3 && !interrupted) {
+          try { Thread.sleep(20); cur = readOrNull(fs, lp); reads += 1 }
+          catch { case _: InterruptedException => interrupted = true }
         }
         if (cur != null && cur.startsWith(token + "\n")) deleteIfExists(fs, lp)
       } finally deleteIfExists(fs, bp)

@@ -68,13 +68,17 @@ class S3FaultSpec extends SparkSpec {
     val release = new CountDownLatch(1)
     @volatile var ownedAtEnd = false
     val warnBase = Published.heartbeatDegradedWarnings.get()
-    // staleMs=4000 -> beat period 500 ms, break-window guard at age 2 s.
-    // The hook faults only PLAIN PUTs ("put" — the heartbeat's content
-    // bumps); the rival's acquire attempt is a conditional put ("putif")
-    // and must stay un-faulted so its LeaseHeld is the protocol's
-    // verdict, not the fault's.
+    // staleMs=12000 -> beat period 1.5 s, break-window guard at age 6 s,
+    // stale-break at 12 s: once bumps fault, the lease mtime never
+    // refreshes again, so the threshold must comfortably outlast the
+    // warning poll (<=8 s) + the rival attempt — at 4 s a loaded box let
+    // the rival arrive past staleness and legitimately BREAK the live
+    // holder (review finding, r15). The hook faults only PLAIN PUTs
+    // ("put" — the heartbeat's content bumps); the rival's acquire
+    // attempt is a conditional put ("putif") and must stay un-faulted
+    // so its LeaseHeld is the protocol's verdict, not the fault's.
     val holder = new Thread(() =>
-      Published.withLease(loc, "fault-holder", staleMs = 4000) {
+      Published.withLease(loc, "fault-holder", staleMs = 12000) {
         inBody.countDown()
         release.await(30, TimeUnit.SECONDS)
         Published.assertLeaseOwned(loc) // throws LeaseLost if exclusion broke
@@ -85,7 +89,7 @@ class S3FaultSpec extends SparkSpec {
     S3Sim.faultHook = (op, p) =>
       op == "put" && p.getName.endsWith("._GRAFT_LEASE")
     try {
-      // 3 consecutive failed beats land by ~1.5 s; poll the observable
+      // 3 consecutive failed beats land by ~4.5 s; poll the observable
       // counter (bump PUT faults -> setTimes fallback is a silent no-op
       // on this store -> beat failed)
       var polls = 0
@@ -99,7 +103,7 @@ class S3FaultSpec extends SparkSpec {
       // holder's token (bumps failed, nothing overwrote it), so a rival
       // loses the acquire and cannot stale-break (age < staleMs)
       val rival = intercept[Published.LeaseHeld] {
-        Published.withLease(loc, "rival", staleMs = 4000) {
+        Published.withLease(loc, "rival", staleMs = 12000) {
           fail("rival must never enter the body while the degraded holder is live")
         }
       }

@@ -65,7 +65,7 @@ for i in "${!RATES[@]}"; do
     echo "-- attempt $((i + 1)): failed LOUDLY under faults ($N injected) — acceptable; torn-state check rides on every later pass"
     continue
   fi
-  # the attempt wrote all five results — gate them NOW: a pass that
+  # the attempt wrote all six results — gate them NOW: a pass that
   # SERVED a torn table is exactly what this campaign exists to catch
   if python3 tools/oracle_check.py "$SF" "$OUT" >/dev/null 2>&1; then
     echo "-- attempt $((i + 1)): COMPLETED under ${PCT}% faults ($N injected), oracle green"
@@ -83,8 +83,12 @@ done
 echo "-- campaign: completed at ${SUCCESS_PCT}%, $LOUD_FAILURES loud failure(s), $TOTAL_FAULTS faults injected"
 
 echo "== final fault-free attach pass on the campaign warehouse"
+# same stale threshold as the attempts: a lease an attempt leaked must
+# be judged stale by the SAME clock, or this pass wedges on a corpse
+# the 30-minute default still calls live (review finding, r15)
 OUTF=$(mktemp -d /tmp/graft-fault-out.XXXX)
 env SPARK_GRAFT_S3_SIM=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
+    SPARK_GRAFT_LEASE_STALE_MS=30000 \
   $RUN graft.Verify "$SF" "$OUTF" "$QS" >/tmp/fault_final.log 2>&1
 grep -aq "\[verify\].*failed" /tmp/fault_final.log && \
   { echo "FAIL: fault-free attach pass reported a query failure"; exit 1; }
@@ -103,6 +107,7 @@ for pct in 10 5 0; do
       SPARK_GRAFT_S3_FAULT_PCT="$pct" SPARK_GRAFT_S3_FAULT_OPS="get,list" \
       SPARK_GRAFT_S3_FAULT_SEED=$((9000 + pct)) \
       SPARK_GRAFT_MASTER="local[8,4]" SPARK_GRAFT_CPUS=8 \
+      SPARK_GRAFT_LEASE_STALE_MS=30000 \
     $RUN graft.Verify "$SF" "$OUTS" "$QS" >"$LOGS" 2>&1
   if grep -aq "\[verify\].*failed" "$LOGS"; then
     echo "-- serve pass at ${pct}%: failed LOUDLY (retryable) — acceptable"
