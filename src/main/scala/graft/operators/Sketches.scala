@@ -537,8 +537,6 @@ object Sketches {
     val tbl = kllTableName(dir)
     val fp = kllFingerprint(dir)
     val loc = graft.sources.Published.tableLoc(spark, tbl)
-    def maxKey(): Long = Tables.lineitem(spark, dir)
-      .agg(max(col("l_orderkey"))).head.getLong(0)
     def underLease[T](body: => T): T = {
       val deadline =
         System.currentTimeMillis() + graft.sources.Published.defaultWaitMs
@@ -554,14 +552,25 @@ object Sketches {
       underLease {
         if (!graft.sources.Published.ensure(
             spark, tbl, "slice", kllTableBuckets, fp)) {
-          val cut = (maxKey() + 1L) * 4L / 5L
+          // one-time full-column max — the bootstrap's price, not the
+          // steady state's
+          val maxKey = Tables.lineitem(spark, dir)
+            .agg(max(col("l_orderkey"))).head.getLong(0)
+          val cut = (maxKey + 1L) * 4L / 5L
           graft.sources.Published.write(spark, tbl, "slice", kllTableBuckets,
             fp, kllSegment(spark, dir, 0L, cut))
         }
         val hwRow = spark.table(tbl).agg(max(col("hi"))).head
         val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)
-        val top = maxKey() + 1L
-        if (hw < top) {
+        // catch-up detection is O(delta), q124's shape: max over the
+        // hw-bounded scan (the predicate reaches parquet, so row-group
+        // stats skip the base) — NOT a full-column max per call, which
+        // would make "an up-to-date table is a pure blob read" false
+        val deltaMaxRow = Tables.lineitem(spark, dir)
+          .filter(col("l_orderkey") >= hw)
+          .agg(max(col("l_orderkey"))).head
+        if (!deltaMaxRow.isNullAt(0)) {
+          val top = deltaMaxRow.getLong(0) + 1L
           // commit gates bracket the append exactly like q124: abort
           // BEFORE appending over a rival's writes, and if the append
           // job itself overran the lease, fail BEFORE the re-stamp so
