@@ -40,8 +40,13 @@ QS="q120,q121,q122,q123,q124,q127"
 WH=$(mktemp -d /tmp/graft-fault-wh.XXXX); rm -rf "$WH"
 WH_URI="s3a://graftbucket$WH"
 # de-escalating rates (percent per store op, post-connector-retry — a
-# real S3's post-retry failure rate is far below any of these)
-RATES=(5 5 2.5 2.5 1.2 0.6 0)
+# real S3's post-retry failure rate is far below any of these; the
+# ~500 eligible ops per 6-query lifecycle mean a fresh multi-table
+# publish chain completes with useful probability only below ~0.5%,
+# which is why the tail has low-rate steps: completing at a NONZERO
+# rate exercises the full success path under residual faults, while
+# the high-rate attempts exercise loud failure)
+RATES=(5 5 2.5 2.5 1.2 0.6 0.3 0.3 0.15 0)
 TOTAL_FAULTS=0
 LOUD_FAILURES=0
 SUCCESS=""
@@ -100,7 +105,8 @@ ls "$WH" | grep -q "_GRAFT_LEASE" && \
 
 echo "== serve-only passes under READ faults (GET+LIST)"
 GREEN=0
-for pct in 10 5 0; do
+GREEN_WITH_FAULTS=0
+for pct in 10 5 2 0; do
   OUTS=$(mktemp -d /tmp/graft-fault-out.XXXX)
   LOGS=/tmp/fault_serve_${pct}.log
   env SPARK_GRAFT_S3_SIM=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
@@ -109,17 +115,23 @@ for pct in 10 5 0; do
       SPARK_GRAFT_MASTER="local[8,4]" SPARK_GRAFT_CPUS=8 \
       SPARK_GRAFT_LEASE_STALE_MS=30000 \
     $RUN graft.Verify "$SF" "$OUTS" "$QS" >"$LOGS" 2>&1
+  NS=$(grep -ao "s3sim faults injected: [0-9]*" "$LOGS" | grep -o "[0-9]*$" | tail -1 || true)
+  NS=${NS:-0}
   if grep -aq "\[verify\].*failed" "$LOGS"; then
-    echo "-- serve pass at ${pct}%: failed LOUDLY (retryable) — acceptable"
+    echo "-- serve pass at ${pct}%: failed LOUDLY ($NS faults injected, retryable) — acceptable"
     continue
   fi
   if python3 tools/oracle_check.py "$SF" "$OUTS" >/dev/null 2>&1; then
-    echo "-- serve pass at ${pct}%: oracle green"
+    echo "-- serve pass at ${pct}%: oracle green ($NS faults injected)"
     GREEN=$((GREEN + 1))
+    [[ "$NS" -gt 0 ]] && GREEN_WITH_FAULTS=$((GREEN_WITH_FAULTS + 1))
   else
     echo "FAIL: serve pass at ${pct}% returned oracle-WRONG rows — a stale/partial result"
     exit 1
   fi
 done
 [[ "$GREEN" -ge 1 ]] || { echo "FAIL: no serve pass ever completed"; exit 1; }
+# advisory, not a gate: completion WITH faults actually absorbed is the
+# strongest line — record whether this run produced one
+echo "-- serve passes green with >=1 injected fault: $GREEN_WITH_FAULTS"
 echo "ALL OK: publish completes-or-fails-loudly under faults, torn state never served, reads never divergent"
