@@ -488,13 +488,67 @@ object Bench {
           -1.0
       }
     }
+    // s05: the published KLL dashboard maintained by a STREAM (q127's
+    // continuous twin, r15 verdict ask #3) — bootstrap the base window
+    // into the segment store, stream the delta as 8 one-batch files
+    // appending blob segments to the published table under the lease/
+    // manifest discipline, then attach-serve the dashboard (blob-only
+    // read). Fresh segment store + checkpoint + published table per
+    // run (the table name is store-keyed): unlike q120-q127 this
+    // entry deliberately measures the COLD lifecycle — publish-per-run
+    // IS the operation, so no structural cache guard applies. No
+    // recordState: the sink is a stateless foreachBatch.
+    lazy val s05Cut: Long = {
+      // the SAME split bootstrapBase derives — a diverging cut would
+      // double-count the overlap window in the streamed dashboard
+      val m = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("l_orderkey"))).head.getLong(0)
+      (m + 1L) * 4L / 5L
+    }
+    lazy val s05Src: String = {
+      val d = java.nio.file.Files.createTempDirectory("bench_s05_src").toString
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_orderkey") >= s05Cut)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        .repartition(8).write.mode("overwrite").parquet(d)
+      d
+    }
+    def kllStreamOnce(): Double = {
+      try {
+        val src = s05Src
+        val t0 = System.nanoTime()
+        val segDir = java.nio.file.Files.createTempDirectory("bench_s05_seg").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("bench_s05_ckpt").toString
+        graft.streaming.KllPublish.bootstrapBase(spark, sfDir, segDir)
+        val in = spark.readStream
+          .schema(spark.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val q = graft.streaming.KllPublish.kllPublishedSink(in, segDir, ckpt)
+        awaitStream("s05_kll_publish_stream", q)
+        val served = graft.streaming.KllPublish.attachServe(spark, segDir).head
+        require(served.getAs[Long]("n_rows") == served.getAs[Long]("sketch_n"),
+          "s05 served a count-inexact dashboard")
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors("s05_kll_publish_stream") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+          System.err.println(s"[bench] s05_kll_publish_stream FAILED: ${errors("s05_kll_publish_stream")}")
+          -1.0
+      }
+    }
     val results = SparkEntry.queries.collect {
       case (name, fn) if nameFilter(name) => name -> time(name, fn)
     } ++ Seq(
       "s01_stream_envelope" -> (() => streamOnce()),
       "s02_funnel_rocksdb" -> (() => statefulOnce()),
       "s03_trending_rocksdb" -> (() => trendingOnce()),
-      "s04_quantiles_rocksdb" -> (() => quantilesOnce())).collect {
+      "s04_quantiles_rocksdb" -> (() => quantilesOnce()),
+      "s05_kll_publish_stream" -> (() => kllStreamOnce())).collect {
       case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
     }
     // ms precision: full ns resolution is noise (spreads are 10-100 ms).

@@ -36,9 +36,9 @@ object Verify {
     // was non-vacuous — a green pass at "5%" that injected nothing
     // proves nothing — and a FAILING campaign run needs the count in
     // its only artifact, the log
-    val injected = graft.sources.S3Sim.faultsInjected.get()
+    val injected = graft.sources.StoreFaults.faultsInjected.get()
     if (injected > 0)
-      System.err.println(s"[verify] s3sim faults injected: $injected")
+      System.err.println(s"[verify] store faults injected: $injected")
     spark.stop()
   }
 }

@@ -490,17 +490,17 @@ object Sketches {
   // is the file lease's job
   private val kllPublishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def kllPublishLock(tbl: String): Object =
+  private[graft] def kllPublishLock(tbl: String): Object =
     kllPublishLocks.computeIfAbsent(tbl, _ => new Object)
 
-  private lazy val kllNUdf =
+  private[graft] lazy val kllNUdf =
     udf((b: Array[Byte]) => kllHeapify(b).getN)
 
   /** ONE deserialize-and-query kernel for every KLL face (q125's audit,
     * q127's published serve) — review finding r15: per-site copies of
     * this UDF risked the serve path silently diverging from the audit
     * path it documents itself as mirroring. */
-  private lazy val kllQuantilesUdf =
+  private[graft] lazy val kllQuantilesUdf =
     udf((b: Array[Byte], ps: Seq[Double]) => {
       val sk = kllHeapify(b)
       ps.map(p => sk.getQuantile(p,
@@ -510,8 +510,8 @@ object Sketches {
   /** One published SEGMENT: per-slice KLL blob + exact count over the
     * l_orderkey window [lo, hi) — one corpus pass over the window, one
     * kilobyte-row per slice out. */
-  private def kllSegment(spark: SparkSession, dir: String,
-                         lo: Long, hi: Long): DataFrame = {
+  private[graft] def kllSegment(spark: SparkSession, dir: String,
+                                lo: Long, hi: Long): DataFrame = {
     import spark.implicits._
     val kllMerge = udaf(KllMergeAgg)
     sliceBlobs(Tables.lineitem(spark, dir)
@@ -537,19 +537,8 @@ object Sketches {
     val tbl = kllTableName(dir)
     val fp = kllFingerprint(dir)
     val loc = graft.sources.Published.tableLoc(spark, tbl)
-    def underLease[T](body: => T): T = {
-      val deadline =
-        System.currentTimeMillis() + graft.sources.Published.defaultWaitMs
-      while (true) {
-        try return graft.sources.Published.withLease(loc, s"kllq:$tbl")(body)
-        catch { case held: graft.sources.Published.LeaseHeld =>
-          graft.sources.Published.awaitNoWriter(Seq(loc), deadline, held)
-        }
-      }
-      sys.error("unreachable")
-    }
     kllPublishLock(tbl).synchronized {
-      underLease {
+      graft.sources.Published.withLeaseAwaiting(loc, s"kllq:$tbl") {
         if (!graft.sources.Published.ensure(
             spark, tbl, "slice", kllTableBuckets, fp)) {
           // one-time full-column max — the bootstrap's price, not the

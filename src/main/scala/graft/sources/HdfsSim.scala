@@ -142,6 +142,44 @@ class HdfsSimFileSystem extends RawLocalFileSystem
 
   override def getScheme: String = "hdfs"
 
+  // -------------------------------------------- transient-fault taps
+  // Shared with the s3 sim ([[StoreFaults]], r15 verdict ask #2): an
+  // HDFS client surfaces DataNode/RPC blips as the same post-retry
+  // IOException class. Each tap faults BEFORE delegating — a failed
+  // RPC reaches the namenode and does nothing. The one scheme
+  // difference: rename here is ONE atomic metadata op, so the fault
+  // lands on the CALL ("rename"), never on a torn half-rename — there
+  // is no per-object copy/deletefile class to tap.
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    StoreFaults.maybeFault(if (overwrite) "put" else "putif", f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    StoreFaults.maybeFault(if (overwrite) "put" else "putif", f)
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    StoreFaults.maybeFault("get", f)
+    super.open(f, bufferSize)
+  }
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    StoreFaults.maybeFault("list", f)
+    super.listStatus(f)
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    StoreFaults.maybeFault("delete", f)
+    super.delete(f, recursive)
+  }
+
   /** The namenode-atomic create-new claim: exactly one concurrent
     * no-overwrite create of `f` may win. nio createFile is O_EXCL —
     * the winner holds the (empty) file before its stream opens, so
@@ -172,6 +210,7 @@ class HdfsSimFileSystem extends RawLocalFileSystem
     * empty dst dir; running the engine here catches any code path
     * leaning on that. */
   override def rename(src: Path, dst: Path): Boolean = {
+    StoreFaults.maybeFault("rename", src)
     val srcF = pathToFile(src)
     val dstF = pathToFile(dst)
     if (!srcF.exists()) false

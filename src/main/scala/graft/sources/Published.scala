@@ -218,8 +218,30 @@ object Published {
 
   private def exists(fs: FileSystem, p: HPath): Boolean = fs.exists(p)
 
-  private def deleteIfExists(fs: FileSystem, p: HPath): Unit =
-    try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+  /** Best-effort delete with bounded retries on transient faults —
+    * delete is idempotent, so re-issuing is always safe. The retries
+    * matter most on the RELEASE path: a single swallowed DELETE blip
+    * there leaked the lease until the stale break (caught by the r16
+    * hdfs fault campaign's debris gate — the release holds the break
+    * claim across these retries, so nothing races the re-issue).
+    * Still swallows after the budget: callers treat deletion as
+    * cleanup, and a leak that ages out beats failing a completed
+    * publish. */
+  private def deleteIfExists(fs: FileSystem, p: HPath): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done && attempt < storeOpAttempts) {
+      try { fs.delete(p, false); done = true }
+      catch { case _: java.io.IOException =>
+        attempt += 1
+        if (attempt < storeOpAttempts) {
+          try Thread.sleep(25L * attempt)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); attempt = storeOpAttempts }
+        }
+      }
+    }
+  }
 
   private def readOrNull(fs: FileSystem, p: HPath): String =
     try {
@@ -236,6 +258,120 @@ object Published {
   private def writeFile(fs: FileSystem, p: HPath, content: Array[Byte]): Unit =
     scala.util.Using.resource(fs.create(p, true))(_.write(content))
 
+  // ------------------------------------------- transient-fault policy
+  // Bounded per-op retries on the publish chain's CONTROL-PLANE store
+  // operations (r15 verdict ask #1). The serve path already absorbs
+  // residual store faults (task retries + ensure's tolerant ops); the
+  // publish path used to be one-blip-fatal — a single transient
+  // IOException on a marker PUT, a lease create, or one object of the
+  // swap's copy-rename killed a whole multi-table build AFTER the
+  // expensive work was done. Policy: a handful of attempts with linear
+  // backoff, and — the invariant that makes retrying safe — every
+  // commit-path retry re-runs its OWNERSHIP gate first, so a retried
+  // op can never commit over a lost lease (pinned by S3FaultSpec's
+  // retried-commit-aborts test). Ops that are NOT idempotent under
+  // ambiguity (the lease's conditional PUT) resolve the ambiguity by
+  // re-reading before retrying instead of blindly re-issuing.
+  private[graft] val storeOpAttempts: Int = 5
+
+  /** Run `op`, retrying transient IOExceptions up to [[storeOpAttempts]]
+    * times with linear backoff; `gate` runs before EVERY attempt
+    * (ownership re-checks belong inside the retry). Only for ops that
+    * are idempotent to re-issue (overwrite PUTs, LISTs, GETs, deletes —
+    * not create-new, which has its own ambiguity-resolving loop). */
+  private def retryIO[T](gate: () => Unit = () => ())(op: => T): T = {
+    var attempt = 0
+    while (true) {
+      gate()
+      try return op
+      catch { case e: java.io.IOException =>
+        attempt += 1
+        if (attempt >= storeOpAttempts) throw e
+        try Thread.sleep(50L * attempt)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e }
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** True iff a job failure's cause chain bottoms out in an IOException
+    * — the transient-store-fault class whole-job retries are for. An
+    * analysis error or OOM has no business being re-run. */
+  private def hasIOCause(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      if (cur.isInstanceOf[java.io.IOException]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  private def copyFileBytes(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    scala.util.Using.resource(fs.open(src)) { in =>
+      scala.util.Using.resource(fs.create(dst, true)) { out =>
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      }
+    }
+
+  /** Move `src` to `dst` (file or directory), SURVIVING transient store
+    * faults mid-move — the swap-rename hardening. On a copy-rename
+    * store a faulted `fs.rename` leaves a partial destination, and a
+    * blind re-issue would nest src INTO the half-made dst directory
+    * (the FileSystem rename contract's move-into-dir rule). Each
+    * attempt therefore dispatches on observed state:
+    *   - src gone, dst present — a prior attempt completed; done.
+    *   - dst absent — a clean `fs.rename` (atomic on local/HDFS; the
+    *     copy+delete emulation on object stores).
+    *   - BOTH present — a prior attempt died mid-copy or mid-source-
+    *     delete: FINISH FORWARD. Every dst-side file was copied from
+    *     src by that attempt and nothing else can write here (the
+    *     caller holds the table lease; the names are per-token
+    *     private), so copying src's remainder over dst and dropping
+    *     src reproduces the completed rename. Deleting dst and
+    *     re-renaming instead would LOSE data when the fault hit the
+    *     DELETE phase (dst complete, src already partial).
+    * `gate` runs before every attempt — the commit-path callers pass
+    * their lease-ownership check so a retried swap can never land over
+    * a broken lease. */
+  private[graft] def moveResumable(fs: FileSystem, src: HPath, dst: HPath,
+                                   gate: () => Unit = () => ()): Unit = {
+    var attempt = 0
+    while (true) {
+      gate()
+      try {
+        if (!exists(fs, src)) {
+          if (exists(fs, dst)) return
+          throw new java.io.IOException(
+            s"move $src -> $dst: source vanished with no destination")
+        } else if (!exists(fs, dst)) {
+          if (fs.rename(src, dst)) return
+          throw new java.io.IOException(s"rename $src -> $dst returned false")
+        } else {
+          if (fs.getFileStatus(src).isDirectory) {
+            val qsrc = fs.makeQualified(src).toString
+            walkFiles(fs, src) { st =>
+              val rel = st.getPath.toString.stripPrefix(qsrc).stripPrefix("/")
+              copyFileBytes(fs, st.getPath, new HPath(dst, rel))
+            }
+          } else copyFileBytes(fs, src, dst)
+          if (!fs.delete(src, true) && exists(fs, src))
+            throw new java.io.IOException(
+              s"move $src -> $dst: source delete failed")
+          return
+        }
+      } catch { case e: java.io.IOException =>
+        attempt += 1
+        if (attempt >= storeOpAttempts) throw e
+        try Thread.sleep(50L * attempt)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e }
+      }
+    }
+  }
+
   /** Replace `dst` with `tmp`. Local: one atomic rename(2). Other
     * schemes (where the FileSystem rename contract never clobbers):
     * rename `dst` ASIDE, rename `tmp` in, drop the aside — the
@@ -245,8 +381,12 @@ object Published {
     * so [[manifestHash]] ignores it, and a stale aside (crash debris)
     * is dropped before the swap, not clobbered by it. Either way a
     * concurrent ensure() in the window degrades to "not served" (the
-    * caller waits out our lease), never to a torn read. */
-  private def replace(fs: FileSystem, tmp: HPath, dst: HPath): Unit =
+    * caller waits out our lease), never to a torn read. Both rename
+    * legs are [[moveResumable]] — a transient fault mid-leg resumes
+    * instead of killing the commit — and `gate` (the caller's lease
+    * check) runs before every attempt. */
+  private def replace(fs: FileSystem, tmp: HPath, dst: HPath,
+                      gate: () => Unit = () => ()): Unit =
     localOf(fs, tmp) match {
       case Some(ltmp) =>
         java.nio.file.Files.move(ltmp,
@@ -256,10 +396,8 @@ object Published {
       case None =>
         val aside = new HPath(dst.getParent, dst.getName + ".old")
         deleteIfExists(fs, aside)
-        if (exists(fs, dst) && !fs.rename(dst, aside))
-          throw new java.io.IOException(s"rename $dst -> $aside failed")
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        if (exists(fs, dst)) moveResumable(fs, dst, aside, gate)
+        moveResumable(fs, tmp, dst, gate)
         deleteIfExists(fs, aside)
     }
 
@@ -330,13 +468,38 @@ object Published {
         if (ageOf(fs, bp) > staleMs) deleteIfExists(fs, bp)
         if (exists(fs, bp)) return false
       }
-      createNewAtomic(fs, lp, s"$token\n$holder".getBytes("UTF-8"))
+      // the conditional PUT is AMBIGUOUS under a transient fault (the
+      // PUT may have landed before the error surfaced) — never blindly
+      // re-issue: re-read first. Our token = we won after all; a
+      // foreign token = held; unreadable = retry the create (bounded),
+      // which is safe both ways — a create that already landed loses
+      // the re-issue to its own file and the re-read then sees us.
+      var attempt = 0
+      while (true) {
+        try return createNewAtomic(fs, lp, s"$token\n$holder".getBytes("UTF-8"))
+        catch { case e: java.io.IOException =>
+          val cur = readOrNull(fs, lp) // swallows its own faults -> null
+          if (cur != null) return cur.startsWith(token + "\n")
+          attempt += 1
+          if (attempt >= storeOpAttempts) throw e
+          try Thread.sleep(50L * attempt)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e }
+        }
+      }
+      sys.error("unreachable")
     }
     def tryBreakStale(): Unit = {
       val staleContent = readOrNull(fs, lp)
       if (staleContent == null || ageOf(fs, lp) <= staleMs) return
-      if (!createNewAtomic(fs, bp, token.getBytes("UTF-8")))
-        return // another breaker owns the break; we just lose
+      // a faulted break-claim PUT just loses the break this round —
+      // the stale lease stays for the NEXT acquire attempt to break;
+      // never let a store blip abort the whole acquire
+      val claimed =
+        try createNewAtomic(fs, bp, token.getBytes("UTF-8"))
+        catch { case _: java.io.IOException => false }
+      if (!claimed)
+        return // another breaker owns the break (or the claim blipped)
       try {
         // re-read under the break claim: only the SAME stale lease dies
         val now = readOrNull(fs, lp)
@@ -578,8 +741,24 @@ object Published {
     if (held == null || (held.thread ne Thread.currentThread())) return
     // on the Held monitor: never interleave with the holder's own
     // heartbeat mid-content-bump — a torn self-read would be a
-    // spurious LeaseLost at a commit gate
-    val cur = held.synchronized { readOrNull(fs, leasePath(norm)) }
+    // spurious LeaseLost at a commit gate.
+    // A NULL read is ambiguous — transient store fault vs deleted
+    // lease (the same lesson the heartbeat and release paths learned
+    // in the r15 campaign; r15 advice #1): retry a couple of times
+    // before concluding LeaseLost, so a lone GET blip landing exactly
+    // at a commit gate doesn't abort an otherwise-healthy publish. A
+    // read that STAYS null still throws — abort, never commit blind.
+    var cur = held.synchronized { readOrNull(fs, leasePath(norm)) }
+    var reads = 1
+    while (cur == null && reads < 3) {
+      try Thread.sleep(25)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt(); reads = 3 }
+      if (reads < 3) {
+        cur = held.synchronized { readOrNull(fs, leasePath(norm)) }
+        reads += 1
+      }
+    }
     if (cur == null || !cur.startsWith(held.token + "\n"))
       throw new LeaseLost(
         s"lease for ${norm.getName} no longer carries this holder's " +
@@ -762,11 +941,11 @@ object Published {
     // location under our listing, its append renaming files out of
     // _temporary) — degrade to "not served now"; the caller waits out
     // the lease and retries. With NO writer visible, it is either the
-    // tiny window after a writer's release (one immediate re-try
-    // settles it) or genuine infrastructure failure (throttled LIST,
-    // expired credentials) — which must stay LOUD: swallowing it would
-    // drop a healthy catalog table and loop into a full rebuild on
-    // every transient blip.
+    // tiny window after a writer's release or a transient store blip
+    // (a bounded re-try settles both) or genuine infrastructure
+    // failure (throttled LIST, expired credentials) — which must stay
+    // LOUD: swallowing it would drop a healthy catalog table and loop
+    // into a full rebuild on every transient blip.
     val matched =
       try tryMatch()
       catch { case e: java.io.IOException =>
@@ -775,8 +954,21 @@ object Published {
           try exists(fs, lp) || exists(fs, breakPath(lp))
           catch { case _: java.io.IOException => false }
         if (writerVisible) None
-        else try tryMatch()
-        catch { case _: java.io.IOException => throw e }
+        else {
+          var res: Option[Option[Array[String]]] = None
+          var tries = 0
+          while (res.isEmpty && tries < 3) {
+            tries += 1
+            try res = Some(tryMatch())
+            catch { case _: java.io.IOException =>
+              if (tries >= 3) throw e
+              try Thread.sleep(50L * tries)
+              catch { case _: InterruptedException =>
+                Thread.currentThread().interrupt(); throw e }
+            }
+          }
+          res.getOrElse(throw e)
+        }
       }
     if (spark.catalog.tableExists(tbl)) {
       if (matched.isDefined) {
@@ -836,26 +1028,57 @@ object Published {
       val retirePrefix = qloc.getName + "._GRAFT_RETIRE_"
       // sweep stage/retire debris of crashed/overrun prior publishers —
       // safe under the lease: any live owner of these dirs already lost
-      // its lease (we hold it), so its commit can only end in LeaseLost
-      if (fs.exists(parent))
-        fs.listStatus(parent).iterator
-          .filter(s => s.getPath.getName.startsWith(stagePrefix) ||
-            s.getPath.getName.startsWith(retirePrefix))
-          .foreach(s => fs.delete(s.getPath, true))
+      // its lease (we hold it), so its commit can only end in LeaseLost.
+      // Best-effort under transient faults: debris costs disk, not
+      // correctness (per-token names never collide with THIS publish),
+      // so a sweep whose LIST/DELETE keeps blipping is warned and
+      // skipped, never allowed to kill the build before it starts
+      try retryIO() {
+        if (fs.exists(parent))
+          fs.listStatus(parent).iterator
+            .filter(s => s.getPath.getName.startsWith(stagePrefix) ||
+              s.getPath.getName.startsWith(retirePrefix))
+            .foreach(s => fs.delete(s.getPath, true))
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[graft] debris sweep for $tbl skipped " +
+          s"(transient store faults persisted): ${e.getMessage}")
+      }
       val suffix = java.lang.Long.toHexString(graft.expressions.GraftHash.h60(
         Option(leaseHolders.get(qloc.toString)).map(_.token)
           .getOrElse(s"${pid()}#${System.nanoTime()}").getBytes("UTF-8")))
       val stage = new HPath(parent, stagePrefix + suffix)
       val stageTbl = s"${tbl}_stage_$suffix"
-      spark.sql(s"DROP TABLE IF EXISTS `$stageTbl`")
-      frame.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .option("path", stage.toString)
-        .format("parquet").saveAsTable(stageTbl)
+      // the staged build is idempotent (Overwrite into a per-token
+      // private dir), so a job killed by a transient store fault —
+      // task retries exhausted on a data-plane blip, or the driver-side
+      // job commit's per-file renames drawing one (the committer has no
+      // retry of its own) — is re-run whole, bounded. The ownership
+      // gate runs before every re-run: a lease lost mid-build aborts
+      // instead of paying another build. Non-IO failures (analysis,
+      // OOM) rethrow immediately.
+      var built = false
+      var buildTries = 0
+      while (!built) {
+        assertLeaseOwned(loc)
+        spark.sql(s"DROP TABLE IF EXISTS `$stageTbl`")
+        try {
+          frame.write.mode(SaveMode.Overwrite)
+            .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+            .option("path", stage.toString)
+            .format("parquet").saveAsTable(stageTbl)
+          built = true
+        } catch { case e: Throwable if hasIOCause(e) =>
+          buildTries += 1
+          if (buildTries >= 3) throw e
+          System.err.println(s"[graft] staged build of $tbl failed on a " +
+            s"transient store fault (attempt $buildTries/3, retrying): " +
+            s"${e.getMessage}")
+        }
+      }
       spark.sql(s"DROP TABLE `$stageTbl`") // external: the files stay
-      val stagedManifest = manifestHash(fs, stage)
-      writeFile(fs, markerPath(stage), markerBytes(
-        buckets, bucketCol, fp, stagedManifest, frame.schema.toDDL))
+      val stagedManifest = retryIO()(manifestHash(fs, stage))
+      retryIO()(writeFile(fs, markerPath(stage), markerBytes(
+        buckets, bucketCol, fp, stagedManifest, frame.schema.toDDL)))
       // commit gate: a publish that overran the stale threshold lost
       // its lease to a breaker — fail loudly BEFORE touching the serve
       // location; the staged files are this writer's private garbage
@@ -869,17 +1092,19 @@ object Published {
       // the renames leaves the old generation intact in the retire dir
       // (recoverable debris the next lease holder sweeps) rather than
       // half-destroyed in place. The old generation's bytes are
-      // dropped only AFTER the new marker is live.
+      // dropped only AFTER the new marker is live. Both legs are
+      // moveResumable — a transient fault mid-swap (one object of a
+      // copy-rename store's emulation) resumes forward instead of
+      // killing the publish, and the lease gate re-runs before every
+      // resume so a retried swap can never land over a broken lease.
+      val swapGate = () => assertLeaseOwned(loc)
       if (exists(fs, qloc)) {
         val retired = new HPath(parent, retirePrefix + suffix)
-        if (!fs.rename(qloc, retired))
-          throw new java.io.IOException(s"retire $qloc -> $retired failed")
-        if (!fs.rename(stage, qloc))
-          throw new java.io.IOException(s"publish swap $stage -> $qloc failed")
+        moveResumable(fs, qloc, retired, swapGate)
+        moveResumable(fs, stage, qloc, swapGate)
         try { fs.delete(retired, true); () }
         catch { case _: java.io.IOException => () } // debris; swept later
-      } else if (!fs.rename(stage, qloc))
-        throw new java.io.IOException(s"publish swap $stage -> $qloc failed")
+      } else moveResumable(fs, stage, qloc, swapGate)
       declare(spark, tbl, bucketCol, buckets, frame.schema.toDDL, qloc)
       // relative paths survive the swap rename, so the serve manifest
       // equals the one stamped into the stage's marker
@@ -897,14 +1122,26 @@ object Published {
   def restampManifest(spark: SparkSession, tbl: String): Unit = {
     val loc = tableLoc(spark, tbl)
     val fs = fsOf(loc)
-    assertLeaseOwned(loc)
-    val m = readMarker(fs, loc).getOrElse(throw new IllegalStateException(
+    val gate = () => assertLeaseOwned(loc)
+    gate()
+    // a marker read that blips reads as None (readOrNull swallows) —
+    // retry a couple of times before concluding the marker is gone;
+    // a PERSISTENT None still aborts loudly (never re-stamp blind)
+    var m0 = readMarker(fs, loc)
+    var reads = 1
+    while (m0.isEmpty && reads < 3) {
+      try Thread.sleep(25)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt(); reads = 3 }
+      if (reads < 3) { m0 = readMarker(fs, loc); reads += 1 }
+    }
+    val m = m0.getOrElse(throw new IllegalStateException(
       s"restampManifest($tbl): no well-formed marker at $loc"))
     val tmp = new HPath(loc, Marker + ".tmp")
-    val manifest = manifestHash(fs, loc)
-    writeFile(fs, tmp,
-      markerBytes(m(0).toInt, m(1), m(2), manifest, m(4)))
-    replace(fs, tmp, markerPath(loc))
+    val manifest = retryIO(gate)(manifestHash(fs, loc))
+    retryIO(gate)(writeFile(fs, tmp,
+      markerBytes(m(0).toInt, m(1), m(2), manifest, m(4))))
+    replace(fs, tmp, markerPath(loc), gate)
     // the appender's own catalog entry planned the pre-append file set;
     // refresh it so this session's next scan sees the appended files
     noteServed(spark, tbl, manifest)
@@ -944,6 +1181,24 @@ object Published {
         awaitNoWriter(Seq(tableLoc(spark, tbl)), deadline, held)
       }
     }
+  }
+
+  /** [[withLease]], waiting out rival writers up to `waitMs` instead of
+    * failing on [[LeaseHeld]] — the serve-path loop shape
+    * ([[attachOrBuild]]'s), reusable by publish paths that manage their
+    * own ensure/build/append sequencing (q127's dashboard, its
+    * streaming twin). Loops because the wait can end in ANOTHER lease
+    * race; rethrows only once the budget is spent. */
+  def withLeaseAwaiting[T](loc: HPath, holder: String,
+                           waitMs: Long = defaultWaitMs)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      try return withLease(loc, holder)(body)
+      catch { case held: LeaseHeld =>
+        awaitNoWriter(Seq(loc), deadline, held)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** The serve path's wait primitive ([[attachOrBuild]],

@@ -22,72 +22,9 @@ private[graft] object S3Sim {
     sys.env.get("SPARK_GRAFT_S3_SLOW_RENAME_MS")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
 
-  // ---------------------------------------------------------- faults
-  // TRANSIENT per-operation fault injection (r14 verdict ask #1): the
-  // retryable-error half of what a real object store throws — 500s,
-  // connection resets, throttling surfaced as IOException by the S3A
-  // client after ITS retries are exhausted. Probabilistic + seeded via
-  // env for the subprocess probe legs; a deterministic per-op hook for
-  // specs that need a fault to land on an exact file (e.g. every PUT
-  // to a lease path for a bounded window). Injection sits at the
-  // FileSystem API boundary — the same surface the engine calls — so
-  // a fired fault is indistinguishable from a connector giving up.
-  /** Deterministic spec hook: return true to fault this (op, path).
-    * Ops: "put" (overwrite create), "putif" (create-new / conditional
-    * put), "copy"/"deletefile" (rename's two phases, per object),
-    * "delete" (delete call), "list", "get" (open). */
-  @volatile var faultHook: (String, Path) => Boolean = (_, _) => false
-
-  /** Probabilistic fault rate in PERCENT (env SPARK_GRAFT_S3_FAULT_PCT;
-    * spec-settable). 0 = off. */
-  @volatile var faultPct: Double =
-    sys.env.get("SPARK_GRAFT_S3_FAULT_PCT")
-      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(0.0)
-
-  /** Which ops the probabilistic rate applies to
-    * (env SPARK_GRAFT_S3_FAULT_OPS, comma-separated; default all). */
-  @volatile var faultOps: Set[String] =
-    sys.env.get("SPARK_GRAFT_S3_FAULT_OPS")
-      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("put", "putif", "copy", "delete", "deletefile",
-        "list", "get"))
-
-  /** Seed for the fault schedule (env SPARK_GRAFT_S3_FAULT_SEED): the
-    * k-th fault-eligible op in a JVM fires deterministically given the
-    * seed — reruns of a single-threaded probe see the same schedule;
-    * concurrent schedules vary in interleaving but hold the rate. */
-  val faultSeed: Long =
-    sys.env.get("SPARK_GRAFT_S3_FAULT_SEED")
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(42L)
-
-  private val faultOpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-  /** Count of faults actually thrown — probes assert the campaign was
-    * non-vacuous (a green run at "5%" that injected nothing proves
-    * nothing). */
-  val faultsInjected = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** splitmix64 — the standard 64-bit finalizer (public domain,
-    * Steele et al., JDK SplittableRandom). */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  private[sources] def maybeFault(op: String, p: Path): Unit = {
-    var fire = faultHook(op, p)
-    if (!fire && faultPct > 0 && faultOps.contains(op)) {
-      val k = faultOpSeq.incrementAndGet()
-      val u = (mix64(faultSeed ^ k) >>> 11).toDouble / (1L << 53).toDouble
-      fire = u < faultPct / 100.0
-    }
-    if (fire) {
-      val n = faultsInjected.incrementAndGet()
-      throw new java.io.IOException(
-        s"s3sim: injected transient fault #$n ($op $p)")
-    }
-  }
+  // The TRANSIENT fault engine (put/get/list/delete/copy taps below)
+  // lives in [[StoreFaults]] — shared with the hdfs sim since r16; the
+  // retryable-error class is not object-store-specific.
 }
 
 /** The [[org.apache.hadoop.fs.AbstractFileSystem]] face of the s3 sim —
@@ -162,7 +99,7 @@ class S3SimAbstractFileSystem(uri: URI, conf: org.apache.hadoop.conf.Configurati
   * strongly consistent since 2020-12 — the machinery's reasoning never
   * depends on read-after-list anyway (markers gate serving; leases
   * gate writing). The RETRYABLE-error class IS modeled (r14 verdict
-  * ask #1): [[S3Sim.maybeFault]] can throw a transient IOException on
+  * ask #1): [[StoreFaults.maybeFault]] can throw a transient IOException on
   * any PUT/GET/LIST/DELETE and on each per-object copy/delete inside a
   * rename — probabilistically (seeded, env-driven: the fault probe
   * legs) or deterministically (spec hook) — at the exact API boundary
@@ -190,30 +127,30 @@ class S3SimFileSystem extends RawLocalFileSystem
   override def create(f: Path, overwrite: Boolean, bufferSize: Int,
                       replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
-    S3Sim.maybeFault(if (overwrite) "put" else "putif", f)
+    StoreFaults.maybeFault(if (overwrite) "put" else "putif", f)
     super.create(f, overwrite, bufferSize, replication, blockSize, progress)
   }
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
-    S3Sim.maybeFault(if (overwrite) "put" else "putif", f)
+    StoreFaults.maybeFault(if (overwrite) "put" else "putif", f)
     super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
   }
 
   override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
-    S3Sim.maybeFault("get", f)
+    StoreFaults.maybeFault("get", f)
     super.open(f, bufferSize)
   }
 
   override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
-    S3Sim.maybeFault("list", f)
+    StoreFaults.maybeFault("list", f)
     super.listStatus(f)
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
-    S3Sim.maybeFault("delete", f)
+    StoreFaults.maybeFault("delete", f)
     super.delete(f, recursive)
   }
 
@@ -278,7 +215,7 @@ class S3SimFileSystem extends RawLocalFileSystem
           .sortBy(_.getName).foreach(c =>
             copyTree(c, new java.io.File(d, c.getName)))
       } else {
-        S3Sim.maybeFault("copy", new Path(d.toURI.getPath))
+        StoreFaults.maybeFault("copy", new Path(d.toURI.getPath))
         Option(d.getParentFile).foreach(p =>
           java.nio.file.Files.createDirectories(p.toPath))
         // copy WITHOUT attributes: the "PUT" gets the store's own
@@ -292,7 +229,7 @@ class S3SimFileSystem extends RawLocalFileSystem
       if (s.isDirectory)
         Option(s.listFiles()).getOrElse(Array.empty[java.io.File])
           .foreach(deleteTree)
-      else S3Sim.maybeFault("deletefile", new Path(s.toURI.getPath))
+      else StoreFaults.maybeFault("deletefile", new Path(s.toURI.getPath))
       s.delete(); ()
     }
     copyTree(src, dst)

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.sources.{Published, Tables}
+import graft.streaming.KllPublish
+
+/** The streaming KLL dashboard twin (r15 verdict ask #3): q127's
+  * published quantile table maintained CONTINUOUSLY by a foreachBatch
+  * sink under the same lease/marker/manifest discipline. Pinned here:
+  * stream ≡ batch (the streamed table's merged quantiles match q127's
+  * over the same prefix — exact counts equal, estimates inside the
+  * exact envelope), replay idempotence (same-JVM re-delivery; the
+  * cross-JVM driver-death flow is KllStreamProbe's), and the
+  * derived-table self-heal: a refused manifest (the crashed-appender
+  * window) rebuilds from the durable segment store — kilobytes, no
+  * corpus rescan. */
+class KllPublishSpec extends SparkSpec {
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"kllstream_$tag").toString
+
+  private def stageDelta(src: String, cut: Long, files: Int): Unit =
+    Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") >= cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .repartition(files).write.mode("overwrite").parquet(src)
+
+  private def runSink(src: String, segDir: String, ckpt: String): Unit = {
+    val in = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val q = KllPublish.kllPublishedSink(in, segDir, ckpt)
+    try assert(q.awaitTermination(180000L), "stream timed out")
+    finally q.stop()
+  }
+
+  private def perSliceN(segDir: String): Map[String, Long] =
+    spark.table(KllPublish.tableName(segDir))
+      .groupBy(col("slice")).agg(sum(col("n")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("stream ≡ batch: the streamed dashboard matches q127 over the " +
+      "same prefix — exact counts equal, estimates inside the exact envelope") {
+    val root = freshRoot("eq")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    stageDelta(s"$root/src", cut, files = 2)
+    runSink(s"$root/src", segDir, s"$root/ckpt")
+    val served = KllPublish.attachServe(spark, segDir).head
+    val nAll = Tables.lineitem(spark, sf).count()
+    // count-exactness pins the whole pipeline deterministically (KLL
+    // tracks n exactly): no batch lost, none doubled, base included
+    assert(served.getAs[Long]("n_rows") == nAll,
+      s"streamed n_rows ${served.getAs[Long]("n_rows")} != corpus $nAll")
+    assert(served.getAs[Long]("sketch_n") == nAll, "merged sketch lost rows")
+    // per-slice exact counts equal the corpus's
+    val corpusSlices = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSliceN(segDir) == corpusSlices, "per-slice counts diverge")
+    // the batch twin agrees on the same prefix (same corpus)
+    val batchRow = Sketches.q127PublishedQuantiles(spark, sf).head
+    assert(batchRow.getAs[Long]("n_rows") == served.getAs[Long]("n_rows"),
+      "batch q127 and the streamed dashboard disagree on n_rows")
+    // estimates inside the exact envelope (q125/q127's audit
+    // discipline — KLL estimates are randomized within rank error, so
+    // equality is pinned on counts, bounds on quantiles)
+    val (_, ex) = Sketches.exactQuantilesDistributed(
+      Tables.lineitem(spark, sf), "l_extendedprice",
+      Seq(0.42, 0.5, 0.58, 0.87, 0.95, 1.0))
+    val p50 = served.getAs[Double]("est_p50")
+    val p95 = served.getAs[Double]("est_p95")
+    assert(p50 >= ex(0) && p50 <= ex(2), s"est_p50 $p50 outside [${ex(0)}, ${ex(2)}]")
+    assert(p95 >= ex(3) && p95 <= ex(5), s"est_p95 $p95 outside [${ex(3)}, ${ex(5)}]")
+  }
+
+  test("replay idempotence: a re-delivered batch rewrites its own segment " +
+      "partition and appends nothing to the published table") {
+    val root = freshRoot("replay")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    stageDelta(s"$root/src", cut, files = 2)
+    runSink(s"$root/src", segDir, s"$root/ckpt1")
+    val tbl = KllPublish.tableName(segDir)
+    val rowsBefore = spark.table(tbl).count()
+    val nBefore = KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+    // a FRESH checkpoint re-delivers every batch with the same ids —
+    // the crash-replay shape without the crash
+    runSink(s"$root/src", segDir, s"$root/ckpt2")
+    assert(spark.table(tbl).count() == rowsBefore,
+      "re-delivery appended duplicate segment rows to the published table")
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nBefore,
+      "re-delivery changed the dashboard's count")
+    // and a direct same-batch replay through the sink body
+    val replayBatch = spark.read.parquet(s"$root/src")
+    KllPublish.processBatch(spark, segDir, replayBatch, 1L)
+    assert(spark.table(tbl).count() == rowsBefore,
+      "explicit processBatch replay doubled rows")
+  }
+
+  test("a refused manifest self-heals from the durable segment store: " +
+      "the crashed-appender window costs a kilobyte rebuild, not data loss") {
+    val root = freshRoot("heal")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    val delta = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") >= cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    KllPublish.processBatch(spark, segDir, delta, 0L)
+    val nGood = KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+    assert(nGood == Tables.lineitem(spark, sf).count())
+    // the crashed-appender window: files land, the re-stamp never runs
+    // — simulate with an unaccounted data file in the serve location
+    val loc = Published.tableLoc(spark, KllPublish.tableName(segDir))
+    val fs = Published.fsOf(loc)
+    scala.util.Using.resource(fs.create(
+      new org.apache.hadoop.fs.Path(loc, "part-stray-orphan.parquet"), true))(
+      _.write("not-accounted".getBytes("UTF-8")))
+    intercept[IllegalArgumentException] {
+      KllPublish.attachServe(spark, segDir)
+    }
+    // the next sync (an empty batch — the stream's next tick) heals it
+    // from the segment store; the corpus is never rescanned
+    KllPublish.processBatch(spark, segDir,
+      delta.filter(lit(false)), 1L)
+    val healed = KllPublish.attachServe(spark, segDir).head
+    assert(healed.getAs[Long]("n_rows") == nGood,
+      "rebuild from the segment store lost rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "part-stray-orphan.parquet")),
+      "the contaminated generation survived the rebuild")
+  }
+}

@@ -6,13 +6,13 @@ import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.hadoop.fs.{Path => HPath}
 
-import graft.sources.{Published, S3Sim, S3SimFileSystem}
+import graft.sources.{Published, S3SimFileSystem, StoreFaults}
 
 /** TRANSIENT store faults executed against the publish machinery (r14
   * verdict ask #1) — the retryable-error class a real object store
   * throws (500s, resets, throttling surfaced as IOException once the
   * connector's own retries are exhausted), injected at the FileSystem
-  * API boundary by [[graft.sources.S3Sim.maybeFault]].
+  * API boundary by [[graft.sources.StoreFaults.maybeFault]].
   *
   * What becomes executed fact here:
   *
@@ -41,17 +41,22 @@ class S3FaultSpec extends SparkSpec {
   private def freshBase(tag: String): HPath = {
     registerSchemeImpl("fs.s3a.impl", classOf[S3SimFileSystem])
     val dir = Files.createTempDirectory(s"s3fault_$tag")
+    // scope injection to THIS test's temp base (r15 advice #2): even a
+    // stray concurrent session in the suite JVM never draws a fault on
+    // a foreign path
+    StoreFaults.faultPathPrefix = Some(dir.toString)
     new HPath(s"s3a://graftbucket$dir")
   }
 
-  /** Every test resets the injection globals — the suite JVM is shared. */
+  /** Every test resets the injection globals — the suite JVM is shared
+    * (and suites run SEQUENTIALLY; see [[StoreFaults]]'s scope note). */
   private def withFaults[A](body: => A): A =
     try body
     finally {
-      S3Sim.faultHook = (_, _) => false
-      S3Sim.faultPct = 0.0
-      S3Sim.faultOps = Set("put", "putif", "copy", "delete", "deletefile",
-        "list", "get")
+      StoreFaults.faultHook = (_, _) => false
+      StoreFaults.faultPct = 0.0
+      StoreFaults.faultOps = StoreFaults.defaultOps
+      StoreFaults.faultPathPrefix = None
     }
 
   private def put(fs: org.apache.hadoop.fs.FileSystem, dir: HPath,
@@ -86,7 +91,7 @@ class S3FaultSpec extends SparkSpec {
       })
     holder.start()
     assert(inBody.await(10, TimeUnit.SECONDS), "holder never entered the body")
-    S3Sim.faultHook = (op, p) =>
+    StoreFaults.faultHook = (op, p) =>
       op == "put" && p.getName.endsWith("._GRAFT_LEASE")
     try {
       // 3 consecutive failed beats land by ~4.5 s; poll the observable
@@ -110,7 +115,7 @@ class S3FaultSpec extends SparkSpec {
       assert(rival.getMessage.contains("held by"),
         s"unexpected LeaseHeld shape: ${rival.getMessage}")
     } finally {
-      S3Sim.faultHook = (_, _) => false
+      StoreFaults.faultHook = (_, _) => false
       release.countDown()
     }
     holder.join(20000)
@@ -157,7 +162,7 @@ class S3FaultSpec extends SparkSpec {
       val atBlip = hbCount()
       assert(atBlip >= 1, "heartbeat never bumped before the blip")
       val once = new AtomicBoolean(false)
-      S3Sim.faultHook = (op, p) =>
+      StoreFaults.faultHook = (op, p) =>
         op == "get" && p.getName.endsWith("._GRAFT_LEASE") &&
           once.compareAndSet(false, true)
       // the blipped beat fails (no write); the NEXT beat must recover —
@@ -170,7 +175,7 @@ class S3FaultSpec extends SparkSpec {
       assert(Published.heartbeatDegradedWarnings.get() == warnBase,
         "a single blip must not trip the 3-consecutive-failures warning")
     } finally {
-      S3Sim.faultHook = (_, _) => false
+      StoreFaults.faultHook = (_, _) => false
       release.countDown()
     }
     holder.join(20000)
@@ -191,7 +196,7 @@ class S3FaultSpec extends SparkSpec {
       // staleMs=60 s -> heartbeat period 7.5 s; arming the hook just
       // before the body returns leaves the release's reads as the only
       // realistic GET consumers of the window
-      S3Sim.faultHook = (op, p) =>
+      StoreFaults.faultHook = (op, p) =>
         op == "get" && p.getName.endsWith("._GRAFT_LEASE") &&
           blips.incrementAndGet() <= 2
     }
@@ -212,12 +217,12 @@ class S3FaultSpec extends SparkSpec {
     (1 to 6).foreach(i => put(fs, stage, s"part-0000$i", s"data-$i" * 20))
     val completeManifest = Published.manifestHash(fs, stage)
     val dst = new HPath(base, "tbl")
-    val injectedBefore = S3Sim.faultsInjected.get()
+    val injectedBefore = StoreFaults.faultsInjected.get()
     // 25% per-object copy faults: each swap attempt copies marker + 6
     // parts, so most attempts die mid-copy; the schedule is seeded
     // (env/default), so the campaign is reproducible per JVM op order
-    S3Sim.faultOps = Set("copy")
-    S3Sim.faultPct = 25.0
+    StoreFaults.faultOps = Set("copy")
+    StoreFaults.faultPct = 25.0
     var renamed = false
     var attempts = 0
     var tornObserved = 0
@@ -244,10 +249,95 @@ class S3FaultSpec extends SparkSpec {
     assert(renamed, s"swap never completed in $attempts attempts")
     assert(tornObserved >= 1,
       "campaign was vacuous — no attempt ever faulted mid-copy")
-    assert(S3Sim.faultsInjected.get() > injectedBefore, "no faults injected")
+    assert(StoreFaults.faultsInjected.get() > injectedBefore, "no faults injected")
     assert(Published.manifestHash(fs, dst) == completeManifest,
       "completed swap does not carry exactly the staged data files")
     assert(!fs.exists(stage), "source not fully consumed by the final swap")
+  }}
+
+  test("a RETRIED commit still aborts on lease loss: the swap's " +
+      "per-attempt ownership gate fires before the resume") { withFaults {
+    // r15 verdict ask #1's safety half: the bounded retries that let a
+    // publish absorb transient store faults must never let a retried
+    // swap land over a lease a breaker took — the ownership gate runs
+    // before EVERY moveResumable attempt, so losing the lease between
+    // a faulted attempt and its resume aborts with the staged files
+    // still private and the serve location still un-servable.
+    val base = freshBase("leaseloss")
+    val fs = Published.fsOf(base)
+    val loc = new HPath(base, "tbl")
+    val stage = new HPath(base, "tbl._GRAFT_STAGE_x")
+    fs.mkdirs(stage)
+    put(fs, stage, "_GRAFT_PUBLISHED", "marker")
+    (1 to 6).foreach(i => put(fs, stage, s"part-0000$i", s"data-$i" * 20))
+    val stagedManifest = Published.manifestHash(fs, stage)
+    val nioLease = java.nio.file.Paths.get(
+      new HPath(base, "tbl._GRAFT_LEASE").toUri.getPath)
+    val fired = new AtomicBoolean(false)
+    intercept[Published.LeaseLost] {
+      Published.withLease(loc, "loss-holder", staleMs = 60000) {
+        // first per-object copy of the swap: inject a transient fault
+        // AND (a breaker+rival winning meanwhile) replace the lease
+        // with a foreign token via nio — the retry's gate must see it
+        StoreFaults.faultHook = (op, p) =>
+          op == "copy" && p.toString.contains("/tbl/") &&
+            fired.compareAndSet(false, true) && {
+              Files.write(nioLease,
+                "foreign-token\nrival".getBytes("UTF-8")); true
+            }
+        Published.moveResumable(fs, stage, loc,
+          gate = () => Published.assertLeaseOwned(loc))
+        fail("the resumed swap committed over a lost lease")
+      }
+    }
+    assert(fired.get(), "the mid-swap fault never fired (test is vacuous)")
+    assert(fs.exists(new HPath(stage, "part-00006")),
+      "abort damaged the staged SOURCE files")
+    val servable = fs.exists(new HPath(loc, "_GRAFT_PUBLISHED")) &&
+      Published.manifestHash(fs, loc) == stagedManifest
+    assert(!servable,
+      "the aborted swap left a serve-able destination — torn state")
+  }}
+
+  test("the publish swap COMPLETES under a deterministic fault schedule " +
+      "— finish-forward resume serves exactly the staged bytes") { withFaults {
+    // the completion half of r15 verdict ask #1, at the moveResumable
+    // unit: a fault mid-copy (torn dst), a fault mid-resume-PUT, and a
+    // fault on the source delete (dst COMPLETE, src still present —
+    // the state where delete-dst-and-re-rename would lose data) must
+    // all be absorbed within the bounded attempt budget, ending with
+    // the destination holding exactly the staged files.
+    val base = freshBase("resume")
+    val fs = Published.fsOf(base)
+    val stage = new HPath(base, "stage")
+    val dst = new HPath(base, "tbl")
+    fs.mkdirs(stage)
+    put(fs, stage, "_GRAFT_PUBLISHED", "marker")
+    (1 to 8).foreach(i => put(fs, stage, s"part-0000$i", s"data-$i" * 20))
+    val stagedManifest = Published.manifestHash(fs, stage)
+    val copies = new java.util.concurrent.atomic.AtomicInteger(0)
+    val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dels = new java.util.concurrent.atomic.AtomicInteger(0)
+    StoreFaults.faultHook = (op, p) => op match {
+      // attempt 1 (the rename): die on the 3rd per-object copy
+      case "copy" if p.toString.contains("/tbl/") =>
+        copies.incrementAndGet() == 3
+      // attempt 2 (first resume): die on its 2nd manual PUT
+      case "put" if p.toString.contains("/tbl/") =>
+        puts.incrementAndGet() == 2
+      // attempt 3: copies done — die on the SOURCE delete
+      case "delete" if p.toString.contains("/stage") =>
+        dels.incrementAndGet() == 1
+      case _ => false
+    }
+    Published.moveResumable(fs, stage, dst)
+    assert(copies.get() >= 3 && puts.get() >= 2 && dels.get() >= 1,
+      s"fault schedule not consumed (copies=${copies.get()} " +
+        s"puts=${puts.get()} dels=${dels.get()}) — test is vacuous")
+    StoreFaults.faultHook = (_, _) => false
+    assert(Published.manifestHash(fs, dst) == stagedManifest,
+      "resumed swap does not serve exactly the staged bytes")
+    assert(!fs.exists(stage), "source not consumed by the resumed swap")
   }}
 
   test("reads under GET/LIST faults: every successful read equals the " +
@@ -259,8 +349,8 @@ class S3FaultSpec extends SparkSpec {
     put(fs, tbl, "_GRAFT_PUBLISHED", "marker")
     (1 to 4).foreach(i => put(fs, tbl, s"part-0000$i", s"data-$i" * 20))
     val trueManifest = Published.manifestHash(fs, tbl)
-    S3Sim.faultOps = Set("get", "list")
-    S3Sim.faultPct = 20.0
+    StoreFaults.faultOps = Set("get", "list")
+    StoreFaults.faultPct = 20.0
     var ok = 0
     var failed = 0
     (1 to 60).foreach { _ =>

@@ -1,20 +1,25 @@
 #!/usr/bin/env bash
-# Transient-fault campaign against the s3 sim (r14 verdict ask #1): run
-# the q120–q124 published-index lifecycle with SEEDED probabilistic
+# Transient-fault campaign against a sim store (r14 verdict ask #1; the
+# hdfs leg and the raised completion bar are r15 asks #1/#2): run the
+# q120–q124 + q127 published-table lifecycle with SEEDED probabilistic
 # IOExceptions injected on every store operation class (PUT, conditional
-# PUT, per-object rename copy/delete, DELETE, LIST, GET — see
-# graft.sources.S3Sim.maybeFault), and hold the machinery to its
-# contract:
+# PUT, per-object rename copy/delete on s3, metadata rename on hdfs,
+# DELETE, LIST, GET — see graft.sources.StoreFaults.maybeFault), and
+# hold the machinery to its contract:
 #
 #   - an attempt either COMPLETES (oracle-green results: Spark task
 #     retries — SPARK_GRAFT_MASTER=local[8,4] — absorb data-plane
-#     faults; the lease heartbeat tolerates isolated beat faults) or
-#     fails LOUDLY ("[verify] ... failed" in its log) — an attempt that
-#     claims success with oracle-WRONG results means a torn state was
-#     served and the probe FAILS;
+#     faults; the publish chain's bounded per-op retries absorb
+#     control-plane faults; the lease heartbeat tolerates isolated beat
+#     faults) or fails LOUDLY ("[verify] ... failed" in its log) — an
+#     attempt that claims success with oracle-WRONG results means a
+#     torn state was served and the probe FAILS;
 #   - the fault rate de-escalates across attempts (a store recovering
-#     from an incident); the campaign must complete before the rate
-#     reaches 0 or at it, with every earlier failure loud;
+#     from an incident); the campaign must complete AT OR ABOVE the
+#     1% step WITH at least one fault actually injected and absorbed
+#     on the completing attempt (r15 verdict ask #1's bar: completion
+#     under residual faults must be executed fact, not a clean draw) —
+#     every earlier failure loud;
 #   - a final fault-free pass over the SAME warehouse must attach and
 #     be oracle-green — whatever the campaign left behind is either
 #     serve-able-and-correct or invisible to the gate;
@@ -24,11 +29,13 @@
 #     either loud-fails or returns oracle-exact rows, never divergent.
 #
 # The deterministic per-fault specs (heartbeat bump faults, single GET
-# blips, mid-copy swap faults) live in S3FaultSpec — this script is the
-# whole-engine leg. Run from the repo root; exits non-zero on any
-# violated expectation.
+# blips, mid-copy swap faults, retried-commit-aborts-on-lease-loss)
+# live in S3FaultSpec / HdfsFaultSpec — this script is the
+# whole-engine leg. Usage: tools/fault_probes.sh [SF_DIR] [s3|hdfs]
+# Run from the repo root; exits non-zero on any violated expectation.
 set -euo pipefail
 SF=${1:-/root/testdata/sf0.01}
+MODE=${2:-s3}
 sbt -batch package >/dev/null 2>&1
 RUN="tools/graft_java.sh"
 # the published-table lifecycle: the ANN index family (q120 serve,
@@ -38,31 +45,36 @@ RUN="tools/graft_java.sh"
 # cross-JVM restart-attach proof
 QS="q120,q121,q122,q123,q124,q127"
 WH=$(mktemp -d /tmp/graft-fault-wh.XXXX); rm -rf "$WH"
-WH_URI="s3a://graftbucket$WH"
+case "$MODE" in
+  s3)   WH_URI="s3a://graftbucket$WH"; SIM_ENV="SPARK_GRAFT_S3_SIM" ;;
+  hdfs) WH_URI="hdfs://graftsim$WH";   SIM_ENV="SPARK_GRAFT_HDFS_SIM" ;;
+  *) echo "unknown mode '$MODE' (want s3|hdfs)"; exit 2 ;;
+esac
 # de-escalating rates (percent per store op, post-connector-retry — a
-# real S3's post-retry failure rate is far below any of these; the
-# ~500 eligible ops per 6-query lifecycle mean a fresh multi-table
-# publish chain completes with useful probability only below ~0.5%,
-# which is why the tail has low-rate steps: completing at a NONZERO
-# rate exercises the full success path under residual faults, while
-# the high-rate attempts exercise loud failure)
-RATES=(5 5 2.5 2.5 1.2 0.6 0.3 0.3 0.15 0)
+# real store's post-retry failure rate is far below any of these). The
+# high-rate attempts exercise loud failure; the 1.x plateau is where
+# the bounded per-op retries must carry a fresh multi-table publish
+# chain to completion WITH faults actually drawn (pre-r16, with no
+# publish-side retries, ~500 eligible single-shot ops meant completion
+# only on a clean draw below ~0.5%).
+RATES=(5 5 2.5 2.5 1.5 1.2 1 1 1 0.5 0.3 0)
 TOTAL_FAULTS=0
 LOUD_FAILURES=0
 SUCCESS=""
 SUCCESS_PCT=""
+SUCCESS_FAULTS=0
 for i in "${!RATES[@]}"; do
   PCT=${RATES[$i]}
   OUT=$(mktemp -d /tmp/graft-fault-out.XXXX)
-  LOG=/tmp/fault_attempt_$((i + 1)).log
-  echo "== attempt $((i + 1)) at ${PCT}% per-op fault rate"
-  env SPARK_GRAFT_S3_SIM=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
-      SPARK_GRAFT_S3_FAULT_PCT="$PCT" SPARK_GRAFT_S3_FAULT_SEED=$((7000 + i)) \
+  LOG=/tmp/fault_${MODE}_attempt_$((i + 1)).log
+  echo "== [$MODE] attempt $((i + 1)) at ${PCT}% per-op fault rate"
+  env "$SIM_ENV"=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
+      SPARK_GRAFT_STORE_FAULT_PCT="$PCT" SPARK_GRAFT_STORE_FAULT_SEED=$((7000 + i)) \
       SPARK_GRAFT_MASTER="local[8,4]" SPARK_GRAFT_CPUS=8 \
       SPARK_GRAFT_LEASE_STALE_MS=30000 \
     $RUN graft.Verify "$SF" "$OUT" "$QS" >"$LOG" 2>&1 || {
       echo "FAIL: attempt $((i + 1)) JVM died (rc) — Verify must catch per-query faults"; exit 1; }
-  N=$(grep -ao "s3sim faults injected: [0-9]*" "$LOG" | grep -o "[0-9]*$" | tail -1 || true)
+  N=$(grep -ao "store faults injected: [0-9]*" "$LOG" | grep -o "[0-9]*$" | tail -1 || true)
   N=${N:-0}
   TOTAL_FAULTS=$((TOTAL_FAULTS + N))
   if grep -aq "\[verify\].*failed" "$LOG"; then
@@ -76,6 +88,7 @@ for i in "${!RATES[@]}"; do
     echo "-- attempt $((i + 1)): COMPLETED under ${PCT}% faults ($N injected), oracle green"
     SUCCESS=yes
     SUCCESS_PCT="$PCT"
+    SUCCESS_FAULTS="$N"
     break
   fi
   echo "FAIL: attempt $((i + 1)) reported no query failure but its results are oracle-WRONG — a torn state was served"
@@ -85,17 +98,25 @@ done
 [[ -n "$SUCCESS" ]] || { echo "FAIL: campaign never completed, even fault-free"; exit 1; }
 [[ "$TOTAL_FAULTS" -ge 20 ]] || \
   { echo "FAIL: campaign vacuous — only $TOTAL_FAULTS faults injected"; exit 1; }
-echo "-- campaign: completed at ${SUCCESS_PCT}%, $LOUD_FAILURES loud failure(s), $TOTAL_FAULTS faults injected"
+# r15 verdict ask #1's bar: the completing attempt must be at >=1% AND
+# have absorbed at least one actually-injected fault — completion under
+# residual faults as executed fact, not a clean draw at a token rate
+python3 - "$SUCCESS_PCT" <<'EOF' || { echo "FAIL: campaign only completed below the 1% bar (publish-chain retries not carrying it)"; exit 1; }
+import sys; sys.exit(0 if float(sys.argv[1]) >= 1.0 else 1)
+EOF
+[[ "$SUCCESS_FAULTS" -ge 1 ]] || \
+  { echo "FAIL: the completing attempt drew 0 faults — completion-under-faults is vacuous"; exit 1; }
+echo "-- campaign: completed at ${SUCCESS_PCT}% with $SUCCESS_FAULTS faults absorbed, $LOUD_FAILURES loud failure(s), $TOTAL_FAULTS faults injected total"
 
-echo "== final fault-free attach pass on the campaign warehouse"
+echo "== [$MODE] final fault-free attach pass on the campaign warehouse"
 # same stale threshold as the attempts: a lease an attempt leaked must
 # be judged stale by the SAME clock, or this pass wedges on a corpse
 # the 30-minute default still calls live (review finding, r15)
 OUTF=$(mktemp -d /tmp/graft-fault-out.XXXX)
-env SPARK_GRAFT_S3_SIM=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
+env "$SIM_ENV"=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
     SPARK_GRAFT_LEASE_STALE_MS=30000 \
-  $RUN graft.Verify "$SF" "$OUTF" "$QS" >/tmp/fault_final.log 2>&1
-grep -aq "\[verify\].*failed" /tmp/fault_final.log && \
+  $RUN graft.Verify "$SF" "$OUTF" "$QS" >/tmp/fault_${MODE}_final.log 2>&1
+grep -aq "\[verify\].*failed" /tmp/fault_${MODE}_final.log && \
   { echo "FAIL: fault-free attach pass reported a query failure"; exit 1; }
 python3 tools/oracle_check.py "$SF" "$OUTF" | tail -1
 python3 tools/oracle_check.py "$SF" "$OUTF" >/dev/null || \
@@ -103,19 +124,19 @@ python3 tools/oracle_check.py "$SF" "$OUTF" >/dev/null || \
 ls "$WH" | grep -q "_GRAFT_LEASE" && \
   { echo "FAIL: lease/break debris leaked past the campaign"; exit 1; }
 
-echo "== serve-only passes under READ faults (GET+LIST)"
+echo "== [$MODE] serve-only passes under READ faults (GET+LIST)"
 GREEN=0
 GREEN_WITH_FAULTS=0
 for pct in 10 5 2 0; do
   OUTS=$(mktemp -d /tmp/graft-fault-out.XXXX)
-  LOGS=/tmp/fault_serve_${pct}.log
-  env SPARK_GRAFT_S3_SIM=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
-      SPARK_GRAFT_S3_FAULT_PCT="$pct" SPARK_GRAFT_S3_FAULT_OPS="get,list" \
-      SPARK_GRAFT_S3_FAULT_SEED=$((9000 + pct)) \
+  LOGS=/tmp/fault_${MODE}_serve_${pct}.log
+  env "$SIM_ENV"=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
+      SPARK_GRAFT_STORE_FAULT_PCT="$pct" SPARK_GRAFT_STORE_FAULT_OPS="get,list" \
+      SPARK_GRAFT_STORE_FAULT_SEED=$((9000 + pct)) \
       SPARK_GRAFT_MASTER="local[8,4]" SPARK_GRAFT_CPUS=8 \
       SPARK_GRAFT_LEASE_STALE_MS=30000 \
     $RUN graft.Verify "$SF" "$OUTS" "$QS" >"$LOGS" 2>&1
-  NS=$(grep -ao "s3sim faults injected: [0-9]*" "$LOGS" | grep -o "[0-9]*$" | tail -1 || true)
+  NS=$(grep -ao "store faults injected: [0-9]*" "$LOGS" | grep -o "[0-9]*$" | tail -1 || true)
   NS=${NS:-0}
   if grep -aq "\[verify\].*failed" "$LOGS"; then
     echo "-- serve pass at ${pct}%: failed LOUDLY ($NS faults injected, retryable) — acceptable"
@@ -134,4 +155,42 @@ done
 # advisory, not a gate: completion WITH faults actually absorbed is the
 # strongest line — record whether this run produced one
 echo "-- serve passes green with >=1 injected fault: $GREEN_WITH_FAULTS"
-echo "ALL OK: publish completes-or-fails-loudly under faults, torn state never served, reads never divergent"
+
+echo "== [$MODE] streaming KLL dashboard sink under faults (loud-or-green)"
+# q127's continuous twin (r15 verdict ask #3): bootstrap + 4-batch
+# stream appending blob segments to a published table under the lease/
+# manifest discipline, with store faults on. Contract: the probe either
+# COMPLETES with its own validation green (count-exact dashboard,
+# estimates in the exact envelope) or dies LOUDLY naming the injected
+# fault; the fault-free `resume` pass must then recover over the SAME
+# checkpoint + segment store and attach-serve green from a fresh JVM.
+ROOTK=$(mktemp -d /tmp/graft-fault-kll.XXXX); rm -rf "$ROOTK"
+case "$MODE" in
+  s3)   ROOTK_URI="s3a://graftbucket$ROOTK" ;;
+  hdfs) ROOTK_URI="hdfs://graftsim$ROOTK" ;;
+esac
+KLOG=/tmp/fault_${MODE}_kllstream.log
+if env "$SIM_ENV"=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
+      SPARK_GRAFT_STORE_FAULT_PCT=1 SPARK_GRAFT_STORE_FAULT_SEED=4242 \
+      SPARK_GRAFT_MASTER="local[8,4]" SPARK_GRAFT_CPUS=8 \
+      SPARK_GRAFT_LEASE_STALE_MS=30000 \
+    $RUN graft.KllStreamProbe base "$SF" "$ROOTK_URI" >"$KLOG" 2>&1; then
+  grep -aq "KLLPROBE base OK" "$KLOG" || \
+    { echo "FAIL: streaming sink exited 0 without its validation line"; exit 1; }
+  NK=$(grep -ao "store faults injected: [0-9]*" "$KLOG" | grep -o "[0-9]*$" | tail -1 || true)
+  echo "-- streaming sink COMPLETED under 1% faults (count-exact green, ${NK:-0} faults drawn)"
+else
+  grep -aq "injected transient fault" "$KLOG" || \
+    { echo "FAIL: streaming sink died WITHOUT naming an injected fault"; tail -5 "$KLOG"; exit 1; }
+  echo "-- streaming sink failed LOUDLY under faults — acceptable; the fault-free resume must recover"
+fi
+env "$SIM_ENV"=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
+    SPARK_GRAFT_MASTER="local[8,4]" SPARK_GRAFT_CPUS=8 \
+    SPARK_GRAFT_LEASE_STALE_MS=30000 \
+  $RUN graft.KllStreamProbe resume "$SF" "$ROOTK_URI" >/tmp/fault_${MODE}_kllresume.log 2>&1 || \
+  { echo "FAIL: fault-free streaming resume did not recover"; tail -5 /tmp/fault_${MODE}_kllresume.log; exit 1; }
+grep -aq "KLLPROBE resume OK" /tmp/fault_${MODE}_kllresume.log || \
+  { echo "FAIL: streaming resume exited 0 without its validation line"; exit 1; }
+echo "-- streaming resume: recovered, dashboard count-exact and in-envelope (cross-JVM attach)"
+
+echo "ALL OK [$MODE]: publish completes under residual faults (>=1% with faults absorbed), fails loudly otherwise, torn state never served, reads never divergent, streaming dashboard loud-or-green + recoverable"
