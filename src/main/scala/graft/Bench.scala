@@ -167,8 +167,20 @@ object Bench {
       // dominates, q126's kernel); 1.60 from the r15 pair's idle sample
       // — its 3.52 sibling included the cold publish plus post-probe
       // box contention. A marker miss re-publishing per call would read
-      // ~2.5x — the same publish-lifecycle guard as q120-q124
+      // ~2.5x — the same publish-lifecycle guard as q120-q124.
+      // r16 trail (r15 verdict ask #4): 1.38 (r15 post-fix in-suite),
+      // 1.50 / 1.96 (r16 pair), 2.16 (filtered fresh-JVM = cold
+      // publish class) — 1.60 sits mid-distribution; kept
       "q127_published_quantiles" -> 1.60,
+      // s05 first measurement (r16): the streaming published-KLL
+      // dashboard, deliberately measuring the COLD lifecycle —
+      // bootstrap corpus scan + 8 one-batch appends EACH paying the
+      // full lease/ensure/append/re-stamp discipline + attach-serve.
+      // The per-batch publish overhead (~0.6 s of control-plane work/
+      // batch) is the entry's point: a deployment amortizes it with
+      // its trigger interval; the data volume is kilobytes throughout.
+      // Trail: 6.53 / 7.95 (r16 pair, slow-boot family)
+      "s05_kll_publish_stream" -> 6.50,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
