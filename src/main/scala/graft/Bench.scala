@@ -510,21 +510,13 @@ object Bench {
     // entry deliberately measures the COLD lifecycle — publish-per-run
     // IS the operation, so no structural cache guard applies. No
     // recordState: the sink is a stateless foreachBatch.
-    lazy val s05Cut: Long = {
-      // the SAME split bootstrapBase derives — a diverging cut would
-      // double-count the overlap window in the streamed dashboard
-      val m = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col("l_orderkey"))).head.getLong(0)
-      (m + 1L) * 4L / 5L
-    }
     lazy val s05Src: String = {
+      // the split point and the column selection come from ONE place
+      // (Sketches.kllBaseCut / KllPublish.stageDelta) — a diverging
+      // copy would double-count the overlap window in the dashboard
       val d = java.nio.file.Files.createTempDirectory("bench_s05_src").toString
-      import org.apache.spark.sql.functions.col
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .filter(col("l_orderkey") >= s05Cut)
-        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-        .repartition(8).write.mode("overwrite").parquet(d)
+      graft.streaming.KllPublish.stageDelta(spark, sfDir, d,
+        graft.operators.Sketches.kllBaseCut(spark, sfDir), files = 8)
       d
     }
     def kllStreamOnce(): Double = {

@@ -49,10 +49,7 @@ object KllStreamProbe {
     def segDir(tag: String) = s"$root/seg_$tag"
 
     def stageDelta(cut: Long): Unit =
-      Tables.lineitem(spark, sfDir)
-        .filter(col("l_orderkey") >= cut)
-        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-        .repartition(4).write.mode("overwrite").parquet(src)
+      KllPublish.stageDelta(spark, sfDir, src, cut, files = 4)
 
     def runSink(tag: String, haltAfterBatches: Int): Unit = {
       val ckpt = s"$root/ckpt_$tag"

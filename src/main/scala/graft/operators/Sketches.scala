@@ -485,6 +485,17 @@ object Sketches {
     graft.sources.Published.fingerprint(dir,
       Seq(new org.apache.hadoop.fs.Path(dir, "lineitem.parquet")))
 
+  /** The base/delta split point, cut = ⌊(max+1)·4/5⌋ over l_orderkey —
+    * ONE copy (r16 review finding #5: q127's bootstrap, the streaming
+    * twin's, and the bench stager each derived it; a diverging copy
+    * silently double-counts the overlap window in a streamed
+    * dashboard). One full-column max — the bootstrap's price. */
+  private[graft] def kllBaseCut(spark: SparkSession, dir: String): Long = {
+    val maxKey = Tables.lineitem(spark, dir)
+      .agg(max(col("l_orderkey"))).head.getLong(0)
+    (maxKey + 1L) * 4L / 5L
+  }
+
   // intra-JVM publish serialization per table (Similarity.publishLock's
   // pattern): same-JVM racers queue on the monitor, cross-JVM exclusion
   // is the file lease's job
@@ -541,13 +552,8 @@ object Sketches {
       graft.sources.Published.withLeaseAwaiting(loc, s"kllq:$tbl") {
         if (!graft.sources.Published.ensure(
             spark, tbl, "slice", kllTableBuckets, fp)) {
-          // one-time full-column max — the bootstrap's price, not the
-          // steady state's
-          val maxKey = Tables.lineitem(spark, dir)
-            .agg(max(col("l_orderkey"))).head.getLong(0)
-          val cut = (maxKey + 1L) * 4L / 5L
           graft.sources.Published.write(spark, tbl, "slice", kllTableBuckets,
-            fp, kllSegment(spark, dir, 0L, cut))
+            fp, kllSegment(spark, dir, 0L, kllBaseCut(spark, dir)))
         }
         val hwRow = spark.table(tbl).agg(max(col("hi"))).head
         val hw = if (hwRow.isNullAt(0)) 0L else hwRow.getLong(0)

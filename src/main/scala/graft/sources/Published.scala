@@ -243,6 +243,31 @@ object Published {
     }
   }
 
+  /** Re-run a read that swallows transient faults into null until it
+    * yields something, bounded — a lone null is ambiguous (store blip
+    * vs genuinely absent), the r15 campaign's recurring lesson, and
+    * the retry shape kept getting hand-rolled per site with drifting
+    * interrupt semantics (r16 review finding #4). An interrupt stops
+    * the retries (flag restored) and returns null; every caller's
+    * null-handling is the SAFE direction (abort / skip delete / throw
+    * loud), so cutting the retries short can never commit anything. */
+  private def retryNullable[T >: Null](read: => T, attempts: Int = 3,
+                                       sleepMs: Long = 25): T = {
+    var cur = read
+    var n = 1
+    while (cur == null && n < attempts) {
+      try Thread.sleep(sleepMs)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt(); return null }
+      cur = read
+      n += 1
+    }
+    cur
+  }
+
+  private def retryRead(fs: FileSystem, p: HPath): String =
+    retryNullable(readOrNull(fs, p))
+
   private def readOrNull(fs: FileSystem, p: HPath): String =
     try {
       val len = fs.getFileStatus(p).getLen.toInt
@@ -470,21 +495,38 @@ object Published {
       }
       // the conditional PUT is AMBIGUOUS under a transient fault (the
       // PUT may have landed before the error surfaced) — never blindly
-      // re-issue: re-read first. Our token = we won after all; a
-      // foreign token = held; unreadable = retry the create (bounded),
-      // which is safe both ways — a create that already landed loses
-      // the re-issue to its own file and the re-read then sees us.
+      // re-issue: resolve by re-reading. Our token = we won after all;
+      // a foreign token = held; unreadable + file absent = retry the
+      // create. The one corner that must NOT silently resolve (r16
+      // review finding #1): after an ambiguous fault, a create-false
+      // (file exists) whose re-reads all blip could be OUR OWN landed
+      // lease — concluding LeaseHeld there has the caller waiting out
+      // its own orphan for the full stale threshold. A re-read that
+      // stays null after an ambiguous fault therefore throws the
+      // fault LOUDLY (infrastructure is down; fail the call, never
+      // stall on a maybe-own lease).
       var attempt = 0
+      var ambiguous: java.io.IOException = null
       while (true) {
-        try return createNewAtomic(fs, lp, s"$token\n$holder".getBytes("UTF-8"))
-        catch { case e: java.io.IOException =>
-          val cur = readOrNull(fs, lp) // swallows its own faults -> null
-          if (cur != null) return cur.startsWith(token + "\n")
-          attempt += 1
-          if (attempt >= storeOpAttempts) throw e
-          try Thread.sleep(50L * attempt)
-          catch { case _: InterruptedException =>
-            Thread.currentThread().interrupt(); throw e }
+        val won =
+          try Some(createNewAtomic(fs, lp, s"$token\n$holder".getBytes("UTF-8")))
+          catch { case e: java.io.IOException => ambiguous = e; None }
+        won match {
+          case Some(true) => return true
+          case Some(false) if ambiguous == null => return false // clean loss
+          case _ =>
+            // faulted now, or create-false after an earlier fault:
+            // ownership is unknown until a read lands
+            val cur = retryRead(fs, lp)
+            if (cur != null) return cur.startsWith(token + "\n")
+            attempt += 1
+            // file-exists-but-unreadable, or read+create both blipping
+            // past the budget: loud, never a guessed verdict
+            if (won.contains(false) || attempt >= storeOpAttempts)
+              throw ambiguous
+            try Thread.sleep(50L * attempt)
+            catch { case _: InterruptedException =>
+              Thread.currentThread().interrupt(); throw ambiguous }
         }
       }
       sys.error("unreachable")
@@ -711,17 +753,12 @@ object Published {
         // fault campaign: one GET blip here leaked the lease and cost
         // a rival its whole wait budget); a read that stays null after
         // the retries still skips the delete — unreadable might mean
-        // foreign, and a leak that ages out beats deleting blind
-        // the retry sleep must not let a pending interrupt abort the
-        // release from inside this finally (it would mask the body's
-        // result AND leak the lease — the claim loop above guards the
-        // same way): convert it to the interrupted flag and stop
-        var cur = readOrNull(fs, lp)
-        var reads = 1
-        while (cur == null && reads < 3 && !interrupted) {
-          try { Thread.sleep(20); cur = readOrNull(fs, lp); reads += 1 }
-          catch { case _: InterruptedException => interrupted = true }
-        }
+        // foreign, and a leak that ages out beats deleting blind. An
+        // interrupt mid-retry must not abort the release from inside
+        // this finally (it would mask the body's result AND leak the
+        // lease): retryNullable converts it to the restored flag and
+        // returns null, which lands on the skip-the-delete branch.
+        val cur = retryNullable(readOrNull(fs, lp))
         if (cur != null && cur.startsWith(token + "\n")) deleteIfExists(fs, lp)
       } finally deleteIfExists(fs, bp)
       if (interrupted) Thread.currentThread().interrupt()
@@ -744,21 +781,13 @@ object Published {
     // spurious LeaseLost at a commit gate.
     // A NULL read is ambiguous — transient store fault vs deleted
     // lease (the same lesson the heartbeat and release paths learned
-    // in the r15 campaign; r15 advice #1): retry a couple of times
-    // before concluding LeaseLost, so a lone GET blip landing exactly
-    // at a commit gate doesn't abort an otherwise-healthy publish. A
-    // read that STAYS null still throws — abort, never commit blind.
-    var cur = held.synchronized { readOrNull(fs, leasePath(norm)) }
-    var reads = 1
-    while (cur == null && reads < 3) {
-      try Thread.sleep(25)
-      catch { case _: InterruptedException =>
-        Thread.currentThread().interrupt(); reads = 3 }
-      if (reads < 3) {
-        cur = held.synchronized { readOrNull(fs, leasePath(norm)) }
-        reads += 1
-      }
-    }
+    // in the r15 campaign; r15 advice #1): retryNullable re-reads a
+    // couple of times before concluding LeaseLost, so a lone GET blip
+    // landing exactly at a commit gate doesn't abort an otherwise-
+    // healthy publish. A read that STAYS null still throws — abort,
+    // never commit blind.
+    val cur = retryNullable(
+      held.synchronized { readOrNull(fs, leasePath(norm)) })
     if (cur == null || !cur.startsWith(held.token + "\n"))
       throw new LeaseLost(
         s"lease for ${norm.getName} no longer carries this holder's " +
@@ -1125,18 +1154,11 @@ object Published {
     val gate = () => assertLeaseOwned(loc)
     gate()
     // a marker read that blips reads as None (readOrNull swallows) —
-    // retry a couple of times before concluding the marker is gone;
-    // a PERSISTENT None still aborts loudly (never re-stamp blind)
-    var m0 = readMarker(fs, loc)
-    var reads = 1
-    while (m0.isEmpty && reads < 3) {
-      try Thread.sleep(25)
-      catch { case _: InterruptedException =>
-        Thread.currentThread().interrupt(); reads = 3 }
-      if (reads < 3) { m0 = readMarker(fs, loc); reads += 1 }
-    }
-    val m = m0.getOrElse(throw new IllegalStateException(
-      s"restampManifest($tbl): no well-formed marker at $loc"))
+    // retryNullable re-reads before concluding the marker is gone; a
+    // PERSISTENT None still aborts loudly (never re-stamp blind)
+    val m = Option(retryNullable(readMarker(fs, loc).orNull))
+      .getOrElse(throw new IllegalStateException(
+        s"restampManifest($tbl): no well-formed marker at $loc"))
     val tmp = new HPath(loc, Marker + ".tmp")
     val manifest = retryIO(gate)(manifestHash(fs, loc))
     retryIO(gate)(writeFile(fs, tmp,

@@ -82,15 +82,13 @@ object KllPublish {
   private def baseDoneFlag(spark: SparkSession, segDir: String): HPath =
     new HPath(segDir, "_GRAFT_BASE_DONE")
 
-  /** Bootstrap the base window's segment rows ([0, cut),
-    * cut = ⌊(max+1)·4/5⌋ — q127's split) into the segment store, once:
+  /** Bootstrap the base window's segment rows ([0, cut) —
+    * `Sketches.kllBaseCut`, q127's split) into the segment store, once:
     * the flag file commits the bootstrap, so a crashed half-write is
     * rewritten on the next call, never half-served. Returns `cut`.
     * This is the sink's ONE corpus scan. */
   def bootstrapBase(spark: SparkSession, dir: String, segDir: String): Long = {
-    val maxKey = graft.sources.Tables.lineitem(spark, dir)
-      .agg(max(col("l_orderkey"))).head.getLong(0)
-    val cut = (maxKey + 1L) * 4L / 5L
+    val cut = Sketches.kllBaseCut(spark, dir)
     val flag = baseDoneFlag(spark, segDir)
     val fs = flag.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(flag)) {
@@ -127,19 +125,26 @@ object KllPublish {
           val hwRow = spark.table(tbl).agg(max(col("batch"))).head
           val hw = if (hwRow.isNullAt(0)) Long.MinValue else hwRow.getLong(0)
           if (hw < batchId) {
-            // commit gates bracket the append exactly like q124/q127:
-            // abort BEFORE appending over a rival's writes; a lost
-            // lease after the job aborts BEFORE the re-stamp, so the
-            // unaccounted segment is never served (and the next call
-            // rebuilds from the store)
-            Published.assertLeaseOwned(loc)
-            readSegments(spark, segDir)
+            val pending = readSegments(spark, segDir)
               .filter(col("batch") > hw && col("batch") <= batchId)
-              .write.mode(org.apache.spark.sql.SaveMode.Append)
-              .bucketBy(Sketches.kllTableBuckets, "slice").sortBy("slice")
-              .format("parquet").saveAsTable(tbl)
-            Published.assertLeaseOwned(loc)
-            Published.restampManifest(spark, tbl)
+            // EMPTY batches keep hw pinned at the last non-empty id, so
+            // without this guard every empty trigger would pay an
+            // empty append job + a manifest re-stamp (r16 review
+            // finding #7) — the emptiness probe is one job over the
+            // kilobyte store
+            if (!pending.isEmpty) {
+              // commit gates bracket the append exactly like q124/q127:
+              // abort BEFORE appending over a rival's writes; a lost
+              // lease after the job aborts BEFORE the re-stamp, so the
+              // unaccounted segment is never served (and the next call
+              // rebuilds from the store)
+              Published.assertLeaseOwned(loc)
+              pending.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .bucketBy(Sketches.kllTableBuckets, "slice").sortBy("slice")
+                .format("parquet").saveAsTable(tbl)
+              Published.assertLeaseOwned(loc)
+              Published.restampManifest(spark, tbl)
+            }
           }
         }
       }
@@ -153,26 +158,64 @@ object KllPublish {
   private[graft] def processBatch(spark: SparkSession, segDir: String,
                                   batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
-    val bounds = batch.agg(
-      min(col("l_orderkey")), max(col("l_orderkey"))).head
-    if (!bounds.isNullAt(0)) {
-      val kllMerge = udaf(Sketches.KllMergeAgg)
-      val seg = Sketches.sliceBlobs(batch
-          .select(col("l_returnflag").as("slice"),
-            col("l_extendedprice").cast("double").as("v"))
-          .as[(String, Double)])
-        .groupBy(col("slice"))
-        .agg(kllMerge(col("blob")).as("blob"))
-        .select(col("slice"), col("blob"),
-          Sketches.kllNUdf(col("blob")).as("n"),
-          lit(bounds.getLong(0)).as("lo"),
-          lit(bounds.getLong(1) + 1L).as("hi"),
-          lit(batchId).as("batch"))
-      Layout.overwritePartitions(seg, segDir, Seq("batch"))
-    }
+    // persist across the two actions (bounds probe + sketch build) —
+    // without it each foreachBatch invocation re-reads the batch's
+    // source files twice (r16 review finding #6)
+    batch.persist()
+    try {
+      val bounds = batch.agg(
+        min(col("l_orderkey")), max(col("l_orderkey"))).head
+      if (!bounds.isNullAt(0)) {
+        val kllMerge = udaf(Sketches.KllMergeAgg)
+        val seg = Sketches.sliceBlobs(batch
+            .select(col("l_returnflag").as("slice"),
+              col("l_extendedprice").cast("double").as("v"))
+            .as[(String, Double)])
+          .groupBy(col("slice"))
+          .agg(kllMerge(col("blob")).as("blob"))
+          .select(col("slice"), col("blob"),
+            Sketches.kllNUdf(col("blob")).as("n"),
+            lit(bounds.getLong(0)).as("lo"),
+            lit(bounds.getLong(1) + 1L).as("hi"),
+            lit(batchId).as("batch"))
+        Layout.overwritePartitions(seg, segDir, Seq("batch"))
+      }
+    } finally { batch.unpersist(); () }
     // an EMPTY batch still syncs: a prior batch's append may have been
     // refused (fault) and this is the retry that heals it
     publishUpTo(spark, segDir, batchId)
+  }
+
+  /** The segment store's batch ids are meaningful ONLY under the
+    * checkpoint lineage that assigned them: a FRESH checkpoint over an
+    * existing store re-delivers the source files with a potentially
+    * different file→batch mapping (FileStreamSource breaks mtime ties
+    * nondeterministically), and a crash mid-re-delivery would leave a
+    * store with rows doubled in one partition and missing from another
+    * — which the manifest self-heal would then SERVE (r16 review
+    * finding #2). The sink therefore stamps its checkpoint identity
+    * into the store on first start and REFUSES a mismatched resume:
+    * wipe the store or reuse the original checkpoint. */
+  private def assertCheckpointLineage(spark: SparkSession, segDir: String,
+                                      checkpointDir: String): Unit = {
+    val idFile = new HPath(segDir, "_GRAFT_CKPT")
+    val fs = idFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckptId = fs.makeQualified(new HPath(checkpointDir)).toString
+    if (fs.exists(idFile)) {
+      val len = fs.getFileStatus(idFile).getLen.toInt
+      val buf = new Array[Byte](len)
+      scala.util.Using.resource(fs.open(idFile))(_.readFully(0, buf))
+      val existing = new String(buf, "UTF-8")
+      require(existing == ckptId,
+        s"segment store $segDir was written under checkpoint lineage " +
+          s"'$existing'; resuming it with '$ckptId' would remap batch ids " +
+          "nondeterministically and can corrupt the store — wipe the " +
+          "store or reuse the original checkpoint")
+    } else {
+      fs.mkdirs(idFile.getParent)
+      scala.util.Using.resource(fs.create(idFile, true))(
+        _.write(ckptId.getBytes("UTF-8")))
+    }
   }
 
   /** Start the continuous dashboard sink over streaming lineitem-shaped
@@ -183,6 +226,7 @@ object KllPublish {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = rows.sparkSession
+    assertCheckpointLineage(spark, segDir, checkpointDir)
     rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, segDir, batch, batchId)
@@ -191,6 +235,16 @@ object KllPublish {
       .trigger(trigger)
       .start()
   }
+
+  /** Stage the delta window (l_orderkey ≥ cut) as `files` parquet files
+    * — the shared source stager for the bench/spec/probe streams (one
+    * copy of the column selection; r16 review finding #5). */
+  def stageDelta(spark: SparkSession, dir: String, out: String,
+                 cut: Long, files: Int): Unit =
+    graft.sources.Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") >= cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .repartition(files).write.mode("overwrite").parquet(out)
 
   /** Attach-and-serve for a FRESH JVM (the restart-attach face): the
     * published table must pass the marker/manifest gate; the read is

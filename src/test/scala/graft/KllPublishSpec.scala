@@ -24,10 +24,7 @@ class KllPublishSpec extends SparkSpec {
     Files.createTempDirectory(s"kllstream_$tag").toString
 
   private def stageDelta(src: String, cut: Long, files: Int): Unit =
-    Tables.lineitem(spark, sf)
-      .filter(col("l_orderkey") >= cut)
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-      .repartition(files).write.mode("overwrite").parquet(src)
+    KllPublish.stageDelta(spark, sf, src, cut, files)
 
   private def runSink(src: String, segDir: String, ckpt: String): Unit = {
     val in = spark.readStream
@@ -79,28 +76,67 @@ class KllPublishSpec extends SparkSpec {
     assert(p95 >= ex(3) && p95 <= ex(5), s"est_p95 $p95 outside [${ex(3)}, ${ex(5)}]")
   }
 
-  test("replay idempotence: a re-delivered batch rewrites its own segment " +
-      "partition and appends nothing to the published table") {
+  test("replay idempotence: a FAITHFULLY re-delivered batch (same rows, " +
+      "same id) rewrites its own segment partition, appends nothing, and " +
+      "a store-rebuild afterwards stays count-exact") {
     val root = freshRoot("replay")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    // deterministic batch split (orderkey parity) so the replay can
+    // re-deliver EXACTLY batch 1's rows — replaying different content
+    // under the same id is not what foreachBatch redelivery does, and
+    // would itself corrupt the store (r16 review finding #3)
+    val delta = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") >= cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val b0 = delta.filter(col("l_orderkey") % 2 === 0)
+    val b1 = delta.filter(col("l_orderkey") % 2 === 1)
+    KllPublish.processBatch(spark, segDir, b0, 0L)
+    KllPublish.processBatch(spark, segDir, b1, 1L)
+    val tbl = KllPublish.tableName(segDir)
+    val rowsBefore = spark.table(tbl).count()
+    val nBefore = KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+    assert(nBefore == Tables.lineitem(spark, sf).count())
+    // the crash-replay shape: batch 1 re-delivered verbatim
+    KllPublish.processBatch(spark, segDir, b1, 1L)
+    assert(spark.table(tbl).count() == rowsBefore,
+      "replay appended duplicate segment rows to the published table")
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nBefore,
+      "replay changed the dashboard's count")
+    // the store itself must be un-doubled, not just the table's
+    // high-water skip: force a rebuild FROM the store (contaminate →
+    // refused → heal) and require the rebuilt dashboard count-exact
+    val loc = Published.tableLoc(spark, tbl)
+    val fs = Published.fsOf(loc)
+    scala.util.Using.resource(fs.create(
+      new org.apache.hadoop.fs.Path(loc, "part-replay-stray.parquet"), true))(
+      _.write("x".getBytes("UTF-8")))
+    KllPublish.processBatch(spark, segDir, delta.filter(lit(false)), 2L)
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nBefore,
+      "the store-rebuilt dashboard is not count-exact — the replay " +
+        "corrupted the segment store")
+  }
+
+  test("a FRESH checkpoint over an existing segment store is REFUSED: " +
+      "batch-id remapping across lineages must fail loudly, not corrupt") {
+    val root = freshRoot("lineage")
     val segDir = s"$root/seg"
     val cut = KllPublish.bootstrapBase(spark, sf, segDir)
     stageDelta(s"$root/src", cut, files = 2)
     runSink(s"$root/src", segDir, s"$root/ckpt1")
-    val tbl = KllPublish.tableName(segDir)
-    val rowsBefore = spark.table(tbl).count()
     val nBefore = KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
-    // a FRESH checkpoint re-delivers every batch with the same ids —
-    // the crash-replay shape without the crash
-    runSink(s"$root/src", segDir, s"$root/ckpt2")
-    assert(spark.table(tbl).count() == rowsBefore,
-      "re-delivery appended duplicate segment rows to the published table")
+    // same checkpoint: resume is a no-op and stays green
+    runSink(s"$root/src", segDir, s"$root/ckpt1")
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nBefore)
+    // fresh checkpoint: FileStreamSource may remap files to batch ids,
+    // so the sink must refuse the store before any batch runs
+    val refused = intercept[IllegalArgumentException] {
+      runSink(s"$root/src", segDir, s"$root/ckpt2")
+    }
+    assert(refused.getMessage.contains("checkpoint lineage"),
+      s"unexpected refusal shape: ${refused.getMessage}")
     assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nBefore,
-      "re-delivery changed the dashboard's count")
-    // and a direct same-batch replay through the sink body
-    val replayBatch = spark.read.parquet(s"$root/src")
-    KllPublish.processBatch(spark, segDir, replayBatch, 1L)
-    assert(spark.table(tbl).count() == rowsBefore,
-      "explicit processBatch replay doubled rows")
+      "the refused start still changed the dashboard")
   }
 
   test("a refused manifest self-heals from the durable segment store: " +
