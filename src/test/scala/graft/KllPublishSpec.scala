@@ -117,6 +117,28 @@ class KllPublishSpec extends SparkSpec {
         "corrupted the segment store")
   }
 
+  test("the pending-append read PRUNES segment-store partitions: the " +
+      "batch predicate is a PartitionFilter, not a post-scan filter") {
+    // the scale shape behind publishUpTo: `batch` is the store's
+    // partition column, so catching up from hw to batchId must list
+    // only the NEW batch=<id> directories — at a year of batches the
+    // append reads the delta, never re-scans the store
+    val root = freshRoot("prune")
+    val segDir = s"$root/seg"
+    KllPublish.bootstrapBase(spark, sf, segDir)
+    val plan = KllPublish.readSegments(spark, segDir)
+      .filter(col("batch") > -1L && col("batch") <= 0L)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
+      fail(s"no PartitionFilters in the pending read's plan:\n$plan"))
+    assert(pf.contains("batch"),
+      s"the batch predicate did not reach the partition filters: $pf")
+    // and nothing re-filters batch AFTER the scan (the pruning is the
+    // whole read, not a cosmetic duplicate)
+    assert(!plan.contains("PushedFilters: [IsNotNull(batch)"),
+      "batch landed in data filters — it must be a partition column")
+  }
+
   test("a FRESH checkpoint over an existing segment store is REFUSED: " +
       "batch-id remapping across lineages must fail loudly, not corrupt") {
     val root = freshRoot("lineage")

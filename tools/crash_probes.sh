@@ -199,4 +199,35 @@ if [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
     { echo "FAIL: rebuilt table carries no marker"; exit 1; }
   echo "leg C OK: mid-swap-copy death -> torn serve refused -> stale-break -> clean rebuild, oracle green"
 fi
+
+echo "== leg E: halt the published-KLL-dashboard stream driver after 2 committed batches, resume in a new JVM"
+# KllPublish's crash story (r15 verdict ask #3): every micro-batch
+# appends blob segments to a PUBLISHED table under the lease/manifest
+# discipline, with a batch-keyed segment store as source of truth. The
+# crashed+resumed dashboard must be count-exact-equal to the
+# uninterrupted run's (total AND per-slice — KLL tracks n exactly, so
+# a lost or doubled batch shifts them) with estimates in the exact
+# envelope.
+ROOTK=$(mktemp -d /tmp/graft-kllstream.XXXX)
+WHK=$(mktemp -d /tmp/graft-kllstream-wh.XXXX); rm -rf "$WHK"
+ROOTK_URI="$ROOTK"; WHK_URI="$WHK"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  ROOTK_URI="hdfs://graftsim$ROOTK"; WHK_URI="hdfs://graftsim$WHK"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  ROOTK_URI="s3a://graftbucket$ROOTK"; WHK_URI="s3a://graftbucket$WHK"
+fi
+SPARK_GRAFT_WAREHOUSE="$WHK_URI" $RUN graft.KllStreamProbe base $SF $ROOTK_URI >/tmp/kllprobe_base.log 2>&1
+grep -a "KLLPROBE base OK" /tmp/kllprobe_base.log || { echo "FAIL: kll base leg produced nothing"; exit 1; }
+# run1 halts its own JVM (exit 137) — the nonzero exit is expected
+SPARK_GRAFT_WAREHOUSE="$WHK_URI" $RUN graft.KllStreamProbe run1 $SF $ROOTK_URI >/tmp/kllprobe_run1.log 2>&1 || true
+grep -a "RESTARTPROBE halting" /tmp/kllprobe_run1.log || \
+  { echo "FAIL: kll run1 did not halt mid-stream (drained or died early)"; exit 1; }
+grep -aq "KLLPROBE run1 FAILED" /tmp/kllprobe_run1.log && \
+  { echo "FAIL: kll run1 drained the whole source before halting"; exit 1; }
+SPARK_GRAFT_WAREHOUSE="$WHK_URI" $RUN graft.KllStreamProbe run2 $SF $ROOTK_URI >/tmp/kllprobe_run2.log 2>&1
+grep -a "KLLPROBE run2" /tmp/kllprobe_run2.log || { echo "FAIL: kll run2 resume failed"; exit 1; }
+SPARK_GRAFT_WAREHOUSE="$WHK_URI" $RUN graft.KllStreamProbe check $SF $ROOTK_URI >/tmp/kllprobe_check.log 2>&1
+grep -a "KLLPROBE ALL OK" /tmp/kllprobe_check.log || \
+  { echo "FAIL: crashed+resumed KLL dashboard diverges from uninterrupted run"; grep -a KLLPROBE /tmp/kllprobe_check.log; exit 1; }
+echo "leg E OK: driver death after 2 batches -> checkpoint resume -> count-exact published dashboard"
 echo "ALL OK"
