@@ -136,6 +136,82 @@ class RacyCreateFileSystem extends RawLocalFileSystem
   }
 }
 
+object LandThenThrow {
+  /** Armed window: while true, a lease create LANDS server-side but the
+    * call throws, the client-side cleanup delete silently fails, and
+    * the first [[getBlipBudget]] lease reads blip. */
+  @volatile var armed: Boolean = false
+  val getBlips = new java.util.concurrent.atomic.AtomicInteger(0)
+  val getBlipBudget = 2
+  private[graft] def leaseFile(f: Path): Boolean =
+    f.getName.endsWith("._GRAFT_LEASE")
+}
+
+/** The AMBIGUOUS-fault connector shape the sims structurally cannot
+  * model (they fault BEFORE the claim): the conditional PUT's request
+  * succeeds SERVER-side — object created, content durable — but the
+  * client gets an error (lost 200, timed-out response), its cleanup
+  * delete also blips, and the next couple of reads blip too. Real
+  * stores do exactly this under network partitions. The acquire loop's
+  * contract (r16 review finding #1): resolve ownership by re-reading —
+  * it must end up OWNING the lease it landed, never concluding
+  * LeaseHeld against its own file and stalling on its own orphan. */
+class LandThenThrowFileSystem extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("graftltt:///")
+
+  private def wrap(out: FSDataOutputStream): FSDataOutputStream = {
+    val thrown = new java.util.concurrent.atomic.AtomicBoolean(false)
+    new FSDataOutputStream(new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = {
+        // the data LANDS (real close flushes it durably) …
+        out.close()
+        // … and only then does the CALL fail — once (createNewAtomic's
+        // cleanup path re-closes; a second throw there would mask the
+        // original error)
+        if (thrown.compareAndSet(false, true))
+          throw new java.io.IOException(
+            "graftltt: response lost after the PUT landed")
+      }
+    }, null)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val out = super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress)
+    if (!overwrite && LandThenThrow.armed && LandThenThrow.leaseFile(f))
+      wrap(out)
+    else out
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val out = super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+    if (!overwrite && LandThenThrow.armed && LandThenThrow.leaseFile(f))
+      wrap(out)
+    else out
+  }
+
+  /** The cleanup delete after the "failed" PUT blips too — the store is
+    * unreachable for everyone during the window, so the landed object
+    * SURVIVES the client's failure-atomicity attempt. */
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    if (LandThenThrow.armed && LandThenThrow.leaseFile(f))
+      throw new java.io.IOException(s"graftltt: delete blipped: $f")
+    else super.delete(f, recursive)
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+    if (LandThenThrow.armed && LandThenThrow.leaseFile(f) &&
+        LandThenThrow.getBlips.incrementAndGet() <= LandThenThrow.getBlipBudget)
+      throw new java.io.IOException(s"graftltt: read blipped: $f")
+    else super.open(f, bufferSize)
+}
+
 /** The connector shape the contract REQUIRES: create-no-overwrite as an
   * atomic conditional put (exactly-one-winner claim — S3 conditional
   * writes, HDFS's namenode-atomic startFile). The hook sits where the

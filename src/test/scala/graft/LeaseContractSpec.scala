@@ -175,6 +175,41 @@ class LeaseContractSpec extends SparkSpec {
     } finally CreateContract.hook = () => ()
   }
 
+  test("an acquire whose conditional PUT LANDS but errors (response lost, " +
+      "cleanup delete and re-reads blipping) resolves to OWNERSHIP, never " +
+      "LeaseHeld against its own lease") {
+    // r16 review finding #1, executed: the sims fault BEFORE the claim,
+    // so only this mock reaches the landed-but-errored corner. Pre-fix,
+    // the re-issued create hit the caller's own file, returned false,
+    // and tryAcquire concluded LeaseHeld — the caller then waited out
+    // its OWN orphan until the stale break.
+    register("graftltt", classOf[LandThenThrowFileSystem])
+    val dir = java.nio.file.Files.createTempDirectory("graft_ltt")
+    val loc = new HPath(s"graftltt://$dir/tbl")
+    val nioLease = dir.resolve("tbl._GRAFT_LEASE")
+    LandThenThrow.getBlips.set(0)
+    LandThenThrow.armed = true
+    var entered = false
+    try {
+      Published.withLease(loc, "ltt-holder", staleMs = 60000) {
+        LandThenThrow.armed = false // window over; release runs clean
+        entered = true
+        // the landed lease is OURS: the commit gate must agree
+        Published.assertLeaseOwned(loc)
+      }
+    } finally LandThenThrow.armed = false
+    assert(entered, "acquire never resolved to ownership")
+    assert(LandThenThrow.getBlips.get() >= LandThenThrow.getBlipBudget,
+      "the read blips never fired (test is vacuous)")
+    assert(!java.nio.file.Files.exists(nioLease),
+      "lease not released cleanly after the ambiguous acquire")
+    // and the table is immediately re-acquirable — no orphan, no debris
+    Published.withLease(loc, "ltt-second", staleMs = 60000) {
+      Published.assertLeaseOwned(loc)
+    }
+    assert(!java.nio.file.Files.exists(nioLease))
+  }
+
   test("check-then-put create-new DOUBLE-WINS under a racing schedule — the " +
       "documented object-store hazard, executed") {
     register("graftracy", classOf[RacyCreateFileSystem])
