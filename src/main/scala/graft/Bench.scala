@@ -172,6 +172,12 @@ object Bench {
       // 1.50 / 1.96 (r16 pair), 2.16 (filtered fresh-JVM = cold
       // publish class) — 1.60 sits mid-distribution; kept
       "q127_published_quantiles" -> 1.60,
+      // q128 first measurement (r16): the compacted-dashboard lifecycle
+      // — steady state is the flag-gated no-op lifecycle (corpus max +
+      // replay-skip probes + compact no-op) + the blob serve + the
+      // exact-envelope reference that dominates (q126's kernel, like
+      // q127). Trail: 2.82 min-of-2, spread 0.22, first filtered run
+      "q128_compacted_dashboard" -> 2.80,
       // s05 first measurement (r16): the streaming published-KLL
       // dashboard, deliberately measuring the COLD lifecycle —
       // bootstrap corpus scan + 8 one-batch appends EACH paying the

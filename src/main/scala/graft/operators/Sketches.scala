@@ -645,6 +645,59 @@ object Sketches {
       |  1 AS count_exact, 1 AS p50_in_bounds, 1 AS p95_in_bounds
       |FROM lineitem""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** The streaming dashboard's MINOR COMPACTION as an oracle-gated face
+    * — q124's story for the quantile family, over
+    * [[graft.streaming.KllPublish]]'s generation-committed segment
+    * store. Without compaction the store (and the table derived from
+    * it) grows one kilobyte segment per slice per batch forever: at a
+    * year of triggers the "kilobyte store" is an O(batches) listing and
+    * every serve merges O(batches) blobs. Merging is what KLL sketches
+    * are FOR — this query builds the store deterministically (base
+    * window + three delta batches split by orderkey residue: the
+    * stream's shape without a stream), compacts, and serves. After
+    * compaction the store holds ONE merged segment per slice
+    * (`segments` == `slices`), the serve merges O(slices) blobs, and
+    * the counts stay EXACT across the merge (KLL tracks n exactly — a
+    * dropped or doubled batch shifts them and fails the gate). Every
+    * re-call is the no-op lifecycle: bootstrap is flag-gated, the
+    * batches sit at or below the compacted high-water (replay-skipped),
+    * and a single-batch store no-ops the compactor. */
+  def q128CompactedDashboard(spark: SparkSession, dir: String): DataFrame = {
+    val segDir = graft.sources.Published.tableLoc(spark,
+      s"graft_kllqs_store_${java.lang.Long.toHexString(
+        graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}").toString
+    val cut = graft.streaming.KllPublish.bootstrapBase(spark, dir, segDir)
+    val delta = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") >= cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    (0L to 2L).foreach(i => graft.streaming.KllPublish.processBatch(
+      spark, segDir, delta.filter(pmod(col("l_orderkey"), lit(3)) === i), i))
+    graft.streaming.KllPublish.compactSegments(spark, segDir)
+    val segRows = graft.streaming.KllPublish.readSegments(spark, segDir).count()
+    val (nFresh, ex) = exactQuantilesDistributed(
+      Tables.lineitem(spark, dir), "l_extendedprice",
+      Seq(0.42, 0.5, 0.58, 0.87, 0.95, 1.0))
+    graft.streaming.KllPublish.attachServe(spark, segDir).select(
+      col("n_rows"),
+      col("slices"),
+      lit(segRows).as("segments"),
+      when(col("n_rows") === lit(nFresh) &&
+          col("sketch_n") === lit(nFresh), 1)
+        .otherwise(0).cast("int").as("count_exact"),
+      when(col("est_p50").between(lit(ex(0)), lit(ex(2))), 1)
+        .otherwise(0).cast("int").as("p50_in_bounds"),
+      when(col("est_p95").between(lit(ex(3)), lit(ex(5))), 1)
+        .otherwise(0).cast("int").as("p95_in_bounds"))
+  }
+
+  val q128Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT l_returnflag) AS slices,
+      |  count(DISTINCT l_returnflag) AS segments,
+      |  1 AS count_exact, 1 AS p50_in_bounds, 1 AS p95_in_bounds
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"     -> q39Percentiles _,
     "q40_approx_distinct" -> q40ApproxDistinct _,
@@ -654,6 +707,7 @@ object Sketches {
     "q125_quantile_sketch_merge" -> q125QuantileSketchMerge _,
     "q126_exact_quantiles" -> q126ExactQuantiles _,
     "q127_published_quantiles" -> q127PublishedQuantiles _,
+    "q128_compacted_dashboard" -> q128CompactedDashboard _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -665,5 +719,6 @@ object Sketches {
     "q125_quantile_sketch_merge" -> q125Sql,
     "q126_exact_quantiles" -> q126Sql,
     "q127_published_quantiles" -> q127Sql,
+    "q128_compacted_dashboard" -> q128Sql,
   )
 }

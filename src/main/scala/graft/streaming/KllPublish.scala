@@ -67,19 +67,78 @@ object KllPublish {
     .add("slice", StringType).add("blob", BinaryType).add("n", LongType)
     .add("lo", LongType).add("hi", LongType).add("batch", LongType)
 
-  /** The durable segment store, explicit schema (an all-empty-batch
-    * store has data-file-less partition dirs that inference throws on
-    * — the dedupGateSink lesson). */
+  // ------------------------------------------------------ generations
+  // The store is laid out as segDir/gen-<g>/batch=<id>/… — GENERATIONS
+  // are what makes minor compaction ([[compactSegments]]) crash-safe
+  // without ever mutating live data: a compaction builds gen-<g+1>
+  // completely (merged rows + its `_GRAFT_HW` high-water), COMMITS it
+  // by writing the generation's `_GRAFT_GEN_DONE` flag, and only then
+  // drops the old one. The current generation is the HIGHEST flagged
+  // one — a crash mid-build leaves an unflagged gen the next
+  // compaction sweeps; a crash after the flag leaves the old gen as
+  // swept debris. No rename/pointer races: flags are create-once
+  // files, and every store writer runs under the table lease anyway.
+  private def genDone(d: HPath) = new HPath(d, "_GRAFT_GEN_DONE")
+  private def genHwFile(d: HPath) = new HPath(d, "_GRAFT_HW")
+
+  private def storeFs(spark: SparkSession, segDir: String) =
+    new HPath(segDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genDirs(fs: org.apache.hadoop.fs.FileSystem,
+                      segDir: String): Seq[(Int, HPath)] = {
+    val root = new HPath(segDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("gen-") =>
+        scala.util.Try(st.getPath.getName.stripPrefix("gen-").toInt)
+          .toOption.map(g => (g, st.getPath))
+    }.flatten.sortBy(_._1)
+  }
+
+  /** The current (highest COMMITTED) generation's dir; creates and
+    * commits gen-0 if the store has none yet. */
+  private[graft] def currentGenDir(spark: SparkSession, segDir: String): HPath = {
+    val fs = storeFs(spark, segDir)
+    genDirs(fs, segDir).reverse.find(g => fs.exists(genDone(g._2)))
+      .map(_._2).getOrElse {
+        val g0 = new HPath(segDir, "gen-0")
+        fs.mkdirs(g0)
+        if (!fs.exists(genDone(g0)))
+          scala.util.Using.resource(fs.create(genDone(g0), true))(
+            _.write("0".getBytes("UTF-8")))
+        g0
+      }
+  }
+
+  /** Batches at or below this id are already MERGED into the current
+    * generation's compacted segment — a replay of one must not write a
+    * fresh partition (its rows would then count twice on the next
+    * store-derived rebuild). Long.MinValue when never compacted. */
+  private[graft] def compactedHw(spark: SparkSession, segDir: String): Long = {
+    val fs = storeFs(spark, segDir)
+    val f = genHwFile(currentGenDir(spark, segDir))
+    if (!fs.exists(f)) Long.MinValue
+    else {
+      val len = fs.getFileStatus(f).getLen.toInt
+      val buf = new Array[Byte](len)
+      scala.util.Using.resource(fs.open(f))(_.readFully(0, buf))
+      new String(buf, "UTF-8").trim.toLong
+    }
+  }
+
+  /** The durable segment store (current generation), explicit schema
+    * (an all-empty-batch store has data-file-less partition dirs that
+    * inference throws on — the dedupGateSink lesson). */
   private[graft] def readSegments(spark: SparkSession, segDir: String): DataFrame = {
-    val p = new HPath(segDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
-      spark.read.schema(segSchema).parquet(segDir)
+    val fs = storeFs(spark, segDir)
+    val gd = currentGenDir(spark, segDir)
+    if (fs.exists(gd) && fs.listStatus(gd).exists(_.getPath.getName.startsWith("batch=")))
+      spark.read.schema(segSchema).parquet(gd.toString)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], segSchema)
   }
 
-  private def baseDoneFlag(spark: SparkSession, segDir: String): HPath =
+  private def baseDoneFlag(segDir: String): HPath =
     new HPath(segDir, "_GRAFT_BASE_DONE")
 
   /** Bootstrap the base window's segment rows ([0, cut) —
@@ -89,17 +148,80 @@ object KllPublish {
     * This is the sink's ONE corpus scan. */
   def bootstrapBase(spark: SparkSession, dir: String, segDir: String): Long = {
     val cut = Sketches.kllBaseCut(spark, dir)
-    val flag = baseDoneFlag(spark, segDir)
-    val fs = flag.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val flag = baseDoneFlag(segDir)
+    val fs = storeFs(spark, segDir)
     if (!fs.exists(flag)) {
       Layout.overwritePartitions(
         Sketches.kllSegment(spark, dir, 0L, cut)
           .withColumn("batch", lit(-1L)),
-        segDir, Seq("batch"))
+        currentGenDir(spark, segDir).toString, Seq("batch"))
       scala.util.Using.resource(fs.create(flag, true))(
         _.write(cut.toString.getBytes("UTF-8")))
     }
     cut
+  }
+
+  /** MINOR COMPACTION — q124's story for the quantile dashboard: the
+    * store (and the published table derived from it) otherwise grows
+    * one kilobyte segment per slice per batch FOREVER, so at a year of
+    * triggers the "kilobyte store" is an O(batches) listing and the
+    * serve merges O(batches) blobs. Merging is what KLL sketches are
+    * FOR: all segments collapse to ONE row per slice (blob union, n
+    * summed, window hull), carrying the batch high-water so replay
+    * skipping and append sequencing are unchanged. The merge lands in
+    * a NEW generation committed by its done-flag (crash-safe — see the
+    * generation note above), the published table is rebuilt from it
+    * under the same lease (kilobytes, no corpus rescan), and old
+    * generations are swept. Idempotent: a store already at one merged
+    * segment per slice no-ops. */
+  def compactSegments(spark: SparkSession, segDir: String): Unit = {
+    val tbl = tableName(segDir)
+    val loc = Published.tableLoc(spark, tbl)
+    Sketches.kllPublishLock(tbl).synchronized {
+      Published.withLeaseAwaiting(loc, s"kllcompact:$tbl") {
+        val fs = storeFs(spark, segDir)
+        val cur = currentGenDir(spark, segDir)
+        val curGen = cur.getName.stripPrefix("gen-").toInt
+        // sweep debris: unflagged gens (crashed builds) and committed
+        // gens below the current one (crashed post-flag deletes) —
+        // safe under the lease, nobody else writes this store
+        genDirs(fs, segDir).foreach { case (g, d) =>
+          if ((d.toString != cur.toString) &&
+              (g < curGen || !fs.exists(genDone(d))))
+            { fs.delete(d, true); () }
+        }
+        val segs = readSegments(spark, segDir)
+        val batches = segs.select(col("batch")).distinct().count()
+        if (batches > 1) {
+          val hwRow = segs.agg(max(col("batch"))).head
+          val hwC = hwRow.getLong(0)
+          val kllMerge = udaf(Sketches.KllMergeAgg)
+          val merged = segs.groupBy(col("slice")).agg(
+              kllMerge(col("blob")).as("blob"),
+              sum(col("n")).as("n"),
+              min(col("lo")).as("lo"),
+              max(col("hi")).as("hi"))
+            .withColumn("batch", lit(hwC))
+          val next = new HPath(segDir, s"gen-${curGen + 1}")
+          Layout.overwritePartitions(merged, next.toString, Seq("batch"))
+          scala.util.Using.resource(fs.create(genHwFile(next), true))(
+            _.write(hwC.toString.getBytes("UTF-8")))
+          // the COMMIT: from here the new generation is current
+          scala.util.Using.resource(fs.create(genDone(next), true))(
+            _.write(hwC.toString.getBytes("UTF-8")))
+          try { fs.delete(cur, true); () }
+          catch { case _: java.io.IOException => () } // debris; swept later
+          // the published table still holds per-batch rows — rebuild it
+          // from the compacted store so the serve merges O(slices)
+          // blobs, not O(batches); same lease, and the publish's
+          // staged swap is its own commit (a crash before it leaves
+          // the old per-batch table serving — same totals, just
+          // uncompacted until the next pass)
+          Published.write(spark, tbl, "slice", Sketches.kllTableBuckets,
+            fp(segDir), readSegments(spark, segDir))
+        }
+      }
+    }
   }
 
   /** Sync the published table to the segment store's state up to
@@ -158,6 +280,14 @@ object KllPublish {
   private[graft] def processBatch(spark: SparkSession, segDir: String,
                                   batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
+    // a batch at or below the compacted high-water was already MERGED
+    // into the current generation ([[compactSegments]]) — a replay of
+    // it must not write a fresh partition (double-count on the next
+    // store-derived rebuild); the guard reads two flag files, no scan
+    if (batchId <= compactedHw(spark, segDir)) {
+      publishUpTo(spark, segDir, batchId)
+      return
+    }
     // persist across the two actions (bounds probe + sketch build) —
     // without it each foreachBatch invocation re-reads the batch's
     // source files twice (r16 review finding #6)
@@ -178,7 +308,8 @@ object KllPublish {
             lit(bounds.getLong(0)).as("lo"),
             lit(bounds.getLong(1) + 1L).as("hi"),
             lit(batchId).as("batch"))
-        Layout.overwritePartitions(seg, segDir, Seq("batch"))
+        Layout.overwritePartitions(seg,
+          currentGenDir(spark, segDir).toString, Seq("batch"))
       }
     } finally { batch.unpersist(); () }
     // an EMPTY batch still syncs: a prior batch's append may have been

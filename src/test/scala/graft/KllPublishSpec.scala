@@ -161,6 +161,88 @@ class KllPublishSpec extends SparkSpec {
       "the refused start still changed the dashboard")
   }
 
+  test("minor compaction: the store collapses to one merged segment per " +
+      "slice, counts stay exact, merged-batch replays are no-ops, and " +
+      "appends continue past the compaction") {
+    val root = freshRoot("compact")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    val delta = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") >= cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val b0 = delta.filter(col("l_orderkey") % 2 === 0)
+    val b1 = delta.filter(col("l_orderkey") % 2 === 1)
+    KllPublish.processBatch(spark, segDir, b0, 0L)
+    KllPublish.processBatch(spark, segDir, b1, 1L)
+    val nBefore = KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+    assert(nBefore == Tables.lineitem(spark, sf).count())
+    val slices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().count()
+    assert(KllPublish.readSegments(spark, segDir).count() > slices,
+      "pre-compaction store should hold per-batch segments (vacuity guard)")
+    KllPublish.compactSegments(spark, segDir)
+    // ONE merged segment per slice, one batch value (the high-water)
+    assert(KllPublish.readSegments(spark, segDir).count() == slices,
+      "compaction did not collapse to one segment per slice")
+    assert(KllPublish.readSegments(spark, segDir)
+      .select(col("batch")).distinct().count() == 1)
+    assert(KllPublish.compactedHw(spark, segDir) == 1L)
+    // the dashboard is unchanged — counts exact across the merge
+    val served = KllPublish.attachServe(spark, segDir).head
+    assert(served.getAs[Long]("n_rows") == nBefore &&
+      served.getAs[Long]("sketch_n") == nBefore,
+      "compaction changed the dashboard's exact counts")
+    // the published table itself now serves O(slices) rows
+    assert(spark.table(KllPublish.tableName(segDir)).count() == slices)
+    // a replay of a MERGED batch is a no-op (its rows live in the
+    // compacted segment; a fresh partition would double-count on the
+    // next store-derived rebuild)
+    KllPublish.processBatch(spark, segDir, b1, 1L)
+    assert(KllPublish.readSegments(spark, segDir).count() == slices,
+      "a merged-batch replay re-created its partition")
+    // appends continue past the compaction (content duplication is
+    // fine — the dashboard counts INGESTED rows, q122's occupancy
+    // semantics), and a second compaction folds them again
+    KllPublish.processBatch(spark, segDir, b0, 2L)
+    val afterAppend = KllPublish.attachServe(spark, segDir).head
+    assert(afterAppend.getAs[Long]("n_rows") == nBefore + b0.count(),
+      "post-compaction append lost rows")
+    KllPublish.compactSegments(spark, segDir)
+    assert(KllPublish.readSegments(spark, segDir).count() == slices)
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+      == nBefore + b0.count())
+    // idempotence: compacting a compacted store no-ops
+    KllPublish.compactSegments(spark, segDir)
+    assert(KllPublish.compactedHw(spark, segDir) == 2L)
+  }
+
+  test("a crashed compaction build (unflagged generation) is invisible " +
+      "to readers and swept by the next compaction") {
+    val root = freshRoot("gencrash")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    val delta = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") >= cut)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    KllPublish.processBatch(spark, segDir, delta, 0L)
+    val storeRows = KllPublish.readSegments(spark, segDir).count()
+    // the crash: gen-1 built partway, no _GRAFT_GEN_DONE
+    val junk = java.nio.file.Paths.get(s"$segDir/gen-1/batch=0")
+    java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.write(junk.resolve("part-junk.parquet"),
+      "not-a-segment".getBytes("UTF-8"))
+    assert(KllPublish.readSegments(spark, segDir).count() == storeRows,
+      "an UNCOMMITTED generation leaked into the read path")
+    // the next compaction sweeps the debris and commits a real gen-1
+    KllPublish.compactSegments(spark, segDir)
+    val slices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().count()
+    assert(KllPublish.readSegments(spark, segDir).count() == slices)
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+      == Tables.lineitem(spark, sf).count(),
+      "post-sweep compaction lost rows")
+  }
+
   test("a refused manifest self-heals from the durable segment store: " +
       "the crashed-appender window costs a kilobyte rebuild, not data loss") {
     val root = freshRoot("heal")
