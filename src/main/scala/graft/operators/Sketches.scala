@@ -668,9 +668,7 @@ object Sketches {
       s"graft_kllqs_store_${java.lang.Long.toHexString(
         graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}").toString
     val cut = graft.streaming.KllPublish.bootstrapBase(spark, dir, segDir)
-    val delta = Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey") >= cut)
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val delta = graft.streaming.KllPublish.deltaFrame(spark, dir, cut)
     (0L to 2L).foreach(i => graft.streaming.KllPublish.processBatch(
       spark, segDir, delta.filter(pmod(col("l_orderkey"), lit(3)) === i), i))
     graft.streaming.KllPublish.compactSegments(spark, segDir)

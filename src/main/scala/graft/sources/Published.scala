@@ -757,8 +757,15 @@ object Published {
         // interrupt mid-retry must not abort the release from inside
         // this finally (it would mask the body's result AND leak the
         // lease): retryNullable converts it to the restored flag and
-        // returns null, which lands on the skip-the-delete branch.
+        // returns null, which lands on the skip-the-delete branch —
+        // and the restored FLAG is then captured and CLEARED before
+        // the deletes below run (r16 review finding #2: an RPC issued
+        // with interrupt status pending throws InterruptedIOException
+        // and deleteIfExists' retry sleeps abort instantly, so the
+        // break-claim file would leak and wedge rivals for staleMs);
+        // the trailing re-interrupt hands the flag back to the caller.
         val cur = retryNullable(readOrNull(fs, lp))
+        if (Thread.interrupted()) interrupted = true
         if (cur != null && cur.startsWith(token + "\n")) deleteIfExists(fs, lp)
       } finally deleteIfExists(fs, bp)
       if (interrupted) Thread.currentThread().interrupt()

@@ -77,12 +77,29 @@ object KllPublish {
   // one — a crash mid-build leaves an unflagged gen the next
   // compaction sweeps; a crash after the flag leaves the old gen as
   // swept debris. No rename/pointer races: flags are create-once
-  // files, and every store writer runs under the table lease anyway.
+  // files, and every store WRITER holds the table lease — including
+  // the per-batch segment write ([[processBatch]] takes the lease
+  // around generation resolution + write + publish; r16 review
+  // finding: a write outside it could land in a generation a
+  // concurrent compaction was sweeping, silently losing the batch).
   private def genDone(d: HPath) = new HPath(d, "_GRAFT_GEN_DONE")
   private def genHwFile(d: HPath) = new HPath(d, "_GRAFT_HW")
 
   private def storeFs(spark: SparkSession, segDir: String) =
     new HPath(segDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read a small flag file WHOLE, loud on store faults — a swallowed
+    * blip here is not safe in either caller ([[compactedHw]] defaulting
+    * to "never compacted" on a blip would let a merged batch's replay
+    * re-create its partition and double-count; a lineage check that
+    * can't read must not guess). One copy (r16 review finding #6). */
+  private def readFlag(fs: org.apache.hadoop.fs.FileSystem,
+                       p: HPath): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    scala.util.Using.resource(fs.open(p))(_.readFully(0, buf))
+    new String(buf, "UTF-8")
+  }
 
   private def genDirs(fs: org.apache.hadoop.fs.FileSystem,
                       segDir: String): Seq[(Int, HPath)] = {
@@ -96,13 +113,25 @@ object KllPublish {
   }
 
   /** The current (highest COMMITTED) generation's dir; creates and
-    * commits gen-0 if the store has none yet. */
+    * commits gen-0 if the store has none yet — MIGRATING any root-level
+    * `batch=` partitions a pre-generation store left there (the flat
+    * layout this module briefly shipped; r16 review finding #3: without
+    * the migration those rows turned silently invisible, and the first
+    * store-derived rebuild would hollow out the dashboard).
+    * moveResumable finishes a crashed half-migration forward; the gen-0
+    * flag is written only after every partition moved. */
   private[graft] def currentGenDir(spark: SparkSession, segDir: String): HPath = {
     val fs = storeFs(spark, segDir)
     genDirs(fs, segDir).reverse.find(g => fs.exists(genDone(g._2)))
       .map(_._2).getOrElse {
         val g0 = new HPath(segDir, "gen-0")
         fs.mkdirs(g0)
+        val root = new HPath(segDir)
+        fs.listStatus(root).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("batch="))
+            Published.moveResumable(fs, st.getPath,
+              new HPath(g0, st.getPath.getName))
+        }
         if (!fs.exists(genDone(g0)))
           scala.util.Using.resource(fs.create(genDone(g0), true))(
             _.write("0".getBytes("UTF-8")))
@@ -118,12 +147,7 @@ object KllPublish {
     val fs = storeFs(spark, segDir)
     val f = genHwFile(currentGenDir(spark, segDir))
     if (!fs.exists(f)) Long.MinValue
-    else {
-      val len = fs.getFileStatus(f).getLen.toInt
-      val buf = new Array[Byte](len)
-      scala.util.Using.resource(fs.open(f))(_.readFully(0, buf))
-      new String(buf, "UTF-8").trim.toLong
-    }
+    else readFlag(fs, f).trim.toLong
   }
 
   /** The durable segment store (current generation), explicit schema
@@ -280,41 +304,53 @@ object KllPublish {
   private[graft] def processBatch(spark: SparkSession, segDir: String,
                                   batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
-    // a batch at or below the compacted high-water was already MERGED
-    // into the current generation ([[compactSegments]]) — a replay of
-    // it must not write a fresh partition (double-count on the next
-    // store-derived rebuild); the guard reads two flag files, no scan
-    if (batchId <= compactedHw(spark, segDir)) {
-      publishUpTo(spark, segDir, batchId)
-      return
-    }
-    // persist across the two actions (bounds probe + sketch build) —
-    // without it each foreachBatch invocation re-reads the batch's
-    // source files twice (r16 review finding #6)
-    batch.persist()
-    try {
-      val bounds = batch.agg(
-        min(col("l_orderkey")), max(col("l_orderkey"))).head
-      if (!bounds.isNullAt(0)) {
-        val kllMerge = udaf(Sketches.KllMergeAgg)
-        val seg = Sketches.sliceBlobs(batch
-            .select(col("l_returnflag").as("slice"),
-              col("l_extendedprice").cast("double").as("v"))
-            .as[(String, Double)])
-          .groupBy(col("slice"))
-          .agg(kllMerge(col("blob")).as("blob"))
-          .select(col("slice"), col("blob"),
-            Sketches.kllNUdf(col("blob")).as("n"),
-            lit(bounds.getLong(0)).as("lo"),
-            lit(bounds.getLong(1) + 1L).as("hi"),
-            lit(batchId).as("batch"))
-        Layout.overwritePartitions(seg,
-          currentGenDir(spark, segDir).toString, Seq("batch"))
+    val tbl = tableName(segDir)
+    val loc = Published.tableLoc(spark, tbl)
+    // the STORE WRITE itself runs under the table lease (r16 review
+    // finding #1): generation resolution and the partition write must
+    // never interleave with a concurrent compaction's generation sweep
+    // — a write landing in a just-swept generation would be silently
+    // invisible and the batch's rows lost. Lock + lease are both
+    // re-entrant per thread, so publishUpTo nests cleanly.
+    Sketches.kllPublishLock(tbl).synchronized {
+      Published.withLeaseAwaiting(loc, s"kllbatch:$tbl") {
+        // a batch at or below the compacted high-water was already
+        // MERGED into the current generation ([[compactSegments]]) — a
+        // replay of it must not write a fresh partition (double-count
+        // on the next store-derived rebuild); the guard reads two flag
+        // files, no scan
+        if (batchId > compactedHw(spark, segDir)) {
+          // persist across the two actions (bounds probe + sketch
+          // build) — without it each foreachBatch invocation re-reads
+          // the batch's source files twice (r16 review finding #6)
+          batch.persist()
+          try {
+            val bounds = batch.agg(
+              min(col("l_orderkey")), max(col("l_orderkey"))).head
+            if (!bounds.isNullAt(0)) {
+              val kllMerge = udaf(Sketches.KllMergeAgg)
+              val seg = Sketches.sliceBlobs(batch
+                  .select(col("l_returnflag").as("slice"),
+                    col("l_extendedprice").cast("double").as("v"))
+                  .as[(String, Double)])
+                .groupBy(col("slice"))
+                .agg(kllMerge(col("blob")).as("blob"))
+                .select(col("slice"), col("blob"),
+                  Sketches.kllNUdf(col("blob")).as("n"),
+                  lit(bounds.getLong(0)).as("lo"),
+                  lit(bounds.getLong(1) + 1L).as("hi"),
+                  lit(batchId).as("batch"))
+              Layout.overwritePartitions(seg,
+                currentGenDir(spark, segDir).toString, Seq("batch"))
+            }
+          } finally { batch.unpersist(); () }
+        }
+        // an EMPTY (or replay-skipped) batch still syncs: a prior
+        // batch's append may have been refused (fault) and this is the
+        // retry that heals it
+        publishUpTo(spark, segDir, batchId)
       }
-    } finally { batch.unpersist(); () }
-    // an EMPTY batch still syncs: a prior batch's append may have been
-    // refused (fault) and this is the retry that heals it
-    publishUpTo(spark, segDir, batchId)
+    }
   }
 
   /** The segment store's batch ids are meaningful ONLY under the
@@ -332,11 +368,13 @@ object KllPublish {
     val idFile = new HPath(segDir, "_GRAFT_CKPT")
     val fs = idFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ckptId = fs.makeQualified(new HPath(checkpointDir)).toString
-    if (fs.exists(idFile)) {
-      val len = fs.getFileStatus(idFile).getLen.toInt
-      val buf = new Array[Byte](len)
-      scala.util.Using.resource(fs.open(idFile))(_.readFully(0, buf))
-      val existing = new String(buf, "UTF-8")
+    // an EMPTY stamp is the crashed-create artifact (the file landed,
+    // the id bytes never did — r16 review finding #4): no lineage was
+    // recorded, so re-stamp instead of refusing the legitimate resume
+    // forever
+    val existing =
+      if (fs.exists(idFile)) readFlag(fs, idFile) else ""
+    if (existing.nonEmpty) {
       require(existing == ckptId,
         s"segment store $segDir was written under checkpoint lineage " +
           s"'$existing'; resuming it with '$ckptId' would remap batch ids " +
@@ -367,14 +405,19 @@ object KllPublish {
       .start()
   }
 
-  /** Stage the delta window (l_orderkey ≥ cut) as `files` parquet files
-    * — the shared source stager for the bench/spec/probe streams (one
-    * copy of the column selection; r16 review finding #5). */
-  def stageDelta(spark: SparkSession, dir: String, out: String,
-                 cut: Long, files: Int): Unit =
+  /** The delta window's rows (l_orderkey ≥ cut), the sink's input
+    * shape — ONE copy of the filter + column selection (r16 review:
+    * the stager, q128, and the specs each re-derived it). */
+  def deltaFrame(spark: SparkSession, dir: String, cut: Long): DataFrame =
     graft.sources.Tables.lineitem(spark, dir)
       .filter(col("l_orderkey") >= cut)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+
+  /** Stage the delta window as `files` parquet files — the shared
+    * source stager for the bench/spec/probe streams. */
+  def stageDelta(spark: SparkSession, dir: String, out: String,
+                 cut: Long, files: Int): Unit =
+    deltaFrame(spark, dir, cut)
       .repartition(files).write.mode("overwrite").parquet(out)
 
   /** Attach-and-serve for a FRESH JVM (the restart-attach face): the

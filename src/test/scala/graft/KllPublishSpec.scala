@@ -86,9 +86,7 @@ class KllPublishSpec extends SparkSpec {
     // re-deliver EXACTLY batch 1's rows — replaying different content
     // under the same id is not what foreachBatch redelivery does, and
     // would itself corrupt the store (r16 review finding #3)
-    val delta = Tables.lineitem(spark, sf)
-      .filter(col("l_orderkey") >= cut)
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val delta = KllPublish.deltaFrame(spark, sf, cut)
     val b0 = delta.filter(col("l_orderkey") % 2 === 0)
     val b1 = delta.filter(col("l_orderkey") % 2 === 1)
     KllPublish.processBatch(spark, segDir, b0, 0L)
@@ -167,9 +165,7 @@ class KllPublishSpec extends SparkSpec {
     val root = freshRoot("compact")
     val segDir = s"$root/seg"
     val cut = KllPublish.bootstrapBase(spark, sf, segDir)
-    val delta = Tables.lineitem(spark, sf)
-      .filter(col("l_orderkey") >= cut)
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val delta = KllPublish.deltaFrame(spark, sf, cut)
     val b0 = delta.filter(col("l_orderkey") % 2 === 0)
     val b1 = delta.filter(col("l_orderkey") % 2 === 1)
     KllPublish.processBatch(spark, segDir, b0, 0L)
@@ -221,9 +217,7 @@ class KllPublishSpec extends SparkSpec {
     val root = freshRoot("gencrash")
     val segDir = s"$root/seg"
     val cut = KllPublish.bootstrapBase(spark, sf, segDir)
-    val delta = Tables.lineitem(spark, sf)
-      .filter(col("l_orderkey") >= cut)
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val delta = KllPublish.deltaFrame(spark, sf, cut)
     KllPublish.processBatch(spark, segDir, delta, 0L)
     val storeRows = KllPublish.readSegments(spark, segDir).count()
     // the crash: gen-1 built partway, no _GRAFT_GEN_DONE
@@ -248,9 +242,7 @@ class KllPublishSpec extends SparkSpec {
     val root = freshRoot("heal")
     val segDir = s"$root/seg"
     val cut = KllPublish.bootstrapBase(spark, sf, segDir)
-    val delta = Tables.lineitem(spark, sf)
-      .filter(col("l_orderkey") >= cut)
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val delta = KllPublish.deltaFrame(spark, sf, cut)
     KllPublish.processBatch(spark, segDir, delta, 0L)
     val nGood = KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
     assert(nGood == Tables.lineitem(spark, sf).count())
