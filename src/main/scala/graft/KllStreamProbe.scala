@@ -35,6 +35,34 @@ import graft.streaming.KllPublish
   *              envelope (blob bytes legitimately differ: KLL
   *              compaction draws random bits per run).
   *
+  * COMPACTION crash legs (r16 verdict ask #2 — probe leg F): minor
+  * compaction is a four-step commit protocol (build gen → flag → sweep
+  * → table rebuild), and each inter-step window is a real crash state
+  * a deployment will eventually land in. These phases execute each
+  * window across real process boundaries — the `fcompact` JVM halts
+  * kill -9-grade at the window named by SPARK_GRAFT_KLL_COMPACT_HALT
+  * (RestartKit.crashWindow), and a NEW JVM must then verify the exact
+  * torn state and heal it with nothing but the next compaction call:
+  *
+  *  - `fbase`:    bootstrap + three direct batches (orderkey residue
+  *                mod 3 — the stream's shape without a stream; the
+  *                cross-JVM STREAM resume is legs B/E's job), validate
+  *                count-exact.
+  *  - `fgrow b`:  append the whole delta window as batch `b` (content
+  *                duplication is fine — the dashboard counts INGESTED
+  *                rows) so the next fcompact has something to fold.
+  *  - `fcompact`: run compactSegments; under the halt env this JVM
+  *                dies AT the named window (preflag | presweep |
+  *                prerebuild), exit 137.
+  *  - `fheal w`:  in a fresh JVM, first ASSERT the torn state `w`
+  *                should have left (unflagged gen / unswept old gen /
+  *                compacted store with a fat table — the vacuity
+  *                guards that prove the kill landed inside the
+  *                window), then heal via one compactSegments call and
+  *                validate: store folded to one segment per slice,
+  *                published table O(slices) rows, counts exact
+  *                (corpus + grown batches × delta).
+  *
   * Identical micro-batch boundaries by construction: the source files
   * are staged once, `maxFilesPerTrigger=1`, same listing order. */
 object KllStreamProbe {
@@ -59,7 +87,14 @@ object KllStreamProbe {
         .schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-      val q = KllPublish.kllPublishedSink(in, segDir(tag), ckpt)
+      // cadence ON (r16 verdict ask #1): with 4 one-batch files the
+      // sink self-compacts at batch 3 — so the crash legs (B/E halt +
+      // resume) and the fault campaign exercise MID-STREAM compaction,
+      // not just per-batch appends. Compaction preserves totals and
+      // per-slice exact counts, so every cross-run comparison below is
+      // invariant to where (or whether) a fold landed.
+      val q = KllPublish.kllPublishedSink(in, segDir(tag), ckpt,
+        compactEvery = 3)
       try require(q.awaitTermination(300000L), s"$tag stream timed out")
       finally q.stop()
     }
@@ -83,6 +118,46 @@ object KllStreamProbe {
       s"n_rows=$nRows slices=${r.getAs[Long]("slices")} sketch_n=$sketchN"
     }
 
+    // ---- leg F bookkeeping: fbase ingests the corpus exactly once
+    // (base window + 3 delta batches by orderkey residue); every fgrow
+    // re-appends the whole delta window as one batch (ids 3, 4, …), so
+    // the exact expected count is derivable from the store's own batch
+    // high-water: corpus + (maxBatch - 2) × delta. KLL tracks n
+    // exactly — any batch lost to a torn compaction (or doubled by a
+    // replayed one) shifts the served counts off this value.
+    def fExpected(sd: String): Long = {
+      val cut = KllPublish.bootstrapBase(spark, sfDir, sd)
+      val delta = KllPublish.deltaFrame(spark, sfDir, cut).count()
+      val corpus = Tables.lineitem(spark, sfDir).count()
+      val maxBatch = KllPublish.readSegments(spark, sd)
+        .agg(max(col("batch"))).head.getLong(0)
+      corpus + math.max(0L, maxBatch - 2L) * delta
+    }
+
+    def fValidate(tag: String, compacted: Boolean): Unit = {
+      val sd = segDir("compact")
+      val served = KllPublish.attachServe(spark, sd).head
+      val expected = fExpected(sd)
+      val nRows = served.getAs[Long]("n_rows")
+      val sketchN = served.getAs[Long]("sketch_n")
+      require(nRows == expected && sketchN == expected,
+        s"KLLPROBE FAIL [$tag]: dashboard counts (n_rows=$nRows, " +
+          s"sketch_n=$sketchN) != expected $expected — a batch was lost " +
+          "or doubled across the compaction crash")
+      if (compacted) {
+        val store = KllPublish.readSegments(spark, sd)
+        val slices = served.getAs[Long]("slices")
+        require(store.count() == slices,
+          s"KLLPROBE FAIL [$tag]: healed store holds ${store.count()} " +
+            s"segments for $slices slices — not folded")
+        require(store.select(col("batch")).distinct().count() == 1,
+          s"KLLPROBE FAIL [$tag]: healed store spans multiple batch ids")
+        require(spark.table(KllPublish.tableName(sd)).count() == slices,
+          s"KLLPROBE FAIL [$tag]: published table still serves " +
+            "per-batch rows after the heal")
+      }
+    }
+
     def perSliceN(tag: String): Map[String, Long] =
       spark.table(KllPublish.tableName(segDir(tag)))
         .groupBy(col("slice")).agg(sum(col("n")).as("n")).collect()
@@ -93,19 +168,38 @@ object KllStreamProbe {
         val cut = KllPublish.bootstrapBase(spark, sfDir, segDir("base"))
         stageDelta(cut)
         runSink("base", haltAfterBatches = 0)
+        // the out-of-band compaction call (a no-op here when the
+        // cadence's batch-3 fold already collapsed the store): under
+        // the fault campaign this draws store faults on the gen
+        // build/flag/sweep op classes too — loud-or-green like the
+        // sink itself
+        KllPublish.compactSegments(spark, segDir("base"))
         println(s"KLLPROBE base OK ${validate("base")}")
       case "resume" =>
         // fault-free recovery after a (possibly faulted) base: re-stage
         // ONLY if the staging job never committed (no _SUCCESS — then
         // the stream can never have started either), re-run the sink
-        // over the same checkpoint + segment store, validate
+        // over the same checkpoint + segment store, validate — and
+        // prove the COMPACTED shape heals too: after the fold the
+        // store must hold one merged segment per slice and the
+        // published table must serve O(slices) rows, whatever torn
+        // compaction state the faulted base left behind
         val fs = new org.apache.hadoop.fs.Path(src)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val cut = KllPublish.bootstrapBase(spark, sfDir, segDir("base"))
         if (!fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS")))
           stageDelta(cut)
         runSink("base", haltAfterBatches = 0)
-        println(s"KLLPROBE resume OK ${validate("base")}")
+        KllPublish.compactSegments(spark, segDir("base"))
+        val v = validate("base")
+        val store = KllPublish.readSegments(spark, segDir("base"))
+        val slices = store.select(col("slice")).distinct().count()
+        require(store.count() == slices,
+          s"KLLPROBE FAIL [resume]: store holds ${store.count()} segments " +
+            s"for $slices slices after the healing compaction")
+        require(spark.table(KllPublish.tableName(segDir("base"))).count() == slices,
+          "KLLPROBE FAIL [resume]: published table still serves per-batch rows")
+        println(s"KLLPROBE resume OK $v")
       case "run1" =>
         KllPublish.bootstrapBase(spark, sfDir, segDir("restart"))
         runSink("restart", haltAfterBatches = 2)
@@ -128,6 +222,84 @@ object KllStreamProbe {
             "uninterrupted and the crashed+resumed dashboard")
         println(s"KLLPROBE ALL OK base[$vb] restart[$vr] " +
           "(crashed+resumed published dashboard count-exact and in-envelope)")
+
+      // ---- leg F: compaction crash windows (see the scaladoc above)
+      case "fbase" =>
+        val sd = segDir("compact")
+        val cut = KllPublish.bootstrapBase(spark, sfDir, sd)
+        val delta = KllPublish.deltaFrame(spark, sfDir, cut)
+        (0L to 2L).foreach(i => KllPublish.processBatch(spark, sd,
+          delta.filter(pmod(col("l_orderkey"), lit(3)) === i), i))
+        require(fExpected(sd) == Tables.lineitem(spark, sfDir).count(),
+          "KLLPROBE FAIL [fbase]: expected-count bookkeeping is wrong")
+        fValidate("fbase", compacted = false)
+        println("KLLPROBE fbase OK store seeded (base + 3 batches)")
+      case "fgrow" =>
+        val sd = segDir("compact")
+        val b = args.lift(3).getOrElse(sys.error(
+          "fgrow needs a batch id argument")).toLong
+        val cut = KllPublish.bootstrapBase(spark, sfDir, sd)
+        KllPublish.processBatch(spark, sd,
+          KllPublish.deltaFrame(spark, sfDir, cut), b)
+        fValidate("fgrow", compacted = false)
+        println(s"KLLPROBE fgrow OK batch=$b appended past the compaction")
+      case "fcompact" =>
+        // under SPARK_GRAFT_KLL_COMPACT_HALT this JVM halts (exit 137)
+        // at the named window inside compactSegments — the "OK" line
+        // below is only reachable on a no-halt run
+        KllPublish.compactSegments(spark, segDir("compact"))
+        println("KLLPROBE fcompact OK (no halt requested)")
+      case "fheal" =>
+        val sd = segDir("compact")
+        val window = args.lift(3).getOrElse(sys.error(
+          "fheal needs the crash window name"))
+        val fs = new org.apache.hadoop.fs.Path(sd)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val gens = KllPublish.genDirs(fs, sd)
+        val flagged = gens.filter(g => fs.exists(KllPublish.genDone(g._2)))
+        val tbl = KllPublish.tableName(sd)
+        require(graft.sources.Published.ensure(spark, tbl, "slice",
+          graft.operators.Sketches.kllTableBuckets,
+          s"kllstream:$tbl"),
+          s"KLLPROBE FAIL [fheal:$window]: published table refused before heal")
+        val tableRows = spark.table(tbl).count()
+        val store = KllPublish.readSegments(spark, sd)
+        val storeBatches = store.select(col("batch")).distinct().count()
+        // vacuity guards: the kill must have landed INSIDE the window,
+        // leaving exactly that window's torn state
+        window match {
+          case "preflag" =>
+            require(gens.size > flagged.size,
+              s"KLLPROBE FAIL [fheal:preflag]: no unflagged generation " +
+                s"(gens=${gens.map(_._1)}, flagged=${flagged.map(_._1)}) — " +
+                "the kill landed outside the window")
+            require(storeBatches > 1,
+              "KLLPROBE FAIL [fheal:preflag]: store already compacted — " +
+                "the uncommitted generation leaked into the read path")
+          case "presweep" =>
+            require(flagged.size > 1,
+              s"KLLPROBE FAIL [fheal:presweep]: old generation already " +
+                s"swept (flagged=${flagged.map(_._1)})")
+            require(storeBatches == 1,
+              "KLLPROBE FAIL [fheal:presweep]: the committed generation " +
+                "is not serving")
+          case "prerebuild" =>
+            require(gens.size == 1 && flagged.size == 1,
+              s"KLLPROBE FAIL [fheal:prerebuild]: expected one swept-clean " +
+                s"generation, got gens=${gens.map(_._1)}")
+            require(storeBatches == 1 && tableRows > store.count(),
+              s"KLLPROBE FAIL [fheal:prerebuild]: table ($tableRows rows) " +
+                s"vs store (${store.count()}) is not the stale-table trap " +
+                "this window exists for")
+          case other => sys.error(s"unknown crash window '$other'")
+        }
+        // the heal: ONE compaction call on the (possibly idle) store —
+        // sweeps debris, folds if multi-batch, rebuilds the stale table
+        KllPublish.compactSegments(spark, sd)
+        fValidate(s"fheal:$window", compacted = true)
+        println(s"KLLPROBE fheal OK window=$window healed " +
+          s"(entry: gens=${gens.size} flagged=${flagged.size} " +
+          s"storeBatches=$storeBatches tableRows=$tableRows)")
     }
     // fault-campaign accounting (Verify's discipline): the probe's only
     // artifact is its log, and the campaign asserts non-vacuity from it

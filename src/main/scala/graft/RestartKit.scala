@@ -23,6 +23,31 @@ private[graft] object RestartKit {
       .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
   }
 
+  /** In-process crash-window tap for specs: [[crashWindow]] calls this
+    * with the window's name at each instrumented point; a spec swaps in
+    * a thrower to execute a crash window without killing the suite's
+    * JVM (the cross-process halt is the env var's job). Default no-op. */
+  @volatile private[graft] var windowHook: String => Unit = _ => ()
+
+  /** Named crash-window instrumentation for multi-step commit
+    * protocols (first user: [[graft.streaming.KllPublish
+    * .compactSegments]]'s three windows — before the generation flag,
+    * after the flag before the sweep, after the sweep before the table
+    * rebuild). In production both taps are no-ops: the env var is
+    * unset and [[windowHook]] does nothing. A probe JVM launched with
+    * `env=<window>` halts kill -9-grade (no shutdown hooks, no cleanup)
+    * the moment execution reaches that window — the probe's resume
+    * phase then proves the protocol heals from exactly that state. */
+  def crashWindow(name: String,
+                  env: String = "SPARK_GRAFT_KLL_COMPACT_HALT"): Unit = {
+    if (sys.env.get(env).contains(name)) {
+      println(s"RESTARTPROBE halting in crash window $name")
+      System.out.flush()
+      Runtime.getRuntime.halt(137)
+    }
+    windowHook(name)
+  }
+
   /** Kill-switch gated on the COMMIT LOG, not the listener bus (r13
     * advice #4: a progress listener fires asynchronously, so extra
     * batches could commit — or the stream drain entirely — between the

@@ -696,6 +696,82 @@ object Sketches {
       |  1 AS count_exact, 1 AS p50_in_bounds, 1 AS p95_in_bounds
       |FROM lineitem""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  /** The SELF-COMPACTING streaming dashboard (r16 verdict ask #1 made
+    * oracle-gated): [[graft.streaming.KllPublish.kllPublishedSink]]
+    * with its compaction CADENCE on — the sink itself folds the
+    * segment store every compactEvery batches, inside the trigger's
+    * already-held lease, so the production story ("a year of
+    * triggers") ends in an O(slices) store without any out-of-band
+    * compactor. The delta window streams as 5 one-batch files with
+    * compactEvery=2: compactions fire mid-stream at batches 2 and 4,
+    * batch 3 appends PAST a compaction, and batch 4 — the last — folds
+    * everything, so the terminal store holds exactly one merged
+    * segment per slice under a single batch id and the published
+    * table serves O(slices) rows. Counts stay EXACT across both folds
+    * (KLL tracks n exactly — a batch lost to a compaction racing its
+    * append shifts them and fails the gate). The whole lifecycle is
+    * replay-idempotent: the store, checkpoint, and staged source are
+    * warehouse-keyed, the source stages once (fresh part-file names
+    * would read as NEW files to the same checkpoint and double-ingest
+    * the delta), and a re-call's AvailableNow drain processes nothing. */
+  def q129SelfCompactingStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.KllPublish
+    val h = java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))
+    def loc(kind: String): String = graft.sources.Published.tableLoc(
+      spark, s"graft_kllqs_cad_${kind}_$h").toString
+    val segDir = loc("store")
+    val cut = KllPublish.bootstrapBase(spark, dir, segDir)
+    val src = loc("src")
+    val srcSuccess = new org.apache.hadoop.fs.Path(src, "_SUCCESS")
+    val fs = srcSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(srcSuccess))
+      KllPublish.stageDelta(spark, dir, src, cut, files = 5)
+    val in = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val q = KllPublish.kllPublishedSink(in, segDir, loc("ckpt"),
+      compactEvery = 2)
+    try require(q.awaitTermination(180000L), "q129 stream timed out")
+    finally q.stop()
+    val segs = KllPublish.readSegments(spark, segDir)
+    val segRows = segs.count()
+    val storeBatches = segs.select(col("batch")).distinct().count()
+    // attach BEFORE the table-row lookup: on the replay path (store
+    // already built, zero new batches — e.g. a fresh JVM over a
+    // persisted warehouse) only attachServe's ensure registers the
+    // published table in this session's catalog
+    val served = KllPublish.attachServe(spark, segDir)
+    val tableRows = spark.table(KllPublish.tableName(segDir)).count()
+    val (nFresh, ex) = exactQuantilesDistributed(
+      Tables.lineitem(spark, dir), "l_extendedprice",
+      Seq(0.42, 0.5, 0.58, 0.87, 0.95, 1.0))
+    served.select(
+      col("n_rows"),
+      col("slices"),
+      lit(segRows).as("segments"),
+      lit(storeBatches).as("store_batches"),
+      lit(tableRows).as("table_rows"),
+      when(col("n_rows") === lit(nFresh) &&
+          col("sketch_n") === lit(nFresh), 1)
+        .otherwise(0).cast("int").as("count_exact"),
+      when(col("est_p50").between(lit(ex(0)), lit(ex(2))), 1)
+        .otherwise(0).cast("int").as("p50_in_bounds"),
+      when(col("est_p95").between(lit(ex(3)), lit(ex(5))), 1)
+        .otherwise(0).cast("int").as("p95_in_bounds"))
+  }
+
+  val q129Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT l_returnflag) AS slices,
+      |  count(DISTINCT l_returnflag) AS segments,
+      |  CAST(1 AS BIGINT) AS store_batches,
+      |  count(DISTINCT l_returnflag) AS table_rows,
+      |  1 AS count_exact, 1 AS p50_in_bounds, 1 AS p95_in_bounds
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_percentiles"     -> q39Percentiles _,
     "q40_approx_distinct" -> q40ApproxDistinct _,
@@ -706,6 +782,7 @@ object Sketches {
     "q126_exact_quantiles" -> q126ExactQuantiles _,
     "q127_published_quantiles" -> q127PublishedQuantiles _,
     "q128_compacted_dashboard" -> q128CompactedDashboard _,
+    "q129_selfcompacting_stream" -> q129SelfCompactingStream _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -718,5 +795,6 @@ object Sketches {
     "q126_exact_quantiles" -> q126Sql,
     "q127_published_quantiles" -> q127Sql,
     "q128_compacted_dashboard" -> q128Sql,
+    "q129_selfcompacting_stream" -> q129Sql,
   )
 }

@@ -1105,10 +1105,10 @@ object Published {
           built = true
         } catch { case e: Throwable if hasIOCause(e) =>
           buildTries += 1
-          if (buildTries >= 3) throw e
+          if (buildTries >= storeOpAttempts) throw e
           System.err.println(s"[graft] staged build of $tbl failed on a " +
-            s"transient store fault (attempt $buildTries/3, retrying): " +
-            s"${e.getMessage}")
+            s"transient store fault (attempt $buildTries/$storeOpAttempts, " +
+            s"retrying): ${e.getMessage}")
         }
       }
       spark.sql(s"DROP TABLE `$stageTbl`") // external: the files stay

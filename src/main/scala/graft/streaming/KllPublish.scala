@@ -82,7 +82,9 @@ object KllPublish {
   // around generation resolution + write + publish; r16 review
   // finding: a write outside it could land in a generation a
   // concurrent compaction was sweeping, silently losing the batch).
-  private def genDone(d: HPath) = new HPath(d, "_GRAFT_GEN_DONE")
+  // private[graft]: KllStreamProbe's leg-F heal phase asserts the torn
+  // generation states (unflagged build, unswept old gen) through these
+  private[graft] def genDone(d: HPath) = new HPath(d, "_GRAFT_GEN_DONE")
   private def genHwFile(d: HPath) = new HPath(d, "_GRAFT_HW")
 
   private def storeFs(spark: SparkSession, segDir: String) =
@@ -101,8 +103,8 @@ object KllPublish {
     new String(buf, "UTF-8")
   }
 
-  private def genDirs(fs: org.apache.hadoop.fs.FileSystem,
-                      segDir: String): Seq[(Int, HPath)] = {
+  private[graft] def genDirs(fs: org.apache.hadoop.fs.FileSystem,
+                             segDir: String): Seq[(Int, HPath)] = {
     val root = new HPath(segDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.collect {
@@ -169,18 +171,45 @@ object KllPublish {
     * `Sketches.kllBaseCut`, q127's split) into the segment store, once:
     * the flag file commits the bootstrap, so a crashed half-write is
     * rewritten on the next call, never half-served. Returns `cut`.
-    * This is the sink's ONE corpus scan. */
+    * This is the sink's ONE corpus scan.
+    *
+    * The store write runs under the same lock + table lease as every
+    * other store writer (r16 advice #1: an unleased bootstrap racing a
+    * concurrent [[compactSegments]] could land its base rows in a
+    * generation the compaction then sweeps — base window silently lost
+    * with the done-flag still stamped). And a bootstrap that crashed
+    * AFTER its write but BEFORE its flag may find its unflagged base
+    * rows already MERGED by an intervening compaction — rewriting
+    * `batch=-1` then double-counts the base on the next store-derived
+    * rebuild. The merged segment carries the base's signature (`lo ==
+    * 0`; every delta row's orderkey is ≥ cut > 0), so the retry detects
+    * the merge and only re-stamps the flag. */
   def bootstrapBase(spark: SparkSession, dir: String, segDir: String): Long = {
     val cut = Sketches.kllBaseCut(spark, dir)
     val flag = baseDoneFlag(segDir)
     val fs = storeFs(spark, segDir)
     if (!fs.exists(flag)) {
-      Layout.overwritePartitions(
-        Sketches.kllSegment(spark, dir, 0L, cut)
-          .withColumn("batch", lit(-1L)),
-        currentGenDir(spark, segDir).toString, Seq("batch"))
-      scala.util.Using.resource(fs.create(flag, true))(
-        _.write(cut.toString.getBytes("UTF-8")))
+      val tbl = tableName(segDir)
+      val loc = Published.tableLoc(spark, tbl)
+      Sketches.kllPublishLock(tbl).synchronized {
+        Published.withLeaseAwaiting(loc, s"kllbase:$tbl") {
+          // re-check under the lease: a rival bootstrap may have
+          // committed while this one waited for the lease
+          if (!fs.exists(flag)) {
+            val baseAlreadyMerged =
+              compactedHw(spark, segDir) != Long.MinValue &&
+                !readSegments(spark, segDir)
+                  .filter(col("lo") === 0L).isEmpty
+            if (!baseAlreadyMerged)
+              Layout.overwritePartitions(
+                Sketches.kllSegment(spark, dir, 0L, cut)
+                  .withColumn("batch", lit(-1L)),
+                currentGenDir(spark, segDir).toString, Seq("batch"))
+            scala.util.Using.resource(fs.create(flag, true))(
+              _.write(cut.toString.getBytes("UTF-8")))
+          }
+        }
+      }
     }
     cut
   }
@@ -230,11 +259,23 @@ object KllPublish {
           Layout.overwritePartitions(merged, next.toString, Seq("batch"))
           scala.util.Using.resource(fs.create(genHwFile(next), true))(
             _.write(hwC.toString.getBytes("UTF-8")))
+          // crash window 1 (probe leg F): the new generation is fully
+          // built but UNCOMMITTED — it must stay invisible to readers
+          // and be swept by the next compaction
+          graft.RestartKit.crashWindow("preflag")
           // the COMMIT: from here the new generation is current
           scala.util.Using.resource(fs.create(genDone(next), true))(
             _.write(hwC.toString.getBytes("UTF-8")))
+          // crash window 2: committed but the old generation not yet
+          // swept — debris the next compaction's sweep removes
+          graft.RestartKit.crashWindow("presweep")
           try { fs.delete(cur, true); () }
           catch { case _: java.io.IOException => () } // debris; swept later
+          // crash window 3: store compacted but the published table
+          // still holds its per-batch rows — the stale-table branch
+          // below heals it on the NEXT compaction call even if no new
+          // batch ever arrives
+          graft.RestartKit.crashWindow("prerebuild")
           // the published table still holds per-batch rows — rebuild it
           // from the compacted store so the serve merges O(slices)
           // blobs, not O(batches); same lease, and the publish's
@@ -243,6 +284,25 @@ object KllPublish {
           // uncompacted until the next pass)
           Published.write(spark, tbl, "slice", Sketches.kllTableBuckets,
             fp(segDir), readSegments(spark, segDir))
+        } else if (batches == 1) {
+          // a prior compaction may have died (or drawn a persistent
+          // fault) AFTER committing its generation but BEFORE the
+          // table rebuild (r16 verdict Wrong #1): the store is
+          // compacted but the published table still serves O(batches)
+          // per-batch rows — and gating the rebuild on `batches > 1`
+          // alone would no-op here forever on an idle store. Rebuild
+          // whenever the table holds more rows than the store (their
+          // rows correspond 1:1 when in sync; FEWER table rows just
+          // means pending batches the next publishUpTo appends), or
+          // refuses its manifest outright (the crash can also land
+          // between the swap's renames).
+          val tableStale =
+            !Published.ensure(spark, tbl, "slice", Sketches.kllTableBuckets,
+              fp(segDir)) ||
+              spark.table(tbl).count() > segs.count()
+          if (tableStale)
+            Published.write(spark, tbl, "slice", Sketches.kllTableBuckets,
+              fp(segDir), segs)
         }
       }
     }
@@ -300,9 +360,20 @@ object KllPublish {
   /** One micro-batch: sketch the batch rows into per-slice blobs, land
     * them in the batch-keyed segment store (replay rewrites its own
     * partition), then sync the published table. Exposed for the spec's
-    * direct replay calls. */
+    * direct replay calls.
+    *
+    * `compactEvery > 0` is the sink's COMPACTION CADENCE (r16 verdict
+    * ask #1 — the compactor existed but nothing in the production
+    * stream ever called it, so a year of triggers still ended in an
+    * O(batches) store): every compactEvery-th batch runs
+    * [[compactSegments]] under the SAME already-held lock + lease
+    * (both re-entrant), folding the store back to one segment per
+    * slice. A batch REPLAYED after a crash re-triggers its compaction
+    * — idempotent: a single-batch store no-ops and a stale table is
+    * rebuilt, never doubled. */
   private[graft] def processBatch(spark: SparkSession, segDir: String,
-                                  batch: DataFrame, batchId: Long): Unit = {
+                                  batch: DataFrame, batchId: Long,
+                                  compactEvery: Int = 0): Unit = {
     import spark.implicits._
     val tbl = tableName(segDir)
     val loc = Published.tableLoc(spark, tbl)
@@ -349,6 +420,11 @@ object KllPublish {
         // batch's append may have been refused (fault) and this is the
         // retry that heals it
         publishUpTo(spark, segDir, batchId)
+        // cadence: fold the store while the lock + lease are already
+        // held — one lease acquisition per trigger, compaction
+        // amortized across compactEvery batches of O(slices) appends
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactSegments(spark, segDir)
       }
     }
   }
@@ -390,15 +466,21 @@ object KllPublish {
   /** Start the continuous dashboard sink over streaming lineitem-shaped
     * rows (l_orderkey, l_returnflag, l_extendedprice). Call
     * [[bootstrapBase]] first if the dashboard should include the base
-    * window. */
+    * window. `compactEvery > 0` makes the sink SELF-COMPACTING: every
+    * compactEvery-th batch folds the segment store (and the published
+    * table) back to one merged segment per slice inside the trigger's
+    * already-held lease — the store stays O(slices + compactEvery)
+    * rows forever instead of O(batches). 0 (the default) never
+    * compacts: the operator's choice for stores compacted out-of-band. */
   def kllPublishedSink(rows: DataFrame, segDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery = {
     val spark = rows.sparkSession
     assertCheckpointLineage(spark, segDir, checkpointDir)
     rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, segDir, batch, batchId)
+        processBatch(spark, segDir, batch, batchId, compactEvery)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

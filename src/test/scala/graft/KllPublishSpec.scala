@@ -26,12 +26,14 @@ class KllPublishSpec extends SparkSpec {
   private def stageDelta(src: String, cut: Long, files: Int): Unit =
     KllPublish.stageDelta(spark, sf, src, cut, files)
 
-  private def runSink(src: String, segDir: String, ckpt: String): Unit = {
+  private def runSink(src: String, segDir: String, ckpt: String,
+                      compactEvery: Int = 0): Unit = {
     val in = spark.readStream
       .schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
-    val q = KllPublish.kllPublishedSink(in, segDir, ckpt)
+    val q = KllPublish.kllPublishedSink(in, segDir, ckpt,
+      compactEvery = compactEvery)
     try assert(q.awaitTermination(180000L), "stream timed out")
     finally q.stop()
   }
@@ -235,6 +237,125 @@ class KllPublishSpec extends SparkSpec {
     assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
       == Tables.lineitem(spark, sf).count(),
       "post-sweep compaction lost rows")
+  }
+
+  test("compaction cadence: a compactEvery sink self-compacts mid-stream, " +
+      "stays count-exact, and ends with an O(slices) store AND table") {
+    val root = freshRoot("cadence")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    // 5 one-batch files with compactEvery=2: folds fire mid-stream at
+    // batches 2 and 4, batch 3 appends PAST a fold, and the final
+    // batch folds everything — the terminal store is one merged
+    // segment per slice with no out-of-band compactor ever called
+    stageDelta(s"$root/src", cut, files = 5)
+    runSink(s"$root/src", segDir, s"$root/ckpt", compactEvery = 2)
+    val nAll = Tables.lineitem(spark, sf).count()
+    val served = KllPublish.attachServe(spark, segDir).head
+    assert(served.getAs[Long]("n_rows") == nAll &&
+      served.getAs[Long]("sketch_n") == nAll,
+      "the self-compacting stream lost or doubled rows")
+    val slices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().count()
+    assert(KllPublish.readSegments(spark, segDir).count() == slices,
+      "the cadence never folded the store")
+    assert(KllPublish.readSegments(spark, segDir)
+      .select(col("batch")).distinct().count() == 1)
+    assert(KllPublish.compactedHw(spark, segDir) == 4L,
+      "the final fold should carry the last batch's high-water")
+    assert(spark.table(KllPublish.tableName(segDir)).count() == slices,
+      "the published table still serves per-batch rows")
+    // per-slice exact counts survive both folds
+    val corpusSlices = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSliceN(segDir) == corpusSlices, "per-slice counts diverge")
+  }
+
+  test("a compaction crashing between its generation commit and the " +
+      "table rebuild heals on the NEXT compaction call — even on an " +
+      "idle store with no new batch (r16 verdict Wrong #1)") {
+    val root = freshRoot("prerebuild")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    val delta = KllPublish.deltaFrame(spark, sf, cut)
+    KllPublish.processBatch(spark, segDir, delta.filter(col("l_orderkey") % 2 === 0), 0L)
+    KllPublish.processBatch(spark, segDir, delta.filter(col("l_orderkey") % 2 === 1), 1L)
+    val tbl = KllPublish.tableName(segDir)
+    val slices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().count()
+    // the crash: die in compactSegments AFTER the generation commit
+    // and sweep, BEFORE the table rebuild (leg F's third window,
+    // executed in-process here; cross-process in KllStreamProbe)
+    RestartKit.windowHook =
+      w => if (w == "prerebuild") throw new RuntimeException("crash: prerebuild")
+    try {
+      val boom = intercept[RuntimeException] {
+        KllPublish.compactSegments(spark, segDir)
+      }
+      assert(boom.getMessage == "crash: prerebuild")
+    } finally RestartKit.windowHook = _ => ()
+    // the wedged state this fix exists for: store compacted, table fat
+    assert(KllPublish.readSegments(spark, segDir).count() == slices,
+      "vacuity: the crash should have landed AFTER the store compacted")
+    assert(spark.table(tbl).count() > slices,
+      "vacuity: the crash should have landed BEFORE the table rebuild")
+    // heal on an IDLE store: no new batch, just the next compaction
+    // call — pre-fix this no-opped forever on the batches>1 guard
+    KllPublish.compactSegments(spark, segDir)
+    assert(spark.table(tbl).count() == slices,
+      "the stale per-batch table survived the healing compaction")
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+      == Tables.lineitem(spark, sf).count(),
+      "the healed table is not count-exact")
+  }
+
+  test("a bootstrap that crashed before its flag is retried safely — " +
+      "including when an intervening compaction already MERGED the " +
+      "unflagged base rows (re-stamp only, no batch=-1 rewrite)") {
+    val root = freshRoot("bootretry")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    val delta = KllPublish.deltaFrame(spark, sf, cut)
+    KllPublish.processBatch(spark, segDir, delta, 0L)
+    val nAll = Tables.lineitem(spark, sf).count()
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nAll)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val flag = new org.apache.hadoop.fs.Path(segDir, "_GRAFT_BASE_DONE")
+    // crash artifact #1: rows landed, flag never did, NO compaction in
+    // between — the retry rewrites its own batch=-1 partition
+    // (idempotent overwrite) and the counts hold
+    assert(fs.delete(flag, false))
+    assert(KllPublish.bootstrapBase(spark, sf, segDir) == cut)
+    assert(fs.exists(flag), "the retry did not re-stamp the flag")
+    KllPublish.processBatch(spark, segDir, delta.filter(lit(false)), 1L)
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nAll,
+      "the plain bootstrap retry changed the dashboard")
+    // crash artifact #2: flag lost again, then a compaction MERGES the
+    // (unflagged) base rows into one segment per slice. A retry that
+    // rewrote batch=-1 now would double-count the base on the next
+    // store-derived rebuild (r16 advice #1); the merged segment's
+    // lo==0 signature makes the retry re-stamp only
+    assert(fs.delete(flag, false))
+    KllPublish.compactSegments(spark, segDir)
+    val slices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().count()
+    assert(KllPublish.readSegments(spark, segDir).count() == slices)
+    assert(KllPublish.bootstrapBase(spark, sf, segDir) == cut)
+    assert(fs.exists(flag), "the post-merge retry did not re-stamp the flag")
+    assert(KllPublish.readSegments(spark, segDir).count() == slices,
+      "the post-merge retry re-created batch=-1 — base rows now count twice")
+    // force a store-derived rebuild and require count-exactness (the
+    // double-count this fix prevents would surface exactly here)
+    val loc = Published.tableLoc(spark, KllPublish.tableName(segDir))
+    val lfs = Published.fsOf(loc)
+    scala.util.Using.resource(lfs.create(
+      new org.apache.hadoop.fs.Path(loc, "part-bootretry-stray.parquet"), true))(
+      _.write("x".getBytes("UTF-8")))
+    KllPublish.processBatch(spark, segDir, delta.filter(lit(false)), 2L)
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nAll,
+      "the store-rebuilt dashboard double-counts the merged base window")
   }
 
   test("a refused manifest self-heals from the durable segment store: " +

@@ -230,4 +230,56 @@ SPARK_GRAFT_WAREHOUSE="$WHK_URI" $RUN graft.KllStreamProbe check $SF $ROOTK_URI 
 grep -a "KLLPROBE ALL OK" /tmp/kllprobe_check.log || \
   { echo "FAIL: crashed+resumed KLL dashboard diverges from uninterrupted run"; grep -a KLLPROBE /tmp/kllprobe_check.log; exit 1; }
 echo "leg E OK: driver death after 2 batches -> checkpoint resume -> count-exact published dashboard"
+
+echo "== leg F: kill -9 INSIDE compactSegments at each of its three crash windows"
+# Minor compaction is a four-step commit protocol (build gen -> flag ->
+# sweep -> table rebuild); each inter-step window is a real crash state.
+# One store carries all three windows in sequence — each fcompact JVM
+# halts kill -9-grade (RestartKit.crashWindow) at the named window, a
+# NEW JVM asserts the exact torn state and heals it with one compaction
+# call, and an fgrow between windows appends PAST the previous heal so
+# the next compaction has work (also proving cross-JVM append-after-
+# compaction). Window 3 (prerebuild) walks straight into the r16
+# "crash-before-rebuild no-op": the healed run must rebuild the stale
+# published table from the already-compacted store.
+ROOTF=$(mktemp -d /tmp/graft-kllcompact.XXXX)
+WHF=$(mktemp -d /tmp/graft-kllcompact-wh.XXXX); rm -rf "$WHF"
+ROOTF_URI="$ROOTF"; WHF_URI="$WHF"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  ROOTF_URI="hdfs://graftsim$ROOTF"; WHF_URI="hdfs://graftsim$WHF"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  ROOTF_URI="s3a://graftbucket$ROOTF"; WHF_URI="s3a://graftbucket$WHF"
+fi
+SPARK_GRAFT_WAREHOUSE="$WHF_URI" $RUN graft.KllStreamProbe fbase $SF $ROOTF_URI >/tmp/kllcompact_fbase.log 2>&1
+grep -a "KLLPROBE fbase OK" /tmp/kllcompact_fbase.log || { echo "FAIL: leg F store seeding failed"; exit 1; }
+GROW=3
+for W in preflag presweep prerebuild; do
+  # the compacting JVM must die AT the window (exit 137), never reach
+  # its own completion line
+  SPARK_GRAFT_WAREHOUSE="$WHF_URI" SPARK_GRAFT_KLL_COMPACT_HALT=$W \
+    $RUN graft.KllStreamProbe fcompact $SF $ROOTF_URI >/tmp/kllcompact_${W}.log 2>&1 && \
+    { echo "FAIL: fcompact[$W] exited 0 — the halt never fired"; exit 1; }
+  grep -a "RESTARTPROBE halting in crash window $W" /tmp/kllcompact_${W}.log || \
+    { echo "FAIL: fcompact[$W] died without reaching window $W"; tail -5 /tmp/kllcompact_${W}.log; exit 1; }
+  grep -aq "KLLPROBE fcompact OK" /tmp/kllcompact_${W}.log && \
+    { echo "FAIL: fcompact[$W] completed past the halt window"; exit 1; }
+  # fresh JVM: assert the torn state, heal with one compaction call,
+  # validate count-exact + folded store + O(slices) table. The dead
+  # compactor died HOLDING the table lease — the healer must
+  # stale-break it first (shrunken threshold, as in leg A), so leg F
+  # also executes the dead-compactor lease-break.
+  sleep 3
+  SPARK_GRAFT_WAREHOUSE="$WHF_URI" SPARK_GRAFT_LEASE_STALE_MS=2000 \
+    $RUN graft.KllStreamProbe fheal $SF $ROOTF_URI $W >/tmp/kllcompact_heal_${W}.log 2>&1
+  grep -a "KLLPROBE fheal OK window=$W" /tmp/kllcompact_heal_${W}.log || \
+    { echo "FAIL: fheal[$W] did not heal"; grep -a KLLPROBE /tmp/kllcompact_heal_${W}.log; tail -5 /tmp/kllcompact_heal_${W}.log; exit 1; }
+  if [[ "$W" != "prerebuild" ]]; then
+    SPARK_GRAFT_WAREHOUSE="$WHF_URI" \
+      $RUN graft.KllStreamProbe fgrow $SF $ROOTF_URI $GROW >/tmp/kllcompact_grow_${GROW}.log 2>&1
+    grep -a "KLLPROBE fgrow OK batch=$GROW" /tmp/kllcompact_grow_${GROW}.log || \
+      { echo "FAIL: fgrow[$GROW] failed"; tail -5 /tmp/kllcompact_grow_${GROW}.log; exit 1; }
+    GROW=$((GROW + 1))
+  fi
+done
+echo "leg F OK: all three compaction crash windows (preflag/presweep/prerebuild) -> new-JVM heal -> folded store, O(slices) table, count-exact"
 echo "ALL OK"

@@ -193,4 +193,38 @@ grep -aq "KLLPROBE resume OK" /tmp/fault_${MODE}_kllresume.log || \
   { echo "FAIL: streaming resume exited 0 without its validation line"; exit 1; }
 echo "-- streaming resume: recovered, dashboard count-exact and in-envelope (cross-JVM attach)"
 
-echo "ALL OK [$MODE]: publish completes under residual faults (>=1% with faults absorbed), fails loudly otherwise, torn state never served, reads never divergent, streaming dashboard loud-or-green + recoverable"
+# deterministic COMPACTION-op fault (r16 verdict ask #2's non-vacuity
+# bar): pin a 100% fault rate to the first compaction's commit flag —
+# the path substring gen-1/_GRAFT_GEN_DONE is written by
+# compactSegments and nothing else — so the sink's cadence fold at
+# batch 3 is GUARANTEED to draw a fault inside a compaction op. The
+# probe must die LOUDLY naming that exact path (never serve a torn
+# fold), and the fault-free resume must heal the unflagged-generation
+# debris: replayed batch, re-run fold, store collapsed, count-exact.
+ROOTC=$(mktemp -d /tmp/graft-fault-kllc.XXXX); rm -rf "$ROOTC"
+case "$MODE" in
+  s3)   ROOTC_URI="s3a://graftbucket$ROOTC" ;;
+  hdfs) ROOTC_URI="hdfs://graftsim$ROOTC" ;;
+esac
+CLOG=/tmp/fault_${MODE}_kllcompactfault.log
+if env "$SIM_ENV"=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
+      SPARK_GRAFT_STORE_FAULT_PCT=100 SPARK_GRAFT_STORE_FAULT_SEED=4242 \
+      SPARK_GRAFT_STORE_FAULT_PREFIX="gen-1/_GRAFT_GEN_DONE" \
+      SPARK_GRAFT_MASTER="local[8,4]" SPARK_GRAFT_CPUS=8 \
+      SPARK_GRAFT_LEASE_STALE_MS=30000 \
+    $RUN graft.KllStreamProbe base "$SF" "$ROOTC_URI" >"$CLOG" 2>&1; then
+  echo "FAIL: compaction-fault leg completed despite a 100% fault pinned to its commit flag"; exit 1
+fi
+grep -aq "injected transient fault .*gen-1/_GRAFT_GEN_DONE" "$CLOG" || \
+  { echo "FAIL: compaction-fault leg died without naming the gen-flag fault"; tail -5 "$CLOG"; exit 1; }
+echo "-- compaction commit-flag fault: sink died LOUDLY on the injected gen-1 flag fault (fault drawn INSIDE a compaction op)"
+env "$SIM_ENV"=true SPARK_GRAFT_WAREHOUSE="$WH_URI" \
+    SPARK_GRAFT_MASTER="local[8,4]" SPARK_GRAFT_CPUS=8 \
+    SPARK_GRAFT_LEASE_STALE_MS=30000 \
+  $RUN graft.KllStreamProbe resume "$SF" "$ROOTC_URI" >/tmp/fault_${MODE}_kllcompactheal.log 2>&1 || \
+  { echo "FAIL: fault-free resume did not heal the torn compaction"; tail -5 /tmp/fault_${MODE}_kllcompactheal.log; exit 1; }
+grep -aq "KLLPROBE resume OK" /tmp/fault_${MODE}_kllcompactheal.log || \
+  { echo "FAIL: compaction-heal resume exited 0 without its validation line"; exit 1; }
+echo "-- compaction-fault resume: unflagged-generation debris healed, store folded, dashboard count-exact"
+
+echo "ALL OK [$MODE]: publish completes under residual faults (>=1% with faults absorbed), fails loudly otherwise, torn state never served, reads never divergent, streaming dashboard (incl. its compaction cadence) loud-or-green + recoverable"
