@@ -124,14 +124,33 @@ object KllStreamProbe {
     // the exact expected count is derivable from the store's own batch
     // high-water: corpus + (maxBatch - 2) × delta. KLL tracks n
     // exactly — any batch lost to a torn compaction (or doubled by a
-    // replayed one) shifts the served counts off this value.
+    // replayed one) shifts the served counts off this value. The cut
+    // is read from the committed base flag (LOUD if absent — a
+    // validation helper must never silently re-bootstrap), and the
+    // corpus-scale constants are computed once per JVM.
+    lazy val corpusN: Long = Tables.lineitem(spark, sfDir).count()
+    def fDeltaN(sd: String): Long = KllPublish.deltaFrame(
+      spark, sfDir, KllPublish.bootstrappedCut(spark, sd)).count()
     def fExpected(sd: String): Long = {
-      val cut = KllPublish.bootstrapBase(spark, sfDir, sd)
-      val delta = KllPublish.deltaFrame(spark, sfDir, cut).count()
-      val corpus = Tables.lineitem(spark, sfDir).count()
       val maxBatch = KllPublish.readSegments(spark, sd)
         .agg(max(col("batch"))).head.getLong(0)
-      corpus + math.max(0L, maxBatch - 2L) * delta
+      corpusN + math.max(0L, maxBatch - 2L) * fDeltaN(sd)
+    }
+
+    // the folded-store shape shared by every post-compaction check
+    // (leg F's heals and the fault campaign's resume): one merged
+    // segment per slice, one batch id, an O(slices) published table
+    def requireFolded(tag: String, sd: String): Unit = {
+      val store = KllPublish.readSegments(spark, sd)
+      val slices = store.select(col("slice")).distinct().count()
+      require(store.count() == slices,
+        s"KLLPROBE FAIL [$tag]: store holds ${store.count()} segments " +
+          s"for $slices slices — not folded")
+      require(store.select(col("batch")).distinct().count() == 1,
+        s"KLLPROBE FAIL [$tag]: folded store spans multiple batch ids")
+      require(spark.table(KllPublish.tableName(sd)).count() == slices,
+        s"KLLPROBE FAIL [$tag]: published table still serves " +
+          "per-batch rows after the fold")
     }
 
     def fValidate(tag: String, compacted: Boolean): Unit = {
@@ -144,18 +163,7 @@ object KllStreamProbe {
         s"KLLPROBE FAIL [$tag]: dashboard counts (n_rows=$nRows, " +
           s"sketch_n=$sketchN) != expected $expected — a batch was lost " +
           "or doubled across the compaction crash")
-      if (compacted) {
-        val store = KllPublish.readSegments(spark, sd)
-        val slices = served.getAs[Long]("slices")
-        require(store.count() == slices,
-          s"KLLPROBE FAIL [$tag]: healed store holds ${store.count()} " +
-            s"segments for $slices slices — not folded")
-        require(store.select(col("batch")).distinct().count() == 1,
-          s"KLLPROBE FAIL [$tag]: healed store spans multiple batch ids")
-        require(spark.table(KllPublish.tableName(sd)).count() == slices,
-          s"KLLPROBE FAIL [$tag]: published table still serves " +
-            "per-batch rows after the heal")
-      }
+      if (compacted) requireFolded(tag, sd)
     }
 
     def perSliceN(tag: String): Map[String, Long] =
@@ -192,13 +200,7 @@ object KllStreamProbe {
         runSink("base", haltAfterBatches = 0)
         KllPublish.compactSegments(spark, segDir("base"))
         val v = validate("base")
-        val store = KllPublish.readSegments(spark, segDir("base"))
-        val slices = store.select(col("slice")).distinct().count()
-        require(store.count() == slices,
-          s"KLLPROBE FAIL [resume]: store holds ${store.count()} segments " +
-            s"for $slices slices after the healing compaction")
-        require(spark.table(KllPublish.tableName(segDir("base"))).count() == slices,
-          "KLLPROBE FAIL [resume]: published table still serves per-batch rows")
+        requireFolded("resume", segDir("base"))
         println(s"KLLPROBE resume OK $v")
       case "run1" =>
         KllPublish.bootstrapBase(spark, sfDir, segDir("restart"))
@@ -230,7 +232,7 @@ object KllStreamProbe {
         val delta = KllPublish.deltaFrame(spark, sfDir, cut)
         (0L to 2L).foreach(i => KllPublish.processBatch(spark, sd,
           delta.filter(pmod(col("l_orderkey"), lit(3)) === i), i))
-        require(fExpected(sd) == Tables.lineitem(spark, sfDir).count(),
+        require(fExpected(sd) == corpusN,
           "KLLPROBE FAIL [fbase]: expected-count bookkeeping is wrong")
         fValidate("fbase", compacted = false)
         println("KLLPROBE fbase OK store seeded (base + 3 batches)")
@@ -238,9 +240,8 @@ object KllStreamProbe {
         val sd = segDir("compact")
         val b = args.lift(3).getOrElse(sys.error(
           "fgrow needs a batch id argument")).toLong
-        val cut = KllPublish.bootstrapBase(spark, sfDir, sd)
-        KllPublish.processBatch(spark, sd,
-          KllPublish.deltaFrame(spark, sfDir, cut), b)
+        KllPublish.processBatch(spark, sd, KllPublish.deltaFrame(
+          spark, sfDir, KllPublish.bootstrappedCut(spark, sd)), b)
         fValidate("fgrow", compacted = false)
         println(s"KLLPROBE fgrow OK batch=$b appended past the compaction")
       case "fcompact" =>
@@ -260,7 +261,7 @@ object KllStreamProbe {
         val tbl = KllPublish.tableName(sd)
         require(graft.sources.Published.ensure(spark, tbl, "slice",
           graft.operators.Sketches.kllTableBuckets,
-          s"kllstream:$tbl"),
+          KllPublish.fp(sd)),
           s"KLLPROBE FAIL [fheal:$window]: published table refused before heal")
         val tableRows = spark.table(tbl).count()
         val store = KllPublish.readSegments(spark, sd)

@@ -59,8 +59,10 @@ object KllPublish {
   /** Stable logical fingerprint: the published table serves ONE segment
     * store forever; content evolution across appends is the manifest's
     * job, not the fingerprint's (a file-level fingerprint would refuse
-    * the table after every batch). */
-  private def fp(segDir: String): String =
+    * the table after every batch). private[graft]: KllStreamProbe's
+    * heal phases gate on ensure() with the same fingerprint — a
+    * re-derived copy there could silently drift. */
+  private[graft] def fp(segDir: String): String =
     s"kllstream:${tableName(segDir)}"
 
   private val segSchema = new StructType()
@@ -167,6 +169,19 @@ object KllPublish {
   private def baseDoneFlag(segDir: String): HPath =
     new HPath(segDir, "_GRAFT_BASE_DONE")
 
+  /** The committed bootstrap's cut, read LOUDLY from the base flag —
+    * for callers (the probes' validation phases) that need the split
+    * point without [[bootstrapBase]]'s heal-on-absence semantics: a
+    * missing flag here is a broken store, not a bootstrap request. */
+  private[graft] def bootstrappedCut(spark: SparkSession,
+                                     segDir: String): Long = {
+    val fs = storeFs(spark, segDir)
+    val flag = baseDoneFlag(segDir)
+    require(fs.exists(flag),
+      s"segment store $segDir has no committed base bootstrap")
+    readFlag(fs, flag).trim.toLong
+  }
+
   /** Bootstrap the base window's segment rows ([0, cut) —
     * `Sketches.kllBaseCut`, q127's split) into the segment store, once:
     * the flag file commits the bootstrap, so a crashed half-write is
@@ -196,10 +211,19 @@ object KllPublish {
           // re-check under the lease: a rival bootstrap may have
           // committed while this one waited for the lease
           if (!fs.exists(flag)) {
+            // "already merged" must mean a FOLD OUTPUT (batch != -1):
+            // compactSegments only ever merges a FLAGGED — i.e.
+            // complete — base window (it drops unflagged batch=-1
+            // orphans), so a merged lo==0 row proves the base rows are
+            // whole and only the flag was lost. A bare batch=-1
+            // partition (lo==0, batch == -1) proves nothing — the
+            // crashed write may have committed only some slices on a
+            // copy-rename store — and must be REWRITTEN whole, the
+            // original heal.
             val baseAlreadyMerged =
               compactedHw(spark, segDir) != Long.MinValue &&
                 !readSegments(spark, segDir)
-                  .filter(col("lo") === 0L).isEmpty
+                  .filter(col("lo") === 0L && col("batch") =!= -1L).isEmpty
             if (!baseAlreadyMerged)
               Layout.overwritePartitions(
                 Sketches.kllSegment(spark, dir, 0L, cut)
@@ -242,6 +266,19 @@ object KllPublish {
           if ((d.toString != cur.toString) &&
               (g < curGen || !fs.exists(genDone(d))))
             { fs.delete(d, true); () }
+        }
+        // an UNFLAGGED batch=-1 partition is a bootstrap that died
+        // before its commit flag — its rows may be a PARTIAL base
+        // window (a copy-rename store's job commit is per-file), and
+        // folding them would freeze the partial base into the merged
+        // blob forever, unhealable. Drop the orphan (safe under the
+        // lease: a live bootstrap holds it, so only a dead one can
+        // have left this) and let the flag-gated retry rewrite the
+        // base whole. This is also what makes bootstrapBase's
+        // merged-base detection sound: merged ⇒ was flagged ⇒ complete.
+        if (!fs.exists(baseDoneFlag(segDir))) {
+          val orphan = new HPath(cur, "batch=-1")
+          if (fs.exists(orphan)) { fs.delete(orphan, true); () }
         }
         val segs = readSegments(spark, segDir)
         val batches = segs.select(col("batch")).distinct().count()
@@ -330,7 +367,18 @@ object KllPublish {
         } else {
           val hwRow = spark.table(tbl).agg(max(col("batch"))).head
           val hw = if (hwRow.isNullAt(0)) Long.MinValue else hwRow.getLong(0)
-          if (hw < batchId) {
+          if (hw < batchId && compactedHw(spark, segDir) > hw) {
+            // the store was FOLDED past the table's high-water (a
+            // compaction ran — and died before its rebuild — while
+            // this table still lacked some of the folded batches):
+            // the missing batches' rows now live only inside a merged
+            // segment that ALSO covers batches the table already
+            // holds, so appending it would double-count every row up
+            // to hw. Rebuild from the store instead — kilobytes, and
+            // the same heal the compactor itself would have run.
+            Published.write(spark, tbl, "slice", Sketches.kllTableBuckets,
+              fp(segDir), readSegments(spark, segDir))
+          } else if (hw < batchId) {
             val pending = readSegments(spark, segDir)
               .filter(col("batch") > hw && col("batch") <= batchId)
             // EMPTY batches keep hw pinned at the last non-empty id, so
@@ -416,6 +464,11 @@ object KllPublish {
             }
           } finally { batch.unpersist(); () }
         }
+        // crash window: segment landed in the store, published table
+        // not yet synced — the state that makes an out-of-band fold's
+        // merged segment OVERLAP the table's missing batches
+        // (publishUpTo's compactedHw guard is what heals it)
+        graft.RestartKit.crashWindow("prepublish")
         // an EMPTY (or replay-skipped) batch still syncs: a prior
         // batch's append may have been refused (fault) and this is the
         // retry that heals it

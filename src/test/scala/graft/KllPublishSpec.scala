@@ -332,16 +332,17 @@ class KllPublishSpec extends SparkSpec {
     KllPublish.processBatch(spark, segDir, delta.filter(lit(false)), 1L)
     assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nAll,
       "the plain bootstrap retry changed the dashboard")
-    // crash artifact #2: flag lost again, then a compaction MERGES the
-    // (unflagged) base rows into one segment per slice. A retry that
-    // rewrote batch=-1 now would double-count the base on the next
-    // store-derived rebuild (r16 advice #1); the merged segment's
-    // lo==0 signature makes the retry re-stamp only
-    assert(fs.delete(flag, false))
+    // crash artifact #2: the base was legitimately MERGED by a fold
+    // (flag present, so the fold knows it is complete), and the flag
+    // is lost AFTERWARDS. A retry that rewrote batch=-1 now would
+    // double-count the base on the next store-derived rebuild (r16
+    // advice #1); the fold output's lo==0 && batch != -1 signature
+    // makes the retry re-stamp only
     KllPublish.compactSegments(spark, segDir)
     val slices = Tables.lineitem(spark, sf)
       .select(col("l_returnflag")).distinct().count()
     assert(KllPublish.readSegments(spark, segDir).count() == slices)
+    assert(fs.delete(flag, false))
     assert(KllPublish.bootstrapBase(spark, sf, segDir) == cut)
     assert(fs.exists(flag), "the post-merge retry did not re-stamp the flag")
     assert(KllPublish.readSegments(spark, segDir).count() == slices,
@@ -356,6 +357,82 @@ class KllPublishSpec extends SparkSpec {
     KllPublish.processBatch(spark, segDir, delta.filter(lit(false)), 2L)
     assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows") == nAll,
       "the store-rebuilt dashboard double-counts the merged base window")
+  }
+
+  test("a PARTIAL unflagged base write is never frozen into a fold: " +
+      "compaction drops the orphan batch=-1 and the bootstrap retry " +
+      "rewrites the base whole") {
+    // the half-committed bootstrap (a copy-rename store's job commit
+    // is per-file): base rows landed for ONE slice only, no flag. A
+    // fold that merged them would freeze the partial base into the
+    // merged blob forever — unhealable, silently undercounting
+    val root = freshRoot("partialbase")
+    val segDir = s"$root/seg"
+    val cut = graft.operators.Sketches.kllBaseCut(spark, sf)
+    val oneSlice = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().head.getString(0)
+    graft.sources.Layout.overwritePartitions(
+      graft.operators.Sketches.kllSegment(spark, sf, 0L, cut)
+        .filter(col("slice") === oneSlice)
+        .withColumn("batch", lit(-1L)),
+      KllPublish.currentGenDir(spark, segDir).toString, Seq("batch"))
+    val delta = KllPublish.deltaFrame(spark, sf, cut)
+    KllPublish.processBatch(spark, segDir, delta, 0L)
+    // the fold must DROP the unflagged orphan, not merge it
+    KllPublish.compactSegments(spark, segDir)
+    assert(KllPublish.readSegments(spark, segDir)
+      .filter(col("lo") === 0L).isEmpty,
+      "the fold merged (or kept) the partial unflagged base window")
+    // the retry rewrites the base WHOLE (no merged lo==0 row exists,
+    // so the re-stamp-only shortcut must not fire)
+    assert(KllPublish.bootstrapBase(spark, sf, segDir) == cut)
+    KllPublish.compactSegments(spark, segDir)
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+      == Tables.lineitem(spark, sf).count(),
+      "the healed store is not count-exact — the partial base survived")
+  }
+
+  test("an out-of-band fold past the table's high-water REBUILDS on the " +
+      "next sync instead of appending the overlapping merged segment " +
+      "(no double-count window)") {
+    val root = freshRoot("overlap")
+    val segDir = s"$root/seg"
+    val cut = KllPublish.bootstrapBase(spark, sf, segDir)
+    val delta = KllPublish.deltaFrame(spark, sf, cut)
+    val b0 = delta.filter(col("l_orderkey") % 2 === 0)
+    val b1 = delta.filter(col("l_orderkey") % 2 === 1)
+    KllPublish.processBatch(spark, segDir, b0, 0L)
+    // batch 1 dies AFTER its store write, BEFORE the table sync —
+    // table high-water stays at 0 while the store holds batch 1
+    RestartKit.windowHook =
+      w => if (w == "prepublish") throw new RuntimeException("crash: prepublish")
+    try intercept[RuntimeException] {
+      KllPublish.processBatch(spark, segDir, b1, 1L)
+    } finally RestartKit.windowHook = _ => ()
+    // an out-of-band fold then compacts the store PAST the table's
+    // high-water (merged segment batch=1) and dies before its rebuild
+    RestartKit.windowHook =
+      w => if (w == "prerebuild") throw new RuntimeException("crash: prerebuild")
+    try intercept[RuntimeException] {
+      KllPublish.compactSegments(spark, segDir)
+    } finally RestartKit.windowHook = _ => ()
+    val tbl = KllPublish.tableName(segDir)
+    val slices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().count()
+    assert(KllPublish.compactedHw(spark, segDir) == 1L &&
+      spark.table(tbl).count() > slices,
+      "vacuity: the fold should have outrun the table's high-water")
+    // the stream's replay of batch 1: the pending window (0, 1] now
+    // exists only inside a merged segment that ALSO covers the
+    // table's batches -1..0 — appending it would double-count them;
+    // the sync must rebuild instead
+    KllPublish.processBatch(spark, segDir, b1, 1L)
+    assert(spark.table(tbl).count() == slices,
+      "the sync appended the overlapping merged segment onto the " +
+        "per-batch table")
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+      == Tables.lineitem(spark, sf).count(),
+      "the resumed dashboard double-counts the folded batches")
   }
 
   test("a refused manifest self-heals from the durable segment store: " +
