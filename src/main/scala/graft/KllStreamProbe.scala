@@ -76,6 +76,9 @@ object KllStreamProbe {
     val src = s"$root/src"
     def segDir(tag: String) = s"$root/seg_$tag"
 
+    // one corpus scan per JVM, shared by every validation below
+    lazy val corpusN: Long = Tables.lineitem(spark, sfDir).count()
+
     def stageDelta(cut: Long): Unit =
       KllPublish.stageDelta(spark, sfDir, src, cut, files = 4)
 
@@ -103,7 +106,7 @@ object KllStreamProbe {
       val r = KllPublish.attachServe(spark, segDir(tag)).head
       val nRows = r.getAs[Long]("n_rows")
       val sketchN = r.getAs[Long]("sketch_n")
-      val corpus = Tables.lineitem(spark, sfDir).count()
+      val corpus = corpusN
       require(nRows == corpus && sketchN == corpus,
         s"KLLPROBE FAIL [$tag]: dashboard counts (n_rows=$nRows, " +
           s"sketch_n=$sketchN) != corpus $corpus — a batch was lost or doubled")
@@ -126,15 +129,15 @@ object KllStreamProbe {
     // exactly — any batch lost to a torn compaction (or doubled by a
     // replayed one) shifts the served counts off this value. The cut
     // is read from the committed base flag (LOUD if absent — a
-    // validation helper must never silently re-bootstrap), and the
-    // corpus-scale constants are computed once per JVM.
-    lazy val corpusN: Long = Tables.lineitem(spark, sfDir).count()
-    def fDeltaN(sd: String): Long = KllPublish.deltaFrame(
-      spark, sfDir, KllPublish.bootstrappedCut(spark, sd)).count()
+    // validation helper must never silently re-bootstrap). Both
+    // corpus-scale constants are lazy vals: one scan each per JVM,
+    // first demanded after the store is bootstrapped.
+    lazy val fDeltaN: Long = KllPublish.deltaFrame(spark, sfDir,
+      KllPublish.bootstrappedCut(spark, segDir("compact"))).count()
     def fExpected(sd: String): Long = {
       val maxBatch = KllPublish.readSegments(spark, sd)
         .agg(max(col("batch"))).head.getLong(0)
-      corpusN + math.max(0L, maxBatch - 2L) * fDeltaN(sd)
+      corpusN + math.max(0L, maxBatch - 2L) * fDeltaN
     }
 
     // the folded-store shape shared by every post-compaction check

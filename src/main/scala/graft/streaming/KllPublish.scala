@@ -224,11 +224,24 @@ object KllPublish {
               compactedHw(spark, segDir) != Long.MinValue &&
                 !readSegments(spark, segDir)
                   .filter(col("lo") === 0L && col("batch") =!= -1L).isEmpty
-            if (!baseAlreadyMerged)
+            if (!baseAlreadyMerged) {
               Layout.overwritePartitions(
                 Sketches.kllSegment(spark, dir, 0L, cut)
                   .withColumn("batch", lit(-1L)),
                 currentGenDir(spark, segDir).toString, Seq("batch"))
+              // if a published table ALREADY exists (the retry-after-
+              // partial-write path: batches may have published while
+              // the base was broken), refresh it here under the same
+              // held lease — batch=-1 sits below every table
+              // high-water, so publishUpTo's pending append can never
+              // deliver a late-rewritten base, and without a fold
+              // (compactEvery=0 deployments) nothing else would
+              if (Published.ensure(spark, tbl, "slice",
+                  Sketches.kllTableBuckets, fp(segDir)))
+                Published.write(spark, tbl, "slice",
+                  Sketches.kllTableBuckets, fp(segDir),
+                  readSegments(spark, segDir))
+            }
             scala.util.Using.resource(fs.create(flag, true))(
               _.write(cut.toString.getBytes("UTF-8")))
           }
@@ -321,22 +334,29 @@ object KllPublish {
           // uncompacted until the next pass)
           Published.write(spark, tbl, "slice", Sketches.kllTableBuckets,
             fp(segDir), readSegments(spark, segDir))
-        } else if (batches == 1) {
-          // a prior compaction may have died (or drawn a persistent
-          // fault) AFTER committing its generation but BEFORE the
-          // table rebuild (r16 verdict Wrong #1): the store is
-          // compacted but the published table still serves O(batches)
-          // per-batch rows — and gating the rebuild on `batches > 1`
-          // alone would no-op here forever on an idle store. Rebuild
-          // whenever the table holds more rows than the store (their
-          // rows correspond 1:1 when in sync; FEWER table rows just
-          // means pending batches the next publishUpTo appends), or
-          // refuses its manifest outright (the crash can also land
-          // between the swap's renames).
+        } else {
+          // nothing to fold, but the DERIVED table may still be stale:
+          // a prior compaction died (or drew a persistent fault) AFTER
+          // committing its generation but BEFORE the table rebuild
+          // (r16 verdict Wrong #1) — gating the rebuild on
+          // `batches > 1` alone would no-op here forever on an idle
+          // store. With one batch in the store, rebuild whenever the
+          // attached table holds more rows than the store (their rows
+          // correspond 1:1 when in sync; FEWER table rows just means
+          // pending batches the next publishUpTo appends — and the
+          // overlap-guard there rebuilds, never appends, when the fold
+          // outran the table), or refuses its manifest outright. With
+          // ZERO batches — the orphan drop above can empty a store
+          // that held only a broken base — an attached NON-empty table
+          // is serving rows the store no longer holds: empty it.
           val tableStale =
-            !Published.ensure(spark, tbl, "slice", Sketches.kllTableBuckets,
-              fp(segDir)) ||
-              spark.table(tbl).count() > segs.count()
+            if (batches == 1)
+              !Published.ensure(spark, tbl, "slice", Sketches.kllTableBuckets,
+                fp(segDir)) ||
+                spark.table(tbl).count() > segs.count()
+            else
+              Published.ensure(spark, tbl, "slice", Sketches.kllTableBuckets,
+                fp(segDir)) && spark.table(tbl).count() > 0
           if (tableStale)
             Published.write(spark, tbl, "slice", Sketches.kllTableBuckets,
               fp(segDir), segs)

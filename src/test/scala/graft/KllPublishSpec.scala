@@ -384,12 +384,56 @@ class KllPublishSpec extends SparkSpec {
       .filter(col("lo") === 0L).isEmpty,
       "the fold merged (or kept) the partial unflagged base window")
     // the retry rewrites the base WHOLE (no merged lo==0 row exists,
-    // so the re-stamp-only shortcut must not fire)
+    // so the re-stamp-only shortcut must not fire) and REFRESHES the
+    // published table itself: batch=-1 sits below every table
+    // high-water, so no later append could ever deliver it — the
+    // dashboard must be count-exact immediately, no fold required
     assert(KllPublish.bootstrapBase(spark, sf, segDir) == cut)
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+      == Tables.lineitem(spark, sf).count(),
+      "the retry left the published table without the rewritten base")
+    // and the fold stays count-exact over the healed store
     KllPublish.compactSegments(spark, segDir)
     assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
       == Tables.lineitem(spark, sf).count(),
       "the healed store is not count-exact — the partial base survived")
+  }
+
+  test("a store emptied by the orphan drop also empties the derived " +
+      "table: readers never serve rows the store no longer holds") {
+    // the degenerate corner of the partial-base heal: the store held
+    // ONLY the broken unflagged base when a compaction dropped it —
+    // zero batches remain, yet a table cold-built from the broken
+    // store would keep serving the dropped rows forever if the
+    // stale-table rebuild were gated on batches == 1 exactly
+    val root = freshRoot("orphanonly")
+    val segDir = s"$root/seg"
+    val cut = graft.operators.Sketches.kllBaseCut(spark, sf)
+    val oneSlice = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).distinct().head.getString(0)
+    graft.sources.Layout.overwritePartitions(
+      graft.operators.Sketches.kllSegment(spark, sf, 0L, cut)
+        .filter(col("slice") === oneSlice)
+        .withColumn("batch", lit(-1L)),
+      KllPublish.currentGenDir(spark, segDir).toString, Seq("batch"))
+    // an empty-batch sync cold-builds the table from the broken store
+    KllPublish.processBatch(spark, segDir,
+      KllPublish.deltaFrame(spark, sf, cut).filter(lit(false)), 0L)
+    val tbl = KllPublish.tableName(segDir)
+    assert(spark.table(tbl).count() == 1, "vacuity: the cold build " +
+      "should be serving the partial base row")
+    KllPublish.compactSegments(spark, segDir)
+    assert(KllPublish.readSegments(spark, segDir).count() == 0,
+      "the orphan survived the drop")
+    assert(spark.table(tbl).count() == 0,
+      "the table still serves rows the store no longer holds")
+    // the full heal: the bootstrap retry rewrites the base whole and
+    // refreshes the table — the dashboard serves exactly the base
+    assert(KllPublish.bootstrapBase(spark, sf, segDir) == cut)
+    val baseN = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") < cut).count()
+    assert(KllPublish.attachServe(spark, segDir).head.getAs[Long]("n_rows")
+      == baseN, "the healed dashboard does not serve the base window")
   }
 
   test("an out-of-band fold past the table's high-water REBUILDS on the " +
