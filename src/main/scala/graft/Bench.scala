@@ -178,6 +178,15 @@ object Bench {
       // exact-envelope reference that dominates (q126's kernel, like
       // q127). Trail: 2.82 min-of-2, spread 0.22, first filtered run
       "q128_compacted_dashboard" -> 2.80,
+      // q129 first measurement (r17): the SELF-compacting streaming
+      // dashboard — the sink folds its own store mid-stream
+      // (compactEvery=2 over 5 one-batch files), so the measured
+      // lifecycle is bootstrap + stream (two in-trigger folds) on the
+      // first call and the drained no-op replay (AvailableNow over no
+      // new files + flag-gated bootstrap + exact-envelope reference)
+      // on the second; min-of-2 records the replay+reference class,
+      // q128's precedent. Trail: 2.23 (r17 first in-suite, fast boot)
+      "q129_selfcompacting_stream" -> 2.30,
       // s05 first measurement (r16): the streaming published-KLL
       // dashboard, deliberately measuring the COLD lifecycle —
       // bootstrap corpus scan + 8 one-batch appends EACH paying the
