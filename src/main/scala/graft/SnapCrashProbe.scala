@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Published, Snap, Tables}
+
+/** Cross-JVM crash probe for the [[graft.sources.Snap]] commit protocol
+  * (crash_probes.sh leg G) — the repo's standard: every crash-safety
+  * claim is executed across a REAL process boundary, in all three
+  * storage modes.
+  *
+  * The protocol has one commit point (the manifest create), so the
+  * windows are:
+  *   - `snapstage`  — die after the data files moved into `data/` but
+  *     before the manifest create: the head must not advance, the
+  *     orphans must stay invisible, vacuum must sweep exactly them,
+  *     and a retried merge must land.
+  *   - `snaptorn`   — die MID-create: the manifest bytes land WITHOUT
+  *     the checksum footer (what a killed PUT leaves on a store
+  *     without create atomicity for content). Readers must fall back
+  *     to the parent version; the retried merge must sweep the torn
+  *     file and retake the version.
+  *   - `snapcommit` — die right AFTER the create: the commit must be
+  *     durable — a fresh JVM serves the new version with no healing.
+  *
+  * Each window's healer also exercises the dead writer's lease
+  * stale-break (the crashed JVM died holding it; the probe shrinks
+  * SPARK_GRAFT_LEASE_STALE_MS).
+  *
+  * Phases: `gbase <sf> <loc>` seeds create+merge (v2); `gcrash <sf>
+  * <loc> <window> <round>` runs the round's merge with the window env
+  * armed (exits 137); `gheal <sf> <loc> <window> <round>` asserts the
+  * exact torn state, heals, and validates FULL row-set equality
+  * against the relationally-applied delta chain. */
+object SnapCrashProbe {
+
+  def main(args: Array[String]): Unit = {
+    val phase = args.headOption.getOrElse("gbase")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val loc = new HPath(args.lift(2).getOrElse("/tmp/graft_snap_probe/tbl"))
+    val spark = Session.builderFromEnv(8, 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cust = Tables.customer(spark, sfDir)
+    lazy val M: Long = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+
+    // the delta chain: round 1 applied by gbase, rounds 2-4 by the
+    // crash/heal pairs. Update ranges are pairwise disjoint and avoid
+    // the deleted range, so the expected state composes by cases.
+    def upd(loN: Long, hiN: Long, shift: Double): DataFrame =
+      cust.filter(col("c_custkey") >= loN && col("c_custkey") < hiN)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(shift))
+        .withColumn("_deleted", lit(false))
+    def inserts: DataFrame =
+      cust.filter(col("c_custkey") < M / 30)
+        .select((col("c_custkey") + M).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), lit(9.99).as("c_acctbal"),
+          lit("INS").as("c_mktsegment"))
+    def delta(round: Int): DataFrame = round match {
+      case 1 => // update [0, M/10) +1000; delete [M/2, M/2+M/20); insert
+        upd(0, M / 10, 1000.0)
+          .unionByName(cust.filter(col("c_custkey") >= M / 2 &&
+              col("c_custkey") < M / 2 + M / 20)
+            .withColumn("_deleted", lit(true)))
+          .unionByName(inserts.withColumn("_deleted", lit(false)))
+      case 2 => // update [M/5, M/4) -250; delete the even-keyed inserts
+        upd(M / 5, M / 4, -250.0)
+          .unionByName(inserts.withColumn("_deleted", lit(true))
+            .filter(col("c_custkey") % 2 === 0))
+      case 3 => upd(M / 4, M / 3, 7.0)
+      case 4 => upd(M / 3, M / 2, -1.0)
+      case n => sys.error(s"no delta for round $n")
+    }
+
+    /** The delta chain applied relationally — the probe's oracle. */
+    def expected(rounds: Int): DataFrame = {
+      var cur = cust
+      if (rounds >= 1) {
+        cur = cur.filter(!(col("c_custkey") >= M / 2 &&
+            col("c_custkey") < M / 2 + M / 20))
+          .withColumn("c_acctbal",
+            when(col("c_custkey") < M / 10, col("c_acctbal") + 1000.0)
+              .otherwise(col("c_acctbal")))
+          .unionByName(inserts)
+      }
+      if (rounds >= 2) {
+        cur = cur.filter(!(col("c_custkey") >= M && col("c_custkey") % 2 === 0))
+          .withColumn("c_acctbal",
+            when(col("c_custkey") >= M / 5 && col("c_custkey") < M / 4,
+              col("c_acctbal") - 250.0).otherwise(col("c_acctbal")))
+      }
+      if (rounds >= 3)
+        cur = cur.withColumn("c_acctbal",
+          when(col("c_custkey") >= M / 4 && col("c_custkey") < M / 3,
+            col("c_acctbal") + 7.0).otherwise(col("c_acctbal")))
+      if (rounds >= 4)
+        cur = cur.withColumn("c_acctbal",
+          when(col("c_custkey") >= M / 3 && col("c_custkey") < M / 2,
+            col("c_acctbal") - 1.0).otherwise(col("c_acctbal")))
+      cur
+    }
+
+    def assertSame(actual: DataFrame, exp: DataFrame, what: String): Unit = {
+      val extra = actual.exceptAll(exp).count()
+      val missing = exp.exceptAll(actual).count()
+      require(extra == 0 && missing == 0,
+        s"$what diverged: $extra extra, $missing missing rows")
+    }
+
+    phase match {
+      case "gbase" =>
+        Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 8,
+          layout = "range", tag = "probe")
+        val v = Snap.merge(spark, loc, delta(1))
+        require(v == 2, s"gbase expected v2, got $v")
+        assertSame(Snap.read(spark, loc), expected(1), "gbase state")
+        println(s"SNAPPROBE gbase OK v=$v rows=${Snap.read(spark, loc).count()}")
+
+      case "gcrash" =>
+        val round = args.lift(4).map(_.toInt).getOrElse(2)
+        // the armed env var (SPARK_GRAFT_SNAP_HALT / SPARK_GRAFT_SNAP_TORN)
+        // halts this JVM inside merge; reaching the OK line is a FAILURE
+        // the script detects
+        Snap.merge(spark, loc, delta(round))
+        println(s"SNAPPROBE gcrash OK (halt never fired)")
+
+      case "gheal" =>
+        val window = args.lift(3).getOrElse("snapstage")
+        val round = args.lift(4).map(_.toInt).getOrElse(2)
+        val fs = Published.fsOf(loc)
+        val headV = Snap.head(spark, loc).get.version
+        // versions: create=1, round-1 merge=2, round-k merge = k+1
+        val expectHead = round + 1
+        window match {
+          case "snapstage" =>
+            require(headV == expectHead - 1,
+              s"snapstage: head=$headV, crashed merge must not have advanced it")
+            val orphans = fs.listStatus(new HPath(loc, "data"))
+              .map(_.getPath.getName).count(_.startsWith(s"v$expectHead-"))
+            require(orphans > 0, "snapstage: no orphan files — vacuous window")
+            assertSame(Snap.read(spark, loc), expected(round - 1),
+              "pre-heal head state")
+            val (_, swept, _) = Snap.vacuum(spark, loc, keepVersions = 99)
+            require(swept == orphans,
+              s"vacuum swept $swept of $orphans orphans")
+          case "snaptorn" =>
+            require(headV == expectHead - 1,
+              s"snaptorn: head=$headV, a TORN manifest must not serve")
+            require(fs.exists(Snap.manifestPath(loc, expectHead)),
+              "snaptorn: the torn manifest is missing — vacuous window")
+            assertSame(Snap.read(spark, loc), expected(round - 1),
+              "pre-heal head state")
+          case "snapcommit" =>
+            require(headV == expectHead,
+              s"snapcommit: head=$headV != $expectHead — the landed commit " +
+                "must be durable")
+          case w => sys.error(s"unknown window $w")
+        }
+        if (headV < expectHead) {
+          val v = Snap.merge(spark, loc, delta(round))
+          require(v == expectHead, s"heal merge landed v$v, want v$expectHead")
+        }
+        assertSame(Snap.read(spark, loc), expected(round), "healed state")
+        // the lifecycle stays healthy: a fresh vacuum leaves it serving
+        Snap.vacuum(spark, loc, keepVersions = 2)
+        assertSame(Snap.read(spark, loc), expected(round), "post-vacuum state")
+        println(s"SNAPPROBE gheal OK window=$window v=$expectHead " +
+          s"rows=${Snap.read(spark, loc).count()}")
+
+      case p => sys.error(s"unknown phase $p")
+    }
+    spark.stop()
+  }
+}

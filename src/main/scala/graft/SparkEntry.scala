@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsOf, Dedup, Geo, Graph, Multimodal, Relational, Similarity, Skew, Sketches, TimeSeries, TrainingData, Windows}
 import graft.functions.{HeavyHitters, Sentiment, Text}
-import graft.sources.Layout
+import graft.sources.{Layout, SnapOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
       Similarity.queries ++ Windows.queries ++ Multimodal.queries ++
       Sketches.queries ++ Sentiment.queries ++ TimeSeries.queries ++
       Layout.queries ++ Skew.queries ++ AsOf.queries ++ TrainingData.queries ++
-      Graph.queries ++ HeavyHitters.queries
+      Graph.queries ++ HeavyHitters.queries ++ SnapOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       Similarity.oracle ++ Windows.oracle ++ Multimodal.oracle ++
       Sketches.oracle ++ Sentiment.oracle ++ TimeSeries.oracle ++
       Layout.oracle ++ Skew.oracle ++ AsOf.oracle ++ TrainingData.oracle ++
-      Graph.oracle ++ HeavyHitters.oracle
+      Graph.oracle ++ HeavyHitters.oracle ++ SnapOps.oracle
 }

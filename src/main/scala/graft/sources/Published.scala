@@ -216,7 +216,7 @@ object Published {
         }
     }
 
-  private def exists(fs: FileSystem, p: HPath): Boolean = fs.exists(p)
+  private[sources] def exists(fs: FileSystem, p: HPath): Boolean = fs.exists(p)
 
   /** Best-effort delete with bounded retries on transient faults —
     * delete is idempotent, so re-issuing is always safe. The retries
@@ -227,7 +227,7 @@ object Published {
     * Still swallows after the budget: callers treat deletion as
     * cleanup, and a leak that ages out beats failing a completed
     * publish. */
-  private def deleteIfExists(fs: FileSystem, p: HPath): Unit = {
+  private[sources] def deleteIfExists(fs: FileSystem, p: HPath): Unit = {
     var attempt = 0
     var done = false
     while (!done && attempt < storeOpAttempts) {
@@ -251,7 +251,7 @@ object Published {
     * the retries (flag restored) and returns null; every caller's
     * null-handling is the SAFE direction (abort / skip delete / throw
     * loud), so cutting the retries short can never commit anything. */
-  private def retryNullable[T >: Null](read: => T, attempts: Int = 3,
+  private[sources] def retryNullable[T >: Null](read: => T, attempts: Int = 3,
                                        sleepMs: Long = 25): T = {
     var cur = read
     var n = 1
@@ -268,7 +268,7 @@ object Published {
   private def retryRead(fs: FileSystem, p: HPath): String =
     retryNullable(readOrNull(fs, p))
 
-  private def readOrNull(fs: FileSystem, p: HPath): String =
+  private[sources] def readOrNull(fs: FileSystem, p: HPath): String =
     try {
       val len = fs.getFileStatus(p).getLen.toInt
       val buf = new Array[Byte](len)
@@ -304,7 +304,7 @@ object Published {
     * (ownership re-checks belong inside the retry). Only for ops that
     * are idempotent to re-issue (overwrite PUTs, LISTs, GETs, deletes —
     * not create-new, which has its own ambiguity-resolving loop). */
-  private def retryIO[T](gate: () => Unit = () => ())(op: => T): T = {
+  private[sources] def retryIO[T](gate: () => Unit = () => ())(op: => T): T = {
     var attempt = 0
     while (true) {
       gate()

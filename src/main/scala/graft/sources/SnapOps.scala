@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated faces of the [[Snap]] snapshot format: a copy-on-write
+  * CDC merge (q130), time travel across commits (q131), and a
+  * stats-pruned range scan (q132).
+  *
+  * The demo lifecycle is DETERMINISTIC and warehouse-persistent, the
+  * q127 discipline: the table name is keyed by the sf dir, the
+  * manifest's `tag` carries the source fingerprint, and a re-run that
+  * finds the finished lifecycle (head version + matching tag) attaches
+  * without rebuilding — so Verify replays, bench runs, and fresh JVMs
+  * all see the same three committed snapshots.
+  *
+  * The CDC shape is the realistic one — bucket-SPARSE deltas (a hot
+  * key range updated, a range retired, new keys appended past the max)
+  * against a range-layout table — because that is where copy-on-write
+  * earns its keep: each merge rewrites only the 2-3 files whose key
+  * range the delta touches and carries the rest of the table by
+  * reference. The faces surface that as indicator columns (verified
+  * against manifest metadata Spark-side, `1` literals in the oracle,
+  * q127's count_exact pattern); SnapSpec pins the exact file sets. */
+object SnapOps {
+
+  private[graft] val custBuckets = 8
+  private[graft] val ordBuckets = 16
+
+  private[graft] def custTable(dir: String): String =
+    s"graft_snapc_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private[graft] def ordTable(dir: String): String =
+    s"graft_snapo_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+
+  private def custFp(dir: String): String =
+    Published.fingerprint("snapc",
+      Seq(new HPath(dir, "customer.parquet")))
+  private def ordFp(dir: String): String =
+    Published.fingerprint("snapo",
+      Seq(new HPath(dir, "orders.parquet")))
+
+  private val custCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  /** Delta 1 — the hot-range CDC batch: update keys [0,150) (+1000
+    * balance), retire keys [700,750), insert `k+100000` for k≡1
+    * (mod 100). Range-sparse on purpose: buckets {0, 3} rewrite,
+    * bucket 7 gains an insert file, five files carry. */
+  private[sources] def delta1(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val upd = c.filter(col("c_custkey") >= 0 && col("c_custkey") < 150)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+      .withColumn("_deleted", lit(false))
+    val del = c.filter(col("c_custkey") >= 700 && col("c_custkey") < 750)
+      .withColumn("_deleted", lit(true))
+    val ins = c.filter(col("c_custkey") % 100 === 1)
+      .select((col("c_custkey") + 100000L).as("c_custkey"),
+        lit("snap_new").as("c_name"), col("c_nationkey"),
+        lit(111.11).as("c_acctbal"), lit("NEWSEG").as("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  /** Delta 2 — update keys [300,400) (−500 balance), retire half of
+    * delta 1's inserts (k≡1 mod 200). Touches buckets {1, 2} and the
+    * v2 insert file; the ORIGINAL bucket-7 file's [1312,1499] range
+    * does not intersect the 100k-range delete keys, so file-level
+    * stats carry it untouched — the intersection test at work. */
+  private[sources] def delta2(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val upd = c.filter(col("c_custkey") >= 300 && col("c_custkey") < 400)
+      .withColumn("c_acctbal", col("c_acctbal") - lit(500.0))
+      .withColumn("_deleted", lit(false))
+    val del = c.filter(col("c_custkey") % 200 === 1)
+      .select((col("c_custkey") + 100000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .withColumn("_deleted", lit(true))
+    upd.unionByName(del)
+  }
+
+  /** Attach-or-build the three-commit customer lifecycle; returns the
+    * table location. Single writer cross-JVM (the Snap ops' lease,
+    * re-entrant under this outer hold); a mismatched tag (regenerated
+    * testdata) or a partial lifecycle (a crashed prior build) drops
+    * and rebuilds — the table is derived state. */
+  private[sources] def ensureCust(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, custTable(dir))
+    val fp = custFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 3)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.customer(spark, dir),
+          Seq("c_custkey"), "c_custkey", custBuckets, layout = "range", tag = fp)
+        Snap.merge(spark, loc, delta1(spark, dir))
+        Snap.merge(spark, loc, delta2(spark, dir))
+      }
+    }
+    loc
+  }
+
+  private[sources] def ensureOrd(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, ordTable(dir))
+    val fp = ordFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 1)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.orders(spark, dir),
+          Seq("o_orderkey"), "o_orderkey", ordBuckets, layout = "range", tag = fp)
+      }
+    }
+    loc
+  }
+
+  // --------------------------------------------------------------- q130
+  /** Post-merge state (pinned to version 2 — the read must not drift
+    * when q131's lifecycle advances the head) aggregated per nation,
+    * plus the copy-on-write audit: v2 must have carried six of v1's
+    * eight files BY REFERENCE (identical paths) and written three new
+    * ones. The carried/rewritten indicators come from manifest
+    * METADATA — kilobytes to the driver, never row data. */
+  def q130SnapMerge(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureCust(spark, dir)
+    val v1 = Snap.atVersion(spark, loc, 1)
+    val v2 = Snap.atVersion(spark, loc, 2)
+    val carried = v2.files.map(_.path).toSet
+      .intersect(v1.files.map(_.path).toSet).size
+    val rewrote = v2.files.count(f => !v1.files.map(_.path).contains(f.path))
+    val carriedOk = carried == 6 && v1.files.size == 8
+    val rewroteOk = rewrote == 3 && v2.files.size == 9
+    Snap.read(spark, loc, asOf = Some(2))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        count(when(col("c_mktsegment") === "NEWSEG", 1)).as("n_new"))
+      .withColumn("cow_carried_ok", lit(if (carriedOk) 1 else 0))
+      .withColumn("cow_rewrote_ok", lit(if (rewroteOk) 1 else 0))
+  }
+
+  private val d1Sql =
+    """d1_upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_custkey >= 0 AND c_custkey < 150),
+      |d1_ins AS (
+      |  SELECT c_custkey + 100000 AS c_custkey, 'snap_new' AS c_name,
+      |         c_nationkey, 111.11 AS c_acctbal, 'NEWSEG' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 100 = 1),
+      |d1_keys AS (
+      |  SELECT c_custkey FROM d1_upd
+      |  UNION ALL SELECT c_custkey FROM d1_ins
+      |  UNION ALL SELECT c_custkey FROM customer
+      |    WHERE c_custkey >= 700 AND c_custkey < 750),
+      |v2 AS (
+      |  SELECT * FROM customer
+      |    WHERE c_custkey NOT IN (SELECT c_custkey FROM d1_keys)
+      |  UNION ALL SELECT * FROM d1_upd
+      |  UNION ALL SELECT * FROM d1_ins)""".stripMargin
+
+  val q130Sql: String =
+    s"""WITH $d1Sql
+       |SELECT c_nationkey, count(*) AS n_rows,
+       |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+       |  count(*) FILTER (WHERE c_mktsegment = 'NEWSEG') AS n_new,
+       |  1 AS cow_carried_ok, 1 AS cow_rewrote_ok
+       |FROM v2 GROUP BY c_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q131
+  /** Time travel: the same aggregate at versions 1, 2, 3 — three
+    * explicit-file plans over immutable data, no reconstruction.
+    * Version 3's row also audits snapshot isolation's precondition
+    * (every v1 file still on disk after two later commits). */
+  def q131SnapTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureCust(spark, dir)
+    val fs = Published.fsOf(loc)
+    val v1Intact = Snap.atVersion(spark, loc, 1).files.forall(f =>
+      Published.exists(fs, new HPath(loc, f.path)))
+    def face(v: Int): DataFrame =
+      Snap.read(spark, loc, asOf = Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"))
+        .select(lit(v).as("version"), col("n_rows"), col("tot_bal"),
+          lit(if (v1Intact) 1 else 0).as("v1_files_intact"))
+    face(1).unionByName(face(2)).unionByName(face(3)).orderBy("version")
+  }
+
+  val q131Sql: String =
+    s"""WITH $d1Sql,
+       |d2_upd AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal - 500 AS c_acctbal,
+       |         c_mktsegment
+       |  FROM customer WHERE c_custkey >= 300 AND c_custkey < 400),
+       |d2_keys AS (
+       |  SELECT c_custkey FROM d2_upd
+       |  UNION ALL SELECT c_custkey + 100000 AS c_custkey FROM customer
+       |    WHERE c_custkey % 200 = 1),
+       |v3 AS (
+       |  SELECT * FROM v2
+       |    WHERE c_custkey NOT IN (SELECT c_custkey FROM d2_keys)
+       |  UNION ALL SELECT * FROM d2_upd)
+       |SELECT 1 AS version, count(*) AS n_rows,
+       |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal, 1 AS v1_files_intact
+       |FROM customer
+       |UNION ALL
+       |SELECT 2, count(*), round(sum(c_acctbal) + 1e-9, 2), 1 FROM v2
+       |UNION ALL
+       |SELECT 3, count(*), round(sum(c_acctbal) + 1e-9, 2), 1 FROM v3
+       |ORDER BY version""".stripMargin
+
+  // --------------------------------------------------------------- q132
+  /** Stats-pruned range scan: the manifest's per-file [min,max] plans
+    * only the orders files intersecting [max/4, max/2] — on the
+    * 16-bucket range layout that is ~5 of 16 files; the indicator
+    * verifies real skipping happened (0 < planned < total). At 100 TB
+    * this is the difference between reading 25 TB and reading the
+    * manifest + 5 files' worth. */
+  def q132SnapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureOrd(spark, dir)
+    val maxKey = Tables.orders(spark, dir)
+      .agg(max(col("o_orderkey"))).head.getLong(0)
+    val (lo, hi) = (maxKey / 4, maxKey / 2)
+    val (df, planned, total) = Snap.prunedScan(spark, loc, lo, hi)
+    df.agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")) + lit(1e-9), 2).as("tot_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .withColumn("files_skipped_ok",
+        lit(if (planned > 0 && planned < total) 1 else 0))
+  }
+
+  val q132Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  round(sum(o_totalprice) + 1e-9, 2) AS tot_price,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  1 AS files_skipped_ok
+      |FROM orders
+      |WHERE o_orderkey >= (SELECT max(o_orderkey) // 4 FROM orders)
+      |  AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_snap_merge" -> q130SnapMerge _,
+    "q131_snap_time_travel" -> q131SnapTimeTravel _,
+    "q132_snap_prune" -> q132SnapPrune _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q130_snap_merge" -> q130Sql,
+    "q131_snap_time_travel" -> q131Sql,
+    "q132_snap_prune" -> q132Sql,
+  )
+}

@@ -232,3 +232,68 @@ class CondPutFileSystem extends RawLocalFileSystem
     }
   }
 }
+
+object ManifestLandThenThrow {
+  /** Armed window for the SNAP commit's ambiguity contract: a manifest
+    * create LANDS server-side but the call throws, and the client-side
+    * failure-atomicity delete blips too (store unreachable for
+    * everyone) — the landed manifest survives. Reads stay CLEAN so the
+    * commit's read-back resolution is what gets exercised. */
+  @volatile var armed: Boolean = false
+  val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def manifestFile(f: Path): Boolean =
+    f.getName.startsWith("manifest-v")
+}
+
+/** [[LandThenThrowFileSystem]]'s shape pointed at SNAP manifests: the
+  * conditional PUT that commits a snapshot succeeds durably but the
+  * response is lost. [[graft.sources.Snap.commitManifest]]'s contract:
+  * resolve by reading the manifest back — its own writer token means
+  * COMMITTED (return success, exactly one manifest), never a re-issued
+  * create against its own landed commit and never a stall. */
+class ManifestLandThenThrowFileSystem extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("graftmltt:///")
+
+  private def wrap(out: FSDataOutputStream): FSDataOutputStream = {
+    val thrown = new java.util.concurrent.atomic.AtomicBoolean(false)
+    new FSDataOutputStream(new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = {
+        out.close()
+        ManifestLandThenThrow.landed.incrementAndGet()
+        if (thrown.compareAndSet(false, true))
+          throw new java.io.IOException(
+            "graftmltt: response lost after the manifest PUT landed")
+      }
+    }, null)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val out = super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress)
+    if (!overwrite && ManifestLandThenThrow.armed &&
+        ManifestLandThenThrow.manifestFile(f)) wrap(out)
+    else out
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val out = super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+    if (!overwrite && ManifestLandThenThrow.armed &&
+        ManifestLandThenThrow.manifestFile(f)) wrap(out)
+    else out
+  }
+
+  /** The failure-atomicity delete after the "failed" PUT blips — the
+    * landed manifest survives the client's cleanup attempt. */
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    if (ManifestLandThenThrow.armed &&
+        ManifestLandThenThrow.manifestFile(f))
+      throw new java.io.IOException(s"graftmltt: delete blipped: $f")
+    else super.delete(f, recursive)
+}

@@ -1,0 +1,296 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Published, Snap, SnapOps, Tables}
+
+/** The [[graft.sources.Snap]] snapshot format's contracts, executed:
+  * copy-on-write merge (exact carried/rewritten file sets), time
+  * travel + snapshot isolation, stats-based pruning, torn-manifest
+  * fallback and sweep, the staging crash window, vacuum's horizon, and
+  * the manifest commit's landed-but-errored ambiguity (mock connector —
+  * the sims fault before the claim, so only the mock reaches it). */
+class SnapSpec extends SparkSpec {
+
+  private def tmpLoc(tag: String): HPath =
+    new HPath(Files.createTempDirectory(s"snap_$tag").toString, "tbl")
+
+  private def cust: DataFrame = Tables.customer(spark, sf) // keys 0..149
+
+  /** keys [0,10) updated (+1000), [80,90) deleted, {1000,1001}
+    * inserted — on the 4-range-bucket layout over [0,149] that is
+    * buckets {0, 2} rewritten, bucket 3 gaining an insert file, and
+    * buckets {1, 3} carried. */
+  private def smallDelta: DataFrame = {
+    val upd = cust.filter(col("c_custkey") < 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+      .withColumn("_deleted", lit(false))
+    val del = cust.filter(col("c_custkey") >= 80 && col("c_custkey") < 90)
+      .withColumn("_deleted", lit(true))
+    val ins = cust.filter(col("c_custkey") < 2)
+      .select((col("c_custkey") + 1000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), lit(9.99).as("c_acctbal"),
+        lit("INS").as("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  /** The delta applied relationally — the spec's own oracle. */
+  private def expectedAfterSmallDelta: DataFrame = {
+    val survivors = cust.filter(col("c_custkey") >= 10 &&
+      !(col("c_custkey") >= 80 && col("c_custkey") < 90))
+    val upd = cust.filter(col("c_custkey") < 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+    val ins = cust.filter(col("c_custkey") < 2)
+      .select((col("c_custkey") + 1000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), lit(9.99).as("c_acctbal"),
+        lit("INS").as("c_mktsegment"))
+    survivors.unionByName(upd).unionByName(ins)
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("create + read round-trip, both layouts") {
+    for (layout <- Seq("hash", "range")) {
+      val loc = tmpLoc(s"rt_$layout")
+      Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+        layout = layout, tag = "t")
+      val h = Snap.head(spark, loc).get
+      assert(h.version == 1 && h.layout == layout && h.files.nonEmpty)
+      assert(h.files.map(_.rows).sum == 150)
+      assert(rows(Snap.read(spark, loc)) == rows(cust))
+      // create is idempotent per tag, loud on a foreign tag
+      Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+        layout = layout, tag = "t")
+      assert(Snap.head(spark, loc).get.version == 1)
+      intercept[RuntimeException] {
+        Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+          layout = layout, tag = "OTHER")
+      }
+    }
+  }
+
+  test("COW merge: exact carried/rewritten file sets, content correct") {
+    val loc = tmpLoc("cow")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val v1 = Snap.head(spark, loc).get
+    assert(v1.files.size == 4 && v1.files.map(_.bucket).sorted == Seq(0, 1, 2, 3))
+    assert(Snap.merge(spark, loc, smallDelta) == 2)
+    val v2 = Snap.head(spark, loc).get
+    val v1Paths = v1.files.map(_.path).toSet
+    val carried = v2.files.filter(f => v1Paths.contains(f.path))
+    val fresh = v2.files.filterNot(f => v1Paths.contains(f.path))
+    // buckets 1 and 3 carried BY REFERENCE; 0, 2 rewritten; 3 gains an
+    // insert file (its original [113,149] range does not intersect the
+    // 1000-range insert keys — the file-level intersection test)
+    assert(carried.map(_.bucket).sorted == Seq(1, 3),
+      s"carried ${carried.map(f => f.bucket -> f.path)}")
+    assert(fresh.map(_.bucket).sorted == Seq(0, 2, 3))
+    assert(v2.files.size == 5 && v2.parent == 1)
+    // stats describe the new files: the insert file's range is tight
+    val insFile = fresh.find(f => f.bucket == 3).get
+    assert(insFile.min.toLong == 1000L && insFile.max.toLong == 1001L &&
+      insFile.rows == 2)
+    assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
+  }
+
+  test("time travel: pinned versions survive later commits; v1 files intact") {
+    val loc = tmpLoc("tt")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    Snap.merge(spark, loc, smallDelta)
+    // second merge: delete the inserts again
+    val del2 = cust.filter(col("c_custkey") < 2)
+      .select((col("c_custkey") + 1000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("_deleted", lit(true))
+    assert(Snap.merge(spark, loc, del2) == 3)
+    assert(rows(Snap.read(spark, loc, asOf = Some(1))) == rows(cust))
+    assert(rows(Snap.read(spark, loc, asOf = Some(2))) ==
+      rows(expectedAfterSmallDelta))
+    assert(rows(Snap.read(spark, loc, asOf = Some(3))) ==
+      rows(expectedAfterSmallDelta.filter(col("c_custkey") < 1000L)))
+    val fs = Published.fsOf(loc)
+    assert(Snap.atVersion(spark, loc, 1).files.forall(f =>
+      fs.exists(new HPath(loc, f.path))),
+      "a later commit disturbed v1's immutable files")
+  }
+
+  test("pruned scan: strict file subset, same answer as the full scan") {
+    val loc = tmpLoc("prune")
+    val ord = Tables.orders(spark, sf) // keys 0..1499
+    Snap.create(spark, loc, ord, Seq("o_orderkey"), "o_orderkey", 16,
+      layout = "range", tag = "t")
+    val (df, planned, total) = Snap.prunedScan(spark, loc, 300L, 600L)
+    assert(planned > 0 && planned < total, s"planned $planned of $total")
+    val full = Snap.read(spark, loc)
+      .filter(col("o_orderkey") >= 300 && col("o_orderkey") <= 600)
+    assert(rows(df) == rows(full))
+    // hash layout degrades to a full scan — every file spans the space
+    val hloc = tmpLoc("prune_hash")
+    Snap.create(spark, hloc, ord, Seq("o_orderkey"), "o_orderkey", 16,
+      layout = "hash", tag = "t")
+    val (_, hPlanned, hTotal) = Snap.prunedScan(spark, hloc, 300L, 600L)
+    assert(hPlanned == hTotal)
+  }
+
+  test("pruned scan plan: inputFiles == the chosen subset, residual " +
+      "predicate pushed to the parquet scan") {
+    val loc = tmpLoc("plan")
+    Snap.create(spark, loc, Tables.orders(spark, sf),
+      Seq("o_orderkey"), "o_orderkey", 16, layout = "range", tag = "t")
+    val (df, planned, total) = Snap.prunedScan(spark, loc, 300L, 600L)
+    assert(df.inputFiles.length == planned && planned < total,
+      s"plan scans ${df.inputFiles.length} files, manifest chose $planned of $total")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata("PushedFilters")
+      .contains("GreaterThanOrEqual(o_orderkey,300)"),
+      s"residual range not pushed: ${scans.head.metadata("PushedFilters")}")
+  }
+
+  test("torn manifest (mid-create crash state) is invisible to readers, " +
+      "loud to time travel, and swept by the next commit") {
+    val loc = tmpLoc("torn")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val fs = Published.fsOf(loc)
+    // a dead writer's partial create at the NEXT version: header bytes,
+    // no checksum footer
+    scala.util.Using.resource(fs.create(Snap.manifestPath(loc, 2), true))(
+      _.write("graft-snap 1\nversion=2\n".getBytes("UTF-8")))
+    assert(Snap.head(spark, loc).get.version == 1,
+      "a torn manifest must never serve")
+    intercept[RuntimeException] { Snap.atVersion(spark, loc, 2) }
+    assert(rows(Snap.read(spark, loc)) == rows(cust))
+    // the next merge targets version 2, finds the torn file, sweeps it
+    // (under the lease nobody live can own it) and commits
+    assert(Snap.merge(spark, loc, smallDelta) == 2)
+    assert(Snap.head(spark, loc).get.version == 2)
+    assert(Snap.parse(new String(render(Snap.head(spark, loc).get))) != None)
+    assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
+  }
+
+  private def render(m: Snap.SnapManifest): Array[Byte] = Snap.render(m)
+
+  test("crash after staging, before the manifest commit: nothing serves, " +
+      "orphans are invisible, vacuum sweeps them, the retry lands") {
+    val loc = tmpLoc("crash")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    RestartKit.windowHook = name =>
+      if (name == "snapstage") throw new RuntimeException("crash: snapstage")
+    try intercept[RuntimeException] { Snap.merge(spark, loc, smallDelta) }
+    finally RestartKit.windowHook = _ => ()
+    assert(Snap.head(spark, loc).get.version == 1,
+      "a crashed merge must not advance the head")
+    assert(rows(Snap.read(spark, loc)) == rows(cust))
+    // the crashed attempt's moved-but-unreferenced data files exist …
+    val fs = Published.fsOf(loc)
+    val orphans = fs.listStatus(new HPath(loc, "data"))
+      .map(_.getPath.getName).count(_.startsWith("v2-"))
+    assert(orphans == 3, s"expected 3 orphan files, saw $orphans")
+    // … vacuum sweeps exactly them …
+    val (m, d, _) = Snap.vacuum(spark, loc, keepVersions = 5)
+    assert(m == 0 && d == 3)
+    // … and the retry commits clean
+    assert(Snap.merge(spark, loc, smallDelta) == 2)
+    assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
+  }
+
+  test("vacuum: past-horizon versions and their files go; head still serves; " +
+      "time travel past the horizon is loud") {
+    val loc = tmpLoc("vac")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    Snap.merge(spark, loc, smallDelta)
+    val v1Files = Snap.atVersion(spark, loc, 1).files.map(_.path)
+    val v2 = Snap.head(spark, loc).get
+    val (m, d, _) = Snap.vacuum(spark, loc, keepVersions = 1)
+    assert(m == 1, "manifest v1 should be swept")
+    // exactly v1's non-carried files die; v2's carried ones live
+    val v2Paths = v2.files.map(_.path).toSet
+    assert(d == v1Files.count(p => !v2Paths.contains(p)))
+    assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
+    intercept[RuntimeException] { Snap.atVersion(spark, loc, 1) }
+    val fs = Published.fsOf(loc)
+    v1Files.filterNot(v2Paths.contains).foreach(p =>
+      assert(!fs.exists(new HPath(loc, p)), s"$p not vacuumed"))
+  }
+
+  test("contract guards: duplicate-key delta and missing columns refuse") {
+    val loc = tmpLoc("guard")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val dup = smallDelta.unionByName(smallDelta)
+    intercept[IllegalArgumentException] { Snap.merge(spark, loc, dup) }
+    intercept[IllegalArgumentException] {
+      Snap.merge(spark, loc, smallDelta.drop("c_mktsegment"))
+    }
+    intercept[IllegalArgumentException] {
+      Snap.merge(spark, loc, smallDelta.drop("_deleted"))
+    }
+    assert(Snap.head(spark, loc).get.version == 1, "a refused merge committed")
+  }
+
+  test("manifest commit whose PUT lands but errors (response lost, cleanup " +
+      "delete blipped) resolves to COMMITTED — exactly one manifest, no stall") {
+    registerSchemeImpl("fs.graftmltt.impl",
+      classOf[ManifestLandThenThrowFileSystem])
+    val dir = Files.createTempDirectory("snap_mltt")
+    val loc = new HPath(s"graftmltt://$dir/tbl")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    ManifestLandThenThrow.landed.set(0)
+    ManifestLandThenThrow.armed = true
+    try assert(Snap.merge(spark, loc, smallDelta) == 2)
+    finally ManifestLandThenThrow.armed = false
+    assert(ManifestLandThenThrow.landed.get() >= 1, "window never fired (vacuous)")
+    // exactly one committed v2 on disk, and it serves
+    val nio = dir.resolve("tbl")
+    val manifests = java.nio.file.Files.list(nio).iterator()
+    var v2Count = 0
+    while (manifests.hasNext) {
+      val p = manifests.next()
+      if (p.getFileName.toString == "manifest-v00000002") v2Count += 1
+    }
+    assert(v2Count == 1)
+    assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
+  }
+
+  test("a rival's valid manifest at the target version is a loud " +
+      "SnapConflict, never a silent re-base or overwrite") {
+    val loc = tmpLoc("rival")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val fs = Published.fsOf(loc)
+    val base = Snap.head(spark, loc).get
+    val rival = base.copy(version = 2, parent = 1, writer = "rival-token")
+    scala.util.Using.resource(fs.create(Snap.manifestPath(loc, 2), true))(
+      _.write(render(rival)))
+    val mine = base.copy(version = 2, parent = 1, writer = "my-token")
+    intercept[Snap.SnapConflict] {
+      Snap.commitManifest(fs, loc, mine, () => ())
+    }
+    // the rival's commit is untouched
+    assert(Snap.head(spark, loc).get.writer == "rival-token")
+  }
+
+  test("q130/q131/q132 demo lifecycle is replay-stable at spec scale") {
+    val a = rows(SnapOps.q130SnapMerge(spark, sf))
+    val b = rows(SnapOps.q130SnapMerge(spark, sf)) // attach path, no rebuild
+    assert(a == b && a.nonEmpty)
+    val tt = SnapOps.q131SnapTimeTravel(spark, sf).collect()
+    assert(tt.length == 3 && tt.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val pr = SnapOps.q132SnapPrune(spark, sf).collect()
+    assert(pr.length == 1 && pr(0).getAs[Int]("files_skipped_ok") == 1)
+  }
+}

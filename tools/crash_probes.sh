@@ -282,4 +282,51 @@ for W in preflag presweep prerebuild; do
   fi
 done
 echo "leg F OK: all three compaction crash windows (preflag/presweep/prerebuild) -> new-JVM heal -> folded store, O(slices) table, count-exact"
+
+echo "== leg G: snapshot-format (Snap) manifest-commit crash windows"
+# The Snap table format has ONE commit point (the manifest create-new).
+# Three real process deaths around it, one chained store: snapstage
+# (after the data-file moves, before the commit — head must not
+# advance, orphans invisible, vacuum sweeps exactly them, retry lands),
+# snaptorn (MID-create: footer-less manifest bytes land, then kill —
+# readers must fall back to the parent and the retried merge must
+# sweep+retake the version), snapcommit (right after the create — the
+# commit must be durable with no healing). Each healer JVM also
+# stale-breaks the dead writer's lease (shrunken threshold, leg A's
+# discipline). Validation is FULL row-set equality against the
+# relationally-applied delta chain, every round.
+ROOTG=$(mktemp -d /tmp/graft-snapprobe.XXXX)
+LOCG_URI="$ROOTG/tbl"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  LOCG_URI="hdfs://graftsim$ROOTG/tbl"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  LOCG_URI="s3a://graftbucket$ROOTG/tbl"
+fi
+$RUN graft.SnapCrashProbe gbase $SF "$LOCG_URI" >/tmp/snapprobe_gbase.log 2>&1
+grep -a "SNAPPROBE gbase OK" /tmp/snapprobe_gbase.log || \
+  { echo "FAIL: leg G seeding failed"; tail -5 /tmp/snapprobe_gbase.log; exit 1; }
+ROUNDG=2
+for W in snapstage snaptorn snapcommit; do
+  if [[ "$W" == "snaptorn" ]]; then
+    CRASH_ENV=(SPARK_GRAFT_SNAP_TORN=1)
+    HALT_LINE="SNAPPROBE torn manifest"
+  else
+    CRASH_ENV=(SPARK_GRAFT_SNAP_HALT=$W)
+    HALT_LINE="RESTARTPROBE halting in crash window $W"
+  fi
+  env "${CRASH_ENV[@]}" \
+    $RUN graft.SnapCrashProbe gcrash $SF "$LOCG_URI" $W $ROUNDG >/tmp/snapprobe_${W}.log 2>&1 && \
+    { echo "FAIL: gcrash[$W] exited 0 — the halt never fired"; exit 1; }
+  grep -a "$HALT_LINE" /tmp/snapprobe_${W}.log || \
+    { echo "FAIL: gcrash[$W] died without reaching window $W"; tail -5 /tmp/snapprobe_${W}.log; exit 1; }
+  grep -aq "SNAPPROBE gcrash OK" /tmp/snapprobe_${W}.log && \
+    { echo "FAIL: gcrash[$W] completed past the halt window"; exit 1; }
+  sleep 3
+  SPARK_GRAFT_LEASE_STALE_MS=2000 \
+    $RUN graft.SnapCrashProbe gheal $SF "$LOCG_URI" $W $ROUNDG >/tmp/snapprobe_heal_${W}.log 2>&1
+  grep -a "SNAPPROBE gheal OK window=$W" /tmp/snapprobe_heal_${W}.log || \
+    { echo "FAIL: gheal[$W] did not heal"; grep -a SNAPPROBE /tmp/snapprobe_heal_${W}.log; tail -5 /tmp/snapprobe_heal_${W}.log; exit 1; }
+  ROUNDG=$((ROUNDG + 1))
+done
+echo "leg G OK: all three snap commit windows (snapstage/snaptorn/snapcommit) -> new-JVM heal -> row-set-exact, vacuumed clean"
 echo "ALL OK"
