@@ -196,6 +196,16 @@ object Bench {
       // its trigger interval; the data volume is kilobytes throughout.
       // Trail: 6.53 / 7.95 (r16 pair, slow-boot family)
       "s05_kll_publish_stream" -> 6.50,
+      // q130-q132 first measurements (r17): the Snap snapshot-format
+      // faces. Steady state is the ATTACH path (head-manifest resolve +
+      // explicit-file parquet read + agg) — the three-commit demo
+      // lifecycle builds once per warehouse and is tag-guarded like
+      // q120-q124's published tables. Same EXCEPTION to the ≥1 s rule
+      // as q115/q116: the failure mode is structural (a head/tag miss
+      // re-running create+2×merge per call, ~20-30×), not noise.
+      // Trail: 0.14/0.15/0.31 (r17 first full-suite run)
+      "q130_snap_merge" -> 0.15, "q131_snap_time_travel" -> 0.15,
+      "q132_snap_prune" -> 0.30,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
