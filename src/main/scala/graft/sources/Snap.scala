@@ -86,9 +86,23 @@ object Snap {
                                 rangeMin: Long, rangeMax: Long,
                                 files: Seq[SnapFile]) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
-    def keyKind: String =
-      if (schema(bucketCol).dataType == LongType) "long" else "string"
+    def keyKind: String = Snap.keyKindOf(schema(bucketCol).dataType)
   }
+
+  /** Stat/compare kind for a bucket column: every integral type is
+    * "long" (stats stringify as decimals; comparisons parse back), so
+    * an Int-keyed table can never fall into lexicographic compares —
+    * "100" < "5" as strings, and a merge that trusted that order would
+    * carry a file its delta overlaps (review finding, r17). Unsupported
+    * kinds are rejected at [[create]], never guessed. */
+  private[graft] def keyKindOf(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => "long"
+      case org.apache.spark.sql.types.StringType => "string"
+      case other => sys.error(s"snap: unsupported bucket-column type $other " +
+        "(supported: integral types, string)")
+    }
 
   // ------------------------------------------------------- manifest IO
 
@@ -142,7 +156,10 @@ object Snap {
         .map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
       val m = kv.filter(_._1 != "file").toMap
       val files = kv.filter(_._1 == "file").map { case (_, v) =>
-        val p = v.split(" ")
+        // limit -1: a string key whose max stat URL-encodes to "" would
+        // otherwise lose its trailing field and mis-parse a LANDED
+        // commit as torn (review finding, r17)
+        val p = v.split(" ", -1)
         SnapFile(dec(p(0)), p(1).toInt, p(2).toLong, dec(p(3)), dec(p(4)))
       }
       val range = m("range").split(",")
@@ -321,6 +338,18 @@ object Snap {
       .collect() // ≤ buckets rows — bounded driver metadata
     val stats = statRows.map(r => r.getInt(0) ->
       (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    // null-key backstop: a bucket of all-null keys has null min/max —
+    // committing it would NPE in the manifest render after the files
+    // moved; fail BEFORE moving anything (orphan-free abort)
+    stats.foreach { case (b, (_, mn, mx)) =>
+      require(mn != null && mx != null,
+        s"snap: bucket $b holds null-keyed rows — key columns must be " +
+          "non-null (nulls neither match deletes nor carry stats)")
+    }
+    // a contract-compliant FileSystem rename fails when the destination
+    // parent is missing (the local sims mask this by copy-fallback —
+    // review finding, r17): make data/ exist before the first move
+    Published.retryIO(gate)(fs.mkdirs(new HPath(loc, "data")))
     // move staged leaves to flat immutable names data/v<V>-b<K>-<i>;
     // flat names keep later explicit-file reads free of partition
     // discovery. A crash anywhere here leaves only unreferenced files.
@@ -417,6 +446,7 @@ object Snap {
              layout: String = "hash", tag: String = ""): Unit = {
     require(Seq("hash", "range").contains(layout), s"bad layout $layout")
     require(keyCols.contains(bucketCol), "bucketCol must be a key column")
+    keyKindOf(data.schema(bucketCol).dataType) // loud on unsupported types
     Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
       head(spark, loc) match {
         case Some(h) =>
@@ -449,9 +479,16 @@ object Snap {
     * rows vanish. Only files whose bucket AND key range can contain a
     * delta key are rewritten; everything else is carried by reference.
     * Returns the committed version. */
-  def merge(spark: SparkSession, loc: HPath, delta: DataFrame,
+  def merge(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
             deletedCol: String = "_deleted"): Int = {
-    Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+    // one materialization of the caller's delta lineage: the contract
+    // check, the range collect, and the staging write would otherwise
+    // each re-run it — 3× an arbitrarily expensive CDC pipeline
+    // (review finding, r17). Deltas are the SMALL side by design;
+    // MEMORY_AND_DISK spills rather than OOMs if one is not.
+    val delta = deltaIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
       val m = head(spark, loc).getOrElse(
         sys.error(s"snap $loc: merge into a table that never committed"))
       val gate = () => Published.assertLeaseOwned(loc)
@@ -463,12 +500,16 @@ object Snap {
       require(delta.columns.contains(deletedCol),
         s"delta needs boolean column $deletedCol")
       val keyEx = m.keyCols.map(col)
-      // contract guard: at most one delta row per key — a dup would
-      // make "latest-wins" order-dependent. O(delta) check.
-      val dup = delta.groupBy(keyEx: _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dup == 0, "delta carries duplicate keys — resolve to one row " +
-        "per key before merging (latest-wins needs a defined latest)")
+      // contract guards in ONE pass: at most one delta row per key (a
+      // dup makes "latest-wins" order-dependent) and no null key
+      // values (nulls neither match deletes through the anti-join nor
+      // carry stats)
+      val bad = delta.groupBy(keyEx: _*).count()
+        .filter(col("count") > 1 ||
+          m.keyCols.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count()
+      require(bad == 0, "delta carries duplicate or null keys — resolve to " +
+        "one non-null-keyed row per key before merging")
 
       // per-bucket delta key ranges: ≤ buckets rows to the driver —
       // the planning metadata that makes the rewrite set file-granular
@@ -520,7 +561,7 @@ object Snap {
       commitManifest(fs, loc, mn, gate)
       graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
       next
-    }
+    } finally delta.unpersist()
   }
 
   /** Drop data nothing can reach: keep the newest `keepVersions`

@@ -36,7 +36,10 @@ object SnapOps {
       graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
 
   private def custFp(dir: String): String =
-    Published.fingerprint("snapc",
+    // "snapc2": the tag versions the LIFECYCLE SHAPE too — a warehouse
+    // built with the r17 pre-review absolute-bound deltas must rebuild,
+    // not attach-and-mismatch the sf-relative oracle
+    Published.fingerprint("snapc2",
       Seq(new HPath(dir, "customer.parquet")))
   private def ordFp(dir: String): String =
     Published.fingerprint("snapo",
@@ -45,37 +48,51 @@ object SnapOps {
   private val custCols =
     Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
-  /** Delta 1 — the hot-range CDC batch: update keys [0,150) (+1000
-    * balance), retire keys [700,750), insert `k+100000` for k≡1
-    * (mod 100). Range-sparse on purpose: buckets {0, 3} rewrite,
-    * bucket 7 gains an insert file, five files carry. */
+  /** Key-space size M = max(c_custkey)+1 — every delta bound is
+    * M-relative so the COW file-set shape (and q130's pinned
+    * indicators) holds at EVERY scale factor, not just sf0.01 (review
+    * finding, r17: absolute bounds degenerated to a full rewrite at
+    * sf0.001 and a single-bucket delta at sf0.1). One full-column max,
+    * paid only inside the lifecycle build. */
+  private def keySpace(spark: SparkSession, dir: String): Long =
+    Tables.customer(spark, dir).agg(max(col("c_custkey"))).head.getLong(0) + 1L
+
+  /** Delta 1 — the hot-range CDC batch: update keys [0, M/10) (+1000
+    * balance, bucket 0 of the 8-range layout), retire keys
+    * [M/2, M/2+M/20) (bucket 4), insert `k+M` for k≡1 (mod 100)
+    * (clamped to bucket 7, whose ORIGINAL file's [7M/8, M-1] range
+    * does not intersect the ≥M insert keys — carried by stats).
+    * Shape at any sf: rewrite {b0, b4}, new files {b0, b4, b7-ins},
+    * six of eight v1 files carried. */
   private[sources] def delta1(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val upd = c.filter(col("c_custkey") >= 0 && col("c_custkey") < 150)
+    val m = keySpace(spark, dir)
+    val upd = c.filter(col("c_custkey") < m / 10)
       .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
       .withColumn("_deleted", lit(false))
-    val del = c.filter(col("c_custkey") >= 700 && col("c_custkey") < 750)
+    val del = c.filter(col("c_custkey") >= m / 2 &&
+        col("c_custkey") < m / 2 + m / 20)
       .withColumn("_deleted", lit(true))
     val ins = c.filter(col("c_custkey") % 100 === 1)
-      .select((col("c_custkey") + 100000L).as("c_custkey"),
+      .select((col("c_custkey") + m).as("c_custkey"),
         lit("snap_new").as("c_name"), col("c_nationkey"),
         lit(111.11).as("c_acctbal"), lit("NEWSEG").as("c_mktsegment"))
       .withColumn("_deleted", lit(false))
     upd.unionByName(del).unionByName(ins)
   }
 
-  /** Delta 2 — update keys [300,400) (−500 balance), retire half of
-    * delta 1's inserts (k≡1 mod 200). Touches buckets {1, 2} and the
-    * v2 insert file; the ORIGINAL bucket-7 file's [1312,1499] range
-    * does not intersect the 100k-range delete keys, so file-level
-    * stats carry it untouched — the intersection test at work. */
+  /** Delta 2 — update keys [M/5, M/4) (−500 balance, bucket 1), retire
+    * half of delta 1's inserts (k≡1 mod 200, i.e. keys k+M). Rewrites
+    * {v1's b1 file, v2's b7 insert file}; the original b7 file stays
+    * carried — the file-level intersection test at work. */
   private[sources] def delta2(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val upd = c.filter(col("c_custkey") >= 300 && col("c_custkey") < 400)
+    val m = keySpace(spark, dir)
+    val upd = c.filter(col("c_custkey") >= m / 5 && col("c_custkey") < m / 4)
       .withColumn("c_acctbal", col("c_acctbal") - lit(500.0))
       .withColumn("_deleted", lit(false))
     val del = c.filter(col("c_custkey") % 200 === 1)
-      .select((col("c_custkey") + 100000L).as("c_custkey"),
+      .select((col("c_custkey") + m).as("c_custkey"),
         col("c_name"), col("c_nationkey"), col("c_acctbal"),
         col("c_mktsegment"))
       .withColumn("_deleted", lit(true))
@@ -128,9 +145,10 @@ object SnapOps {
     val loc = ensureCust(spark, dir)
     val v1 = Snap.atVersion(spark, loc, 1)
     val v2 = Snap.atVersion(spark, loc, 2)
-    val carried = v2.files.map(_.path).toSet
-      .intersect(v1.files.map(_.path).toSet).size
-    val rewrote = v2.files.count(f => !v1.files.map(_.path).contains(f.path))
+    val v1Paths = v1.files.map(_.path).toSet
+    val carried = v2.files.count(f => v1Paths.contains(f.path))
+    val rewrote = v2.files.size - carried
+    // sf-invariant by the M-relative delta design above
     val carriedOk = carried == 6 && v1.files.size == 8
     val rewroteOk = rewrote == 3 && v2.files.size == 9
     Snap.read(spark, loc, asOf = Some(2))
@@ -143,19 +161,22 @@ object SnapOps {
   }
 
   private val d1Sql =
-    """d1_upd AS (
+    """ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |d1_upd AS (
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000 AS c_acctbal,
       |         c_mktsegment
-      |  FROM customer WHERE c_custkey >= 0 AND c_custkey < 150),
+      |  FROM customer WHERE c_custkey < (SELECT m // 10 FROM ks)),
       |d1_ins AS (
-      |  SELECT c_custkey + 100000 AS c_custkey, 'snap_new' AS c_name,
+      |  SELECT c_custkey + (SELECT m FROM ks) AS c_custkey,
+      |         'snap_new' AS c_name,
       |         c_nationkey, 111.11 AS c_acctbal, 'NEWSEG' AS c_mktsegment
       |  FROM customer WHERE c_custkey % 100 = 1),
       |d1_keys AS (
       |  SELECT c_custkey FROM d1_upd
       |  UNION ALL SELECT c_custkey FROM d1_ins
       |  UNION ALL SELECT c_custkey FROM customer
-      |    WHERE c_custkey >= 700 AND c_custkey < 750),
+      |    WHERE c_custkey >= (SELECT m // 2 FROM ks)
+      |      AND c_custkey < (SELECT m // 2 + m // 20 FROM ks)),
       |v2 AS (
       |  SELECT * FROM customer
       |    WHERE c_custkey NOT IN (SELECT c_custkey FROM d1_keys)
@@ -194,11 +215,12 @@ object SnapOps {
        |d2_upd AS (
        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal - 500 AS c_acctbal,
        |         c_mktsegment
-       |  FROM customer WHERE c_custkey >= 300 AND c_custkey < 400),
+       |  FROM customer WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |    AND c_custkey < (SELECT m // 4 FROM ks)),
        |d2_keys AS (
        |  SELECT c_custkey FROM d2_upd
-       |  UNION ALL SELECT c_custkey + 100000 AS c_custkey FROM customer
-       |    WHERE c_custkey % 200 = 1),
+       |  UNION ALL SELECT c_custkey + (SELECT m FROM ks) AS c_custkey
+       |  FROM customer WHERE c_custkey % 200 = 1),
        |v3 AS (
        |  SELECT * FROM v2
        |    WHERE c_custkey NOT IN (SELECT c_custkey FROM d2_keys)
@@ -221,8 +243,10 @@ object SnapOps {
     * manifest + 5 files' worth. */
   def q132SnapPrune(spark: SparkSession, dir: String): DataFrame = {
     val loc = ensureOrd(spark, dir)
-    val maxKey = Tables.orders(spark, dir)
-      .agg(max(col("o_orderkey"))).head.getLong(0)
+    // scan bounds from manifest METADATA (rangeMax == max(o_orderkey)
+    // at create): no source rescan on the serve path — the module's
+    // own scale ledger, kept on its demo face (review finding, r17)
+    val maxKey = Snap.head(spark, loc).get.rangeMax
     val (lo, hi) = (maxKey / 4, maxKey / 2)
     val (df, planned, total) = Snap.prunedScan(spark, loc, lo, hi)
     df.agg(count(lit(1)).as("n_rows"),

@@ -284,13 +284,51 @@ class SnapSpec extends SparkSpec {
     assert(Snap.head(spark, loc).get.writer == "rival-token")
   }
 
-  test("q130/q131/q132 demo lifecycle is replay-stable at spec scale") {
-    val a = rows(SnapOps.q130SnapMerge(spark, sf))
+  test("q130/q131/q132 demo lifecycle is replay-stable at spec scale, and " +
+      "the COW indicators hold OFF the oracle's sf (the M-relative design)") {
+    val q130 = SnapOps.q130SnapMerge(spark, sf).collect()
+    assert(q130.nonEmpty)
+    // sf0.001 is NOT the oracle's scale — the carried-6-of-8 /
+    // rewrote-3 shape must hold here too or the indicators are
+    // sf-pinned constants (review finding, r17)
+    assert(q130.forall(_.getAs[Int]("cow_carried_ok") == 1))
+    assert(q130.forall(_.getAs[Int]("cow_rewrote_ok") == 1))
+    val a = q130.map(_.mkString("|")).toSet
     val b = rows(SnapOps.q130SnapMerge(spark, sf)) // attach path, no rebuild
-    assert(a == b && a.nonEmpty)
+    assert(a == b)
     val tt = SnapOps.q131SnapTimeTravel(spark, sf).collect()
     assert(tt.length == 3 && tt.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(tt.forall(_.getAs[Int]("v1_files_intact") == 1))
     val pr = SnapOps.q132SnapPrune(spark, sf).collect()
     assert(pr.length == 1 && pr(0).getAs[Int]("files_skipped_ok") == 1)
+  }
+
+  test("an Int-keyed table merges numerically — file intersection can " +
+      "never compare decimal strings lexicographically") {
+    // the review-found corruption shape: file stats [2,100+], delta key
+    // 5. Lexicographic \"100\" >= \"5\" is FALSE, so a string-kinded
+    // compare would carry the file, keep the old row AND write the
+    // upsert — a duplicate key with conflicting values.
+    val loc = tmpLoc("intkey")
+    val c = cust.withColumn("c_custkey", col("c_custkey").cast("int"))
+    Snap.create(spark, loc, c, Seq("c_custkey"), "c_custkey", 2,
+      layout = "range", tag = "t")
+    assert(Snap.head(spark, loc).get.keyKind == "long")
+    val d = c.filter(col("c_custkey") === 5)
+      .withColumn("c_acctbal", lit(42.0)).withColumn("_deleted", lit(false))
+    Snap.merge(spark, loc, d)
+    val got = Snap.read(spark, loc).filter(col("c_custkey") === 5).collect()
+    assert(got.length == 1, s"key 5 duplicated or lost: ${got.length} rows")
+    assert(got(0).getAs[Double]("c_acctbal") == 42.0)
+  }
+
+  test("manifest render/parse round-trips empty-string stats — a landed " +
+      "commit must never mis-parse as torn") {
+    val m = Snap.SnapManifest(3, 2, "w", "t",
+      "k STRING,v BIGINT", Seq("k"), "k", 2, "hash", 0L, 0L,
+      Seq(Snap.SnapFile("data/f1", 0, 5L, "", ""),
+        Snap.SnapFile("data/f2", 1, 2L, "a b", "z")))
+    val back = Snap.parse(new String(Snap.render(m), "UTF-8"))
+    assert(back.contains(m), s"round-trip lost fields: $back")
   }
 }
