@@ -206,6 +206,11 @@ object Bench {
       // Trail: 0.14/0.15/0.31 (r17 first full-suite run)
       "q130_snap_merge" -> 0.15, "q131_snap_time_travel" -> 0.15,
       "q132_snap_prune" -> 0.30,
+      // q133 first measurement (r17): the auto-optimize lifecycle face —
+      // attach + two-manifest metadata audit + the folded-table agg.
+      // Same structural-guard class (a head/tag miss re-runs
+      // create+3×merge+fold). Trail: 0.09 (r17 third full-suite run)
+      "q133_snap_optimize" -> 0.10,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution

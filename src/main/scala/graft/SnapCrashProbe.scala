@@ -118,6 +118,26 @@ object SnapCrashProbe {
         assertSame(Snap.read(spark, loc), expected(1), "gbase state")
         println(s"SNAPPROBE gbase OK v=$v rows=${Snap.read(spark, loc).count()}")
 
+      case "grace" =>
+        // one racer of the two-JVM merge race (two_jvm_race.sh leg 4):
+        // apply this round's delta; the table lease serializes rivals
+        val round = args.lift(3).map(_.toInt).getOrElse(2)
+        val v = Snap.merge(spark, loc, delta(round))
+        println(s"SNAPPROBE grace OK round=$round v=$v")
+
+      case "gcheck" =>
+        // post-race validation: rounds 2 and 3 COMMUTE (disjoint update
+        // ranges, disjoint delete sets), so whichever racer won the
+        // lease first, the final content must equal the chain through
+        // `rounds` — and the versions must have serialized, not torn
+        val rounds = args.lift(3).map(_.toInt).getOrElse(3)
+        val h = Snap.head(spark, loc).get
+        require(h.version == rounds + 1,
+          s"gcheck: head=${h.version}, want ${rounds + 1} (one commit per racer)")
+        assertSame(Snap.read(spark, loc), expected(rounds), "post-race state")
+        println(s"SNAPPROBE gcheck OK v=${h.version} " +
+          s"rows=${Snap.read(spark, loc).count()}")
+
       case "gcrash" =>
         val round = args.lift(4).map(_.toInt).getOrElse(2)
         // the armed env var (SPARK_GRAFT_SNAP_HALT / SPARK_GRAFT_SNAP_TORN)

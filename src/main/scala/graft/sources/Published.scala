@@ -323,7 +323,7 @@ object Published {
   /** True iff a job failure's cause chain bottoms out in an IOException
     * — the transient-store-fault class whole-job retries are for. An
     * analysis error or OOM has no business being re-run. */
-  private def hasIOCause(t: Throwable): Boolean = {
+  private[sources] def hasIOCause(t: Throwable): Boolean = {
     var cur = t
     var depth = 0
     while (cur != null && depth < 20) {

@@ -312,32 +312,59 @@ object Snap {
     // repartition BY _b: each bucket value lands in one task, so
     // partitionBy emits exactly one file per non-empty bucket — file
     // count stays O(buckets) per commit, never O(tasks × buckets)
-    stamped.repartition(col("_b"))
-      .write.mode(SaveMode.Overwrite).partitionBy("_b")
-      .parquet(fs.makeQualified(stage).toString)
-    val dirs = Published.retryIO(gate) {
-      if (!Published.exists(fs, stage))
-        Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(stage)
-    }.filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
-      .sortBy(_.getPath.getName)
-    if (dirs.isEmpty) {
+    // WHOLE-JOB retry on transient store faults (the publish chain's
+    // r16 lesson, surfaced again by this round's campaign): the Spark
+    // job-commit protocol's DRIVER-side ops — the committer's listing,
+    // its per-file rename (copy+delete on the object-store sim), the
+    // temporary-dir cleanup — are outside both task retries and our
+    // per-op policy, so one blip killed the whole staging job. The
+    // write is Overwrite-mode into a private stage dir: re-running it
+    // from scratch is idempotent, and the ownership gate re-runs
+    // before every attempt.
+    var attempt = 0
+    var staged: Array[(Int, (Long, String, String))] = null
+    while (staged == null) {
+      gate()
+      try {
+        stamped.repartition(col("_b"))
+          .write.mode(SaveMode.Overwrite).partitionBy("_b")
+          .parquet(fs.makeQualified(stage).toString)
+        val dirList = fs.listStatus(stage)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
+        staged =
+          if (dirList.isEmpty) Array.empty
+          else {
+            // aggregate on the TYPED column, stringify after — a
+            // cast-first min over longs would be lexicographic
+            // ("10" < "9") and corrupt every pruning decision
+            spark.read.parquet(fs.makeQualified(stage).toString)
+              .groupBy(col("_b"))
+              .agg(count(lit(1)).as("rows"),
+                min(col(m.bucketCol)).cast("string").as("mn"),
+                max(col(m.bucketCol)).cast("string").as("mx"))
+              .collect() // ≤ buckets rows — bounded driver metadata
+              .map(r => r.getInt(0) ->
+                (r.getLong(1), r.getString(2), r.getString(3)))
+          }
+      } catch {
+        case e: Throwable if Published.hasIOCause(e) =>
+          attempt += 1
+          if (attempt >= Published.storeOpAttempts) throw e
+          System.err.println(s"[graft] snap staging of $stage failed on a " +
+            s"transient store fault (attempt $attempt/" +
+            s"${Published.storeOpAttempts}, retrying): ${e.getMessage}")
+      }
+    }
+    if (staged.isEmpty) {
       // every staged row vanished (e.g. a delete-only delta whose keys
       // covered a whole rewrite set): nothing to move, nothing to read
       Published.retryIO(gate)(fs.delete(stage, true))
       return Seq.empty
     }
-    val staged = spark.read.parquet(fs.makeQualified(stage).toString)
-    // aggregate on the TYPED column, stringify after — a cast-first
-    // min over longs would be lexicographic ("10" < "9") and corrupt
-    // every downstream pruning decision
-    val statRows = staged.groupBy(col("_b"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(m.bucketCol)).cast("string").as("mn"),
-        max(col(m.bucketCol)).cast("string").as("mx"))
-      .collect() // ≤ buckets rows — bounded driver metadata
-    val stats = statRows.map(r => r.getInt(0) ->
-      (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    val dirs = Published.retryIO(gate)(fs.listStatus(stage))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
+      .sortBy(_.getPath.getName)
+    val stats = staged.toMap
     // null-key backstop: a bucket of all-null keys has null min/max —
     // committing it would NPE in the manifest render after the files
     // moved; fail BEFORE moving anything (orphan-free abort)
@@ -478,9 +505,19 @@ object Snap {
     * (latest-wins), unmatched non-delete rows insert, `deletedCol`
     * rows vanish. Only files whose bucket AND key range can contain a
     * delta key are rewritten; everything else is carried by reference.
-    * Returns the committed version. */
+    *
+    * `autoOptimize > 0` folds small files as part of the SAME lease
+    * hold whenever the commit leaves any bucket holding that many live
+    * files — the production story stays self-contained (the r16 KLL
+    * lesson: a compactor nothing calls is an O(commits) store with
+    * extra steps). Append-mostly CDC is where this bites: inserts past
+    * the key range land as a NEW top-bucket file per merge (their
+    * ranges never intersect the carried files), so a year of deltas is
+    * a year of files until someone folds them.
+    *
+    * Returns the committed version (the optimize's, when one ran). */
   def merge(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
-            deletedCol: String = "_deleted"): Int = {
+            deletedCol: String = "_deleted", autoOptimize: Int = 0): Int = {
     // one materialization of the caller's delta lineage: the contract
     // check, the range collect, and the staging write would otherwise
     // each re-run it — 3× an arbitrarily expensive CDC pipeline
@@ -560,8 +597,50 @@ object Snap {
       }
       commitManifest(fs, loc, mn, gate)
       graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
-      next
+      if (autoOptimize > 0 &&
+          files.groupBy(_.bucket).valuesIterator.exists(_.size >= autoOptimize))
+        optimize(spark, loc, minFilesPerBucket = autoOptimize) // re-entrant lease
+      else next
     } finally delta.unpersist()
+  }
+
+  /** Fold small files: every bucket holding ≥ `minFilesPerBucket` live
+    * files is rewritten to ONE file; every other file carries by
+    * reference. Content-neutral by construction (a pure physical
+    * rewrite — no key semantics), committed through the same single
+    * manifest-create point as merge, so the leg-G-executed crash story
+    * (head never advances before the create; torn creates fall back
+    * and sweep; landed creates are durable) covers it unchanged.
+    * Returns the committed version, or the head's if nothing folded.
+    *
+    * At 100 TB: reads and writes ONLY the folded buckets' bytes; the
+    * decision is manifest metadata. Old files stay for time travel
+    * until [[vacuum]]. */
+  def optimize(spark: SparkSession, loc: HPath,
+               minFilesPerBucket: Int = 2): Int = {
+    require(minFilesPerBucket >= 2, "folding below 2 files is a no-op")
+    Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+      val m = head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: optimize on a table that never committed"))
+      val gate = () => Published.assertLeaseOwned(loc)
+      val fs = Published.fsOf(loc)
+      val fat = m.files.groupBy(_.bucket)
+        .filter(_._2.size >= minFilesPerBucket).keySet
+      if (fat.isEmpty) m.version
+      else {
+        val (fold, carry) = m.files.partition(f => fat.contains(f.bucket))
+        val token = newToken()
+        val next = m.version + 1
+        val files = carry ++
+          stageDataFiles(spark, loc, m, readFiles(spark, loc, m, fold),
+            next, token, gate)
+        graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
+        commitManifest(fs, loc, SnapManifest(next, m.version, token, m.tag,
+          m.schemaDdl, m.keyCols, m.bucketCol, m.buckets, m.layout,
+          m.rangeMin, m.rangeMax, files), gate)
+        next
+      }
+    }
   }
 
   /** Drop data nothing can reach: keep the newest `keepVersions`

@@ -265,15 +265,103 @@ object SnapOps {
       |WHERE o_orderkey >= (SELECT max(o_orderkey) // 4 FROM orders)
       |  AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)""".stripMargin
 
+  // --------------------------------------------------------------- q133
+  private[graft] def optTable(dir: String): String =
+    s"graft_snapz_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def optFp(dir: String): String =
+    Published.fingerprint("snapz",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** Append batch k: keys `c + k·M` for c < M/50, tagged INSk. Each
+    * batch clamps to the top range bucket with a key range DISJOINT
+    * from every earlier batch's file — so nothing intersects, nothing
+    * rewrites, and the bucket accumulates one file per merge: the
+    * append-mostly CDC shape that makes small-file folding matter. */
+  private[sources] def appendBatch(spark: SparkSession, dir: String,
+                                   k: Int): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val m = keySpace(spark, dir)
+    c.filter(col("c_custkey") < m / 50)
+      .select((col("c_custkey") + lit(k) * m).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"),
+        lit(s"INS$k").as("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+  }
+
+  /** The small-file lifecycle: create (4 range buckets) + three
+    * append-only merges — bucket 3 grows to ORIGINAL + 3 insert files
+    * — with `autoOptimize = 4` armed on the third, which folds the fat
+    * bucket back to one file inside the same lease hold (version 5). */
+  private[sources] def ensureOpt(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, optTable(dir))
+    val fp = optFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 5)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.customer(spark, dir),
+          Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = fp)
+        Snap.merge(spark, loc, appendBatch(spark, dir, 1))
+        Snap.merge(spark, loc, appendBatch(spark, dir, 2))
+        val v = Snap.merge(spark, loc, appendBatch(spark, dir, 3),
+          autoOptimize = 4)
+        require(v == 5, s"expected the armed auto-optimize to commit v5, got $v")
+      }
+    }
+    loc
+  }
+
+  /** Content face of the folded table plus the compaction audit from
+    * manifest metadata: pre-fold v4 holds four top-bucket files (the
+    * original + three appended), post-fold v5 holds ONE, every other
+    * file carries by reference, and the fold is row-neutral (manifest
+    * row sums equal across v4/v5). */
+  def q133SnapOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureOpt(spark, dir)
+    val v4 = Snap.atVersion(spark, loc, 4)
+    val v5 = Snap.atVersion(spark, loc, 5)
+    val top = v4.files.map(_.bucket).max
+    val preFat = v4.files.count(_.bucket == top)
+    val postFat = v5.files.count(_.bucket == top)
+    val v4Other = v4.files.filter(_.bucket != top).map(_.path).toSet
+    val carriedOk = v5.files.filter(_.bucket != top).map(_.path).toSet == v4Other
+    val foldedOk = preFat == 4 && postFat == 1 &&
+      v4.files.map(_.rows).sum == v5.files.map(_.rows).sum
+    Snap.read(spark, loc)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        count(when(col("c_mktsegment").startsWith("INS"), 1)).as("n_ins"))
+      .withColumn("folded_ok", lit(if (foldedOk) 1 else 0))
+      .withColumn("carried_ok", lit(if (carriedOk) 1 else 0))
+  }
+
+  val q133Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |ins AS (
+      |  SELECT c_custkey + k * (SELECT m FROM ks) AS c_custkey, c_name,
+      |         c_nationkey, c_acctbal, 'INS' || k AS c_mktsegment
+      |  FROM customer CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+      |  WHERE c_custkey < (SELECT m // 50 FROM ks)),
+      |v5 AS (SELECT * FROM customer UNION ALL SELECT * FROM ins)
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+      |  count(*) FILTER (WHERE c_mktsegment LIKE 'INS%') AS n_ins,
+      |  1 AS folded_ok, 1 AS carried_ok
+      |FROM v5 GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
     "q132_snap_prune" -> q132SnapPrune _,
+    "q133_snap_optimize" -> q133SnapOptimize _,
   )
 
   val oracle: Map[String, String] = Map(
     "q130_snap_merge" -> q130Sql,
     "q131_snap_time_travel" -> q131Sql,
     "q132_snap_prune" -> q132Sql,
+    "q133_snap_optimize" -> q133Sql,
   )
 }

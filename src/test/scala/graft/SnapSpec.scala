@@ -303,6 +303,52 @@ class SnapSpec extends SparkSpec {
     assert(pr.length == 1 && pr(0).getAs[Int]("files_skipped_ok") == 1)
   }
 
+  test("optimize folds fat buckets content-neutrally, carries the rest by " +
+      "reference, and its staging crash window leaves the head serving") {
+    val loc = tmpLoc("opt")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    // two disjoint append batches -> bucket 3 accumulates files
+    def batch(k: Int) = cust.filter(col("c_custkey") < 5)
+      .select((col("c_custkey") + lit(k * 1000L)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+    Snap.merge(spark, loc, batch(1))
+    Snap.merge(spark, loc, batch(2))
+    val v3 = Snap.head(spark, loc).get
+    assert(v3.files.count(_.bucket == 3) == 3, "appends did not accumulate")
+    val before = rows(Snap.read(spark, loc))
+    // a fold below the threshold is a clean no-op
+    assert(Snap.optimize(spark, loc, minFilesPerBucket = 4) == 3)
+    // crash after the fold's staging, before its commit: head unchanged
+    RestartKit.windowHook = name =>
+      if (name == "snapstage") throw new RuntimeException("crash: optstage")
+    try intercept[RuntimeException] { Snap.optimize(spark, loc, 3) }
+    finally RestartKit.windowHook = _ => ()
+    assert(Snap.head(spark, loc).get.version == 3)
+    assert(rows(Snap.read(spark, loc)) == before)
+    // the retry folds: one top-bucket file, others carried by reference
+    assert(Snap.optimize(spark, loc, minFilesPerBucket = 3) == 4)
+    val v4 = Snap.head(spark, loc).get
+    assert(v4.files.count(_.bucket == 3) == 1)
+    assert(v4.files.filter(_.bucket != 3).map(_.path).toSet ==
+      v3.files.filter(_.bucket != 3).map(_.path).toSet)
+    assert(rows(Snap.read(spark, loc)) == before, "fold changed content")
+    // row-neutral per the manifests too
+    assert(v3.files.map(_.rows).sum == v4.files.map(_.rows).sum)
+  }
+
+  test("q133 auto-optimize lifecycle is replay-stable with fold+carry " +
+      "indicators green off the oracle's sf") {
+    val a = SnapOps.q133SnapOptimize(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(_.getAs[Int]("folded_ok") == 1))
+    assert(a.forall(_.getAs[Int]("carried_ok") == 1))
+    val b = rows(SnapOps.q133SnapOptimize(spark, sf))
+    assert(a.map(_.mkString("|")).toSet == b)
+  }
+
   test("an Int-keyed table merges numerically — file intersection can " +
       "never compare decimal strings lexicographically") {
     // the review-found corruption shape: file stats [2,100+], delta key

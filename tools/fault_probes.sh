@@ -47,7 +47,7 @@ RUN="tools/graft_java.sh"
 # travel, q132 stats-pruned scan) — create/merge/manifest-commit/read
 # all drawing from the same per-op fault schedule; correct-or-loud like
 # the rest (a faulted build self-heals by drop+rebuild on the retry).
-QS="q120,q121,q122,q123,q124,q127,q130,q131,q132"
+QS="q120,q121,q122,q123,q124,q127,q130,q131,q132,q133"
 WH=$(mktemp -d /tmp/graft-fault-wh.XXXX); rm -rf "$WH"
 case "$MODE" in
   s3)   WH_URI="s3a://graftbucket$WH"; SIM_ENV="SPARK_GRAFT_S3_SIM" ;;

@@ -168,4 +168,32 @@ else
   echo "leg 3 evidence: no swap window hit this run (republishes committed between serves)"
 fi
 echo "leg 3 OK: reader served identical oracle-checked rows across $(grep -ac 'REPUBLISH .* committed' /tmp/republish.log) republish swaps"
+echo "== leg 4: two JVMs MERGE into one snap table concurrently"
+# The Snap format's single-writer story, raced for real: both racers
+# call Snap.merge at once; the table lease serializes them (the loser
+# waits out the winner — withLeaseAwaiting), each commits its own
+# manifest version, and because the two deltas commute the final
+# content must equal the full chain regardless of commit order. A torn
+# interleaving (lost update, double-applied delta, manifest version
+# collision) fails the row-set-exact gcheck.
+SNAP_ROOT=$(mktemp -d /tmp/graft-snaprace.XXXX)
+SNAP_LOC="$(wh_uri "$SNAP_ROOT")/tbl"
+$RUN graft.SnapCrashProbe gbase $SF "$SNAP_LOC" >/tmp/snaprace_base.log 2>&1
+grep -a "SNAPPROBE gbase OK" /tmp/snaprace_base.log || \
+  { echo "FAIL: leg 4 seeding failed"; tail -5 /tmp/snaprace_base.log; exit 1; }
+$RUN graft.SnapCrashProbe grace $SF "$SNAP_LOC" 2 >/tmp/snaprace_r2.log 2>&1 &
+S1=$!
+$RUN graft.SnapCrashProbe grace $SF "$SNAP_LOC" 3 >/tmp/snaprace_r3.log 2>&1 &
+S2=$!
+wait $S1 || { echo "FAIL: racer round=2 died"; tail -5 /tmp/snaprace_r2.log; exit 1; }
+wait $S2 || { echo "FAIL: racer round=3 died"; tail -5 /tmp/snaprace_r3.log; exit 1; }
+grep -a "SNAPPROBE grace OK round=2" /tmp/snaprace_r2.log || { echo "FAIL: racer 2 no OK"; exit 1; }
+grep -a "SNAPPROBE grace OK round=3" /tmp/snaprace_r3.log || { echo "FAIL: racer 3 no OK"; exit 1; }
+$RUN graft.SnapCrashProbe gcheck $SF "$SNAP_LOC" 3 >/tmp/snaprace_check.log 2>&1
+grep -a "SNAPPROBE gcheck OK" /tmp/snaprace_check.log || \
+  { echo "FAIL: post-race state diverged"; grep -a SNAPPROBE /tmp/snaprace_check.log; tail -5 /tmp/snaprace_check.log; exit 1; }
+# no lease/break debris may outlive the race
+ls "$SNAP_ROOT" | grep -q "_GRAFT_LEASE" && \
+  { echo "FAIL: lease debris leaked past the merge race"; exit 1; }
+echo "leg 4 OK: concurrent merges serialized through the lease -> one commit each, row-set-exact combined state"
 echo "ALL OK"
