@@ -211,6 +211,10 @@ object Bench {
       // Same structural-guard class (a head/tag miss re-runs
       // create+3×merge+fold). Trail: 0.09 (r17 third full-suite run)
       "q133_snap_optimize" -> 0.10,
+      // q134/q135 first measurements (r17): evolution + SCD2 lifecycle
+      // faces — same attach-path steady state and structural-guard
+      // class as q130-q133. Trail: 0.12/0.10 (r17 fourth full-suite run)
+      "q134_snap_evolve" -> 0.15, "q135_snap_scd2" -> 0.10,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution

@@ -323,6 +323,31 @@ object Published {
   /** True iff a job failure's cause chain bottoms out in an IOException
     * — the transient-store-fault class whole-job retries are for. An
     * analysis error or OOM has no business being re-run. */
+  /** WHOLE-JOB retry for Spark write/read jobs whose driver-side commit
+    * ops (committer listing, per-file rename, temp cleanup) sit outside
+    * both task retries and [[retryIO]]'s per-op scope: re-run `job`
+    * from scratch on a transient ([[hasIOCause]]) failure, `gate`
+    * (ownership check) before every attempt. Callers must make the job
+    * idempotent to re-run (Overwrite mode into a private staging
+    * location). ONE copy of the policy — Published's staged build and
+    * Snap's staging share it (r17 review finding #5). */
+  private[sources] def retryJobIO[T](what: String, gate: () => Unit)
+                                    (job: => T): T = {
+    var attempt = 0
+    while (true) {
+      gate()
+      try return job
+      catch { case e: Throwable if hasIOCause(e) =>
+        attempt += 1
+        if (attempt >= storeOpAttempts) throw e
+        System.err.println(s"[graft] $what failed on a transient store " +
+          s"fault (attempt $attempt/$storeOpAttempts, retrying): " +
+          s"${e.getMessage}")
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private[sources] def hasIOCause(t: Throwable): Boolean = {
     var cur = t
     var depth = 0
@@ -1092,24 +1117,12 @@ object Published {
       // gate runs before every re-run: a lease lost mid-build aborts
       // instead of paying another build. Non-IO failures (analysis,
       // OOM) rethrow immediately.
-      var built = false
-      var buildTries = 0
-      while (!built) {
-        assertLeaseOwned(loc)
+      retryJobIO(s"staged build of $tbl", () => assertLeaseOwned(loc)) {
         spark.sql(s"DROP TABLE IF EXISTS `$stageTbl`")
-        try {
-          frame.write.mode(SaveMode.Overwrite)
-            .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-            .option("path", stage.toString)
-            .format("parquet").saveAsTable(stageTbl)
-          built = true
-        } catch { case e: Throwable if hasIOCause(e) =>
-          buildTries += 1
-          if (buildTries >= storeOpAttempts) throw e
-          System.err.println(s"[graft] staged build of $tbl failed on a " +
-            s"transient store fault (attempt $buildTries/$storeOpAttempts, " +
-            s"retrying): ${e.getMessage}")
-        }
+        frame.write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .option("path", stage.toString)
+          .format("parquet").saveAsTable(stageTbl)
       }
       spark.sql(s"DROP TABLE `$stageTbl`") // external: the files stay
       val stagedManifest = retryIO()(manifestHash(fs, stage))

@@ -319,20 +319,18 @@ object Snap {
     // temporary-dir cleanup — are outside both task retries and our
     // per-op policy, so one blip killed the whole staging job. The
     // write is Overwrite-mode into a private stage dir: re-running it
-    // from scratch is idempotent, and the ownership gate re-runs
-    // before every attempt.
-    var attempt = 0
-    var staged: Array[(Int, (Long, String, String))] = null
-    while (staged == null) {
-      gate()
-      try {
+    // from scratch is idempotent. The successful attempt's listing is
+    // captured alongside the stats — no re-listing on the hot path.
+    val (dirs, statSeq) =
+      Published.retryJobIO(s"snap staging of $stage", gate) {
         stamped.repartition(col("_b"))
           .write.mode(SaveMode.Overwrite).partitionBy("_b")
           .parquet(fs.makeQualified(stage).toString)
         val dirList = fs.listStatus(stage)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
-        staged =
-          if (dirList.isEmpty) Array.empty
+          .sortBy(_.getPath.getName)
+        val st =
+          if (dirList.isEmpty) Array.empty[(Int, (Long, String, String))]
           else {
             // aggregate on the TYPED column, stringify after — a
             // cast-first min over longs would be lexicographic
@@ -346,25 +344,15 @@ object Snap {
               .map(r => r.getInt(0) ->
                 (r.getLong(1), r.getString(2), r.getString(3)))
           }
-      } catch {
-        case e: Throwable if Published.hasIOCause(e) =>
-          attempt += 1
-          if (attempt >= Published.storeOpAttempts) throw e
-          System.err.println(s"[graft] snap staging of $stage failed on a " +
-            s"transient store fault (attempt $attempt/" +
-            s"${Published.storeOpAttempts}, retrying): ${e.getMessage}")
+        (dirList, st)
       }
-    }
-    if (staged.isEmpty) {
+    if (statSeq.isEmpty) {
       // every staged row vanished (e.g. a delete-only delta whose keys
       // covered a whole rewrite set): nothing to move, nothing to read
       Published.retryIO(gate)(fs.delete(stage, true))
       return Seq.empty
     }
-    val dirs = Published.retryIO(gate)(fs.listStatus(stage))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
-      .sortBy(_.getPath.getName)
-    val stats = staged.toMap
+    val stats = statSeq.toMap
     // null-key backstop: a bucket of all-null keys has null min/max —
     // committing it would NPE in the manifest render after the files
     // moved; fail BEFORE moving anything (orphan-free abort)
@@ -518,6 +506,12 @@ object Snap {
     * Returns the committed version (the optimize's, when one ran). */
   def merge(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
             deletedCol: String = "_deleted", autoOptimize: Int = 0): Int = {
+    // validate BEFORE any commit: optimize refuses thresholds below 2,
+    // and discovering that AFTER the merge's manifest landed would
+    // report failure for a durably-committed delta (review finding)
+    require(autoOptimize == 0 || autoOptimize >= 2,
+      "autoOptimize must be 0 (off) or >= 2 (folding below 2 files/bucket " +
+        "is a no-op)")
     // one materialization of the caller's delta lineage: the contract
     // check, the range collect, and the staging write would otherwise
     // each re-run it — 3× an arbitrarily expensive CDC pipeline
@@ -598,10 +592,44 @@ object Snap {
       commitManifest(fs, loc, mn, gate)
       graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
       if (autoOptimize > 0 &&
-          files.groupBy(_.bucket).valuesIterator.exists(_.size >= autoOptimize))
+          files.groupBy(_.bucket).valuesIterator.exists(_.size >= autoOptimize)) {
+        // the fold never touches the delta — release its cached blocks
+        // before a rewrite that may need that executor memory
+        delta.unpersist()
         optimize(spark, loc, minFilesPerBucket = autoOptimize) // re-entrant lease
-      else next
+      } else next
     } finally delta.unpersist()
+  }
+
+  /** Schema evolution, additive form: append nullable columns as a
+    * METADATA-ONLY commit — the new manifest carries the widened
+    * schema over the SAME files (zero data movement at any table
+    * size). Old files simply lack the columns; every read passes the
+    * manifest's schema explicitly, so the parquet reader null-fills
+    * them — and time travel keeps working because each version's
+    * manifest carries ITS OWN schema (asOf(v) before the evolve reads
+    * the narrow shape). Later merges rewrite touched files in the
+    * widened shape; untouched files stay narrow forever, which is the
+    * lakehouse norm. Returns the committed version. */
+  def addColumns(spark: SparkSession, loc: HPath, ddl: String): Int = {
+    Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+      val m = head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: addColumns on a table that never committed"))
+      val gate = () => Published.assertLeaseOwned(loc)
+      val add = StructType.fromDDL(ddl)
+      val clash = add.fieldNames.filter(m.schema.fieldNames.contains)
+      require(clash.isEmpty,
+        s"snap $loc: column(s) ${clash.mkString(",")} already exist — " +
+          "additive evolution only (no type changes, no drops)")
+      val widened = StructType(
+        m.schema.fields ++ add.fields.map(_.copy(nullable = true)))
+      val next = m.version + 1
+      commitManifest(Published.fsOf(loc), loc,
+        SnapManifest(next, m.version, newToken(), m.tag, widened.toDDL,
+          m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin,
+          m.rangeMax, m.files), gate)
+      next
+    }
   }
 
   /** Fold small files: every bucket holding ≥ `minFilesPerBucket` live

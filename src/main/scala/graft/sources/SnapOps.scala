@@ -282,7 +282,10 @@ object SnapOps {
                                    k: Int): DataFrame = {
     val c = Tables.customer(spark, dir)
     val m = keySpace(spark, dir)
-    c.filter(col("c_custkey") < m / 50)
+    // max(1, ·): a sub-50-key corpus must still append SOMETHING or the
+    // lifecycle's require(v == 5) loops drop+rebuild forever (review
+    // finding) — the oracle SQL floors identically
+    c.filter(col("c_custkey") < math.max(1L, m / 50))
       .select((col("c_custkey") + lit(k) * m).as("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_acctbal"),
         lit(s"INS$k").as("c_mktsegment"))
@@ -343,7 +346,7 @@ object SnapOps {
       |  SELECT c_custkey + k * (SELECT m FROM ks) AS c_custkey, c_name,
       |         c_nationkey, c_acctbal, 'INS' || k AS c_mktsegment
       |  FROM customer CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
-      |  WHERE c_custkey < (SELECT m // 50 FROM ks)),
+      |  WHERE c_custkey < (SELECT greatest(1, m // 50) FROM ks)),
       |v5 AS (SELECT * FROM customer UNION ALL SELECT * FROM ins)
       |SELECT c_nationkey, count(*) AS n_rows,
       |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
@@ -351,11 +354,191 @@ object SnapOps {
       |  1 AS folded_ok, 1 AS carried_ok
       |FROM v5 GROUP BY c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q134
+  private[graft] def evoTable(dir: String): String =
+    s"graft_snape_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def evoFp(dir: String): String =
+    Published.fingerprint("snape",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** The evolution lifecycle: create (v1) → addColumns `c_tier STRING,
+    * c_score DOUBLE` (v2 — METADATA-ONLY: same files under a widened
+    * schema) → merge a backfill for keys [0, M/10) setting both (v3 —
+    * rewrites bucket 0; every other file stays NARROW and null-fills
+    * under the v3 schema). */
+  private[sources] def ensureEvo(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, evoTable(dir))
+    val fp = evoFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 3)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.customer(spark, dir),
+          Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = fp)
+        Snap.addColumns(spark, loc, "c_tier STRING, c_score DOUBLE")
+        val m = keySpace(spark, dir)
+        val backfill = Tables.customer(spark, dir)
+          .filter(col("c_custkey") < m / 10)
+          .withColumn("c_tier", lit("gold"))
+          .withColumn("c_score", col("c_acctbal") * lit(0.01))
+          .withColumn("_deleted", lit(false))
+        Snap.merge(spark, loc, backfill)
+      }
+    }
+    loc
+  }
+
+  /** Content face over the evolved head plus the evolution audit:
+    * the evolve commit must have been metadata-only (v2 references
+    * EXACTLY v1's files) and the backfill must have rewritten only
+    * bucket 0 (three of four files still narrow, null-filling). */
+  def q134SnapEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureEvo(spark, dir)
+    val v1 = Snap.atVersion(spark, loc, 1)
+    val v2 = Snap.atVersion(spark, loc, 2)
+    val v3 = Snap.atVersion(spark, loc, 3)
+    val metadataOnly = v2.files.map(_.path) == v1.files.map(_.path) &&
+      v2.schema.fieldNames.length == v1.schema.fieldNames.length + 2
+    val narrowCarried =
+      v3.files.map(_.path).toSet.intersect(v1.files.map(_.path).toSet).size == 3
+    // the PRE-evolve snapshot must still read in its narrow shape
+    val v1Narrow = !Snap.read(spark, loc, asOf = Some(1))
+      .columns.contains("c_tier")
+    Snap.read(spark, loc)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_tier")).as("n_backfilled"),
+        round(sum(coalesce(col("c_score"), lit(0.0))) + lit(1e-9), 2)
+          .as("tot_score"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"))
+      .withColumn("evolve_metadata_only", lit(if (metadataOnly) 1 else 0))
+      .withColumn("narrow_files_carried", lit(if (narrowCarried) 1 else 0))
+      .withColumn("time_travel_narrow", lit(if (v1Narrow) 1 else 0))
+  }
+
+  val q134Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |v3 AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks)
+      |         THEN 'gold' END AS c_tier,
+      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks)
+      |         THEN c_acctbal * 0.01 END AS c_score
+      |  FROM customer)
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  count(c_tier) AS n_backfilled,
+      |  round(sum(coalesce(c_score, 0)) + 1e-9, 2) AS tot_score,
+      |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+      |  1 AS evolve_metadata_only, 1 AS narrow_files_carried,
+      |  1 AS time_travel_narrow
+      |FROM v3 GROUP BY c_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q135
+  private[graft] def scdTable(dir: String): String =
+    s"graft_snaph_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def scdFp(dir: String): String =
+    Published.fingerprint("snaph",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** SCD type-2 as a Snap COMPOSITION — the dimension-history pattern:
+    * the table is keyed (h_custkey, h_from) with h_custkey as the
+    * bucket column (a key's versions colocate), and one change batch
+    * becomes ONE merge delta holding, per changed key, the CLOSE row
+    * (the prior current version re-written with h_current=0 and h_to
+    * stamped — same composite key, latest-wins replace) and the OPEN
+    * row (the new version, h_from=t, current). No new operator: the
+    * COW merge's composite-key match does the whole dance, and the
+    * bucket-sparse change batch keeps it O(delta). */
+  private def scdBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("h_custkey"), lit(0L).as("h_from"),
+      col("c_acctbal").as("h_bal"), lit(1).as("h_current"),
+      lit(null).cast("long").as("h_to"))
+
+  /** Change batch `t` re-prices keys [0, M/10·2^{1-t}) by +1000·t:
+    * batch 1 touches [0, M/10), batch 2 the narrower [0, M/20) — so
+    * keys under M/20 end with three versions and a two-hop close
+    * chain. */
+  private def scdDelta(spark: SparkSession, dir: String, t: Int): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val m = keySpace(spark, dir)
+    val hi = if (t == 1) m / 10 else m / 20
+    val changed = c.filter(col("c_custkey") < hi)
+    // prior version (h_from = t-1) had bal + 1000·(t-1) by induction
+    val priorShift = lit(1000.0) * (t - 1)
+    val close = changed.select(
+      col("c_custkey").as("h_custkey"), lit((t - 1).toLong).as("h_from"),
+      (col("c_acctbal") + priorShift).as("h_bal"), lit(0).as("h_current"),
+      lit(t.toLong).as("h_to"))
+    val open = changed.select(
+      col("c_custkey").as("h_custkey"), lit(t.toLong).as("h_from"),
+      (col("c_acctbal") + lit(1000.0) * t).as("h_bal"),
+      lit(1).as("h_current"), lit(null).cast("long").as("h_to"))
+    close.unionByName(open).withColumn("_deleted", lit(false))
+  }
+
+  private[graft] def ensureScd(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, scdTable(dir))
+    val fp = scdFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 3)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, scdBase(spark, dir),
+          Seq("h_custkey", "h_from"), "h_custkey", 4,
+          layout = "range", tag = fp)
+        Snap.merge(spark, loc, scdDelta(spark, dir, 1))
+        Snap.merge(spark, loc, scdDelta(spark, dir, 2))
+      }
+    }
+    loc
+  }
+
+  /** History face: per validity epoch (h_from), row count, how many are
+    * still current, and the closed rows' h_to sum — the shape that
+    * breaks if a close row fails to replace its prior version (double
+    * current) or an open row is lost. */
+  def q135SnapScd2(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureScd(spark, dir)
+    Snap.read(spark, loc)
+      .groupBy(col("h_from"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h_current")).cast("bigint").as("n_current"),
+        round(sum(col("h_bal")) + lit(1e-9), 2).as("tot_bal"),
+        sum(coalesce(col("h_to"), lit(0L))).cast("bigint").as("sum_to"))
+  }
+
+  val q135Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |h AS (
+      |  SELECT c_custkey AS h_custkey, 0 AS h_from, c_acctbal AS h_bal,
+      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks) THEN 0 ELSE 1 END
+      |      AS h_current,
+      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks) THEN 1 END AS h_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 1, c_acctbal + 1000,
+      |    CASE WHEN c_custkey < (SELECT m // 20 FROM ks) THEN 0 ELSE 1 END,
+      |    CASE WHEN c_custkey < (SELECT m // 20 FROM ks) THEN 2 END
+      |  FROM customer WHERE c_custkey < (SELECT m // 10 FROM ks)
+      |  UNION ALL
+      |  SELECT c_custkey, 2, c_acctbal + 2000, 1, NULL
+      |  FROM customer WHERE c_custkey < (SELECT m // 20 FROM ks))
+      |SELECT h_from, count(*) AS n_rows,
+      |  sum(h_current)::BIGINT AS n_current,
+      |  round(sum(h_bal) + 1e-9, 2) AS tot_bal,
+      |  sum(coalesce(h_to, 0))::BIGINT AS sum_to
+      |FROM h GROUP BY h_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
     "q132_snap_prune" -> q132SnapPrune _,
     "q133_snap_optimize" -> q133SnapOptimize _,
+    "q134_snap_evolve" -> q134SnapEvolve _,
+    "q135_snap_scd2" -> q135SnapScd2 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -363,5 +546,7 @@ object SnapOps {
     "q131_snap_time_travel" -> q131Sql,
     "q132_snap_prune" -> q132Sql,
     "q133_snap_optimize" -> q133Sql,
+    "q134_snap_evolve" -> q134Sql,
+    "q135_snap_scd2" -> q135Sql,
   )
 }

@@ -349,6 +349,78 @@ class SnapSpec extends SparkSpec {
     assert(a.map(_.mkString("|")).toSet == b)
   }
 
+  test("additive schema evolution: metadata-only commit, null-filled " +
+      "narrow files, per-version schemas for time travel, clashes refused") {
+    val loc = tmpLoc("evo")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val v1 = Snap.head(spark, loc).get
+    assert(Snap.addColumns(spark, loc, "c_tier STRING") == 2)
+    val v2 = Snap.head(spark, loc).get
+    // metadata-only: SAME files, widened schema
+    assert(v2.files == v1.files)
+    assert(v2.schema.fieldNames.contains("c_tier"))
+    // narrow files null-fill under the widened schema
+    val widened = Snap.read(spark, loc)
+    assert(widened.columns.contains("c_tier"))
+    assert(widened.filter(col("c_tier").isNotNull).count() == 0)
+    assert(widened.count() == 150)
+    // the pre-evolve snapshot still reads narrow
+    assert(!Snap.read(spark, loc, asOf = Some(1)).columns.contains("c_tier"))
+    // a post-evolve merge writes wide files; carried files stay narrow
+    val backfill = cust.filter(col("c_custkey") < 10)
+      .withColumn("c_tier", lit("gold")).withColumn("_deleted", lit(false))
+    assert(Snap.merge(spark, loc, backfill) == 3)
+    val after = Snap.read(spark, loc)
+    assert(after.filter(col("c_tier") === "gold").count() == 10)
+    assert(after.filter(col("c_tier").isNull).count() == 140)
+    // a delta MISSING the evolved column refuses (head schema governs)
+    intercept[IllegalArgumentException] {
+      Snap.merge(spark, loc, cust.filter(col("c_custkey") === 20)
+        .withColumn("_deleted", lit(false)))
+    }
+    // clashing / duplicate additions refuse
+    intercept[IllegalArgumentException] {
+      Snap.addColumns(spark, loc, "c_tier DOUBLE")
+    }
+  }
+
+  test("q134 evolution lifecycle is replay-stable with its audit " +
+      "indicators green off the oracle's sf") {
+    val a = SnapOps.q134SnapEvolve(spark, sf).collect()
+    assert(a.nonEmpty)
+    for (c <- Seq("evolve_metadata_only", "narrow_files_carried",
+        "time_travel_narrow"))
+      assert(a.forall(_.getAs[Int](c) == 1), s"$c not green")
+    assert(a.map(_.mkString("|")).toSet ==
+      rows(SnapOps.q134SnapEvolve(spark, sf)))
+  }
+
+  test("SCD2 over composite keys: one current row per key, a closed " +
+      "chain, and bucket-sparse COW for the change batches") {
+    val loc = SnapOps.ensureScd(spark, sf)
+    val h = Snap.read(spark, loc)
+    // exactly one current version per key, at every key
+    assert(h.groupBy(col("h_custkey"))
+      .agg(sum(col("h_current")).as("cur"))
+      .filter(col("cur") =!= 1).count() == 0)
+    // every closed row's h_to is the h_from of that key's next version
+    val closed = h.filter(col("h_current") === 0)
+      .select(col("h_custkey"), col("h_to"))
+    val opens = h.select(col("h_custkey"), col("h_from").as("h_to"))
+    assert(closed.exceptAll(opens).count() == 0,
+      "a close row points at a version that does not exist")
+    // change batches were bucket-sparse: v2 carried 3 of v1's 4 files
+    val v1 = Snap.atVersion(spark, loc, 1)
+    val v2 = Snap.atVersion(spark, loc, 2)
+    assert(v2.files.map(_.path).toSet
+      .intersect(v1.files.map(_.path).toSet).size == 3)
+    // replay-stable face
+    val a = SnapOps.q135SnapScd2(spark, sf).collect().map(_.mkString("|")).toSet
+    assert(a == SnapOps.q135SnapScd2(spark, sf)
+      .collect().map(_.mkString("|")).toSet && a.size == 3)
+  }
+
   test("an Int-keyed table merges numerically — file intersection can " +
       "never compare decimal strings lexicographically") {
     // the review-found corruption shape: file stats [2,100+], delta key
