@@ -320,9 +320,6 @@ object Published {
     sys.error("unreachable")
   }
 
-  /** True iff a job failure's cause chain bottoms out in an IOException
-    * — the transient-store-fault class whole-job retries are for. An
-    * analysis error or OOM has no business being re-run. */
   /** WHOLE-JOB retry for Spark write/read jobs whose driver-side commit
     * ops (committer listing, per-file rename, temp cleanup) sit outside
     * both task retries and [[retryIO]]'s per-op scope: re-run `job`
@@ -348,6 +345,9 @@ object Published {
     sys.error("unreachable")
   }
 
+  /** True iff a job failure's cause chain bottoms out in an IOException
+    * — the transient-store-fault class whole-job retries are for. An
+    * analysis error or OOM has no business being re-run. */
   private[sources] def hasIOCause(t: Throwable): Boolean = {
     var cur = t
     var depth = 0

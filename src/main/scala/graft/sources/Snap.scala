@@ -528,6 +528,19 @@ object Snap {
       require(schema.fieldNames.forall(delta.columns.contains),
         s"delta is missing table columns: " +
           schema.fieldNames.filterNot(delta.columns.contains).mkString(","))
+      // TYPES too, not just names (review finding): unionByName would
+      // silently widen a mistyped column (double+string -> string), the
+      // rewritten files would land with a type the manifest's schema
+      // contradicts, and every later read of that DURABLY COMMITTED
+      // version would throw — loud refusal BEFORE commit, like every
+      // other contract guard here
+      val mistyped = schema.fields.filter(f =>
+        delta.schema(f.name).dataType != f.dataType)
+      require(mistyped.isEmpty,
+        "delta column types diverge from the table schema: " +
+          mistyped.map(f => s"${f.name} (table ${f.dataType.simpleString}, " +
+            s"delta ${delta.schema(f.name).dataType.simpleString})")
+            .mkString(", "))
       require(delta.columns.contains(deletedCol),
         s"delta needs boolean column $deletedCol")
       val keyEx = m.keyCols.map(col)
@@ -617,10 +630,18 @@ object Snap {
         sys.error(s"snap $loc: addColumns on a table that never committed"))
       val gate = () => Published.assertLeaseOwned(loc)
       val add = StructType.fromDDL(ddl)
-      val clash = add.fieldNames.filter(m.schema.fieldNames.contains)
+      // CASE-INSENSITIVE clash check (review finding): Spark analysis
+      // is case-insensitive by default, so a case-variant duplicate
+      // would commit a head whose explicit-schema reads all throw —
+      // permanently, since there is no drop-column API
+      val existing = m.schema.fieldNames.map(_.toLowerCase).toSet
+      val clash = add.fieldNames.filter(n => existing.contains(n.toLowerCase))
       require(clash.isEmpty,
         s"snap $loc: column(s) ${clash.mkString(",")} already exist — " +
           "additive evolution only (no type changes, no drops)")
+      require(add.fieldNames.map(_.toLowerCase).distinct.length ==
+        add.fieldNames.length,
+        s"snap $loc: duplicate column names within the added DDL")
       val widened = StructType(
         m.schema.fields ++ add.fields.map(_.copy(nullable = true)))
       val next = m.version + 1

@@ -378,8 +378,11 @@ object SnapOps {
           Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = fp)
         Snap.addColumns(spark, loc, "c_tier STRING, c_score DOUBLE")
         val m = keySpace(spark, dir)
+        // max(1,·): q133's tiny-corpus floor, applied here too (review
+        // finding) — an EMPTY backfill would commit v3 unchanged and
+        // flip the narrow-carried audit against its oracle literal
         val backfill = Tables.customer(spark, dir)
-          .filter(col("c_custkey") < m / 10)
+          .filter(col("c_custkey") < math.max(1L, m / 10))
           .withColumn("c_tier", lit("gold"))
           .withColumn("c_score", col("c_acctbal") * lit(0.01))
           .withColumn("_deleted", lit(false))
@@ -402,9 +405,10 @@ object SnapOps {
       v2.schema.fieldNames.length == v1.schema.fieldNames.length + 2
     val narrowCarried =
       v3.files.map(_.path).toSet.intersect(v1.files.map(_.path).toSet).size == 3
-    // the PRE-evolve snapshot must still read in its narrow shape
-    val v1Narrow = !Snap.read(spark, loc, asOf = Some(1))
-      .columns.contains("c_tier")
+    // the PRE-evolve snapshot must still read in its narrow shape —
+    // from the already-fetched manifest's metadata (the read-path form
+    // of this pin lives in SnapSpec; no file-index I/O per face call)
+    val v1Narrow = !v1.schema.fieldNames.contains("c_tier")
     Snap.read(spark, loc)
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_rows"),
@@ -421,9 +425,9 @@ object SnapOps {
     """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
       |v3 AS (
       |  SELECT c_custkey, c_nationkey, c_acctbal,
-      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks)
+      |    CASE WHEN c_custkey < (SELECT greatest(1, m // 10) FROM ks)
       |         THEN 'gold' END AS c_tier,
-      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks)
+      |    CASE WHEN c_custkey < (SELECT greatest(1, m // 10) FROM ks)
       |         THEN c_acctbal * 0.01 END AS c_score
       |  FROM customer)
       |SELECT c_nationkey, count(*) AS n_rows,

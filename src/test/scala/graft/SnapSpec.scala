@@ -379,9 +379,25 @@ class SnapSpec extends SparkSpec {
       Snap.merge(spark, loc, cust.filter(col("c_custkey") === 20)
         .withColumn("_deleted", lit(false)))
     }
-    // clashing / duplicate additions refuse
+    // a MISTYPED evolved column refuses BEFORE commit — unionByName
+    // would otherwise widen double+string to string, landing files the
+    // manifest's schema contradicts (unreadable committed version)
+    intercept[IllegalArgumentException] {
+      Snap.merge(spark, loc, cust.filter(col("c_custkey") === 20)
+        .withColumn("c_tier", lit(7.5))
+        .withColumn("_deleted", lit(false)))
+    }
+    // clashing / case-variant / intra-DDL-duplicate additions refuse
+    // (Spark analysis is case-insensitive: a C_TIER twin would make
+    // every explicit-schema read of the new head throw, permanently)
     intercept[IllegalArgumentException] {
       Snap.addColumns(spark, loc, "c_tier DOUBLE")
+    }
+    intercept[IllegalArgumentException] {
+      Snap.addColumns(spark, loc, "C_TIER INT")
+    }
+    intercept[IllegalArgumentException] {
+      Snap.addColumns(spark, loc, "x INT, X STRING")
     }
   }
 
