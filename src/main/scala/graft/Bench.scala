@@ -215,6 +215,13 @@ object Bench {
       // faces — same attach-path steady state and structural-guard
       // class as q130-q133. Trail: 0.12/0.10 (r17 fourth full-suite run)
       "q134_snap_evolve" -> 0.15, "q135_snap_scd2" -> 0.10,
+      // s06 first measurement (r17): streaming CDC apply into a Snap
+      // table — deliberately the COLD lifecycle like s05 (create + 6
+      // one-file micro-batch merges, each paying the full lease/stage/
+      // manifest discipline, with one in-stream fold at 4 files).
+      // Trail: 4.96 in-suite / 6.44 filtered fresh-JVM (cold-footer
+      // class, q127's precedent)
+      "s06_snap_cdc_stream" -> 5.00,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
@@ -553,6 +560,73 @@ object Bench {
         graft.operators.Sketches.kllBaseCut(spark, sfDir), files = 8)
       d
     }
+    // s06: the streaming CDC apply into a Snap table — like s05 this
+    // measures the COLD lifecycle on purpose (create + 6 one-file
+    // micro-batch merges, each paying the full lease/stage/manifest
+    // discipline, with autoOptimize=4 folding the accumulating insert
+    // bucket MID-STREAM). Source staged once per bench JVM; table and
+    // checkpoint fresh per run. No recordState: stateless foreachBatch.
+    lazy val s06Src: String = {
+      val d = java.nio.file.Files.createTempDirectory("bench_s06_src")
+      val cust = graft.sources.Tables.customer(spark, sfDir)
+      val m = cust.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("c_custkey"))).head.getLong(0) + 1L
+      import org.apache.spark.sql.functions._
+      (0 until 6).foreach { k =>
+        // INSERT batches (keys past the range): the top bucket
+        // accumulates one file per batch — the shape that makes the
+        // in-stream fold fire at 4 files
+        val delta = cust.filter(col("c_custkey") < math.max(1L, m / 100))
+          .select((col("c_custkey") + lit(k + 1) * m).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            lit(s"CDC$k").as("c_mktsegment"))
+          .withColumn("_deleted", lit(false))
+        val tmp = d.resolve(s"tmp$k")
+        delta.coalesce(1).write.parquet(tmp.toString)
+        val ls = java.nio.file.Files.list(tmp)
+        try {
+          val it = ls.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.startsWith("part-"))
+              java.nio.file.Files.move(p, d.resolve(f"d$k%02d.parquet"))
+          }
+        } finally ls.close()
+      }
+      d.toString
+    }
+    def snapCdcOnce(): Double = {
+      try {
+        val src = s06Src
+        val t0 = System.nanoTime()
+        val root = java.nio.file.Files.createTempDirectory("bench_s06")
+        val loc = new org.apache.hadoop.fs.Path(root.resolve("tbl").toString)
+        val ckpt = root.resolve("ckpt").toString
+        graft.sources.Snap.create(spark, loc,
+          graft.sources.Tables.customer(spark, sfDir),
+          Seq("c_custkey"), "c_custkey", 8, layout = "range", tag = "bench")
+        val in = spark.readStream
+          .schema(spark.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val q = graft.streaming.SnapCdc.cdcSink(in, loc.toString, ckpt,
+          autoOptimize = 4,
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        awaitStream("s06_snap_cdc_stream", q)
+        val h = graft.sources.Snap.head(spark, loc).get
+        require(h.applied == 5L, s"s06 applied=${h.applied}, want 5")
+        require(h.files.groupBy(_.bucket).valuesIterator.forall(_.size < 4),
+          "s06: the in-stream fold never fired")
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors("s06_snap_cdc_stream") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+          System.err.println(s"[bench] s06_snap_cdc_stream FAILED: ${errors("s06_snap_cdc_stream")}")
+          -1.0
+      }
+    }
     def kllStreamOnce(): Double = {
       try {
         val src = s05Src
@@ -586,7 +660,8 @@ object Bench {
       "s02_funnel_rocksdb" -> (() => statefulOnce()),
       "s03_trending_rocksdb" -> (() => trendingOnce()),
       "s04_quantiles_rocksdb" -> (() => quantilesOnce()),
-      "s05_kll_publish_stream" -> (() => kllStreamOnce())).collect {
+      "s05_kll_publish_stream" -> (() => kllStreamOnce()),
+      "s06_snap_cdc_stream" -> (() => snapCdcOnce())).collect {
       case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
     }
     // ms precision: full ns resolution is noise (spreads are 10-100 ms).

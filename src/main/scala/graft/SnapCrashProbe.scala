@@ -74,6 +74,13 @@ object SnapCrashProbe {
       case n => sys.error(s"no delta for round $n")
     }
 
+    /** Leg H's micro-batch delta k: re-price keys [10k, 10k+10) by
+      * +(k+1). Disjoint ranges — order-free composition. */
+    def cdcDelta(k: Int): DataFrame =
+      cust.filter(col("c_custkey") >= k * 10 && col("c_custkey") < k * 10 + 10)
+        .withColumn("c_acctbal", col("c_acctbal") + (k + 1).toDouble)
+        .withColumn("_deleted", lit(false))
+
     /** The delta chain applied relationally — the probe's oracle. */
     def expected(rounds: Int): DataFrame = {
       var cur = cust
@@ -188,6 +195,62 @@ object SnapCrashProbe {
         assertSame(Snap.read(spark, loc), expected(round), "post-vacuum state")
         println(s"SNAPPROBE gheal OK window=$window v=$expectHead " +
           s"rows=${Snap.read(spark, loc).count()}")
+
+      // ---- leg H: the streaming CDC sink's driver-death replay window
+      case "hbase" =>
+        // base snapshot + 6 staged one-file micro-batch deltas: batch k
+        // re-prices keys [10k, 10k+10) by +(k+1) — pairwise disjoint,
+        // so the expected state composes and batch ORDER is immaterial
+        Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 8,
+          layout = "range", tag = "cdc")
+        val src = args.lift(3).getOrElse(sys.error("hbase needs a src dir"))
+        val fs = Published.fsOf(new HPath(src))
+        fs.mkdirs(new HPath(src))
+        (0 until 6).foreach { k =>
+          val d = cdcDelta(k)
+          val tmp = new HPath(src, s"_tmp_$k")
+          d.coalesce(1).write.mode("overwrite")
+            .parquet(fs.makeQualified(tmp).toString)
+          val part = fs.listStatus(tmp)
+            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            .head.getPath
+          require(fs.rename(part, new HPath(src, f"d$k%02d.parquet")))
+          fs.delete(tmp, true)
+        }
+        println(s"SNAPPROBE hbase OK files=6")
+
+      case "hrun" =>
+        val src = args.lift(3).getOrElse(sys.error("hrun needs a src dir"))
+        val ckpt = args.lift(4).getOrElse(sys.error("hrun needs a ckpt dir"))
+        val haltAfter = args.lift(5).map(_.toInt).getOrElse(0)
+        if (haltAfter > 0) RestartKit.haltOnCommit(spark, ckpt, haltAfter)
+        val in = spark.readStream
+          .schema(cdcDelta(0).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val q = graft.streaming.SnapCdc.cdcSink(in, loc.toString, ckpt,
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        try require(q.awaitTermination(300000L), "cdc stream timed out")
+        finally q.stop()
+        println("SNAPPROBE hrun OK (drained)")
+
+      case "hcheck" =>
+        // post-resume: every batch applied EXACTLY once — content
+        // row-set-exact AND one manifest version per batch (a replayed
+        // batch must leave no extra version), applied high-water = 5
+        val h = Snap.head(spark, loc).get
+        require(h.applied == 5L, s"applied=${h.applied}, want 5")
+        require(h.version == 7, s"version=${h.version}, want 7 " +
+          "(create + one commit per batch — a double-apply or a lost " +
+          "batch both break this)")
+        val exp = (0 until 6).foldLeft(cust) { (cur, k) =>
+          cur.withColumn("c_acctbal",
+            when(col("c_custkey") >= k * 10 && col("c_custkey") < k * 10 + 10,
+              col("c_acctbal") + (k + 1).toDouble)
+              .otherwise(col("c_acctbal")))
+        }
+        assertSame(Snap.read(spark, loc), exp, "cdc-applied state")
+        println(s"SNAPPROBE hcheck OK v=${h.version} applied=${h.applied}")
 
       case p => sys.error(s"unknown phase $p")
     }

@@ -84,7 +84,8 @@ object Snap {
                                 keyCols: Seq[String], bucketCol: String,
                                 buckets: Int, layout: String,
                                 rangeMin: Long, rangeMax: Long,
-                                files: Seq[SnapFile]) {
+                                files: Seq[SnapFile],
+                                applied: Long = -1L) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def keyKind: String = Snap.keyKindOf(schema(bucketCol).dataType)
   }
@@ -127,6 +128,7 @@ object Snap {
     sb.append(s"buckets=${m.buckets}\n")
     sb.append(s"layout=${m.layout}\n")
     sb.append(s"range=${m.rangeMin},${m.rangeMax}\n")
+    sb.append(s"applied=${m.applied}\n")
     m.files.foreach { f =>
       sb.append(s"file=${enc(f.path)} ${f.bucket} ${f.rows} " +
         s"${enc(f.min)} ${enc(f.max)}\n")
@@ -167,7 +169,9 @@ object Snap {
         dec(m("writer")), dec(m("tag")), dec(m("schema")),
         m("keyCols").split(",").toSeq.filter(_.nonEmpty).map(dec),
         dec(m("bucketCol")), m("buckets").toInt, m("layout"),
-        range(0).toLong, range(1).toLong, files))
+        range(0).toLong, range(1).toLong, files,
+        // absent on pre-streaming manifests: no batch ever applied
+        m.get("applied").map(_.toLong).getOrElse(-1L)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -505,7 +509,8 @@ object Snap {
     *
     * Returns the committed version (the optimize's, when one ran). */
   def merge(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
-            deletedCol: String = "_deleted", autoOptimize: Int = 0): Int = {
+            deletedCol: String = "_deleted", autoOptimize: Int = 0,
+            appliedStamp: Option[Long] = None): Int = {
     // validate BEFORE any commit: optimize refuses thresholds below 2,
     // and discovering that AFTER the merge's manifest landed would
     // report failure for a durably-committed delta (review finding)
@@ -588,7 +593,7 @@ object Snap {
       graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
       val mn = SnapManifest(next, m.version, token, m.tag, m.schemaDdl,
         m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin, m.rangeMax,
-        files)
+        files, appliedStamp.getOrElse(m.applied))
       if (sys.env.contains(SnapTornEnv)) {
         // probe hook: reproduce the mid-create crash for REAL across a
         // process boundary — land the manifest bytes WITHOUT the
@@ -612,6 +617,53 @@ object Snap {
         optimize(spark, loc, minFilesPerBucket = autoOptimize) // re-entrant lease
       } else next
     } finally delta.unpersist()
+  }
+
+  /** Exactly-once streaming CDC apply: merge micro-batch `batchId`'s
+    * delta UNLESS the table's applied high-water already covers it.
+    * Structured Streaming's foreachBatch re-offers the last batch
+    * whose sink work committed but whose checkpoint commit did not
+    * land (driver death in that window) — the stamped high-water makes
+    * that replay a no-op instead of a double-apply, the same
+    * transactional-sink pattern the open lakehouse formats publish.
+    * The stamp rides IN the manifest, so it commits atomically WITH
+    * the data it accounts for — there is no window where the rows
+    * landed but the dedup state did not. Returns the serving version.
+    *
+    * Batch ids are meaningful only within ONE checkpoint lineage —
+    * [[assertStreamLineage]] (called by the sink) refuses a foreign
+    * checkpoint whose restarted ids would alias already-applied ones. */
+  def mergeStreaming(spark: SparkSession, loc: HPath, delta: DataFrame,
+                     batchId: Long, deletedCol: String = "_deleted",
+                     autoOptimize: Int = 0): Int = {
+    Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+      val m = head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: mergeStreaming into a table that never " +
+          "committed — create the base snapshot first"))
+      if (batchId <= m.applied) m.version // committed-then-replayed: skip
+      else merge(spark, loc, delta, deletedCol, autoOptimize, Some(batchId))
+    }
+  }
+
+  /** Stamp-or-verify the stream's checkpoint identity on the table
+    * ([[graft.streaming.KllPublish]]'s r16 lineage discipline): batch
+    * ids restart at 0 under a FRESH checkpoint, so replaying foreign
+    * data through an applied-high-water table would silently skip real
+    * batches — refuse loudly instead. First writer stamps; a matching
+    * id is a no-op; a mismatch throws. */
+  def assertStreamLineage(loc: HPath, checkpointDir: String): Unit = {
+    val fs = Published.fsOf(loc)
+    val idFile = new HPath(loc, "_GRAFT_CKPT")
+    val ckptId = fs.makeQualified(new HPath(checkpointDir)).toString
+    Published.retryIO()(fs.mkdirs(loc))
+    if (!Published.createNewAtomic(fs, idFile, ckptId.getBytes("UTF-8"))) {
+      val existing = Published.retryNullable(Published.readOrNull(fs, idFile))
+      require(existing == ckptId,
+        s"snap table $loc was written under checkpoint lineage " +
+          s"'$existing'; streaming into it with '$ckptId' would remap " +
+          "batch ids and break the applied-high-water dedup — point the " +
+          "sink at the original checkpoint or drop the table")
+    }
   }
 
   /** Schema evolution, additive form: append nullable columns as a
@@ -648,7 +700,7 @@ object Snap {
       commitManifest(Published.fsOf(loc), loc,
         SnapManifest(next, m.version, newToken(), m.tag, widened.toDDL,
           m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin,
-          m.rangeMax, m.files), gate)
+          m.rangeMax, m.files, m.applied), gate)
       next
     }
   }
@@ -686,7 +738,7 @@ object Snap {
         graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
         commitManifest(fs, loc, SnapManifest(next, m.version, token, m.tag,
           m.schemaDdl, m.keyCols, m.bucketCol, m.buckets, m.layout,
-          m.rangeMin, m.rangeMax, files), gate)
+          m.rangeMin, m.rangeMax, files, m.applied), gate)
         next
       }
     }

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.Snap
+
+/** Continuous CDC apply into a [[graft.sources.Snap]] table — the
+  * streaming twin of the batch merge, closing the same loop the KLL
+  * dashboard closed in r16/r17: the reference's pipeline is a
+  * continuous producer (`regionSpout.go:126-163`), so the engine's
+  * mutation story needs a continuous form too.
+  *
+  * Delivery contract, each clause executed by spec/probe:
+  *   - **exactly-once effect**: each micro-batch merges through
+  *     [[Snap.mergeStreaming]], whose applied-high-water rides in the
+  *     SAME atomic manifest commit as the rows — a driver death
+  *     between the sink's commit and the checkpoint's commit replays
+  *     the batch into a no-op, never a double-apply (leg H executes
+  *     that window with a real kill);
+  *   - **lineage-guarded**: batch ids only mean anything within one
+  *     checkpoint lineage; the sink stamps `_GRAFT_CKPT` on the table
+  *     and refuses a foreign checkpoint (KllPublish's r16 discipline);
+  *   - **self-folding**: `autoOptimize` passes through, so a year of
+  *     one-file-per-trigger appends folds inside the sink's own lease
+  *     holds — no external compactor schedule.
+  *
+  * At 100 TB: each trigger's work is O(delta) (the COW merge's
+  * contract); the table serves readers throughout (immutable files +
+  * atomic manifest flips); backpressure via maxFilesPerTrigger /
+  * maxOffsetsPerTrigger on the source side. */
+object SnapCdc {
+
+  /** Start the apply loop: every micro-batch of `deltas` (table
+    * columns + the boolean `deletedCol`) merges into the snap table at
+    * `loc`. The base snapshot must exist ([[Snap.create]]) — a CDC
+    * stream updates a table, it does not define one. */
+  def cdcSink(deltas: DataFrame, loc: String, checkpointDir: String,
+              deletedCol: String = "_deleted", autoOptimize: Int = 0,
+              trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : StreamingQuery = {
+    val table = new HPath(loc)
+    Snap.assertStreamLineage(table, checkpointDir)
+    val w = deltas.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Snap.mergeStreaming(batch.sparkSession, table, batch, batchId,
+          deletedCol, autoOptimize)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    trigger.fold(w)(w.trigger).start()
+  }
+}

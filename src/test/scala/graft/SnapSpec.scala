@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -435,6 +437,82 @@ class SnapSpec extends SparkSpec {
     val a = SnapOps.q135SnapScd2(spark, sf).collect().map(_.mkString("|")).toSet
     assert(a == SnapOps.q135SnapScd2(spark, sf)
       .collect().map(_.mkString("|")).toSet && a.size == 3)
+  }
+
+  test("mergeStreaming: a replayed or stale batch id is a no-op; the " +
+      "applied high-water commits atomically with the rows") {
+    val loc = tmpLoc("cdc")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    def d(k: Int) = cust
+      .filter(col("c_custkey") >= k * 10 && col("c_custkey") < k * 10 + 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit((k + 1).toDouble))
+      .withColumn("_deleted", lit(false))
+    assert(Snap.mergeStreaming(spark, loc, d(0), batchId = 0) == 2)
+    assert(Snap.head(spark, loc).get.applied == 0L)
+    val afterB0 = rows(Snap.read(spark, loc))
+    // the replay window: same batch id again — version AND content hold
+    assert(Snap.mergeStreaming(spark, loc, d(0), batchId = 0) == 2)
+    assert(Snap.head(spark, loc).get.version == 2)
+    assert(rows(Snap.read(spark, loc)) == afterB0)
+    assert(Snap.mergeStreaming(spark, loc, d(1), batchId = 1) == 3)
+    assert(Snap.head(spark, loc).get.applied == 1L)
+    // a STALE id after later batches applied — still a no-op
+    assert(Snap.mergeStreaming(spark, loc, d(0), batchId = 0) == 3)
+    assert(Snap.head(spark, loc).get.version == 3)
+    // batch merges carry the high-water forward untouched
+    Snap.merge(spark, loc, d(2))
+    assert(Snap.head(spark, loc).get.applied == 1L)
+  }
+
+  test("cdcSink end-to-end: file-stream deltas apply exactly once; a " +
+      "re-run over the same checkpoint drains nothing; a foreign " +
+      "checkpoint is refused") {
+    val loc = tmpLoc("cdcsink")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val root = Files.createTempDirectory("snapcdc_spec")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    def d(k: Int) = cust
+      .filter(col("c_custkey") >= k * 10 && col("c_custkey") < k * 10 + 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit((k + 1).toDouble))
+      .withColumn("_deleted", lit(false))
+    (0 until 3).foreach { k =>
+      val tmp = root.resolve(s"tmp$k")
+      d(k).coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(part, src.resolve(f"d$k%02d.parquet"))
+    }
+    val ckpt = root.resolve("ckpt").toString
+    def run(): Unit = {
+      val in = spark.readStream.schema(d(0).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = graft.streaming.SnapCdc.cdcSink(in, loc.toString, ckpt,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      try assert(q.awaitTermination(120000L), "cdc stream timed out")
+      finally q.stop()
+    }
+    run()
+    val expected = (0 until 3).foldLeft(cust) { (cur, k) =>
+      cur.withColumn("c_acctbal",
+        when(col("c_custkey") >= k * 10 && col("c_custkey") < k * 10 + 10,
+          col("c_acctbal") + (k + 1).toDouble).otherwise(col("c_acctbal")))
+    }
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
+    val h = Snap.head(spark, loc).get
+    assert(h.version == 4 && h.applied == 2L)
+    // same checkpoint, no new files: nothing drains, nothing re-applies
+    run()
+    assert(Snap.head(spark, loc).get.version == 4)
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
+    // a FRESH checkpoint would restart batch ids at 0 and alias the
+    // applied ones — the lineage stamp refuses it loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.SnapCdc.cdcSink(
+        spark.readStream.schema(d(0).schema).parquet(src.toString),
+        loc.toString, root.resolve("ckpt2").toString)
+    }
   }
 
   test("an Int-keyed table merges numerically — file intersection can " +

@@ -329,4 +329,38 @@ for W in snapstage snaptorn snapcommit; do
   ROUNDG=$((ROUNDG + 1))
 done
 echo "leg G OK: all three snap commit windows (snapstage/snaptorn/snapcommit) -> new-JVM heal -> row-set-exact, vacuumed clean"
+echo "== leg H: streaming CDC sink driver-death replay (exactly-once apply)"
+# The snap table's continuous form: 6 one-file micro-batch deltas ->
+# foreachBatch mergeStreaming. The driver is killed after exactly 2
+# committed batches — the window where a batch's table-side commit can
+# have landed without its checkpoint commit. The resumed sink re-offers
+# that batch; the manifest's applied high-water (committed atomically
+# WITH the rows) must turn the replay into a no-op: final state is
+# row-set-exact AND holds exactly one manifest version per batch
+# (create + 6 = v7, applied = 5) — a double-apply or a lost batch both
+# break the version count.
+ROOTH=$(mktemp -d /tmp/graft-snapcdc.XXXX)
+LOCH_URI="$ROOTH/tbl"; SRCH_URI="$ROOTH/src"; CKPTH_URI="$ROOTH/ckpt"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  LOCH_URI="hdfs://graftsim$ROOTH/tbl"; SRCH_URI="hdfs://graftsim$ROOTH/src"; CKPTH_URI="hdfs://graftsim$ROOTH/ckpt"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  LOCH_URI="s3a://graftbucket$ROOTH/tbl"; SRCH_URI="s3a://graftbucket$ROOTH/src"; CKPTH_URI="s3a://graftbucket$ROOTH/ckpt"
+fi
+$RUN graft.SnapCrashProbe hbase $SF "$LOCH_URI" "$SRCH_URI" >/tmp/snapcdc_base.log 2>&1
+grep -a "SNAPPROBE hbase OK" /tmp/snapcdc_base.log || \
+  { echo "FAIL: leg H seeding failed"; tail -5 /tmp/snapcdc_base.log; exit 1; }
+$RUN graft.SnapCrashProbe hrun $SF "$LOCH_URI" "$SRCH_URI" "$CKPTH_URI" 2 >/tmp/snapcdc_crash.log 2>&1 && \
+  { echo "FAIL: hrun exited 0 — the halt never fired"; exit 1; }
+grep -a "RESTARTPROBE halting driver after committed batch" /tmp/snapcdc_crash.log || \
+  { echo "FAIL: hrun died without the commit-gated halt"; tail -5 /tmp/snapcdc_crash.log; exit 1; }
+sleep 3
+SPARK_GRAFT_LEASE_STALE_MS=2000 \
+  $RUN graft.SnapCrashProbe hrun $SF "$LOCH_URI" "$SRCH_URI" "$CKPTH_URI" 0 >/tmp/snapcdc_resume.log 2>&1
+grep -a "SNAPPROBE hrun OK" /tmp/snapcdc_resume.log || \
+  { echo "FAIL: resumed cdc sink did not drain"; tail -5 /tmp/snapcdc_resume.log; exit 1; }
+SPARK_GRAFT_LEASE_STALE_MS=2000 \
+  $RUN graft.SnapCrashProbe hcheck $SF "$LOCH_URI" >/tmp/snapcdc_check.log 2>&1
+grep -a "SNAPPROBE hcheck OK v=7 applied=5" /tmp/snapcdc_check.log || \
+  { echo "FAIL: exactly-once violated"; grep -a SNAPPROBE /tmp/snapcdc_check.log; tail -5 /tmp/snapcdc_check.log; exit 1; }
+echo "leg H OK: driver death mid-stream -> checkpoint resume -> replayed batch no-op'd by the applied high-water, one version per batch, row-set-exact"
 echo "ALL OK"
