@@ -581,7 +581,11 @@ object Bench {
             col("c_name"), col("c_nationkey"), col("c_acctbal"),
             lit(s"CDC$k").as("c_mktsegment"))
           .withColumn("_deleted", lit(false))
-        val tmp = d.resolve(s"tmp$k")
+        // underscore-prefixed staging dir (hidden from Spark's file
+        // listings) + deleted after the move — the probe's discipline;
+        // a visible leftover dir would be a phantom micro-batch away
+        // from breaking the applied==5 gate (review finding)
+        val tmp = d.resolve(s"_tmp_$k")
         delta.coalesce(1).write.parquet(tmp.toString)
         val ls = java.nio.file.Files.list(tmp)
         try {
@@ -592,6 +596,7 @@ object Bench {
               java.nio.file.Files.move(p, d.resolve(f"d$k%02d.parquet"))
           }
         } finally ls.close()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       }
       d.toString
     }

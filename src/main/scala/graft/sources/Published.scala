@@ -345,6 +345,53 @@ object Published {
     sys.error("unreachable")
   }
 
+  /** Stamp-or-verify a durable store's stream lineage (`_GRAFT_CKPT`
+    * inside `loc`): batch ids are meaningful only under the checkpoint
+    * that assigned them, so a foreign lineage must refuse loudly before
+    * any batch applies. The identity stamped is the checkpoint's QUERY
+    * ID (the uuid Spark writes into `<ckpt>/metadata` when the query
+    * first starts) — NOT the path: a wiped-and-recreated checkpoint at
+    * the same path restarts batch ids at 0, which would alias
+    * already-applied ids and silently no-op real new data (r17 review
+    * finding); recreation regenerates the query id, so the id catches
+    * it. Because the metadata file exists only once the query is
+    * RUNNING, callers must invoke this from inside the stream (first
+    * micro-batch), not at sink construction. An EMPTY stamp is the
+    * crashed-create artifact (file landed, bytes did not — the r16
+    * KllPublish lesson): re-stamp instead of wedging the table forever.
+    * (KllPublish's own construction-time twin predates this helper and
+    * keeps path identity — a query id does not exist yet at its call
+    * point.) */
+  private[graft] def assertStreamLineage(loc: HPath, checkpointDir: String,
+                                         what: String): Unit = {
+    val fs = fsOf(loc)
+    val idFile = new HPath(loc, "_GRAFT_CKPT")
+    val metaP = new HPath(checkpointDir, "metadata")
+    val meta = retryNullable(readOrNull(fsOf(metaP), metaP))
+    require(meta != null,
+      s"$what: checkpoint $checkpointDir has no readable metadata yet — " +
+        "the lineage check must run INSIDE the started query")
+    val ckptId = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(meta).map(_.group(1)).getOrElse(
+        sys.error(s"$what: checkpoint metadata carries no query id: $meta"))
+    val existing =
+      if (retryIO()(fs.exists(idFile))) retryNullable(readOrNull(fs, idFile))
+      else ""
+    require(existing != null,
+      s"$what: lineage stamp $idFile unreadable after retries — refusing " +
+        "to guess (a wrong lineage silently drops or doubles batches)")
+    if (existing.nonEmpty)
+      require(existing == ckptId,
+        s"$what: table was written under stream lineage '$existing'; " +
+          s"applying lineage '$ckptId' would remap batch ids and break " +
+          "the applied-high-water dedup — reuse the original checkpoint " +
+          "or drop the table")
+    else {
+      retryIO()(fs.mkdirs(loc))
+      retryIO()(writeFile(fs, idFile, ckptId.getBytes("UTF-8")))
+    }
+  }
+
   /** True iff a job failure's cause chain bottoms out in an IOException
     * — the transient-store-fault class whole-job retries are for. An
     * analysis error or OOM has no business being re-run. */

@@ -527,6 +527,21 @@ object Snap {
     try Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
       val m = head(spark, loc).getOrElse(
         sys.error(s"snap $loc: merge into a table that never committed"))
+      // the streaming replay guard lives HERE, on the same head read
+      // the merge plans against (one manifest resolve per micro-batch):
+      // a batch the high-water already covers was committed by a
+      // previous attempt whose checkpoint commit was lost — skip it
+      if (appliedStamp.exists(_ <= m.applied)) m.version
+      else mergeResolved(spark, loc, m, delta, deletedCol, autoOptimize,
+        appliedStamp)
+    } finally delta.unpersist()
+  }
+
+  private def mergeResolved(spark: SparkSession, loc: HPath,
+                            m: SnapManifest, delta: DataFrame,
+                            deletedCol: String, autoOptimize: Int,
+                            appliedStamp: Option[Long]): Int = {
+    {
       val gate = () => Published.assertLeaseOwned(loc)
       val fs = Published.fsOf(loc)
       val schema = m.schema
@@ -616,7 +631,7 @@ object Snap {
         delta.unpersist()
         optimize(spark, loc, minFilesPerBucket = autoOptimize) // re-entrant lease
       } else next
-    } finally delta.unpersist()
+    }
   }
 
   /** Exactly-once streaming CDC apply: merge micro-batch `batchId`'s
@@ -635,36 +650,18 @@ object Snap {
     * checkpoint whose restarted ids would alias already-applied ones. */
   def mergeStreaming(spark: SparkSession, loc: HPath, delta: DataFrame,
                      batchId: Long, deletedCol: String = "_deleted",
-                     autoOptimize: Int = 0): Int = {
-    Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
-      val m = head(spark, loc).getOrElse(
-        sys.error(s"snap $loc: mergeStreaming into a table that never " +
-          "committed — create the base snapshot first"))
-      if (batchId <= m.applied) m.version // committed-then-replayed: skip
-      else merge(spark, loc, delta, deletedCol, autoOptimize, Some(batchId))
-    }
-  }
+                     autoOptimize: Int = 0): Int =
+    merge(spark, loc, delta, deletedCol, autoOptimize, Some(batchId))
 
-  /** Stamp-or-verify the stream's checkpoint identity on the table
-    * ([[graft.streaming.KllPublish]]'s r16 lineage discipline): batch
-    * ids restart at 0 under a FRESH checkpoint, so replaying foreign
-    * data through an applied-high-water table would silently skip real
-    * batches — refuse loudly instead. First writer stamps; a matching
-    * id is a no-op; a mismatch throws. */
-  def assertStreamLineage(loc: HPath, checkpointDir: String): Unit = {
-    val fs = Published.fsOf(loc)
-    val idFile = new HPath(loc, "_GRAFT_CKPT")
-    val ckptId = fs.makeQualified(new HPath(checkpointDir)).toString
-    Published.retryIO()(fs.mkdirs(loc))
-    if (!Published.createNewAtomic(fs, idFile, ckptId.getBytes("UTF-8"))) {
-      val existing = Published.retryNullable(Published.readOrNull(fs, idFile))
-      require(existing == ckptId,
-        s"snap table $loc was written under checkpoint lineage " +
-          s"'$existing'; streaming into it with '$ckptId' would remap " +
-          "batch ids and break the applied-high-water dedup — point the " +
-          "sink at the original checkpoint or drop the table")
-    }
-  }
+  /** Stamp-or-verify the stream's checkpoint identity on the table —
+    * [[Published.assertStreamLineage]] with this table's location (the
+    * shared helper stamps the checkpoint's QUERY ID, so even a
+    * wiped-and-recreated checkpoint at the same path is refused, and
+    * re-stamps over the crashed-create empty-stamp artifact instead of
+    * wedging). Must run INSIDE the started query — the sink calls it
+    * on its first micro-batch. */
+  def assertStreamLineage(loc: HPath, checkpointDir: String): Unit =
+    Published.assertStreamLineage(loc, checkpointDir, s"snap cdc $loc")
 
   /** Schema evolution, additive form: append nullable columns as a
     * METADATA-ONLY commit — the new manifest carries the widened

@@ -41,9 +41,17 @@ object SnapCdc {
               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : StreamingQuery = {
     val table = new HPath(loc)
-    Snap.assertStreamLineage(table, checkpointDir)
+    // lineage-checked on the FIRST micro-batch, not at construction:
+    // the checkpoint's QUERY ID (the identity that survives a
+    // wiped-and-recreated checkpoint at the same path — r17 review
+    // finding) exists only once the query is running. Once per query.
+    val lineageChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
     val w = deltas.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!lineageChecked.get()) {
+          Snap.assertStreamLineage(table, checkpointDir)
+          lineageChecked.set(true)
+        }
         Snap.mergeStreaming(batch.sparkSession, table, batch, batchId,
           deletedCol, autoOptimize)
         ()

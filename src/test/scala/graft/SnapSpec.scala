@@ -506,13 +506,24 @@ class SnapSpec extends SparkSpec {
     run()
     assert(Snap.head(spark, loc).get.version == 4)
     assert(rows(Snap.read(spark, loc)) == rows(expected))
-    // a FRESH checkpoint would restart batch ids at 0 and alias the
-    // applied ones — the lineage stamp refuses it loudly
-    intercept[IllegalArgumentException] {
-      graft.streaming.SnapCdc.cdcSink(
-        spark.readStream.schema(d(0).schema).parquet(src.toString),
-        loc.toString, root.resolve("ckpt2").toString)
+    // a FRESH checkpoint restarts batch ids at 0 and would alias the
+    // applied ones — the lineage stamp (the checkpoint's QUERY ID, so
+    // even a recreated checkpoint at the SAME path is foreign) fails
+    // the query on its first batch, before anything applies
+    val foreign = graft.streaming.SnapCdc.cdcSink(
+      spark.readStream.schema(d(0).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString),
+      loc.toString, root.resolve("ckpt2").toString,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      foreign.awaitTermination(120000L)
     }
+    assert(failed.getMessage.contains("lineage") ||
+      Option(failed.getCause).exists(_.getMessage.contains("lineage")),
+      s"wrong failure: ${failed.getMessage.take(200)}")
+    // and nothing applied through the foreign stream
+    assert(Snap.head(spark, loc).get.version == 4)
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
   }
 
   test("an Int-keyed table merges numerically — file intersection can " +
