@@ -374,23 +374,50 @@ object Published {
     val ckptId = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(meta).map(_.group(1)).getOrElse(
         sys.error(s"$what: checkpoint metadata carries no query id: $meta"))
-    val existing =
-      if (retryIO()(fs.exists(idFile))) retryNullable(readOrNull(fs, idFile))
-      else ""
-    require(existing != null,
-      s"$what: lineage stamp $idFile unreadable after retries — refusing " +
-        "to guess (a wrong lineage silently drops or doubles batches)")
-    if (existing.nonEmpty)
-      require(existing == ckptId,
-        s"$what: table was written under stream lineage '$existing'; " +
-          s"applying lineage '$ckptId' would remap batch ids and break " +
-          "the applied-high-water dedup — reuse the original checkpoint " +
-          "or drop the table")
-    else {
-      retryIO()(fs.mkdirs(loc))
-      retryIO()(writeFile(fs, idFile, ckptId.getBytes("UTF-8")))
+    // Stamp-or-verify runs UNDER the table lease (r17 advice): with a
+    // plain unlocked overwrite PUT, two foreign streams started
+    // concurrently could both read an absent stamp and both pass —
+    // conflicting batch-id spaces then sharing one applied high-water.
+    // The lease serializes them; re-entrant under a caller's hold.
+    withLeaseAwaiting(loc, s"lineage:${loc.getName}") {
+      val existing =
+        if (retryIO()(fs.exists(idFile))) retryNullable(readOrNull(fs, idFile))
+        else ""
+      require(existing != null,
+        s"$what: lineage stamp $idFile unreadable after retries — refusing " +
+          "to guess (a wrong lineage silently drops or doubles batches)")
+      // The stamp carries a terminator so a TORN write (crash mid-PUT:
+      // some bytes landed, not all) is distinguishable from a landed
+      // one. A footer-less stamp — empty OR partial — is the crashed-
+      // create artifact: the sink only applies batches AFTER a
+      // successful stamp call, so no batch can have applied under it;
+      // re-stamp instead of wedging the table forever (r17 advice
+      // extended the r16 empty-stamp heal to partial bytes).
+      if (existing.endsWith(StampFooter))
+        require(existing.stripSuffix(StampFooter) == ckptId,
+          s"$what: table was written under stream lineage " +
+            s"'${existing.stripSuffix(StampFooter)}'; applying lineage " +
+            s"'$ckptId' would remap batch ids and break the " +
+            "applied-high-water dedup — reuse the original checkpoint " +
+            "or drop the table")
+      else {
+        retryIO()(fs.mkdirs(loc))
+        retryIO() { deleteIfExists(fs, idFile) }
+        retryIO()(writeFile(fs, idFile, (ckptId + StampFooter).getBytes("UTF-8")))
+        // read-back verify: the write above is a plain PUT (safe under
+        // the lease — no rival stamper); a blip that tore it must
+        // surface NOW, not as a silent future re-stamp window
+        val back = retryNullable(readOrNull(fs, idFile))
+        require(back == ckptId + StampFooter,
+          s"$what: lineage stamp read-back mismatch after write — store " +
+            "faulting hard; refusing to start the stream")
+      }
     }
   }
+
+  /** Terminator for [[assertStreamLineage]]'s stamp: present == the
+    * stamp landed whole; absent == a crashed create's partial bytes. */
+  private[graft] val StampFooter = "\n#ok"
 
   /** True iff a job failure's cause chain bottoms out in an IOException
     * — the transient-store-fault class whole-job retries are for. An

@@ -175,9 +175,6 @@ object Snap {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def readManifest(fs: FileSystem, p: HPath): Option[SnapManifest] =
-    parse(Published.retryNullable(Published.readOrNull(fs, p)))
-
   /** Read a manifest with the null-ambiguity resolved (the campaign
     * lesson, applied at design time): `Left(retryable)` ONLY when the
     * file is definitively ABSENT — a file that exists but stays
@@ -228,10 +225,12 @@ object Snap {
 
   /** A specific committed version — loud on a vacuumed / never-
     * committed one: time travel past the horizon is an error, not an
-    * empty frame. */
+    * empty frame. readDefinitive, not the lenient read (r17 advice): a
+    * PRESENT-but-unreadable manifest under a store blip must throw the
+    * refusing-to-guess IOException, not report "never committed". */
   def atVersion(spark: SparkSession, loc: HPath, v: Int): SnapManifest = {
     val fs = Published.fsOf(loc)
-    readManifest(fs, manifestPath(loc, v)).getOrElse(
+    readDefinitive(fs, manifestPath(loc, v)).getOrElse(None).getOrElse(
       sys.error(s"snap $loc has no committed version $v " +
         "(vacuumed past the horizon, torn, or never committed)"))
   }
@@ -465,7 +464,21 @@ object Snap {
              layout: String = "hash", tag: String = ""): Unit = {
     require(Seq("hash", "range").contains(layout), s"bad layout $layout")
     require(keyCols.contains(bucketCol), "bucketCol must be a key column")
-    keyKindOf(data.schema(bucketCol).dataType) // loud on unsupported types
+    val kind = keyKindOf(data.schema(bucketCol).dataType) // loud on unsupported
+    // range layout REQUIRES an ordered long key: a string bucket column
+    // would cast("long") to null in bucketExpr, greatest(0, null) = 0,
+    // and every row would silently land in bucket 0 with (0,0) stats —
+    // a single-bucket table with no pruning and no error until a later
+    // prunedScan (r17 advice). Refuse at creation, like prunedScan does.
+    require(layout == "hash" || kind == "long",
+      s"snap: layout=range needs an integral bucket column, got $kind — " +
+        "use layout=hash for string keys")
+    // "_b" is the staging partition column: a user column of that name
+    // would be REPLACED by withColumn and stripped by partitionBy — its
+    // values silently lost in every written file while the manifest
+    // schema still declares it (reads would null-fill). Reserved.
+    require(!data.schema.fieldNames.contains("_b"),
+      "snap: column name '_b' is reserved for staging — rename it")
     Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
       head(spark, loc) match {
         case Some(h) =>
@@ -565,15 +578,21 @@ object Snap {
         s"delta needs boolean column $deletedCol")
       val keyEx = m.keyCols.map(col)
       // contract guards in ONE pass: at most one delta row per key (a
-      // dup makes "latest-wins" order-dependent) and no null key
-      // values (nulls neither match deletes through the anti-join nor
-      // carry stats)
-      val bad = delta.groupBy(keyEx: _*).count()
-        .filter(col("count") > 1 ||
+      // dup makes "latest-wins" order-dependent), no null key values
+      // (nulls neither match deletes through the anti-join nor carry
+      // stats), and no null in the deleted flag — filter(!col) would
+      // silently DROP a _deleted=NULL row from the upserts while its
+      // key still anti-joins the existing row away: a silent row loss,
+      // against this module's loud-refusal discipline (r17 advice)
+      val bad = delta.groupBy(keyEx: _*)
+        .agg(count(lit(1)).as("count"),
+          count(when(col(deletedCol).isNull, 1)).as("null_del"))
+        .filter(col("count") > 1 || col("null_del") > 0 ||
           m.keyCols.map(col(_).isNull).reduce(_ || _))
         .limit(1).count()
-      require(bad == 0, "delta carries duplicate or null keys — resolve to " +
-        "one non-null-keyed row per key before merging")
+      require(bad == 0, "delta carries duplicate keys, null keys, or a null " +
+        s"$deletedCol flag — resolve to one non-null-keyed row per key with " +
+        "an explicit true/false delete flag before merging")
 
       // per-bucket delta key ranges: ≤ buckets rows to the driver —
       // the planning metadata that makes the rewrite set file-granular

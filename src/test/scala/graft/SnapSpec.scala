@@ -240,7 +240,37 @@ class SnapSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snap.merge(spark, loc, smallDelta.drop("_deleted"))
     }
+    // a NULL _deleted flag refuses loudly — filter(!col) would silently
+    // drop the row from the upserts while its key still anti-joins the
+    // existing row away: a silent row loss (r17 advice, medium)
+    intercept[IllegalArgumentException] {
+      Snap.merge(spark, loc, smallDelta.withColumn("_deleted",
+        when(col("c_custkey") === 5, lit(null).cast("boolean"))
+          .otherwise(col("_deleted"))))
+    }
     assert(Snap.head(spark, loc).get.version == 1, "a refused merge committed")
+  }
+
+  test("create refuses a string key on range layout and a reserved '_b' " +
+      "column — both silent-corruption shapes (r17 advice)") {
+    // range + string key: bucketExpr's cast(long) nulls, every row lands
+    // in bucket 0 with (0,0) stats — refuse at creation
+    val strKeyed = cust.withColumn("c_custkey", col("c_custkey").cast("string"))
+    intercept[IllegalArgumentException] {
+      Snap.create(spark, tmpLoc("strrange"), strKeyed,
+        Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = "t")
+    }
+    // …but hash layout takes string keys fine
+    val hloc = tmpLoc("strhash")
+    Snap.create(spark, hloc, strKeyed, Seq("c_custkey"), "c_custkey", 4,
+      layout = "hash", tag = "t")
+    assert(rows(Snap.read(spark, hloc)) == rows(strKeyed))
+    // a user column literally named "_b" would be replaced by the
+    // staging partition column and stripped from every written file
+    intercept[IllegalArgumentException] {
+      Snap.create(spark, tmpLoc("resb"), cust.withColumn("_b", lit(1)),
+        Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = "t")
+    }
   }
 
   test("manifest commit whose PUT lands but errors (response lost, cleanup " +
@@ -524,6 +554,44 @@ class SnapSpec extends SparkSpec {
     // and nothing applied through the foreign stream
     assert(Snap.head(spark, loc).get.version == 4)
     assert(rows(Snap.read(spark, loc)) == rows(expected))
+  }
+
+  test("stream-lineage stamp: lease-held stamp-or-verify, torn partial " +
+      "stamps heal by re-stamp, landed foreign stamps refuse (r17 advice)") {
+    val root = Files.createTempDirectory("lineage")
+    def ckpt(id: String): String = {
+      val d = root.resolve(s"ck_$id"); Files.createDirectories(d)
+      Files.write(d.resolve("metadata"), s"""{"id":"$id"}""".getBytes("UTF-8"))
+      d.toString
+    }
+    val loc = new HPath(root.resolve("tbl").toString)
+    val fs = Published.fsOf(loc)
+    // fresh table: stamps (with the landed-whole footer), re-verifies
+    Published.assertStreamLineage(loc, ckpt("aaa"), "spec")
+    Published.assertStreamLineage(loc, ckpt("aaa"), "spec")
+    val stampP = new HPath(loc, "_GRAFT_CKPT")
+    val stamped = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(loc.toString, "_GRAFT_CKPT")), "UTF-8")
+    assert(stamped == "aaa" + Published.StampFooter)
+    // a LANDED foreign stamp refuses loudly
+    intercept[IllegalArgumentException] {
+      Published.assertStreamLineage(loc, ckpt("bbb"), "spec")
+    }
+    // a TORN stamp (crash mid-PUT: partial bytes, no footer) is the
+    // crashed-create artifact — no batch can have applied under it, so
+    // it heals by re-stamp instead of wedging the table forever
+    scala.util.Using.resource(fs.create(stampP, true))(
+      _.write("aa".getBytes("UTF-8"))) // partial bytes of some dead stamp
+    Published.assertStreamLineage(loc, ckpt("ccc"), "spec")
+    // an EMPTY stamp (the r16 artifact) heals the same way
+    scala.util.Using.resource(fs.create(stampP, true))(_ => ())
+    Published.assertStreamLineage(loc, ckpt("ddd"), "spec")
+    intercept[IllegalArgumentException] {
+      Published.assertStreamLineage(loc, ckpt("eee"), "spec")
+    }
+    // no lease debris left behind by the stamp's lease hold
+    assert(!fs.exists(new HPath(loc.getParent, "tbl._GRAFT_LEASE")))
   }
 
   test("an Int-keyed table merges numerically — file intersection can " +
