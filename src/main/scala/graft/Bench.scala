@@ -222,6 +222,21 @@ object Bench {
       // Trail: 4.96 in-suite / 6.44 filtered fresh-JVM (cold-footer
       // class, q127's precedent)
       "s06_snap_cdc_stream" -> 5.00,
+      // q136 first measurement (r18): the changelog (CDF) face —
+      // attach + manifest-chain metadata + the O(delta) changelog read
+      // (two per-step anti/diff joins over the rewritten/added files)
+      // over the q130 lifecycle. Same structural-guard class as
+      // q130-q135 (a head/tag miss rebuilds the lifecycle).
+      // Trail: 0.92 (r18 first isolated pair)
+      "q136_snap_changelog" -> 0.95,
+      // s07 first measurement (r18): the snap FOLLOWER — create source
+      // + snapshot-copy destination, then 4 source merges converging
+      // through the rate-ticked changelog follower (each tick an
+      // O(delta) changes() read + exactly-once merge; cursor rides the
+      // destination manifest). COLD lifecycle like s05/s06:
+      // per-commit control-plane work is the measured object.
+      // Trail: 7.55 (r18 first isolated pair)
+      "s07_snap_follow_stream" -> 7.60,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
@@ -632,6 +647,58 @@ object Bench {
           -1.0
       }
     }
+    // s07: the snap follower — source table + rate-ticked changelog
+    // follower converging a live merge stream into a destination table
+    // (SnapFollow). Fresh source/destination/checkpoint per run; the
+    // follower's cursor lives in the destination manifest, so the
+    // convergence check (applied == source head) IS the exactly-once
+    // gate. COLD lifecycle on purpose: per-commit control-plane cost
+    // is the object, data volume is the sf's customer rows.
+    def snapFollowOnce(): Double = {
+      try {
+        val t0 = System.nanoTime()
+        val root = java.nio.file.Files.createTempDirectory("bench_s07")
+        val src = new org.apache.hadoop.fs.Path(root.resolve("src").toString)
+        val dst = new org.apache.hadoop.fs.Path(root.resolve("dst").toString)
+        val cust = graft.sources.Tables.customer(spark, sfDir)
+        import org.apache.spark.sql.functions._
+        graft.sources.Snap.create(spark, src, cust,
+          Seq("c_custkey"), "c_custkey", 8, layout = "range", tag = "bench")
+        val q = graft.streaming.SnapFollow.follow(spark, src.toString,
+          dst.toString, root.resolve("ckpt").toString,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+        try {
+          // four disjoint re-price batches land WHILE the follower ticks
+          (0 until 4).foreach { k =>
+            graft.sources.Snap.merge(spark, src,
+              cust.filter(col("c_custkey") >= k * 20 &&
+                  col("c_custkey") < k * 20 + 20)
+                .withColumn("c_acctbal", col("c_acctbal") + lit((k + 1).toDouble))
+                .withColumn("_deleted", lit(false)))
+          }
+          val deadline = System.currentTimeMillis() + 120000L
+          while (graft.sources.Snap.head(spark, dst)
+              .exists(_.applied < 5L) &&
+              System.currentTimeMillis() < deadline) Thread.sleep(200L)
+        } finally q.stop()
+        val dh = graft.sources.Snap.head(spark, dst).get
+        require(dh.applied == 5L, s"s07 cursor=${dh.applied}, want 5")
+        val diff = graft.sources.Snap.read(spark, dst)
+          .exceptAll(graft.sources.Snap.read(spark, src)).count() +
+          graft.sources.Snap.read(spark, src)
+            .exceptAll(graft.sources.Snap.read(spark, dst)).count()
+        require(diff == 0, s"s07 destination diverged by $diff rows")
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors("s07_snap_follow_stream") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+          System.err.println(
+            s"[bench] s07_snap_follow_stream FAILED: ${errors("s07_snap_follow_stream")}")
+          -1.0
+      }
+    }
     def kllStreamOnce(): Double = {
       try {
         val src = s05Src
@@ -666,7 +733,8 @@ object Bench {
       "s03_trending_rocksdb" -> (() => trendingOnce()),
       "s04_quantiles_rocksdb" -> (() => quantilesOnce()),
       "s05_kll_publish_stream" -> (() => kllStreamOnce()),
-      "s06_snap_cdc_stream" -> (() => snapCdcOnce())).collect {
+      "s06_snap_cdc_stream" -> (() => snapCdcOnce()),
+      "s07_snap_follow_stream" -> (() => snapFollowOnce())).collect {
       case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
     }
     // ms precision: full ns resolution is noise (spreads are 10-100 ms).

@@ -145,6 +145,91 @@ object SnapCrashProbe {
         println(s"SNAPPROBE gcheck OK v=${h.version} " +
           s"rows=${Snap.read(spark, loc).count()}")
 
+      case "gocc" =>
+        // one racer of the OPTIMISTIC merge race (two_jvm_race.sh leg
+        // 5): stage leaseless with a widened window (the hold makes
+        // both racers' staging provably overlap in wall-clock — the
+        // serialized path can never produce that), then commit through
+        // the conflict-checked point. Rounds: dA/dB touch DISJOINT
+        // buckets (the rebase path — neither may retry); oA/oB update
+        // OVERLAPPING key ranges with commuting +shifts (the loser
+        // must discard and retry, and both rows must land).
+        val round = args.lift(3).getOrElse(sys.error("gocc needs a round"))
+        Snap.occStageHold = () => Thread.sleep(3000)
+        Snap.occTrace = s => { println(s"SNAPPROBE TRACE $s"); Console.flush() }
+        // rendezvous BEFORE resolving: JVM boot skew (seconds) would
+        // otherwise let one racer commit before the other even reads
+        // the head, making the race vacuous — both must resolve the
+        // SAME base for the rebase/conflict paths to be exercised
+        val rivalRound = Map("dA" -> "dB", "dB" -> "dA",
+          "oA" -> "oB", "oB" -> "oA")(round)
+        val rdvFs = Published.fsOf(loc)
+        scala.util.Using.resource(
+          rdvFs.create(new HPath(loc.getParent, s"occ-ready-$round"), true))(
+          _.write('1'.toByte))
+        val rdvDeadline = System.currentTimeMillis() + 120000L
+        val rivalMarker = new HPath(loc.getParent, s"occ-ready-$rivalRound")
+        while (!rdvFs.exists(rivalMarker)) {
+          require(System.currentTimeMillis() < rdvDeadline,
+            s"gocc[$round]: rival racer never arrived at the rendezvous")
+          Thread.sleep(100)
+        }
+        val d = round match {
+          case "dA" => upd(M / 8, M / 8 + M / 16, 3.0)          // bucket 1
+          case "dB" => upd(6 * M / 8, 6 * M / 8 + M / 16, -3.0) // bucket 6
+          case "oA" => upd(M / 4, M / 4 + M / 16, 5.0)          // bucket 2
+          case "oB" => upd(M / 4 + M / 32, M / 4 + M / 16 + M / 32, 11.0)
+          case r => sys.error(s"unknown occ round $r")
+        }
+        val v = Snap.mergeOcc(spark, loc, d)
+        println(s"SNAPPROBE gocc OK round=$round v=$v")
+
+      case "gocccheck" =>
+        // post-race validation for leg 5. disjoint: head v4, the loser
+        // REBASED (base < parent on exactly the last commit), both
+        // shifts present. overlap: head v6 — the deltas are ABSOLUTE
+        // upserts (source value + shift), so the contested key range
+        // must hold exactly the LAST committer's values (the loser
+        // re-merged against the winner's head; its rows then replace
+        // matched keys — per-key last-writer-wins, never a blend, a
+        // lost update, or a wrongly-allowed rebase). The script passes
+        // which racer committed last (the one that logged a
+        // conflict_retry).
+        val stage = args.lift(3).getOrElse("disjoint")
+        def shifted(cur: DataFrame, loN: Long, hiN: Long, s: Double) =
+          cur.withColumn("c_acctbal",
+            when(col("c_custkey") >= loN && col("c_custkey") < hiN,
+              col("c_acctbal") + s).otherwise(col("c_acctbal")))
+        var exp = expected(1)
+        exp = shifted(exp, M / 8, M / 8 + M / 16, 3.0)
+        exp = shifted(exp, 6 * M / 8, 6 * M / 8 + M / 16, -3.0)
+        val wantV = if (stage == "disjoint") 4 else 6
+        if (stage == "overlap") {
+          // oA sets [M/4, M/4+M/16) to source+5; oB sets
+          // [M/4+M/32, M/4+M/16+M/32) to source+11; the later commit
+          // owns the intersection
+          val last = args.lift(4).getOrElse(
+            sys.error("gocccheck overlap needs the last committer (oA|oB)"))
+          if (last == "oB") {
+            exp = shifted(exp, M / 4, M / 4 + M / 32, 5.0)
+            exp = shifted(exp, M / 4 + M / 32, M / 4 + M / 16 + M / 32, 11.0)
+          } else {
+            exp = shifted(exp, M / 4, M / 4 + M / 16, 5.0)
+            exp = shifted(exp, M / 4 + M / 16, M / 4 + M / 16 + M / 32, 11.0)
+          }
+        }
+        val h = Snap.head(spark, loc).get
+        require(h.version == wantV,
+          s"gocccheck[$stage]: head=${h.version}, want $wantV")
+        if (stage == "disjoint") {
+          val last = Snap.atVersion(spark, loc, 4)
+          require(last.resolvedBase == 2 && last.parent == 3,
+            s"gocccheck: the loser must have REBASED (base=2, parent=3), " +
+              s"got base=${last.resolvedBase} parent=${last.parent}")
+        }
+        assertSame(Snap.read(spark, loc), exp, s"post-occ-race [$stage] state")
+        println(s"SNAPPROBE gocccheck OK stage=$stage v=${h.version}")
+
       case "gcrash" =>
         val round = args.lift(4).map(_.toInt).getOrElse(2)
         // the armed env var (SPARK_GRAFT_SNAP_HALT / SPARK_GRAFT_SNAP_TORN)

@@ -276,7 +276,7 @@ object Published {
       new String(buf, "UTF-8")
     } catch { case _: java.io.IOException => null }
 
-  private def ageOf(fs: FileSystem, p: HPath): Long =
+  private[sources] def ageOf(fs: FileSystem, p: HPath): Long =
     try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
     catch { case _: java.io.IOException => 0L } // just released
 
@@ -374,41 +374,63 @@ object Published {
     val ckptId = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
       .findFirstMatchIn(meta).map(_.group(1)).getOrElse(
         sys.error(s"$what: checkpoint metadata carries no query id: $meta"))
-    // Stamp-or-verify runs UNDER the table lease (r17 advice): with a
-    // plain unlocked overwrite PUT, two foreign streams started
-    // concurrently could both read an absent stamp and both pass —
-    // conflicting batch-id spaces then sharing one applied high-water.
-    // The lease serializes them; re-entrant under a caller's hold.
-    withLeaseAwaiting(loc, s"lineage:${loc.getName}") {
+    stampOrVerifyLineage(loc, ckptId, what)
+  }
+
+  /** The stamp-or-verify core behind [[assertStreamLineage]] (and the
+    * snap follower's source binding): bind `loc` to `identity`, or
+    * verify it is already bound to exactly that identity.
+    *
+    * Stamping runs UNDER the table lease (r17 advice): with a plain
+    * unlocked overwrite PUT, two foreign writers started concurrently
+    * could both read an absent stamp and both pass — conflicting
+    * batch-id spaces then sharing one applied high-water. The lease
+    * serializes them; re-entrant under a caller's hold. A LANDED stamp
+    * is immutable, so the verify-only fast path needs no lease. */
+  private[graft] def stampOrVerifyLineage(loc: HPath, identity: String,
+                                          what: String): Unit = {
+    val fs = fsOf(loc)
+    val idFile = new HPath(loc, "_GRAFT_CKPT")
+    def readStamp(): String = {
       val existing =
         if (retryIO()(fs.exists(idFile))) retryNullable(readOrNull(fs, idFile))
         else ""
       require(existing != null,
         s"$what: lineage stamp $idFile unreadable after retries — refusing " +
           "to guess (a wrong lineage silently drops or doubles batches)")
-      // The stamp carries a terminator so a TORN write (crash mid-PUT:
-      // some bytes landed, not all) is distinguishable from a landed
-      // one. A footer-less stamp — empty OR partial — is the crashed-
-      // create artifact: the sink only applies batches AFTER a
-      // successful stamp call, so no batch can have applied under it;
-      // re-stamp instead of wedging the table forever (r17 advice
-      // extended the r16 empty-stamp heal to partial bytes).
-      if (existing.endsWith(StampFooter))
-        require(existing.stripSuffix(StampFooter) == ckptId,
+      existing
+    }
+    // The stamp carries a terminator so a TORN write (crash mid-PUT:
+    // some bytes landed, not all) is distinguishable from a landed
+    // one. A footer-less stamp — empty OR partial — is the crashed-
+    // create artifact: the writer only applies batches AFTER a
+    // successful stamp call, so no batch can have applied under it;
+    // re-stamp instead of wedging the table forever (r17 advice
+    // extended the r16 empty-stamp heal to partial bytes).
+    def landedAndVerified(existing: String): Boolean =
+      if (!existing.endsWith(StampFooter)) false
+      else {
+        require(existing.stripSuffix(StampFooter) == identity,
           s"$what: table was written under stream lineage " +
             s"'${existing.stripSuffix(StampFooter)}'; applying lineage " +
-            s"'$ckptId' would remap batch ids and break the " +
+            s"'$identity' would remap batch ids and break the " +
             "applied-high-water dedup — reuse the original checkpoint " +
             "or drop the table")
-      else {
+        true
+      }
+    if (landedAndVerified(readStamp())) return
+    withLeaseAwaiting(loc, s"lineage:${loc.getName}") {
+      val existing = readStamp() // re-read under the lease
+      if (!landedAndVerified(existing)) {
         retryIO()(fs.mkdirs(loc))
         retryIO() { deleteIfExists(fs, idFile) }
-        retryIO()(writeFile(fs, idFile, (ckptId + StampFooter).getBytes("UTF-8")))
+        retryIO()(writeFile(fs, idFile,
+          (identity + StampFooter).getBytes("UTF-8")))
         // read-back verify: the write above is a plain PUT (safe under
         // the lease — no rival stamper); a blip that tore it must
         // surface NOW, not as a silent future re-stamp window
         val back = retryNullable(readOrNull(fs, idFile))
-        require(back == ckptId + StampFooter,
+        require(back == identity + StampFooter,
           s"$what: lineage stamp read-back mismatch after write — store " +
             "faulting hard; refusing to start the stream")
       }

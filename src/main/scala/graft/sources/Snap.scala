@@ -78,16 +78,28 @@ object Snap {
     * lineage stamp (the demo queries store a source fingerprint).
     * `layout` is "hash" (pmod murmur3 — co-location for merges) or
     * "range" (monotone buckets over [rangeMin,rangeMax] — tight file
-    * stats for skipping). */
+    * stats for skipping).
+    *
+    * `op` records WHAT the commit did ("create" | "merge" |
+    * "optimize" | "evolve") — the changelog reader skips the
+    * row-set-neutral kinds without opening a file. `base` is the
+    * version this writer RESOLVED against when planning: equal to
+    * `parent` for serialized commits, older than `parent` when an
+    * optimistic commit rebased over a disjoint rival ([[mergeOcc]]) —
+    * the audit that distinguishes a rebase from a serialized commit. */
   final case class SnapManifest(version: Int, parent: Int, writer: String,
                                 tag: String, schemaDdl: String,
                                 keyCols: Seq[String], bucketCol: String,
                                 buckets: Int, layout: String,
                                 rangeMin: Long, rangeMax: Long,
                                 files: Seq[SnapFile],
-                                applied: Long = -1L) {
+                                applied: Long = -1L,
+                                op: String = "merge",
+                                base: Int = -1) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def keyKind: String = Snap.keyKindOf(schema(bucketCol).dataType)
+    /** The version the writer planned against (−1 legacy = parent). */
+    def resolvedBase: Int = if (base < 0) parent else base
   }
 
   /** Stat/compare kind for a bucket column: every integral type is
@@ -129,6 +141,8 @@ object Snap {
     sb.append(s"layout=${m.layout}\n")
     sb.append(s"range=${m.rangeMin},${m.rangeMax}\n")
     sb.append(s"applied=${m.applied}\n")
+    sb.append(s"op=${m.op}\n")
+    sb.append(s"base=${m.base}\n")
     m.files.foreach { f =>
       sb.append(s"file=${enc(f.path)} ${f.bucket} ${f.rows} " +
         s"${enc(f.min)} ${enc(f.max)}\n")
@@ -171,7 +185,11 @@ object Snap {
         dec(m("bucketCol")), m("buckets").toInt, m("layout"),
         range(0).toLong, range(1).toLong, files,
         // absent on pre-streaming manifests: no batch ever applied
-        m.get("applied").map(_.toLong).getOrElse(-1L)))
+        m.get("applied").map(_.toLong).getOrElse(-1L),
+        // absent on pre-r18 manifests: assume a data-changing commit
+        // (the changelog reader then reads rather than skips — safe)
+        m.getOrElse("op", "merge"),
+        m.get("base").map(_.toInt).getOrElse(-1)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -296,17 +314,29 @@ object Snap {
         .cast("int")
     }
 
-  /** Write `data`'s rows as one parquet file per non-empty bucket and
-    * return their manifest entries. The staging write is a normal
-    * Spark job (task retries absorb store faults); the per-bucket stats
-    * come from reading the STAGED bytes back (so stats always describe
-    * exactly what landed, never a recomputed lineage), an O(delta)
-    * scan pruned to two columns; the final per-file moves finish
-    * forward under the caller's lease gate. */
-  private def stageDataFiles(spark: SparkSession, loc: HPath,
-                             m: SnapManifest, data: DataFrame,
-                             version: Int, token: String,
-                             gate: () => Unit): Seq[SnapFile] = {
+  /** A staged-but-not-yet-promoted write: the private stage dir, the
+    * per-bucket part files inside it, and the stats read back from the
+    * staged bytes. Promotion (the per-bucket moves into `data/`) is a
+    * separate, lease-held step so an optimistic writer can stage
+    * WITHOUT the lease and discard cheaply on a lost race. */
+  private final case class Staged(stage: HPath,
+                                  parts: Seq[(Int, HPath)],
+                                  stats: Map[Int, (Long, String, String)]) {
+    def isEmpty: Boolean = parts.isEmpty
+  }
+
+  /** Write `data`'s rows as one parquet file per non-empty bucket into
+    * a token-private stage dir and return the staged parts + their
+    * stats. The staging write is a normal Spark job (task retries
+    * absorb store faults); the per-bucket stats come from reading the
+    * STAGED bytes back (so stats always describe exactly what landed,
+    * never a recomputed lineage), an O(delta) scan pruned to two
+    * columns. Needs NO lease: the stage dir is private to this token
+    * and nothing it writes is visible to readers. */
+  private def stageWrite(spark: SparkSession, loc: HPath,
+                         m: SnapManifest, data: DataFrame,
+                         version: Int, token: String,
+                         gate: () => Unit): Staged = {
     val fs = Published.fsOf(loc)
     val stage = new HPath(loc, s"stage-v$version-$token")
     val stamped = data
@@ -353,7 +383,7 @@ object Snap {
       // every staged row vanished (e.g. a delete-only delta whose keys
       // covered a whole rewrite set): nothing to move, nothing to read
       Published.retryIO(gate)(fs.delete(stage, true))
-      return Seq.empty
+      return Staged(stage, Seq.empty, Map.empty)
     }
     val stats = statSeq.toMap
     // null-key backstop: a bucket of all-null keys has null min/max —
@@ -364,34 +394,60 @@ object Snap {
         s"snap: bucket $b holds null-keyed rows — key columns must be " +
           "non-null (nulls neither match deletes nor carry stats)")
     }
+    val parts = dirs.toSeq.map { d =>
+      val b = d.getPath.getName.stripPrefix("_b=").toInt
+      val leaves = Published.retryIO(gate)(fs.listStatus(d.getPath))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      // one file per bucket by construction (repartition by _b), so
+      // per-bucket stats ARE per-file stats — enforce before promoting
+      require(leaves.length == 1,
+        s"snap staging produced ${leaves.length} files for bucket $b — " +
+          "the repartition(_b) single-file invariant broke")
+      (b, leaves.head.getPath)
+    }
+    // probe hook: widen the (leaseless, for mergeOcc) staging window so
+    // the cross-JVM race asserts real wall-clock overlap
+    occStageHold()
+    Staged(stage, parts, stats)
+  }
+
+  /** Promote a staged write: move the per-bucket part files to their
+    * flat immutable names under `data/` and return the manifest
+    * entries. MUST run under the table lease (every caller's `gate` is
+    * [[Published.assertLeaseOwned]]): promotion makes bytes visible at
+    * committable names, and the lease is what keeps vacuum's
+    * unreferenced-file sweep from racing the moves. Flat names keep
+    * later explicit-file reads free of partition discovery; `version`
+    * is the FINAL commit version (an optimistic writer that rebased
+    * promotes under the rebased version, so names stay unique — one
+    * promoter at a time, one version per commit). A crash anywhere
+    * here leaves only unreferenced files (vacuum sweeps them). */
+  private def promoteStaged(fs: FileSystem, loc: HPath, staged: Staged,
+                            version: Int, gate: () => Unit): Seq[SnapFile] = {
+    if (staged.isEmpty) return Seq.empty
     // a contract-compliant FileSystem rename fails when the destination
     // parent is missing (the local sims mask this by copy-fallback —
     // review finding, r17): make data/ exist before the first move
     Published.retryIO(gate)(fs.mkdirs(new HPath(loc, "data")))
-    // move staged leaves to flat immutable names data/v<V>-b<K>-<i>;
-    // flat names keep later explicit-file reads free of partition
-    // discovery. A crash anywhere here leaves only unreferenced files.
-    val out = scala.collection.mutable.ArrayBuffer.empty[SnapFile]
-    dirs.foreach { d =>
-        val b = d.getPath.getName.stripPrefix("_b=").toInt
-        val parts = Published.retryIO(gate)(fs.listStatus(d.getPath))
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName)
-        // one file per bucket by construction (repartition by _b), so
-        // per-bucket stats ARE per-file stats — enforce before moving
-        require(parts.length <= 1,
-          s"snap staging produced ${parts.length} files for bucket $b — " +
-            "the repartition(_b) single-file invariant broke")
-        parts.zipWithIndex.foreach { case (st, i) =>
-          val name = s"data/v$version-b$b-$i.parquet"
-          Published.moveResumable(fs, st.getPath, new HPath(loc, name), gate)
-          val (rows, mn, mx) = stats(b)
-          out += SnapFile(name, b, rows, mn, mx)
-        }
-      }
-    Published.retryIO(gate)(fs.delete(stage, true))
-    out.toSeq
+    val out = staged.parts.map { case (b, part) =>
+      val name = s"data/v$version-b$b-0.parquet"
+      Published.moveResumable(fs, part, new HPath(loc, name), gate)
+      val (rows, mn, mx) = staged.stats(b)
+      SnapFile(name, b, rows, mn, mx)
+    }
+    Published.retryIO(gate)(fs.delete(staged.stage, true))
+    out
   }
+
+  /** Stage + promote in one lease-held step — the serialized writers'
+    * path (create, merge, optimize). */
+  private def stageDataFiles(spark: SparkSession, loc: HPath,
+                             m: SnapManifest, data: DataFrame,
+                             version: Int, token: String,
+                             gate: () => Unit): Seq[SnapFile] =
+    promoteStaged(Published.fsOf(loc), loc,
+      stageWrite(spark, loc, m, data, version, token, gate), version, gate)
 
   /** Commit a rendered manifest at its version path, resolving create
     * ambiguity the lease-acquire way: a create that faults (the PUT may
@@ -461,7 +517,8 @@ object Snap {
     * lineage — the caller decides to [[drop]] it, never this code). */
   def create(spark: SparkSession, loc: HPath, data: DataFrame,
              keyCols: Seq[String], bucketCol: String, buckets: Int,
-             layout: String = "hash", tag: String = ""): Unit = {
+             layout: String = "hash", tag: String = "",
+             applied: Long = -1L): Unit = {
     require(Seq("hash", "range").contains(layout), s"bad layout $layout")
     require(keyCols.contains(bucketCol), "bucketCol must be a key column")
     val kind = keyKindOf(data.schema(bucketCol).dataType) // loud on unsupported
@@ -495,7 +552,7 @@ object Snap {
           val token = newToken()
           val m0 = SnapManifest(1, 0, token, tag,
             data.schema.toDDL, keyCols, bucketCol, buckets, layout,
-            rMin, rMax, Seq.empty)
+            rMin, rMax, Seq.empty, applied, "create", 0)
           val gate = () => Published.assertLeaseOwned(loc)
           val files = stageDataFiles(spark, loc, m0, data, 1, token, gate)
           graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
@@ -550,6 +607,86 @@ object Snap {
     } finally delta.unpersist()
   }
 
+  /** The merge contract, refused loudly BEFORE any staging: full
+    * schema (names AND types), a boolean delete flag, one non-null-
+    * keyed row per key with a non-null flag. */
+  private def contractCheck(m: SnapManifest, delta: DataFrame,
+                            deletedCol: String): Unit = {
+    val schema = m.schema
+    require(schema.fieldNames.forall(delta.columns.contains),
+      s"delta is missing table columns: " +
+        schema.fieldNames.filterNot(delta.columns.contains).mkString(","))
+    // TYPES too, not just names (review finding): unionByName would
+    // silently widen a mistyped column (double+string -> string), the
+    // rewritten files would land with a type the manifest's schema
+    // contradicts, and every later read of that DURABLY COMMITTED
+    // version would throw — loud refusal BEFORE commit, like every
+    // other contract guard here
+    val mistyped = schema.fields.filter(f =>
+      delta.schema(f.name).dataType != f.dataType)
+    require(mistyped.isEmpty,
+      "delta column types diverge from the table schema: " +
+        mistyped.map(f => s"${f.name} (table ${f.dataType.simpleString}, " +
+          s"delta ${delta.schema(f.name).dataType.simpleString})")
+          .mkString(", "))
+    require(delta.columns.contains(deletedCol),
+      s"delta needs boolean column $deletedCol")
+    val keyEx = m.keyCols.map(col)
+    // contract guards in ONE pass: at most one delta row per key (a
+    // dup makes "latest-wins" order-dependent), no null key values
+    // (nulls neither match deletes through the anti-join nor carry
+    // stats), and no null in the deleted flag — filter(!col) would
+    // silently DROP a _deleted=NULL row from the upserts while its
+    // key still anti-joins the existing row away: a silent row loss,
+    // against this module's loud-refusal discipline (r17 advice)
+    val bad = delta.groupBy(keyEx: _*)
+      .agg(count(lit(1)).as("count"),
+        count(when(col(deletedCol).isNull, 1)).as("null_del"))
+      .filter(col("count") > 1 || col("null_del") > 0 ||
+        m.keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).count()
+    require(bad == 0, "delta carries duplicate keys, null keys, or a null " +
+      s"$deletedCol flag — resolve to one non-null-keyed row per key with " +
+      "an explicit true/false delete flag before merging")
+  }
+
+  /** Per-bucket delta key ranges: ≤ buckets rows to the driver — the
+    * planning metadata that makes the rewrite set file-granular. */
+  private def deltaRanges(m: SnapManifest,
+                          delta: DataFrame): Map[Int, (String, String)] = {
+    val bEx = bucketExpr(m.layout, m.bucketCol, m.buckets,
+      m.rangeMin, m.rangeMax)
+    delta.withColumn("_b", bEx).groupBy(col("_b"))
+      .agg(min(col(m.bucketCol)).cast("string").as("mn"),
+        max(col(m.bucketCol)).cast("string").as("mx"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+  }
+
+  /** Can file `f` hold a key in the delta's per-bucket ranges? Always
+    * the TYPED compare ([[keyKindOf]]) — never lexicographic. */
+  private def fileIntersects(keyKind: String,
+                             ranges: Map[Int, (String, String)])
+                            (f: SnapFile): Boolean =
+    ranges.get(f.bucket).exists { case (mn, mx) =>
+      if (keyKind == "long")
+        f.max.toLong >= mn.toLong && f.min.toLong <= mx.toLong
+      else f.max >= mn && f.min <= mx
+    }
+
+  /** Survivors of the rewritten files ∪ the upserts; the anti-join's
+    * build side is the delta's keys (small — AQE broadcasts it). */
+  private def mergedFrame(spark: SparkSession, loc: HPath, m: SnapManifest,
+                          delta: DataFrame, deletedCol: String,
+                          rewrite: Seq[SnapFile]): DataFrame = {
+    val upserts = delta.filter(!col(deletedCol))
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+    val deltaKeys = delta.select(m.keyCols.map(col): _*)
+    readFiles(spark, loc, m, rewrite)
+      .join(deltaKeys, m.keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+
   private def mergeResolved(spark: SparkSession, loc: HPath,
                             m: SnapManifest, delta: DataFrame,
                             deletedCol: String, autoOptimize: Int,
@@ -557,69 +694,10 @@ object Snap {
     {
       val gate = () => Published.assertLeaseOwned(loc)
       val fs = Published.fsOf(loc)
-      val schema = m.schema
-      require(schema.fieldNames.forall(delta.columns.contains),
-        s"delta is missing table columns: " +
-          schema.fieldNames.filterNot(delta.columns.contains).mkString(","))
-      // TYPES too, not just names (review finding): unionByName would
-      // silently widen a mistyped column (double+string -> string), the
-      // rewritten files would land with a type the manifest's schema
-      // contradicts, and every later read of that DURABLY COMMITTED
-      // version would throw — loud refusal BEFORE commit, like every
-      // other contract guard here
-      val mistyped = schema.fields.filter(f =>
-        delta.schema(f.name).dataType != f.dataType)
-      require(mistyped.isEmpty,
-        "delta column types diverge from the table schema: " +
-          mistyped.map(f => s"${f.name} (table ${f.dataType.simpleString}, " +
-            s"delta ${delta.schema(f.name).dataType.simpleString})")
-            .mkString(", "))
-      require(delta.columns.contains(deletedCol),
-        s"delta needs boolean column $deletedCol")
-      val keyEx = m.keyCols.map(col)
-      // contract guards in ONE pass: at most one delta row per key (a
-      // dup makes "latest-wins" order-dependent), no null key values
-      // (nulls neither match deletes through the anti-join nor carry
-      // stats), and no null in the deleted flag — filter(!col) would
-      // silently DROP a _deleted=NULL row from the upserts while its
-      // key still anti-joins the existing row away: a silent row loss,
-      // against this module's loud-refusal discipline (r17 advice)
-      val bad = delta.groupBy(keyEx: _*)
-        .agg(count(lit(1)).as("count"),
-          count(when(col(deletedCol).isNull, 1)).as("null_del"))
-        .filter(col("count") > 1 || col("null_del") > 0 ||
-          m.keyCols.map(col(_).isNull).reduce(_ || _))
-        .limit(1).count()
-      require(bad == 0, "delta carries duplicate keys, null keys, or a null " +
-        s"$deletedCol flag — resolve to one non-null-keyed row per key with " +
-        "an explicit true/false delete flag before merging")
-
-      // per-bucket delta key ranges: ≤ buckets rows to the driver —
-      // the planning metadata that makes the rewrite set file-granular
-      val bEx = bucketExpr(m.layout, m.bucketCol, m.buckets,
-        m.rangeMin, m.rangeMax)
-      val ranges = delta.withColumn("_b", bEx).groupBy(col("_b"))
-        .agg(min(col(m.bucketCol)).cast("string").as("mn"),
-          max(col(m.bucketCol)).cast("string").as("mx"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
-
-      def intersects(f: SnapFile): Boolean = ranges.get(f.bucket).exists {
-        case (mn, mx) =>
-          if (m.keyKind == "long")
-            f.max.toLong >= mn.toLong && f.min.toLong <= mx.toLong
-          else f.max >= mn && f.min <= mx
-      }
-      val (rewrite, carry) = m.files.partition(intersects)
-
-      val upserts = delta.filter(!col(deletedCol))
-        .select(schema.fieldNames.map(col).toSeq: _*)
-      val deltaKeys = delta.select(keyEx: _*)
-      // survivors of the rewritten files ∪ the upserts; the anti-join's
-      // build side is the delta's keys (small — AQE broadcasts it)
-      val merged = readFiles(spark, loc, m, rewrite)
-        .join(deltaKeys, m.keyCols, "left_anti")
-        .unionByName(upserts)
+      contractCheck(m, delta, deletedCol)
+      val ranges = deltaRanges(m, delta)
+      val (rewrite, carry) = m.files.partition(fileIntersects(m.keyKind, ranges))
+      val merged = mergedFrame(spark, loc, m, delta, deletedCol, rewrite)
 
       val token = newToken()
       val next = m.version + 1
@@ -627,7 +705,7 @@ object Snap {
       graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
       val mn = SnapManifest(next, m.version, token, m.tag, m.schemaDdl,
         m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin, m.rangeMax,
-        files, appliedStamp.getOrElse(m.applied))
+        files, appliedStamp.getOrElse(m.applied), "merge", m.version)
       if (sys.env.contains(SnapTornEnv)) {
         // probe hook: reproduce the mid-create crash for REAL across a
         // process boundary — land the manifest bytes WITHOUT the
@@ -672,6 +750,160 @@ object Snap {
                      autoOptimize: Int = 0): Int =
     merge(spark, loc, delta, deletedCol, autoOptimize, Some(batchId))
 
+  /** Optimistic-concurrency MERGE — same semantics and contract as
+    * [[merge]], but writers that touch DISJOINT files no longer
+    * serialize through the table lease for their whole stage+commit
+    * (the r17 verdict's one design ceiling: at 100 TB with several CDC
+    * appliers / backfill jobs on disjoint buckets, the single-writer
+    * lease makes writer 2 wait out writer 1's entire rewrite even when
+    * their file sets never intersect).
+    *
+    * Protocol, the published optimistic-concurrency shape built on the
+    * primitives this format already has (atomic manifest create-new,
+    * version chain, per-file bucket/key-range metadata):
+    *
+    *   1. **Resolve** the head WITHOUT the lease and plan the merge
+    *      against it (rewrite set, per-bucket delta ranges).
+    *   2. **Stage leaseless** — the expensive part: read the rewrite
+    *      set, anti-join, write the replacement files into a
+    *      token-private stage dir. Rival writers stage CONCURRENTLY;
+    *      nothing staged is visible to anyone.
+    *   3. **Commit under the lease, with conflict detection** — the
+    *      cheap part (O(touched buckets) metadata moves + one manifest
+    *      create). Re-read the head:
+    *        - unchanged → promote + commit as resolved;
+    *        - advanced by rivals whose commits are DISJOINT from this
+    *          plan (every file this writer rewrote still live in the
+    *          new head, and no rival-added file's key range intersects
+    *          this delta's per-bucket ranges) → **rebase**: carry the
+    *          rivals' files, commit on top of THEIR head (the
+    *          manifest's `base` field records the resolved version —
+    *          base < parent is the rebase audit);
+    *        - overlapping → discard the stage dir and retry the whole
+    *          merge against the new head (the rival's rows must feed
+    *          this writer's anti-join).
+    *
+    *    The rebase-or-retry decision is pure manifest metadata — no
+    *    data bytes are read under the lease. The disjointness test is
+    *    range-based, so it can refuse a rebase that row-level analysis
+    *    would allow (a rival file whose [min,max] straddles this
+    *    delta's range but holds none of its keys) — conservative,
+    *    never wrong.
+    *
+    * Keeps the lease for promotion+commit (not just the create): the
+    * torn-manifest sweep inside [[commitManifest]] stays sound (a torn
+    * manifest at the target version can only be a DEAD writer's), and
+    * vacuum — also lease-held — can never sweep a just-promoted,
+    * not-yet-referenced file. Stage dirs of LIVE leaseless stagers are
+    * protected from vacuum by an age guard instead ([[vacuum]]).
+    *
+    * Throws after `maxAttempts` lost races (contention that high means
+    * the workload wants the serialized [[merge]]). */
+  def mergeOcc(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
+               deletedCol: String = "_deleted", autoOptimize: Int = 0,
+               appliedStamp: Option[Long] = None, maxAttempts: Int = 5): Int = {
+    require(autoOptimize == 0 || autoOptimize >= 2,
+      "autoOptimize must be 0 (off) or >= 2")
+    val fs = Published.fsOf(loc)
+    val delta = deltaIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        attempt += 1
+        occTrace(s"attempt=$attempt resolve")
+        val m = head(spark, loc).getOrElse(
+          sys.error(s"snap $loc: merge into a table that never committed"))
+        if (appliedStamp.exists(_ <= m.applied)) return m.version
+        contractCheck(m, delta, deletedCol)
+        val ranges = deltaRanges(m, delta)
+        val (rewrite, carry) = m.files.partition(fileIntersects(m.keyKind, ranges))
+        val merged = mergedFrame(spark, loc, m, delta, deletedCol, rewrite)
+        val token = newToken()
+        occTrace(s"attempt=$attempt stage_start=${System.currentTimeMillis()}")
+        val staged = stageWrite(spark, loc, m, merged, m.version + 1, token,
+          () => ())
+        occTrace(s"attempt=$attempt stage_end=${System.currentTimeMillis()}")
+        val committed: Option[Int] =
+          Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+            val gate = () => Published.assertLeaseOwned(loc)
+            occTrace(s"attempt=$attempt commit_enter=${System.currentTimeMillis()}")
+            val h2 = head(spark, loc).getOrElse(
+              sys.error(s"snap $loc: table vanished mid-merge"))
+            if (appliedStamp.exists(_ <= h2.applied)) {
+              // a rival stream attempt applied this batch while we
+              // staged — replay no-op; our stage is pure orphan
+              discardStage(fs, staged, gate)
+              Some(h2.version)
+            } else {
+              val myRewrite = rewrite.map(_.path).toSet
+              val target: Option[SnapManifest] =
+                if (h2.version == m.version)
+                  Some(SnapManifest(m.version + 1, m.version, token, m.tag,
+                    m.schemaDdl, m.keyCols, m.bucketCol, m.buckets, m.layout,
+                    m.rangeMin, m.rangeMax, carry,
+                    appliedStamp.getOrElse(m.applied), "merge", m.version))
+                else {
+                  // rivals committed past our base: rebase iff disjoint
+                  val h2Paths = h2.files.map(_.path).toSet
+                  val basePaths = m.files.map(_.path).toSet
+                  val rivalNew = h2.files.filterNot(f => basePaths.contains(f.path))
+                  val disjoint = myRewrite.subsetOf(h2Paths) &&
+                    !rivalNew.exists(fileIntersects(m.keyKind, ranges))
+                  if (!disjoint) None
+                  else Some(SnapManifest(h2.version + 1, h2.version, token,
+                    h2.tag, h2.schemaDdl, h2.keyCols, h2.bucketCol, h2.buckets,
+                    h2.layout, h2.rangeMin, h2.rangeMax,
+                    h2.files.filterNot(f => myRewrite.contains(f.path)),
+                    appliedStamp.fold(h2.applied)(math.max(_, h2.applied)),
+                    "merge", m.version))
+                }
+              target match {
+                case Some(tm) =>
+                  val fresh = promoteStaged(fs, loc, staged, tm.version, gate)
+                  graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
+                  commitManifest(fs, loc, tm.copy(files = tm.files ++ fresh), gate)
+                  graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
+                  Some(tm.version)
+                case None =>
+                  discardStage(fs, staged, gate)
+                  None
+              }
+            }
+          }
+        committed match {
+          case Some(v) =>
+            occTrace(s"attempt=$attempt committed v=$v")
+            return if (autoOptimize > 0 &&
+                atVersion(spark, loc, v).files.groupBy(_.bucket)
+                  .valuesIterator.exists(_.size >= autoOptimize)) {
+              delta.unpersist()
+              optimize(spark, loc, minFilesPerBucket = autoOptimize)
+            } else v
+          case None =>
+            occTrace(s"attempt=$attempt conflict_retry")
+        }
+      }
+      sys.error(s"snap $loc: optimistic merge lost the race $maxAttempts " +
+        "times — contention this high wants the serialized merge()")
+    } finally delta.unpersist()
+  }
+
+  /** Drop a staged-but-never-promoted write (lost race): best-effort —
+    * a blip here only leaves debris the age-guarded vacuum sweeps. */
+  private def discardStage(fs: FileSystem, staged: Staged,
+                           gate: () => Unit): Unit =
+    try Published.retryIO(gate)(fs.delete(staged.stage, true))
+    catch { case _: java.io.IOException => () }
+
+  /** Test/probe hooks: [[occStageHold]] runs at the end of every
+    * staging write (the cross-JVM race probe widens the leaseless
+    * window so wall-clock overlap is assertable); [[occTrace]] receives
+    * the optimistic protocol's step markers. Both default to no-ops and
+    * are only ever set by specs/probes in their own JVM. */
+  private[graft] var occStageHold: () => Unit = () => ()
+  private[graft] var occTrace: String => Unit = _ => ()
+
   /** Stamp-or-verify the stream's checkpoint identity on the table —
     * [[Published.assertStreamLineage]] with this table's location (the
     * shared helper stamps the checkpoint's QUERY ID, so even a
@@ -681,6 +913,110 @@ object Snap {
     * on its first micro-batch. */
   def assertStreamLineage(loc: HPath, checkpointDir: String): Unit =
     Published.assertStreamLineage(loc, checkpointDir, s"snap cdc $loc")
+
+  /** Bind (or verify) a FOLLOWER destination table to its source's
+    * identity — the follower's applied high-water counts SOURCE
+    * versions, so feeding the destination from a different source (or
+    * mixing it with a checkpoint-id CDC sink) would remap the stamp
+    * space exactly like a foreign checkpoint would. Same lease-held
+    * stamp-or-verify + torn-stamp heal as the CDC sink's. */
+  def assertFollowLineage(dst: HPath, srcIdentity: String): Unit =
+    Published.stampOrVerifyLineage(dst, s"follow:$srcIdentity",
+      s"snap follow $dst")
+
+  /** Project `df` onto exactly `schema`'s columns, null-filling the
+    * absent ones — the changelog's cross-version alignment (a step's
+    * pre-image may be narrower than the range's target schema). */
+  private def conform(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+
+  /** Changelog / incremental read (CDF): every row that changed
+    * between committed versions `fromV` (EXCLUSIVE) and `toV`
+    * (inclusive), classified `insert` / `update` / `delete` in
+    * `_change_type`, stamped with `_commit_version`, under `toV`'s
+    * schema (null-conformed across evolution). Inserts and updates
+    * carry the post-image, deletes the pre-image.
+    *
+    * Derived from the manifest chain in **O(delta)** — the r17
+    * verdict's missing incremental read: a downstream consumer used to
+    * need a full-outer diff of two whole snapshots (O(table), exactly
+    * the cost the COW write side avoids). Per commit step v-1 → v:
+    *
+    *   - carried files are NEVER read: the step opens only the files
+    *     the commit REMOVED (pre-images) and ADDED (post-images) —
+    *     both O(that commit's delta);
+    *   - inserts   = post-image keys absent from the pre-images;
+    *   - deletes   = pre-image keys absent from the post-images;
+    *   - updates   = keys present in both whose common non-key columns
+    *     differ (null-safe struct compare) — the value compare is what
+    *     keeps COPIED survivor rows (rewritten-file rows the delta
+    *     never touched) out of the changelog;
+    *   - `optimize` and `evolve` commits are row-set-neutral BY
+    *     CONTRACT (a physical fold / a metadata-only schema change)
+    *     and are skipped without opening a file — the `op` field in
+    *     the manifest is what makes that free.
+    *
+    * Needs every version in (fromV, toV] plus `fromV` itself still
+    * within the vacuum horizon — a swept version fails loudly through
+    * [[atVersion]]. At 100 TB: reading "what changed last hour" costs
+    * the hour's delta bytes, never the table. */
+  def changes(spark: SparkSession, loc: HPath, fromV: Int, toV: Int): DataFrame = {
+    require(fromV >= 1, s"fromV must be a committed version, got $fromV")
+    require(toV >= fromV, s"empty/negative range: ($fromV, $toV]")
+    val target = atVersion(spark, loc, toV)
+    def withMeta(df: DataFrame, tpe: String, v: Int): DataFrame =
+      conform(df, target.schema)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v))
+    val steps: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
+      val child = atVersion(spark, loc, v)
+      if (child.op == "optimize" || child.op == "evolve") Seq.empty
+      else {
+        val parent = atVersion(spark, loc, v - 1)
+        val childPaths = child.files.map(_.path).toSet
+        val parentPaths = parent.files.map(_.path).toSet
+        val removed = parent.files.filterNot(f => childPaths.contains(f.path))
+        val added = child.files.filterNot(f => parentPaths.contains(f.path))
+        if (removed.isEmpty && added.isEmpty) Seq.empty
+        else {
+          val keys = child.keyCols
+          val pre = readFiles(spark, loc, parent, removed)
+          val post = readFiles(spark, loc, child, added)
+          val common = child.schema.fieldNames
+            .filter(parent.schema.fieldNames.contains).toSeq
+          val nonKey = common.filterNot(keys.contains)
+          val inserts = post.join(pre.select(keys.map(col): _*),
+            keys, "left_anti")
+          val deletes = pre.join(post.select(keys.map(col): _*),
+            keys, "left_anti")
+          val updates =
+            if (nonKey.isEmpty) None // all-key schema: nothing to differ
+            else {
+              val o = pre.select((keys.map(col) ++
+                nonKey.map(c => col(c).as(s"__o_$c"))): _*)
+              Some(post.join(o, keys)
+                .filter(!(struct(nonKey.map(col): _*) <=>
+                  struct(nonKey.map(c => col(s"__o_$c")): _*)))
+                .select(post.columns.map(col).toSeq: _*))
+            }
+          Seq(withMeta(inserts, "insert", v),
+            withMeta(deletes, "delete", v)) ++
+            updates.map(withMeta(_, "update", v))
+        }
+      }
+    }
+    if (steps.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(target.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    else steps.reduce(_.unionByName(_))
+  }
 
   /** Schema evolution, additive form: append nullable columns as a
     * METADATA-ONLY commit — the new manifest carries the widened
@@ -716,7 +1052,7 @@ object Snap {
       commitManifest(Published.fsOf(loc), loc,
         SnapManifest(next, m.version, newToken(), m.tag, widened.toDDL,
           m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin,
-          m.rangeMax, m.files, m.applied), gate)
+          m.rangeMax, m.files, m.applied, "evolve", m.version), gate)
       next
     }
   }
@@ -754,7 +1090,8 @@ object Snap {
         graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
         commitManifest(fs, loc, SnapManifest(next, m.version, token, m.tag,
           m.schemaDdl, m.keyCols, m.bucketCol, m.buckets, m.layout,
-          m.rangeMin, m.rangeMax, files, m.applied), gate)
+          m.rangeMin, m.rangeMax, files, m.applied, "optimize", m.version),
+          gate)
         next
       }
     }
@@ -797,7 +1134,15 @@ object Snap {
       }
       var stages = 0
       Published.retryIO(gate)(fs.listStatus(loc)).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith("stage-v")) {
+        // AGE GUARD (new with mergeOcc): an optimistic writer stages
+        // WITHOUT the lease, so a fresh stage dir may belong to a LIVE
+        // racer — sweeping it would fail that writer's promote for no
+        // reason. Only dirs older than the lease-stale threshold (a
+        // live stager would long since have promoted or discarded) are
+        // dead writers' debris. data/ needs no guard: promotion is
+        // lease-held, so unreferenced data files here are crash debris.
+        if (st.isDirectory && st.getPath.getName.startsWith("stage-v") &&
+            Published.ageOf(fs, st.getPath) > Published.leaseStaleMs) {
           gate(); Published.retryIO(gate)(fs.delete(st.getPath, true)); stages += 1
         }
       }

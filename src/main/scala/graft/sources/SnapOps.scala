@@ -536,6 +536,59 @@ object SnapOps {
       |  sum(coalesce(h_to, 0))::BIGINT AS sum_to
       |FROM h GROUP BY h_from""".stripMargin
 
+  // --------------------------------------------------------------- q136
+  /** Changelog (CDF) face over the q130/q131 lifecycle: every change
+    * row across v1→v3, classified and stamped, aggregated per
+    * (version, kind). The relational oracle replays the delta chain —
+    * insert/update rows must carry post-images, delete rows
+    * pre-images (the v3 deletes' 111.11 balances are the v2 INSERTS'
+    * values: proof the pre-image is read from the parent version, not
+    * the source). `delta_scan_ok` audits the O(delta) contract from
+    * plan metadata: the changelog plan's inputFiles are a subset of
+    * the commits' removed∪added files — carried files never read. */
+  def q136SnapChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureCust(spark, dir)
+    val fs = Published.fsOf(loc)
+    val ms = (1 to 3).map(v => Snap.atVersion(spark, loc, v))
+    // compare scheme-normalized paths: Spark's inputFiles and Hadoop's
+    // makeQualified render the same file URI differently (file:/// vs
+    // file:/)
+    val deltaFiles = (1 until 3).flatMap { i =>
+      val p = ms(i - 1).files.map(_.path).toSet
+      val c = ms(i).files.map(_.path).toSet
+      (p diff c) ++ (c diff p)
+    }.map(p => fs.makeQualified(new HPath(loc, p)).toUri.getPath).toSet
+    val ch = Snap.changes(spark, loc, 1, 3)
+    val scanned = ch.inputFiles.map(new HPath(_).toUri.getPath)
+    val scanOk = scanned.nonEmpty && scanned.forall(deltaFiles)
+    ch.groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        countDistinct(col("c_nationkey")).as("n_nation"))
+      .withColumn("delta_scan_ok", lit(if (scanOk) 1 else 0))
+  }
+
+  val q136Sql: String =
+    s"""WITH $d1Sql,
+       |d2_upd AS (
+       |  SELECT c_custkey, c_nationkey, c_acctbal - 500 AS c_acctbal
+       |  FROM customer WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |    AND c_custkey < (SELECT m // 4 FROM ks)),
+       |ch AS (
+       |  SELECT 2 AS _commit_version, 'insert' AS _change_type,
+       |         c_nationkey, c_acctbal FROM d1_ins
+       |  UNION ALL SELECT 2, 'update', c_nationkey, c_acctbal FROM d1_upd
+       |  UNION ALL SELECT 2, 'delete', c_nationkey, c_acctbal FROM customer
+       |    WHERE c_custkey >= (SELECT m // 2 FROM ks)
+       |      AND c_custkey < (SELECT m // 2 + m // 20 FROM ks)
+       |  UNION ALL SELECT 3, 'update', c_nationkey, c_acctbal FROM d2_upd
+       |  UNION ALL SELECT 3, 'delete', c_nationkey, 111.11 FROM customer
+       |    WHERE c_custkey % 200 = 1)
+       |SELECT _commit_version, _change_type, count(*) AS n_rows,
+       |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+       |  count(DISTINCT c_nationkey) AS n_nation, 1 AS delta_scan_ok
+       |FROM ch GROUP BY _commit_version, _change_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -543,6 +596,7 @@ object SnapOps {
     "q133_snap_optimize" -> q133SnapOptimize _,
     "q134_snap_evolve" -> q134SnapEvolve _,
     "q135_snap_scd2" -> q135SnapScd2 _,
+    "q136_snap_changelog" -> q136SnapChangelog _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -552,5 +606,6 @@ object SnapOps {
     "q133_snap_optimize" -> q133Sql,
     "q134_snap_evolve" -> q134Sql,
     "q135_snap_scd2" -> q135Sql,
+    "q136_snap_changelog" -> q136Sql,
   )
 }

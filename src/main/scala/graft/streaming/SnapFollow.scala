@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.{Published, Snap}
+
+/** Follow a [[graft.sources.Snap]] table's commits as a stream — the
+  * READ-side twin of [[SnapCdc]], closing the table-to-table loop: a
+  * writer lands commits on a source table; the follower turns each new
+  * version into one changelog micro-batch ([[Snap.changes]], O(delta))
+  * and applies it to a destination table. Together they give the
+  * engine end-to-end incremental pipelines: ingest → snap table →
+  * follower → derived snap table, every hop mutation-capable and
+  * exactly-once, the shape the reference's N-region continuous
+  * producer (`regionSpout.go:82-94`) feeds at the front.
+  *
+  * **The offset ledger is the destination table itself.** Classic
+  * streaming sources track offsets in the CHECKPOINT, leaving the
+  * dreaded sink/checkpoint dual-commit window. Here the source's
+  * version chain IS the offset sequence, and the follower's cursor
+  * (highest source version applied) rides in the destination's
+  * `applied` manifest field — committed ATOMICALLY with the rows it
+  * accounts for, via the same [[Snap.mergeStreaming]] high-water that
+  * makes the CDC sink exactly-once. A driver death anywhere leaves no
+  * window: the restarted follower reads the cursor out of the
+  * destination's head manifest and resumes; a replayed poll is a no-op
+  * by construction. The streaming checkpoint carries nothing but the
+  * tick source's bookkeeping — wiping it is harmless, which is why the
+  * follower stamps SOURCE identity (not checkpoint id) as the
+  * destination's lineage ([[Snap.assertFollowLineage]]).
+  *
+  * Catch-up semantics: a follower that wakes up N versions behind
+  * applies the whole backlog as ONE merge — the changelog rows are
+  * collapsed latest-wins per key first (window by key on
+  * `_commit_version`), so a key updated five times and deleted lands
+  * as a single delete. Optional `transform` reshapes each batch
+  * (project/filter — must keep the destination's key columns).
+  *
+  * At 100 TB: each poll moves the BACKLOG'S delta bytes, never a
+  * snapshot; the latest-wins window shuffles only changelog rows; a
+  * lagging follower that falls past the source's vacuum horizon fails
+  * loudly in [[Snap.changes]] (retention is the replayability budget —
+  * the same contract the public formats document). */
+object SnapFollow {
+
+  /** The identity a follower stamps on its destination: qualified
+    * source location + the source's creation tag. */
+  def srcIdentity(src: HPath): String = {
+    val fs = Published.fsOf(src)
+    s"${fs.makeQualified(src)}"
+  }
+
+  /** Create the destination as a snapshot copy of the source's HEAD,
+    * cursor pre-seeded (`applied` = the copied version) so the first
+    * poll starts from the changelog AFTER the copy — attach-idempotent
+    * like every snap create (same tag → no-op). Mirrors the source's
+    * keys, bucketing, and layout: co-located merges downstream. */
+  def ensureDst(spark: SparkSession, src: HPath, dst: HPath): Unit = {
+    val m = Snap.head(spark, src).getOrElse(
+      sys.error(s"snap follow: source $src never committed"))
+    Snap.create(spark, dst, Snap.read(spark, src, asOf = Some(m.version)),
+      m.keyCols, m.bucketCol, m.buckets, m.layout,
+      tag = s"follow:${srcIdentity(src)}", applied = m.version.toLong)
+  }
+
+  /** Bind-or-verify `dst`'s follow lineage against `src` — the manual
+    * (non-stream) entry point; [[follow]] does this on its first tick. */
+  def assertOrStamp(src: HPath, dst: HPath): Unit =
+    Snap.assertFollowLineage(dst, srcIdentity(src))
+
+  /** One follower step: read the source head, and if it is past the
+    * destination's cursor, apply the collapsed changelog
+    * `(cursor, head]` as one exactly-once merge. Returns the source
+    * version now reflected in the destination (the cursor after the
+    * step). Safe to call concurrently with source writers (the
+    * changelog reads immutable committed versions) and safe to REPLAY
+    * (the cursor high-water makes a duplicate poll a no-op). */
+  def pollOnce(spark: SparkSession, src: HPath, dst: HPath,
+               transform: DataFrame => DataFrame = identity,
+               autoOptimize: Int = 0): Long = {
+    val srcHead = Snap.head(spark, src).getOrElse(
+      sys.error(s"snap follow: source $src never committed"))
+    val dstHead = Snap.head(spark, dst).getOrElse(
+      sys.error(s"snap follow: destination $dst never committed — " +
+        "ensureDst first"))
+    val cursor = dstHead.applied
+    require(cursor >= 1,
+      s"snap follow: destination $dst carries no source cursor " +
+        s"(applied=$cursor) — it was not created by ensureDst")
+    if (srcHead.version <= cursor) return cursor
+    val keys = srcHead.keyCols
+    val ch = Snap.changes(spark, src, cursor.toInt, srcHead.version)
+    // collapse the backlog latest-wins per key: one row per key, the
+    // newest version's image; its change type decides upsert vs delete
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc)
+    val collapsed = ch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("_deleted", col("_change_type") === "delete")
+      .drop("__rn", "_change_type", "_commit_version")
+    Snap.mergeStreaming(spark, dst, transform(collapsed),
+      batchId = srcHead.version.toLong, autoOptimize = autoOptimize)
+    srcHead.version.toLong
+  }
+
+  /** Start the continuous follower: a rate tick schedules [[pollOnce]]
+    * every trigger; the destination is created from the source head if
+    * absent, and bound to the source's identity on the first tick.
+    * The checkpoint only paces the ticks — all progress state lives in
+    * the destination's manifests (see the object doc). */
+  def follow(spark: SparkSession, src: String, dst: String,
+             checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000L),
+             transform: DataFrame => DataFrame = identity,
+             autoOptimize: Int = 0): StreamingQuery = {
+    val srcP = new HPath(src)
+    val dstP = new HPath(dst)
+    ensureDst(spark, srcP, dstP)
+    val lineageChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+    ticks.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        if (!lineageChecked.get()) {
+          Snap.assertFollowLineage(dstP, srcIdentity(srcP))
+          lineageChecked.set(true)
+        }
+        pollOnce(spark, srcP, dstP, transform, autoOptimize)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}

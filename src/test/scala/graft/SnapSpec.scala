@@ -556,6 +556,308 @@ class SnapSpec extends SparkSpec {
     assert(rows(Snap.read(spark, loc)) == rows(expected))
   }
 
+  // ------------------------------------------------- changelog / CDF
+  test("changes(): exact insert/update/delete classification, post-images " +
+      "for upserts, pre-images for deletes, survivors absent, and the plan " +
+      "reads ONLY removed+added files — never a carried one") {
+    val loc = tmpLoc("cdf")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    Snap.merge(spark, loc, smallDelta) // v2
+    val del2 = cust.filter(col("c_custkey") < 2)
+      .select((col("c_custkey") + 1000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("_deleted", lit(true))
+    Snap.merge(spark, loc, del2) // v3: deletes the two inserts
+    val ch12 = Snap.changes(spark, loc, 1, 2)
+    val byType = ch12.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 2L, "update" -> 10L, "delete" -> 10L),
+      s"got $byType")
+    // inserts carry the post-image (9.99), deletes the PRE-image
+    // (original balances), updates the post-image (+1000)
+    assert(ch12.filter(col("_change_type") === "insert")
+      .collect().forall(_.getAs[Double]("c_acctbal") == 9.99))
+    val origBal = cust.filter(col("c_custkey") === 80).head.getAs[Double]("c_acctbal")
+    assert(ch12.filter(col("_change_type") === "delete" &&
+      col("c_custkey") === 80).head.getAs[Double]("c_acctbal") == origBal)
+    val upd0 = ch12.filter(col("_change_type") === "update" &&
+      col("c_custkey") === 0).head
+    assert(upd0.getAs[Double]("c_acctbal") ==
+      cust.filter(col("c_custkey") === 0).head.getAs[Double]("c_acctbal") + 1000.0)
+    // v2 -> v3: just the two insert-rows deleted, pre-image 9.99
+    val ch23 = Snap.changes(spark, loc, 2, 3).collect()
+    assert(ch23.length == 2 &&
+      ch23.forall(r => r.getAs[String]("_change_type") == "delete" &&
+        r.getAs[Double]("c_acctbal") == 9.99))
+    // the O(delta) pin: the whole-range changelog plan reads ONLY files
+    // some commit in the range removed or added
+    val ms = (1 to 3).map(v => Snap.atVersion(spark, loc, v))
+    val fs = Published.fsOf(loc)
+    val deltaFiles = (1 until 3).flatMap { i =>
+      val p = ms(i - 1).files.map(_.path).toSet
+      val c = ms(i).files.map(_.path).toSet
+      (p diff c) ++ (c diff p)
+    }.map(p => fs.makeQualified(new HPath(loc, p)).toUri.getPath).toSet
+    val ch13 = Snap.changes(spark, loc, 1, 3)
+    val scanned = ch13.inputFiles.map(new HPath(_).toUri.getPath)
+    assert(scanned.nonEmpty && scanned.forall(deltaFiles),
+      s"changelog read a carried file: " +
+        scanned.filterNot(deltaFiles).mkString(","))
+    // and the union over the range matches the per-step reads
+    assert(ch13.count() == 22 + 2)
+  }
+
+  test("changes(): optimize and evolve commits are skipped without " +
+      "opening a file; output conforms to the target version's schema") {
+    val loc = tmpLoc("cdfneutral")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    def ins(k: Int) = cust.filter(col("c_custkey") < 3)
+      .select((col("c_custkey") + lit(k * 1000L)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+    Snap.merge(spark, loc, ins(1)) // v2
+    Snap.merge(spark, loc, ins(2)) // v3
+    assert(Snap.optimize(spark, loc, minFilesPerBucket = 2) == 4)
+    assert(Snap.addColumns(spark, loc, "c_tier STRING") == 5)
+    // the fold rewrote bucket 3 and the evolve touched nothing — the
+    // changelog across both must surface ONLY the six inserts, under
+    // the WIDENED target schema (null c_tier), reading zero fold bytes
+    val ch = Snap.changes(spark, loc, 1, 5)
+    assert(ch.columns.contains("c_tier"))
+    val rows5 = ch.collect()
+    assert(rows5.length == 6 &&
+      rows5.forall(r => r.getAs[String]("_change_type") == "insert" &&
+        r.getAs[String]("c_tier") == null))
+    // the optimize's folded OUTPUT file is not in the plan
+    val v4 = Snap.atVersion(spark, loc, 4)
+    val v3 = Snap.atVersion(spark, loc, 3)
+    val foldOut = v4.files.map(_.path).toSet.diff(v3.files.map(_.path).toSet)
+    val fs = Published.fsOf(loc)
+    assert(foldOut.nonEmpty, "the fold wrote nothing (vacuous)")
+    val foldAbs = foldOut.map(p =>
+      fs.makeQualified(new HPath(loc, p)).toUri.getPath)
+    assert(!ch.inputFiles.map(new HPath(_).toUri.getPath).exists(foldAbs),
+      "the changelog read fold output")
+    // an empty step range is an empty, correctly-shaped frame
+    assert(Snap.changes(spark, loc, 4, 5).count() == 0)
+  }
+
+  // ------------------------------------------------ follower pipeline
+  test("SnapFollow: the destination manifest IS the offset ledger — " +
+      "polls exactly-once, replays no-op, catch-up collapses latest-wins " +
+      "(update-then-delete = one delete; insert-then-delete = nothing), " +
+      "and a live follow() stream converges on new commits") {
+    val root = Files.createTempDirectory("follow")
+    val src = new HPath(s"$root/src")
+    val dst = new HPath(s"$root/dst")
+    Snap.create(spark, src, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    Snap.merge(spark, src, smallDelta) // v2
+    graft.streaming.SnapFollow.ensureDst(spark, src, dst)
+    assert(rows(Snap.read(spark, dst)) == rows(expectedAfterSmallDelta))
+    assert(Snap.head(spark, dst).get.applied == 2L, "cursor not pre-seeded")
+    // bind the lineage, then: no news -> poll is a no-op
+    graft.streaming.SnapFollow.assertOrStamp(src, dst)
+    assert(graft.streaming.SnapFollow.pollOnce(spark, src, dst) == 2L)
+    assert(Snap.head(spark, dst).get.version == 1, "an empty poll committed")
+    // src advances twice; ONE poll must collapse the backlog per key
+    val v3d = cust.filter(col("c_custkey") >= 20 && col("c_custkey") < 25)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(50.0))
+      .withColumn("_deleted", lit(false))
+      .unionByName(cust.filter(col("c_custkey") === 0)
+        .select((col("c_custkey") + 3000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), lit(1.0).as("c_acctbal"),
+          lit("TMP").as("c_mktsegment"))
+        .withColumn("_deleted", lit(false)))
+    Snap.merge(spark, src, v3d) // v3: upd 20-24, insert 3000
+    val v4d = cust.filter(col("c_custkey") >= 22 && col("c_custkey") < 24)
+      .withColumn("_deleted", lit(true))
+      .unionByName(cust.filter(col("c_custkey") === 0)
+        .select((col("c_custkey") + 3000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("_deleted", lit(true)))
+    Snap.merge(spark, src, v4d) // v4: delete 22,23 and the 3000 insert
+    assert(graft.streaming.SnapFollow.pollOnce(spark, src, dst) == 4L)
+    val dh = Snap.head(spark, dst).get
+    assert(dh.applied == 4L && dh.version == 2,
+      s"catch-up must be ONE merge: v=${dh.version} applied=${dh.applied}")
+    assert(rows(Snap.read(spark, dst)) == rows(Snap.read(spark, src)))
+    assert(Snap.read(spark, dst).filter(col("c_custkey") === 3000L).count() == 0,
+      "an insert-then-delete backlog pair must collapse to nothing")
+    // replayed poll: cursor high-water no-ops it
+    assert(graft.streaming.SnapFollow.pollOnce(spark, src, dst) == 4L)
+    assert(Snap.head(spark, dst).get.version == 2)
+    // a foreign source refuses against the stamped lineage
+    val src2 = new HPath(s"$root/src2")
+    Snap.create(spark, src2, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    intercept[IllegalArgumentException] {
+      graft.streaming.SnapFollow.assertOrStamp(src2, dst)
+    }
+    // live stream: new src commits converge into dst through the ticks
+    val q = graft.streaming.SnapFollow.follow(spark, src.toString,
+      dst.toString, s"$root/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+    try {
+      Snap.merge(spark, src, cust.filter(col("c_custkey") < 5)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(9.0))
+        .withColumn("_deleted", lit(false))) // v5
+      val deadline = System.currentTimeMillis() + 90000L
+      while (Snap.head(spark, dst).get.applied < 5L &&
+          System.currentTimeMillis() < deadline) Thread.sleep(250L)
+      assert(Snap.head(spark, dst).get.applied == 5L,
+        "the follower stream never caught up")
+      assert(rows(Snap.read(spark, dst)) == rows(Snap.read(spark, src)))
+    } finally q.stop()
+  }
+
+  // ------------------------------------------------ optimistic commits
+  // The conflict matrix: a rival commit landing between an optimistic
+  // writer's (leaseless) stage and its commit point, one case per
+  // protocol outcome. The rival runs from the occStageHold hook — the
+  // exact moment the race window is open — one-shot-guarded because
+  // the rival's own staging fires the same hook.
+  private def withRival(body: => Unit)(run: => Unit): Unit = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.sources.Snap.occStageHold =
+      () => if (fired.compareAndSet(false, true)) body
+    try run
+    finally graft.sources.Snap.occStageHold = () => ()
+    assert(fired.get(), "the rival hook never fired (vacuous race)")
+  }
+
+  private def traced(run: => Unit): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.sources.Snap.occTrace = s => buf.synchronized { buf += s; () }
+    try run finally graft.sources.Snap.occTrace = _ => ()
+    buf.toSeq
+  }
+
+  test("mergeOcc, no contention: commits like merge, base == parent") {
+    val loc = tmpLoc("occ0")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    assert(Snap.mergeOcc(spark, loc, smallDelta) == 2)
+    val v2 = Snap.head(spark, loc).get
+    assert(v2.op == "merge" && v2.parent == 1 && v2.resolvedBase == 1)
+    assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
+  }
+
+  test("mergeOcc vs disjoint rival: REBASE — carries the rival's files, " +
+      "commits on its head without restaging, base < parent audits it") {
+    val loc = tmpLoc("occ_dj")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    // rival touches only bucket 1 (keys 38..74); smallDelta touches
+    // buckets 0, 2 and inserts into 3 — file sets disjoint
+    val rival = cust.filter(col("c_custkey") >= 40 && col("c_custkey") < 50)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(7.0))
+      .withColumn("_deleted", lit(false))
+    var trace: Seq[String] = Seq.empty
+    withRival { Snap.merge(spark, loc, rival) } {
+      trace = traced { assert(Snap.mergeOcc(spark, loc, smallDelta) == 3) }
+    }
+    assert(!trace.exists(_.contains("conflict_retry")),
+      s"disjoint rival must rebase, not retry: $trace")
+    val v2 = Snap.atVersion(spark, loc, 2) // the rival's
+    val v3 = Snap.head(spark, loc).get
+    assert(v3.parent == 2 && v3.resolvedBase == 1,
+      s"base<parent is the rebase audit, got base=${v3.resolvedBase} " +
+        s"parent=${v3.parent}")
+    // the rival's rewritten bucket-1 file is carried INTO my commit
+    val rivalB1 = v2.files.filter(_.bucket == 1).map(_.path).toSet
+    assert(rivalB1.subsetOf(v3.files.map(_.path).toSet))
+    // content: both deltas applied, no lost update
+    val expected = expectedAfterSmallDelta.withColumn("c_acctbal",
+      when(col("c_custkey") >= 40 && col("c_custkey") < 50,
+        col("c_acctbal") + 7.0).otherwise(col("c_acctbal")))
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
+  }
+
+  test("mergeOcc vs overlapping rival: conflict -> discard + full retry " +
+      "against the rival's head; the rival's rows survive where my delta " +
+      "does not overwrite them") {
+    val loc = tmpLoc("occ_ov")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    // rival updates keys [5,15) — same bucket-0 file my delta rewrites;
+    // keys 10..14 are NOT in my delta, so they must carry the rival's
+    // +7 into the final state (proof the retry re-read the rival's file
+    // instead of rebasing over it)
+    val rival = cust.filter(col("c_custkey") >= 5 && col("c_custkey") < 15)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(7.0))
+      .withColumn("_deleted", lit(false))
+    var trace: Seq[String] = Seq.empty
+    withRival { Snap.merge(spark, loc, rival) } {
+      trace = traced { assert(Snap.mergeOcc(spark, loc, smallDelta) == 3) }
+    }
+    assert(trace.exists(_.contains("conflict_retry")),
+      s"overlapping rival must force a retry: $trace")
+    val v3 = Snap.head(spark, loc).get
+    assert(v3.parent == 2 && v3.resolvedBase == 2,
+      "the retry must have re-resolved against the rival's head")
+    val expected = expectedAfterSmallDelta.withColumn("c_acctbal",
+      when(col("c_custkey") >= 10 && col("c_custkey") < 15,
+        col("c_acctbal") + 7.0).otherwise(col("c_acctbal")))
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
+    // the discarded first attempt left no stage dir behind
+    val fs = Published.fsOf(loc)
+    assert(!fs.listStatus(loc).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("stage-v")),
+      "a lost-race stage dir leaked")
+  }
+
+  test("mergeOcc vs rival optimize that folded my rewrite set: retry " +
+      "(my pre-images vanished), then clean commit over the folded file") {
+    val loc = tmpLoc("occ_fold")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    // grow bucket 3 to two files so the rival fold has work
+    val ins = cust.filter(col("c_custkey") < 3)
+      .select((col("c_custkey") + 2000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+    Snap.merge(spark, loc, ins)
+    val before = rows(Snap.read(spark, loc))
+    // my delta rewrites bucket 3's ORIGINAL file (key 120)
+    val mine = cust.filter(col("c_custkey") === 120)
+      .withColumn("c_acctbal", lit(1.25)).withColumn("_deleted", lit(false))
+    var trace: Seq[String] = Seq.empty
+    withRival { Snap.optimize(spark, loc, minFilesPerBucket = 2) } {
+      trace = traced { assert(Snap.mergeOcc(spark, loc, mine) == 4) }
+    }
+    assert(trace.exists(_.contains("conflict_retry")),
+      s"a folded rewrite set must force a retry: $trace")
+    val got = Snap.read(spark, loc).filter(col("c_custkey") === 120).collect()
+    assert(got.length == 1 && got(0).getAs[Double]("c_acctbal") == 1.25)
+    assert(rows(Snap.read(spark, loc)) ==
+      before.map(_.split("\\|")).map { p =>
+        if (p(0) == "120") { p(3) = "1.25"; p.mkString("|") } else p.mkString("|")
+      }.toSet)
+  }
+
+  test("mergeOcc vs rival additive evolve: rebase under the WIDENED " +
+      "schema — my narrow staged files null-fill the new column") {
+    val loc = tmpLoc("occ_evo")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    var trace: Seq[String] = Seq.empty
+    withRival { Snap.addColumns(spark, loc, "c_extra INT") } {
+      trace = traced { assert(Snap.mergeOcc(spark, loc, smallDelta) == 3) }
+    }
+    assert(!trace.exists(_.contains("conflict_retry")),
+      s"a metadata-only evolve must rebase, not retry: $trace")
+    val v3 = Snap.head(spark, loc).get
+    assert(v3.parent == 2 && v3.resolvedBase == 1)
+    assert(v3.schema.fieldNames.contains("c_extra"))
+    val df = Snap.read(spark, loc)
+    assert(df.filter(col("c_extra").isNotNull).count() == 0)
+    assert(rows(df.drop("c_extra")) == rows(expectedAfterSmallDelta))
+  }
+
   test("stream-lineage stamp: lease-held stamp-or-verify, torn partial " +
       "stamps heal by re-stamp, landed foreign stamps refuse (r17 advice)") {
     val root = Files.createTempDirectory("lineage")

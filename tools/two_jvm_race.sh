@@ -196,4 +196,65 @@ grep -a "SNAPPROBE gcheck OK" /tmp/snaprace_check.log || \
 ls "$SNAP_ROOT" | grep -q "_GRAFT_LEASE" && \
   { echo "FAIL: lease debris leaked past the merge race"; exit 1; }
 echo "leg 4 OK: concurrent merges serialized through the lease -> one commit each, row-set-exact combined state"
+
+echo "== leg 5: OPTIMISTIC snap merges — disjoint writers stage concurrently (wall-clock overlap asserted), overlapping writers rebase-retry"
+# The r17 verdict's throughput ceiling, removed and raced for real:
+# two JVMs call Snap.mergeOcc at once. Leg 5a: DISJOINT-bucket deltas —
+# both must stage in overlapping wall-clock (the lease-serialized path
+# cannot produce that), neither may conflict-retry, and the loser must
+# commit by REBASE (manifest base < parent). Leg 5b: OVERLAPPING key
+# ranges of ABSOLUTE upserts — the loser must discard + retry against
+# the winner's head, so the contested keys hold exactly the LAST
+# committer's values (per-key last-writer-wins; gocccheck is told who
+# committed last — the racer that logged the conflict_retry — and
+# validates the full row set against that order).
+OCC_ROOT=$(mktemp -d /tmp/graft-snapocc.XXXX)
+OCC_LOC="$(wh_uri "$OCC_ROOT")/tbl"
+$RUN graft.SnapCrashProbe gbase $SF "$OCC_LOC" >/tmp/snapocc_base.log 2>&1
+grep -a "SNAPPROBE gbase OK" /tmp/snapocc_base.log || \
+  { echo "FAIL: leg 5 seeding failed"; tail -5 /tmp/snapocc_base.log; exit 1; }
+$RUN graft.SnapCrashProbe gocc $SF "$OCC_LOC" dA >/tmp/snapocc_dA.log 2>&1 &
+OA=$!
+$RUN graft.SnapCrashProbe gocc $SF "$OCC_LOC" dB >/tmp/snapocc_dB.log 2>&1 &
+OB=$!
+wait $OA || { echo "FAIL: occ racer dA died"; tail -5 /tmp/snapocc_dA.log; exit 1; }
+wait $OB || { echo "FAIL: occ racer dB died"; tail -5 /tmp/snapocc_dB.log; exit 1; }
+grep -a "SNAPPROBE gocc OK round=dA" /tmp/snapocc_dA.log || { echo "FAIL: dA no OK"; exit 1; }
+grep -a "SNAPPROBE gocc OK round=dB" /tmp/snapocc_dB.log || { echo "FAIL: dB no OK"; exit 1; }
+if grep -aq "conflict_retry" /tmp/snapocc_dA.log /tmp/snapocc_dB.log; then
+  echo "FAIL: disjoint-bucket writers must rebase, never conflict-retry"; exit 1
+fi
+python3 - /tmp/snapocc_dA.log /tmp/snapocc_dB.log <<'EOF'
+import sys, re
+def span(path):
+    txt = open(path, errors='replace').read()
+    start = int(re.search(r'attempt=1 stage_start=(\d+)', txt).group(1))
+    commit = int(re.search(r'attempt=1 commit_enter=(\d+)', txt).group(1))
+    return start, commit
+(sa, ca), (sb, cb) = span(sys.argv[1]), span(sys.argv[2])
+# each racer began STAGING before the other entered its commit point:
+# impossible under whole-merge lease serialization
+assert sa < cb and sb < ca, f"no wall-clock overlap: A=[{sa},{ca}] B=[{sb},{cb}]"
+print(f"leg 5a overlap proven: A staged at {sa} (committed {ca}), B staged at {sb} (committed {cb})")
+EOF
+$RUN graft.SnapCrashProbe gocccheck $SF "$OCC_LOC" disjoint >/tmp/snapocc_chk1.log 2>&1
+grep -a "SNAPPROBE gocccheck OK stage=disjoint" /tmp/snapocc_chk1.log || \
+  { echo "FAIL: disjoint occ race state diverged"; grep -a SNAPPROBE /tmp/snapocc_chk1.log; exit 1; }
+$RUN graft.SnapCrashProbe gocc $SF "$OCC_LOC" oA >/tmp/snapocc_oA.log 2>&1 &
+OC=$!
+$RUN graft.SnapCrashProbe gocc $SF "$OCC_LOC" oB >/tmp/snapocc_oB.log 2>&1 &
+OD=$!
+wait $OC || { echo "FAIL: occ racer oA died"; tail -5 /tmp/snapocc_oA.log; exit 1; }
+wait $OD || { echo "FAIL: occ racer oB died"; tail -5 /tmp/snapocc_oB.log; exit 1; }
+if grep -aq "conflict_retry" /tmp/snapocc_oA.log; then LAST=oA
+elif grep -aq "conflict_retry" /tmp/snapocc_oB.log; then LAST=oB
+else
+  echo "FAIL: overlapping writers raced without a single conflict-retry (vacuous)"; exit 1
+fi
+$RUN graft.SnapCrashProbe gocccheck $SF "$OCC_LOC" overlap $LAST >/tmp/snapocc_chk2.log 2>&1
+grep -a "SNAPPROBE gocccheck OK stage=overlap" /tmp/snapocc_chk2.log || \
+  { echo "FAIL: overlapping occ race state diverged"; grep -a SNAPPROBE /tmp/snapocc_chk2.log; exit 1; }
+ls "$OCC_ROOT" | grep -q "_GRAFT_LEASE" && \
+  { echo "FAIL: lease debris leaked past the occ race"; exit 1; }
+echo "leg 5 OK: disjoint occ writers overlapped and rebased; overlapping pair retried; both row-set-exact"
 echo "ALL OK"
