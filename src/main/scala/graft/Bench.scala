@@ -229,6 +229,11 @@ object Bench {
       // q130-q135 (a head/tag miss rebuilds the lifecycle).
       // Trail: 0.92 (r18 first isolated pair)
       "q136_snap_changelog" -> 0.95,
+      // q137 first measurement (r18): the rename/drop evolution face —
+      // attach + four-manifest metadata audit + the aliased
+      // (physical→logical) head agg. Same structural-guard class as
+      // q130-q136. Trail: 0.22 (r18 first isolated pair)
+      "q137_snap_rename_drop" -> 0.25,
       // s07 first measurement (r18): the snap FOLLOWER — create source
       // + snapshot-copy destination, then 4 source merges converging
       // through the rate-ticked changelog follower (each tick an

@@ -86,7 +86,18 @@ object Snap {
     * version this writer RESOLVED against when planning: equal to
     * `parent` for serialized commits, older than `parent` when an
     * optimistic commit rebased over a disjoint rival ([[mergeOcc]]) —
-    * the audit that distinguishes a rebase from a serialized commit. */
+    * the audit that distinguishes a rebase from a serialized commit.
+    *
+    * `phys` maps LOGICAL column names to the PHYSICAL names the bytes
+    * were written under (entries only where they differ). Physical
+    * names are assigned once — at [[create]]/[[addColumns]] — and
+    * never change, which is what makes [[renameColumn]] a pure
+    * metadata commit: every file ever written stays correct, readers
+    * alias physical→logical at plan time (the field-id-free column-
+    * mapping shape the public manifest formats use). `retired` lists
+    * physical names whose column was dropped or renamed-away history
+    * still occupies in old files — [[addColumns]] refuses to reuse
+    * them (the old bytes would bleed into the new column). */
   final case class SnapManifest(version: Int, parent: Int, writer: String,
                                 tag: String, schemaDdl: String,
                                 keyCols: Seq[String], bucketCol: String,
@@ -95,11 +106,15 @@ object Snap {
                                 files: Seq[SnapFile],
                                 applied: Long = -1L,
                                 op: String = "merge",
-                                base: Int = -1) {
+                                base: Int = -1,
+                                phys: Map[String, String] = Map.empty,
+                                retired: Seq[String] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def keyKind: String = Snap.keyKindOf(schema(bucketCol).dataType)
     /** The version the writer planned against (−1 legacy = parent). */
     def resolvedBase: Int = if (base < 0) parent else base
+    /** The on-file name of logical column `n`. */
+    def physicalOf(n: String): String = phys.getOrElse(n, n)
   }
 
   /** Stat/compare kind for a bucket column: every integral type is
@@ -143,6 +158,9 @@ object Snap {
     sb.append(s"applied=${m.applied}\n")
     sb.append(s"op=${m.op}\n")
     sb.append(s"base=${m.base}\n")
+    sb.append(s"phys=${m.phys.toSeq.sortBy(_._1)
+      .map { case (l, p) => enc(l) + ":" + enc(p) }.mkString(",")}\n")
+    sb.append(s"retired=${m.retired.map(enc).mkString(",")}\n")
     m.files.foreach { f =>
       sb.append(s"file=${enc(f.path)} ${f.bucket} ${f.rows} " +
         s"${enc(f.min)} ${enc(f.max)}\n")
@@ -189,7 +207,13 @@ object Snap {
         // absent on pre-r18 manifests: assume a data-changing commit
         // (the changelog reader then reads rather than skips — safe)
         m.getOrElse("op", "merge"),
-        m.get("base").map(_.toInt).getOrElse(-1)))
+        m.get("base").map(_.toInt).getOrElse(-1),
+        m.get("phys").filter(_.nonEmpty).map(_.split(",").map { e =>
+          val i = e.indexOf(':')
+          (dec(e.substring(0, i)), dec(e.substring(i + 1)))
+        }.toMap).getOrElse(Map.empty),
+        m.get("retired").filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(dec)).getOrElse(Seq.empty)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -264,9 +288,19 @@ object Snap {
     else {
       val fs = Published.fsOf(loc)
       val abs = files.map(f => fs.makeQualified(new HPath(loc, f.path)).toString)
-      // explicit schema: no inference pass over footers, and flat file
-      // names mean no partition-discovery surprises
-      spark.read.schema(schema).parquet(abs: _*)
+      // explicit schema UNDER PHYSICAL NAMES: no inference pass over
+      // footers, no partition-discovery surprises, and renamed columns
+      // resolve to the names their bytes were written under — the
+      // logical alias on top is a pure projection (filters push
+      // through it)
+      if (m.phys.isEmpty) spark.read.schema(schema).parquet(abs: _*)
+      else {
+        val physSchema = StructType(
+          schema.fields.map(f => f.copy(name = m.physicalOf(f.name))))
+        spark.read.schema(physSchema).parquet(abs: _*)
+          .select(schema.fields.map(f =>
+            col(m.physicalOf(f.name)).as(f.name)).toSeq: _*)
+      }
     }
   }
 
@@ -339,8 +373,15 @@ object Snap {
                          gate: () => Unit): Staged = {
     val fs = Published.fsOf(loc)
     val stage = new HPath(loc, s"stage-v$version-$token")
-    val stamped = data
-      .withColumn("_b", bucketExpr(m.layout, m.bucketCol, m.buckets,
+    // bytes land under PHYSICAL names (stable across renames — the
+    // metadata-only rename contract); `data` arrives logical
+    val physData =
+      if (m.phys.isEmpty) data
+      else data.select(m.schema.fieldNames.map(n =>
+        col(n).as(m.physicalOf(n))).toSeq: _*)
+    val physBucket = m.physicalOf(m.bucketCol)
+    val stamped = physData
+      .withColumn("_b", bucketExpr(m.layout, physBucket, m.buckets,
         m.rangeMin, m.rangeMax))
     // repartition BY _b: each bucket value lands in one task, so
     // partitionBy emits exactly one file per non-empty bucket — file
@@ -371,8 +412,8 @@ object Snap {
             spark.read.parquet(fs.makeQualified(stage).toString)
               .groupBy(col("_b"))
               .agg(count(lit(1)).as("rows"),
-                min(col(m.bucketCol)).cast("string").as("mn"),
-                max(col(m.bucketCol)).cast("string").as("mx"))
+                min(col(physBucket)).cast("string").as("mn"),
+                max(col(physBucket)).cast("string").as("mx"))
               .collect() // ≤ buckets rows — bounded driver metadata
               .map(r => r.getInt(0) ->
                 (r.getLong(1), r.getString(2), r.getString(3)))
@@ -705,7 +746,8 @@ object Snap {
       graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
       val mn = SnapManifest(next, m.version, token, m.tag, m.schemaDdl,
         m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin, m.rangeMax,
-        files, appliedStamp.getOrElse(m.applied), "merge", m.version)
+        files, appliedStamp.getOrElse(m.applied), "merge", m.version,
+        m.phys, m.retired)
       if (sys.env.contains(SnapTornEnv)) {
         // probe hook: reproduce the mid-create crash for REAL across a
         // process boundary — land the manifest bytes WITHOUT the
@@ -842,7 +884,8 @@ object Snap {
                   Some(SnapManifest(m.version + 1, m.version, token, m.tag,
                     m.schemaDdl, m.keyCols, m.bucketCol, m.buckets, m.layout,
                     m.rangeMin, m.rangeMax, carry,
-                    appliedStamp.getOrElse(m.applied), "merge", m.version))
+                    appliedStamp.getOrElse(m.applied), "merge", m.version,
+                    m.phys, m.retired))
                 else {
                   // rivals committed past our base: rebase iff disjoint
                   val h2Paths = h2.files.map(_.path).toSet
@@ -856,7 +899,11 @@ object Snap {
                     h2.layout, h2.rangeMin, h2.rangeMax,
                     h2.files.filterNot(f => myRewrite.contains(f.path)),
                     appliedStamp.fold(h2.applied)(math.max(_, h2.applied)),
-                    "merge", m.version))
+                    // h2's schema AND column mapping: a rival rename is
+                    // metadata-only, and our staged files' PHYSICAL
+                    // names are rename-stable — they read correctly
+                    // under h2's phys without a rewrite
+                    "merge", m.version, h2.phys, h2.retired))
                 }
               target match {
                 case Some(tm) =>
@@ -924,13 +971,19 @@ object Snap {
     Published.stampOrVerifyLineage(dst, s"follow:$srcIdentity",
       s"snap follow $dst")
 
-  /** Project `df` onto exactly `schema`'s columns, null-filling the
-    * absent ones — the changelog's cross-version alignment (a step's
-    * pre-image may be narrower than the range's target schema). */
-  private def conform(df: DataFrame, schema: StructType): DataFrame =
-    df.select(schema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+  /** Align a step frame (columns named by `from`'s logical schema)
+    * onto `target`'s logical schema BY PHYSICAL IDENTITY: a column
+    * renamed elsewhere in the range still lines up under the target's
+    * name (same physical slot), a column the target dropped vanishes,
+    * a column added after the step null-fills. */
+  private def alignTo(df: DataFrame, from: SnapManifest,
+                      target: SnapManifest): DataFrame =
+    df.select(target.schema.fields.map { f =>
+      val p = target.physicalOf(f.name)
+      from.schema.fieldNames.find(n => from.physicalOf(n) == p) match {
+        case Some(src) => col(src).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toSeq: _*)
 
   /** Changelog / incremental read (CDF): every row that changed
@@ -967,14 +1020,17 @@ object Snap {
     require(fromV >= 1, s"fromV must be a committed version, got $fromV")
     require(toV >= fromV, s"empty/negative range: ($fromV, $toV]")
     val target = atVersion(spark, loc, toV)
-    def withMeta(df: DataFrame, tpe: String, v: Int): DataFrame =
-      conform(df, target.schema)
-        .withColumn("_change_type", lit(tpe))
-        .withColumn("_commit_version", lit(v))
     val steps: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
       val child = atVersion(spark, loc, v)
+      def withMeta(df: DataFrame, tpe: String): DataFrame =
+        alignTo(df, child, target)
+          .withColumn("_change_type", lit(tpe))
+          .withColumn("_commit_version", lit(v))
       if (child.op == "optimize" || child.op == "evolve") Seq.empty
       else {
+        // within a non-evolve step, parent and child share one schema
+        // and column mapping (only evolve commits change them), so the
+        // child manifest aligns the pre-image frames too
         val parent = atVersion(spark, loc, v - 1)
         val childPaths = child.files.map(_.path).toSet
         val parentPaths = parent.files.map(_.path).toSet
@@ -1002,9 +1058,9 @@ object Snap {
                   struct(nonKey.map(c => col(s"__o_$c")): _*)))
                 .select(post.columns.map(col).toSeq: _*))
             }
-          Seq(withMeta(inserts, "insert", v),
-            withMeta(deletes, "delete", v)) ++
-            updates.map(withMeta(_, "update", v))
+          Seq(withMeta(inserts, "insert"),
+            withMeta(deletes, "delete")) ++
+            updates.map(withMeta(_, "update"))
         }
       }
     }
@@ -1042,17 +1098,95 @@ object Snap {
       val clash = add.fieldNames.filter(n => existing.contains(n.toLowerCase))
       require(clash.isEmpty,
         s"snap $loc: column(s) ${clash.mkString(",")} already exist — " +
-          "additive evolution only (no type changes, no drops)")
+          "additive evolution only (no type changes)")
+      // PHYSICAL slots too: a new column may not reuse the on-file name
+      // of a dropped or renamed-away column — files written before that
+      // evolution still carry the old bytes under that name, and the
+      // explicit-schema read would silently serve them as the NEW
+      // column's values
+      val usedPhys = (m.schema.fieldNames.map(m.physicalOf) ++ m.retired)
+        .map(_.toLowerCase).toSet
+      val physClash = add.fieldNames.filter(n => usedPhys.contains(n.toLowerCase))
+      require(physClash.isEmpty,
+        s"snap $loc: column(s) ${physClash.mkString(",")} would reuse a " +
+          "physical slot still occupied in old files (dropped or renamed " +
+          "column history) — pick a different name")
       require(add.fieldNames.map(_.toLowerCase).distinct.length ==
         add.fieldNames.length,
         s"snap $loc: duplicate column names within the added DDL")
+      require(!add.fieldNames.contains("_b"),
+        "snap: column name '_b' is reserved for staging")
       val widened = StructType(
         m.schema.fields ++ add.fields.map(_.copy(nullable = true)))
       val next = m.version + 1
       commitManifest(Published.fsOf(loc), loc,
         SnapManifest(next, m.version, newToken(), m.tag, widened.toDDL,
           m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin,
-          m.rangeMax, m.files, m.applied, "evolve", m.version), gate)
+          m.rangeMax, m.files, m.applied, "evolve", m.version,
+          m.phys, m.retired), gate)
+      next
+    }
+  }
+
+  /** Rename a column — METADATA-ONLY at any table size: the new
+    * manifest maps the new LOGICAL name onto the column's unchanged
+    * PHYSICAL name, so no file is touched, every committed version
+    * time-travels under its own name, and later writes keep landing
+    * bytes under the stable physical. Key/bucket references follow the
+    * rename. Returns the committed version. */
+  def renameColumn(spark: SparkSession, loc: HPath,
+                   from: String, to: String): Int = {
+    Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+      val m = head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: renameColumn on a table that never committed"))
+      val gate = () => Published.assertLeaseOwned(loc)
+      require(m.schema.fieldNames.contains(from),
+        s"snap $loc: no column '$from' to rename")
+      require(to.nonEmpty && to != "_b",
+        s"snap $loc: '$to' is not a legal column name")
+      require(!m.schema.fieldNames.exists(n =>
+          n != from && n.equalsIgnoreCase(to)),
+        s"snap $loc: a column case-matching '$to' already exists " +
+          "(Spark analysis is case-insensitive)")
+      val physName = m.physicalOf(from)
+      val renamed = StructType(m.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val newPhys = (m.phys - from) ++
+        (if (physName != to) Map(to -> physName) else Map.empty)
+      val next = m.version + 1
+      commitManifest(Published.fsOf(loc), loc,
+        SnapManifest(next, m.version, newToken(), m.tag, renamed.toDDL,
+          m.keyCols.map(k => if (k == from) to else k),
+          if (m.bucketCol == from) to else m.bucketCol,
+          m.buckets, m.layout, m.rangeMin, m.rangeMax, m.files, m.applied,
+          "evolve", m.version, newPhys, m.retired), gate)
+      next
+    }
+  }
+
+  /** Drop a non-key column — METADATA-ONLY: the manifest's schema
+    * shrinks, the column's physical slot is RETIRED (old files keep
+    * its bytes harmlessly — explicit-schema reads never ask for them;
+    * [[addColumns]] refuses to reuse the slot), and files rewritten by
+    * later merges simply omit it. Time travel to a pre-drop version
+    * reads the column back. Returns the committed version. */
+  def dropColumn(spark: SparkSession, loc: HPath, name: String): Int = {
+    Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+      val m = head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: dropColumn on a table that never committed"))
+      val gate = () => Published.assertLeaseOwned(loc)
+      require(m.schema.fieldNames.contains(name),
+        s"snap $loc: no column '$name' to drop")
+      require(!m.keyCols.contains(name) && m.bucketCol != name,
+        s"snap $loc: '$name' is a key/bucket column — the merge contract " +
+          "stands on it; refuse rather than orphan the table's identity")
+      val shrunk = StructType(m.schema.fields.filterNot(_.name == name))
+      val next = m.version + 1
+      commitManifest(Published.fsOf(loc), loc,
+        SnapManifest(next, m.version, newToken(), m.tag, shrunk.toDDL,
+          m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin,
+          m.rangeMax, m.files, m.applied, "evolve", m.version,
+          m.phys - name, m.retired :+ m.physicalOf(name)), gate)
       next
     }
   }
@@ -1090,8 +1224,8 @@ object Snap {
         graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
         commitManifest(fs, loc, SnapManifest(next, m.version, token, m.tag,
           m.schemaDdl, m.keyCols, m.bucketCol, m.buckets, m.layout,
-          m.rangeMin, m.rangeMax, files, m.applied, "optimize", m.version),
-          gate)
+          m.rangeMin, m.rangeMax, files, m.applied, "optimize", m.version,
+          m.phys, m.retired), gate)
         next
       }
     }

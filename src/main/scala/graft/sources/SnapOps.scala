@@ -589,6 +589,92 @@ object SnapOps {
        |  count(DISTINCT c_nationkey) AS n_nation, 1 AS delta_scan_ok
        |FROM ch GROUP BY _commit_version, _change_type""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  private[graft] def renTable(dir: String): String =
+    s"graft_snapr_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def renFp(dir: String): String =
+    Published.fingerprint("snapr",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** The rename/drop lifecycle: create (v1) → rename c_mktsegment →
+    * c_segment (v2, METADATA-ONLY: the logical name moves, the
+    * physical stays) → drop c_name (v3, metadata-only: the slot
+    * retires) → merge a backfill speaking the NEW names (v4 — its
+    * files land bytes under the stable physical). */
+  private[sources] def ensureRen(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, renTable(dir))
+    val fp = renFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 4)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.customer(spark, dir),
+          Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = fp)
+        Snap.renameColumn(spark, loc, "c_mktsegment", "c_segment")
+        Snap.dropColumn(spark, loc, "c_name")
+        val m = keySpace(spark, dir)
+        val backfill = Tables.customer(spark, dir)
+          .filter(col("c_custkey") < math.max(1L, m / 10))
+          .select(col("c_custkey"), col("c_nationkey"),
+            (col("c_acctbal") + lit(77.0)).as("c_acctbal"),
+            lit("RENAMED").as("c_segment"))
+          .withColumn("_deleted", lit(false))
+        Snap.merge(spark, loc, backfill)
+      }
+    }
+    loc
+  }
+
+  /** Content face over the renamed+dropped head plus the evolution
+    * audits, all from manifest METADATA: both evolve commits reference
+    * exactly v1's files (zero data movement), the column mapping holds
+    * (c_segment rides c_mktsegment's physical slot; c_name's slot is
+    * retired against reuse), and the pre-evolution snapshot still
+    * carries its old shape for time travel. */
+  def q137SnapRenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureRen(spark, dir)
+    val v1 = Snap.atVersion(spark, loc, 1)
+    val v2 = Snap.atVersion(spark, loc, 2)
+    val v3 = Snap.atVersion(spark, loc, 3)
+    val v4 = Snap.head(spark, loc).get
+    val renameOk = v2.files.map(_.path) == v1.files.map(_.path) &&
+      v2.op == "evolve" &&
+      v2.schema.fieldNames.contains("c_segment") &&
+      !v2.schema.fieldNames.contains("c_mktsegment")
+    val dropOk = v3.files.map(_.path) == v1.files.map(_.path) &&
+      !v3.schema.fieldNames.contains("c_name")
+    val mappingOk = v4.physicalOf("c_segment") == "c_mktsegment" &&
+      v4.retired == Seq("c_name")
+    val oldShape = v1.schema.fieldNames.contains("c_mktsegment") &&
+      v1.schema.fieldNames.contains("c_name")
+    Snap.read(spark, loc)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        count(when(col("c_segment") === "RENAMED", 1)).as("n_renamed"))
+      .withColumn("rename_metadata_only", lit(if (renameOk) 1 else 0))
+      .withColumn("drop_metadata_only", lit(if (dropOk) 1 else 0))
+      .withColumn("mapping_ok", lit(if (mappingOk) 1 else 0))
+      .withColumn("time_travel_old_shape", lit(if (oldShape) 1 else 0))
+  }
+
+  val q137Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |v4 AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_custkey < (SELECT greatest(1, m // 10) FROM ks)
+      |         THEN c_acctbal + 77 ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey < (SELECT greatest(1, m // 10) FROM ks)
+      |         THEN 'RENAMED' ELSE c_mktsegment END AS c_segment
+      |  FROM customer)
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+      |  count(*) FILTER (WHERE c_segment = 'RENAMED') AS n_renamed,
+      |  1 AS rename_metadata_only, 1 AS drop_metadata_only,
+      |  1 AS mapping_ok, 1 AS time_travel_old_shape
+      |FROM v4 GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -597,6 +683,7 @@ object SnapOps {
     "q134_snap_evolve" -> q134SnapEvolve _,
     "q135_snap_scd2" -> q135SnapScd2 _,
     "q136_snap_changelog" -> q136SnapChangelog _,
+    "q137_snap_rename_drop" -> q137SnapRenameDrop _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -607,5 +694,6 @@ object SnapOps {
     "q134_snap_evolve" -> q134Sql,
     "q135_snap_scd2" -> q135Sql,
     "q136_snap_changelog" -> q136Sql,
+    "q137_snap_rename_drop" -> q137Sql,
   )
 }

@@ -556,6 +556,103 @@ class SnapSpec extends SparkSpec {
     assert(rows(Snap.read(spark, loc)) == rows(expected))
   }
 
+  // --------------------------------------------- rename/drop evolution
+  test("rename/drop evolution: metadata-only commits, physical-name " +
+      "stability across later merges, time travel to old shapes, retired " +
+      "slots refused, key renames follow references, changelog aligns " +
+      "across the renames") {
+    val loc = tmpLoc("renames")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val v1 = Snap.head(spark, loc).get
+    // rename: METADATA-ONLY — same files, new logical name
+    assert(Snap.renameColumn(spark, loc, "c_mktsegment", "c_segment") == 2)
+    val v2 = Snap.head(spark, loc).get
+    assert(v2.files == v1.files && v2.op == "evolve")
+    assert(rows(Snap.read(spark, loc)) ==
+      rows(cust.withColumnRenamed("c_mktsegment", "c_segment")))
+    // drop: METADATA-ONLY — same files, shrunk schema, slot retired
+    assert(Snap.dropColumn(spark, loc, "c_name") == 3)
+    val v3 = Snap.head(spark, loc).get
+    assert(v3.files == v1.files && v3.retired == Seq("c_name"))
+    assert(rows(Snap.read(spark, loc)) ==
+      rows(cust.drop("c_name").withColumnRenamed("c_mktsegment", "c_segment")))
+    // a merge under the evolved schema: delta speaks the NEW names;
+    // the file bytes land under the STABLE physical name
+    val backfill = cust.filter(col("c_custkey") < 10)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal") + lit(5.0)).as("c_acctbal"),
+        lit("EVOLVED").as("c_segment"))
+      .withColumn("_deleted", lit(false))
+    assert(Snap.merge(spark, loc, backfill) == 4)
+    val v4 = Snap.head(spark, loc).get
+    val newFiles = v4.files.filterNot(f => v1.files.map(_.path).contains(f.path))
+    assert(newFiles.nonEmpty)
+    val fs = Published.fsOf(loc)
+    val rawCols = spark.read.parquet(
+      fs.makeQualified(new HPath(loc, newFiles.head.path)).toString).columns
+    assert(rawCols.contains("c_mktsegment") && !rawCols.contains("c_segment"),
+      s"bytes must land under the PHYSICAL name, saw ${rawCols.mkString(",")}")
+    assert(Snap.read(spark, loc).filter(col("c_segment") === "EVOLVED")
+      .count() == 10)
+    // time travel: pre-evolution versions read their own shape
+    val old = Snap.read(spark, loc, asOf = Some(1))
+    assert(old.columns.contains("c_mktsegment") && old.columns.contains("c_name"))
+    assert(rows(old) == rows(cust))
+    // key rename follows keyCols/bucketCol; merges keep working
+    assert(Snap.renameColumn(spark, loc, "c_custkey", "c_id") == 5)
+    val v5 = Snap.head(spark, loc).get
+    assert(v5.keyCols == Seq("c_id") && v5.bucketCol == "c_id" &&
+      v5.keyKind == "long")
+    val d6 = cust.filter(col("c_custkey") >= 20 && col("c_custkey") < 23)
+      .select(col("c_custkey").as("c_id"), col("c_nationkey"),
+        (col("c_acctbal") + lit(1.0)).as("c_acctbal"),
+        lit("K").as("c_segment"))
+      .withColumn("_deleted", lit(false))
+    assert(Snap.merge(spark, loc, d6) == 6)
+    assert(Snap.read(spark, loc).filter(col("c_segment") === "K").count() == 3)
+    // guards: retired slot, occupied physical slot (renamed-away name),
+    // case-insensitive rename clash, key drop
+    intercept[IllegalArgumentException] {
+      Snap.addColumns(spark, loc, "c_name STRING") // retired slot
+    }
+    intercept[IllegalArgumentException] {
+      Snap.addColumns(spark, loc, "c_mktsegment STRING") // c_segment's physical
+    }
+    intercept[IllegalArgumentException] {
+      Snap.renameColumn(spark, loc, "c_acctbal", "C_Segment")
+    }
+    intercept[IllegalArgumentException] {
+      Snap.dropColumn(spark, loc, "c_id")
+    }
+    // changelog across both renames and the drop: update rows from the
+    // pre-rename step align under the TARGET's logical names by
+    // physical identity — no column lost, no null bleed
+    val ch = Snap.changes(spark, loc, 1, 6)
+    assert(ch.columns.contains("c_id") && ch.columns.contains("c_segment"))
+    val byType = ch.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update" -> 13L), s"got $byType")
+    assert(ch.filter(col("_commit_version") === 4 &&
+      col("c_segment") === "EVOLVED").count() == 10)
+    assert(ch.filter(col("c_id").isNull).count() == 0)
+  }
+
+  test("q136/q137 lifecycle faces are replay-stable with their audit " +
+      "indicators green off the oracle's sf") {
+    val a = SnapOps.q136SnapChangelog(spark, sf).collect()
+    assert(a.nonEmpty && a.forall(_.getAs[Int]("delta_scan_ok") == 1))
+    assert(a.map(_.mkString("|")).toSet ==
+      rows(SnapOps.q136SnapChangelog(spark, sf)))
+    val b = SnapOps.q137SnapRenameDrop(spark, sf).collect()
+    assert(b.nonEmpty)
+    for (c <- Seq("rename_metadata_only", "drop_metadata_only",
+        "mapping_ok", "time_travel_old_shape"))
+      assert(b.forall(_.getAs[Int](c) == 1), s"$c not green")
+    assert(b.map(_.mkString("|")).toSet ==
+      rows(SnapOps.q137SnapRenameDrop(spark, sf)))
+  }
+
   // ------------------------------------------------- changelog / CDF
   test("changes(): exact insert/update/delete classification, post-images " +
       "for upserts, pre-images for deletes, survivors absent, and the plan " +
