@@ -234,6 +234,12 @@ object Bench {
       // (physical→logical) head agg. Same structural-guard class as
       // q130-q136. Trail: 0.22 (r18 first isolated pair)
       "q137_snap_rename_drop" -> 0.25,
+      // q138/q139 first measurements (r18): zorder dual-dimension
+      // pruned scans (two explicit-file-subset aggs) and the retention
+      // audit (manifest metadata + one data/ listing). Same
+      // structural-guard class as q130-q137.
+      // Trail: 0.42 / 0.09 (r18 first isolated pair)
+      "q138_snap_zorder" -> 0.45, "q139_snap_retention" -> 0.15,
       // s07 first measurement (r18): the snap FOLLOWER — create source
       // + snapshot-copy destination, then 4 source merges converging
       // through the rate-ticked changelog follower (each tick an

@@ -70,9 +70,15 @@ object Snap {
 
   /** One immutable data file: repo-relative path + the stats the
     * planner prunes and audits by. min/max are canonical strings of
-    * the table's key kind ("long" decimal or raw string). */
+    * the table's key kind ("long" decimal or raw string). `extra`
+    * carries per-file [min,max] for the table's declared stats columns
+    * ([[SnapManifest.statsCols]] + a zorder table's second dimension) —
+    * a column absent here (all-null in the file, or declared after the
+    * file was written) reads as "unknown": [[prunedScanBy]] keeps the
+    * file, never skips on a guess. */
   final case class SnapFile(path: String, bucket: Int, rows: Long,
-                            min: String, max: String)
+                            min: String, max: String,
+                            extra: Map[String, (String, String)] = Map.empty)
 
   /** One committed snapshot. `tag` is the caller's idempotency /
     * lineage stamp (the demo queries store a source fingerprint).
@@ -108,13 +114,22 @@ object Snap {
                                 op: String = "merge",
                                 base: Int = -1,
                                 phys: Map[String, String] = Map.empty,
-                                retired: Seq[String] = Seq.empty) {
+                                retired: Seq[String] = Seq.empty,
+                                statsCols: Seq[String] = Seq.empty,
+                                z2: String = "",
+                                z2Min: Long = 0L, z2Max: Long = 0L) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def keyKind: String = Snap.keyKindOf(schema(bucketCol).dataType)
     /** The version the writer planned against (−1 legacy = parent). */
     def resolvedBase: Int = if (base < 0) parent else base
     /** The on-file name of logical column `n`. */
     def physicalOf(n: String): String = phys.getOrElse(n, n)
+    /** Columns whose per-file [min,max] every staged file records:
+      * the declared stats set plus a zorder table's second dimension
+      * (its first is `bucketCol`, covered by the primary stats). */
+    def effectiveStatsCols: Seq[String] =
+      (statsCols ++ (if (layout == "zorder") Seq(z2) else Seq.empty))
+        .filter(c => c.nonEmpty && c != bucketCol).distinct
   }
 
   /** Stat/compare kind for a bucket column: every integral type is
@@ -161,9 +176,14 @@ object Snap {
     sb.append(s"phys=${m.phys.toSeq.sortBy(_._1)
       .map { case (l, p) => enc(l) + ":" + enc(p) }.mkString(",")}\n")
     sb.append(s"retired=${m.retired.map(enc).mkString(",")}\n")
+    sb.append(s"statscols=${m.statsCols.map(enc).mkString(",")}\n")
+    sb.append(s"z2=${enc(m.z2)}\n")
+    sb.append(s"z2range=${m.z2Min},${m.z2Max}\n")
     m.files.foreach { f =>
+      val extras = f.extra.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s" ${enc(c)}:${enc(mn)}:${enc(mx)}" }.mkString
       sb.append(s"file=${enc(f.path)} ${f.bucket} ${f.rows} " +
-        s"${enc(f.min)} ${enc(f.max)}\n")
+        s"${enc(f.min)} ${enc(f.max)}$extras\n")
     }
     val body = sb.toString.getBytes("UTF-8")
     val sum = java.lang.Long.toHexString(
@@ -194,7 +214,12 @@ object Snap {
         // otherwise lose its trailing field and mis-parse a LANDED
         // commit as torn (review finding, r17)
         val p = v.split(" ", -1)
-        SnapFile(dec(p(0)), p(1).toInt, p(2).toLong, dec(p(3)), dec(p(4)))
+        val extra = p.drop(5).filter(_.nonEmpty).map { e =>
+          val q = e.split(":", -1)
+          dec(q(0)) -> (dec(q(1)), dec(q(2)))
+        }.toMap
+        SnapFile(dec(p(0)), p(1).toInt, p(2).toLong, dec(p(3)), dec(p(4)),
+          extra)
       }
       val range = m("range").split(",")
       Some(SnapManifest(m("version").toInt, m("parent").toInt,
@@ -213,7 +238,12 @@ object Snap {
           (dec(e.substring(0, i)), dec(e.substring(i + 1)))
         }.toMap).getOrElse(Map.empty),
         m.get("retired").filter(_.nonEmpty)
-          .map(_.split(",").toSeq.map(dec)).getOrElse(Seq.empty)))
+          .map(_.split(",").toSeq.map(dec)).getOrElse(Seq.empty),
+        m.get("statscols").filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(dec)).getOrElse(Seq.empty),
+        m.get("z2").map(dec).getOrElse(""),
+        m.get("z2range").map(_.split(",")(0).toLong).getOrElse(0L),
+        m.get("z2range").map(_.split(",")(1).toLong).getOrElse(0L)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -332,20 +362,111 @@ object Snap {
     (df, chosen.size, m.files.size)
   }
 
+  /** Stats-pruned scan on ANY dimension the manifest carries per-file
+    * stats for: the bucket column (primary stats) or a declared stats /
+    * zorder column (`extra` stats). Files without a recorded range for
+    * the column are KEPT — pruning never skips on a guess. On a zorder
+    * table both key dimensions prune partially (each bucket is a
+    * z-tile, so its per-file ranges cover ~1/√buckets of either
+    * dimension — the q88 zone-map lesson as an actual layout); on a
+    * range table the bucket column prunes tightly and secondary
+    * columns prune only as well as they correlate with it. Returns
+    * (frame, filesPlanned, filesTotal). */
+  def prunedScanBy(spark: SparkSession, loc: HPath, colName: String,
+                   lo: Long, hi: Long,
+                   asOf: Option[Int] = None): (DataFrame, Int, Int) = {
+    val m = asOf.map(atVersion(spark, loc, _)).getOrElse(
+      head(spark, loc).getOrElse(sys.error(s"snap $loc: no committed version")))
+    require(colName == m.bucketCol || m.effectiveStatsCols.contains(colName),
+      s"snap $loc: no per-file stats for '$colName' (bucket column or " +
+        s"declared stats columns: ${(m.bucketCol +: m.effectiveStatsCols)
+          .mkString(", ")})")
+    require(keyKindOf(m.schema(colName).dataType) == "long",
+      s"prunedScanBy needs an integral column, got $colName")
+    val physName = m.physicalOf(colName)
+    val chosen = m.files.filter { f =>
+      val range =
+        if (colName == m.bucketCol) Some((f.min, f.max))
+        else f.extra.get(physName)
+      range.forall { case (mn, mx) => mx.toLong >= lo && mn.toLong <= hi }
+    }
+    val df = readFiles(spark, loc, m, chosen)
+      .filter(col(colName) >= lo && col(colName) <= hi)
+    (df, chosen.size, m.files.size)
+  }
+
+  /** Retention audit — SEE the vacuum horizon before it bites: what a
+    * `vacuum(keepVersions)` would keep and reclaim, computed from
+    * manifest metadata plus one `data/` listing, deleting NOTHING and
+    * taking no lease (a read). Returns one row: total/kept committed
+    * versions, the oldest version that would stay readable,
+    * manifests+data files reclaimable, and the reclaimable bytes. */
+  def retention(spark: SparkSession, loc: HPath,
+                keepVersions: Int = 2): DataFrame = {
+    require(keepVersions >= 1, "must keep at least the head")
+    val fs = Published.fsOf(loc)
+    val valid = listManifests(fs, loc).flatMap { case (v, p) =>
+      readDefinitive(fs, p).getOrElse(None).map(m => (v, m)) }
+    require(valid.nonEmpty, s"snap $loc: nothing committed to audit")
+    val kept = valid.take(keepVersions)
+    val live = kept.flatMap(_._2.files.map(_.path)).toSet
+    val dataDir = new HPath(loc, "data")
+    var reclaimFiles = 0
+    var reclaimBytes = 0L
+    if (Published.exists(fs, dataDir))
+      Published.retryIO()(fs.listStatus(dataDir)).foreach { st =>
+        if (!live.contains("data/" + st.getPath.getName)) {
+          reclaimFiles += 1; reclaimBytes += st.getLen
+        }
+      }
+    import spark.implicits._
+    Seq((valid.size.toLong, kept.size.toLong,
+      kept.map(_._1).min.toLong, (valid.size - kept.size).toLong,
+      reclaimFiles.toLong, reclaimBytes))
+      .toDF("versions_total", "versions_kept", "oldest_readable_version",
+        "manifests_reclaimable", "files_reclaimable", "bytes_reclaimable")
+  }
+
   // ------------------------------------------------------ write paths
 
-  /** The bucket-assignment expression both write shapes share. Hash
-    * layout: murmur3 pmod — stable, co-locating. Range layout: monotone
-    * map of [rangeMin,rangeMax] onto bucket ids, edges clamped so later
-    * deltas outside the create-time range still land in a bucket. */
-  private def bucketExpr(layout: String, bucketCol: String, buckets: Int,
-                         rangeMin: Long, rangeMax: Long) =
-    if (layout == "hash") pmod(hash(col(bucketCol)), lit(buckets))
-    else {
-      val span = math.max(1L, rangeMax - rangeMin + 1L)
-      least(lit(buckets - 1), greatest(lit(0),
-        floor((col(bucketCol).cast("long") - lit(rangeMin)) * lit(buckets.toLong) / lit(span))))
-        .cast("int")
+  /** The bucket-assignment expression every write shape shares; `name`
+    * maps a logical column to the name it carries in the frame being
+    * bucketed (identity on the merge-planning side, physicalOf on the
+    * staging side). Hash layout: murmur3 pmod — stable, co-locating.
+    * Range layout: monotone map of [rangeMin,rangeMax] onto bucket
+    * ids, edges clamped so later deltas outside the create-time range
+    * still land in a bucket. Zorder layout: both key dimensions scale
+    * to 16 bits, interleave through the native `graft_zorder` Morton
+    * code, and the 32-bit z-value range-maps onto bucket ids — a
+    * bucket holds a z-contiguous tile of the (dim1, dim2) plane, so
+    * per-file stats stay selective on BOTH dimensions (the q88 lesson
+    * promoted into the format). Merge stays sound because zorder is
+    * restricted to KEY columns: a delta row's bucket is a function of
+    * its immutable key, so its pre-image can never hide in an
+    * unrewritten bucket. */
+  private def bucketExpr(m: SnapManifest, name: String => String) =
+    m.layout match {
+      case "hash" => pmod(hash(col(name(m.bucketCol))), lit(m.buckets))
+      case "range" =>
+        val span = math.max(1L, m.rangeMax - m.rangeMin + 1L)
+        least(lit(m.buckets - 1), greatest(lit(0),
+          floor((col(name(m.bucketCol)).cast("long") - lit(m.rangeMin)) *
+            lit(m.buckets.toLong) / lit(span))))
+          .cast("int")
+      case "zorder" =>
+        def scaled(c: String, lo: Long, hi: Long) = {
+          val span = math.max(1L, hi - lo + 1L)
+          least(lit(65535L), greatest(lit(0L),
+            floor((col(name(c)).cast("long") - lit(lo)) * lit(65536L) /
+              lit(span)).cast("long")))
+        }
+        val z = call_function("graft_zorder",
+          scaled(m.bucketCol, m.rangeMin, m.rangeMax),
+          scaled(m.z2, m.z2Min, m.z2Max))
+        least(lit(m.buckets - 1), greatest(lit(0),
+          floor(z * lit(m.buckets.toLong) / lit(4294967296L)).cast("int")))
+          .cast("int")
+      case other => sys.error(s"snap: unknown layout $other")
     }
 
   /** A staged-but-not-yet-promoted write: the private stage dir, the
@@ -353,9 +474,15 @@ object Snap {
     * staged bytes. Promotion (the per-bucket moves into `data/`) is a
     * separate, lease-held step so an optimistic writer can stage
     * WITHOUT the lease and discard cheaply on a lost race. */
+  /** Per-bucket stats read back from staged bytes: row count, bucket-
+    * column [min,max], and the declared stats columns' [min,max]
+    * (absent where a column was all-null in the bucket). */
+  private final case class BStats(rows: Long, mn: String, mx: String,
+                                  extra: Map[String, (String, String)])
+
   private final case class Staged(stage: HPath,
                                   parts: Seq[(Int, HPath)],
-                                  stats: Map[Int, (Long, String, String)]) {
+                                  stats: Map[Int, BStats]) {
     def isEmpty: Boolean = parts.isEmpty
   }
 
@@ -381,8 +508,7 @@ object Snap {
         col(n).as(m.physicalOf(n))).toSeq: _*)
     val physBucket = m.physicalOf(m.bucketCol)
     val stamped = physData
-      .withColumn("_b", bucketExpr(m.layout, physBucket, m.buckets,
-        m.rangeMin, m.rangeMax))
+      .withColumn("_b", bucketExpr(m, m.physicalOf))
     // repartition BY _b: each bucket value lands in one task, so
     // partitionBy emits exactly one file per non-empty bucket — file
     // count stays O(buckets) per commit, never O(tasks × buckets)
@@ -404,19 +530,37 @@ object Snap {
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
           .sortBy(_.getPath.getName)
         val st =
-          if (dirList.isEmpty) Array.empty[(Int, (Long, String, String))]
+          if (dirList.isEmpty) Array.empty[(Int, BStats)]
           else {
             // aggregate on the TYPED column, stringify after — a
             // cast-first min over longs would be lexicographic
-            // ("10" < "9") and corrupt every pruning decision
+            // ("10" < "9") and corrupt every pruning decision. The
+            // declared stats columns ride the SAME single pass.
+            val extraCols = m.effectiveStatsCols
+            val aggs = Seq(count(lit(1)).as("rows"),
+              min(col(physBucket)).cast("string").as("mn"),
+              max(col(physBucket)).cast("string").as("mx")) ++
+              extraCols.zipWithIndex.flatMap { case (c, i) =>
+                val pc = m.physicalOf(c)
+                Seq(min(col(pc)).cast("string").as(s"emn$i"),
+                  max(col(pc)).cast("string").as(s"emx$i"))
+              }
             spark.read.parquet(fs.makeQualified(stage).toString)
               .groupBy(col("_b"))
-              .agg(count(lit(1)).as("rows"),
-                min(col(physBucket)).cast("string").as("mn"),
-                max(col(physBucket)).cast("string").as("mx"))
+              .agg(aggs.head, aggs.tail: _*)
               .collect() // ≤ buckets rows — bounded driver metadata
-              .map(r => r.getInt(0) ->
-                (r.getLong(1), r.getString(2), r.getString(3)))
+              .map { r =>
+                val extra = extraCols.zipWithIndex.flatMap { case (c, i) =>
+                  val emn = r.getAs[String](s"emn$i")
+                  val emx = r.getAs[String](s"emx$i")
+                  // all-null column in this bucket: no entry — pruning
+                  // treats the file as unknown, never skips on a guess
+                  if (emn == null || emx == null) None
+                  else Some(m.physicalOf(c) -> (emn, emx))
+                }.toMap
+                r.getAs[Int]("_b") -> BStats(r.getAs[Long]("rows"),
+                  r.getAs[String]("mn"), r.getAs[String]("mx"), extra)
+              }
           }
         (dirList, st)
       }
@@ -430,8 +574,8 @@ object Snap {
     // null-key backstop: a bucket of all-null keys has null min/max —
     // committing it would NPE in the manifest render after the files
     // moved; fail BEFORE moving anything (orphan-free abort)
-    stats.foreach { case (b, (_, mn, mx)) =>
-      require(mn != null && mx != null,
+    stats.foreach { case (b, st) =>
+      require(st.mn != null && st.mx != null,
         s"snap: bucket $b holds null-keyed rows — key columns must be " +
           "non-null (nulls neither match deletes nor carry stats)")
     }
@@ -474,8 +618,8 @@ object Snap {
     val out = staged.parts.map { case (b, part) =>
       val name = s"data/v$version-b$b-0.parquet"
       Published.moveResumable(fs, part, new HPath(loc, name), gate)
-      val (rows, mn, mx) = staged.stats(b)
-      SnapFile(name, b, rows, mn, mx)
+      val st = staged.stats(b)
+      SnapFile(name, b, st.rows, st.mn, st.mx, st.extra)
     }
     Published.retryIO(gate)(fs.delete(staged.stage, true))
     out
@@ -559,18 +703,44 @@ object Snap {
   def create(spark: SparkSession, loc: HPath, data: DataFrame,
              keyCols: Seq[String], bucketCol: String, buckets: Int,
              layout: String = "hash", tag: String = "",
-             applied: Long = -1L): Unit = {
-    require(Seq("hash", "range").contains(layout), s"bad layout $layout")
+             applied: Long = -1L,
+             statsCols: Seq[String] = Seq.empty,
+             zorderBy: String = ""): Unit = {
+    require(Seq("hash", "range", "zorder").contains(layout),
+      s"bad layout $layout")
     require(keyCols.contains(bucketCol), "bucketCol must be a key column")
     val kind = keyKindOf(data.schema(bucketCol).dataType) // loud on unsupported
-    // range layout REQUIRES an ordered long key: a string bucket column
-    // would cast("long") to null in bucketExpr, greatest(0, null) = 0,
-    // and every row would silently land in bucket 0 with (0,0) stats —
-    // a single-bucket table with no pruning and no error until a later
-    // prunedScan (r17 advice). Refuse at creation, like prunedScan does.
+    // range/zorder layouts REQUIRE ordered long dimensions: a string
+    // bucket column would cast("long") to null in bucketExpr,
+    // greatest(0, null) = 0, and every row would silently land in
+    // bucket 0 with (0,0) stats — a single-bucket table with no
+    // pruning and no error until a later prunedScan (r17 advice).
+    // Refuse at creation, like prunedScan does.
     require(layout == "hash" || kind == "long",
-      s"snap: layout=range needs an integral bucket column, got $kind — " +
+      s"snap: layout=$layout needs an integral bucket column, got $kind — " +
         "use layout=hash for string keys")
+    if (layout == "zorder") {
+      // the second dimension must be a KEY column: bucket assignment is
+      // a function of (bucketCol, zorderBy), and only key columns are
+      // immutable per row — a VALUE dimension would move a key's bucket
+      // when the value changes and its pre-image could hide in an
+      // unrewritten bucket (a silent duplicate key)
+      require(zorderBy.nonEmpty && zorderBy != bucketCol &&
+          keyCols.contains(zorderBy),
+        "snap: layout=zorder needs zorderBy — a second KEY column " +
+          "distinct from bucketCol")
+      require(keyKindOf(data.schema(zorderBy).dataType) == "long",
+        "snap: zorderBy must be an integral column")
+    } else require(zorderBy.isEmpty,
+      s"snap: zorderBy only applies to layout=zorder")
+    // declared stats columns must exist and compare numerically — the
+    // typed-compare discipline that keeps pruning non-lexicographic
+    statsCols.foreach { c =>
+      require(data.schema.fieldNames.contains(c), s"snap: no stats column $c")
+      require(keyKindOf(data.schema(c).dataType) == "long",
+        s"snap: stats column $c must be integral (string ranges do not " +
+          "prune soundly)")
+    }
     // "_b" is the staging partition column: a user column of that name
     // would be REPLACED by withColumn and stripped by partitionBy — its
     // values silently lost in every written file while the manifest
@@ -584,16 +754,20 @@ object Snap {
           else sys.error(s"snap $loc exists with tag '${h.tag}' != '$tag' — " +
             "drop it explicitly before re-creating with new lineage")
         case None =>
+          def dimRange(c: String): (Long, Long) = {
+            val r = data.agg(min(col(c).cast("long")),
+              max(col(c).cast("long"))).head
+            if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+          }
           val (rMin, rMax) =
-            if (layout == "range") {
-              val r = data.agg(min(col(bucketCol).cast("long")),
-                max(col(bucketCol).cast("long"))).head
-              if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
-            } else (0L, 0L)
+            if (layout == "hash") (0L, 0L) else dimRange(bucketCol)
+          val (z2Min, z2Max) =
+            if (layout == "zorder") dimRange(zorderBy) else (0L, 0L)
           val token = newToken()
           val m0 = SnapManifest(1, 0, token, tag,
             data.schema.toDDL, keyCols, bucketCol, buckets, layout,
-            rMin, rMax, Seq.empty, applied, "create", 0)
+            rMin, rMax, Seq.empty, applied, "create", 0,
+            Map.empty, Seq.empty, statsCols, zorderBy, z2Min, z2Max)
           val gate = () => Published.assertLeaseOwned(loc)
           val files = stageDataFiles(spark, loc, m0, data, 1, token, gate)
           graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
@@ -695,8 +869,7 @@ object Snap {
     * planning metadata that makes the rewrite set file-granular. */
   private def deltaRanges(m: SnapManifest,
                           delta: DataFrame): Map[Int, (String, String)] = {
-    val bEx = bucketExpr(m.layout, m.bucketCol, m.buckets,
-      m.rangeMin, m.rangeMax)
+    val bEx = bucketExpr(m, identity)
     delta.withColumn("_b", bEx).groupBy(col("_b"))
       .agg(min(col(m.bucketCol)).cast("string").as("mn"),
         max(col(m.bucketCol)).cast("string").as("mx"))
@@ -744,10 +917,9 @@ object Snap {
       val next = m.version + 1
       val files = carry ++ stageDataFiles(spark, loc, m, merged, next, token, gate)
       graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
-      val mn = SnapManifest(next, m.version, token, m.tag, m.schemaDdl,
-        m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin, m.rangeMax,
-        files, appliedStamp.getOrElse(m.applied), "merge", m.version,
-        m.phys, m.retired)
+      val mn = m.copy(version = next, parent = m.version, writer = token,
+        files = files, applied = appliedStamp.getOrElse(m.applied),
+        op = "merge", base = m.version)
       if (sys.env.contains(SnapTornEnv)) {
         // probe hook: reproduce the mid-create crash for REAL across a
         // process boundary — land the manifest bytes WITHOUT the
@@ -881,11 +1053,10 @@ object Snap {
               val myRewrite = rewrite.map(_.path).toSet
               val target: Option[SnapManifest] =
                 if (h2.version == m.version)
-                  Some(SnapManifest(m.version + 1, m.version, token, m.tag,
-                    m.schemaDdl, m.keyCols, m.bucketCol, m.buckets, m.layout,
-                    m.rangeMin, m.rangeMax, carry,
-                    appliedStamp.getOrElse(m.applied), "merge", m.version,
-                    m.phys, m.retired))
+                  Some(m.copy(version = m.version + 1, parent = m.version,
+                    writer = token, files = carry,
+                    applied = appliedStamp.getOrElse(m.applied),
+                    op = "merge", base = m.version))
                 else {
                   // rivals committed past our base: rebase iff disjoint
                   val h2Paths = h2.files.map(_.path).toSet
@@ -894,16 +1065,15 @@ object Snap {
                   val disjoint = myRewrite.subsetOf(h2Paths) &&
                     !rivalNew.exists(fileIntersects(m.keyKind, ranges))
                   if (!disjoint) None
-                  else Some(SnapManifest(h2.version + 1, h2.version, token,
-                    h2.tag, h2.schemaDdl, h2.keyCols, h2.bucketCol, h2.buckets,
-                    h2.layout, h2.rangeMin, h2.rangeMax,
-                    h2.files.filterNot(f => myRewrite.contains(f.path)),
-                    appliedStamp.fold(h2.applied)(math.max(_, h2.applied)),
-                    // h2's schema AND column mapping: a rival rename is
-                    // metadata-only, and our staged files' PHYSICAL
-                    // names are rename-stable — they read correctly
-                    // under h2's phys without a rewrite
-                    "merge", m.version, h2.phys, h2.retired))
+                  // h2's schema AND column mapping ride the copy: a
+                  // rival rename is metadata-only, and our staged
+                  // files' PHYSICAL names are rename-stable — they
+                  // read correctly under h2's phys without a rewrite
+                  else Some(h2.copy(version = h2.version + 1,
+                    parent = h2.version, writer = token,
+                    files = h2.files.filterNot(f => myRewrite.contains(f.path)),
+                    applied = appliedStamp.fold(h2.applied)(math.max(_, h2.applied)),
+                    op = "merge", base = m.version))
                 }
               target match {
                 case Some(tm) =>
@@ -1120,10 +1290,8 @@ object Snap {
         m.schema.fields ++ add.fields.map(_.copy(nullable = true)))
       val next = m.version + 1
       commitManifest(Published.fsOf(loc), loc,
-        SnapManifest(next, m.version, newToken(), m.tag, widened.toDDL,
-          m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin,
-          m.rangeMax, m.files, m.applied, "evolve", m.version,
-          m.phys, m.retired), gate)
+        m.copy(version = next, parent = m.version, writer = newToken(),
+          schemaDdl = widened.toDDL, op = "evolve", base = m.version), gate)
       next
     }
   }
@@ -1155,11 +1323,13 @@ object Snap {
         (if (physName != to) Map(to -> physName) else Map.empty)
       val next = m.version + 1
       commitManifest(Published.fsOf(loc), loc,
-        SnapManifest(next, m.version, newToken(), m.tag, renamed.toDDL,
-          m.keyCols.map(k => if (k == from) to else k),
-          if (m.bucketCol == from) to else m.bucketCol,
-          m.buckets, m.layout, m.rangeMin, m.rangeMax, m.files, m.applied,
-          "evolve", m.version, newPhys, m.retired), gate)
+        m.copy(version = next, parent = m.version, writer = newToken(),
+          schemaDdl = renamed.toDDL,
+          keyCols = m.keyCols.map(k => if (k == from) to else k),
+          bucketCol = if (m.bucketCol == from) to else m.bucketCol,
+          op = "evolve", base = m.version, phys = newPhys,
+          statsCols = m.statsCols.map(c => if (c == from) to else c),
+          z2 = if (m.z2 == from) to else m.z2), gate)
       next
     }
   }
@@ -1183,10 +1353,10 @@ object Snap {
       val shrunk = StructType(m.schema.fields.filterNot(_.name == name))
       val next = m.version + 1
       commitManifest(Published.fsOf(loc), loc,
-        SnapManifest(next, m.version, newToken(), m.tag, shrunk.toDDL,
-          m.keyCols, m.bucketCol, m.buckets, m.layout, m.rangeMin,
-          m.rangeMax, m.files, m.applied, "evolve", m.version,
-          m.phys - name, m.retired :+ m.physicalOf(name)), gate)
+        m.copy(version = next, parent = m.version, writer = newToken(),
+          schemaDdl = shrunk.toDDL, op = "evolve", base = m.version,
+          phys = m.phys - name, retired = m.retired :+ m.physicalOf(name),
+          statsCols = m.statsCols.filterNot(_ == name)), gate)
       next
     }
   }
@@ -1222,10 +1392,9 @@ object Snap {
           stageDataFiles(spark, loc, m, readFiles(spark, loc, m, fold),
             next, token, gate)
         graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
-        commitManifest(fs, loc, SnapManifest(next, m.version, token, m.tag,
-          m.schemaDdl, m.keyCols, m.bucketCol, m.buckets, m.layout,
-          m.rangeMin, m.rangeMax, files, m.applied, "optimize", m.version,
-          m.phys, m.retired), gate)
+        commitManifest(fs, loc, m.copy(version = next, parent = m.version,
+          writer = token, files = files, op = "optimize", base = m.version),
+          gate)
         next
       }
     }

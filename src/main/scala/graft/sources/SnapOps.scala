@@ -675,6 +675,97 @@ object SnapOps {
       |  1 AS mapping_ok, 1 AS time_travel_old_shape
       |FROM v4 GROUP BY c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q138
+  private[graft] def zTable(dir: String): String =
+    s"graft_snapzz_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def zFp(dir: String): String =
+    Published.fingerprint("snapzz",
+      Seq(new HPath(dir, "orders.parquet")))
+
+  private[sources] def ensureZ(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, zTable(dir))
+    val fp = zFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 1)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.orders(spark, dir),
+          Seq("o_orderkey", "o_custkey"), "o_orderkey", 16,
+          layout = "zorder", tag = fp, zorderBy = "o_custkey")
+      }
+    }
+    loc
+  }
+
+  /** Z-order layout face: the same orders table pruned on EACH key
+    * dimension — a z-tile bucket covers ~1/√buckets of either axis, so
+    * both range scans plan strict file subsets (q88's measured zone-map
+    * lesson promoted into the format's layout). One output row per
+    * dimension; `files_skipped_ok` audits real skipping from manifest
+    * metadata. Scan bounds come from the manifest's own dimension
+    * ranges — no source rescan on the serve path. */
+  def q138SnapZorder(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureZ(spark, dir)
+    val m = Snap.head(spark, loc).get
+    def face(dim: String, lo: Long, hi: Long): DataFrame = {
+      val (df, planned, total) = Snap.prunedScanBy(spark, loc, dim, lo, hi)
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")) + lit(1e-9), 2).as("tot_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(lit(dim).as("dim"), col("n_rows"), col("tot_price"),
+          col("n_cust"),
+          lit(if (planned > 0 && planned < total) 1 else 0)
+            .as("files_skipped_ok"))
+    }
+    face("o_orderkey", m.rangeMax / 4, m.rangeMax / 2)
+      .unionByName(face("o_custkey", m.z2Max / 4, m.z2Max / 2))
+  }
+
+  val q138Sql: String =
+    """SELECT 'o_orderkey' AS dim, count(*) AS n_rows,
+      |  round(sum(o_totalprice) + 1e-9, 2) AS tot_price,
+      |  count(DISTINCT o_custkey) AS n_cust, 1 AS files_skipped_ok
+      |FROM orders
+      |WHERE o_orderkey >= (SELECT max(o_orderkey) // 4 FROM orders)
+      |  AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders)
+      |UNION ALL
+      |SELECT 'o_custkey', count(*),
+      |  round(sum(o_totalprice) + 1e-9, 2),
+      |  count(DISTINCT o_custkey), 1
+      |FROM orders
+      |WHERE o_custkey >= (SELECT max(o_custkey) // 4 FROM orders)
+      |  AND o_custkey <= (SELECT max(o_custkey) // 2 FROM orders)""".stripMargin
+
+  // --------------------------------------------------------------- q139
+  /** Retention audit face over the q130/q131 lifecycle: what
+    * vacuum(keep=2) would keep and reclaim, from manifest metadata +
+    * one data/ listing — the horizon made visible BEFORE it bites.
+    * The counts are sf-invariant by the lifecycle's M-relative delta
+    * design: 3 versions total, the v1 manifest reclaimable, and
+    * exactly 2 data files reclaimable — v1's b0 and b4 originals,
+    * which delta 1 rewrote and nothing kept references (disk holds 13
+    * files, the kept v2∪v3 pair references 11; v1's b1 original stays
+    * live because v2 carries it). `bytes_reclaimable_pos` is the
+    * nonzero-bytes indicator. */
+  def q139SnapRetention(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureCust(spark, dir)
+    Snap.retention(spark, loc, keepVersions = 2)
+      .select(col("versions_total").cast("int").as("versions_total"),
+        col("versions_kept").cast("int").as("versions_kept"),
+        col("oldest_readable_version").cast("int")
+          .as("oldest_readable_version"),
+        col("manifests_reclaimable").cast("int").as("manifests_reclaimable"),
+        col("files_reclaimable").cast("int").as("files_reclaimable"),
+        when(col("bytes_reclaimable") > 0, 1).otherwise(0)
+          .as("bytes_reclaimable_pos"))
+  }
+
+  val q139Sql: String =
+    """SELECT 3 AS versions_total, 2 AS versions_kept,
+      |  2 AS oldest_readable_version, 1 AS manifests_reclaimable,
+      |  2 AS files_reclaimable, 1 AS bytes_reclaimable_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -684,6 +775,8 @@ object SnapOps {
     "q135_snap_scd2" -> q135SnapScd2 _,
     "q136_snap_changelog" -> q136SnapChangelog _,
     "q137_snap_rename_drop" -> q137SnapRenameDrop _,
+    "q138_snap_zorder" -> q138SnapZorder _,
+    "q139_snap_retention" -> q139SnapRetention _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -695,5 +788,7 @@ object SnapOps {
     "q135_snap_scd2" -> q135Sql,
     "q136_snap_changelog" -> q136Sql,
     "q137_snap_rename_drop" -> q137Sql,
+    "q138_snap_zorder" -> q138Sql,
+    "q139_snap_retention" -> q139Sql,
   )
 }

@@ -556,6 +556,93 @@ class SnapSpec extends SparkSpec {
     assert(rows(Snap.read(spark, loc)) == rows(expected))
   }
 
+  // -------------------------------- zorder layout + multi-column stats
+  test("zorder layout: BOTH key dimensions prune to strict file subsets " +
+      "with exact answers; merges stay row-exact and keep the tile stats") {
+    val loc = tmpLoc("zorder")
+    val ord = Tables.orders(spark, sf) // o_orderkey 0..1499
+    Snap.create(spark, loc, ord, Seq("o_orderkey", "o_custkey"),
+      "o_orderkey", 16, layout = "zorder", tag = "t", zorderBy = "o_custkey")
+    val m = Snap.head(spark, loc).get
+    assert(m.layout == "zorder" && m.z2 == "o_custkey")
+    // every file carries tile stats for the second dimension
+    assert(m.files.forall(_.extra.contains("o_custkey")))
+    def checkDim(c: String, lo: Long, hi: Long): Unit = {
+      val (df, planned, total) = Snap.prunedScanBy(spark, loc, c, lo, hi)
+      assert(planned > 0 && planned < total,
+        s"$c [$lo,$hi] planned $planned of $total — no tile pruning")
+      assert(rows(df) ==
+        rows(Snap.read(spark, loc).filter(col(c) >= lo && col(c) <= hi)))
+    }
+    val kMax = m.rangeMax
+    val cMax = m.z2Max
+    checkDim("o_orderkey", kMax / 4, kMax / 2)
+    checkDim("o_custkey", cMax / 4, cMax / 2)
+    // a merge through the zorder bucketing: row-exact, stats preserved
+    val delta = ord.filter(col("o_orderkey") < 50)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      .withColumn("_deleted", lit(false))
+    assert(Snap.merge(spark, loc, delta) == 2)
+    val expected = ord.withColumn("o_totalprice",
+      when(col("o_orderkey") < 50, col("o_totalprice") + 1.0)
+        .otherwise(col("o_totalprice")))
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
+    assert(Snap.head(spark, loc).get.files.forall(_.extra.contains("o_custkey")),
+      "a merge dropped the tile stats")
+    checkDim("o_custkey", cMax / 4, cMax / 2)
+    // zorder guards: a non-key second dimension refuses (a VALUE dim
+    // would move a key's bucket when the value changes)
+    intercept[IllegalArgumentException] {
+      Snap.create(spark, tmpLoc("zbad"), ord,
+        Seq("o_orderkey"), "o_orderkey", 16, layout = "zorder",
+        tag = "t", zorderBy = "o_totalprice")
+    }
+  }
+
+  test("declared stats columns: correlated secondaries prune, all-null " +
+      "stats read as unknown (kept, never guessed); retention audit " +
+      "predicts exactly what vacuum reclaims") {
+    val loc = tmpLoc("stats")
+    import spark.implicits._
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 2)
+      .withColumn("w", lit(null).cast("long"))
+    Snap.create(spark, loc, df, Seq("k"), "k", 8, layout = "range",
+      tag = "t", statsCols = Seq("v", "w"))
+    // v correlates with k: its ranges prune like the primary's
+    val (pv, planned, total) = Snap.prunedScanBy(spark, loc, "v", 100L, 300L)
+    assert(planned > 0 && planned < total)
+    assert(rows(pv) == rows(Snap.read(spark, loc)
+      .filter(col("v") >= 100 && col("v") <= 300)))
+    // w is all-null: no recorded range -> every file kept, none skipped
+    val h = Snap.head(spark, loc).get
+    assert(h.files.forall(f => !f.extra.contains("w")))
+    val (_, wPlanned, wTotal) = Snap.prunedScanBy(spark, loc, "w", 0L, 1L)
+    assert(wPlanned == wTotal, "pruned on a guess for an unknown column")
+    // an undeclared column refuses
+    intercept[IllegalArgumentException] {
+      Snap.prunedScanBy(spark, loc, "k2", 0L, 1L)
+    }
+    // retention audit == vacuum's subsequent reclaim, byte-for-byte
+    val d2 = df.filter(col("k") < 100)
+      .withColumn("v", col("v") + lit(1L))
+      .withColumn("_deleted", lit(false))
+    Snap.merge(spark, loc, d2)
+    val aud = Snap.retention(spark, loc, keepVersions = 1).head
+    assert(aud.getAs[Long]("versions_total") == 2 &&
+      aud.getAs[Long]("versions_kept") == 1 &&
+      aud.getAs[Long]("oldest_readable_version") == 2)
+    assert(aud.getAs[Long]("bytes_reclaimable") > 0)
+    val (mSwept, dSwept, _) = Snap.vacuum(spark, loc, keepVersions = 1)
+    assert(mSwept == aud.getAs[Long]("manifests_reclaimable") &&
+      dSwept == aud.getAs[Long]("files_reclaimable"),
+      s"audit predicted ($mSwept, $dSwept) wrong")
+    // post-vacuum: nothing left to reclaim
+    val after = Snap.retention(spark, loc, keepVersions = 1).head
+    assert(after.getAs[Long]("files_reclaimable") == 0 &&
+      after.getAs[Long]("bytes_reclaimable") == 0)
+  }
+
   // --------------------------------------------- rename/drop evolution
   test("rename/drop evolution: metadata-only commits, physical-name " +
       "stability across later merges, time travel to old shapes, retired " +
@@ -636,6 +723,21 @@ class SnapSpec extends SparkSpec {
     assert(ch.filter(col("_commit_version") === 4 &&
       col("c_segment") === "EVOLVED").count() == 10)
     assert(ch.filter(col("c_id").isNull).count() == 0)
+  }
+
+  test("q138/q139 faces are replay-stable off the oracle's sf: zorder " +
+      "prunes on both dims, retention counts hold") {
+    val a = SnapOps.q138SnapZorder(spark, sf).collect()
+    assert(a.length == 2 && a.forall(_.getAs[Int]("files_skipped_ok") == 1),
+      s"zorder face: ${a.mkString(";")}")
+    assert(a.map(_.mkString("|")).toSet ==
+      rows(SnapOps.q138SnapZorder(spark, sf)))
+    val b = SnapOps.q139SnapRetention(spark, sf).collect()
+    assert(b.length == 1)
+    val r = b.head
+    assert(r.getAs[Int]("versions_total") == 3 &&
+      r.getAs[Int]("files_reclaimable") == 2 &&
+      r.getAs[Int]("bytes_reclaimable_pos") == 1, s"retention face: $r")
   }
 
   test("q136/q137 lifecycle faces are replay-stable with their audit " +
