@@ -337,6 +337,63 @@ object SnapCrashProbe {
         assertSame(Snap.read(spark, loc), exp, "cdc-applied state")
         println(s"SNAPPROBE hcheck OK v=${h.version} applied=${h.applied}")
 
+      // ---- leg I: the snap FOLLOWER's driver-death resume — the
+      // offset ledger is the DESTINATION manifest, so the probe
+      // resumes with a WIPED checkpoint on purpose: a follower whose
+      // progress survived only in the checkpoint would double-apply or
+      // restart from scratch; this one must converge exactly-once from
+      // the cursor in the destination's head.
+      case "ibase" =>
+        Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 8,
+          layout = "range", tag = "follow-probe")
+        println("SNAPPROBE ibase OK v=1")
+
+      case "irun" =>
+        val dst = new HPath(args.lift(3).getOrElse(sys.error("irun needs dst")))
+        val ckpt = args.lift(4).getOrElse(sys.error("irun needs ckpt"))
+        val haltAfter = args.lift(5).map(_.toInt).getOrElse(0)
+        if (haltAfter > 0) RestartKit.haltOnCommit(spark, ckpt, haltAfter)
+        // maxVersionsPerPoll=1: the backlog drains one source version
+        // per tick, so the kill lands MID-backlog (a single-poll
+        // catch-up would leave no interesting window)
+        val q = graft.streaming.SnapFollow.follow(spark, loc.toString,
+          dst.toString, ckpt,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L),
+          maxVersionsPerPoll = 1)
+        val deadline = System.currentTimeMillis() + 300000L
+        try {
+          // seed the source WHILE the follower ticks (the moving-target
+          // shape); mergeStreaming's batch ids make the resume's
+          // re-seed skip whatever the killed run already applied — the
+          // source converges to v7/applied=5 across any crash point
+          (0 until 6).foreach { k =>
+            Snap.mergeStreaming(spark, loc, cdcDelta(k), batchId = k.toLong)
+          }
+          val srcHead = Snap.head(spark, loc).get.version.toLong
+          require(srcHead == 7L, s"irun: source head=$srcHead, want 7")
+          while (Snap.head(spark, dst).forall(_.applied < srcHead) &&
+              System.currentTimeMillis() < deadline) Thread.sleep(250L)
+        } finally q.stop()
+        require(Snap.head(spark, dst).exists(_.applied == 7L),
+          "irun: follower never caught up")
+        println("SNAPPROBE irun OK (caught up)")
+
+      case "icheck" =>
+        val dst = new HPath(args.lift(3).getOrElse(sys.error("icheck needs dst")))
+        val h = Snap.head(spark, dst).get
+        require(h.applied == 7L, s"icheck: cursor=${h.applied}, want 7")
+        // exactly-once ledger: every destination commit advanced the
+        // cursor STRICTLY (a replayed poll that re-applied would commit
+        // a version with a non-advancing stamp; a no-news poll commits
+        // nothing at all)
+        val applieds = (1 to h.version).map(v =>
+          Snap.atVersion(spark, dst, v).applied)
+        require(applieds.zip(applieds.tail).forall { case (a, b) => b > a },
+          s"icheck: non-monotone applied chain ${applieds.mkString(",")}")
+        assertSame(Snap.read(spark, dst), Snap.read(spark, loc),
+          "followed destination")
+        println(s"SNAPPROBE icheck OK v=${h.version} applied=${h.applied}")
+
       case p => sys.error(s"unknown phase $p")
     }
     spark.stop()

@@ -81,7 +81,9 @@ object SnapFollow {
     * (the cursor high-water makes a duplicate poll a no-op). */
   def pollOnce(spark: SparkSession, src: HPath, dst: HPath,
                transform: DataFrame => DataFrame = identity,
-               autoOptimize: Int = 0): Long = {
+               autoOptimize: Int = 0,
+               maxVersionsPerPoll: Int = Int.MaxValue): Long = {
+    require(maxVersionsPerPoll >= 1, "maxVersionsPerPoll must be >= 1")
     val srcHead = Snap.head(spark, src).getOrElse(
       sys.error(s"snap follow: source $src never committed"))
     val dstHead = Snap.head(spark, dst).getOrElse(
@@ -92,8 +94,12 @@ object SnapFollow {
       s"snap follow: destination $dst carries no source cursor " +
         s"(applied=$cursor) — it was not created by ensureDst")
     if (srcHead.version <= cursor) return cursor
+    // bound one poll's catch-up (memory/latency control on a deep
+    // backlog — and the crash probe's lever for multi-step resume)
+    val upTo = math.min(srcHead.version.toLong,
+      cursor + maxVersionsPerPoll).toInt
     val keys = srcHead.keyCols
-    val ch = Snap.changes(spark, src, cursor.toInt, srcHead.version)
+    val ch = Snap.changes(spark, src, cursor.toInt, upTo)
     // collapse the backlog latest-wins per key: one row per key, the
     // newest version's image; its change type decides upsert vs delete
     val w = Window.partitionBy(keys.map(col): _*)
@@ -103,8 +109,8 @@ object SnapFollow {
       .withColumn("_deleted", col("_change_type") === "delete")
       .drop("__rn", "_change_type", "_commit_version")
     Snap.mergeStreaming(spark, dst, transform(collapsed),
-      batchId = srcHead.version.toLong, autoOptimize = autoOptimize)
-    srcHead.version.toLong
+      batchId = upTo.toLong, autoOptimize = autoOptimize)
+    upTo.toLong
   }
 
   /** Start the continuous follower: a rate tick schedules [[pollOnce]]
@@ -117,7 +123,8 @@ object SnapFollow {
              trigger: org.apache.spark.sql.streaming.Trigger =
                org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000L),
              transform: DataFrame => DataFrame = identity,
-             autoOptimize: Int = 0): StreamingQuery = {
+             autoOptimize: Int = 0,
+             maxVersionsPerPoll: Int = Int.MaxValue): StreamingQuery = {
     val srcP = new HPath(src)
     val dstP = new HPath(dst)
     ensureDst(spark, srcP, dstP)
@@ -130,7 +137,8 @@ object SnapFollow {
           Snap.assertFollowLineage(dstP, srcIdentity(srcP))
           lineageChecked.set(true)
         }
-        pollOnce(spark, srcP, dstP, transform, autoOptimize)
+        pollOnce(spark, srcP, dstP, transform, autoOptimize,
+          maxVersionsPerPoll)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -363,4 +363,39 @@ SPARK_GRAFT_LEASE_STALE_MS=2000 \
 grep -a "SNAPPROBE hcheck OK v=7 applied=5" /tmp/snapcdc_check.log || \
   { echo "FAIL: exactly-once violated"; grep -a SNAPPROBE /tmp/snapcdc_check.log; tail -5 /tmp/snapcdc_check.log; exit 1; }
 echo "leg H OK: driver death mid-stream -> checkpoint resume -> replayed batch no-op'd by the applied high-water, one version per batch, row-set-exact"
+
+echo "== leg I: snap FOLLOWER driver death -> WIPED-checkpoint resume (r18)"
+# The follower's offset ledger is the DESTINATION manifest (the source
+# cursor commits atomically with the rows), so the probe resumes with a
+# DELETED checkpoint on purpose: run 1 drains the 6-version backlog one
+# source version per tick and is killed after 3 committed ticks; run 2
+# starts from a fresh checkpoint and must converge from the cursor in
+# the destination's head. icheck requires row parity with the source
+# AND a strictly-advancing applied stamp on every destination commit —
+# a double-applied poll or a from-scratch restart both break it.
+ROOTI=$(mktemp -d /tmp/graft-snapfollow.XXXX)
+SRCI_URI="$ROOTI/src"; DSTI_URI="$ROOTI/dst"; CKPTI_URI="$ROOTI/ckpt"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  SRCI_URI="hdfs://graftsim$ROOTI/src"; DSTI_URI="hdfs://graftsim$ROOTI/dst"; CKPTI_URI="hdfs://graftsim$ROOTI/ckpt"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  SRCI_URI="s3a://graftbucket$ROOTI/src"; DSTI_URI="s3a://graftbucket$ROOTI/dst"; CKPTI_URI="s3a://graftbucket$ROOTI/ckpt"
+fi
+$RUN graft.SnapCrashProbe ibase $SF "$SRCI_URI" >/tmp/snapfollow_base.log 2>&1
+grep -a "SNAPPROBE ibase OK" /tmp/snapfollow_base.log || \
+  { echo "FAIL: leg I seeding failed"; tail -5 /tmp/snapfollow_base.log; exit 1; }
+$RUN graft.SnapCrashProbe irun $SF "$SRCI_URI" "$DSTI_URI" "$CKPTI_URI" 3 >/tmp/snapfollow_crash.log 2>&1 && \
+  { echo "FAIL: irun exited 0 — the halt never fired"; exit 1; }
+grep -a "RESTARTPROBE halting driver after committed batch" /tmp/snapfollow_crash.log || \
+  { echo "FAIL: irun died without the commit-gated halt"; tail -5 /tmp/snapfollow_crash.log; exit 1; }
+sleep 3
+rm -rf "$ROOTI/ckpt"
+SPARK_GRAFT_LEASE_STALE_MS=2000 \
+  $RUN graft.SnapCrashProbe irun $SF "$SRCI_URI" "$DSTI_URI" "$CKPTI_URI" 0 >/tmp/snapfollow_resume.log 2>&1
+grep -a "SNAPPROBE irun OK" /tmp/snapfollow_resume.log || \
+  { echo "FAIL: resumed follower did not converge"; tail -5 /tmp/snapfollow_resume.log; exit 1; }
+SPARK_GRAFT_LEASE_STALE_MS=2000 \
+  $RUN graft.SnapCrashProbe icheck $SF "$SRCI_URI" "$DSTI_URI" >/tmp/snapfollow_check.log 2>&1
+grep -a "SNAPPROBE icheck OK" /tmp/snapfollow_check.log || \
+  { echo "FAIL: follower exactly-once violated"; grep -a SNAPPROBE /tmp/snapfollow_check.log; tail -5 /tmp/snapfollow_check.log; exit 1; }
+echo "leg I OK: follower killed mid-backlog -> WIPED-checkpoint resume -> converged exactly-once off the destination-manifest cursor, row-set-exact"
 echo "ALL OK"
