@@ -469,17 +469,17 @@ object Snap {
       case other => sys.error(s"snap: unknown layout $other")
     }
 
-  /** A staged-but-not-yet-promoted write: the private stage dir, the
-    * per-bucket part files inside it, and the stats read back from the
-    * staged bytes. Promotion (the per-bucket moves into `data/`) is a
-    * separate, lease-held step so an optimistic writer can stage
-    * WITHOUT the lease and discard cheaply on a lost race. */
   /** Per-bucket stats read back from staged bytes: row count, bucket-
     * column [min,max], and the declared stats columns' [min,max]
     * (absent where a column was all-null in the bucket). */
   private final case class BStats(rows: Long, mn: String, mx: String,
                                   extra: Map[String, (String, String)])
 
+  /** A staged-but-not-yet-promoted write: the private stage dir, the
+    * per-bucket part files inside it, and the stats read back from the
+    * staged bytes. Promotion (the per-bucket moves into `data/`) is a
+    * separate, lease-held step so an optimistic writer can stage
+    * WITHOUT the lease and discard cheaply on a lost race. */
   private final case class Staged(stage: HPath,
                                   parts: Seq[(Int, HPath)],
                                   stats: Map[Int, BStats]) {
@@ -846,6 +846,13 @@ object Snap {
           .mkString(", "))
     require(delta.columns.contains(deletedCol),
       s"delta needs boolean column $deletedCol")
+    // a TABLE column by the flag's name would silently double as the
+    // flag: upserts would store the (post-filter, all-false) flag as
+    // that column's data in every rewritten file — refuse loudly, the
+    // caller picks a different deletedCol (r18 review finding)
+    require(!schema.fieldNames.contains(deletedCol),
+      s"the table schema already has a column named '$deletedCol' — pass " +
+        "a different deletedCol (the delete flag may not shadow data)")
     val keyEx = m.keyCols.map(col)
     // contract guards in ONE pass: at most one delta row per key (a
     // dup makes "latest-wins" order-dependent), no null key values
@@ -1190,6 +1197,14 @@ object Snap {
     require(fromV >= 1, s"fromV must be a committed version, got $fromV")
     require(toV >= fromV, s"empty/negative range: ($fromV, $toV]")
     val target = atVersion(spark, loc, toV)
+    // the meta columns may not shadow data: withColumn would silently
+    // REPLACE a same-named user column in every change row (r18 review
+    // finding) — refuse loudly instead
+    val metaClash = Seq("_change_type", "_commit_version")
+      .filter(target.schema.fieldNames.contains)
+    require(metaClash.isEmpty,
+      s"snap $loc: schema carries reserved changelog column(s) " +
+        s"${metaClash.mkString(",")} — rename them before reading changes")
     val steps: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
       val child = atVersion(spark, loc, v)
       def withMeta(df: DataFrame, tpe: String): DataFrame =

@@ -249,6 +249,25 @@ class SnapSpec extends SparkSpec {
           .otherwise(col("_deleted"))))
     }
     assert(Snap.head(spark, loc).get.version == 1, "a refused merge committed")
+    // a TABLE column named like the flag would silently double as the
+    // flag (all-false data in every rewrite) — refuse loudly
+    val floc = tmpLoc("flagname")
+    Snap.create(spark, floc, cust.withColumn("_deleted", lit(true)),
+      Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = "t")
+    intercept[IllegalArgumentException] {
+      Snap.merge(spark, floc, cust.withColumn("_deleted", lit(true))
+        .withColumn("_deleted", lit(false)))
+    }
+    // …and the changelog's meta columns may not shadow data either
+    Snap.merge(spark, floc, cust.filter(col("c_custkey") === 1)
+      .withColumn("_deleted", lit(true)).withColumn("_flag", lit(false)),
+      deletedCol = "_flag")
+    val cloc = tmpLoc("metaname")
+    Snap.create(spark, cloc, cust.withColumn("_change_type", lit("x")),
+      Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = "t")
+    intercept[IllegalArgumentException] {
+      Snap.changes(spark, cloc, 1, 1)
+    }
   }
 
   test("create refuses a string key on range layout and a reserved '_b' " +
