@@ -62,9 +62,16 @@ object SnapFollow {
   def ensureDst(spark: SparkSession, src: HPath, dst: HPath): Unit = {
     val m = Snap.head(spark, src).getOrElse(
       sys.error(s"snap follow: source $src never committed"))
+    // mirror the source's whole LAYOUT config — a zorder source without
+    // its second dimension (or declared stats columns) would refuse at
+    // create / silently lose its pruning surface (r18 review finding).
+    // The source's column MAPPING is deliberately not copied: the
+    // destination is a fresh table whose physical names start at its
+    // current logical names.
     Snap.create(spark, dst, Snap.read(spark, src, asOf = Some(m.version)),
       m.keyCols, m.bucketCol, m.buckets, m.layout,
-      tag = s"follow:${srcIdentity(src)}", applied = m.version.toLong)
+      tag = s"follow:${srcIdentity(src)}", applied = m.version.toLong,
+      statsCols = m.statsCols, zorderBy = m.z2)
   }
 
   /** Bind-or-verify `dst`'s follow lineage against `src` — the manual

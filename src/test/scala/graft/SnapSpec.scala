@@ -616,6 +616,13 @@ class SnapSpec extends SparkSpec {
         Seq("o_orderkey"), "o_orderkey", 16, layout = "zorder",
         tag = "t", zorderBy = "o_totalprice")
     }
+    // the follower mirrors the whole layout config — following a zorder
+    // source must reproduce its dimensions, not refuse or degrade
+    val dst = tmpLoc("zfollow")
+    graft.streaming.SnapFollow.ensureDst(spark, loc, dst)
+    val dm = Snap.head(spark, dst).get
+    assert(dm.layout == "zorder" && dm.z2 == "o_custkey")
+    assert(rows(Snap.read(spark, dst)) == rows(Snap.read(spark, loc)))
   }
 
   test("declared stats columns: correlated secondaries prune, all-null " +

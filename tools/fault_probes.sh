@@ -47,7 +47,12 @@ RUN="tools/graft_java.sh"
 # travel, q132 stats-pruned scan) — create/merge/manifest-commit/read
 # all drawing from the same per-op fault schedule; correct-or-loud like
 # the rest (a faulted build self-heals by drop+rebuild on the retry).
-QS="q120,q121,q122,q123,q124,q127,q130,q131,q132,q133"
+# r18: + the round's new snap surface — q136 changelog (per-step
+# removed/added file reads under GET faults), q137 rename/drop
+# (metadata-only evolve commits + physical-name reads), q138 zorder
+# (Morton staging + dual-dimension pruned reads), q139 retention
+# (data/ LIST + manifest walk under faults).
+QS="q120,q121,q122,q123,q124,q127,q130,q131,q132,q133,q136,q137,q138,q139"
 WH=$(mktemp -d /tmp/graft-fault-wh.XXXX); rm -rf "$WH"
 case "$MODE" in
   s3)   WH_URI="s3a://graftbucket$WH"; SIM_ENV="SPARK_GRAFT_S3_SIM" ;;
