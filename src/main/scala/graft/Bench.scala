@@ -240,6 +240,10 @@ object Bench {
       // structural-guard class as q130-q137.
       // Trail: 0.42 / 0.09 (r18 first isolated pair)
       "q138_snap_zorder" -> 0.45, "q139_snap_retention" -> 0.15,
+      // q140 first measurement (r18): the OCC-built lifecycle face —
+      // attach + two-manifest protocol audit + head agg (steady state
+      // identical to q130's attach class). Trail: 0.13 (r18 isolated)
+      "q140_snap_occ" -> 0.15,
       // s07 first measurement (r18): the snap FOLLOWER — create source
       // + snapshot-copy destination, then 4 source merges converging
       // through the rate-ticked changelog follower (each tick an

@@ -104,7 +104,7 @@ object SnapOps {
     * re-entrant under this outer hold); a mismatched tag (regenerated
     * testdata) or a partial lifecycle (a crashed prior build) drops
     * and rebuilds — the table is derived state. */
-  private[sources] def ensureCust(spark: SparkSession, dir: String): HPath = {
+  private[graft] def ensureCust(spark: SparkSession, dir: String): HPath = {
     val loc = Published.tableLoc(spark, custTable(dir))
     val fp = custFp(dir)
     Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
@@ -766,6 +766,79 @@ object SnapOps {
       |  2 AS oldest_readable_version, 1 AS manifests_reclaimable,
       |  2 AS files_reclaimable, 1 AS bytes_reclaimable_pos""".stripMargin
 
+  // --------------------------------------------------------------- q140
+  private[graft] def occTable(dir: String): String =
+    s"graft_snapq_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def occFp(dir: String): String =
+    Published.fingerprint("snapq",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** The q130 lifecycle rebuilt THROUGH the optimistic commit path:
+    * create + two `mergeOcc` commits (the full resolve → leaseless
+    * stage → conflict-checked commit protocol, uncontended here — the
+    * contended faces are SnapSpec's matrix and race leg 5). The gate
+    * proves the OCC path is behavior-identical to the serialized
+    * merge on the same deltas. */
+  private[graft] def ensureOcc(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, occTable(dir))
+    val fp = occFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 3)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.customer(spark, dir),
+          Seq("c_custkey"), "c_custkey", custBuckets, layout = "range", tag = fp)
+        Snap.mergeOcc(spark, loc, delta1(spark, dir))
+        Snap.mergeOcc(spark, loc, delta2(spark, dir))
+      }
+    }
+    loc
+  }
+
+  /** Content face over the OCC-built head (same relational answer as
+    * the serialized lifecycle's v3) plus the protocol audit from
+    * manifest metadata: both commits are `merge` ops whose `base`
+    * equals their parent (resolved-head commits — an uncontended OCC
+    * writer must never spuriously rebase or retry), and the COW shape
+    * matches the serialized path file-for-file in COUNT. */
+  def q140SnapOcc(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureOcc(spark, dir)
+    val v2 = Snap.atVersion(spark, loc, 2)
+    val v3 = Snap.atVersion(spark, loc, 3)
+    val protoOk = v2.op == "merge" && v2.resolvedBase == 1 && v2.parent == 1 &&
+      v3.op == "merge" && v3.resolvedBase == 2 && v3.parent == 2
+    val cowOk = v2.files.size == 9 && v3.files.size == 9
+    Snap.read(spark, loc)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        count(when(col("c_mktsegment") === "NEWSEG", 1)).as("n_new"))
+      .withColumn("occ_protocol_ok", lit(if (protoOk) 1 else 0))
+      .withColumn("occ_cow_ok", lit(if (cowOk) 1 else 0))
+  }
+
+  val q140Sql: String =
+    s"""WITH $d1Sql,
+       |d2_upd AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal - 500 AS c_acctbal,
+       |         c_mktsegment
+       |  FROM customer WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |    AND c_custkey < (SELECT m // 4 FROM ks)),
+       |d2_keys AS (
+       |  SELECT c_custkey FROM d2_upd
+       |  UNION ALL SELECT c_custkey + (SELECT m FROM ks) AS c_custkey
+       |  FROM customer WHERE c_custkey % 200 = 1),
+       |v3 AS (
+       |  SELECT * FROM v2
+       |    WHERE c_custkey NOT IN (SELECT c_custkey FROM d2_keys)
+       |  UNION ALL SELECT * FROM d2_upd)
+       |SELECT c_nationkey, count(*) AS n_rows,
+       |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+       |  count(*) FILTER (WHERE c_mktsegment = 'NEWSEG') AS n_new,
+       |  1 AS occ_protocol_ok, 1 AS occ_cow_ok
+       |FROM v3 GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -777,6 +850,7 @@ object SnapOps {
     "q137_snap_rename_drop" -> q137SnapRenameDrop _,
     "q138_snap_zorder" -> q138SnapZorder _,
     "q139_snap_retention" -> q139SnapRetention _,
+    "q140_snap_occ" -> q140SnapOcc _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -790,5 +864,6 @@ object SnapOps {
     "q137_snap_rename_drop" -> q137Sql,
     "q138_snap_zorder" -> q138Sql,
     "q139_snap_retention" -> q139Sql,
+    "q140_snap_occ" -> q140Sql,
   )
 }

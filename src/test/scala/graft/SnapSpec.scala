@@ -766,6 +766,21 @@ class SnapSpec extends SparkSpec {
       r.getAs[Int]("bytes_reclaimable_pos") == 1, s"retention face: $r")
   }
 
+  test("q140 OCC-built lifecycle face: protocol audit green (no spurious " +
+      "rebase/retry uncontended), replay-stable, and content-identical " +
+      "to the serialized lifecycle's head") {
+    val a = SnapOps.q140SnapOcc(spark, sf).collect()
+    assert(a.nonEmpty && a.forall(_.getAs[Int]("occ_protocol_ok") == 1) &&
+      a.forall(_.getAs[Int]("occ_cow_ok") == 1), s"got ${a.mkString(";")}")
+    assert(a.map(_.mkString("|")).toSet == rows(SnapOps.q140SnapOcc(spark, sf)))
+    // the OCC path's head equals the serialized path's v3 row set —
+    // same deltas through a different commit protocol
+    val occLoc = SnapOps.ensureOcc(spark, sf)
+    val serLoc = SnapOps.ensureCust(spark, sf)
+    assert(rows(Snap.read(spark, occLoc)) ==
+      rows(Snap.read(spark, serLoc, asOf = Some(3))))
+  }
+
   test("q136/q137 lifecycle faces are replay-stable with their audit " +
       "indicators green off the oracle's sf") {
     val a = SnapOps.q136SnapChangelog(spark, sf).collect()
