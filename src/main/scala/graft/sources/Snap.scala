@@ -795,13 +795,15 @@ object Snap {
     * Returns the committed version (the optimize's, when one ran). */
   def merge(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
             deletedCol: String = "_deleted", autoOptimize: Int = 0,
-            appliedStamp: Option[Long] = None): Int = {
+            appliedStamp: Option[Long] = None,
+            autoVacuum: Int = 0): Int = {
     // validate BEFORE any commit: optimize refuses thresholds below 2,
     // and discovering that AFTER the merge's manifest landed would
     // report failure for a durably-committed delta (review finding)
     require(autoOptimize == 0 || autoOptimize >= 2,
       "autoOptimize must be 0 (off) or >= 2 (folding below 2 files/bucket " +
         "is a no-op)")
+    require(autoVacuum >= 0, "autoVacuum must be 0 (off) or >= 1 (versions kept)")
     // one materialization of the caller's delta lineage: the contract
     // check, the range collect, and the staging write would otherwise
     // each re-run it — 3× an arbitrarily expensive CDC pipeline
@@ -816,11 +818,32 @@ object Snap {
       // the merge plans against (one manifest resolve per micro-batch):
       // a batch the high-water already covers was committed by a
       // previous attempt whose checkpoint commit was lost — skip it
-      if (appliedStamp.exists(_ <= m.applied)) m.version
-      else mergeResolved(spark, loc, m, delta, deletedCol, autoOptimize,
-        appliedStamp)
+      val v =
+        if (appliedStamp.exists(_ <= m.applied)) m.version
+        else mergeResolved(spark, loc, m, delta, deletedCol, autoOptimize,
+          appliedStamp)
+      maybeAutoVacuum(spark, loc, autoVacuum)
+      v
     } finally delta.unpersist()
   }
+
+  /** Retention wired into the write path — the r16 "compactor nothing
+    * calls" lesson applied to VERSIONS: a continuous CDC deployment
+    * commits one version per batch forever, and a vacuum nobody
+    * schedules means unbounded manifests + dead files. `autoVacuum=k`
+    * keeps the newest k versions as part of the SAME lease hold the
+    * commit ran under. Gated on a cheap manifest listing (one dir
+    * list) so the data/ sweep — the O(table-files) part — only runs
+    * when there is actually a version to drop; callers amortize
+    * further with a cadence ([[graft.streaming.SnapCdc]]'s
+    * `vacuumEvery`). */
+  private def maybeAutoVacuum(spark: SparkSession, loc: HPath,
+                              autoVacuum: Int): Unit =
+    if (autoVacuum > 0 &&
+        listManifests(Published.fsOf(loc), loc).size > autoVacuum) {
+      vacuum(spark, loc, keepVersions = autoVacuum) // re-entrant lease
+      ()
+    }
 
   /** The merge contract, refused loudly BEFORE any staging: full
     * schema (names AND types), a boolean delete flag, one non-null-
@@ -968,8 +991,9 @@ object Snap {
     * checkpoint whose restarted ids would alias already-applied ones. */
   def mergeStreaming(spark: SparkSession, loc: HPath, delta: DataFrame,
                      batchId: Long, deletedCol: String = "_deleted",
-                     autoOptimize: Int = 0): Int =
-    merge(spark, loc, delta, deletedCol, autoOptimize, Some(batchId))
+                     autoOptimize: Int = 0, autoVacuum: Int = 0): Int =
+    merge(spark, loc, delta, deletedCol, autoOptimize, Some(batchId),
+      autoVacuum)
 
   /** Optimistic-concurrency MERGE — same semantics and contract as
     * [[merge]], but writers that touch DISJOINT files no longer
@@ -1022,9 +1046,11 @@ object Snap {
     * the workload wants the serialized [[merge]]). */
   def mergeOcc(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
                deletedCol: String = "_deleted", autoOptimize: Int = 0,
-               appliedStamp: Option[Long] = None, maxAttempts: Int = 5): Int = {
+               appliedStamp: Option[Long] = None, maxAttempts: Int = 5,
+               autoVacuum: Int = 0): Int = {
     require(autoOptimize == 0 || autoOptimize >= 2,
       "autoOptimize must be 0 (off) or >= 2")
+    require(autoVacuum >= 0, "autoVacuum must be 0 (off) or >= 1")
     val fs = Published.fsOf(loc)
     val delta = deltaIn.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1098,12 +1124,17 @@ object Snap {
         committed match {
           case Some(v) =>
             occTrace(s"attempt=$attempt committed v=$v")
-            return if (autoOptimize > 0 &&
+            val served = if (autoOptimize > 0 &&
                 atVersion(spark, loc, v).files.groupBy(_.bucket)
                   .valuesIterator.exists(_.size >= autoOptimize)) {
               delta.unpersist()
               optimize(spark, loc, minFilesPerBucket = autoOptimize)
             } else v
+            if (autoVacuum > 0)
+              Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+                maybeAutoVacuum(spark, loc, autoVacuum)
+              }
+            return served
           case None =>
             occTrace(s"attempt=$attempt conflict_retry")
         }

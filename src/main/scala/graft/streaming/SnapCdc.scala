@@ -36,10 +36,19 @@ object SnapCdc {
     * columns + the boolean `deletedCol`) merges into the snap table at
     * `loc`. The base snapshot must exist ([[Snap.create]]) — a CDC
     * stream updates a table, it does not define one. */
+  /** `autoVacuum=k` bounds the RETENTION the same way `autoOptimize`
+    * bounds the file count: every `vacuumEvery`-th batch keeps the
+    * newest k versions inside the sink's own lease hold — a
+    * year-running CDC apply stays O(k) manifests without an external
+    * vacuum schedule (the r16 "compactor nothing calls" lesson, now on
+    * versions). k is the deployment's time-travel / changelog-replay
+    * budget: a downstream follower may lag at most k versions. */
   def cdcSink(deltas: DataFrame, loc: String, checkpointDir: String,
               deletedCol: String = "_deleted", autoOptimize: Int = 0,
-              trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+              trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+              autoVacuum: Int = 0, vacuumEvery: Int = 1)
       : StreamingQuery = {
+    require(vacuumEvery >= 1, "vacuumEvery must be >= 1")
     val table = new HPath(loc)
     // lineage-checked on the FIRST micro-batch, not at construction:
     // the checkpoint's QUERY ID (the identity that survives a
@@ -53,7 +62,12 @@ object SnapCdc {
           lineageChecked.set(true)
         }
         Snap.mergeStreaming(batch.sparkSession, table, batch, batchId,
-          deletedCol, autoOptimize)
+          deletedCol, autoOptimize,
+          // cadence amortizes the vacuum's data/ listing; replay-safe
+          // (vacuum after a no-op'd replayed batch just re-audits)
+          autoVacuum =
+            if (autoVacuum > 0 && batchId % vacuumEvery == 0) autoVacuum
+            else 0)
         ()
       }
       .option("checkpointLocation", checkpointDir)

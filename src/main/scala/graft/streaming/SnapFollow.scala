@@ -89,7 +89,8 @@ object SnapFollow {
   def pollOnce(spark: SparkSession, src: HPath, dst: HPath,
                transform: DataFrame => DataFrame = identity,
                autoOptimize: Int = 0,
-               maxVersionsPerPoll: Int = Int.MaxValue): Long = {
+               maxVersionsPerPoll: Int = Int.MaxValue,
+               autoVacuum: Int = 0): Long = {
     require(maxVersionsPerPoll >= 1, "maxVersionsPerPoll must be >= 1")
     val srcHead = Snap.head(spark, src).getOrElse(
       sys.error(s"snap follow: source $src never committed"))
@@ -116,7 +117,8 @@ object SnapFollow {
       .withColumn("_deleted", col("_change_type") === "delete")
       .drop("__rn", "_change_type", "_commit_version")
     Snap.mergeStreaming(spark, dst, transform(collapsed),
-      batchId = upTo.toLong, autoOptimize = autoOptimize)
+      batchId = upTo.toLong, autoOptimize = autoOptimize,
+      autoVacuum = autoVacuum)
     upTo.toLong
   }
 
@@ -131,7 +133,8 @@ object SnapFollow {
                org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000L),
              transform: DataFrame => DataFrame = identity,
              autoOptimize: Int = 0,
-             maxVersionsPerPoll: Int = Int.MaxValue): StreamingQuery = {
+             maxVersionsPerPoll: Int = Int.MaxValue,
+             autoVacuum: Int = 0): StreamingQuery = {
     val srcP = new HPath(src)
     val dstP = new HPath(dst)
     ensureDst(spark, srcP, dstP)
@@ -145,7 +148,7 @@ object SnapFollow {
           lineageChecked.set(true)
         }
         pollOnce(spark, srcP, dstP, transform, autoOptimize,
-          maxVersionsPerPoll)
+          maxVersionsPerPoll, autoVacuum)
         ()
       }
       .option("checkpointLocation", checkpointDir)

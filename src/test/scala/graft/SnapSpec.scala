@@ -575,6 +575,45 @@ class SnapSpec extends SparkSpec {
     assert(rows(Snap.read(spark, loc)) == rows(expected))
   }
 
+  test("autoVacuum: retention rides the write path — versions stay " +
+      "bounded across a long merge sequence, the head and recent time " +
+      "travel keep serving, swept files are gone, replay guard intact") {
+    val loc = tmpLoc("autovac")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    def d(k: Int) = cust
+      .filter(col("c_custkey") >= (k % 10) * 10 &&
+        col("c_custkey") < (k % 10) * 10 + 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(k.toDouble))
+      .withColumn("_deleted", lit(false))
+    val fs = Published.fsOf(loc)
+    (1 to 8).foreach { k =>
+      Snap.mergeStreaming(spark, loc, d(k), batchId = k.toLong,
+        autoVacuum = 3)
+      // the bound holds AFTER EVERY commit, not just at the end
+      val manifests = fs.listStatus(loc)
+        .count(_.getPath.getName.startsWith("manifest-v"))
+      assert(manifests <= 3, s"retention leak: $manifests manifests at k=$k")
+    }
+    val h = Snap.head(spark, loc).get
+    assert(h.version == 9 && h.applied == 8L)
+    // recent time travel serves; past the horizon is loud
+    assert(rows(Snap.read(spark, loc, asOf = Some(8))).nonEmpty)
+    intercept[RuntimeException] { Snap.atVersion(spark, loc, 5) }
+    // swept versions' exclusive files are really gone: only live files
+    // remain in data/
+    val live = (7 to 9).flatMap(v =>
+      Snap.atVersion(spark, loc, v).files.map(_.path)).toSet
+    val onDisk = fs.listStatus(new HPath(loc, "data"))
+      .map("data/" + _.getPath.getName).toSet
+    assert(onDisk == live, s"debris: ${(onDisk -- live).mkString(",")}")
+    // the replay guard still rides the (kept) head
+    assert(Snap.mergeStreaming(spark, loc, d(3), batchId = 3L,
+      autoVacuum = 3) == 9, "a stale batch replayed after vacuum")
+    // and the changelog over the retained window still reads
+    assert(Snap.changes(spark, loc, 7, 9).count() > 0)
+  }
+
   // -------------------------------- zorder layout + multi-column stats
   test("zorder layout: BOTH key dimensions prune to strict file subsets " +
       "with exact answers; merges stay row-exact and keep the tile stats") {
