@@ -614,6 +614,67 @@ class SnapSpec extends SparkSpec {
     assert(Snap.changes(spark, loc, 7, 9).count() > 0)
   }
 
+  test("fuzz: 12 seeded random deltas through ALTERNATING serialized and " +
+      "optimistic merges (optimize interleaved) track a driver-side " +
+      "reference exactly at every version, and every step's changelog " +
+      "reproduces the delta's effect key-for-key") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val loc = tmpLoc("fuzz")
+    import spark.implicits._
+    // reference state lives driver-side: key -> value (quarters — every
+    // double here is exactly representable, so DF round-trips bit-equal)
+    var ref: Map[Long, Double] =
+      (0L until 200L).map(k => k -> k / 4.0).toMap
+    def refDf = ref.toSeq.toDF("k", "v")
+    Snap.create(spark, loc, refDf, Seq("k"), "k", 8,
+      layout = "range", tag = "fuzz")
+    var version = 1
+    (1 to 12).foreach { step =>
+      // ~30 random keys over [0, 400): updates, deletes (sometimes of
+      // ABSENT keys — must no-op), inserts past the create-time range
+      // (clamped to the top bucket)
+      val keys = Seq.fill(30)(rnd.nextInt(400).toLong).distinct
+      val ops = keys.map { k =>
+        val die = rnd.nextInt(4)
+        if (die == 0) (k, 0.0, true) // delete (absent-key deletes included)
+        else (k, rnd.nextInt(4000) / 4.0, false)
+      }
+      val before = ref
+      ops.foreach { case (k, v, del) =>
+        ref = if (del) ref - k else ref + (k -> v)
+      }
+      val delta = ops.toDF("k", "v", "_deleted")
+      version =
+        if (step % 2 == 0) Snap.mergeOcc(spark, loc, delta)
+        else Snap.merge(spark, loc, delta)
+      assert(rows(Snap.read(spark, loc)) == rows(refDf),
+        s"state diverged from the reference at step $step (v$version)")
+      // the step's changelog must BE the before→after key diff
+      val ch = Snap.changes(spark, loc, version - 1, version).collect()
+        .map(r => r.getAs[Long]("k") ->
+          (r.getAs[String]("_change_type"), r.getAs[Double]("v"))).toMap
+      val expIns = (ref.keySet -- before.keySet).map(k =>
+        k -> (("insert", ref(k))))
+      val expDel = (before.keySet -- ref.keySet).map(k =>
+        k -> (("delete", before(k)))) // pre-image value
+      val expUpd = (ref.keySet & before.keySet)
+        .filter(k => ref(k) != before(k))
+        .map(k => k -> (("update", ref(k))))
+      assert(ch == (expIns ++ expDel ++ expUpd).toMap,
+        s"changelog diverged at step $step")
+      if (step % 4 == 0) {
+        // a fold mid-sequence: content-neutral, changelog-invisible
+        val v2 = Snap.optimize(spark, loc, minFilesPerBucket = 2)
+        if (v2 != version) {
+          assert(Snap.changes(spark, loc, version, v2).count() == 0)
+          version = v2
+        }
+        assert(rows(Snap.read(spark, loc)) == rows(refDf),
+          s"optimize changed content at step $step")
+      }
+    }
+  }
+
   // -------------------------------- zorder layout + multi-column stats
   test("zorder layout: BOTH key dimensions prune to strict file subsets " +
       "with exact answers; merges stay row-exact and keep the tile stats") {
@@ -629,6 +690,10 @@ class SnapSpec extends SparkSpec {
       val (df, planned, total) = Snap.prunedScanBy(spark, loc, c, lo, hi)
       assert(planned > 0 && planned < total,
         s"$c [$lo,$hi] planned $planned of $total — no tile pruning")
+      // the PLAN scans exactly the chosen subset — pruning is real file
+      // skipping, not a post-filter over a full scan
+      assert(df.inputFiles.length == planned,
+        s"$c: plan scans ${df.inputFiles.length} files, manifest chose $planned")
       assert(rows(df) ==
         rows(Snap.read(spark, loc).filter(col(c) >= lo && col(c) <= hi)))
     }
