@@ -48,10 +48,17 @@ import graft.sources.{Published, Snap}
 object SnapFollow {
 
   /** The identity a follower stamps on its destination: qualified
-    * source location + the source's creation tag. */
-  def srcIdentity(src: HPath): String = {
+    * source location PLUS the source's creation tag — the path alone
+    * would let a dropped-and-recreated source at the same path pass
+    * the lineage check while its restarted version counter aliases the
+    * destination's cursor (the same shape as a wiped checkpoint; r18
+    * review finding). The tag is the create-time lineage stamp, so a
+    * recreation changes the identity and refuses loudly. */
+  def srcIdentity(spark: SparkSession, src: HPath): String = {
     val fs = Published.fsOf(src)
-    s"${fs.makeQualified(src)}"
+    val tag = Snap.head(spark, src).map(_.tag).getOrElse(
+      sys.error(s"snap follow: source $src never committed"))
+    s"${fs.makeQualified(src)}#$tag"
   }
 
   /** Create the destination as a snapshot copy of the source's HEAD,
@@ -70,14 +77,14 @@ object SnapFollow {
     // current logical names.
     Snap.create(spark, dst, Snap.read(spark, src, asOf = Some(m.version)),
       m.keyCols, m.bucketCol, m.buckets, m.layout,
-      tag = s"follow:${srcIdentity(src)}", applied = m.version.toLong,
+      tag = s"follow:${srcIdentity(spark, src)}", applied = m.version.toLong,
       statsCols = m.statsCols, zorderBy = m.z2)
   }
 
   /** Bind-or-verify `dst`'s follow lineage against `src` — the manual
     * (non-stream) entry point; [[follow]] does this on its first tick. */
-  def assertOrStamp(src: HPath, dst: HPath): Unit =
-    Snap.assertFollowLineage(dst, srcIdentity(src))
+  def assertOrStamp(spark: SparkSession, src: HPath, dst: HPath): Unit =
+    Snap.assertFollowLineage(dst, srcIdentity(spark, src))
 
   /** One follower step: read the source head, and if it is past the
     * destination's cursor, apply the collapsed changelog
@@ -101,6 +108,14 @@ object SnapFollow {
     require(cursor >= 1,
       s"snap follow: destination $dst carries no source cursor " +
         s"(applied=$cursor) — it was not created by ensureDst")
+    // a cursor PAST the source head can only mean the source chain
+    // regressed under the follower (dropped + recreated at the same
+    // path) — continuing would eventually apply a foreign changelog;
+    // loud, like every lineage break (r18 review finding)
+    require(srcHead.version >= cursor,
+      s"snap follow: destination cursor $cursor is PAST the source head " +
+        s"${srcHead.version} — the source was recreated; drop the " +
+        "destination or point the follower elsewhere")
     if (srcHead.version <= cursor) return cursor
     // bound one poll's catch-up (memory/latency control on a deep
     // backlog — and the crash probe's lever for multi-step resume)
@@ -144,7 +159,7 @@ object SnapFollow {
     ticks.writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
         if (!lineageChecked.get()) {
-          Snap.assertFollowLineage(dstP, srcIdentity(srcP))
+          Snap.assertFollowLineage(dstP, srcIdentity(spark, srcP))
           lineageChecked.set(true)
         }
         pollOnce(spark, srcP, dstP, transform, autoOptimize,

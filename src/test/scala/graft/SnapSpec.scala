@@ -950,6 +950,10 @@ class SnapSpec extends SparkSpec {
         scanned.filterNot(deltaFiles).mkString(","))
     // and the union over the range matches the per-step reads
     assert(ch13.count() == 22 + 2)
+    // plan shape: the per-step key joins never degrade to a cartesian
+    assert(ch13.queryExecution.executedPlan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "changelog planned a cartesian product")
   }
 
   test("changes(): optimize and evolve commits are skipped without " +
@@ -1004,7 +1008,7 @@ class SnapSpec extends SparkSpec {
     assert(rows(Snap.read(spark, dst)) == rows(expectedAfterSmallDelta))
     assert(Snap.head(spark, dst).get.applied == 2L, "cursor not pre-seeded")
     // bind the lineage, then: no news -> poll is a no-op
-    graft.streaming.SnapFollow.assertOrStamp(src, dst)
+    graft.streaming.SnapFollow.assertOrStamp(spark, src, dst)
     assert(graft.streaming.SnapFollow.pollOnce(spark, src, dst) == 2L)
     assert(Snap.head(spark, dst).get.version == 1, "an empty poll committed")
     // src advances twice; ONE poll must collapse the backlog per key
@@ -1039,7 +1043,7 @@ class SnapSpec extends SparkSpec {
     Snap.create(spark, src2, cust, Seq("c_custkey"), "c_custkey", 4,
       layout = "range", tag = "t")
     intercept[IllegalArgumentException] {
-      graft.streaming.SnapFollow.assertOrStamp(src2, dst)
+      graft.streaming.SnapFollow.assertOrStamp(spark, src2, dst)
     }
     // live stream: new src commits converge into dst through the ticks
     val q = graft.streaming.SnapFollow.follow(spark, src.toString,
@@ -1056,6 +1060,18 @@ class SnapSpec extends SparkSpec {
         "the follower stream never caught up")
       assert(rows(Snap.read(spark, dst)) == rows(Snap.read(spark, src)))
     } finally q.stop()
+    // a RECREATED source at the same path is a new lineage: its tag
+    // rides the identity, so the stamp check refuses — and a bare poll
+    // trips the cursor-regression guard (new head < old cursor) loudly
+    Snap.drop(spark, src)
+    Snap.create(spark, src, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t2")
+    intercept[IllegalArgumentException] {
+      graft.streaming.SnapFollow.assertOrStamp(spark, src, dst)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.SnapFollow.pollOnce(spark, src, dst)
+    }
   }
 
   // ------------------------------------------------ optimistic commits

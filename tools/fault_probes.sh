@@ -52,7 +52,9 @@ RUN="tools/graft_java.sh"
 # (metadata-only evolve commits + physical-name reads), q138 zorder
 # (Morton staging + dual-dimension pruned reads), q139 retention
 # (data/ LIST + manifest walk under faults).
-QS="q120,q121,q122,q123,q124,q127,q130,q131,q132,q133,q136,q137,q138,q139"
+# q140 runs the OPTIMISTIC commit path (resolve -> leaseless stage ->
+# conflict-checked commit) under the same fault schedule.
+QS="q120,q121,q122,q123,q124,q127,q130,q131,q132,q133,q136,q137,q138,q139,q140"
 WH=$(mktemp -d /tmp/graft-fault-wh.XXXX); rm -rf "$WH"
 case "$MODE" in
   s3)   WH_URI="s3a://graftbucket$WH"; SIM_ENV="SPARK_GRAFT_S3_SIM" ;;
