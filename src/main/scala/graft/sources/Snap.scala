@@ -322,12 +322,21 @@ object Snap {
       // footers, no partition-discovery surprises, and renamed columns
       // resolve to the names their bytes were written under — the
       // logical alias on top is a pure projection (filters push
-      // through it)
-      if (m.phys.isEmpty) spark.read.schema(schema).parquet(abs: _*)
+      // through it).
+      // retryIO around the PLAN construction (r18 fault-campaign
+      // finding): DataFrameReader.parquet eagerly builds the file
+      // index, and that per-file driver-side listing is outside BOTH
+      // Spark's task retries and the engine's per-op policy — one
+      // store blip at plan time killed an otherwise-retriable read.
+      // The index caches the statuses, so retrying the constructor
+      // covers exactly the exposed window; execution-time reads are
+      // task-retried as before.
+      if (m.phys.isEmpty)
+        Published.retryIO()(spark.read.schema(schema).parquet(abs: _*))
       else {
         val physSchema = StructType(
           schema.fields.map(f => f.copy(name = m.physicalOf(f.name))))
-        spark.read.schema(physSchema).parquet(abs: _*)
+        Published.retryIO()(spark.read.schema(physSchema).parquet(abs: _*))
           .select(schema.fields.map(f =>
             col(m.physicalOf(f.name)).as(f.name)).toSeq: _*)
       }
@@ -1043,7 +1052,15 @@ object Snap {
     * protected from vacuum by an age guard instead ([[vacuum]]).
     *
     * Throws after `maxAttempts` lost races (contention that high means
-    * the workload wants the serialized [[merge]]). */
+    * the workload wants the serialized [[merge]]).
+    *
+    * Retention interplay: an optimistic stager reads its resolved
+    * version's files WITHOUT the lease, so a rival's (auto)vacuum can
+    * sweep that version mid-stage if retention is tighter than the
+    * staging horizon — the stage then fails LOUDLY (missing input
+    * file) or the commit point detects the rewrite set gone and
+    * retries; never a silent wrong answer. Size `autoVacuum` /
+    * `keepVersions` to cover the longest concurrent stage. */
   def mergeOcc(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
                deletedCol: String = "_deleted", autoOptimize: Int = 0,
                appliedStamp: Option[Long] = None, maxAttempts: Int = 5,
