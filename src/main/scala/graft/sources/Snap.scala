@@ -485,14 +485,60 @@ object Snap {
                                   extra: Map[String, (String, String)])
 
   /** A staged-but-not-yet-promoted write: the private stage dir, the
-    * per-bucket part files inside it, and the stats read back from the
-    * staged bytes. Promotion (the per-bucket moves into `data/`) is a
-    * separate, lease-held step so an optimistic writer can stage
-    * WITHOUT the lease and discard cheaply on a lost race. */
+    * per-bucket part files inside it, the stats read back from the
+    * staged bytes, and the liveness heartbeat protecting the dir from
+    * vacuum's debris sweep. Promotion (the per-bucket moves into
+    * `data/`) is a separate, lease-held step so an optimistic writer
+    * can stage WITHOUT the lease and discard cheaply on a lost race. */
   private final case class Staged(stage: HPath,
                                   parts: Seq[(Int, HPath)],
-                                  stats: Map[Int, BStats]) {
+                                  stats: Map[Int, BStats],
+                                  heartbeat: StageHeartbeat) {
     def isEmpty: Boolean = parts.isEmpty
+  }
+
+  /** Liveness heartbeat for a stage dir: rewrites `stage/_live` every
+    * leaseStaleMs/4 so [[vacuum]]'s stage sweep can tell a LIVE
+    * leaseless stager from a dead writer's debris by marker age alone
+    * (r18 advice: staging is the explicitly-unbounded phase — a big
+    * rewrite plus the stats read-back can outlive leaseStaleMs, and
+    * the dir's own mtime stops updating once the write job commits, so
+    * a rival's (auto)vacuum could sweep a healthy optimistic writer's
+    * files and fail its promote). A REWRITE, not setTimes: the s3 sim
+    * pins setTimes as a silent no-op — object stores refresh mtime
+    * only on PUT. kill -9 stops the thread with the writer, so the
+    * marker ages out and the sweep proceeds — stale detection latency
+    * unchanged for real crashes. Underscore-prefixed, so the staged-
+    * stats parquet read treats it as hidden. */
+  private[graft] final class StageHeartbeat(fs: FileSystem, stage: HPath) {
+    private val marker = new HPath(stage, "_live")
+    @volatile private var stopped = false
+    private val t = new Thread(() => {
+      while (!stopped) {
+        try {
+          // the staging job's Overwrite mode (and its retries) may wipe
+          // the dir between ticks — recreate rather than assume
+          fs.mkdirs(stage)
+          scala.util.Using.resource(fs.create(marker, true))(
+            _.write(java.lang.Long.toString(System.currentTimeMillis())
+              .getBytes("UTF-8")))
+        } catch { case _: java.io.IOException => () }
+        try Thread.sleep(math.max(250L, Published.leaseStaleMs / 4))
+        catch { case _: InterruptedException => stopped = true }
+      }
+    }, s"graft-stage-live-${stage.getName}")
+    t.setDaemon(true)
+    def start(): this.type = { t.start(); this }
+    /** Stop and JOIN — callers delete the dir right after, and an
+      * in-flight tick recreating it post-delete would leave debris
+      * that only ages out. */
+    def stop(): Unit = {
+      stopped = true
+      t.interrupt()
+      try t.join(5000L)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
+    }
   }
 
   /** Write `data`'s rows as one parquet file per non-empty bucket into
@@ -509,6 +555,8 @@ object Snap {
                          gate: () => Unit): Staged = {
     val fs = Published.fsOf(loc)
     val stage = new HPath(loc, s"stage-v$version-$token")
+    val heartbeat = new StageHeartbeat(fs, stage).start()
+    try {
     // bytes land under PHYSICAL names (stable across renames — the
     // metadata-only rename contract); `data` arrives logical
     val physData =
@@ -576,8 +624,9 @@ object Snap {
     if (statSeq.isEmpty) {
       // every staged row vanished (e.g. a delete-only delta whose keys
       // covered a whole rewrite set): nothing to move, nothing to read
+      heartbeat.stop()
       Published.retryIO(gate)(fs.delete(stage, true))
-      return Staged(stage, Seq.empty, Map.empty)
+      return Staged(stage, Seq.empty, Map.empty, heartbeat)
     }
     val stats = statSeq.toMap
     // null-key backstop: a bucket of all-null keys has null min/max —
@@ -603,7 +652,11 @@ object Snap {
     // probe hook: widen the (leaseless, for mergeOcc) staging window so
     // the cross-JVM race asserts real wall-clock overlap
     occStageHold()
-    Staged(stage, parts, stats)
+    Staged(stage, parts, stats, heartbeat)
+    // a throw anywhere above must not leak the heartbeat: a daemon
+    // thread refreshing a dead stage dir would shield the debris from
+    // vacuum for this JVM's whole life
+    } catch { case t: Throwable => heartbeat.stop(); throw t }
   }
 
   /** Promote a staged write: move the per-bucket part files to their
@@ -620,6 +673,9 @@ object Snap {
   private def promoteStaged(fs: FileSystem, loc: HPath, staged: Staged,
                             version: Int, gate: () => Unit): Seq[SnapFile] = {
     if (staged.isEmpty) return Seq.empty
+    // lease held from here on (every caller's gate) — vacuum can no
+    // longer race this dir, so the liveness marker has done its job
+    staged.heartbeat.stop()
     // a contract-compliant FileSystem rename fails when the destination
     // parent is missing (the local sims mask this by copy-fallback —
     // review finding, r17): make data/ exist before the first move
@@ -1071,10 +1127,14 @@ object Snap {
     val fs = Published.fsOf(loc)
     val delta = deltaIn.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    val (v, cm) = try {
+      var out: Option[(Int, SnapManifest)] = None
       var attempt = 0
-      while (attempt < maxAttempts) {
+      while (out.isEmpty) {
         attempt += 1
+        if (attempt > maxAttempts)
+          sys.error(s"snap $loc: optimistic merge lost the race $maxAttempts " +
+            "times — contention this high wants the serialized merge()")
         occTrace(s"attempt=$attempt resolve")
         val m = head(spark, loc).getOrElse(
           sys.error(s"snap $loc: merge into a table that never committed"))
@@ -1088,7 +1148,7 @@ object Snap {
         val staged = stageWrite(spark, loc, m, merged, m.version + 1, token,
           () => ())
         occTrace(s"attempt=$attempt stage_end=${System.currentTimeMillis()}")
-        val committed: Option[Int] =
+        val committed: Option[(Int, SnapManifest)] =
           Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
             val gate = () => Published.assertLeaseOwned(loc)
             occTrace(s"attempt=$attempt commit_enter=${System.currentTimeMillis()}")
@@ -1098,7 +1158,7 @@ object Snap {
               // a rival stream attempt applied this batch while we
               // staged — replay no-op; our stage is pure orphan
               discardStage(fs, staged, gate)
-              Some(h2.version)
+              Some((h2.version, h2))
             } else {
               val myRewrite = rewrite.map(_.path).toSet
               val target: Option[SnapManifest] =
@@ -1129,9 +1189,10 @@ object Snap {
                 case Some(tm) =>
                   val fresh = promoteStaged(fs, loc, staged, tm.version, gate)
                   graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
-                  commitManifest(fs, loc, tm.copy(files = tm.files ++ fresh), gate)
+                  val full = tm.copy(files = tm.files ++ fresh)
+                  commitManifest(fs, loc, full, gate)
                   graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
-                  Some(tm.version)
+                  Some((tm.version, full))
                 case None =>
                   discardStage(fs, staged, gate)
                   None
@@ -1139,34 +1200,39 @@ object Snap {
             }
           }
         committed match {
-          case Some(v) =>
-            occTrace(s"attempt=$attempt committed v=$v")
-            val served = if (autoOptimize > 0 &&
-                atVersion(spark, loc, v).files.groupBy(_.bucket)
-                  .valuesIterator.exists(_.size >= autoOptimize)) {
-              delta.unpersist()
-              optimize(spark, loc, minFilesPerBucket = autoOptimize)
-            } else v
-            if (autoVacuum > 0)
-              Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
-                maybeAutoVacuum(spark, loc, autoVacuum)
-              }
-            return served
-          case None =>
-            occTrace(s"attempt=$attempt conflict_retry")
+          case Some((cv, _)) => occTrace(s"attempt=$attempt committed v=$cv")
+          case None => occTrace(s"attempt=$attempt conflict_retry")
         }
+        out = committed
       }
-      sys.error(s"snap $loc: optimistic merge lost the race $maxAttempts " +
-        "times — contention this high wants the serialized merge()")
+      out.get
     } finally delta.unpersist()
+    // post-commit housekeeping OUTSIDE the cache scope (the fold may
+    // want the delta's executor memory back). The fold trigger reads
+    // the committed manifest IN HAND — never atVersion(v), which a
+    // rival's commit + tight autoVacuum could have swept in this
+    // window, reporting failure for a durably-committed merge (r18
+    // advice).
+    val served =
+      if (autoOptimize > 0 && cm.files.groupBy(_.bucket)
+          .valuesIterator.exists(_.size >= autoOptimize))
+        optimize(spark, loc, minFilesPerBucket = autoOptimize)
+      else v
+    if (autoVacuum > 0)
+      Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+        maybeAutoVacuum(spark, loc, autoVacuum)
+      }
+    served
   }
 
   /** Drop a staged-but-never-promoted write (lost race): best-effort —
     * a blip here only leaves debris the age-guarded vacuum sweeps. */
   private def discardStage(fs: FileSystem, staged: Staged,
-                           gate: () => Unit): Unit =
+                           gate: () => Unit): Unit = {
+    staged.heartbeat.stop()
     try Published.retryIO(gate)(fs.delete(staged.stage, true))
     catch { case _: java.io.IOException => () }
+  }
 
   /** Test/probe hooks: [[occStageHold]] runs at the end of every
     * staging write (the cross-JVM race probe widens the leaseless
@@ -1240,8 +1306,23 @@ object Snap {
     * Needs every version in (fromV, toV] plus `fromV` itself still
     * within the vacuum horizon — a swept version fails loudly through
     * [[atVersion]]. At 100 TB: reading "what changed last hour" costs
-    * the hour's delta bytes, never the table. */
-  def changes(spark: SparkSession, loc: HPath, fromV: Int, toV: Int): DataFrame = {
+    * the hour's delta bytes, never the table.
+    *
+    * Plan-size bound (r18 advice): each step contributes up to three
+    * joins, so a DEEP range — a year-long audit read over thousands of
+    * versions — used to build an O(versions) logical tree that could
+    * stall or OOM the driver in ANALYSIS before a byte moved. Past
+    * `chunkSteps` steps the per-chunk unions are materialized through
+    * `localCheckpoint` (the `Loops` lesson), so the returned plan holds
+    * O(range/chunkSteps) leaf nodes and analysis cost never exceeds one
+    * chunk's tree. Trade, stated honestly: a checkpointed chunk is
+    * computed eagerly and pinned to this session's executors — right
+    * for audit reads and follower catch-ups, and `inputFiles`-based
+    * plan audits only see the (uncheckpointed) shallow ranges they
+    * already use. */
+  def changes(spark: SparkSession, loc: HPath, fromV: Int, toV: Int,
+              chunkSteps: Int = 16): DataFrame = {
+    require(chunkSteps >= 1, "chunkSteps must be >= 1")
     require(fromV >= 1, s"fromV must be a committed version, got $fromV")
     require(toV >= fromV, s"empty/negative range: ($fromV, $toV]")
     val target = atVersion(spark, loc, toV)
@@ -1304,7 +1385,10 @@ object Snap {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("_commit_version",
             org.apache.spark.sql.types.IntegerType, nullable = false))))
-    else steps.reduce(_.unionByName(_))
+    else if (steps.size <= chunkSteps) steps.reduce(_.unionByName(_))
+    else steps.grouped(chunkSteps)
+      .map(g => g.reduce(_.unionByName(_)).localCheckpoint(true))
+      .reduce(_.unionByName(_))
   }
 
   /** Schema evolution, additive form: append nullable columns as a
@@ -1503,13 +1587,24 @@ object Snap {
         // AGE GUARD (new with mergeOcc): an optimistic writer stages
         // WITHOUT the lease, so a fresh stage dir may belong to a LIVE
         // racer — sweeping it would fail that writer's promote for no
-        // reason. Only dirs older than the lease-stale threshold (a
-        // live stager would long since have promoted or discarded) are
-        // dead writers' debris. data/ needs no guard: promotion is
+        // reason. A dir is debris only when BOTH it and its `_live`
+        // liveness marker (rewritten every leaseStaleMs/4 by the
+        // stager's heartbeat — [[StageHeartbeat]]) have aged past the
+        // stale threshold: staging is the unbounded phase, and the dir
+        // mtime alone stops moving once the write job lands (r18
+        // advice — a long stats read-back would have let a rival sweep
+        // a healthy stager). A kill -9'd writer stops heartbeating and
+        // ages out as before. data/ needs no guard: promotion is
         // lease-held, so unreferenced data files here are crash debris.
         if (st.isDirectory && st.getPath.getName.startsWith("stage-v") &&
             Published.ageOf(fs, st.getPath) > Published.leaseStaleMs) {
-          gate(); Published.retryIO(gate)(fs.delete(st.getPath, true)); stages += 1
+          val marker = new HPath(st.getPath, "_live")
+          val liveStager = Published.exists(fs, marker) &&
+            Published.ageOf(fs, marker) <= Published.leaseStaleMs
+          if (!liveStager) {
+            gate(); Published.retryIO(gate)(fs.delete(st.getPath, true))
+            stages += 1
+          }
         }
       }
       (manifests, dataFiles, stages)

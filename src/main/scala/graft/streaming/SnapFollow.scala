@@ -47,6 +47,16 @@ import graft.sources.{Published, Snap}
   * the same contract the public formats document). */
 object SnapFollow {
 
+  /** Default catch-up bound per poll (r18 advice): an UNBOUNDED poll
+    * over a deep backlog — the year-running deployment waking up
+    * thousands of versions behind — would hand [[Snap.changes]] an
+    * O(backlog) range in one tick; the chunked changelog bounds the
+    * PLAN, but one merge over a whole year of deltas is still the
+    * wrong unit of work (memory, retry granularity, lease hold). 64
+    * versions per tick catches up a deep backlog in bounded strides;
+    * callers with tighter latency/memory budgets pass their own. */
+  val defaultMaxVersionsPerPoll: Int = 64
+
   /** The identity a follower stamps on its destination: qualified
     * source location PLUS the source's creation tag — the path alone
     * would let a dropped-and-recreated source at the same path pass
@@ -92,15 +102,24 @@ object SnapFollow {
     * version now reflected in the destination (the cursor after the
     * step). Safe to call concurrently with source writers (the
     * changelog reads immutable committed versions) and safe to REPLAY
-    * (the cursor high-water makes a duplicate poll a no-op). */
+    * (the cursor high-water makes a duplicate poll a no-op).
+    *
+    * Lineage is verified on EVERY step, not just [[follow]]'s first
+    * tick (r18 advice): a direct caller pointing an existing
+    * destination at a DIFFERENT source whose version numbers happen to
+    * align would pass the cursor checks and silently apply a foreign
+    * changelog. The landed-stamp fast path is one retried read — no
+    * lease taken; a never-stamped destination is stamped here. */
   def pollOnce(spark: SparkSession, src: HPath, dst: HPath,
                transform: DataFrame => DataFrame = identity,
                autoOptimize: Int = 0,
-               maxVersionsPerPoll: Int = Int.MaxValue,
+               maxVersionsPerPoll: Int = defaultMaxVersionsPerPoll,
                autoVacuum: Int = 0): Long = {
     require(maxVersionsPerPoll >= 1, "maxVersionsPerPoll must be >= 1")
     val srcHead = Snap.head(spark, src).getOrElse(
       sys.error(s"snap follow: source $src never committed"))
+    Snap.assertFollowLineage(dst,
+      s"${Published.fsOf(src).makeQualified(src)}#${srcHead.tag}")
     val dstHead = Snap.head(spark, dst).getOrElse(
       sys.error(s"snap follow: destination $dst never committed — " +
         "ensureDst first"))
@@ -148,20 +167,16 @@ object SnapFollow {
                org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000L),
              transform: DataFrame => DataFrame = identity,
              autoOptimize: Int = 0,
-             maxVersionsPerPoll: Int = Int.MaxValue,
+             maxVersionsPerPoll: Int = defaultMaxVersionsPerPoll,
              autoVacuum: Int = 0): StreamingQuery = {
     val srcP = new HPath(src)
     val dstP = new HPath(dst)
     ensureDst(spark, srcP, dstP)
-    val lineageChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
     val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
     ticks.writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
-        if (!lineageChecked.get()) {
-          Snap.assertFollowLineage(dstP, srcIdentity(spark, srcP))
-          lineageChecked.set(true)
-        }
+        // lineage rides inside pollOnce now — every tick, not first-only
         pollOnce(spark, srcP, dstP, transform, autoOptimize,
           maxVersionsPerPoll, autoVacuum)
         ()

@@ -1275,6 +1275,65 @@ class SnapSpec extends SparkSpec {
     assert(got(0).getAs[Double]("c_acctbal") == 42.0)
   }
 
+  test("deep-range changelog: chunked plan reads the same rows as the " +
+      "naive union with plan size bounded by the chunking, not the range") {
+    val loc = tmpLoc("deep")
+    import spark.implicits._
+    val base = (0L until 20L).map(k => (k, 0L)).toDF("k", "v")
+    Snap.create(spark, loc, base, Seq("k"), "k", 2, layout = "range", tag = "t")
+    val versions = 40
+    (1 to versions).foreach { i =>
+      // rotate through updates, inserts, and deletes so every change
+      // kind appears throughout the range
+      val d = (i % 3) match {
+        case 0 => Seq(((i % 20).toLong, i.toLong, false))
+        case 1 => Seq((100L + i, i.toLong, false))
+        case _ => Seq((100L + i - 1, 0L, true))
+      }
+      Snap.merge(spark, loc, d.toDF("k", "v", "_deleted"))
+    }
+    val naive = Snap.changes(spark, loc, 1, versions + 1,
+      chunkSteps = Int.MaxValue)
+    val chunked = Snap.changes(spark, loc, 1, versions + 1, chunkSteps = 8)
+    assert(rows(chunked) == rows(naive), "chunking changed the changelog")
+    def nodes(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case n => n }.size
+    val (nNaive, nChunked) = (nodes(naive), nodes(chunked))
+    // naive: O(versions) joins; chunked: O(range/chunkSteps)
+    // localCheckpointed leaves + the final union
+    assert(nChunked < 60 && nNaive > nChunked * 3,
+      s"plan not bounded: naive=$nNaive chunked=$nChunked")
+  }
+
+  test("vacuum's stage sweep spares a LIVE leaseless stager: fresh " +
+      "_live heartbeat marker shields an old dir; a silent marker ages out") {
+    val loc = tmpLoc("hb")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 2,
+      layout = "range", tag = "t")
+    val fs = Published.fsOf(loc)
+    val stale = System.currentTimeMillis() - Published.leaseStaleMs * 2
+    // a stage dir whose WRITE finished long ago (dir mtime old) but
+    // whose stager is still alive in its stats read-back — the r18
+    // advice window: only the heartbeat marker says so
+    val stage = new HPath(loc, "stage-v9-feedface")
+    fs.mkdirs(stage)
+    scala.util.Using.resource(fs.create(new HPath(stage, "part-x"), true))(
+      _.write("d".getBytes("UTF-8")))
+    scala.util.Using.resource(fs.create(new HPath(stage, "_live"), true))(
+      _.write("hb".getBytes("UTF-8")))
+    fs.setTimes(new HPath(stage, "part-x"), stale, stale)
+    fs.setTimes(stage, stale, stale)
+    val (_, _, spared) = Snap.vacuum(spark, loc, keepVersions = 5)
+    assert(spared == 0 && fs.exists(stage),
+      "vacuum swept a stage dir with a fresh liveness marker")
+    // the stager dies (kill -9: heartbeat stops, marker ages out)
+    fs.setTimes(new HPath(stage, "_live"), stale, stale)
+    fs.setTimes(stage, stale, stale)
+    val (_, _, swept) = Snap.vacuum(spark, loc, keepVersions = 5)
+    assert(swept == 1 && !fs.exists(stage),
+      "an aged-out marker must not shield dead debris")
+  }
+
   test("manifest render/parse round-trips empty-string stats — a landed " +
       "commit must never mis-parse as torn") {
     val m = Snap.SnapManifest(3, 2, "w", "t",
