@@ -244,6 +244,11 @@ object Bench {
       // attach + two-manifest protocol audit + head agg (steady state
       // identical to q130's attach class). Trail: 0.13 (r18 isolated)
       "q140_snap_occ" -> 0.15,
+      // q141 first measurement (r19): the merge-on-read lifecycle face —
+      // attach + four-manifest write-amplification audit + the folded
+      // head agg (post-fold the read IS q130's base-scan class).
+      // Trail: 0.21 (r19 first full-surface sample)
+      "q141_snap_mor" -> 0.22,
       // s07 first measurement (r18): the snap FOLLOWER — create source
       // + snapshot-copy destination, then 4 source merges converging
       // through the rate-ticked changelog follower (each tick an

@@ -394,6 +394,70 @@ object SnapCrashProbe {
           "followed destination")
         println(s"SNAPPROBE icheck OK v=${h.version} applied=${h.applied}")
 
+      // ---- leg J: merge-on-read crash windows — the DELTA FOLD (an
+      // optimize over a delta-carrying table dies after its rewritten
+      // bucket files promoted but before the manifest create: the head
+      // must keep serving the MOR view — base + outstanding deltas —
+      // with the orphaned fold files invisible) and the MOR COMMIT
+      // itself (a staged delta file without its manifest is invisible).
+      case "jbase" =>
+        Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 8,
+          layout = "range", tag = "mor-probe")
+        require(Snap.mergeMor(spark, loc, delta(1)) == 2)
+        require(Snap.mergeMor(spark, loc, delta(2)) == 3)
+        val h = Snap.head(spark, loc).get
+        require(h.files.size == 8 && h.deltas.nonEmpty,
+          s"jbase: MOR commits must carry all base files " +
+            s"(files=${h.files.size}, deltas=${h.deltas.size})")
+        assertSame(Snap.read(spark, loc), expected(2), "jbase MOR state")
+        println(s"SNAPPROBE jbase OK v=3 deltas=${h.deltas.size}")
+
+      case "jcrash" =>
+        val mode = args.lift(3).getOrElse("fold")
+        // the armed SPARK_GRAFT_SNAP_HALT=snapstage halts inside; OK
+        // line reached = the window never fired (script-detected fail)
+        if (mode == "fold") Snap.optimize(spark, loc, minFilesPerBucket = 2)
+        else Snap.mergeMor(spark, loc, delta(3))
+        println("SNAPPROBE jcrash OK (halt never fired)")
+
+      case "jheal" =>
+        val mode = args.lift(3).getOrElse("fold")
+        val fs = Published.fsOf(loc)
+        val h = Snap.head(spark, loc).get
+        if (mode == "fold") {
+          // fold died post-promote, pre-create: v3 (with deltas) serves
+          require(h.version == 3 && h.deltas.nonEmpty,
+            s"jheal[fold]: head v${h.version} deltas=${h.deltas.size} — " +
+              "the crashed fold must not have advanced or retired anything")
+          val orphans = fs.listStatus(new HPath(loc, "data"))
+            .map(_.getPath.getName).count(_.startsWith("v4-"))
+          require(orphans > 0, "jheal[fold]: no orphan fold files — vacuous")
+          assertSame(Snap.read(spark, loc), expected(2), "pre-heal MOR view")
+          val (_, swept, _) = Snap.vacuum(spark, loc, keepVersions = 99)
+          require(swept == orphans, s"vacuum swept $swept of $orphans")
+          // the retried fold lands and retires the deltas (the leg's
+          // 'mor' window then exercises the next merge's crash)
+          require(Snap.optimize(spark, loc, minFilesPerBucket = 2) == 4)
+          require(Snap.head(spark, loc).get.deltas.isEmpty)
+          assertSame(Snap.read(spark, loc), expected(2), "post-fold state")
+        } else {
+          // MOR commit died post-promote, pre-create: v4 (the fold)
+          // serves; the staged delta file is an invisible orphan
+          require(h.version == 4 && h.deltas.isEmpty,
+            s"jheal[mor]: head v${h.version} — crashed MOR commit advanced it")
+          assertSame(Snap.read(spark, loc), expected(2), "pre-heal state")
+          val orphans = fs.listStatus(new HPath(loc, "data"))
+            .map(_.getPath.getName).count(_.startsWith("v5-d"))
+          require(orphans > 0, "jheal[mor]: no orphan delta file — vacuous")
+          val (_, swept, _) = Snap.vacuum(spark, loc, keepVersions = 99)
+          require(swept == orphans, s"vacuum swept $swept of $orphans")
+          require(Snap.mergeMor(spark, loc, delta(3)) == 5)
+          require(Snap.head(spark, loc).get.deltas.size == 1)
+          assertSame(Snap.read(spark, loc), expected(3), "healed MOR state")
+        }
+        println(s"SNAPPROBE jheal OK mode=$mode " +
+          s"rows=${Snap.read(spark, loc).count()}")
+
       case p => sys.error(s"unknown phase $p")
     }
     spark.stop()

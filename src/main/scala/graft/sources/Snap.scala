@@ -103,7 +103,15 @@ object Snap {
     * mapping shape the public manifest formats use). `retired` lists
     * physical names whose column was dropped or renamed-away history
     * still occupies in old files — [[addColumns]] refuses to reuse
-    * them (the old bytes would bleed into the new column). */
+    * them (the old bytes would bleed into the new column).
+    *
+    * `deltas` (r19) are the MERGE-ON-READ files: small per-bucket
+    * upsert/delete files ([[mergeMor]]) applied over the base `files`
+    * at read time and folded into them by [[optimize]] or by the next
+    * copy-on-write merge that touches their bucket. Each carries the
+    * same key-range stats as a base file; its rows additionally hold
+    * the delete flag and the committing version (the latest-wins
+    * order). Empty on every pre-r19 manifest. */
   final case class SnapManifest(version: Int, parent: Int, writer: String,
                                 tag: String, schemaDdl: String,
                                 keyCols: Seq[String], bucketCol: String,
@@ -117,7 +125,8 @@ object Snap {
                                 retired: Seq[String] = Seq.empty,
                                 statsCols: Seq[String] = Seq.empty,
                                 z2: String = "",
-                                z2Min: Long = 0L, z2Max: Long = 0L) {
+                                z2Min: Long = 0L, z2Max: Long = 0L,
+                                deltas: Seq[SnapFile] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def keyKind: String = Snap.keyKindOf(schema(bucketCol).dataType)
     /** The version the writer planned against (−1 legacy = parent). */
@@ -179,12 +188,14 @@ object Snap {
     sb.append(s"statscols=${m.statsCols.map(enc).mkString(",")}\n")
     sb.append(s"z2=${enc(m.z2)}\n")
     sb.append(s"z2range=${m.z2Min},${m.z2Max}\n")
-    m.files.foreach { f =>
+    def fileLine(kind: String, f: SnapFile): Unit = {
       val extras = f.extra.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s" ${enc(c)}:${enc(mn)}:${enc(mx)}" }.mkString
-      sb.append(s"file=${enc(f.path)} ${f.bucket} ${f.rows} " +
+      sb.append(s"$kind=${enc(f.path)} ${f.bucket} ${f.rows} " +
         s"${enc(f.min)} ${enc(f.max)}$extras\n")
     }
+    m.files.foreach(fileLine("file", _))
+    m.deltas.foreach(fileLine("dfile", _))
     val body = sb.toString.getBytes("UTF-8")
     val sum = java.lang.Long.toHexString(
       graft.expressions.GraftHash.h60(body))
@@ -208,8 +219,8 @@ object Snap {
       if (lines.head != "graft-snap 1") return None
       val kv = lines.tail.filter(_.contains("="))
         .map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
-      val m = kv.filter(_._1 != "file").toMap
-      val files = kv.filter(_._1 == "file").map { case (_, v) =>
+      val m = kv.filterNot(e => e._1 == "file" || e._1 == "dfile").toMap
+      def parseFile(v: String): SnapFile = {
         // limit -1: a string key whose max stat URL-encodes to "" would
         // otherwise lose its trailing field and mis-parse a LANDED
         // commit as torn (review finding, r17)
@@ -221,6 +232,8 @@ object Snap {
         SnapFile(dec(p(0)), p(1).toInt, p(2).toLong, dec(p(3)), dec(p(4)),
           extra)
       }
+      val files = kv.filter(_._1 == "file").map(e => parseFile(e._2))
+      val deltas = kv.filter(_._1 == "dfile").map(e => parseFile(e._2))
       val range = m("range").split(",")
       Some(SnapManifest(m("version").toInt, m("parent").toInt,
         dec(m("writer")), dec(m("tag")), dec(m("schema")),
@@ -243,7 +256,8 @@ object Snap {
           .map(_.split(",").toSeq.map(dec)).getOrElse(Seq.empty),
         m.get("z2").map(dec).getOrElse(""),
         m.get("z2range").map(_.split(",")(0).toLong).getOrElse(0L),
-        m.get("z2range").map(_.split(",")(1).toLong).getOrElse(0L)))
+        m.get("z2range").map(_.split(",")(1).toLong).getOrElse(0L),
+        deltas))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -343,14 +357,72 @@ object Snap {
     }
   }
 
+  /** The delete-flag and commit-order columns a merge-on-read delta
+    * file carries beside the table's physical columns. Reserved (like
+    * the staging column `_b`): a user column by either name would be
+    * shadowed in every delta file. */
+  private[graft] val MorDelCol = "_graft_del"
+  private[graft] val MorSeqCol = "_graft_seq"
+  private[graft] val ReservedCols = Seq("_b", MorDelCol, MorSeqCol)
+
+  /** Read merge-on-read delta files back in the table's LOGICAL
+    * schema plus the two meta columns. Explicit physical schema, same
+    * discipline as [[readFiles]]. */
+  private def readDeltaFiles(spark: SparkSession, loc: HPath,
+                             m: SnapManifest,
+                             files: Seq[SnapFile]): DataFrame = {
+    val metaFields = Seq(
+      org.apache.spark.sql.types.StructField(MorDelCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField(MorSeqCol, LongType,
+        nullable = false))
+    val physSchema = StructType(
+      m.schema.fields.map(f => f.copy(name = m.physicalOf(f.name))) ++
+        metaFields)
+    val fs = Published.fsOf(loc)
+    val abs = files.map(f => fs.makeQualified(new HPath(loc, f.path)).toString)
+    Published.retryIO()(spark.read.schema(physSchema).parquet(abs: _*))
+      .select((m.schema.fields.map(f =>
+        col(m.physicalOf(f.name)).as(f.name)) ++
+        Seq(col(MorDelCol), col(MorSeqCol))).toSeq: _*)
+  }
+
+  /** Merge-on-read resolution: the base files with the delta files
+    * applied — latest delta wins per key (ordered by committing
+    * version), a winning delete drops the key, every delta key masks
+    * its base row. The delta side is SMALL by design (that is what
+    * makes MOR commits O(delta)), so AQE broadcasts the key mask and
+    * the base side never shuffles; the latest-wins window shuffles
+    * only delta rows. With no deltas this IS the plain base read —
+    * zero overhead for copy-on-write tables. */
+  private def morApplied(spark: SparkSession, loc: HPath, m: SnapManifest,
+                         baseFiles: Seq[SnapFile],
+                         deltaFiles: Seq[SnapFile]): DataFrame = {
+    val base = readFiles(spark, loc, m, baseFiles)
+    if (deltaFiles.isEmpty) base
+    else {
+      val d = readDeltaFiles(spark, loc, m, deltaFiles)
+      val keyEx = m.keyCols.map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyEx: _*).orderBy(col(MorSeqCol).desc)
+      val latest = d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val upserts = latest.filter(!col(MorDelCol))
+        .select(m.schema.fieldNames.map(col).toSeq: _*)
+      base.join(d.select(keyEx: _*), m.keyCols, "left_anti")
+        .unionByName(upserts)
+    }
+  }
+
   /** Read a snapshot: head by default, a pinned version for time
-    * travel. The returned plan scans exactly the manifest's files —
-    * immutable, so the frame stays valid while later commits land. */
+    * travel. The returned plan scans exactly the manifest's files
+    * (base + outstanding merge-on-read deltas, applied) — immutable,
+    * so the frame stays valid while later commits land. */
   def read(spark: SparkSession, loc: HPath,
            asOf: Option[Int] = None): DataFrame = {
     val m = asOf.map(atVersion(spark, loc, _)).getOrElse(
       head(spark, loc).getOrElse(sys.error(s"snap $loc: no committed version")))
-    readFiles(spark, loc, m, m.files)
+    morApplied(spark, loc, m, m.files, m.deltas)
   }
 
   /** Stats-pruned range scan over the key: plan only the files whose
@@ -366,9 +438,14 @@ object Snap {
       head(spark, loc).getOrElse(sys.error(s"snap $loc: no committed version")))
     require(m.keyKind == "long", s"prunedScan needs a long key, got ${m.keyKind}")
     val chosen = m.files.filter(f => f.max.toLong >= lo && f.min.toLong <= hi)
-    val df = readFiles(spark, loc, m, chosen)
+    // delta files prune by the SAME key range: a delta row's key is its
+    // identity, so every delta touching an in-range key has a range
+    // intersecting [lo,hi] — the latest-wins fold stays complete for
+    // every surfaced key (out-of-range winners die in the residual)
+    val dChosen = m.deltas.filter(f => f.max.toLong >= lo && f.min.toLong <= hi)
+    val df = morApplied(spark, loc, m, chosen, dChosen)
       .filter(col(m.bucketCol) >= lo && col(m.bucketCol) <= hi)
-    (df, chosen.size, m.files.size)
+    (df, chosen.size + dChosen.size, m.files.size + m.deltas.size)
   }
 
   /** Stats-pruned scan on ANY dimension the manifest carries per-file
@@ -399,9 +476,17 @@ object Snap {
         else f.extra.get(physName)
       range.forall { case (mn, mx) => mx.toLong >= lo && mn.toLong <= hi }
     }
-    val df = readFiles(spark, loc, m, chosen)
+    // delta files prune only on the KEY dimension: a delete row carries
+    // nothing but its key, so skipping a delta file on a VALUE column's
+    // stats could resurrect a deleted base row — on any other dimension
+    // every delta file is kept (they are small by design)
+    val dChosen =
+      if (colName == m.bucketCol)
+        m.deltas.filter(f => f.max.toLong >= lo && f.min.toLong <= hi)
+      else m.deltas
+    val df = morApplied(spark, loc, m, chosen, dChosen)
       .filter(col(colName) >= lo && col(colName) <= hi)
-    (df, chosen.size, m.files.size)
+    (df, chosen.size + dChosen.size, m.files.size + m.deltas.size)
   }
 
   /** Retention audit — SEE the vacuum horizon before it bites: what a
@@ -418,7 +503,8 @@ object Snap {
       readDefinitive(fs, p).getOrElse(None).map(m => (v, m)) }
     require(valid.nonEmpty, s"snap $loc: nothing committed to audit")
     val kept = valid.take(keepVersions)
-    val live = kept.flatMap(_._2.files.map(_.path)).toSet
+    val live = kept.flatMap(m =>
+      (m._2.files ++ m._2.deltas).map(_.path)).toSet
     val dataDir = new HPath(loc, "data")
     var reclaimFiles = 0
     var reclaimBytes = 0L
@@ -552,17 +638,22 @@ object Snap {
   private def stageWrite(spark: SparkSession, loc: HPath,
                          m: SnapManifest, data: DataFrame,
                          version: Int, token: String,
-                         gate: () => Unit): Staged = {
+                         gate: () => Unit,
+                         metaCols: Seq[(String, org.apache.spark.sql.Column)] =
+                           Seq.empty,
+                         recordExtraStats: Boolean = true): Staged = {
     val fs = Published.fsOf(loc)
     val stage = new HPath(loc, s"stage-v$version-$token")
     val heartbeat = new StageHeartbeat(fs, stage).start()
     try {
     // bytes land under PHYSICAL names (stable across renames — the
-    // metadata-only rename contract); `data` arrives logical
+    // metadata-only rename contract); `data` arrives logical.
+    // `metaCols` ride along verbatim (the merge-on-read delta files'
+    // delete flag + commit order — reserved names, never remapped).
     val physData =
-      if (m.phys.isEmpty) data
-      else data.select(m.schema.fieldNames.map(n =>
-        col(n).as(m.physicalOf(n))).toSeq: _*)
+      data.select((m.schema.fieldNames.map(n =>
+        col(n).as(m.physicalOf(n))) ++
+        metaCols.map { case (n, c) => c.as(n) }).toSeq: _*)
     val physBucket = m.physicalOf(m.bucketCol)
     val stamped = physData
       .withColumn("_b", bucketExpr(m, m.physicalOf))
@@ -593,7 +684,10 @@ object Snap {
             // cast-first min over longs would be lexicographic
             // ("10" < "9") and corrupt every pruning decision. The
             // declared stats columns ride the SAME single pass.
-            val extraCols = m.effectiveStatsCols
+            // (delta files skip them: value-column pruning must never
+            // skip a delta file — a delete row carries only its key)
+            val extraCols =
+              if (recordExtraStats) m.effectiveStatsCols else Seq.empty
             val aggs = Seq(count(lit(1)).as("rows"),
               min(col(physBucket)).cast("string").as("mn"),
               max(col(physBucket)).cast("string").as("mx")) ++
@@ -671,7 +765,8 @@ object Snap {
     * promoter at a time, one version per commit). A crash anywhere
     * here leaves only unreferenced files (vacuum sweeps them). */
   private def promoteStaged(fs: FileSystem, loc: HPath, staged: Staged,
-                            version: Int, gate: () => Unit): Seq[SnapFile] = {
+                            version: Int, gate: () => Unit,
+                            filePrefix: String = "b"): Seq[SnapFile] = {
     if (staged.isEmpty) return Seq.empty
     // lease held from here on (every caller's gate) — vacuum can no
     // longer race this dir, so the liveness marker has done its job
@@ -681,7 +776,7 @@ object Snap {
     // review finding, r17): make data/ exist before the first move
     Published.retryIO(gate)(fs.mkdirs(new HPath(loc, "data")))
     val out = staged.parts.map { case (b, part) =>
-      val name = s"data/v$version-b$b-0.parquet"
+      val name = s"data/v$version-$filePrefix$b-0.parquet"
       Published.moveResumable(fs, part, new HPath(loc, name), gate)
       val st = staged.stats(b)
       SnapFile(name, b, st.rows, st.mn, st.mx, st.extra)
@@ -806,12 +901,14 @@ object Snap {
         s"snap: stats column $c must be integral (string ranges do not " +
           "prune soundly)")
     }
-    // "_b" is the staging partition column: a user column of that name
+    // "_b" is the staging partition column (a user column of that name
     // would be REPLACED by withColumn and stripped by partitionBy — its
     // values silently lost in every written file while the manifest
-    // schema still declares it (reads would null-fill). Reserved.
-    require(!data.schema.fieldNames.contains("_b"),
-      "snap: column name '_b' is reserved for staging — rename it")
+    // schema still declares it); the _graft_* names are the merge-on-
+    // read delta files' meta columns. Reserved.
+    ReservedCols.foreach(r =>
+      require(!data.schema.fieldNames.contains(r),
+        s"snap: column name '$r' is reserved — rename it"))
     Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
       head(spark, loc) match {
         case Some(h) =>
@@ -934,6 +1031,8 @@ object Snap {
           .mkString(", "))
     require(delta.columns.contains(deletedCol),
       s"delta needs boolean column $deletedCol")
+    require(!ReservedCols.contains(deletedCol),
+      s"'$deletedCol' is a reserved column name — pass a different deletedCol")
     // a TABLE column by the flag's name would silently double as the
     // flag: upserts would store the (post-filter, all-false) flag as
     // that column's data in every rewritten file — refuse loudly, the
@@ -983,15 +1082,47 @@ object Snap {
       else f.max >= mn && f.min <= mx
     }
 
-  /** Survivors of the rewritten files ∪ the upserts; the anti-join's
-    * build side is the delta's keys (small — AQE broadcasts it). */
+  /** A copy-on-write merge's resolved shape over a table that may
+    * carry merge-on-read deltas. Every outstanding delta file in a
+    * bucket the new delta TOUCHES must fold into this rewrite: a
+    * carried delta out-sequences base rows at read time, so leaving
+    * one behind would let its stale row mask the value this merge is
+    * about to commit. Folding widens the per-bucket key ranges (the
+    * folded deltas' own pre-image base files must join the rewrite);
+    * deltas in untouched buckets carry and keep applying at read. */
+  private final case class MergePlan(ranges: Map[Int, (String, String)],
+                                     rewrite: Seq[SnapFile],
+                                     carry: Seq[SnapFile],
+                                     foldDeltas: Seq[SnapFile],
+                                     carryDeltas: Seq[SnapFile])
+
+  private def planMerge(m: SnapManifest, delta: DataFrame): MergePlan = {
+    val ranges = deltaRanges(m, delta)
+    val touched = ranges.keySet
+    val (foldD, carryD) = m.deltas.partition(d => touched.contains(d.bucket))
+    def pick(a: String, b: String, takeA: Boolean): String = if (takeA) a else b
+    def lo(a: String, b: String): String =
+      pick(a, b, if (m.keyKind == "long") a.toLong <= b.toLong else a <= b)
+    def hi(a: String, b: String): String =
+      pick(a, b, if (m.keyKind == "long") a.toLong >= b.toLong else a >= b)
+    val widened = ranges.map { case (b, (mn, mx)) =>
+      b -> foldD.filter(_.bucket == b).foldLeft((mn, mx)) {
+        case ((cmn, cmx), d) => (lo(cmn, d.min), hi(cmx, d.max)) }
+    }
+    val (rw, cr) = m.files.partition(fileIntersects(m.keyKind, widened))
+    MergePlan(widened, rw, cr, foldD, carryD)
+  }
+
+  /** Survivors of the rewritten files (with any folding deltas
+    * applied) ∪ the upserts; the anti-join's build side is the delta's
+    * keys (small — AQE broadcasts it). */
   private def mergedFrame(spark: SparkSession, loc: HPath, m: SnapManifest,
                           delta: DataFrame, deletedCol: String,
-                          rewrite: Seq[SnapFile]): DataFrame = {
+                          plan: MergePlan): DataFrame = {
     val upserts = delta.filter(!col(deletedCol))
       .select(m.schema.fieldNames.map(col).toSeq: _*)
     val deltaKeys = delta.select(m.keyCols.map(col): _*)
-    readFiles(spark, loc, m, rewrite)
+    morApplied(spark, loc, m, plan.rewrite, plan.foldDeltas)
       .join(deltaKeys, m.keyCols, "left_anti")
       .unionByName(upserts)
   }
@@ -1004,17 +1135,17 @@ object Snap {
       val gate = () => Published.assertLeaseOwned(loc)
       val fs = Published.fsOf(loc)
       contractCheck(m, delta, deletedCol)
-      val ranges = deltaRanges(m, delta)
-      val (rewrite, carry) = m.files.partition(fileIntersects(m.keyKind, ranges))
-      val merged = mergedFrame(spark, loc, m, delta, deletedCol, rewrite)
+      val plan = planMerge(m, delta)
+      val merged = mergedFrame(spark, loc, m, delta, deletedCol, plan)
 
       val token = newToken()
       val next = m.version + 1
-      val files = carry ++ stageDataFiles(spark, loc, m, merged, next, token, gate)
+      val files = plan.carry ++
+        stageDataFiles(spark, loc, m, merged, next, token, gate)
       graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
       val mn = m.copy(version = next, parent = m.version, writer = token,
         files = files, applied = appliedStamp.getOrElse(m.applied),
-        op = "merge", base = m.version)
+        op = "merge", base = m.version, deltas = plan.carryDeltas)
       if (sys.env.contains(SnapTornEnv)) {
         // probe hook: reproduce the mid-create crash for REAL across a
         // process boundary — land the manifest bytes WITHOUT the
@@ -1030,8 +1161,8 @@ object Snap {
       }
       commitManifest(fs, loc, mn, gate)
       graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
-      if (autoOptimize > 0 &&
-          files.groupBy(_.bucket).valuesIterator.exists(_.size >= autoOptimize)) {
+      if (autoOptimize > 0 && (files ++ mn.deltas)
+          .groupBy(_.bucket).valuesIterator.exists(_.size >= autoOptimize)) {
         // the fold never touches the delta — release its cached blocks
         // before a rewrite that may need that executor memory
         delta.unpersist()
@@ -1058,6 +1189,97 @@ object Snap {
                      batchId: Long, deletedCol: String = "_deleted",
                      autoOptimize: Int = 0, autoVacuum: Int = 0): Int =
     merge(spark, loc, delta, deletedCol, autoOptimize, Some(batchId),
+      autoVacuum)
+
+  /** Merge-on-read MERGE — same delta contract and row semantics as
+    * the copy-on-write [[merge]], but the commit writes ONLY THE DELTA:
+    * one small per-bucket delta file (full table columns + the delete
+    * flag + the committing version) lands beside the base, and every
+    * base file carries by reference. Readers apply outstanding deltas
+    * ([[morApplied]]): latest commit wins per key, a winning delete
+    * drops the key, every delta key masks its base row.
+    *
+    * This is the write-amplification fix for trickle CDC — the
+    * reference's own load shape (N continuous region producers,
+    * `regionSpout.go:82-94`, each batch small): under copy-on-write a
+    * 1-row delete into a fat bucket rewrites the whole bucket file;
+    * here it commits one 1-row file — O(delta) BYTES, not just
+    * O(delta) files. The read-time cost (the anti-join + latest-wins
+    * fold over the delta set) grows with outstanding deltas, so the
+    * format folds them back into the base:
+    *
+    *   - [[optimize]] rewrites every bucket whose live file count
+    *     (base + delta) reaches the threshold, applying and retiring
+    *     its deltas — `autoOptimize` arms it on this commit's own
+    *     lease hold, the same self-contained story as [[merge]]'s;
+    *   - any later copy-on-write merge that touches a bucket folds
+    *     that bucket's deltas as part of its rewrite ([[planMerge]]).
+    *
+    * Time travel, changelog reads, OCC rivals, vacuum/retention, and
+    * the follower all compose: deltas are ordinary immutable manifest
+    * entries. The changelog actually gets CHEAPER — a `mor` step's
+    * changed rows are read straight from its delta files.
+    *
+    * The lease is held for the whole (tiny) commit: staging a delta
+    * file is O(delta) bytes, so MOR writers gain nothing from the
+    * optimistic path — the serialized hold IS short. Exactly-once
+    * streaming via `appliedStamp`, same high-water contract as
+    * [[mergeStreaming]]. Returns the committed (or post-fold) version. */
+  def mergeMor(spark: SparkSession, loc: HPath, deltaIn: DataFrame,
+               deletedCol: String = "_deleted",
+               appliedStamp: Option[Long] = None,
+               autoOptimize: Int = 0, autoVacuum: Int = 0): Int = {
+    require(autoOptimize == 0 || autoOptimize >= 2,
+      "autoOptimize must be 0 (off) or >= 2")
+    require(autoVacuum >= 0, "autoVacuum must be 0 (off) or >= 1")
+    val delta = deltaIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+      val m = head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: mergeMor into a table that never committed"))
+      val v =
+        if (appliedStamp.exists(_ <= m.applied)) m.version
+        else {
+          val gate = () => Published.assertLeaseOwned(loc)
+          val fs = Published.fsOf(loc)
+          contractCheck(m, delta, deletedCol)
+          val next = m.version + 1
+          val token = newToken()
+          // the delta rows THEMSELVES are the commit payload; extra
+          // stats deliberately unrecorded (value-column pruning must
+          // never skip a delta file — a delete row carries only keys)
+          val staged = stageWrite(spark, loc, m, delta, next, token, gate,
+            metaCols = Seq(MorDelCol -> col(deletedCol).cast("boolean"),
+              MorSeqCol -> lit(next.toLong)),
+            recordExtraStats = false)
+          val newDeltas = promoteStaged(fs, loc, staged, next, gate,
+            filePrefix = "d")
+          graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
+          val mn = m.copy(version = next, parent = m.version, writer = token,
+            deltas = m.deltas ++ newDeltas,
+            applied = appliedStamp.getOrElse(m.applied),
+            op = "mor", base = m.version)
+          commitManifest(fs, loc, mn, gate)
+          graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
+          if (autoOptimize > 0 && (mn.files ++ mn.deltas).groupBy(_.bucket)
+              .valuesIterator.exists(_.size >= autoOptimize)) {
+            delta.unpersist()
+            optimize(spark, loc, minFilesPerBucket = autoOptimize)
+          } else next
+        }
+      maybeAutoVacuum(spark, loc, autoVacuum)
+      v
+    } finally delta.unpersist()
+  }
+
+  /** Exactly-once streaming form of [[mergeMor]] — the trickle-CDC
+    * sink shape: per micro-batch, O(batch) bytes commit, the applied
+    * high-water rides the manifest (replays no-op), and `autoOptimize`
+    * folds the accumulating delta files on the sink's own cadence. */
+  def mergeMorStreaming(spark: SparkSession, loc: HPath, delta: DataFrame,
+                        batchId: Long, deletedCol: String = "_deleted",
+                        autoOptimize: Int = 0, autoVacuum: Int = 0): Int =
+    mergeMor(spark, loc, delta, deletedCol, Some(batchId), autoOptimize,
       autoVacuum)
 
   /** Optimistic-concurrency MERGE — same semantics and contract as
@@ -1140,9 +1362,8 @@ object Snap {
           sys.error(s"snap $loc: merge into a table that never committed"))
         if (appliedStamp.exists(_ <= m.applied)) return m.version
         contractCheck(m, delta, deletedCol)
-        val ranges = deltaRanges(m, delta)
-        val (rewrite, carry) = m.files.partition(fileIntersects(m.keyKind, ranges))
-        val merged = mergedFrame(spark, loc, m, delta, deletedCol, rewrite)
+        val plan = planMerge(m, delta)
+        val merged = mergedFrame(spark, loc, m, delta, deletedCol, plan)
         val token = newToken()
         occTrace(s"attempt=$attempt stage_start=${System.currentTimeMillis()}")
         val staged = stageWrite(spark, loc, m, merged, m.version + 1, token,
@@ -1160,30 +1381,46 @@ object Snap {
               discardStage(fs, staged, gate)
               Some((h2.version, h2))
             } else {
-              val myRewrite = rewrite.map(_.path).toSet
+              val myRewrite = plan.rewrite.map(_.path).toSet
+              val myFolded = plan.foldDeltas.map(_.path).toSet
               val target: Option[SnapManifest] =
                 if (h2.version == m.version)
                   Some(m.copy(version = m.version + 1, parent = m.version,
-                    writer = token, files = carry,
+                    writer = token, files = plan.carry,
                     applied = appliedStamp.getOrElse(m.applied),
-                    op = "merge", base = m.version))
+                    op = "merge", base = m.version,
+                    deltas = plan.carryDeltas))
                 else {
                   // rivals committed past our base: rebase iff disjoint
+                  // — over base files AND merge-on-read deltas: a rival
+                  // delta intersecting our ranges would out-sequence
+                  // (mask) our freshly staged rows at read time, and a
+                  // rival that folded a delta we also folded has
+                  // rewritten our pre-images
                   val h2Paths = h2.files.map(_.path).toSet
+                  val h2DPaths = h2.deltas.map(_.path).toSet
                   val basePaths = m.files.map(_.path).toSet
+                  val baseDPaths = m.deltas.map(_.path).toSet
                   val rivalNew = h2.files.filterNot(f => basePaths.contains(f.path))
+                  val rivalNewD = h2.deltas.filterNot(f =>
+                    baseDPaths.contains(f.path))
                   val disjoint = myRewrite.subsetOf(h2Paths) &&
-                    !rivalNew.exists(fileIntersects(m.keyKind, ranges))
+                    myFolded.subsetOf(h2DPaths) &&
+                    !rivalNew.exists(fileIntersects(m.keyKind, plan.ranges)) &&
+                    !rivalNewD.exists(fileIntersects(m.keyKind, plan.ranges))
                   if (!disjoint) None
                   // h2's schema AND column mapping ride the copy: a
                   // rival rename is metadata-only, and our staged
                   // files' PHYSICAL names are rename-stable — they
-                  // read correctly under h2's phys without a rewrite
+                  // read correctly under h2's phys without a rewrite.
+                  // Rival deltas in OTHER buckets carry: they apply at
+                  // read over files this merge never touched.
                   else Some(h2.copy(version = h2.version + 1,
                     parent = h2.version, writer = token,
                     files = h2.files.filterNot(f => myRewrite.contains(f.path)),
                     applied = appliedStamp.fold(h2.applied)(math.max(_, h2.applied)),
-                    op = "merge", base = m.version))
+                    op = "merge", base = m.version,
+                    deltas = h2.deltas.filterNot(f => myFolded.contains(f.path))))
                 }
               target match {
                 case Some(tm) =>
@@ -1214,7 +1451,7 @@ object Snap {
     // window, reporting failure for a durably-committed merge (r18
     // advice).
     val served =
-      if (autoOptimize > 0 && cm.files.groupBy(_.bucket)
+      if (autoOptimize > 0 && (cm.files ++ cm.deltas).groupBy(_.bucket)
           .valuesIterator.exists(_.size >= autoOptimize))
         optimize(spark, loc, minFilesPerBucket = autoOptimize)
       else v
@@ -1340,21 +1577,15 @@ object Snap {
         alignTo(df, child, target)
           .withColumn("_change_type", lit(tpe))
           .withColumn("_commit_version", lit(v))
-      if (child.op == "optimize" || child.op == "evolve") Seq.empty
+      if (child.op == "optimize" || child.op == "evolve" ||
+          child.op == "rebucket") Seq.empty
       else {
         // within a non-evolve step, parent and child share one schema
         // and column mapping (only evolve commits change them), so the
         // child manifest aligns the pre-image frames too
         val parent = atVersion(spark, loc, v - 1)
-        val childPaths = child.files.map(_.path).toSet
-        val parentPaths = parent.files.map(_.path).toSet
-        val removed = parent.files.filterNot(f => childPaths.contains(f.path))
-        val added = child.files.filterNot(f => parentPaths.contains(f.path))
-        if (removed.isEmpty && added.isEmpty) Seq.empty
-        else {
-          val keys = child.keyCols
-          val pre = readFiles(spark, loc, parent, removed)
-          val post = readFiles(spark, loc, child, added)
+        val keys = child.keyCols
+        def classify(pre: DataFrame, post: DataFrame): Seq[DataFrame] = {
           val common = child.schema.fieldNames
             .filter(parent.schema.fieldNames.contains).toSeq
           val nonKey = common.filterNot(keys.contains)
@@ -1375,6 +1606,68 @@ object Snap {
           Seq(withMeta(inserts, "insert"),
             withMeta(deletes, "delete")) ++
             updates.map(withMeta(_, "update"))
+        }
+        if (child.op == "mor") {
+          // a merge-on-read step's changed rows are read straight from
+          // its NEW delta files — even cheaper than the removed/added
+          // diff. Pre-images come from the parent's resolved rows in
+          // the touched buckets, restricted to the delta's keys: the
+          // intersecting base files + the buckets' outstanding deltas,
+          // O(touched buckets), carried files never read.
+          val parentD = parent.deltas.map(_.path).toSet
+          val addedD = child.deltas.filterNot(f => parentD.contains(f.path))
+          if (addedD.isEmpty) Seq.empty
+          else {
+            val d = readDeltaFiles(spark, loc, child, addedD)
+            val touched = addedD.map(_.bucket).toSet
+            // one delta file per bucket per commit (staging invariant)
+            val dRanges = addedD.map(f => f.bucket -> (f.min, f.max)).toMap
+            val preBase = parent.files
+              .filter(fileIntersects(parent.keyKind, dRanges))
+            val preD = parent.deltas.filter(f => touched.contains(f.bucket))
+            val dKeys = d.select(keys.map(col): _*)
+            val pre = morApplied(spark, loc, parent, preBase, preD)
+              .join(dKeys, keys, "left_semi")
+            // the delta holds one row per key (merge contract): its
+            // upserts are the post-images outright, its delete keys
+            // erase — a delete for an absent key classifies as nothing
+            val up = d.filter(!col(MorDelCol))
+              .select(child.schema.fieldNames.map(col).toSeq: _*)
+            val delK = d.filter(col(MorDelCol)).select(keys.map(col): _*)
+            val nonKey = child.schema.fieldNames.filterNot(keys.contains).toSeq
+            val inserts = up.join(pre.select(keys.map(col): _*),
+              keys, "left_anti")
+            val deletes = pre.join(delK, keys, "left_semi")
+            val updates =
+              if (nonKey.isEmpty) None
+              else {
+                val o = pre.select((keys.map(col) ++
+                  nonKey.map(c => col(c).as(s"__o_$c"))): _*)
+                Some(up.join(o, keys)
+                  .filter(!(struct(nonKey.map(col): _*) <=>
+                    struct(nonKey.map(c => col(s"__o_$c")): _*)))
+                  .select(up.columns.map(col).toSeq: _*))
+              }
+            Seq(withMeta(inserts, "insert"),
+              withMeta(deletes, "delete")) ++
+              updates.map(withMeta(_, "update"))
+          }
+        } else {
+          val childPaths = child.files.map(_.path).toSet
+          val childDPaths = child.deltas.map(_.path).toSet
+          val parentPaths = parent.files.map(_.path).toSet
+          val removed = parent.files.filterNot(f => childPaths.contains(f.path))
+          val added = child.files.filterNot(f => parentPaths.contains(f.path))
+          // a COW merge over a MOR table FOLDS the touched buckets'
+          // deltas: the parent-side pre-images are its resolved rows
+          // there — removed base files with the folded deltas applied
+          // (delta-free tables: removedD empty, morApplied == readFiles)
+          val removedD = parent.deltas.filterNot(f =>
+            childDPaths.contains(f.path))
+          if (removed.isEmpty && added.isEmpty && removedD.isEmpty) Seq.empty
+          else classify(
+            morApplied(spark, loc, parent, removed, removedD),
+            readFiles(spark, loc, child, added))
         }
       }
     }
@@ -1431,8 +1724,9 @@ object Snap {
       require(add.fieldNames.map(_.toLowerCase).distinct.length ==
         add.fieldNames.length,
         s"snap $loc: duplicate column names within the added DDL")
-      require(!add.fieldNames.contains("_b"),
-        "snap: column name '_b' is reserved for staging")
+      ReservedCols.foreach(r =>
+        require(!add.fieldNames.contains(r),
+          s"snap: column name '$r' is reserved"))
       val widened = StructType(
         m.schema.fields ++ add.fields.map(_.copy(nullable = true)))
       val next = m.version + 1
@@ -1457,8 +1751,8 @@ object Snap {
       val gate = () => Published.assertLeaseOwned(loc)
       require(m.schema.fieldNames.contains(from),
         s"snap $loc: no column '$from' to rename")
-      require(to.nonEmpty && to != "_b",
-        s"snap $loc: '$to' is not a legal column name")
+      require(to.nonEmpty && !ReservedCols.contains(to),
+        s"snap $loc: '$to' is not a legal column name (reserved)")
       require(!m.schema.fieldNames.exists(n =>
           n != from && n.equalsIgnoreCase(to)),
         s"snap $loc: a column case-matching '$to' already exists " +
@@ -1509,13 +1803,18 @@ object Snap {
   }
 
   /** Fold small files: every bucket holding ≥ `minFilesPerBucket` live
-    * files is rewritten to ONE file; every other file carries by
-    * reference. Content-neutral by construction (a pure physical
-    * rewrite — no key semantics), committed through the same single
-    * manifest-create point as merge, so the leg-G-executed crash story
-    * (head never advances before the create; torn creates fall back
-    * and sweep; landed creates are durable) covers it unchanged.
-    * Returns the committed version, or the head's if nothing folded.
+    * files — base AND merge-on-read delta files — is rewritten to ONE
+    * file with its deltas applied and retired; every other file (and
+    * every other bucket's deltas) carries by reference. Content-
+    * neutral by construction: the MOR apply is exactly what readers
+    * already compute, moved into the base (a pure physical rewrite —
+    * the changelog skips `optimize` commits by contract, and that
+    * contract now includes the delta fold). Committed through the same
+    * single manifest-create point as merge, so the leg-G-executed
+    * crash story (head never advances before the create; torn creates
+    * fall back and sweep; landed creates are durable) covers it
+    * unchanged. Returns the committed version, or the head's if
+    * nothing folded.
     *
     * At 100 TB: reads and writes ONLY the folded buckets' bytes; the
     * decision is manifest metadata. Old files stay for time travel
@@ -1528,20 +1827,21 @@ object Snap {
         sys.error(s"snap $loc: optimize on a table that never committed"))
       val gate = () => Published.assertLeaseOwned(loc)
       val fs = Published.fsOf(loc)
-      val fat = m.files.groupBy(_.bucket)
+      val fat = (m.files ++ m.deltas).groupBy(_.bucket)
         .filter(_._2.size >= minFilesPerBucket).keySet
       if (fat.isEmpty) m.version
       else {
         val (fold, carry) = m.files.partition(f => fat.contains(f.bucket))
+        val (foldD, carryD) = m.deltas.partition(f => fat.contains(f.bucket))
         val token = newToken()
         val next = m.version + 1
         val files = carry ++
-          stageDataFiles(spark, loc, m, readFiles(spark, loc, m, fold),
-            next, token, gate)
+          stageDataFiles(spark, loc, m,
+            morApplied(spark, loc, m, fold, foldD), next, token, gate)
         graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
         commitManifest(fs, loc, m.copy(version = next, parent = m.version,
-          writer = token, files = files, op = "optimize", base = m.version),
-          gate)
+          writer = token, files = files, op = "optimize", base = m.version,
+          deltas = carryD), gate)
         next
       }
     }
@@ -1568,7 +1868,8 @@ object Snap {
       val kept = valid.take(keepVersions)
       require(kept.nonEmpty, s"snap $loc: nothing committed to vacuum")
       val keptV = kept.map(_._1).toSet
-      val live = kept.flatMap(_._3.files.map(_.path)).toSet
+      val live = kept.flatMap(m =>
+        (m._3.files ++ m._3.deltas).map(_.path)).toSet
       var manifests = 0
       all.filterNot { case (v, _) => keptV.contains(v) }.foreach { case (_, p) =>
         gate(); Published.deleteIfExists(fs, p); manifests += 1

@@ -839,6 +839,87 @@ object SnapOps {
        |  1 AS occ_protocol_ok, 1 AS occ_cow_ok
        |FROM v3 GROUP BY c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q141
+  private[graft] def morTable(dir: String): String =
+    s"graft_snapmm_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def morFp(dir: String): String =
+    Published.fingerprint("snapmm",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** The q130 lifecycle rebuilt through MERGE-ON-READ: the same two
+    * deltas land as per-bucket delta FILES (every base file carries by
+    * reference — O(delta) commit BYTES, the trickle-CDC shape), then
+    * `optimize` folds the deltas back into the base. v4 is the fold. */
+  private[graft] def ensureMor(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, morTable(dir))
+    val fp = morFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 4)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.customer(spark, dir),
+          Seq("c_custkey"), "c_custkey", custBuckets, layout = "range", tag = fp)
+        Snap.mergeMor(spark, loc, delta1(spark, dir))
+        Snap.mergeMor(spark, loc, delta2(spark, dir))
+        val v = Snap.optimize(spark, loc, minFilesPerBucket = 2)
+        require(v == 4, s"expected the delta fold to commit v4, got $v")
+      }
+    }
+    loc
+  }
+
+  /** Content face over the MOR lifecycle's folded head — by contract
+    * the same relational answer as the COW lifecycle's v3 (MOR ≡ COW
+    * row-for-row on the same deltas) — plus the write-amplification
+    * audit from manifest metadata: both mor commits carried EVERY base
+    * file by reference (zero rewrites — under COW the same deltas
+    * rewrote 2-3 files each), the delta files match the deltas' bucket
+    * spread (3 then +2), and the fold retired every delta into
+    * one-file buckets. */
+  def q141SnapMor(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureMor(spark, dir)
+    val v1 = Snap.atVersion(spark, loc, 1)
+    val v2 = Snap.atVersion(spark, loc, 2)
+    val v3 = Snap.atVersion(spark, loc, 3)
+    val v4 = Snap.head(spark, loc).get
+    val carriedOk = v2.files.map(_.path) == v1.files.map(_.path) &&
+      v3.files.map(_.path) == v1.files.map(_.path) &&
+      v2.op == "mor" && v3.op == "mor"
+    val deltasOk = v2.deltas.size == 3 && v3.deltas.size == 5
+    val foldOk = v4.op == "optimize" && v4.deltas.isEmpty &&
+      v4.files.groupBy(_.bucket).valuesIterator.forall(_.size == 1)
+    Snap.read(spark, loc)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        count(when(col("c_mktsegment") === "NEWSEG", 1)).as("n_new"))
+      .withColumn("mor_carried_ok", lit(if (carriedOk) 1 else 0))
+      .withColumn("mor_deltas_ok", lit(if (deltasOk) 1 else 0))
+      .withColumn("mor_fold_ok", lit(if (foldOk) 1 else 0))
+  }
+
+  val q141Sql: String =
+    s"""WITH $d1Sql,
+       |d2_upd AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal - 500 AS c_acctbal,
+       |         c_mktsegment
+       |  FROM customer WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |    AND c_custkey < (SELECT m // 4 FROM ks)),
+       |d2_keys AS (
+       |  SELECT c_custkey FROM d2_upd
+       |  UNION ALL SELECT c_custkey + (SELECT m FROM ks) AS c_custkey
+       |  FROM customer WHERE c_custkey % 200 = 1),
+       |v3 AS (
+       |  SELECT * FROM v2
+       |    WHERE c_custkey NOT IN (SELECT c_custkey FROM d2_keys)
+       |  UNION ALL SELECT * FROM d2_upd)
+       |SELECT c_nationkey, count(*) AS n_rows,
+       |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+       |  count(*) FILTER (WHERE c_mktsegment = 'NEWSEG') AS n_new,
+       |  1 AS mor_carried_ok, 1 AS mor_deltas_ok, 1 AS mor_fold_ok
+       |FROM v3 GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -851,6 +932,7 @@ object SnapOps {
     "q138_snap_zorder" -> q138SnapZorder _,
     "q139_snap_retention" -> q139SnapRetention _,
     "q140_snap_occ" -> q140SnapOcc _,
+    "q141_snap_mor" -> q141SnapMor _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -865,5 +947,6 @@ object SnapOps {
     "q138_snap_zorder" -> q138Sql,
     "q139_snap_retention" -> q139Sql,
     "q140_snap_occ" -> q140Sql,
+    "q141_snap_mor" -> q141Sql,
   )
 }

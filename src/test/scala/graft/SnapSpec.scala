@@ -614,10 +614,10 @@ class SnapSpec extends SparkSpec {
     assert(Snap.changes(spark, loc, 7, 9).count() > 0)
   }
 
-  test("fuzz: 12 seeded random deltas through ALTERNATING serialized and " +
-      "optimistic merges (optimize interleaved) track a driver-side " +
-      "reference exactly at every version, and every step's changelog " +
-      "reproduces the delta's effect key-for-key") {
+  test("fuzz: 15 seeded random deltas ROTATING serialized, optimistic, " +
+      "and merge-on-read merges (optimize interleaved) track a driver-" +
+      "side reference exactly at every version, and every step's " +
+      "changelog reproduces the delta's effect key-for-key") {
     val rnd = new scala.util.Random(0xC0FFEE)
     val loc = tmpLoc("fuzz")
     import spark.implicits._
@@ -629,7 +629,7 @@ class SnapSpec extends SparkSpec {
     Snap.create(spark, loc, refDf, Seq("k"), "k", 8,
       layout = "range", tag = "fuzz")
     var version = 1
-    (1 to 12).foreach { step =>
+    (1 to 15).foreach { step =>
       // ~30 random keys over [0, 400): updates, deletes (sometimes of
       // ABSENT keys — must no-op), inserts past the create-time range
       // (clamped to the top bucket)
@@ -644,9 +644,11 @@ class SnapSpec extends SparkSpec {
         ref = if (del) ref - k else ref + (k -> v)
       }
       val delta = ops.toDF("k", "v", "_deleted")
-      version =
-        if (step % 2 == 0) Snap.mergeOcc(spark, loc, delta)
-        else Snap.merge(spark, loc, delta)
+      version = (step % 3) match {
+        case 0 => Snap.mergeOcc(spark, loc, delta)
+        case 1 => Snap.merge(spark, loc, delta)
+        case _ => Snap.mergeMor(spark, loc, delta)
+      }
       assert(rows(Snap.read(spark, loc)) == rows(refDf),
         s"state diverged from the reference at step $step (v$version)")
       // the step's changelog must BE the before→after key diff
@@ -1273,6 +1275,188 @@ class SnapSpec extends SparkSpec {
     val got = Snap.read(spark, loc).filter(col("c_custkey") === 5).collect()
     assert(got.length == 1, s"key 5 duplicated or lost: ${got.length} rows")
     assert(got(0).getAs[Double]("c_acctbal") == 42.0)
+  }
+
+  // ------------------------------------------------ merge-on-read (r19)
+  test("mergeMor: a 1-row delete commits O(1 row) — every base file " +
+      "carries byte-for-byte, one 1-row delta file lands, the read " +
+      "applies it") {
+    val loc = tmpLoc("mor1")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val v1 = Snap.head(spark, loc).get
+    val del = cust.filter(col("c_custkey") === 42)
+      .withColumn("_deleted", lit(true))
+    assert(Snap.mergeMor(spark, loc, del) == 2)
+    val v2 = Snap.head(spark, loc).get
+    assert(v2.op == "mor" && v2.parent == 1)
+    // the write-amplification pin: NO base file rewritten
+    assert(v2.files.map(_.path) == v1.files.map(_.path),
+      "a MOR delete rewrote a base file")
+    assert(v2.deltas.size == 1 && v2.deltas.head.rows == 1L &&
+      v2.deltas.head.min.toLong == 42L && v2.deltas.head.max.toLong == 42L,
+      s"expected one 1-row delta file, got ${v2.deltas}")
+    assert(rows(Snap.read(spark, loc)) ==
+      rows(cust.filter(col("c_custkey") =!= 42)))
+    // time travel: v1 still serves the full table
+    assert(rows(Snap.read(spark, loc, asOf = Some(1))) == rows(cust))
+  }
+
+  test("mergeMor ≡ COW merge on the same delta; latest-wins across " +
+      "stacked deltas; optimize folds them back into the base") {
+    val locCow = tmpLoc("mor_cow")
+    val locMor = tmpLoc("mor_mor")
+    for (loc <- Seq(locCow, locMor))
+      Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+        layout = "range", tag = "t")
+    Snap.merge(spark, locCow, smallDelta)
+    Snap.mergeMor(spark, locMor, smallDelta)
+    assert(rows(Snap.read(spark, locMor)) == rows(Snap.read(spark, locCow)),
+      "MOR and COW diverged on the same delta")
+    // stack a second MOR delta over the first: key 5 was +1000'd by
+    // smallDelta; now re-set it — the NEWER delta must win at read
+    val d2 = cust.filter(col("c_custkey") === 5)
+      .withColumn("c_acctbal", lit(3.5)).withColumn("_deleted", lit(false))
+    assert(Snap.mergeMor(spark, locMor, d2) == 3)
+    assert(Snap.head(spark, locMor).get.deltas.size == 4) // 3 buckets + b0 again
+    val got5 = Snap.read(spark, locMor)
+      .filter(col("c_custkey") === 5).collect()
+    assert(got5.length == 1 && got5(0).getAs[Double]("c_acctbal") == 3.5,
+      "latest delta did not win")
+    // fold: every fat bucket (base + deltas >= 2 files) rewrites to one
+    val v4 = Snap.optimize(spark, locMor, minFilesPerBucket = 2)
+    val h = Snap.head(spark, locMor).get
+    assert(v4 == 4 && h.op == "optimize" && h.deltas.isEmpty,
+      s"fold left deltas: ${h.deltas}")
+    assert(h.files.groupBy(_.bucket).valuesIterator.forall(_.size == 1))
+    val expected = rows(Snap.read(spark, locMor, asOf = Some(3)))
+    assert(rows(Snap.read(spark, locMor)) == expected,
+      "the fold changed content")
+    // changelog: the fold step is invisible
+    assert(Snap.changes(spark, locMor, 3, 4).count() == 0)
+  }
+
+  test("COW merge over outstanding deltas: touched buckets fold (a stale " +
+      "delta can never mask the merge's rows); untouched buckets' deltas " +
+      "carry and keep applying") {
+    val loc = tmpLoc("mor_fold")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    // delta A (bucket 0): key 5 -> 100; delta B (bucket 3): key 140 -> 7
+    Snap.mergeMor(spark, loc, cust.filter(col("c_custkey") === 5)
+      .withColumn("c_acctbal", lit(100.0)).withColumn("_deleted", lit(false)))
+    Snap.mergeMor(spark, loc, cust.filter(col("c_custkey") === 140)
+      .withColumn("c_acctbal", lit(7.0)).withColumn("_deleted", lit(false)))
+    assert(Snap.head(spark, loc).get.deltas.map(_.bucket).sorted == Seq(0, 3))
+    // COW merge touching bucket 0 only: must FOLD delta A (else A's
+    // seq-2 row would out-sequence the new base row at read time) and
+    // carry delta B untouched
+    val cow = cust.filter(col("c_custkey") === 5)
+      .withColumn("c_acctbal", lit(200.0)).withColumn("_deleted", lit(false))
+    assert(Snap.merge(spark, loc, cow) == 4)
+    val h = Snap.head(spark, loc).get
+    assert(h.deltas.map(_.bucket) == Seq(3),
+      s"bucket 0's delta must fold into the COW rewrite: ${h.deltas}")
+    val got = Snap.read(spark, loc)
+      .filter(col("c_custkey") === 5 || col("c_custkey") === 140)
+      .collect().map(r => r.getAs[Long]("c_custkey") ->
+        r.getAs[Double]("c_acctbal")).toMap
+    assert(got == Map(5L -> 200.0, 140L -> 7.0),
+      s"stale delta masked the merge (or a carried delta was lost): $got")
+    // a fold WIDENS the rewrite: a COW delta whose own range misses the
+    // outstanding delta's key must still rewrite that key's base file
+    val cow2 = cust.filter(col("c_custkey") === 115) // bucket 3, range [115,115]
+      .withColumn("c_acctbal", lit(1.0)).withColumn("_deleted", lit(false))
+    assert(Snap.merge(spark, loc, cow2) == 5)
+    val h5 = Snap.head(spark, loc).get
+    assert(h5.deltas.isEmpty, "the widened rewrite must fold bucket 3's delta")
+    val got140 = Snap.read(spark, loc).filter(col("c_custkey") === 140).collect()
+    assert(got140.length == 1 && got140(0).getAs[Double]("c_acctbal") == 7.0,
+      "folding bucket 3 lost its delta's row")
+  }
+
+  test("changelog across mor commits: inserts/updates carry post-images, " +
+      "deletes carry TRUE pre-images (resolved through earlier deltas), " +
+      "carried base files never read") {
+    val loc = tmpLoc("mor_cdf")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    // v2 (mor): update key 0 (+1000), delete key 80, insert key 1000
+    Snap.mergeMor(spark, loc, smallDelta.filter(
+      col("c_custkey") === 0 || col("c_custkey") === 80 ||
+        col("c_custkey") === 1000))
+    // v3 (mor): delete key 1000 — its pre-image lives in v2's DELTA
+    // file (never folded), so the reader must resolve through deltas
+    Snap.mergeMor(spark, loc, cust.filter(col("c_custkey") === 0)
+      .select((col("c_custkey") + 1000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("_deleted", lit(true)))
+    val ch = Snap.changes(spark, loc, 1, 3)
+    val byKey = ch.collect().map(r => (r.getAs[Int]("_commit_version"),
+      r.getAs[Long]("c_custkey")) ->
+      (r.getAs[String]("_change_type"), r.getAs[Double]("c_acctbal"))).toMap
+    val bal0 = cust.filter(col("c_custkey") === 0)
+      .head().getAs[Double]("c_acctbal")
+    val bal80 = cust.filter(col("c_custkey") === 80)
+      .head().getAs[Double]("c_acctbal")
+    assert(byKey((2, 0L)) == ("update", bal0 + 1000.0))
+    assert(byKey((2, 80L)) == ("delete", bal80)) // pre-image
+    assert(byKey((2, 1000L))._1 == "insert")
+    // v3's delete pre-image must be the INSERTED row's value (9.99),
+    // read from v2's delta file — not the source table's
+    assert(byKey((3, 1000L)) == ("delete", 9.99),
+      s"delete pre-image not resolved through the delta: ${byKey((3, 1000L))}")
+    assert(byKey.size == 4)
+    // O(delta) pin: the plan reads delta files + the touched buckets'
+    // base pre-image files only — never bucket 1/2 base files
+    val touched = ch.inputFiles.map(p => new HPath(p).getName).toSet
+    val untouchedBase = Snap.atVersion(spark, loc, 1).files
+      .filter(f => f.bucket == 1).map(f => new HPath(f.path).getName).toSet
+    assert(untouchedBase.nonEmpty && touched.intersect(untouchedBase).isEmpty,
+      s"changelog read an untouched bucket's base file: $touched")
+  }
+
+  test("mergeOcc vs rival MOR delta: key-range overlap retries (the " +
+      "rival's delta would out-sequence my staged rows); a disjoint " +
+      "rival delta rebases and carries") {
+    // overlap case: rival lands a MOR delta on key 7 while I stage a
+    // COW rewrite of bucket 0 (keys < 10 in my ranges)
+    val loc = tmpLoc("occ_mor_ov")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val rivalOverlap = cust.filter(col("c_custkey") === 7)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(7.0))
+      .withColumn("_deleted", lit(false))
+    var trace: Seq[String] = Seq.empty
+    withRival { Snap.mergeMor(spark, loc, rivalOverlap) } {
+      trace = traced { assert(Snap.mergeOcc(spark, loc, smallDelta) == 3) }
+    }
+    assert(trace.exists(_.contains("conflict_retry")),
+      s"an overlapping rival MOR delta must force a retry: $trace")
+    // the retry FOLDS the rival's delta; my replace-upsert then wins
+    assert(Snap.head(spark, loc).get.deltas.isEmpty)
+    assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
+
+    // disjoint case: rival's MOR delta hits bucket 3's key 140 — my
+    // insert range [1000,1001] shares the bucket but not the range →
+    // rebase, and the rival's delta FILE rides into my manifest
+    val loc2 = tmpLoc("occ_mor_dj")
+    Snap.create(spark, loc2, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val rivalDisjoint = cust.filter(col("c_custkey") === 140)
+      .withColumn("c_acctbal", lit(7.0)).withColumn("_deleted", lit(false))
+    withRival { Snap.mergeMor(spark, loc2, rivalDisjoint) } {
+      trace = traced { assert(Snap.mergeOcc(spark, loc2, smallDelta) == 3) }
+    }
+    assert(!trace.exists(_.contains("conflict_retry")),
+      s"a range-disjoint rival delta must rebase, not retry: $trace")
+    val v3 = Snap.head(spark, loc2).get
+    assert(v3.resolvedBase == 1 && v3.parent == 2, "rebase audit")
+    assert(v3.deltas.size == 1 && v3.deltas.head.bucket == 3,
+      "the rival's delta file must carry through the rebase")
+    val expected = expectedAfterSmallDelta.withColumn("c_acctbal",
+      when(col("c_custkey") === 140, 7.0).otherwise(col("c_acctbal")))
+    assert(rows(Snap.read(spark, loc2)) == rows(expected))
   }
 
   test("deep-range changelog: chunked plan reads the same rows as the " +

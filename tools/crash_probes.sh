@@ -398,4 +398,36 @@ SPARK_GRAFT_LEASE_STALE_MS=2000 \
 grep -a "SNAPPROBE icheck OK" /tmp/snapfollow_check.log || \
   { echo "FAIL: follower exactly-once violated"; grep -a SNAPPROBE /tmp/snapfollow_check.log; tail -5 /tmp/snapfollow_check.log; exit 1; }
 echo "leg I OK: follower killed mid-backlog -> WIPED-checkpoint resume -> converged exactly-once off the destination-manifest cursor, row-set-exact"
+
+echo "== leg J: merge-on-read crash windows — the delta FOLD and the MOR commit (r19)"
+# A MOR table (2 delta-file commits over an 8-bucket base). Window 1
+# ('fold'): optimize dies after its rewritten bucket files promoted but
+# before the manifest create — the head must keep serving the MOR view
+# (base + outstanding deltas), the orphaned fold files stay invisible,
+# vacuum sweeps exactly them, and the retried fold retires the deltas.
+# Window 2 ('mor'): a mergeMor dies post-promote pre-create — the
+# staged delta file is an invisible orphan and the retried merge lands.
+ROOTJ=$(mktemp -d /tmp/graft-snapmor.XXXX)
+LOCJ_URI="$ROOTJ/tbl"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  LOCJ_URI="hdfs://graftsim$ROOTJ/tbl"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  LOCJ_URI="s3a://graftbucket$ROOTJ/tbl"
+fi
+$RUN graft.SnapCrashProbe jbase $SF "$LOCJ_URI" >/tmp/snapmor_base.log 2>&1
+grep -a "SNAPPROBE jbase OK" /tmp/snapmor_base.log || \
+  { echo "FAIL: leg J seeding failed"; tail -5 /tmp/snapmor_base.log; exit 1; }
+for MODE in fold mor; do
+  SPARK_GRAFT_SNAP_HALT=snapstage \
+    $RUN graft.SnapCrashProbe jcrash $SF "$LOCJ_URI" $MODE >/tmp/snapmor_${MODE}.log 2>&1 && \
+    { echo "FAIL: jcrash[$MODE] exited 0 — the halt never fired"; exit 1; }
+  grep -a "RESTARTPROBE halting in crash window snapstage" /tmp/snapmor_${MODE}.log || \
+    { echo "FAIL: jcrash[$MODE] died without reaching the window"; tail -5 /tmp/snapmor_${MODE}.log; exit 1; }
+  sleep 3
+  SPARK_GRAFT_LEASE_STALE_MS=2000 \
+    $RUN graft.SnapCrashProbe jheal $SF "$LOCJ_URI" $MODE >/tmp/snapmor_heal_${MODE}.log 2>&1
+  grep -a "SNAPPROBE jheal OK mode=$MODE" /tmp/snapmor_heal_${MODE}.log || \
+    { echo "FAIL: jheal[$MODE] did not heal"; grep -a SNAPPROBE /tmp/snapmor_heal_${MODE}.log; tail -5 /tmp/snapmor_heal_${MODE}.log; exit 1; }
+done
+echo "leg J OK: fold + MOR-commit kill -9 windows -> new-JVM heal -> MOR view served throughout, orphans swept, row-set-exact"
 echo "ALL OK"
