@@ -247,8 +247,15 @@ object Bench {
       // q141 first measurement (r19): the merge-on-read lifecycle face —
       // attach + four-manifest write-amplification audit + the folded
       // head agg (post-fold the read IS q130's base-scan class).
-      // Trail: 0.21 (r19 first full-surface sample)
+      // Trail: 0.21, 0.18 (r19 first full-surface samples)
       "q141_snap_mor" -> 0.22,
+      // q142-q144 first measurements (r19): the SQL-entry join (view
+      // registration + probe execution + the planned join), the
+      // rebucket lifecycle face (attach + metadata audit), and the
+      // preimage changelog aggregate (two-step delta read, both
+      // update images). Trail: 0.43 / 0.15 / 0.56 (r19 first sample)
+      "q142_snap_sql" -> 0.50, "q143_snap_rebucket" -> 0.20,
+      "q144_snap_cdf_pre" -> 0.60,
       // s07 first measurement (r18): the snap FOLLOWER — create source
       // + snapshot-copy destination, then 4 source merges converging
       // through the rate-ticked changelog follower (each tick an
@@ -257,6 +264,11 @@ object Bench {
       // per-commit control-plane work is the measured object.
       // Trail: 7.55 (r18 first isolated pair)
       "s07_snap_follow_stream" -> 7.60,
+      // s08 first measurement (r19): the maintained-aggregate follower
+      // — s07's COLD lifecycle shape (create + 4 live merges + rate-
+      // ticked convergence) plus the preimage changelog reads and the
+      // exact-recompute equality gate. Trail: 8.40 (r19 first sample)
+      "s08_snap_follow_agg" -> 8.40,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
@@ -719,6 +731,60 @@ object Bench {
           -1.0
       }
     }
+    // s08: the MAINTAINED-AGGREGATE follower (r19) — followAgg keeps a
+    // per-nation (count, decimal sum) table in lockstep with a live
+    // merge stream by applying preimage changelog deltas (q85's IVM
+    // lesson run continuously; never a recompute after the create).
+    // Convergence gate: the maintained table must EXACTLY equal a
+    // fresh recompute from the source head (decimal sums — bit-exact).
+    // COLD lifecycle like s07: per-commit control-plane cost is the
+    // measured object.
+    def snapFollowAggOnce(): Double = {
+      try {
+        val t0 = System.nanoTime()
+        val root = java.nio.file.Files.createTempDirectory("bench_s08")
+        val src = new org.apache.hadoop.fs.Path(root.resolve("src").toString)
+        val dst = new org.apache.hadoop.fs.Path(root.resolve("dst").toString)
+        val cust = graft.sources.Tables.customer(spark, sfDir)
+        import org.apache.spark.sql.functions._
+        graft.sources.Snap.create(spark, src, cust,
+          Seq("c_custkey"), "c_custkey", 8, layout = "range", tag = "bench")
+        val q = graft.streaming.SnapFollow.followAgg(spark, src.toString,
+          dst.toString, root.resolve("ckpt").toString,
+          "c_nationkey", "c_acctbal",
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+        try {
+          (0 until 4).foreach { k =>
+            graft.sources.Snap.merge(spark, src,
+              cust.filter(col("c_custkey") >= k * 20 &&
+                  col("c_custkey") < k * 20 + 20)
+                .withColumn("c_acctbal", col("c_acctbal") + lit((k + 1).toDouble))
+                .withColumn("_deleted", lit(false)))
+          }
+          val deadline = System.currentTimeMillis() + 120000L
+          while (graft.sources.Snap.head(spark, dst)
+              .exists(_.applied < 5L) &&
+              System.currentTimeMillis() < deadline) Thread.sleep(200L)
+        } finally q.stop()
+        val dh = graft.sources.Snap.head(spark, dst).get
+        require(dh.applied == 5L, s"s08 cursor=${dh.applied}, want 5")
+        val expect = graft.streaming.SnapFollow.aggOf(
+          graft.sources.Snap.read(spark, src), "c_nationkey", "c_acctbal")
+        val got = graft.sources.Snap.read(spark, dst)
+        val diff = got.exceptAll(expect).count() +
+          expect.exceptAll(got).count()
+        require(diff == 0, s"s08 maintained aggregate diverged by $diff rows")
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors("s08_snap_follow_agg") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+          System.err.println(
+            s"[bench] s08_snap_follow_agg FAILED: ${errors("s08_snap_follow_agg")}")
+          -1.0
+      }
+    }
     def kllStreamOnce(): Double = {
       try {
         val src = s05Src
@@ -754,7 +820,8 @@ object Bench {
       "s04_quantiles_rocksdb" -> (() => quantilesOnce()),
       "s05_kll_publish_stream" -> (() => kllStreamOnce()),
       "s06_snap_cdc_stream" -> (() => snapCdcOnce()),
-      "s07_snap_follow_stream" -> (() => snapFollowOnce())).collect {
+      "s07_snap_follow_stream" -> (() => snapFollowOnce()),
+      "s08_snap_follow_agg" -> (() => snapFollowAggOnce())).collect {
       case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
     }
     // ms precision: full ns resolution is noise (spreads are 10-100 ms).

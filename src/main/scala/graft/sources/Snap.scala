@@ -397,8 +397,16 @@ object Snap {
     * zero overhead for copy-on-write tables. */
   private def morApplied(spark: SparkSession, loc: HPath, m: SnapManifest,
                          baseFiles: Seq[SnapFile],
-                         deltaFiles: Seq[SnapFile]): DataFrame = {
-    val base = readFiles(spark, loc, m, baseFiles)
+                         deltaFiles: Seq[SnapFile]): DataFrame =
+    morApplyFrame(spark, loc, m,
+      readFiles(spark, loc, m, baseFiles), deltaFiles)
+
+  /** The same apply over an arbitrary base frame in the table's
+    * logical schema — the SQL entry ([[SnapSql]]) feeds its pruning
+    * relation through here. */
+  private[sources] def morApplyFrame(spark: SparkSession, loc: HPath,
+                                     m: SnapManifest, base: DataFrame,
+                                     deltaFiles: Seq[SnapFile]): DataFrame = {
     if (deltaFiles.isEmpty) base
     else {
       val d = readDeltaFiles(spark, loc, m, deltaFiles)
@@ -1404,7 +1412,15 @@ object Snap {
                   val rivalNew = h2.files.filterNot(f => basePaths.contains(f.path))
                   val rivalNewD = h2.deltas.filterNot(f =>
                     baseDPaths.contains(f.path))
-                  val disjoint = myRewrite.subsetOf(h2Paths) &&
+                  // a rival REBUCKET changes the bucket topology: our
+                  // staged files' bucket ids (and every future delta's
+                  // bucket math) would be stale under h2 — never
+                  // rebase across one, retry against the new topology
+                  val sameTopology = h2.buckets == m.buckets &&
+                    h2.rangeMin == m.rangeMin && h2.rangeMax == m.rangeMax &&
+                    h2.z2Min == m.z2Min && h2.z2Max == m.z2Max
+                  val disjoint = sameTopology &&
+                    myRewrite.subsetOf(h2Paths) &&
                     myFolded.subsetOf(h2DPaths) &&
                     !rivalNew.exists(fileIntersects(m.keyKind, plan.ranges)) &&
                     !rivalNewD.exists(fileIntersects(m.keyKind, plan.ranges))
@@ -1558,7 +1574,8 @@ object Snap {
     * plan audits only see the (uncheckpointed) shallow ranges they
     * already use. */
   def changes(spark: SparkSession, loc: HPath, fromV: Int, toV: Int,
-              chunkSteps: Int = 16): DataFrame = {
+              chunkSteps: Int = 16,
+              updatePreimages: Boolean = false): DataFrame = {
     require(chunkSteps >= 1, "chunkSteps must be >= 1")
     require(fromV >= 1, s"fromV must be a committed version, got $fromV")
     require(toV >= fromV, s"empty/negative range: ($fromV, $toV]")
@@ -1585,6 +1602,28 @@ object Snap {
         // child manifest aligns the pre-image frames too
         val parent = atVersion(spark, loc, v - 1)
         val keys = child.keyCols
+        /** Update rows for the keys whose non-key values differ: the
+          * post-images alone as `update` by default, or — the IVM
+          * consumers' form ([[graft.streaming.SnapFollow]]'s derived
+          * aggregates) — BOTH sides as `update_preimage` /
+          * `update_postimage`, the public CDF shape: maintaining a
+          * downstream aggregate needs the old value to subtract. */
+        def updatesOf(pre: DataFrame, post: DataFrame,
+                      nonKey: Seq[String]): Seq[DataFrame] =
+          if (nonKey.isEmpty) Seq.empty // all-key schema: nothing to differ
+          else {
+            val o = pre.select((keys.map(col) ++
+              nonKey.map(c => col(c).as(s"__o_$c"))): _*)
+            val joined = post.join(o, keys)
+              .filter(!(struct(nonKey.map(col): _*) <=>
+                struct(nonKey.map(c => col(s"__o_$c")): _*)))
+            val postImg = joined.select(post.columns.map(col).toSeq: _*)
+            if (!updatePreimages) Seq(withMeta(postImg, "update"))
+            else Seq(
+              withMeta(pre.join(joined.select(keys.map(col): _*),
+                keys, "left_semi"), "update_preimage"),
+              withMeta(postImg, "update_postimage"))
+          }
         def classify(pre: DataFrame, post: DataFrame): Seq[DataFrame] = {
           val common = child.schema.fieldNames
             .filter(parent.schema.fieldNames.contains).toSeq
@@ -1593,19 +1632,9 @@ object Snap {
             keys, "left_anti")
           val deletes = pre.join(post.select(keys.map(col): _*),
             keys, "left_anti")
-          val updates =
-            if (nonKey.isEmpty) None // all-key schema: nothing to differ
-            else {
-              val o = pre.select((keys.map(col) ++
-                nonKey.map(c => col(c).as(s"__o_$c"))): _*)
-              Some(post.join(o, keys)
-                .filter(!(struct(nonKey.map(col): _*) <=>
-                  struct(nonKey.map(c => col(s"__o_$c")): _*)))
-                .select(post.columns.map(col).toSeq: _*))
-            }
           Seq(withMeta(inserts, "insert"),
             withMeta(deletes, "delete")) ++
-            updates.map(withMeta(_, "update"))
+            updatesOf(pre, post, nonKey)
         }
         if (child.op == "mor") {
           // a merge-on-read step's changed rows are read straight from
@@ -1638,19 +1667,9 @@ object Snap {
             val inserts = up.join(pre.select(keys.map(col): _*),
               keys, "left_anti")
             val deletes = pre.join(delK, keys, "left_semi")
-            val updates =
-              if (nonKey.isEmpty) None
-              else {
-                val o = pre.select((keys.map(col) ++
-                  nonKey.map(c => col(c).as(s"__o_$c"))): _*)
-                Some(up.join(o, keys)
-                  .filter(!(struct(nonKey.map(col): _*) <=>
-                    struct(nonKey.map(c => col(s"__o_$c")): _*)))
-                  .select(up.columns.map(col).toSeq: _*))
-              }
             Seq(withMeta(inserts, "insert"),
               withMeta(deletes, "delete")) ++
-              updates.map(withMeta(_, "update"))
+              updatesOf(pre, up, nonKey)
           }
         } else {
           val childPaths = child.files.map(_.path).toSet
@@ -1844,6 +1863,56 @@ object Snap {
           deltas = carryD), gate)
         next
       }
+    }
+  }
+
+  /** Re-bucket the table — the bucket-topology evolution axis that
+    * [[create]] froze: rewrite every (resolved) row under a NEW bucket
+    * count, with the range/zorder dimension bounds re-derived from the
+    * CURRENT data, as one op-tagged commit. Why it exists: a table
+    * created at 16 buckets that grows 100× ends up with fat bucket
+    * files no O(delta) merge can touch cheaply, and on range layout
+    * every post-create key CLAMPS into the top bucket (q133's append
+    * shape) — after a rebucket those keys re-spread and the next
+    * merge's rewrite set shrinks back to O(delta).
+    *
+    * Contracts: row-set-neutral (a pure physical re-layout — the
+    * changelog skips `rebucket` like `optimize`); outstanding
+    * merge-on-read deltas fold into the rewrite; old versions keep
+    * serving mid- and post-rebucket (immutable files + their own
+    * manifests); an OCC rival staged against the old topology RETRIES
+    * at its commit point (the rebase test refuses a topology change —
+    * its staged bucket ids would be stale). O(table) cost by nature,
+    * scheduled like a major compaction and amortized against every
+    * later merge. Returns the committed version. */
+  def rebucket(spark: SparkSession, loc: HPath, newBuckets: Int): Int = {
+    require(newBuckets >= 1, "need at least one bucket")
+    Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+      val m = head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: rebucket on a table that never committed"))
+      val gate = () => Published.assertLeaseOwned(loc)
+      val fs = Published.fsOf(loc)
+      val data = morApplied(spark, loc, m, m.files, m.deltas)
+      def dimRange(c: String): (Long, Long) = {
+        val r = data.agg(min(col(c).cast("long")),
+          max(col(c).cast("long"))).head
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
+      val (rMin, rMax) =
+        if (m.layout == "hash") (0L, 0L) else dimRange(m.bucketCol)
+      val (z2Lo, z2Hi) =
+        if (m.layout == "zorder") dimRange(m.z2) else (0L, 0L)
+      val token = newToken()
+      val next = m.version + 1
+      // the NEW topology drives the staging bucket math
+      val m2 = m.copy(version = next, parent = m.version, writer = token,
+        buckets = newBuckets, rangeMin = rMin, rangeMax = rMax,
+        z2Min = z2Lo, z2Max = z2Hi, op = "rebucket", base = m.version,
+        deltas = Seq.empty)
+      val files = stageDataFiles(spark, loc, m2, data, next, token, gate)
+      graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
+      commitManifest(fs, loc, m2.copy(files = files), gate)
+      next
     }
   }
 

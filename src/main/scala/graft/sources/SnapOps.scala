@@ -920,6 +920,201 @@ object SnapOps {
        |  1 AS mor_carried_ok, 1 AS mor_deltas_ok, 1 AS mor_fold_ok
        |FROM v3 GROUP BY c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q142
+  /** The snapshot format behind the engine's SQL front door: the
+    * q130 lifecycle's head registered as a view ([[SnapSql]]) and
+    * joined to orders in ONE `spark.sql` statement — a q45-style
+    * multi-table query whose WHERE prunes the snap table's files at
+    * plan time from the manifest stats (`sql_pruned_ok` audits the
+    * index's decision after a probe execution: a strict file subset).
+    * The balance sum proves the view serves the MERGED v3 content,
+    * not the source parquet. */
+  def q142SnapSql(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureCust(spark, dir)
+    val m = Snap.head(spark, loc).get
+    // M from manifest metadata (rangeMax == max(c_custkey) at create —
+    // no source rescan on the serve path, q132's discipline)
+    val hi = (m.rangeMax + 1) / 8
+    val idx = SnapSql.registerView(spark, "graft_snap_cust_sql", loc)
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_sql")
+    // probe execution pins the pruning decision (listFiles runs at
+    // scan planning; the index records what it chose)
+    spark.sql(
+      s"SELECT count(*) FROM graft_snap_cust_sql WHERE c_custkey < $hi")
+      .collect()
+    val prunedOk = idx.lastPlanned > 0 && idx.lastPlanned < idx.total
+    spark.sql(
+      s"""SELECT c.c_nationkey, count(*) AS n_orders,
+         |  round(sum(o.o_totalprice) + 1e-9, 2) AS tot_price,
+         |  round(sum(c.c_acctbal) + 1e-9, 2) AS tot_bal,
+         |  count(DISTINCT c.c_custkey) AS n_cust
+         |FROM graft_snap_cust_sql c
+         |JOIN graft_orders_sql o ON o.o_custkey = c.c_custkey
+         |WHERE c.c_custkey < $hi
+         |GROUP BY c.c_nationkey""".stripMargin)
+      .withColumn("sql_pruned_ok", lit(if (prunedOk) 1 else 0))
+  }
+
+  val q142Sql: String =
+    s"""WITH $d1Sql,
+       |d2_upd AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal - 500 AS c_acctbal,
+       |         c_mktsegment
+       |  FROM customer WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |    AND c_custkey < (SELECT m // 4 FROM ks)),
+       |d2_keys AS (
+       |  SELECT c_custkey FROM d2_upd
+       |  UNION ALL SELECT c_custkey + (SELECT m FROM ks) AS c_custkey
+       |  FROM customer WHERE c_custkey % 200 = 1),
+       |v3 AS (
+       |  SELECT * FROM v2
+       |    WHERE c_custkey NOT IN (SELECT c_custkey FROM d2_keys)
+       |  UNION ALL SELECT * FROM d2_upd)
+       |SELECT c.c_nationkey, count(*) AS n_orders,
+       |  round(sum(o.o_totalprice) + 1e-9, 2) AS tot_price,
+       |  round(sum(c.c_acctbal) + 1e-9, 2) AS tot_bal,
+       |  count(DISTINCT c.c_custkey) AS n_cust, 1 AS sql_pruned_ok
+       |FROM v3 c JOIN orders o ON o.o_custkey = c.c_custkey
+       |WHERE c.c_custkey < (SELECT m // 8 FROM ks)
+       |GROUP BY c.c_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q143
+  private[graft] def rebTable(dir: String): String =
+    s"graft_snapb_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def rebFp(dir: String): String =
+    Published.fingerprint("snapb",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** The grown-table lifecycle rebucket exists for: create at 4 range
+    * buckets (v1) → append keys past the range — they CLAMP into the
+    * top bucket (v2) → optimize folds that bucket fat (v3) → rebucket
+    * to 8 with re-derived bounds (v4) → re-price the appended keys
+    * (v5) — the merge whose rewrite set the rebucket shrank. */
+  private[graft] def ensureReb(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, rebTable(dir))
+    val fp = rebFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 5)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.customer(spark, dir),
+          Seq("c_custkey"), "c_custkey", 4, layout = "range", tag = fp)
+        Snap.merge(spark, loc, appendBatch(spark, dir, 1))
+        require(Snap.optimize(spark, loc, minFilesPerBucket = 2) == 3)
+        require(Snap.rebucket(spark, loc, newBuckets = 8) == 4)
+        val m = keySpace(spark, dir)
+        val reprice = appendBatch(spark, dir, 1)
+          .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+        require(Snap.merge(spark, loc, reprice) == 5,
+          "reprice merge did not land as v5")
+      }
+    }
+    loc
+  }
+
+  /** Content face over the rebucketed head plus the topology audit
+    * from manifest metadata: the rebucket is row-conserving under the
+    * new bucket count with bounds re-derived over the appended keys
+    * (`rebucket_ok`), it re-spread the clamped key space across all 8
+    * buckets (`respread_ok`), pre-rebucket versions still time-travel
+    * (`time_travel_ok`), and — the point of the operator — the
+    * post-rebucket re-price of the appended keys rewrote strictly
+    * fewer rows than the pre-rebucket fat bucket file it would have
+    * had to rewrite (`cheaper_merge_ok`). */
+  def q143SnapRebucket(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureReb(spark, dir)
+    val v2 = Snap.atVersion(spark, loc, 2)
+    val v3 = Snap.atVersion(spark, loc, 3)
+    val v4 = Snap.atVersion(spark, loc, 4)
+    val v5 = Snap.head(spark, loc).get
+    val rebucketOk = v4.op == "rebucket" && v4.buckets == 8 &&
+      v4.files.map(_.rows).sum == v3.files.map(_.rows).sum &&
+      v4.rangeMax > v3.rangeMax // bounds re-derived over the appended keys
+    val respreadOk = v4.files.size == 8 &&
+      v4.files.map(_.bucket).distinct.size == 8
+    // pre-rebucket, the appended keys lived in v3's folded top-bucket
+    // fat file; post-rebucket the same re-price rewrote only the new
+    // top slice — strictly fewer rows
+    val fatRows = v3.files.filter(_.bucket == v3.files.map(_.bucket).max)
+      .map(_.rows).sum
+    val v5Paths = v5.files.map(_.path).toSet
+    val rewroteRows = v4.files.filterNot(f => v5Paths.contains(f.path))
+      .map(_.rows).sum
+    val cheaperOk = rewroteRows > 0 && rewroteRows < fatRows
+    val ttOk = v2.files.nonEmpty && v3.buckets == 4
+    Snap.read(spark, loc)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        count(when(col("c_mktsegment") === "INS1", 1)).as("n_ins"))
+      .withColumn("rebucket_ok", lit(if (rebucketOk) 1 else 0))
+      .withColumn("respread_ok", lit(if (respreadOk) 1 else 0))
+      .withColumn("cheaper_merge_ok", lit(if (cheaperOk) 1 else 0))
+      .withColumn("time_travel_ok", lit(if (ttOk) 1 else 0))
+  }
+
+  val q143Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |ins AS (
+      |  SELECT c_custkey + (SELECT m FROM ks) AS c_custkey, c_name,
+      |         c_nationkey, c_acctbal + 100 AS c_acctbal,
+      |         'INS1' AS c_mktsegment
+      |  FROM customer WHERE c_custkey < (SELECT greatest(1, m // 50) FROM ks)),
+      |v5 AS (SELECT * FROM customer UNION ALL SELECT * FROM ins)
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+      |  count(*) FILTER (WHERE c_mktsegment = 'INS1') AS n_ins,
+      |  1 AS rebucket_ok, 1 AS respread_ok, 1 AS cheaper_merge_ok,
+      |  1 AS time_travel_ok
+      |FROM v5 GROUP BY c_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q144
+  /** The changelog's IVM face: q136's range read in the
+    * `updatePreimages` CDF shape — updates emit BOTH images
+    * (`update_preimage` carrying the parent's values, the row a
+    * downstream aggregate must SUBTRACT; `update_postimage` the new
+    * ones) — aggregated per (version, kind). The oracle replays both
+    * sides of every update from the delta chain; this is the shape
+    * [[graft.streaming.SnapFollow.pollOnceAgg]] consumes to maintain
+    * derived aggregates without recomputing. */
+  def q144SnapCdfPre(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureCust(spark, dir)
+    Snap.changes(spark, loc, 1, 3, updatePreimages = true)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        countDistinct(col("c_nationkey")).as("n_nation"))
+  }
+
+  val q144Sql: String =
+    s"""WITH $d1Sql,
+       |d2_upd AS (
+       |  SELECT c_custkey, c_nationkey, c_acctbal - 500 AS c_acctbal
+       |  FROM customer WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |    AND c_custkey < (SELECT m // 4 FROM ks)),
+       |ch AS (
+       |  SELECT 2 AS _commit_version, 'insert' AS _change_type,
+       |         c_nationkey, c_acctbal FROM d1_ins
+       |  UNION ALL SELECT 2, 'update_postimage', c_nationkey, c_acctbal
+       |    FROM d1_upd
+       |  UNION ALL SELECT 2, 'update_preimage', c_nationkey, c_acctbal
+       |    FROM customer WHERE c_custkey < (SELECT m // 10 FROM ks)
+       |  UNION ALL SELECT 2, 'delete', c_nationkey, c_acctbal FROM customer
+       |    WHERE c_custkey >= (SELECT m // 2 FROM ks)
+       |      AND c_custkey < (SELECT m // 2 + m // 20 FROM ks)
+       |  UNION ALL SELECT 3, 'update_postimage', c_nationkey, c_acctbal
+       |    FROM d2_upd
+       |  UNION ALL SELECT 3, 'update_preimage', c_nationkey, c_acctbal
+       |    FROM customer WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |      AND c_custkey < (SELECT m // 4 FROM ks)
+       |  UNION ALL SELECT 3, 'delete', c_nationkey, 111.11 FROM customer
+       |    WHERE c_custkey % 200 = 1)
+       |SELECT _commit_version, _change_type, count(*) AS n_rows,
+       |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+       |  count(DISTINCT c_nationkey) AS n_nation
+       |FROM ch GROUP BY _commit_version, _change_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -933,6 +1128,9 @@ object SnapOps {
     "q139_snap_retention" -> q139SnapRetention _,
     "q140_snap_occ" -> q140SnapOcc _,
     "q141_snap_mor" -> q141SnapMor _,
+    "q142_snap_sql" -> q142SnapSql _,
+    "q143_snap_rebucket" -> q143SnapRebucket _,
+    "q144_snap_cdf_pre" -> q144SnapCdfPre _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -948,5 +1146,8 @@ object SnapOps {
     "q139_snap_retention" -> q139Sql,
     "q140_snap_occ" -> q140Sql,
     "q141_snap_mor" -> q141Sql,
+    "q142_snap_sql" -> q142Sql,
+    "q143_snap_rebucket" -> q143Sql,
+    "q144_snap_cdf_pre" -> q144Sql,
   )
 }

@@ -156,6 +156,137 @@ object SnapFollow {
     upTo.toLong
   }
 
+  // ------------------------------------------- derived AGGREGATE tables
+  // The follower's second shape (r18 verdict ask #5): instead of
+  // mirroring rows, MAINTAIN a grouped aggregate of the source — q85's
+  // incremental-view-maintenance lesson run continuously. Each poll
+  // applies the changelog's GROUP DELTAS to the destination: inserts
+  // add, deletes subtract pre-images, updates subtract the pre-image
+  // and add the post-image (the `updatePreimages` CDF form — the old
+  // value is exactly what an incremental aggregate needs). Exact by
+  // construction: counts are longs, sums are DECIMAL (addition exact,
+  // associative, commutative), so the maintained table equals a full
+  // recompute bit-for-bit after every poll — the q85 discipline. At
+  // 100 TB the poll moves the delta's rows plus O(affected groups):
+  // the grouped contribution frame is tiny, the destination merge is
+  // O(touched buckets).
+
+  /** The maintained table's sum type: wide enough that adding a poll's
+    * contribution never changes precision (the result is cast back). */
+  private val SumType = "decimal(30,2)"
+
+  private def aggIdentity(spark: SparkSession, src: HPath,
+                          groupCol: String, valueCol: String): String =
+    s"agg($groupCol,$valueCol):${srcIdentity(spark, src)}"
+
+  private[graft] def aggOf(df: DataFrame, groupCol: String,
+                           valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(SumType)).as("val_sum"))
+      .select(col(groupCol), col("cnt"),
+        col("val_sum").cast(SumType).as("val_sum"))
+
+  /** Create the aggregate destination from the source's HEAD (one full
+    * recompute — the LAST one it ever needs), cursor pre-seeded.
+    * Hash-bucketed by the group column; attach-idempotent per the
+    * (source identity, group, value) lineage tag. Null group values
+    * are refused by the snap key contract — filter them upstream. */
+  def ensureAggDst(spark: SparkSession, src: HPath, dst: HPath,
+                   groupCol: String, valueCol: String,
+                   buckets: Int = 8): Unit = {
+    val m = Snap.head(spark, src).getOrElse(
+      sys.error(s"snap follow: source $src never committed"))
+    Snap.create(spark, dst,
+      aggOf(Snap.read(spark, src, asOf = Some(m.version)), groupCol, valueCol),
+      Seq(groupCol), groupCol, buckets, layout = "hash",
+      tag = s"follow:${aggIdentity(spark, src, groupCol, valueCol)}",
+      applied = m.version.toLong)
+  }
+
+  /** One maintenance step: apply the changelog `(cursor, head]`'s
+    * group deltas to the aggregate destination, exactly-once through
+    * the same destination-manifest cursor as [[pollOnce]]. A group
+    * whose count reaches zero is DELETED (matching the recompute,
+    * which would not emit it). Returns the new cursor. */
+  def pollOnceAgg(spark: SparkSession, src: HPath, dst: HPath,
+                  groupCol: String, valueCol: String,
+                  maxVersionsPerPoll: Int = defaultMaxVersionsPerPoll,
+                  autoOptimize: Int = 0, autoVacuum: Int = 0): Long = {
+    require(maxVersionsPerPoll >= 1, "maxVersionsPerPoll must be >= 1")
+    val srcHead = Snap.head(spark, src).getOrElse(
+      sys.error(s"snap follow: source $src never committed"))
+    // the stamped identity carries the aggregate SHAPE too: pointing a
+    // (group, value)-maintained table at a differently-shaped poll
+    // would silently corrupt it exactly like a foreign source
+    Snap.assertFollowLineage(dst,
+      s"agg($groupCol,$valueCol):" +
+        s"${Published.fsOf(src).makeQualified(src)}#${srcHead.tag}")
+    val dstHead = Snap.head(spark, dst).getOrElse(
+      sys.error(s"snap follow: destination $dst never committed — " +
+        "ensureAggDst first"))
+    val cursor = dstHead.applied
+    require(cursor >= 1,
+      s"snap follow: destination $dst carries no source cursor")
+    require(srcHead.version >= cursor,
+      s"snap follow: destination cursor $cursor is PAST the source head " +
+        s"${srcHead.version} — the source was recreated")
+    if (srcHead.version <= cursor) return cursor
+    val upTo = math.min(srcHead.version.toLong,
+      cursor + maxVersionsPerPoll).toInt
+    val ch = Snap.changes(spark, src, cursor.toInt, upTo,
+      updatePreimages = true)
+    val signed = ch.withColumn("__sign",
+      when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L))
+    val contrib = signed.groupBy(col(groupCol))
+      .agg(sum(col("__sign")).as("dcnt"),
+        sum(when(col("__sign") > 0, col(valueCol).cast(SumType))
+          .otherwise(-col(valueCol).cast(SumType))).as("dval"))
+    // current values for ONLY the affected groups (contrib is tiny —
+    // AQE broadcasts it; the destination never fully rewrites)
+    val cur = Snap.read(spark, dst)
+      .join(contrib.select(col(groupCol)), Seq(groupCol), "left_semi")
+    val next = cur.join(contrib, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("val_sum"), lit(0).cast(SumType)) +
+          coalesce(col("dval"), lit(0).cast(SumType)))
+          .cast(SumType).as("val_sum"))
+      .withColumn("_deleted", col("cnt") === 0L)
+    Snap.mergeStreaming(spark, dst, next, batchId = upTo.toLong,
+      autoOptimize = autoOptimize, autoVacuum = autoVacuum)
+    upTo.toLong
+  }
+
+  /** Continuous form of [[pollOnceAgg]] — the maintained-aggregate
+    * pipeline: rate ticks schedule maintenance, the destination is
+    * created (one full recompute, the last ever) if absent, all
+    * progress state in the destination's manifests. */
+  def followAgg(spark: SparkSession, src: String, dst: String,
+                checkpointDir: String, groupCol: String, valueCol: String,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000L),
+                maxVersionsPerPoll: Int = defaultMaxVersionsPerPoll,
+                autoOptimize: Int = 0,
+                autoVacuum: Int = 0): StreamingQuery = {
+    val srcP = new HPath(src)
+    val dstP = new HPath(dst)
+    ensureAggDst(spark, srcP, dstP, groupCol, valueCol)
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+    ticks.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        pollOnceAgg(spark, srcP, dstP, groupCol, valueCol,
+          maxVersionsPerPoll, autoOptimize, autoVacuum)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Start the continuous follower: a rate tick schedules [[pollOnce]]
     * every trigger; the destination is created from the source head if
     * absent, and bound to the source's identity on the first tick.

@@ -1459,6 +1459,188 @@ class SnapSpec extends SparkSpec {
     assert(rows(Snap.read(spark, loc2)) == rows(expected))
   }
 
+  test("changes(updatePreimages): updates emit pre+post image pairs — " +
+      "across COW and MOR steps, preimages resolved through deltas; the " +
+      "default single-'update' shape is untouched") {
+    val loc = tmpLoc("cdfpre")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    Snap.merge(spark, loc, cust.filter(col("c_custkey") === 3)
+      .withColumn("c_acctbal", lit(111.0)).withColumn("_deleted", lit(false)))
+    Snap.mergeMor(spark, loc, cust.filter(col("c_custkey") === 3)
+      .withColumn("c_acctbal", lit(222.0)).withColumn("_deleted", lit(false)))
+    val orig = cust.filter(col("c_custkey") === 3)
+      .head().getAs[Double]("c_acctbal")
+    val ch = Snap.changes(spark, loc, 1, 3, updatePreimages = true)
+      .collect().map(r => (r.getAs[Int]("_commit_version"),
+        r.getAs[String]("_change_type")) -> r.getAs[Double]("c_acctbal"))
+      .toMap
+    assert(ch == Map(
+      (2, "update_preimage") -> orig, (2, "update_postimage") -> 111.0,
+      (3, "update_preimage") -> 111.0, (3, "update_postimage") -> 222.0),
+      s"pre/post pairs wrong: $ch")
+    // default shape unchanged: one 'update' row per step, post-image
+    val plain = Snap.changes(spark, loc, 1, 3).collect()
+      .map(r => r.getAs[String]("_change_type")).toSeq
+    assert(plain == Seq("update", "update"))
+  }
+
+  test("maintained aggregate follower: destination ≡ full recompute " +
+      "after every poll (group births, moves, zero-count deaths); " +
+      "replay no-op; a differently-shaped poll refuses") {
+    import graft.streaming.SnapFollow
+    val src = tmpLoc("aggsrc")
+    val dst = tmpLoc("aggdst")
+    Snap.create(spark, src, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    SnapFollow.ensureAggDst(spark, src, dst, "c_nationkey", "c_acctbal")
+    def recompute: DataFrame =
+      SnapFollow.aggOf(Snap.read(spark, src), "c_nationkey", "c_acctbal")
+    assert(rows(Snap.read(spark, dst)) == rows(recompute))
+    val nkType = cust.schema("c_nationkey").dataType
+    // poll 1 (COW): update values in existing groups + BIRTH group 99
+    val d1 = cust.filter(col("c_custkey") < 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+      .unionByName(cust.filter(col("c_custkey") < 3)
+        .select((col("c_custkey") + 1000L).as("c_custkey"), col("c_name"),
+          lit(99L).cast(nkType).as("c_nationkey"),
+          lit(5.25).as("c_acctbal"), col("c_mktsegment")))
+      .withColumn("_deleted", lit(false))
+    Snap.merge(spark, src, d1)
+    SnapFollow.pollOnceAgg(spark, src, dst, "c_nationkey", "c_acctbal")
+    assert(rows(Snap.read(spark, dst)) == rows(recompute),
+      "maintained aggregate diverged after the COW poll")
+    assert(Snap.read(spark, dst)
+      .filter(col("c_nationkey") === 99L).count() == 1, "born group missing")
+    // poll 2 (MOR): MOVE key 20 to another group + KILL group 99
+    val moveTo = cust.filter(col("c_custkey") === 21)
+      .head().getAs[Number]("c_nationkey").longValue
+    val d2 = cust.filter(col("c_custkey") === 20)
+      .withColumn("c_nationkey", lit(moveTo).cast(nkType))
+      .withColumn("_deleted", lit(false))
+      .unionByName(cust.filter(col("c_custkey") < 3)
+        .select((col("c_custkey") + 1000L).as("c_custkey"), col("c_name"),
+          lit(99L).cast(nkType).as("c_nationkey"),
+          lit(5.25).as("c_acctbal"), col("c_mktsegment"))
+        .withColumn("_deleted", lit(true)))
+    Snap.mergeMor(spark, src, d2)
+    SnapFollow.pollOnceAgg(spark, src, dst, "c_nationkey", "c_acctbal")
+    assert(rows(Snap.read(spark, dst)) == rows(recompute),
+      "maintained aggregate diverged after the MOR poll (move + death)")
+    assert(Snap.read(spark, dst)
+      .filter(col("c_nationkey") === 99L).count() == 0,
+      "a zero-count group must be DELETED, like the recompute")
+    // replay no-op: same cursor, no new destination version
+    val vBefore = Snap.head(spark, dst).get.version
+    SnapFollow.pollOnceAgg(spark, src, dst, "c_nationkey", "c_acctbal")
+    assert(Snap.head(spark, dst).get.version == vBefore)
+    // a differently-shaped maintenance poll refuses (stamped shape)
+    intercept[IllegalArgumentException] {
+      SnapFollow.pollOnceAgg(spark, src, dst, "c_nationkey", "c_custkey")
+    }
+  }
+
+  test("followAgg live: the continuous maintained aggregate converges " +
+      "on commits landing while it runs") {
+    import graft.streaming.SnapFollow
+    val src = tmpLoc("agglive_src")
+    val dst = tmpLoc("agglive_dst")
+    val ckpt = Files.createTempDirectory("agglive_ck").toString
+    Snap.create(spark, src, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val q = SnapFollow.followAgg(spark, src.toString, dst.toString, ckpt,
+      "c_nationkey", "c_acctbal",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+    try {
+      (1 to 3).foreach { k =>
+        Snap.mergeStreaming(spark, src,
+          cust.filter(col("c_custkey") < 10 * k)
+            .withColumn("c_acctbal", col("c_acctbal") + lit(k.toDouble))
+            .withColumn("_deleted", lit(false)),
+          batchId = k.toLong)
+      }
+      val srcV = Snap.head(spark, src).get.version.toLong
+      val deadline = System.currentTimeMillis() + 120000L
+      while (Snap.head(spark, dst).forall(_.applied < srcV) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(Snap.head(spark, dst).exists(_.applied == srcV),
+        "followAgg never caught up")
+    } finally q.stop()
+    assert(rows(Snap.read(spark, dst)) ==
+      rows(SnapFollow.aggOf(Snap.read(spark, src),
+        "c_nationkey", "c_acctbal")))
+  }
+
+  // ---------------------------------------------- bucket evolution (r19)
+  test("rebucket: row-conserving topology rewrite with re-derived " +
+      "bounds; clamped keys re-spread; old versions keep serving; " +
+      "outstanding deltas fold; changelog-neutral") {
+    val loc = tmpLoc("reb")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 2,
+      layout = "range", tag = "t")
+    // append far past the create-time range [0,149]: clamps to bucket 1
+    val ins = cust.filter(col("c_custkey") < 20)
+      .select((col("c_custkey") + 10000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+    Snap.merge(spark, loc, ins)
+    // an outstanding MOR delta must fold into the rebucket rewrite
+    Snap.mergeMor(spark, loc, cust.filter(col("c_custkey") === 3)
+      .withColumn("c_acctbal", lit(1.5)).withColumn("_deleted", lit(false)))
+    val preRows = rows(Snap.read(spark, loc))
+    assert(Snap.rebucket(spark, loc, newBuckets = 8) == 4)
+    val v4 = Snap.head(spark, loc).get
+    assert(v4.op == "rebucket" && v4.buckets == 8 && v4.deltas.isEmpty)
+    assert(v4.rangeMax == 10019L, "bounds not re-derived from current data")
+    assert(rows(Snap.read(spark, loc)) == preRows, "rebucket changed content")
+    // the re-spread that matters: under the old clamped topology the
+    // appended keys shared the top bucket with the originals' tail;
+    // under the re-derived bounds they own a tight bucket of their own
+    assert(v4.files.exists(f =>
+        f.min.toLong >= 10000L && f.max.toLong <= 10019L),
+      s"appended keys did not get their own bucket: ${v4.files}")
+    assert(v4.files.map(_.bucket).distinct.size >= 2)
+    // changelog-neutral; pre-rebucket versions still serve
+    assert(Snap.changes(spark, loc, 3, 4).count() == 0)
+    assert(Snap.atVersion(spark, loc, 2).buckets == 2)
+    assert(rows(Snap.read(spark, loc, asOf = Some(2))) ==
+      rows(cust.unionByName(ins.drop("_deleted"))))
+    // a post-rebucket merge on the once-clamped keys rewrites a strict
+    // subset of the table (the operator's point)
+    val reprice = ins.withColumn("c_acctbal", col("c_acctbal") + lit(5.0))
+    assert(Snap.merge(spark, loc, reprice) == 5)
+    val v5 = Snap.head(spark, loc).get
+    val carried = v5.files.map(_.path).toSet
+    val rewrote = v4.files.filterNot(f => carried.contains(f.path))
+    assert(rewrote.map(_.rows).sum < v4.files.map(_.rows).sum,
+      "the re-price rewrote the whole table despite the rebucket")
+  }
+
+  test("mergeOcc vs rival rebucket: never rebase across a topology " +
+      "change — retry against the new head (stale bucket ids refused)") {
+    val loc = tmpLoc("occ_reb")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    var trace: Seq[String] = Seq.empty
+    withRival { Snap.rebucket(spark, loc, newBuckets = 8) } {
+      trace = traced { assert(Snap.mergeOcc(spark, loc, smallDelta) == 3) }
+    }
+    assert(trace.exists(_.contains("conflict_retry")),
+      s"a rival rebucket must force a retry: $trace")
+    val v3 = Snap.head(spark, loc).get
+    assert(v3.buckets == 8 && v3.parent == 2 && v3.resolvedBase == 2,
+      "the retry must have re-resolved against the rebucketed head")
+    assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
+    // every committed file's bucket id is consistent with the NEW
+    // topology: a future merge's rewrite set must cover its keys
+    val d2 = cust.filter(col("c_custkey") === 5)
+      .withColumn("c_acctbal", lit(9.0)).withColumn("_deleted", lit(false))
+    Snap.merge(spark, loc, d2)
+    val got = Snap.read(spark, loc).filter(col("c_custkey") === 5).collect()
+    assert(got.length == 1 && got(0).getAs[Double]("c_acctbal") == 9.0,
+      "stale bucket ids duplicated a key after the topology change")
+  }
+
   test("deep-range changelog: chunked plan reads the same rows as the " +
       "naive union with plan size bounded by the chunking, not the range") {
     val loc = tmpLoc("deep")
