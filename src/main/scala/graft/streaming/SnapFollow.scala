@@ -64,12 +64,15 @@ object SnapFollow {
     * destination's cursor (the same shape as a wiped checkpoint; r18
     * review finding). The tag is the create-time lineage stamp, so a
     * recreation changes the identity and refuses loudly. */
-  def srcIdentity(spark: SparkSession, src: HPath): String = {
-    val fs = Published.fsOf(src)
-    val tag = Snap.head(spark, src).map(_.tag).getOrElse(
-      sys.error(s"snap follow: source $src never committed"))
-    s"${fs.makeQualified(src)}#$tag"
-  }
+  def srcIdentity(spark: SparkSession, src: HPath): String =
+    identityOf(src, Snap.head(spark, src).map(_.tag).getOrElse(
+      sys.error(s"snap follow: source $src never committed")))
+
+  /** The ONE place the identity format lives (r19 review finding: the
+    * stamp and the per-poll verification must never drift apart —
+    * every stamping and checking site goes through here). */
+  private def identityOf(src: HPath, tag: String): String =
+    s"${Published.fsOf(src).makeQualified(src)}#$tag"
 
   /** Create the destination as a snapshot copy of the source's HEAD,
     * cursor pre-seeded (`applied` = the copied version) so the first
@@ -118,8 +121,7 @@ object SnapFollow {
     require(maxVersionsPerPoll >= 1, "maxVersionsPerPoll must be >= 1")
     val srcHead = Snap.head(spark, src).getOrElse(
       sys.error(s"snap follow: source $src never committed"))
-    Snap.assertFollowLineage(dst,
-      s"${Published.fsOf(src).makeQualified(src)}#${srcHead.tag}")
+    Snap.assertFollowLineage(dst, identityOf(src, srcHead.tag))
     val dstHead = Snap.head(spark, dst).getOrElse(
       sys.error(s"snap follow: destination $dst never committed — " +
         "ensureDst first"))
@@ -146,10 +148,10 @@ object SnapFollow {
     // newest version's image; its change type decides upsert vs delete
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_commit_version").desc)
-    val collapsed = ch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val collapsed = ch.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
       .withColumn("_deleted", col("_change_type") === "delete")
-      .drop("__rn", "_change_type", "_commit_version")
+      .drop("__graft_rn", "_change_type", "_commit_version")
     Snap.mergeStreaming(spark, dst, transform(collapsed),
       batchId = upTo.toLong, autoOptimize = autoOptimize,
       autoVacuum = autoVacuum)
@@ -175,9 +177,13 @@ object SnapFollow {
     * contribution never changes precision (the result is cast back). */
   private val SumType = "decimal(30,2)"
 
+  private def aggIdentityOf(groupCol: String, valueCol: String,
+                            base: String): String =
+    s"agg($groupCol,$valueCol):$base"
+
   private def aggIdentity(spark: SparkSession, src: HPath,
                           groupCol: String, valueCol: String): String =
-    s"agg($groupCol,$valueCol):${srcIdentity(spark, src)}"
+    aggIdentityOf(groupCol, valueCol, srcIdentity(spark, src))
 
   private[graft] def aggOf(df: DataFrame, groupCol: String,
                            valueCol: String): DataFrame =
@@ -220,8 +226,7 @@ object SnapFollow {
     // (group, value)-maintained table at a differently-shaped poll
     // would silently corrupt it exactly like a foreign source
     Snap.assertFollowLineage(dst,
-      s"agg($groupCol,$valueCol):" +
-        s"${Published.fsOf(src).makeQualified(src)}#${srcHead.tag}")
+      aggIdentityOf(groupCol, valueCol, identityOf(src, srcHead.tag)))
     val dstHead = Snap.head(spark, dst).getOrElse(
       sys.error(s"snap follow: destination $dst never committed — " +
         "ensureAggDst first"))
@@ -236,12 +241,12 @@ object SnapFollow {
       cursor + maxVersionsPerPoll).toInt
     val ch = Snap.changes(spark, src, cursor.toInt, upTo,
       updatePreimages = true)
-    val signed = ch.withColumn("__sign",
+    val signed = ch.withColumn("__graft_sign",
       when(col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L))
     val contrib = signed.groupBy(col(groupCol))
-      .agg(sum(col("__sign")).as("dcnt"),
-        sum(when(col("__sign") > 0, col(valueCol).cast(SumType))
+      .agg(sum(col("__graft_sign")).as("dcnt"),
+        sum(when(col("__graft_sign") > 0, col(valueCol).cast(SumType))
           .otherwise(-col(valueCol).cast(SumType))).as("dval"))
     // current values for ONLY the affected groups (contrib is tiny —
     // AQE broadcasts it; the destination never fully rewrites)

@@ -1669,6 +1669,30 @@ class SnapSpec extends SparkSpec {
     // localCheckpointed leaves + the final union
     assert(nChunked < 60 && nNaive > nChunked * 3,
       s"plan not bounded: naive=$nNaive chunked=$nChunked")
+    // the threshold counts VERSIONS, not emitted frames (r19 review
+    // finding): a shallow range under the default stays LAZY — its
+    // plan keeps file lineage (inputFiles) instead of checkpointing
+    assert(Snap.changes(spark, loc, 1, 11).inputFiles.nonEmpty,
+      "a 10-version range was eagerly checkpointed under the default")
+  }
+
+  test("reserved column namespace: the _graft_/__graft_ prefixes refuse " +
+      "at create/addColumns/rename — the _b shadowing hazard generalized " +
+      "to every working column the read paths synthesize") {
+    import spark.implicits._
+    val loc = tmpLoc("rsv")
+    intercept[IllegalArgumentException] {
+      Snap.create(spark, loc, Seq((1L, 2L)).toDF("k", "__graft_rn"),
+        Seq("k"), "k", 2, layout = "range", tag = "t")
+    }
+    Snap.create(spark, loc, Seq((1L, 2L)).toDF("k", "v"),
+      Seq("k"), "k", 2, layout = "range", tag = "t")
+    intercept[IllegalArgumentException] {
+      Snap.addColumns(spark, loc, "_graft_extra INT")
+    }
+    intercept[IllegalArgumentException] {
+      Snap.renameColumn(spark, loc, "v", "__graft_o_v")
+    }
   }
 
   test("vacuum's stage sweep spares a LIVE leaseless stager: fresh " +
