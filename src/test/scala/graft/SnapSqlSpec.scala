@@ -35,6 +35,12 @@ class SnapSqlSpec extends SparkSpec {
     assert(rows(got) == rows(expect))
     assert(idx.lastPlanned > 0 && idx.lastPlanned < idx.total,
       s"no plan-time pruning: ${idx.lastPlanned} of ${idx.total}")
+    // BOTH pruning layers engage: the index skipped files above, and
+    // the residual predicate still pushes into the parquet row groups
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(o_orderkey,300)"),
+      s"residual predicate not pushed to parquet:\n$plan")
     // the pruned subset equals the API's own pruning decision
     val (_, apiPlanned, apiTotal) = Snap.prunedScan(spark, loc, 300L, 600L)
     assert(idx.lastPlanned == apiPlanned && idx.total == apiTotal)
