@@ -43,10 +43,22 @@ object SnapCdc {
     * vacuum schedule (the r16 "compactor nothing calls" lesson, now on
     * versions). k is the deployment's time-travel / changelog-replay
     * budget: a downstream follower may lag at most k versions. */
+  /** `mor = true` (r19) applies each micro-batch through
+    * [[Snap.mergeMorStreaming]] instead of the copy-on-write merge —
+    * the TRICKLE-CDC form this sink's own load shape wants: a
+    * continuous stream of small batches commits O(batch) BYTES per
+    * trigger (one small delta file per touched bucket, base files
+    * untouched) instead of rewriting every intersecting bucket file
+    * per trigger. Pair it with `autoOptimize` so the accumulating
+    * delta files fold back into the base on the sink's own cadence;
+    * every other clause (exactly-once high-water, lineage stamp,
+    * autoVacuum) is shared — the MOR and COW paths use the same
+    * manifest commit point. */
   def cdcSink(deltas: DataFrame, loc: String, checkpointDir: String,
               deletedCol: String = "_deleted", autoOptimize: Int = 0,
               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-              autoVacuum: Int = 0, vacuumEvery: Int = 1)
+              autoVacuum: Int = 0, vacuumEvery: Int = 1,
+              mor: Boolean = false)
       : StreamingQuery = {
     require(vacuumEvery >= 1, "vacuumEvery must be >= 1")
     val table = new HPath(loc)
@@ -61,13 +73,17 @@ object SnapCdc {
           Snap.assertStreamLineage(table, checkpointDir)
           lineageChecked.set(true)
         }
-        Snap.mergeStreaming(batch.sparkSession, table, batch, batchId,
-          deletedCol, autoOptimize,
-          // cadence amortizes the vacuum's data/ listing; replay-safe
-          // (vacuum after a no-op'd replayed batch just re-audits)
-          autoVacuum =
-            if (autoVacuum > 0 && batchId % vacuumEvery == 0) autoVacuum
-            else 0)
+        // cadence amortizes the vacuum's data/ listing; replay-safe
+        // (vacuum after a no-op'd replayed batch just re-audits)
+        val vac =
+          if (autoVacuum > 0 && batchId % vacuumEvery == 0) autoVacuum
+          else 0
+        if (mor)
+          Snap.mergeMorStreaming(batch.sparkSession, table, batch, batchId,
+            deletedCol, autoOptimize, autoVacuum = vac)
+        else
+          Snap.mergeStreaming(batch.sparkSession, table, batch, batchId,
+            deletedCol, autoOptimize, autoVacuum = vac)
         ()
       }
       .option("checkpointLocation", checkpointDir)

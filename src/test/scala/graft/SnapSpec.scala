@@ -575,6 +575,61 @@ class SnapSpec extends SparkSpec {
     assert(rows(Snap.read(spark, loc)) == rows(expected))
   }
 
+  test("cdcSink(mor): the trickle-CDC form — every micro-batch commits " +
+      "ONLY its delta file (base untouched across the whole stream), " +
+      "exactly-once on replay, content identical to the COW sink's") {
+    val loc = tmpLoc("morsink")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val v1 = Snap.head(spark, loc).get
+    val root = Files.createTempDirectory("snapmor_spec")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    def d(k: Int) = cust
+      .filter(col("c_custkey") >= k * 10 && col("c_custkey") < k * 10 + 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit((k + 1).toDouble))
+      .withColumn("_deleted", lit(false))
+    (0 until 3).foreach { k =>
+      val tmp = root.resolve(s"tmp$k")
+      d(k).coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(part, src.resolve(f"d$k%02d.parquet"))
+    }
+    val ckpt = root.resolve("ckpt").toString
+    def run(): Unit = {
+      val in = spark.readStream.schema(d(0).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = graft.streaming.SnapCdc.cdcSink(in, loc.toString, ckpt,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        mor = true)
+      try assert(q.awaitTermination(120000L), "mor cdc stream timed out")
+      finally q.stop()
+    }
+    run()
+    val expected = (0 until 3).foldLeft(cust) { (cur, k) =>
+      cur.withColumn("c_acctbal",
+        when(col("c_custkey") >= k * 10 && col("c_custkey") < k * 10 + 10,
+          col("c_acctbal") + (k + 1).toDouble).otherwise(col("c_acctbal")))
+    }
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
+    val h = Snap.head(spark, loc).get
+    assert(h.version == 4 && h.applied == 2L)
+    // the write-amplification pin, stream form: THREE commits, ZERO
+    // base rewrites — the create's files are byte-identical and each
+    // batch landed exactly one delta file
+    assert(h.files.map(_.path) == v1.files.map(_.path),
+      "a MOR micro-batch rewrote a base file")
+    assert(h.deltas.size == 3 && h.deltas.forall(_.rows == 10L))
+    // replay: same checkpoint, no new files — nothing re-applies
+    run()
+    assert(Snap.head(spark, loc).get.version == 4)
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
+    // the fold retires the stream's deltas without changing content
+    Snap.optimize(spark, loc, minFilesPerBucket = 2)
+    assert(Snap.head(spark, loc).get.deltas.isEmpty)
+    assert(rows(Snap.read(spark, loc)) == rows(expected))
+  }
+
   test("autoVacuum: retention rides the write path — versions stay " +
       "bounded across a long merge sequence, the head and recent time " +
       "travel keep serving, swept files are gone, replay guard intact") {

@@ -54,7 +54,13 @@ RUN="tools/graft_java.sh"
 # (data/ LIST + manifest walk under faults).
 # q140 runs the OPTIMISTIC commit path (resolve -> leaseless stage ->
 # conflict-checked commit) under the same fault schedule.
-QS="q120,q121,q122,q123,q124,q127,q130,q131,q132,q133,q136,q137,q138,q139,q140"
+# r19: + the merge-on-read lifecycle (q141 — delta-file commits, the
+# read-time apply, and the optimize fold under faults), the SQL entry
+# (q142 — the snapshot FileIndex's data/ listing + planned reads under
+# GET/LIST faults), the rebucket lifecycle (q143 — the full topology
+# rewrite through the staged-commit chain), and the preimage changelog
+# (q144 — per-step delta + pre-image reads).
+QS="q120,q121,q122,q123,q124,q127,q130,q131,q132,q133,q136,q137,q138,q139,q140,q141,q142,q143,q144"
 WH=$(mktemp -d /tmp/graft-fault-wh.XXXX); rm -rf "$WH"
 case "$MODE" in
   s3)   WH_URI="s3a://graftbucket$WH"; SIM_ENV="SPARK_GRAFT_S3_SIM" ;;
