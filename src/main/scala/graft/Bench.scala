@@ -264,6 +264,11 @@ object Bench {
       // update images). Trail: 0.43 / 0.15 / 0.56 (r19 first sample)
       "q142_snap_sql" -> 0.50, "q143_snap_rebucket" -> 0.20,
       "q144_snap_cdf_pre" -> 0.60,
+      // q145 first measurement (r19): the CHUNKED changelog audit read
+      // — chunkSteps=1 forces a localCheckpoint materialization per
+      // changed version (3 here), the deliberate price of the bounded
+      // deep-range plan. Trail: 0.92 (r19 first sample)
+      "q145_snap_changelog_chunked" -> 0.95,
       // s07 first measurement (r18): the snap FOLLOWER — create source
       // + snapshot-copy destination, then 4 source merges converging
       // through the rate-ticked changelog follower (each tick an

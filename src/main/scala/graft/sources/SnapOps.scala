@@ -1114,6 +1114,33 @@ object SnapOps {
        |  count(DISTINCT c_nationkey) AS n_nation
        |FROM ch GROUP BY _commit_version, _change_type""".stripMargin
 
+  // --------------------------------------------------------------- q145
+  /** The deep-range audit read through the CHUNKED changelog path:
+    * q133's append lifecycle read as changes(1→5) with `chunkSteps=1`,
+    * forcing every per-version frame group through the localCheckpoint
+    * chunk union (the r18-advice plan bound — O(chunk) analysis at any
+    * range depth). Same classification contract as q136 — the fold
+    * commit contributes nothing — so the oracle replays the three
+    * insert batches; passing here proves the CHUNKED plan serves the
+    * identical rows cross-engine, not just equal-to-naive in-spec. */
+  def q145SnapChangelogChunked(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureOpt(spark, dir)
+    Snap.changes(spark, loc, 1, 5, chunkSteps = 1)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"))
+  }
+
+  val q145Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |ins AS (
+      |  SELECT k, c_acctbal
+      |  FROM customer CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+      |  WHERE c_custkey < (SELECT greatest(1, m // 50) FROM ks))
+      |SELECT k + 1 AS _commit_version, 'insert' AS _change_type,
+      |  count(*) AS n_rows, round(sum(c_acctbal) + 1e-9, 2) AS tot_bal
+      |FROM ins GROUP BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -1130,6 +1157,7 @@ object SnapOps {
     "q142_snap_sql" -> q142SnapSql _,
     "q143_snap_rebucket" -> q143SnapRebucket _,
     "q144_snap_cdf_pre" -> q144SnapCdfPre _,
+    "q145_snap_changelog_chunked" -> q145SnapChangelogChunked _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1148,5 +1176,6 @@ object SnapOps {
     "q142_snap_sql" -> q142Sql,
     "q143_snap_rebucket" -> q143Sql,
     "q144_snap_cdf_pre" -> q144Sql,
+    "q145_snap_changelog_chunked" -> q145Sql,
   )
 }

@@ -1430,6 +1430,21 @@ class SnapSpec extends SparkSpec {
       "folding bucket 3 lost its delta's row")
   }
 
+  test("MOR read plan: the delta key mask broadcasts (LeftAnti " +
+      "BroadcastHashJoin) — the base side never shuffles for the apply") {
+    val loc = tmpLoc("mor_plan")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    Snap.mergeMor(spark, loc, cust.filter(col("c_custkey") < 5)
+      .withColumn("c_acctbal", lit(1.0)).withColumn("_deleted", lit(false)))
+    val df = Snap.read(spark, loc)
+    df.collect() // AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the MOR key mask did not broadcast — the base side would " +
+        s"shuffle at 100 TB:\n${plan.take(2000)}")
+  }
+
   test("changelog across mor commits: inserts/updates carry post-images, " +
       "deletes carry TRUE pre-images (resolved through earlier deltas), " +
       "carried base files never read") {
