@@ -35,15 +35,17 @@ object SnapCdc {
   /** Start the apply loop: every micro-batch of `deltas` (table
     * columns + the boolean `deletedCol`) merges into the snap table at
     * `loc`. The base snapshot must exist ([[Snap.create]]) — a CDC
-    * stream updates a table, it does not define one. */
-  /** `autoVacuum=k` bounds the RETENTION the same way `autoOptimize`
+    * stream updates a table, it does not define one.
+    *
+    * `autoVacuum=k` bounds the RETENTION the same way `autoOptimize`
     * bounds the file count: every `vacuumEvery`-th batch keeps the
     * newest k versions inside the sink's own lease hold — a
     * year-running CDC apply stays O(k) manifests without an external
     * vacuum schedule (the r16 "compactor nothing calls" lesson, now on
     * versions). k is the deployment's time-travel / changelog-replay
-    * budget: a downstream follower may lag at most k versions. */
-  /** `mor = true` (r19) applies each micro-batch through
+    * budget: a downstream follower may lag at most k versions.
+    *
+    * `mor = true` (r19) applies each micro-batch through
     * [[Snap.mergeMorStreaming]] instead of the copy-on-write merge —
     * the TRICKLE-CDC form this sink's own load shape wants: a
     * continuous stream of small batches commits O(batch) BYTES per
