@@ -162,7 +162,7 @@ object SnapCrashProbe {
         // the head, making the race vacuous — both must resolve the
         // SAME base for the rebase/conflict paths to be exercised
         val rivalRound = Map("dA" -> "dB", "dB" -> "dA",
-          "oA" -> "oB", "oB" -> "oA")(round)
+          "oA" -> "oB", "oB" -> "oA", "mA" -> "mB", "mB" -> "mA")(round)
         val rdvFs = Published.fsOf(loc)
         scala.util.Using.resource(
           rdvFs.create(new HPath(loc.getParent, s"occ-ready-$round"), true))(
@@ -179,9 +179,21 @@ object SnapCrashProbe {
           case "dB" => upd(6 * M / 8, 6 * M / 8 + M / 16, -3.0) // bucket 6
           case "oA" => upd(M / 4, M / 4 + M / 16, 5.0)          // bucket 2
           case "oB" => upd(M / 4 + M / 32, M / 4 + M / 16 + M / 32, 11.0)
+          // leg 6 (r19): an OCC writer (mA, bucket 2) races a MERGE-ON-
+          // READ writer (mB, bucket 6 — lease-held, commits ONE delta
+          // file). Range-disjoint, so whichever order the commits land,
+          // mA must never conflict-retry: it either resolves mB's head
+          // or REBASES over it carrying the delta file.
+          case "mA" => upd(M / 4, M / 4 + M / 16, 5.0)          // bucket 2
+          case "mB" => upd(6 * M / 8, 6 * M / 8 + M / 16, -3.0) // bucket 6
           case r => sys.error(s"unknown occ round $r")
         }
-        val v = Snap.mergeOcc(spark, loc, d)
+        val v =
+          if (round == "mB") {
+            // bias the MOR commit into the OCC rival's staging window
+            Thread.sleep(500)
+            Snap.mergeMor(spark, loc, d)
+          } else Snap.mergeOcc(spark, loc, d)
         println(s"SNAPPROBE gocc OK round=$round v=$v")
 
       case "gocccheck" =>
@@ -393,6 +405,34 @@ object SnapCrashProbe {
         assertSame(Snap.read(spark, dst), Snap.read(spark, loc),
           "followed destination")
         println(s"SNAPPROBE icheck OK v=${h.version} applied=${h.applied}")
+
+      case "gmorcheck" =>
+        // post-race validation for leg 6: one commit per racer on top
+        // of gbase's v2 (head v4), BOTH effects present row-set-exact,
+        // and the MOR writer's delta file OUTSTANDING in the final
+        // manifest (the OCC writer never touches bucket 6, so however
+        // the commits ordered — plain resolve or rebase — the delta
+        // must have carried, never been folded or lost).
+        def shifted6(cur: DataFrame, loN: Long, hiN: Long, s: Double) =
+          cur.withColumn("c_acctbal",
+            when(col("c_custkey") >= loN && col("c_custkey") < hiN,
+              col("c_acctbal") + s).otherwise(col("c_acctbal")))
+        val h = Snap.head(spark, loc).get
+        require(h.version == 4,
+          s"gmorcheck: head=${h.version}, want 4 (one commit per racer)")
+        require(h.deltas.size == 1 && h.deltas.head.bucket == 6,
+          s"gmorcheck: the MOR delta file must survive the race " +
+            s"outstanding in bucket 6, got ${h.deltas}")
+        val last = Snap.atVersion(spark, loc, 4)
+        println(s"SNAPPROBE gmorcheck order: v4 op=${last.op} " +
+          s"base=${last.resolvedBase} parent=${last.parent}" +
+          (if (last.op == "merge" && last.resolvedBase < last.parent)
+            " (the OCC writer REBASED over the MOR commit)" else ""))
+        var exp = expected(1)
+        exp = shifted6(exp, M / 4, M / 4 + M / 16, 5.0)
+        exp = shifted6(exp, 6 * M / 8, 6 * M / 8 + M / 16, -3.0)
+        assertSame(Snap.read(spark, loc), exp, "post occ-vs-mor race state")
+        println(s"SNAPPROBE gmorcheck OK v=${h.version} deltas=${h.deltas.size}")
 
       // ---- leg J: merge-on-read crash windows — the DELTA FOLD (an
       // optimize over a delta-carrying table dies after its rewritten

@@ -257,4 +257,36 @@ grep -a "SNAPPROBE gocccheck OK stage=overlap" /tmp/snapocc_chk2.log || \
 ls "$OCC_ROOT" | grep -q "_GRAFT_LEASE" && \
   { echo "FAIL: lease debris leaked past the occ race"; exit 1; }
 echo "leg 5 OK: disjoint occ writers overlapped and rebased; overlapping pair retried; both row-set-exact"
+
+echo "== leg 6: OPTIMISTIC writer vs MERGE-ON-READ writer across JVMs (r19)"
+# The mixed-shape concurrency story executed for real: one JVM runs an
+# OCC copy-on-write merge (bucket 2), the other a lease-held mergeMor
+# (bucket 6 — ONE delta file, zero base rewrites). Range-disjoint, so
+# the OCC writer must never conflict-retry regardless of commit order
+# (plain resolve, or rebase carrying the rival's delta file), the MOR
+# delta must survive the race OUTSTANDING, and the final content must
+# hold both effects row-set-exact.
+MOR_ROOT=$(mktemp -d /tmp/graft-snapoccmor.XXXX)
+MOR_LOC="$(wh_uri "$MOR_ROOT")/tbl"
+$RUN graft.SnapCrashProbe gbase $SF "$MOR_LOC" >/tmp/snapoccmor_base.log 2>&1
+grep -a "SNAPPROBE gbase OK" /tmp/snapoccmor_base.log || \
+  { echo "FAIL: leg 6 seeding failed"; tail -5 /tmp/snapoccmor_base.log; exit 1; }
+$RUN graft.SnapCrashProbe gocc $SF "$MOR_LOC" mA >/tmp/snapoccmor_mA.log 2>&1 &
+MA=$!
+$RUN graft.SnapCrashProbe gocc $SF "$MOR_LOC" mB >/tmp/snapoccmor_mB.log 2>&1 &
+MB=$!
+wait $MA || { echo "FAIL: occ racer mA died"; tail -5 /tmp/snapoccmor_mA.log; exit 1; }
+wait $MB || { echo "FAIL: mor racer mB died"; tail -5 /tmp/snapoccmor_mB.log; exit 1; }
+grep -a "SNAPPROBE gocc OK round=mA" /tmp/snapoccmor_mA.log || { echo "FAIL: mA no OK"; exit 1; }
+grep -a "SNAPPROBE gocc OK round=mB" /tmp/snapoccmor_mB.log || { echo "FAIL: mB no OK"; exit 1; }
+if grep -aq "conflict_retry" /tmp/snapoccmor_mA.log; then
+  echo "FAIL: a range-disjoint MOR rival must never force an OCC conflict-retry"; exit 1
+fi
+$RUN graft.SnapCrashProbe gmorcheck $SF "$MOR_LOC" >/tmp/snapoccmor_chk.log 2>&1
+grep -a "SNAPPROBE gmorcheck OK" /tmp/snapoccmor_chk.log || \
+  { echo "FAIL: occ-vs-mor race state diverged"; grep -a SNAPPROBE /tmp/snapoccmor_chk.log; exit 1; }
+grep -a "SNAPPROBE gmorcheck order" /tmp/snapoccmor_chk.log
+ls "$MOR_ROOT" | grep -q "_GRAFT_LEASE" && \
+  { echo "FAIL: lease debris leaked past the occ-vs-mor race"; exit 1; }
+echo "leg 6 OK: OCC and MOR writers raced across JVMs — no spurious retry, delta file survived outstanding, row-set-exact"
 echo "ALL OK"
