@@ -512,6 +512,31 @@ object Snap {
     (df, chosen.size + dChosen.size, m.files.size + m.deltas.size)
   }
 
+  /** Table history — the operator-facing audit of the commit chain
+    * (the DESCRIBE HISTORY shape the public formats expose): one row
+    * per committed version within the retention horizon, from manifest
+    * METADATA alone (never opens a data file at any table size).
+    * `n_rows` sums the manifest's per-file counts — the MOR delta
+    * files' rows are reported separately (`n_delta_rows` counts rows
+    * STORED in outstanding delta files, which mask/replace base rows
+    * at read time rather than adding to them). `rebased` flags commits
+    * whose optimistic writer resolved an older base (base < parent). */
+  def history(spark: SparkSession, loc: HPath): DataFrame = {
+    val fs = Published.fsOf(loc)
+    val rows = listManifests(fs, loc).flatMap { case (_, p) =>
+      readDefinitive(fs, p).getOrElse(None) }.map { m =>
+      (m.version, m.op, m.parent, m.resolvedBase,
+        m.resolvedBase < m.parent,
+        m.files.size.toLong, m.files.map(_.rows).sum,
+        m.deltas.size.toLong, m.deltas.map(_.rows).sum,
+        m.buckets, m.applied)
+    }
+    require(rows.nonEmpty, s"snap $loc: no committed version")
+    import spark.implicits._
+    rows.sortBy(_._1).toDF("version", "op", "parent", "base", "rebased",
+      "n_files", "n_rows", "n_deltas", "n_delta_rows", "buckets", "applied")
+  }
+
   /** Retention audit — SEE the vacuum horizon before it bites: what a
     * `vacuum(keepVersions)` would keep and reclaim, computed from
     * manifest metadata plus one `data/` listing, deleting NOTHING and

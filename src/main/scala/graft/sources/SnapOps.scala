@@ -1141,6 +1141,56 @@ object SnapOps {
       |  count(*) AS n_rows, round(sum(c_acctbal) + 1e-9, 2) AS tot_bal
       |FROM ins GROUP BY k""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  /** The commit-chain audit (DESCRIBE HISTORY) over the q141 MOR
+    * lifecycle — the table whose history exercises every column:
+    * create, two `mor` commits (base files FLAT at 8 while delta
+    * files/rows accumulate — the write-amplification story readable
+    * straight off the history), and the fold (deltas retired, base
+    * back to one file per bucket). Row counts replay relationally in
+    * the oracle; the mor commits' base-row counts stay the CREATE's
+    * (deltas mask at read time, they do not add), and v4's folded
+    * count equals the resolved v3 state's. */
+  def q146SnapHistory(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureMor(spark, dir)
+    Snap.history(spark, loc)
+      .select(col("version"), col("op"), col("parent"),
+        when(col("rebased"), 1).otherwise(0).as("rebased"),
+        col("n_files"), col("n_rows"), col("n_deltas"),
+        col("n_delta_rows"), col("buckets"))
+  }
+
+  val q146Sql: String =
+    s"""WITH $d1Sql,
+       |d2_upd AS (
+       |  SELECT c_custkey FROM customer
+       |  WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |    AND c_custkey < (SELECT m // 4 FROM ks)),
+       |d2_del AS (
+       |  SELECT c_custkey + (SELECT m FROM ks) AS c_custkey FROM customer
+       |  WHERE c_custkey % 200 = 1),
+       |v3 AS (
+       |  SELECT c_custkey FROM v2
+       |  WHERE c_custkey NOT IN (SELECT c_custkey FROM d2_del))
+       |SELECT 1 AS version, 'create' AS op, 0 AS parent, 0 AS rebased,
+       |  8 AS n_files, (SELECT count(*) FROM customer) AS n_rows,
+       |  0 AS n_deltas, 0 AS n_delta_rows, 8 AS buckets
+       |UNION ALL
+       |SELECT 2, 'mor', 1, 0, 8, (SELECT count(*) FROM customer), 3,
+       |  (SELECT count(*) FROM d1_upd) + (SELECT count(*) FROM d1_ins) +
+       |  (SELECT count(*) FROM customer
+       |     WHERE c_custkey >= (SELECT m // 2 FROM ks)
+       |       AND c_custkey < (SELECT m // 2 + m // 20 FROM ks)), 8
+       |UNION ALL
+       |SELECT 3, 'mor', 2, 0, 8, (SELECT count(*) FROM customer), 5,
+       |  (SELECT count(*) FROM d1_upd) + (SELECT count(*) FROM d1_ins) +
+       |  (SELECT count(*) FROM customer
+       |     WHERE c_custkey >= (SELECT m // 2 FROM ks)
+       |       AND c_custkey < (SELECT m // 2 + m // 20 FROM ks)) +
+       |  (SELECT count(*) FROM d2_upd) + (SELECT count(*) FROM d2_del), 8
+       |UNION ALL
+       |SELECT 4, 'optimize', 3, 0, 8, (SELECT count(*) FROM v3), 0, 0, 8""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -1158,6 +1208,7 @@ object SnapOps {
     "q143_snap_rebucket" -> q143SnapRebucket _,
     "q144_snap_cdf_pre" -> q144SnapCdfPre _,
     "q145_snap_changelog_chunked" -> q145SnapChangelogChunked _,
+    "q146_snap_history" -> q146SnapHistory _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1177,5 +1228,6 @@ object SnapOps {
     "q143_snap_rebucket" -> q143Sql,
     "q144_snap_cdf_pre" -> q144Sql,
     "q145_snap_changelog_chunked" -> q145Sql,
+    "q146_snap_history" -> q146Sql,
   )
 }
