@@ -166,9 +166,25 @@ object Snap {
   private[graft] def manifestPath(loc: HPath, v: Int): HPath =
     new HPath(loc, f"manifest-v$v%08d")
 
+  /** Highest manifest format version this reader understands. Version 2
+    * adds merge-on-read delta files (`dfile` lines). The version is a
+    * FEATURE GATE, not a vanity stamp: a manifest is written at the
+    * LOWEST version that can express it (delta-free commits stay v1,
+    * byte-identical to pre-r19 output), and a reader that meets a
+    * version above its ceiling REFUSES LOUDLY instead of parsing the
+    * lines it knows and silently mis-serving the table — a pre-MOR
+    * reader fed a v2 manifest would otherwise serve base files only,
+    * resurrecting deleted rows and dropping upserts (r19 advice; the
+    * public formats gate the same way — Delta bumps minReaderVersion
+    * for deletion vectors, Iceberg bumps format-version for v2 deletes). */
+  private[graft] val FormatVersion = 2
+
+  private def requiredFormatVersion(m: SnapManifest): Int =
+    if (m.deltas.nonEmpty) 2 else 1
+
   private[graft] def render(m: SnapManifest): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append("graft-snap 1\n")
+    sb.append(s"graft-snap ${requiredFormatVersion(m)}\n")
     sb.append(s"version=${m.version}\n")
     sb.append(s"parent=${m.parent}\n")
     sb.append(s"writer=${enc(m.writer)}\n")
@@ -214,9 +230,25 @@ object Snap {
     val expect = java.lang.Long.toHexString(
       graft.expressions.GraftHash.h60(body.getBytes("UTF-8")))
     if (sum != expect) return None
+    // The checksum PASSED: this is a landed commit, not a torn write.
+    // From here, "I don't understand it" must be LOUD — returning None
+    // would make every caller fall back to the parent version and
+    // silently serve a stale table forever.
+    val header = body.takeWhile(_ != '\n')
+    if (header.startsWith("graft-snap ")) {
+      val v = scala.util.Try(
+        header.stripPrefix("graft-snap ").trim.toInt).getOrElse(-1)
+      if (v > FormatVersion)
+        throw new IllegalStateException(
+          s"snap manifest declares format version $v but this reader " +
+            s"supports up to $FormatVersion — the commit is VALID " +
+            "(checksum ok) and uses features this build cannot apply; " +
+            "upgrade the reader rather than serve a wrong row set")
+    }
     try {
       val lines = body.split("\n", -1).toSeq
-      if (lines.head != "graft-snap 1") return None
+      if (lines.head != "graft-snap 1" && lines.head != "graft-snap 2")
+        return None
       val kv = lines.tail.filter(_.contains("="))
         .map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
       val m = kv.filterNot(e => e._1 == "file" || e._1 == "dfile").toMap
@@ -650,12 +682,32 @@ object Snap {
     private val t = new Thread(() => {
       while (!stopped) {
         try {
-          // the staging job's Overwrite mode (and its retries) may wipe
-          // the dir between ticks — recreate rather than assume
-          fs.mkdirs(stage)
-          scala.util.Using.resource(fs.create(marker, true))(
-            _.write(java.lang.Long.toString(System.currentTimeMillis())
-              .getBytes("UTF-8")))
+          // re-check IMMEDIATELY before the write pair: stop() joins
+          // with a bounded wait and Thread.interrupt cannot cancel
+          // blocking filesystem I/O, so a tick that was stuck in a
+          // hung store call when stop() gave up could otherwise wake
+          // and recreate the dir the caller just deleted (r19 advice)
+          if (stopped) ()
+          else {
+            // the staging job's Overwrite mode (and its retries) may
+            // wipe the dir between ticks — recreate rather than assume
+            fs.mkdirs(stage)
+            scala.util.Using.resource(fs.create(marker, true))(
+              _.write(java.lang.Long.toString(System.currentTimeMillis())
+                .getBytes("UTF-8")))
+            // the narrower race (stop() landed between the check and
+            // the create): self-clean what this tick just wrote. The
+            // non-recursive dir delete succeeds exactly in the
+            // post-discard case — an empty recreated dir — and fails
+            // harmlessly while staged parts still exist (promote /
+            // discard owns that deletion).
+            if (stopped) {
+              try {
+                fs.delete(marker, false)
+                fs.delete(stage, false)
+              } catch { case _: java.io.IOException => () }
+            }
+          }
         } catch { case _: java.io.IOException => () }
         try Thread.sleep(math.max(250L, Published.leaseStaleMs / 4))
         catch { case _: InterruptedException => stopped = true }
@@ -665,7 +717,12 @@ object Snap {
     def start(): this.type = { t.start(); this }
     /** Stop and JOIN — callers delete the dir right after, and an
       * in-flight tick recreating it post-delete would leave debris
-      * that only ages out. */
+      * that only ages out. The join is bounded (a tick blocked in a
+      * hung store call cannot be interrupted), so the loop ALSO
+      * re-checks `stopped` around its write pair and self-cleans a
+      * post-stop recreate — the timed-out case converges instead of
+      * shielding debris behind a fresh `_live` marker for up to
+      * leaseStaleMs. */
     def stop(): Unit = {
       stopped = true
       t.interrupt()

@@ -177,20 +177,32 @@ object SnapFollow {
     * contribution never changes precision (the result is cast back). */
   private val SumType = "decimal(30,2)"
 
+  // "agg2": the maintained shape gained the `nval` column in r20 (see
+  // [[aggOf]]) — versioning the lineage tag makes an old-shaped
+  // destination REFUSE a new-shaped poll loudly instead of failing
+  // mid-merge on a missing column.
   private def aggIdentityOf(groupCol: String, valueCol: String,
                             base: String): String =
-    s"agg($groupCol,$valueCol):$base"
+    s"agg2($groupCol,$valueCol):$base"
 
   private def aggIdentity(spark: SparkSession, src: HPath,
                           groupCol: String, valueCol: String): String =
     aggIdentityOf(groupCol, valueCol, srcIdentity(spark, src))
 
+  /** The maintained table's exact shape: row count, NON-NULL value
+    * count, and the sum over non-null values — `val_sum` is NULL when
+    * `nval` is 0, exactly what SQL `sum` over an all-null group
+    * returns. `nval` is what lets the incremental path reproduce that
+    * NULL: without it, a group born with only null-valued rows (or
+    * whose last non-null row was deleted) would read 0 via coalesce
+    * where the recompute reads NULL (r19 advice). */
   private[graft] def aggOf(df: DataFrame, groupCol: String,
                            valueCol: String): DataFrame =
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("cnt"),
+        count(col(valueCol)).as("nval"),
         sum(col(valueCol).cast(SumType)).as("val_sum"))
-      .select(col(groupCol), col("cnt"),
+      .select(col(groupCol), col("cnt"), col("nval"),
         col("val_sum").cast(SumType).as("val_sum"))
 
   /** Create the aggregate destination from the source's HEAD (one full
@@ -244,8 +256,11 @@ object SnapFollow {
     val signed = ch.withColumn("__graft_sign",
       when(col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L))
+    // null-valued rows contribute to dcnt but not dnval/dval (`sum`
+    // skips null inputs, so the when-chain needs no null arm)
     val contrib = signed.groupBy(col(groupCol))
       .agg(sum(col("__graft_sign")).as("dcnt"),
+        sum(when(col(valueCol).isNotNull, col("__graft_sign"))).as("dnval"),
         sum(when(col("__graft_sign") > 0, col(valueCol).cast(SumType))
           .otherwise(-col(valueCol).cast(SumType))).as("dval"))
     // current values for ONLY the affected groups (contrib is tiny —
@@ -256,9 +271,16 @@ object SnapFollow {
       .select(col(groupCol),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
           .as("cnt"),
+        (coalesce(col("nval"), lit(0L)) + coalesce(col("dnval"), lit(0L)))
+          .as("nval"),
         (coalesce(col("val_sum"), lit(0).cast(SumType)) +
           coalesce(col("dval"), lit(0).cast(SumType)))
           .cast(SumType).as("val_sum"))
+      // a group whose live rows are all null-valued reads NULL, not the
+      // running 0 — bit-for-bit the recompute's `sum` (r19 advice)
+      .withColumn("val_sum",
+        when(col("nval") === 0L, lit(null).cast(SumType))
+          .otherwise(col("val_sum")))
       .withColumn("_deleted", col("cnt") === 0L)
     Snap.mergeStreaming(spark, dst, next, batchId = upTo.toLong,
       autoOptimize = autoOptimize, autoVacuum = autoVacuum)

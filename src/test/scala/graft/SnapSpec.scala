@@ -181,6 +181,39 @@ class SnapSpec extends SparkSpec {
     assert(rows(Snap.read(spark, loc)) == rows(expectedAfterSmallDelta))
   }
 
+  test("format version gate: delta-free commits stay v1, MOR commits " +
+      "declare v2, and a LANDED future-version manifest refuses loudly " +
+      "instead of silently demoting the head to its parent") {
+    val loc = tmpLoc("fmtgate")
+    val fs = Published.fsOf(loc)
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    def headerOf(v: Int): String = scala.util.Using.resource(
+      fs.open(Snap.manifestPath(loc, v)))(in =>
+        new String(in.readAllBytes(), "UTF-8")).takeWhile(_ != '\n')
+    assert(headerOf(1) == "graft-snap 1",
+      "a delta-free commit must stay readable by pre-MOR builds")
+    Snap.mergeMor(spark, loc, smallDelta)
+    assert(headerOf(2) == "graft-snap 2",
+      "a manifest carrying MOR deltas must gate pre-MOR readers out — " +
+        "they would otherwise serve base files only (resurrected " +
+        "deletes, dropped upserts)")
+    // folding the deltas drops back to the lowest expressive version
+    Snap.optimize(spark, loc)
+    assert(Snap.head(spark, loc).get.deltas.isEmpty)
+    assert(headerOf(3) == "graft-snap 1",
+      "a fold that clears the deltas must not keep the feature gate up")
+    // a checksummed manifest from a FUTURE build is a LANDED commit the
+    // reader cannot apply: loud error, never a fallback to the parent
+    val body = "graft-snap 99\nversion=4\n"
+    val sum = java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(body.getBytes("UTF-8")))
+    scala.util.Using.resource(fs.create(Snap.manifestPath(loc, 4), true))(
+      _.write((body + s"#commit $sum\n").getBytes("UTF-8")))
+    intercept[IllegalStateException] { Snap.head(spark, loc) }
+    intercept[IllegalStateException] { Snap.atVersion(spark, loc, 4) }
+  }
+
   private def render(m: Snap.SnapManifest): Array[Byte] = Snap.render(m)
 
   test("crash after staging, before the manifest commit: nothing serves, " +
@@ -1600,6 +1633,40 @@ class SnapSpec extends SparkSpec {
     assert(Snap.read(spark, dst)
       .filter(col("c_nationkey") === 99L).count() == 0,
       "a zero-count group must be DELETED, like the recompute")
+    // poll 3: a group born with ONLY null values reads val_sum NULL —
+    // not the running 0 — exactly like the recompute's `sum` (r19
+    // advice: the nval column is what makes this reproducible)
+    def g98 = Snap.read(spark, dst).filter(col("c_nationkey") === 98L)
+    val d3 = cust.filter(col("c_custkey") < 3)
+      .select((col("c_custkey") + 2000L).as("c_custkey"), col("c_name"),
+        lit(98L).cast(nkType).as("c_nationkey"),
+        lit(null).cast("double").as("c_acctbal"), col("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+    Snap.merge(spark, src, d3)
+    SnapFollow.pollOnceAgg(spark, src, dst, "c_nationkey", "c_acctbal")
+    assert(rows(Snap.read(spark, dst)) == rows(recompute),
+      "maintained aggregate diverged on an all-null-valued group birth")
+    val b98 = g98.head()
+    assert(b98.isNullAt(b98.fieldIndex("val_sum")),
+      "an all-null group must read val_sum NULL, like the recompute")
+    // one non-null row arrives: the sum is exactly that value…
+    val d4 = cust.filter(col("c_custkey") === 1)
+      .select((col("c_custkey") + 3000L).as("c_custkey"), col("c_name"),
+        lit(98L).cast(nkType).as("c_nationkey"),
+        lit(7.5).as("c_acctbal"), col("c_mktsegment"))
+      .withColumn("_deleted", lit(false))
+    Snap.merge(spark, src, d4)
+    SnapFollow.pollOnceAgg(spark, src, dst, "c_nationkey", "c_acctbal")
+    assert(rows(Snap.read(spark, dst)) == rows(recompute),
+      "maintained aggregate diverged when a non-null row joined the group")
+    // …and deleting the group's LAST non-null row restores NULL
+    Snap.merge(spark, src, d4.withColumn("_deleted", lit(true)))
+    SnapFollow.pollOnceAgg(spark, src, dst, "c_nationkey", "c_acctbal")
+    assert(rows(Snap.read(spark, dst)) == rows(recompute),
+      "maintained aggregate diverged after the last non-null row died")
+    val a98 = g98.head()
+    assert(a98.isNullAt(a98.fieldIndex("val_sum")),
+      "deleting the last non-null row must restore val_sum NULL")
     // replay no-op: same cursor, no new destination version
     val vBefore = Snap.head(spark, dst).get.version
     SnapFollow.pollOnceAgg(spark, src, dst, "c_nationkey", "c_acctbal")
