@@ -1191,6 +1191,155 @@ object SnapOps {
        |UNION ALL
        |SELECT 4, 'optimize', 3, 0, 8, (SELECT count(*) FROM v3), 0, 0, 8""".stripMargin
 
+  // --------------------------------------------------------------- q147
+  /** Register the DSv2 catalog ([[SnapCatalog]]) for this sf dir's
+    * warehouse — one catalog name per dir so a re-registration can
+    * never serve a stale root through Spark's catalog cache. */
+  private def sqlCat(spark: SparkSession, dir: String): (String, HPath) = {
+    val h = java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))
+    val cat = s"graft_snapcat_$h"
+    val root = new HPath(spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_snapcat_$h")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[SnapCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    (cat, root)
+  }
+
+  /** Attach-or-build the q130 lifecycle executed PURELY through
+    * `spark.sql` — CTAS, one MERGE INTO (delta 1's upserts + deletes +
+    * inserts), UPDATE + DELETE (delta 2's two legs as their native SQL
+    * verbs), and an INSERT INTO appending a new segment. Five
+    * committed versions, all landed by the DSv2 write path routing
+    * through the SAME commit machinery the Scala API uses. The table
+    * name is keyed by the source fingerprint, so regenerated testdata
+    * rebuilds instead of attaching to a stale lifecycle. */
+  private def ensureSqlLife(spark: SparkSession,
+                            dir: String): (String, String, HPath) = {
+    val (cat, root) = sqlCat(spark, dir)
+    val fpH = java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(custFp(dir).getBytes("UTF-8")))
+    val tbl = s"t_$fpH"
+    val loc = new HPath(root, tbl)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(_.version == 5)
+      if (!ok) {
+        if (Published.exists(Published.fsOf(loc), loc)) Snap.drop(spark, loc)
+        Tables.customer(spark, dir)
+          .createOrReplaceTempView("graft_q147_customer")
+        val m = keySpace(spark, dir)
+        spark.sql(s"CREATE TABLE $cat.$tbl TBLPROPERTIES (" +
+          "'key'='c_custkey','buckets'='8','layout'='range') " +
+          "AS SELECT * FROM graft_q147_customer")
+        // delta 1 in ONE statement: the CDC MERGE shape
+        spark.sql(
+          s"""MERGE INTO $cat.$tbl t
+             |USING (
+             |  SELECT c_custkey, c_name, c_nationkey,
+             |         c_acctbal + 1000 AS c_acctbal, c_mktsegment,
+             |         false AS _is_del
+             |  FROM graft_q147_customer WHERE c_custkey < ${m / 10}
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             |         c_mktsegment, true AS _is_del
+             |  FROM graft_q147_customer
+             |  WHERE c_custkey >= ${m / 2} AND c_custkey < ${m / 2 + m / 20}
+             |  UNION ALL
+             |  SELECT c_custkey + $m, 'snap_new', c_nationkey, 111.11,
+             |         'NEWSEG', false
+             |  FROM graft_q147_customer WHERE c_custkey % 100 = 1
+             |) s ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED AND s._is_del THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET
+             |  c_name = s.c_name, c_nationkey = s.c_nationkey,
+             |  c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+             |WHEN NOT MATCHED AND NOT s._is_del THEN INSERT
+             |  (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+             |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal,
+             |          s.c_mktsegment)""".stripMargin)
+        // delta 2 as its native verbs
+        spark.sql(s"UPDATE $cat.$tbl SET c_acctbal = c_acctbal - 500.0 " +
+          s"WHERE c_custkey >= ${m / 5} AND c_custkey < ${m / 4}")
+        spark.sql(s"DELETE FROM $cat.$tbl " +
+          s"WHERE c_custkey >= $m AND (c_custkey - $m) % 200 = 1")
+        // a keyed table's append
+        spark.sql(s"INSERT INTO $cat.$tbl " +
+          s"SELECT c_custkey + ${3 * m}, 'sqlins', c_nationkey, 77.77, " +
+          "'SQLSEG' FROM graft_q147_customer WHERE c_custkey % 50 = 7")
+      }
+    }
+    (cat, tbl, loc)
+  }
+
+  /** Content face over the SQL-driven lifecycle, plus two audits:
+    * `sql_matches_api` pins the SQL table at version 4 (post
+    * MERGE/UPDATE/DELETE) row-for-row equal to [[ensureCust]]'s head —
+    * the same deltas landed by [[Snap.merge]] — and `sql_pruned_ok`
+    * pins that a `WHERE` through the catalog front door still plans a
+    * strict file subset from manifest stats ([[SnapScan]]'s decision,
+    * read back from the executed plan). */
+  def q147SnapSqlDml(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, tbl, loc) = ensureSqlLife(spark, dir)
+    // SQL v4 ≡ Scala-API head: identical deltas through either door
+    val api = Snap.read(spark, ensureCust(spark, dir))
+    val sqlV4 = Snap.read(spark, loc, asOf = Some(4))
+    val matches = sqlV4.exceptAll(api).isEmpty && api.exceptAll(sqlV4).isEmpty
+    // pruning probe through the catalog (plan-time stats skipping)
+    val hi = (Snap.atVersion(spark, loc, 1).rangeMax + 1) / 8
+    val probe = spark.sql(
+      s"SELECT c_custkey, c_acctbal FROM $cat.$tbl WHERE c_custkey < $hi")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst { case s: SnapScan => s }
+    val prunedOk = scan.exists(s =>
+      s.plannedFiles > 0 && s.plannedFiles < s.totalFiles)
+    spark.sql(
+      s"""SELECT c_nationkey, count(*) AS n_rows,
+         |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+         |  count(CASE WHEN c_mktsegment = 'NEWSEG' THEN 1 END) AS n_new,
+         |  count(CASE WHEN c_mktsegment = 'SQLSEG' THEN 1 END) AS n_sqlins
+         |FROM $cat.$tbl GROUP BY c_nationkey""".stripMargin)
+      .withColumn("sql_matches_api", lit(if (matches) 1 else 0))
+      .withColumn("sql_pruned_ok", lit(if (prunedOk) 1 else 0))
+  }
+
+  val q147Sql: String =
+    s"""WITH $d1Sql,
+       |d2_upd AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal - 500 AS c_acctbal,
+       |         c_mktsegment
+       |  FROM customer WHERE c_custkey >= (SELECT m // 5 FROM ks)
+       |    AND c_custkey < (SELECT m // 4 FROM ks)),
+       |d2_keys AS (
+       |  SELECT c_custkey FROM d2_upd
+       |  UNION ALL SELECT c_custkey + (SELECT m FROM ks) AS c_custkey
+       |  FROM customer WHERE c_custkey % 200 = 1),
+       |v4 AS (
+       |  SELECT * FROM v2
+       |    WHERE c_custkey NOT IN (SELECT c_custkey FROM d2_keys)
+       |  UNION ALL SELECT * FROM d2_upd),
+       |v5 AS (
+       |  SELECT * FROM v4
+       |  UNION ALL
+       |  SELECT c_custkey + 3 * (SELECT m FROM ks) AS c_custkey,
+       |         'sqlins' AS c_name, c_nationkey, 77.77 AS c_acctbal,
+       |         'SQLSEG' AS c_mktsegment
+       |  FROM customer WHERE c_custkey % 50 = 7)
+       |SELECT c_nationkey, count(*) AS n_rows,
+       |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+       |  count(*) FILTER (WHERE c_mktsegment = 'NEWSEG') AS n_new,
+       |  count(*) FILTER (WHERE c_mktsegment = 'SQLSEG') AS n_sqlins,
+       |  1 AS sql_matches_api, 1 AS sql_pruned_ok
+       |FROM v5 GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -1209,6 +1358,7 @@ object SnapOps {
     "q144_snap_cdf_pre" -> q144SnapCdfPre _,
     "q145_snap_changelog_chunked" -> q145SnapChangelogChunked _,
     "q146_snap_history" -> q146SnapHistory _,
+    "q147_snap_sql_dml" -> q147SnapSqlDml _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1229,5 +1379,6 @@ object SnapOps {
     "q144_snap_cdf_pre" -> q144Sql,
     "q145_snap_changelog_chunked" -> q145Sql,
     "q146_snap_history" -> q146Sql,
+    "q147_snap_sql_dml" -> q147Sql,
   )
 }

@@ -1,0 +1,255 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Published, Snap, SnapCatalog, SnapScan, Tables}
+
+/** The SQL catalog's contracts ([[graft.sources.SnapCatalog]]): every
+  * DML verb lands content-identical to its Scala-API twin through the
+  * same commit machinery, reads prune from manifest stats with
+  * POST-pruning statistics (the broadcast decision sees the pruned
+  * side), merge-on-read composes, and schema evolution rides the
+  * format's metadata-only commits. */
+class SnapCatalogSpec extends SparkSpec {
+
+  private var ctr = 0
+  private def freshCatalog(tag: String): String = {
+    ctr += 1
+    val root = Files.createTempDirectory(s"snapcat_$tag").toString
+    val cat = s"snapcat_${tag}_$ctr"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  private def cust: DataFrame = Tables.customer(spark, sf) // keys 0..149
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+  private def tmpLoc(tag: String): HPath =
+    new HPath(Files.createTempDirectory(s"snapcattwin_$tag").toString, "tbl")
+
+  private def finalPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  private def snapScans(plan: SparkPlan): Seq[SnapScan] =
+    plan.collect { case b: BatchScanExec => b.scan }
+      .collect { case s: SnapScan => s }
+
+  test("SQL lifecycle ≡ Scala API: CTAS, MERGE INTO, UPDATE, DELETE, " +
+      "INSERT INTO all land the same content the Snap calls land, " +
+      "through the same commit machinery") {
+    val cat = freshCatalog("life")
+    cust.createOrReplaceTempView("snapcat_cust_src")
+    spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES (" +
+      "'key'='c_custkey','buckets'='4','layout'='range') " +
+      "AS SELECT * FROM snapcat_cust_src")
+    assert(rows(spark.sql(s"SELECT * FROM $cat.t")) == rows(cust))
+
+    val twin = tmpLoc("life")
+    Snap.create(spark, twin, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "twin")
+    def sameAsTwin(clue: String): Unit =
+      assert(rows(spark.sql(s"SELECT * FROM $cat.t")) ==
+        rows(Snap.read(spark, twin)), clue)
+
+    // MERGE: updates, deletes, inserts in one statement
+    val d1 = cust.filter(col("c_custkey") < 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+      .withColumn("_deleted", lit(false))
+      .unionByName(cust.filter(col("c_custkey") >= 80 && col("c_custkey") < 90)
+        .withColumn("_deleted", lit(true)))
+      .unionByName(cust.filter(col("c_custkey") < 2)
+        .select((col("c_custkey") + 1000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), lit(9.99).as("c_acctbal"), col("c_mktsegment"))
+        .withColumn("_deleted", lit(false)))
+    d1.createOrReplaceTempView("snapcat_d1")
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING snapcat_d1 s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s._deleted THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET
+         |  c_name = s.c_name, c_nationkey = s.c_nationkey,
+         |  c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+         |WHEN NOT MATCHED AND NOT s._deleted THEN INSERT
+         |  (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+         |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal,
+         |          s.c_mktsegment)""".stripMargin)
+    Snap.merge(spark, twin, d1)
+    sameAsTwin("MERGE INTO diverged from Snap.merge")
+
+    // UPDATE with a plain predicate
+    spark.sql(s"UPDATE $cat.t SET c_acctbal = c_acctbal - 500.0 " +
+      "WHERE c_custkey >= 30 AND c_custkey < 40")
+    Snap.merge(spark, twin, Snap.read(spark, twin)
+      .filter(col("c_custkey") >= 30 && col("c_custkey") < 40)
+      .withColumn("c_acctbal", col("c_acctbal") - lit(500.0))
+      .withColumn("_deleted", lit(false)))
+    sameAsTwin("UPDATE diverged")
+
+    // UPDATE that MOVES a key (delete old image + insert new)
+    spark.sql(s"UPDATE $cat.t SET c_custkey = c_custkey + 9000 " +
+      "WHERE c_custkey = 7")
+    val moved = Snap.read(spark, twin).filter(col("c_custkey") === 7)
+      .withColumn("_deleted", lit(true))
+      .unionByName(Snap.read(spark, twin).filter(col("c_custkey") === 7)
+        .withColumn("c_custkey", col("c_custkey") + lit(9000L))
+        .withColumn("_deleted", lit(false)))
+    Snap.merge(spark, twin, moved)
+    sameAsTwin("key-moving UPDATE diverged")
+
+    // DELETE
+    spark.sql(s"DELETE FROM $cat.t WHERE c_custkey % 20 = 3")
+    Snap.merge(spark, twin, Snap.read(spark, twin)
+      .filter(col("c_custkey") % 20 === 3).withColumn("_deleted", lit(true)))
+    sameAsTwin("DELETE diverged")
+
+    // INSERT INTO (new keys; a keyed table's append)
+    spark.sql(s"INSERT INTO $cat.t SELECT c_custkey + 5000, c_name, " +
+      "c_nationkey, 1.5, 'INS' FROM snapcat_cust_src WHERE c_custkey < 5")
+    Snap.merge(spark, twin, cust.filter(col("c_custkey") < 5)
+      .select((col("c_custkey") + 5000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), lit(1.5).as("c_acctbal"),
+        lit("INS").as("c_mktsegment"))
+      .withColumn("_deleted", lit(false)))
+    sameAsTwin("INSERT INTO diverged")
+
+    // the SQL table's manifest chain is the machinery's: same version
+    // count as the twin (create + 5 data commits), every op a merge
+    val loc = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t")
+    val h = Snap.head(spark, loc).get
+    assert(h.version == Snap.head(spark, twin).get.version,
+      "the SQL path must commit exactly the versions the Scala path does")
+    // no staged debris left behind
+    val leftover = Published.fsOf(loc).listStatus(loc)
+      .filter(_.getPath.getName.startsWith("stage-v0-sql-"))
+    assert(leftover.isEmpty, s"SQL staging not cleaned: ${leftover.toSeq}")
+  }
+
+  test("reads prune from manifest stats and report POST-pruning " +
+      "statistics: a WHERE-pruned snap side broadcasts where the " +
+      "unpruned estimate would shuffle") {
+    val cat = freshCatalog("prune")
+    cust.createOrReplaceTempView("snapcat_cust_src")
+    spark.sql(s"CREATE TABLE $cat.p TBLPROPERTIES (" +
+      "'key'='c_custkey','buckets'='4','layout'='range') " +
+      "AS SELECT * FROM snapcat_cust_src")
+
+    val sel = spark.sql(
+      s"SELECT c_custkey, c_acctbal FROM $cat.p WHERE c_custkey BETWEEN 100 AND 120")
+    assert(rows(sel) == rows(cust.filter(col("c_custkey").between(100, 120))
+      .select(col("c_custkey"), col("c_acctbal"))))
+    val scan = snapScans(finalPlan(sel)).head
+    assert(scan.plannedFiles > 0 && scan.plannedFiles < scan.totalFiles,
+      s"expected a strict file subset, planned ${scan.plannedFiles} of " +
+        s"${scan.totalFiles}")
+
+    // statistics: pruned bytes strictly below the full table's
+    val loc = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "p")
+    val fullBytes = Published.fsOf(loc)
+      .listStatus(new HPath(loc, "data")).map(_.getLen).sum
+    val est = scan.estimateStatistics()
+    assert(est.sizeInBytes().getAsLong < fullBytes,
+      "statistics must describe the PRUNED file subset")
+
+    // the static broadcast decision: threshold BETWEEN pruned and full
+    // size, big probe side → only the pruned estimate can broadcast
+    val thr = (est.sizeInBytes().getAsLong + fullBytes) / 2
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      spark.range(0, 200000).createOrReplaceTempView("snapcat_big_ids")
+      val j = spark.sql(
+        s"""SELECT count(*) AS n FROM $cat.p t
+           |JOIN snapcat_big_ids b ON t.c_custkey = b.id
+           |WHERE t.c_custkey BETWEEN 100 AND 120""".stripMargin)
+      // sparkPlan = the STATIC plan (pre-AQE): this is where the
+      // reported statistics decide build sides
+      val static = j.queryExecution.sparkPlan
+      val bhj = static.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, s"expected a static broadcast join:\n$static")
+      val buildSideScans = bhj.flatMap { b =>
+        val side = if (b.buildSide.toString.contains("Left")) b.left else b.right
+        side.collect { case s: BatchScanExec => s.scan }
+          .collect { case s: SnapScan => s }
+      }
+      assert(buildSideScans.nonEmpty,
+        s"the snap side must be the broadcast build side:\n$static")
+      assert(j.collect().head.getAs[Long]("n") ==
+        cust.filter(col("c_custkey").between(100, 120)).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("merge-on-read composes with the catalog read: outstanding " +
+      "deltas mask base rows and serve latest images; a fold clears " +
+      "the wrap") {
+    val cat = freshCatalog("mor")
+    cust.createOrReplaceTempView("snapcat_cust_src")
+    spark.sql(s"CREATE TABLE $cat.m TBLPROPERTIES (" +
+      "'key'='c_custkey','buckets'='4','layout'='range','mode'='mor') " +
+      "AS SELECT * FROM snapcat_cust_src")
+    spark.sql(s"UPDATE $cat.m SET c_acctbal = 777.0 WHERE c_custkey < 5")
+    spark.sql(s"DELETE FROM $cat.m WHERE c_custkey >= 140")
+    val loc = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "m")
+    assert(Snap.head(spark, loc).get.deltas.nonEmpty,
+      "mode=mor writes must land as merge-on-read deltas")
+    // content through the catalog == the engine's own MOR read
+    assert(rows(spark.sql(s"SELECT * FROM $cat.m")) ==
+      rows(Snap.read(spark, loc)))
+    // pruned + projected + counted forms under the MOR wrap
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.m").head.getLong(0) ==
+      Snap.read(spark, loc).count())
+    assert(rows(spark.sql(
+      s"SELECT c_custkey, c_acctbal FROM $cat.m WHERE c_custkey < 8")) ==
+      rows(Snap.read(spark, loc).filter(col("c_custkey") < 8)
+        .select(col("c_custkey"), col("c_acctbal"))))
+    // fold → back to the stock columnar path, same content
+    Snap.optimize(spark, loc)
+    assert(Snap.head(spark, loc).get.deltas.isEmpty)
+    assert(rows(spark.sql(s"SELECT * FROM $cat.m")) ==
+      rows(Snap.read(spark, loc)))
+  }
+
+  test("DDL: CREATE + INSERT creates at first write with data-derived " +
+      "bounds; ALTER TABLE ADD/RENAME COLUMN ride metadata commits; " +
+      "duplicate keys in one statement refuse; DROP removes") {
+    val cat = freshCatalog("ddl")
+    spark.sql(s"CREATE TABLE $cat.d (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='k','buckets'='2','layout'='range')")
+    // pending table reads as empty
+    assert(spark.sql(s"SELECT * FROM $cat.d").count() == 0)
+    spark.sql(s"INSERT INTO $cat.d VALUES (1, 'a'), (50, 'b'), (99, 'c')")
+    val loc = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "d")
+    val h = Snap.head(spark, loc).get
+    assert(h.version == 1 && h.rangeMin == 1 && h.rangeMax == 99,
+      s"first-write create must derive range bounds from the DATA, got " +
+        s"[${h.rangeMin},${h.rangeMax}]")
+    // evolution through the catalog
+    spark.sql(s"ALTER TABLE $cat.d ADD COLUMNS (w DOUBLE)")
+    spark.sql(s"ALTER TABLE $cat.d RENAME COLUMN v TO label")
+    spark.sql(s"INSERT INTO $cat.d VALUES (120, 'd', 2.5)")
+    assert(rows(spark.sql(s"SELECT k, label, w FROM $cat.d WHERE k > 90")) ==
+      Set("99|c|null", "120|d|2.5"))
+    // a keyed table refuses bag inserts loudly
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.d VALUES (7, 'x', 1.0), (7, 'y', 2.0)")
+    }
+    assert(err.getMessage != null)
+    // refused statement must not have committed anything
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d WHERE k = 7")
+      .head.getLong(0) == 0)
+    // DROP
+    spark.sql(s"DROP TABLE $cat.d")
+    assert(!Published.fsOf(loc).exists(loc))
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.d").collect() }
+  }
+}
