@@ -498,8 +498,213 @@ object SnapCrashProbe {
         println(s"SNAPPROBE jheal OK mode=$mode " +
           s"rows=${Snap.read(spark, loc).count()}")
 
+      // ---- leg K: the DELETION-VECTOR write windows (r20) — the DV
+      // stage (a deleteVector dies after its positional files promoted
+      // into data/ but before the manifest create: the head keeps
+      // serving the pre-delete view, the orphans are invisible and
+      // vacuum-sweepable, the retry lands with vectors + ONE residual
+      // delta) and the DV commit itself (post-create death: the landed
+      // version serves, the later fold retires the vectors).
+      case "kbase" =>
+        Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 8,
+          layout = "range", tag = "dv-probe")
+        require(Snap.mergeMor(spark, loc, delta(1)) == 2)
+        assertSame(Snap.read(spark, loc), expected(1), "kbase MOR state")
+        println("SNAPPROBE kbase OK v=2")
+
+      case "kcrash" =>
+        val mode = args.lift(3).getOrElse("stage")
+        // armed SPARK_GRAFT_SNAP_HALT=snapstage|snapcommit halts
+        // inside; the OK line reached = the window never fired
+        Snap.deleteVector(spark, loc,
+          if (mode == "stage") dvDel1(cust, M) else dvDel2(cust, M))
+        println("SNAPPROBE kcrash OK (halt never fired)")
+
+      case "kheal" =>
+        val mode = args.lift(3).getOrElse("stage")
+        val fs = Published.fsOf(loc)
+        val h = Snap.head(spark, loc).get
+        def expectedDv1 = expected(1).filter(!dvCut1(M))
+        def expectedDv2 = expectedDv1.filter(!dvCut2(M))
+        if (mode == "stage") {
+          // died post-promote, pre-create: v2 (no vectors) serves
+          require(h.version == 2 && h.dvs.isEmpty,
+            s"kheal[stage]: head v${h.version} dvs=${h.dvs.size} — the " +
+              "crashed deleteVector must not have advanced or landed")
+          assertSame(Snap.read(spark, loc), expected(1), "pre-heal view")
+          val orphans = fs.listStatus(new HPath(loc, "data"))
+            .map(_.getPath.getName).count(_.startsWith("v3-dv"))
+          require(orphans > 0, "kheal[stage]: no orphan DV files — vacuous")
+          val (_, swept, _) = Snap.vacuum(spark, loc, keepVersions = 99)
+          require(swept == orphans, s"vacuum swept $swept of $orphans")
+          require(Snap.deleteVector(spark, loc, dvDel1(cust, M)) == 3)
+          val h3 = Snap.head(spark, loc).get
+          require(h3.dvs.nonEmpty && h3.deltas.size == h.deltas.size + 1,
+            s"kheal[stage]: retried deleteVector must land vectors + ONE " +
+              s"residual delta (dvs=${h3.dvs.size}, deltas=${h3.deltas.size})")
+          assertSame(Snap.read(spark, loc), expectedDv1, "healed DV state")
+        } else {
+          // commit window: the create LANDED before the halt — v4 serves
+          require(h.version == 4 && h.dvs.nonEmpty,
+            s"kheal[commit]: head v${h.version} dvs=${h.dvs.size} — the " +
+              "landed DV commit must serve")
+          assertSame(Snap.read(spark, loc), expectedDv2, "landed DV state")
+          require(Snap.optimize(spark, loc, minFilesPerBucket = 2) == 5)
+          val h5 = Snap.head(spark, loc).get
+          require(h5.dvs.isEmpty && h5.deltas.isEmpty,
+            "the fold must retire every vector and delta")
+          assertSame(Snap.read(spark, loc), expectedDv2, "post-fold state")
+        }
+        println(s"SNAPPROBE kheal OK mode=$mode " +
+          s"rows=${Snap.read(spark, loc).count()}")
+
+      // ---- leg L: the CHANGELOG STREAM SOURCE's driver-death resume
+      // (r20) — offsets are manifest versions in the stream checkpoint;
+      // a kill -9 mid-backlog must resume from the committed offset and
+      // deliver every version EXACTLY once to the applying sink.
+      case "lbase" =>
+        Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 8,
+          layout = "range", tag = "chstream-probe")
+        println("SNAPPROBE lbase OK v=1")
+
+      case "lrun" =>
+        import org.apache.spark.sql.functions.{col => c, row_number}
+        val dst = new HPath(args.lift(3).getOrElse(sys.error("lrun needs dst")))
+        val ckpt = args.lift(4).getOrElse(sys.error("lrun needs ckpt"))
+        val haltAfter = args.lift(5).map(_.toInt).getOrElse(0)
+        if (haltAfter > 0) RestartKit.haltOnCommit(spark, ckpt, haltAfter)
+        if (Snap.head(spark, dst).isEmpty)
+          Snap.create(spark, dst, cust.limit(0), Seq("c_custkey"),
+            "c_custkey", 8, layout = "hash", tag = "chstream-dst")
+        val keys = Seq("c_custkey")
+        val q = spark.readStream.format("graft-snap-changes")
+          .option("path", loc.toString).option("startingVersion", "1")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // collapse the batch latest-wins per key, apply exactly-once
+            // through the destination's applied high-water
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(c): _*)
+              .orderBy(c("_commit_version").desc)
+            val collapsed = batch
+              .withColumn("__graft_rn", row_number().over(w))
+              .filter(c("__graft_rn") === 1)
+              .withColumn("_deleted", c("_change_type") === "delete")
+              .drop("__graft_rn", "_change_type", "_commit_version")
+            if (!collapsed.isEmpty)
+              Snap.mergeStreaming(spark, dst, collapsed, batchId = batchId)
+            ()
+          }
+          .start()
+        val deadline = System.currentTimeMillis() + 300000L
+        try {
+          // land a mixed-kind backlog WHILE the stream ticks: COW
+          // merges, a MOR delta, a positional delete, a neutral fold
+          (0 until 4).foreach { k =>
+            Snap.mergeStreaming(spark, loc, cdcDelta(k), batchId = k.toLong) }
+          Snap.mergeMor(spark, loc, cdcDelta(9))
+          Snap.deleteVector(spark, loc,
+            cust.filter(col("c_custkey") >= 120 && col("c_custkey") < 130)
+              .select(col("c_custkey")))
+          Snap.optimize(spark, loc, minFilesPerBucket = 2)
+          val srcHead = Snap.head(spark, loc).get.version
+          while (System.currentTimeMillis() < deadline && {
+            val d = Snap.read(spark, dst)
+            val s = Snap.read(spark, loc)
+            d.exceptAll(s).limit(1).count() > 0 ||
+              s.exceptAll(d).limit(1).count() > 0
+          }) Thread.sleep(300L)
+          require(srcHead >= 7, s"lrun: source head=$srcHead, want >= 7")
+        } finally q.stop()
+        assertSame(Snap.read(spark, dst), Snap.read(spark, loc),
+          "lrun converged state")
+        println("SNAPPROBE lrun OK (caught up)")
+
+      case "lcheck" =>
+        val dst = new HPath(args.lift(3).getOrElse(sys.error("lcheck needs dst")))
+        assertSame(Snap.read(spark, dst), Snap.read(spark, loc),
+          "streamed destination")
+        // exactly-once ledger: the applied batch-id chain advances
+        // STRICTLY (a replayed batch re-applying would stamp a
+        // non-advancing id; mergeStreaming no-ops it instead)
+        val h = Snap.head(spark, dst).get
+        val applieds = (1 to h.version).map(v =>
+          Snap.atVersion(spark, dst, v).applied)
+        require(applieds.zip(applieds.tail).forall { case (a, b) => b > a },
+          s"lcheck: non-monotone applied chain ${applieds.mkString(",")}")
+        println(s"SNAPPROBE lcheck OK v=${h.version} applied=${h.applied}")
+
+      // ---- leg M: the MAINTAINED-AGGREGATE follower's driver-death
+      // resume (r20, the r19 verdict's ask #6) — followAgg's ledger is
+      // the destination manifest (cursor = applied source version), so
+      // like leg I the probe resumes with a WIPED checkpoint on
+      // purpose: the maintained (count, non-null count, DECIMAL sum)
+      // table must converge exactly-once from the cursor alone and
+      // equal a full recompute bit-for-bit.
+      case "mbase" =>
+        Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 8,
+          layout = "range", tag = "followagg-probe")
+        println("SNAPPROBE mbase OK v=1")
+
+      case "mrun" =>
+        val dst = new HPath(args.lift(3).getOrElse(sys.error("mrun needs dst")))
+        val ckpt = args.lift(4).getOrElse(sys.error("mrun needs ckpt"))
+        val haltAfter = args.lift(5).map(_.toInt).getOrElse(0)
+        if (haltAfter > 0) RestartKit.haltOnCommit(spark, ckpt, haltAfter)
+        // one source version per tick: the kill lands MID-backlog
+        val q = graft.streaming.SnapFollow.followAgg(spark, loc.toString,
+          dst.toString, ckpt, "c_nationkey", "c_acctbal",
+          trigger =
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L),
+          maxVersionsPerPoll = 1)
+        val deadline = System.currentTimeMillis() + 300000L
+        try {
+          (0 until 6).foreach { k =>
+            Snap.mergeStreaming(spark, loc, cdcDelta(k), batchId = k.toLong)
+          }
+          val srcHead = Snap.head(spark, loc).get.version.toLong
+          require(srcHead == 7L, s"mrun: source head=$srcHead, want 7")
+          while (Snap.head(spark, dst).forall(_.applied < srcHead) &&
+              System.currentTimeMillis() < deadline) Thread.sleep(250L)
+        } finally q.stop()
+        require(Snap.head(spark, dst).exists(_.applied == 7L),
+          "mrun: maintained aggregate never caught up")
+        println("SNAPPROBE mrun OK (caught up)")
+
+      case "mcheck" =>
+        val dst = new HPath(args.lift(3).getOrElse(sys.error("mcheck needs dst")))
+        val h = Snap.head(spark, dst).get
+        require(h.applied == 7L, s"mcheck: cursor=${h.applied}, want 7")
+        val applieds = (1 to h.version).map(v =>
+          Snap.atVersion(spark, dst, v).applied)
+        require(applieds.zip(applieds.tail).forall { case (a, b) => b > a },
+          s"mcheck: non-monotone applied chain ${applieds.mkString(",")}")
+        // maintained ≡ recompute, bit-for-bit (the q85/IVM discipline)
+        assertSame(Snap.read(spark, dst),
+          graft.streaming.SnapFollow.aggOf(Snap.read(spark, loc),
+            "c_nationkey", "c_acctbal"),
+          "maintained aggregate vs full recompute")
+        println(s"SNAPPROBE mcheck OK v=${h.version} applied=${h.applied}")
+
       case p => sys.error(s"unknown phase $p")
     }
     spark.stop()
   }
+
+  /** Leg K's delete cuts: round 1 mixes delta-resident keys (< M/40,
+    * bucket 0 holds delta(1)'s file → the residual path) with
+    * base-resident ones ([M/6, M/6+M/20), bucket 1 — pure positions);
+    * round 2 is purely positional (bucket 2 carries no delta). */
+  private def dvCut1(M: Long): org.apache.spark.sql.Column =
+    (col("c_custkey") >= M / 6 && col("c_custkey") < M / 6 + M / 20) ||
+      col("c_custkey") < M / 40
+  private def dvCut2(M: Long): org.apache.spark.sql.Column =
+    col("c_custkey") >= M / 3 && col("c_custkey") < M / 3 + M / 30
+  private def dvDel1(cust: org.apache.spark.sql.DataFrame, M: Long) =
+    cust.filter(dvCut1(M)).select(col("c_custkey"))
+  private def dvDel2(cust: org.apache.spark.sql.DataFrame, M: Long) =
+    cust.filter(dvCut2(M)).select(col("c_custkey"))
 }

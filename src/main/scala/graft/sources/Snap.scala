@@ -111,7 +111,15 @@ object Snap {
     * copy-on-write merge that touches their bucket. Each carries the
     * same key-range stats as a base file; its rows additionally hold
     * the delete flag and the committing version (the latest-wins
-    * order). Empty on every pre-r19 manifest. */
+    * order). Empty on every pre-r19 manifest.
+    *
+    * `dvs` (r20) are POSITIONAL DELETION VECTORS ([[deleteVector]]):
+    * one tiny parquet of doomed row positions PER TARGET BASE FILE
+    * (`extra("__graft_target")` names the target), subtracted from
+    * that file's rows at read time. One DV per target keeps folding
+    * trivially precise: a rewrite of the target applies and retires
+    * exactly its DVs; a carried target carries them. Written under
+    * manifest format version 3; empty on every earlier manifest. */
   final case class SnapManifest(version: Int, parent: Int, writer: String,
                                 tag: String, schemaDdl: String,
                                 keyCols: Seq[String], bucketCol: String,
@@ -126,7 +134,8 @@ object Snap {
                                 statsCols: Seq[String] = Seq.empty,
                                 z2: String = "",
                                 z2Min: Long = 0L, z2Max: Long = 0L,
-                                deltas: Seq[SnapFile] = Seq.empty) {
+                                deltas: Seq[SnapFile] = Seq.empty,
+                                dvs: Seq[SnapFile] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def keyKind: String = Snap.keyKindOf(schema(bucketCol).dataType)
     /** The version the writer planned against (−1 legacy = parent). */
@@ -167,7 +176,8 @@ object Snap {
     new HPath(loc, f"manifest-v$v%08d")
 
   /** Highest manifest format version this reader understands. Version 2
-    * adds merge-on-read delta files (`dfile` lines). The version is a
+    * adds merge-on-read delta files (`dfile` lines); version 3 adds
+    * positional deletion vectors (`vfile` lines). The version is a
     * FEATURE GATE, not a vanity stamp: a manifest is written at the
     * LOWEST version that can express it (delta-free commits stay v1,
     * byte-identical to pre-r19 output), and a reader that meets a
@@ -177,10 +187,12 @@ object Snap {
     * resurrecting deleted rows and dropping upserts (r19 advice; the
     * public formats gate the same way — Delta bumps minReaderVersion
     * for deletion vectors, Iceberg bumps format-version for v2 deletes). */
-  private[graft] val FormatVersion = 2
+  private[graft] val FormatVersion = 3
 
   private def requiredFormatVersion(m: SnapManifest): Int =
-    if (m.deltas.nonEmpty) 2 else 1
+    if (m.dvs.nonEmpty) 3
+    else if (m.deltas.nonEmpty) 2
+    else 1
 
   private[graft] def render(m: SnapManifest): Array[Byte] = {
     val sb = new StringBuilder
@@ -212,6 +224,7 @@ object Snap {
     }
     m.files.foreach(fileLine("file", _))
     m.deltas.foreach(fileLine("dfile", _))
+    m.dvs.foreach(fileLine("vfile", _))
     val body = sb.toString.getBytes("UTF-8")
     val sum = java.lang.Long.toHexString(
       graft.expressions.GraftHash.h60(body))
@@ -247,11 +260,13 @@ object Snap {
     }
     try {
       val lines = body.split("\n", -1).toSeq
-      if (lines.head != "graft-snap 1" && lines.head != "graft-snap 2")
+      if (!Seq("graft-snap 1", "graft-snap 2", "graft-snap 3")
+          .contains(lines.head))
         return None
       val kv = lines.tail.filter(_.contains("="))
         .map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
-      val m = kv.filterNot(e => e._1 == "file" || e._1 == "dfile").toMap
+      val fileKinds = Set("file", "dfile", "vfile")
+      val m = kv.filterNot(e => fileKinds.contains(e._1)).toMap
       def parseFile(v: String): SnapFile = {
         // limit -1: a string key whose max stat URL-encodes to "" would
         // otherwise lose its trailing field and mis-parse a LANDED
@@ -266,6 +281,7 @@ object Snap {
       }
       val files = kv.filter(_._1 == "file").map(e => parseFile(e._2))
       val deltas = kv.filter(_._1 == "dfile").map(e => parseFile(e._2))
+      val dvs = kv.filter(_._1 == "vfile").map(e => parseFile(e._2))
       val range = m("range").split(",")
       Some(SnapManifest(m("version").toInt, m("parent").toInt,
         dec(m("writer")), dec(m("tag")), dec(m("schema")),
@@ -289,7 +305,7 @@ object Snap {
         m.get("z2").map(dec).getOrElse(""),
         m.get("z2range").map(_.split(",")(0).toLong).getOrElse(0L),
         m.get("z2range").map(_.split(",")(1).toLong).getOrElse(0L),
-        deltas))
+        deltas, dvs))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -300,7 +316,7 @@ object Snap {
     * caller's fallback (serve the parent version, sweep as torn,
     * vacuum as dead) would be a silent wrong answer against a
     * merely-blipping store. */
-  private def readDefinitive(fs: FileSystem,
+  private[sources] def readDefinitive(fs: FileSystem,
                              p: HPath): Either[Unit, Option[SnapManifest]] = {
     val txt = Published.retryNullable(Published.readOrNull(fs, p))
     if (txt != null) Right(parse(txt))
@@ -356,12 +372,16 @@ object Snap {
   // ------------------------------------------------------- read paths
 
   private def readFiles(spark: SparkSession, loc: HPath,
-                        m: SnapManifest, files: Seq[SnapFile]): DataFrame = {
+                        m: SnapManifest, files: Seq[SnapFile],
+                        withPos: Boolean = false): DataFrame = {
     val schema = m.schema
-    if (files.isEmpty)
-      spark.createDataFrame(
+    if (files.isEmpty) {
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-    else {
+      if (!withPos) empty
+      else empty.withColumn(FileNameCol, lit(null).cast("string"))
+        .withColumn(RowPosCol, lit(null).cast("long"))
+    } else {
       val fs = Published.fsOf(loc)
       val abs = files.map(f => fs.makeQualified(new HPath(loc, f.path)).toString)
       // explicit schema UNDER PHYSICAL NAMES: no inference pass over
@@ -377,17 +397,65 @@ object Snap {
       // The index caches the statuses, so retrying the constructor
       // covers exactly the exposed window; execution-time reads are
       // task-retried as before.
-      if (m.phys.isEmpty)
-        Published.retryIO()(spark.read.schema(schema).parquet(abs: _*))
-      else {
-        val physSchema = StructType(
-          schema.fields.map(f => f.copy(name = m.physicalOf(f.name))))
-        Published.retryIO()(spark.read.schema(physSchema).parquet(abs: _*))
-          .select(schema.fields.map(f =>
-            col(m.physicalOf(f.name)).as(f.name)).toSeq: _*)
-      }
+      val physSchema = StructType(
+        schema.fields.map(f => f.copy(name = m.physicalOf(f.name))))
+      val raw = Published.retryIO()(
+        spark.read.schema(physSchema).parquet(abs: _*))
+      // withPos: the serving file's NAME + the row's index ride along
+      // (the deletion-vector subtraction keys on them) — selected off
+      // the raw scan, BEFORE the alias projection hides _metadata
+      val posCols =
+        if (!withPos) Seq.empty
+        else Seq(
+          element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as(FileNameCol),
+          col("_metadata.row_index").as(RowPosCol))
+      if (m.phys.isEmpty && posCols.isEmpty) raw
+      else raw.select((schema.fields.map(f =>
+        col(m.physicalOf(f.name)).as(f.name)) ++ posCols).toSeq: _*)
     }
   }
+
+  /** The (target file name, doomed position) rows of a DV set — tiny
+    * by design (O(deleted positions)), broadcast by the apply. */
+  private def readDvRows(spark: SparkSession, loc: HPath,
+                         dvFiles: Seq[SnapFile]): DataFrame = {
+    val fs = Published.fsOf(loc)
+    dvFiles.map { f =>
+      val abs = fs.makeQualified(new HPath(loc, f.path)).toString
+      Published.retryIO()(spark.read.schema(StructType(Seq(
+        org.apache.spark.sql.types.StructField(DvPosCol, LongType,
+          nullable = false)))).parquet(abs))
+        .select(lit(dvTargetOf(f)).as(FileNameCol),
+          col(DvPosCol).as(RowPosCol))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The LOGICAL key rows a snapshot's deletion vectors doom —
+    * resolved from the targeted files at the recorded positions. The
+    * DSv2 catalog scan folds these into its key mask (its row readers
+    * track no positions); O(targeted files) read, O(positions) out. */
+  private[sources] def dvMaskKeys(spark: SparkSession, loc: HPath,
+                                  m: SnapManifest): DataFrame = {
+    val targetNames = m.dvs.map(dvTargetOf).toSet
+    val targets = m.files.filter(f => targetNames.contains(fileNameOf(f.path)))
+    readFiles(spark, loc, m, targets, withPos = true)
+      .join(broadcast(readDvRows(spark, loc, m.dvs)),
+        Seq(FileNameCol, RowPosCol), "left_semi")
+      .select(m.keyCols.map(col): _*)
+  }
+
+  /** Subtract deletion vectors from a base frame that carries the
+    * [[FileNameCol]]/[[RowPosCol]] working columns, and drop them.
+    * Position-precise: no key hashing over the base side, just a
+    * broadcast anti-join on (file, position). */
+  private[sources] def dvApplyFrame(spark: SparkSession, loc: HPath,
+                                    base: DataFrame,
+                                    dvFiles: Seq[SnapFile]): DataFrame =
+    if (dvFiles.isEmpty) base.drop(FileNameCol, RowPosCol)
+    else base.join(broadcast(readDvRows(spark, loc, dvFiles)),
+      Seq(FileNameCol, RowPosCol), "left_anti")
+      .drop(FileNameCol, RowPosCol)
 
   /** The delete-flag and commit-order columns a merge-on-read delta
     * file carries beside the table's physical columns. Reserved (like
@@ -395,7 +463,23 @@ object Snap {
     * shadowed in every delta file. */
   private[graft] val MorDelCol = "_graft_del"
   private[graft] val MorSeqCol = "_graft_seq"
-  private[graft] val ReservedCols = Seq("_b", MorDelCol, MorSeqCol)
+  /** A deletion-vector file's single column: the doomed row's position
+    * (parquet row index) within the DV's target base file. */
+  private[graft] val DvPosCol = "_graft_pos"
+  /** Working columns the position-apply threads through a base read:
+    * the serving file's NAME and the row's index within it. */
+  private[graft] val FileNameCol = "__graft_fn"
+  private[graft] val RowPosCol = "__graft_rp"
+  private[graft] val ReservedCols = Seq("_b", MorDelCol, MorSeqCol, DvPosCol)
+
+  /** The `extra` key naming a DV entry's target base file (by file
+    * NAME — unique under `data/` by the promote naming scheme). */
+  private[graft] val DvTargetKey = "__graft_target"
+  private[graft] def dvTargetOf(f: SnapFile): String =
+    f.extra.getOrElse(DvTargetKey,
+      sys.error(s"snap: DV entry ${f.path} carries no target"))._1
+  private[graft] def fileNameOf(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
 
   /** The format's namespace discipline: `_b` is the staging partition
     * column, and the `_graft_`/`__graft_` prefixes carry delta-file
@@ -442,11 +526,18 @@ object Snap {
     * the base side never shuffles; the latest-wins window shuffles
     * only delta rows. With no deltas this IS the plain base read —
     * zero overhead for copy-on-write tables. */
-  private def morApplied(spark: SparkSession, loc: HPath, m: SnapManifest,
+  private[sources] def morApplied(spark: SparkSession, loc: HPath, m: SnapManifest,
                          baseFiles: Seq[SnapFile],
-                         deltaFiles: Seq[SnapFile]): DataFrame =
-    morApplyFrame(spark, loc, m,
-      readFiles(spark, loc, m, baseFiles), deltaFiles)
+                         deltaFiles: Seq[SnapFile],
+                         dvFiles: Seq[SnapFile]): DataFrame = {
+    val names = baseFiles.map(f => fileNameOf(f.path)).toSet
+    val relevant = dvFiles.filter(v => names.contains(dvTargetOf(v)))
+    val base =
+      if (relevant.isEmpty) readFiles(spark, loc, m, baseFiles)
+      else dvApplyFrame(spark, loc,
+        readFiles(spark, loc, m, baseFiles, withPos = true), relevant)
+    morApplyFrame(spark, loc, m, base, deltaFiles)
+  }
 
   /** The same apply over an arbitrary base frame in the table's
     * logical schema — the SQL entry ([[SnapSql]]) feeds its pruning
@@ -477,7 +568,7 @@ object Snap {
            asOf: Option[Int] = None): DataFrame = {
     val m = asOf.map(atVersion(spark, loc, _)).getOrElse(
       head(spark, loc).getOrElse(sys.error(s"snap $loc: no committed version")))
-    morApplied(spark, loc, m, m.files, m.deltas)
+    morApplied(spark, loc, m, m.files, m.deltas, m.dvs)
   }
 
   /** Stats-pruned range scan over the key: plan only the files whose
@@ -498,7 +589,7 @@ object Snap {
     // intersecting [lo,hi] — the latest-wins fold stays complete for
     // every surfaced key (out-of-range winners die in the residual)
     val dChosen = m.deltas.filter(f => f.max.toLong >= lo && f.min.toLong <= hi)
-    val df = morApplied(spark, loc, m, chosen, dChosen)
+    val df = morApplied(spark, loc, m, chosen, dChosen, m.dvs)
       .filter(col(m.bucketCol) >= lo && col(m.bucketCol) <= hi)
     (df, chosen.size + dChosen.size, m.files.size + m.deltas.size)
   }
@@ -539,7 +630,7 @@ object Snap {
       if (colName == m.bucketCol)
         m.deltas.filter(f => f.max.toLong >= lo && f.min.toLong <= hi)
       else m.deltas
-    val df = morApplied(spark, loc, m, chosen, dChosen)
+    val df = morApplied(spark, loc, m, chosen, dChosen, m.dvs)
       .filter(col(colName) >= lo && col(colName) <= hi)
     (df, chosen.size + dChosen.size, m.files.size + m.deltas.size)
   }
@@ -584,7 +675,10 @@ object Snap {
     require(valid.nonEmpty, s"snap $loc: nothing committed to audit")
     val kept = valid.take(keepVersions)
     val live = kept.flatMap(m =>
-      (m._2.files ++ m._2.deltas).map(_.path)).toSet
+      (m._2.files ++ m._2.deltas ++ m._2.dvs).map(_.path)).toSet ++
+      SnapBranch.allBranchManifests(fs, loc)
+        .flatMap(p => readDefinitive(fs, p).getOrElse(None))
+        .flatMap(m => (m.files ++ m.deltas ++ m.dvs).map(_.path))
     val dataDir = new HPath(loc, "data")
     var reclaimFiles = 0
     var reclaimBytes = 0L
@@ -892,12 +986,14 @@ object Snap {
 
   /** Stage + promote in one lease-held step — the serialized writers'
     * path (create, merge, optimize). */
-  private def stageDataFiles(spark: SparkSession, loc: HPath,
+  private[sources] def stageDataFiles(spark: SparkSession, loc: HPath,
                              m: SnapManifest, data: DataFrame,
                              version: Int, token: String,
-                             gate: () => Unit): Seq[SnapFile] =
+                             gate: () => Unit,
+                             filePrefix: String = "b"): Seq[SnapFile] =
     promoteStaged(Published.fsOf(loc), loc,
-      stageWrite(spark, loc, m, data, version, token, gate), version, gate)
+      stageWrite(spark, loc, m, data, version, token, gate), version, gate,
+      filePrefix = filePrefix)
 
   /** Commit a rendered manifest at its version path, resolving create
     * ambiguity the lease-acquire way: a create that faults (the PUT may
@@ -906,8 +1002,14 @@ object Snap {
     * a TORN manifest at our version is a dead writer's mid-create crash
     * (no live rival can exist under the lease) — sweep it and retry. */
   private[graft] def commitManifest(fs: FileSystem, loc: HPath, m: SnapManifest,
-                             gate: () => Unit): Unit = {
-    val p = manifestPath(loc, m.version)
+                             gate: () => Unit): Unit =
+    commitManifestAt(fs, loc, manifestPath(loc, m.version), m, gate)
+
+  /** The same landed/rival/torn-resolving commit against an EXPLICIT
+    * path — branch refs commit through here ([[SnapBranch]]). */
+  private[sources] def commitManifestAt(fs: FileSystem, loc: HPath,
+                                        p: HPath, m: SnapManifest,
+                                        gate: () => Unit): Unit = {
     val bytes = render(m)
     var attempt = 0
     while (true) {
@@ -953,7 +1055,7 @@ object Snap {
     }
   }
 
-  private def newToken(): String =
+  private[sources] def newToken(): String =
     java.lang.Long.toHexString(
       graft.expressions.GraftHash.h60(
         (java.lang.ProcessHandle.current().pid().toString + ":" +
@@ -1108,7 +1210,7 @@ object Snap {
   /** The merge contract, refused loudly BEFORE any staging: full
     * schema (names AND types), a boolean delete flag, one non-null-
     * keyed row per key with a non-null flag. */
-  private def contractCheck(m: SnapManifest, delta: DataFrame,
+  private[sources] def contractCheck(m: SnapManifest, delta: DataFrame,
                             deletedCol: String): Unit = {
     val schema = m.schema
     require(schema.fieldNames.forall(delta.columns.contains),
@@ -1188,13 +1290,15 @@ object Snap {
     * about to commit. Folding widens the per-bucket key ranges (the
     * folded deltas' own pre-image base files must join the rewrite);
     * deltas in untouched buckets carry and keep applying at read. */
-  private final case class MergePlan(ranges: Map[Int, (String, String)],
+  private[sources] final case class MergePlan(ranges: Map[Int, (String, String)],
                                      rewrite: Seq[SnapFile],
                                      carry: Seq[SnapFile],
                                      foldDeltas: Seq[SnapFile],
-                                     carryDeltas: Seq[SnapFile])
+                                     carryDeltas: Seq[SnapFile],
+                                     foldDvs: Seq[SnapFile],
+                                     carryDvs: Seq[SnapFile])
 
-  private def planMerge(m: SnapManifest, delta: DataFrame): MergePlan = {
+  private[sources] def planMerge(m: SnapManifest, delta: DataFrame): MergePlan = {
     val ranges = deltaRanges(m, delta)
     val touched = ranges.keySet
     val (foldD, carryD) = m.deltas.partition(d => touched.contains(d.bucket))
@@ -1208,19 +1312,24 @@ object Snap {
         case ((cmn, cmx), d) => (lo(cmn, d.min), hi(cmx, d.max)) }
     }
     val (rw, cr) = m.files.partition(fileIntersects(m.keyKind, widened))
-    MergePlan(widened, rw, cr, foldD, carryD)
+    // a deletion vector lives and dies with its TARGET file: rewritten
+    // target → the rewrite applies the positions and the DV retires;
+    // carried target → the DV carries and keeps applying at read
+    val rwNames = rw.map(f => fileNameOf(f.path)).toSet
+    val (foldV, carryV) = m.dvs.partition(v => rwNames.contains(dvTargetOf(v)))
+    MergePlan(widened, rw, cr, foldD, carryD, foldV, carryV)
   }
 
   /** Survivors of the rewritten files (with any folding deltas
     * applied) ∪ the upserts; the anti-join's build side is the delta's
     * keys (small — AQE broadcasts it). */
-  private def mergedFrame(spark: SparkSession, loc: HPath, m: SnapManifest,
+  private[sources] def mergedFrame(spark: SparkSession, loc: HPath, m: SnapManifest,
                           delta: DataFrame, deletedCol: String,
                           plan: MergePlan): DataFrame = {
     val upserts = delta.filter(!col(deletedCol))
       .select(m.schema.fieldNames.map(col).toSeq: _*)
     val deltaKeys = delta.select(m.keyCols.map(col): _*)
-    morApplied(spark, loc, m, plan.rewrite, plan.foldDeltas)
+    morApplied(spark, loc, m, plan.rewrite, plan.foldDeltas, plan.foldDvs)
       .join(deltaKeys, m.keyCols, "left_anti")
       .unionByName(upserts)
   }
@@ -1243,7 +1352,8 @@ object Snap {
       graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
       val mn = m.copy(version = next, parent = m.version, writer = token,
         files = files, applied = appliedStamp.getOrElse(m.applied),
-        op = "merge", base = m.version, deltas = plan.carryDeltas)
+        op = "merge", base = m.version, deltas = plan.carryDeltas,
+        dvs = plan.carryDvs)
       if (sys.env.contains(SnapTornEnv)) {
         // probe hook: reproduce the mid-create crash for REAL across a
         // process boundary — land the manifest bytes WITHOUT the
@@ -1259,7 +1369,7 @@ object Snap {
       }
       commitManifest(fs, loc, mn, gate)
       graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
-      if (autoOptimize > 0 && (files ++ mn.deltas)
+      if (autoOptimize > 0 && (files ++ mn.deltas ++ mn.dvs)
           .groupBy(_.bucket).valuesIterator.exists(_.size >= autoOptimize)) {
         // the fold never touches the delta — release its cached blocks
         // before a rewrite that may need that executor memory
@@ -1359,7 +1469,8 @@ object Snap {
             op = "mor", base = m.version)
           commitManifest(fs, loc, mn, gate)
           graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
-          if (autoOptimize > 0 && (mn.files ++ mn.deltas).groupBy(_.bucket)
+          if (autoOptimize > 0 && (mn.files ++ mn.deltas ++ mn.dvs)
+              .groupBy(_.bucket)
               .valuesIterator.exists(_.size >= autoOptimize)) {
             delta.unpersist()
             optimize(spark, loc, minFilesPerBucket = autoOptimize)
@@ -1379,6 +1490,187 @@ object Snap {
                         autoOptimize: Int = 0, autoVacuum: Int = 0): Int =
     mergeMor(spark, loc, delta, deletedCol, Some(batchId), autoOptimize,
       autoVacuum)
+
+  /** Delete-only commit as POSITIONAL DELETION VECTORS — the r19
+    * verdict's third ask: a delete through [[mergeMor]] stages one
+    * full-width row per key, so a wide-schema table pays its column
+    * count for every delete; this commit stages O(positions) BYTES —
+    * per affected base file, one tiny parquet of doomed row indexes
+    * ([[DvPosCol]]), found by ONE column-pruned pass over the
+    * stats-intersecting files (read keys + `_metadata.row_index`,
+    * semi-join the delete keys).
+    *
+    * `delIn` needs ONLY the key columns (plus anything else, ignored).
+    * Row semantics match a `mergeMor` of all-deleted rows exactly —
+    * q148 pins DV ≡ key-delta ≡ copy-on-write row sets.
+    *
+    * DV-per-target keeps every later fold precise and rewrite-free:
+    * a copy-on-write touch or [[optimize]] of the target applies the
+    * positions and retires the DV; carried targets carry theirs. Keys
+    * whose LIVE image sits in an outstanding delta file cannot die by
+    * base position — with any outstanding delta in a touched bucket
+    * the key set ALSO lands as one slim residual delta file (keys +
+    * delete flag, null elsewhere — nulls are near-free in parquet), so
+    * latest-wins still erases them. OCC rivals compose: a rival DV on
+    * a file an optimistic merge rewrote forces that merge to retry
+    * ([[mergeOcc]]'s disjointness test), never a silent resurrect.
+    *
+    * Exactly-once streaming via `appliedStamp`, same contract as
+    * [[mergeStreaming]]. Returns the committed (or post-fold) version. */
+  def deleteVector(spark: SparkSession, loc: HPath, delIn: DataFrame,
+                   appliedStamp: Option[Long] = None,
+                   autoOptimize: Int = 0, autoVacuum: Int = 0): Int = {
+    require(autoOptimize == 0 || autoOptimize >= 2,
+      "autoOptimize must be 0 (off) or >= 2")
+    require(autoVacuum >= 0, "autoVacuum must be 0 (off) or >= 1")
+    val del = delIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
+      val m = head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: deleteVector into a table that never committed"))
+      val v =
+        if (appliedStamp.exists(_ <= m.applied)) m.version
+        else {
+          val gate = () => Published.assertLeaseOwned(loc)
+          val fs = Published.fsOf(loc)
+          dvContractCheck(m, del)
+          val keys = del.select(m.keyCols.map(col): _*)
+          val ranges = deltaRanges(m, keys)
+          val targets = m.files.filter(fileIntersects(m.keyKind, ranges))
+          val next = m.version + 1
+          val token = newToken()
+          val hits = readFiles(spark, loc, m, targets, withPos = true)
+            .select((m.keyCols.map(col) :+ col(FileNameCol) :+
+              col(RowPosCol)): _*)
+            .join(keys, m.keyCols, "left_semi")
+          val newDvs = stageDvFiles(spark, loc, m, hits, targets, next,
+            token, gate)
+          graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
+          val touchedDeltas = m.deltas.filter(d => ranges.contains(d.bucket))
+          val residual: Seq[SnapFile] =
+            if (touchedDeltas.isEmpty) Seq.empty
+            else {
+              // only keys in buckets that HOLD outstanding deltas can
+              // have delta-resident live images (delta files are
+              // bucket-local) — the residual covers exactly those
+              val deltaBuckets = touchedDeltas.map(_.bucket).toSeq
+              val inDeltaBuckets = keys
+                .withColumn("__graft_b", bucketExpr(m, identity))
+                .filter(col("__graft_b").isin(deltaBuckets: _*))
+                .drop("__graft_b")
+              val full = inDeltaBuckets.select(m.schema.fields.map(f =>
+                if (m.keyCols.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+              promoteStaged(fs, loc,
+                stageWrite(spark, loc, m, full, next, token + "r", gate,
+                  metaCols = Seq(MorDelCol -> lit(true),
+                    MorSeqCol -> lit(next.toLong)),
+                  recordExtraStats = false),
+                next, gate, filePrefix = "dr")
+            }
+          val mn = m.copy(version = next, parent = m.version, writer = token,
+            deltas = m.deltas ++ residual, dvs = m.dvs ++ newDvs,
+            applied = appliedStamp.getOrElse(m.applied),
+            op = "dv", base = m.version)
+          commitManifest(fs, loc, mn, gate)
+          graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
+          if (autoOptimize > 0 && (mn.files ++ mn.deltas ++ mn.dvs)
+              .groupBy(_.bucket)
+              .valuesIterator.exists(_.size >= autoOptimize)) {
+            del.unpersist()
+            optimize(spark, loc, minFilesPerBucket = autoOptimize)
+          } else next
+        }
+      maybeAutoVacuum(spark, loc, autoVacuum)
+      v
+    } finally del.unpersist()
+  }
+
+  /** The deleteVector contract: key columns present under the table's
+    * types, one row per key, no null key values. */
+  private def dvContractCheck(m: SnapManifest, del: DataFrame): Unit = {
+    require(m.keyCols.forall(del.columns.contains),
+      s"deleteVector input is missing key columns: " +
+        m.keyCols.filterNot(del.columns.contains).mkString(","))
+    val mistyped = m.keyCols.filter(k =>
+      del.schema(k).dataType != m.schema(k).dataType)
+    require(mistyped.isEmpty,
+      "deleteVector key column types diverge from the table schema: " +
+        mistyped.mkString(","))
+    val keyEx = m.keyCols.map(col)
+    val bad = del.groupBy(keyEx: _*)
+      .agg(count(lit(1)).as("count"))
+      .filter(col("count") > 1 ||
+        m.keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).count()
+    require(bad == 0, "deleteVector input carries duplicate or null keys")
+  }
+
+  /** Stage + promote the per-target DV files: the hits frame
+    * partitions by target file name (one task and one parquet per
+    * target), stats read back from the staged bytes, promotion under
+    * the lease — the [[stageWrite]]/[[promoteStaged]] discipline with
+    * target-name instead of bucket partitioning. */
+  private def stageDvFiles(spark: SparkSession, loc: HPath, m: SnapManifest,
+                           hits: DataFrame, targets: Seq[SnapFile],
+                           version: Int, token: String,
+                           gate: () => Unit): Seq[SnapFile] = {
+    val fs = Published.fsOf(loc)
+    val stage = new HPath(loc, s"stage-v$version-$token-dv")
+    val heartbeat = new StageHeartbeat(fs, stage).start()
+    try {
+      val bucketOf = targets.map(f => fileNameOf(f.path) -> f.bucket).toMap
+      val (dirs, statSeq) =
+        Published.retryJobIO(s"snap dv staging of $stage", gate) {
+          hits.select(col(FileNameCol), col(RowPosCol).as(DvPosCol))
+            .repartition(col(FileNameCol))
+            .write.mode(SaveMode.Overwrite).partitionBy(FileNameCol)
+            .parquet(fs.makeQualified(stage).toString)
+          val dirList = fs.listStatus(stage)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$FileNameCol="))
+            .sortBy(_.getPath.getName)
+          val st =
+            if (dirList.isEmpty) Array.empty[(String, (Long, Long, Long))]
+            else spark.read.parquet(fs.makeQualified(stage).toString)
+              .groupBy(col(FileNameCol))
+              .agg(count(lit(1)).as("rows"),
+                min(col(DvPosCol)).as("mn"), max(col(DvPosCol)).as("mx"))
+              .collect() // ≤ targets rows — bounded driver metadata
+              .map(r => r.getString(0) ->
+                (r.getAs[Long]("rows"), r.getAs[Long]("mn"),
+                  r.getAs[Long]("mx")))
+          (dirList, st)
+        }
+      if (statSeq.isEmpty) {
+        heartbeat.stop()
+        Published.retryIO(gate)(fs.delete(stage, true))
+        return Seq.empty
+      }
+      val stats = statSeq.toMap
+      heartbeat.stop() // lease held from here (gate) — promote
+      Published.retryIO(gate)(fs.mkdirs(new HPath(loc, "data")))
+      val out = dirs.toSeq.zipWithIndex.map { case (d, i) =>
+        // data-file names never need partition-value unescaping (the
+        // promote naming scheme is [A-Za-z0-9.-] only)
+        val target = d.getPath.getName.stripPrefix(s"$FileNameCol=")
+        val leaves = Published.retryIO(gate)(fs.listStatus(d.getPath))
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        require(leaves.length == 1,
+          s"snap dv staging produced ${leaves.length} files for $target — " +
+            "the repartition single-file invariant broke")
+        val (cnt, mnP, mxP) = stats(target)
+        val name = s"data/v$version-dv$i-0.parquet"
+        Published.moveResumable(fs, leaves.head.getPath,
+          new HPath(loc, name), gate)
+        SnapFile(name, bucketOf(target), cnt, mnP.toString, mxP.toString,
+          Map(DvTargetKey -> (target, "")))
+      }
+      Published.retryIO(gate)(fs.delete(stage, true))
+      out
+    } catch { case t: Throwable => heartbeat.stop(); throw t }
+  }
 
   /** Optimistic-concurrency MERGE — same semantics and contract as
     * [[merge]], but writers that touch DISJOINT files no longer
@@ -1488,14 +1780,16 @@ object Snap {
               Some((h2.version, h2))
             } else {
               val myRewrite = plan.rewrite.map(_.path).toSet
+              val myRewriteNames = plan.rewrite.map(f => fileNameOf(f.path)).toSet
               val myFolded = plan.foldDeltas.map(_.path).toSet
+              val myFoldedV = plan.foldDvs.map(_.path).toSet
               val target: Option[SnapManifest] =
                 if (h2.version == m.version)
                   Some(m.copy(version = m.version + 1, parent = m.version,
                     writer = token, files = plan.carry,
                     applied = appliedStamp.getOrElse(m.applied),
                     op = "merge", base = m.version,
-                    deltas = plan.carryDeltas))
+                    deltas = plan.carryDeltas, dvs = plan.carryDvs))
                 else {
                   // rivals committed past our base: rebase iff disjoint
                   // — over base files AND merge-on-read deltas: a rival
@@ -1510,6 +1804,14 @@ object Snap {
                   val rivalNew = h2.files.filterNot(f => basePaths.contains(f.path))
                   val rivalNewD = h2.deltas.filterNot(f =>
                     baseDPaths.contains(f.path))
+                  // a rival DELETION VECTOR targeting a file this merge
+                  // rewrote is never rebasable: our staged replacement
+                  // was built WITHOUT their positions, and carrying
+                  // their DV would point it at a dead file name — the
+                  // rival's deletes would silently resurrect
+                  val baseVPaths = m.dvs.map(_.path).toSet
+                  val rivalNewV = h2.dvs.filterNot(v =>
+                    baseVPaths.contains(v.path))
                   // a rival REBUCKET changes the bucket topology: our
                   // staged files' bucket ids (and every future delta's
                   // bucket math) would be stale under h2 — never
@@ -1520,8 +1822,11 @@ object Snap {
                   val disjoint = sameTopology &&
                     myRewrite.subsetOf(h2Paths) &&
                     myFolded.subsetOf(h2DPaths) &&
+                    myFoldedV.subsetOf(h2.dvs.map(_.path).toSet) &&
                     !rivalNew.exists(fileIntersects(m.keyKind, plan.ranges)) &&
-                    !rivalNewD.exists(fileIntersects(m.keyKind, plan.ranges))
+                    !rivalNewD.exists(fileIntersects(m.keyKind, plan.ranges)) &&
+                    !rivalNewV.exists(v =>
+                      myRewriteNames.contains(dvTargetOf(v)))
                   if (!disjoint) None
                   // h2's schema AND column mapping ride the copy: a
                   // rival rename is metadata-only, and our staged
@@ -1534,7 +1839,8 @@ object Snap {
                     files = h2.files.filterNot(f => myRewrite.contains(f.path)),
                     applied = appliedStamp.fold(h2.applied)(math.max(_, h2.applied)),
                     op = "merge", base = m.version,
-                    deltas = h2.deltas.filterNot(f => myFolded.contains(f.path))))
+                    deltas = h2.deltas.filterNot(f => myFolded.contains(f.path)),
+                    dvs = h2.dvs.filterNot(v => myFoldedV.contains(v.path))))
                 }
               target match {
                 case Some(tm) =>
@@ -1569,7 +1875,8 @@ object Snap {
     // window, reporting failure for a durably-committed merge (r18
     // advice).
     val served =
-      if (autoOptimize > 0 && (cm.files ++ cm.deltas).groupBy(_.bucket)
+      if (autoOptimize > 0 && (cm.files ++ cm.deltas ++ cm.dvs)
+          .groupBy(_.bucket)
           .valuesIterator.exists(_.size >= autoOptimize))
         optimize(spark, loc, minFilesPerBucket = autoOptimize)
       else v
@@ -1762,7 +2069,8 @@ object Snap {
               .filter(fileIntersects(parent.keyKind, dRanges))
             val preD = parent.deltas.filter(f => touched.contains(f.bucket))
             val dKeys = d.select(keys.map(col): _*)
-            val pre = morApplied(spark, loc, parent, preBase, preD)
+            val pre = morApplied(spark, loc, parent, preBase, preD,
+              parent.dvs)
               .join(dKeys, keys, "left_semi")
             // the delta holds one row per key (merge contract): its
             // upserts are the post-images outright, its delete keys
@@ -1778,6 +2086,43 @@ object Snap {
               withMeta(deletes, "delete")) ++
               updatesOf(pre, up, nonKey)
           }
+        } else if (child.op == "dv") {
+          // a deletion-vector step deletes only: the doomed keys are
+          // read off the parent's targeted files at the recorded
+          // positions (plus the residual delta's keys — images that
+          // lived in outstanding delta files), and the emitted
+          // pre-images are the parent's RESOLVED rows for those keys —
+          // a position hit on an already-masked base row must not
+          // surface a stale image, and a dead key emits nothing.
+          val parentV = parent.dvs.map(_.path).toSet
+          val addedV = child.dvs.filterNot(f => parentV.contains(f.path))
+          val parentD = parent.deltas.map(_.path).toSet
+          val addedD = child.deltas.filterNot(f => parentD.contains(f.path))
+          if (addedV.isEmpty && addedD.isEmpty) Seq.empty
+          else {
+            val targetNames = addedV.map(dvTargetOf).toSet
+            val targets = parent.files.filter(f =>
+              targetNames.contains(fileNameOf(f.path)))
+            val posKeys =
+              if (addedV.isEmpty)
+                readFiles(spark, loc, parent, Seq.empty)
+                  .select(keys.map(col): _*)
+              else readFiles(spark, loc, parent, targets, withPos = true)
+                .join(broadcast(readDvRows(spark, loc, addedV)),
+                  Seq(FileNameCol, RowPosCol), "left_semi")
+                .select(keys.map(col): _*)
+            val resKeys =
+              if (addedD.isEmpty) posKeys.limit(0)
+              else readDeltaFiles(spark, loc, child, addedD)
+                .filter(col(MorDelCol)).select(keys.map(col): _*)
+            val delKeys = posKeys.unionByName(resKeys).distinct()
+            val touched = (addedV.map(_.bucket) ++ addedD.map(_.bucket)).toSet
+            val preBase = parent.files.filter(f => touched.contains(f.bucket))
+            val preD = parent.deltas.filter(f => touched.contains(f.bucket))
+            val pre = morApplied(spark, loc, parent, preBase, preD,
+              parent.dvs).join(delKeys, keys, "left_semi")
+            Seq(withMeta(pre, "delete"))
+          }
         } else {
           val childPaths = child.files.map(_.path).toSet
           val childDPaths = child.deltas.map(_.path).toSet
@@ -1792,7 +2137,7 @@ object Snap {
             childDPaths.contains(f.path))
           if (removed.isEmpty && added.isEmpty && removedD.isEmpty) Seq.empty
           else classify(
-            morApplied(spark, loc, parent, removed, removedD),
+            morApplied(spark, loc, parent, removed, removedD, parent.dvs),
             readFiles(spark, loc, child, added))
         }
       }
@@ -1953,21 +2298,24 @@ object Snap {
         sys.error(s"snap $loc: optimize on a table that never committed"))
       val gate = () => Published.assertLeaseOwned(loc)
       val fs = Published.fsOf(loc)
-      val fat = (m.files ++ m.deltas).groupBy(_.bucket)
+      val fat = (m.files ++ m.deltas ++ m.dvs).groupBy(_.bucket)
         .filter(_._2.size >= minFilesPerBucket).keySet
       if (fat.isEmpty) m.version
       else {
         val (fold, carry) = m.files.partition(f => fat.contains(f.bucket))
         val (foldD, carryD) = m.deltas.partition(f => fat.contains(f.bucket))
+        val foldNames = fold.map(f => fileNameOf(f.path)).toSet
+        val (foldV, carryV) =
+          m.dvs.partition(v => foldNames.contains(dvTargetOf(v)))
         val token = newToken()
         val next = m.version + 1
         val files = carry ++
           stageDataFiles(spark, loc, m,
-            morApplied(spark, loc, m, fold, foldD), next, token, gate)
+            morApplied(spark, loc, m, fold, foldD, foldV), next, token, gate)
         graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
         commitManifest(fs, loc, m.copy(version = next, parent = m.version,
           writer = token, files = files, op = "optimize", base = m.version,
-          deltas = carryD), gate)
+          deltas = carryD, dvs = carryV), gate)
         next
       }
     }
@@ -1999,7 +2347,7 @@ object Snap {
         sys.error(s"snap $loc: rebucket on a table that never committed"))
       val gate = () => Published.assertLeaseOwned(loc)
       val fs = Published.fsOf(loc)
-      val data = morApplied(spark, loc, m, m.files, m.deltas)
+      val data = morApplied(spark, loc, m, m.files, m.deltas, m.dvs)
       def dimRange(c: String): (Long, Long) = {
         val r = data.agg(min(col(c).cast("long")),
           max(col(c).cast("long"))).head
@@ -2015,7 +2363,7 @@ object Snap {
       val m2 = m.copy(version = next, parent = m.version, writer = token,
         buckets = newBuckets, rangeMin = rMin, rangeMax = rMax,
         z2Min = z2Lo, z2Max = z2Hi, op = "rebucket", base = m.version,
-        deltas = Seq.empty)
+        deltas = Seq.empty, dvs = Seq.empty)
       val files = stageDataFiles(spark, loc, m2, data, next, token, gate)
       graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
       commitManifest(fs, loc, m2.copy(files = files), gate)
@@ -2044,8 +2392,15 @@ object Snap {
       val kept = valid.take(keepVersions)
       require(kept.nonEmpty, s"snap $loc: nothing committed to vacuum")
       val keptV = kept.map(_._1).toSet
+      // unpublished BRANCH chains pin their files too — sweeping a
+      // staged-but-not-yet-audited branch's data would corrupt the
+      // write-audit-publish flow ([[SnapBranch]])
+      val branchLive = SnapBranch.allBranchManifests(fs, loc)
+        .flatMap(p => readDefinitive(fs, p).getOrElse(None))
+        .flatMap(m => (m.files ++ m.deltas ++ m.dvs).map(_.path)).toSet
       val live = kept.flatMap(m =>
-        (m._3.files ++ m._3.deltas).map(_.path)).toSet
+        (m._3.files ++ m._3.deltas ++ m._3.dvs).map(_.path)).toSet ++
+        branchLive
       var manifests = 0
       all.filterNot { case (v, _) => keptV.contains(v) }.foreach { case (_, p) =>
         gate(); Published.deleteIfExists(fs, p); manifests += 1

@@ -1340,6 +1340,191 @@ object SnapOps {
        |  1 AS sql_matches_api, 1 AS sql_pruned_ok
        |FROM v5 GROUP BY c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q148
+  private def dvTable(dir: String): String =
+    s"graft_snapdv_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def dvFp(dir: String): String =
+    Published.fingerprint("snapdv",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** Attach-or-build the deletion-vector lifecycle: create →
+    * mergeMor upsert (keys < M/10, so bucket 0 holds an outstanding
+    * delta) → [[Snap.deleteVector]] of keys (k%10==3 ∪ k<M/20) — some
+    * delta-resident (the residual path), most base-resident (the
+    * positional path) → optimize (the fold). Four committed versions;
+    * the face reads v3 THROUGH the outstanding DVs every run. */
+  private def ensureDv(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, dvTable(dir))
+    val fp = dvFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h => h.tag == fp && h.version == 4)
+      if (!ok) {
+        Snap.drop(spark, loc)
+        Snap.create(spark, loc, Tables.customer(spark, dir),
+          Seq("c_custkey"), "c_custkey", custBuckets, layout = "range",
+          tag = fp)
+        val m = keySpace(spark, dir)
+        Snap.mergeMor(spark, loc,
+          Tables.customer(spark, dir).filter(col("c_custkey") < m / 10)
+            .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+            .withColumn("_deleted", lit(false)))
+        Snap.deleteVector(spark, loc,
+          Tables.customer(spark, dir)
+            .filter(col("c_custkey") % 10 === 3 || col("c_custkey") < m / 20)
+            .select(col("c_custkey")))
+        val v = Snap.optimize(spark, loc, minFilesPerBucket = 2)
+        require(v == 4, s"expected the DV fold to commit v4, got $v")
+      }
+    }
+    loc
+  }
+
+  /** Content face over the deletion-vector lifecycle, read AT v3 —
+    * through the outstanding DVs — with four manifest-metadata audits:
+    * the DV commit carried every base file by reference
+    * (`dv_carried_ok`), its vectors are slim positional files
+    * targeting live base files (`dv_positional_ok`), the
+    * delta-resident keys landed as ONE slim residual delta
+    * (`dv_residual_ok`), and the fold's row set equals the DV-applied
+    * read bit-for-bit (`dv_fold_ok` — v4 ≡ v3). */
+  def q148SnapDv(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureDv(spark, dir)
+    val v2 = Snap.atVersion(spark, loc, 2)
+    val v3 = Snap.atVersion(spark, loc, 3)
+    val carriedOk = v3.op == "dv" &&
+      v3.files.map(_.path) == v2.files.map(_.path)
+    val baseNames = v3.files.map(f => Snap.fileNameOf(f.path)).toSet
+    val positionalOk = v3.dvs.nonEmpty &&
+      v3.dvs.forall(v => baseNames.contains(Snap.dvTargetOf(v)))
+    val residualOk = v3.deltas.size == v2.deltas.size + 1
+    val atV3 = Snap.read(spark, loc, asOf = Some(3))
+    val folded = Snap.read(spark, loc, asOf = Some(4))
+    val foldOk = Snap.atVersion(spark, loc, 4).dvs.isEmpty &&
+      atV3.exceptAll(folded).isEmpty && folded.exceptAll(atV3).isEmpty
+    atV3.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"))
+      .withColumn("dv_carried_ok", lit(if (carriedOk) 1 else 0))
+      .withColumn("dv_positional_ok", lit(if (positionalOk) 1 else 0))
+      .withColumn("dv_residual_ok", lit(if (residualOk) 1 else 0))
+      .withColumn("dv_fold_ok", lit(if (foldOk) 1 else 0))
+  }
+
+  val q148Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks)
+      |         THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer),
+      |v3 AS (
+      |  SELECT * FROM v2
+      |  WHERE NOT (c_custkey % 10 = 3
+      |             OR c_custkey < (SELECT m // 20 FROM ks)))
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+      |  1 AS dv_carried_ok, 1 AS dv_positional_ok,
+      |  1 AS dv_residual_ok, 1 AS dv_fold_ok
+      |FROM v3 GROUP BY c_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q149
+  private def wapTable(dir: String): String =
+    s"graft_snapwap_${java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(dir.getBytes("UTF-8")))}"
+  private def wapFp(dir: String): String =
+    Published.fingerprint("snapwap",
+      Seq(new HPath(dir, "customer.parquet")))
+
+  /** Attach-or-build the write-audit-publish lifecycle
+    * ([[SnapBranch]]): create → fork a BAD branch (a poisoned batch),
+    * audit it RED, drop it (main never sees a row) → fork the real
+    * branch, stage the CDC delta on it, audit it GREEN against exactly
+    * what publish will make live, publish (one fast-forward commit,
+    * `op=publish`). Two main versions total — the bad batch left no
+    * version behind. */
+  private def ensureWap(spark: SparkSession, dir: String): HPath = {
+    val loc = Published.tableLoc(spark, wapTable(dir))
+    val fp = wapFp(dir)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h =>
+        h.tag == fp && h.version == 2 && h.op == "publish")
+      if (!ok) {
+        Snap.drop(spark, loc)
+        val c = Tables.customer(spark, dir)
+        Snap.create(spark, loc, c, Seq("c_custkey"), "c_custkey",
+          custBuckets, layout = "range", tag = fp)
+        val m = keySpace(spark, dir)
+        // the blocked round: stage rot, audit, drop
+        SnapBranch.create(spark, loc, "bad")
+        SnapBranch.merge(spark, loc, "bad",
+          c.filter(col("c_custkey") < m / 30)
+            .withColumn("c_acctbal", lit(-999999.0))
+            .withColumn("_deleted", lit(false)))
+        val rot = SnapBranch.read(spark, loc, "bad")
+          .filter(col("c_acctbal") < -900000.0).limit(1).count()
+        require(rot > 0, "wap lifecycle: the audit must SEE the rot")
+        SnapBranch.drop(spark, loc, "bad")
+        // the published round
+        SnapBranch.create(spark, loc, "stage")
+        SnapBranch.merge(spark, loc, "stage",
+          c.filter(col("c_custkey") < m / 10)
+            .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+            .withColumn("_deleted", lit(false))
+            .unionByName(c.filter(col("c_custkey") >= m / 2 &&
+                col("c_custkey") < m / 2 + m / 20)
+              .withColumn("_deleted", lit(true))))
+        val audit = SnapBranch.read(spark, loc, "stage")
+          .filter(col("c_acctbal") < -900000.0).limit(1).count()
+        require(audit == 0, "wap lifecycle: the audit gate must be green")
+        val v = SnapBranch.publish(spark, loc, "stage")
+        require(v == 2, s"wap lifecycle: expected publish at v2, got $v")
+      }
+    }
+    loc
+  }
+
+  /** Content face over the published head plus the WAP audits, all
+    * recomputable from metadata on every attach: the head IS a
+    * `publish` commit fast-forwarded from the fork (`wap_publish_ok`),
+    * no branch chain remains (`wap_clean_ok`), the blocked batch left
+    * no main version behind (version 2 total — `wap_blocked_ok`), and
+    * the audit rule holds over the LIVE rows (`wap_audit_ok`). */
+  def q149SnapWap(spark: SparkSession, dir: String): DataFrame = {
+    val loc = ensureWap(spark, dir)
+    val h = Snap.head(spark, loc).get
+    val publishOk = h.op == "publish" && h.version == 2 && h.base == 1
+    val cleanOk = SnapBranch.list(spark, loc).isEmpty
+    val blockedOk = h.version == 2 // the dropped branch never landed
+    val live = Snap.read(spark, loc)
+    val auditOk = live.filter(col("c_acctbal") < -900000.0)
+      .limit(1).count() == 0
+    live.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"))
+      .withColumn("wap_publish_ok", lit(if (publishOk) 1 else 0))
+      .withColumn("wap_clean_ok", lit(if (cleanOk) 1 else 0))
+      .withColumn("wap_blocked_ok", lit(if (blockedOk) 1 else 0))
+      .withColumn("wap_audit_ok", lit(if (auditOk) 1 else 0))
+  }
+
+  val q149Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks)
+      |         THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer
+      |  WHERE NOT (c_custkey >= (SELECT m // 2 FROM ks)
+      |             AND c_custkey < (SELECT m // 2 + m // 20 FROM ks)))
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+      |  1 AS wap_publish_ok, 1 AS wap_clean_ok,
+      |  1 AS wap_blocked_ok, 1 AS wap_audit_ok
+      |FROM v2 GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -1359,6 +1544,8 @@ object SnapOps {
     "q145_snap_changelog_chunked" -> q145SnapChangelogChunked _,
     "q146_snap_history" -> q146SnapHistory _,
     "q147_snap_sql_dml" -> q147SnapSqlDml _,
+    "q148_snap_dv" -> q148SnapDv _,
+    "q149_snap_wap" -> q149SnapWap _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1380,5 +1567,7 @@ object SnapOps {
     "q145_snap_changelog_chunked" -> q145Sql,
     "q146_snap_history" -> q146Sql,
     "q147_snap_sql_dml" -> q147Sql,
+    "q148_snap_dv" -> q148Sql,
+    "q149_snap_wap" -> q149Sql,
   )
 }

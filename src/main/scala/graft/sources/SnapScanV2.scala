@@ -255,7 +255,7 @@ final class SnapScan(spark: SparkSession, loc: HPath,
   // never be told more than the files guarantee)
   private val physRequired = StructType(required.fields.map(f =>
     f.copy(name = m.physicalOf(f.name), nullable = true)))
-  private val morOutstanding = m.deltas.nonEmpty
+  private val morOutstanding = m.deltas.nonEmpty || m.dvs.nonEmpty
   // under MOR the base read carries the key columns too (for masking);
   // the wrapper projects them away before rows leave the reader
   private val extraKeys: Seq[StructField] =
@@ -372,27 +372,38 @@ final class SnapScan(spark: SparkSession, loc: HPath,
         s"snap catalog: key column $k of type $dt cannot feed the " +
           "merge-on-read mask — fold the deltas (Snap.optimize) first")
     }
-    val metaFields = Seq(
-      StructField(Snap.MorDelCol, BooleanType, nullable = false),
-      StructField(Snap.MorSeqCol, LongType, nullable = false))
-    val deltaPhys = StructType(physAll.fields ++ metaFields)
-    val paths = m.deltas.map(f =>
-      fs.makeQualified(new HPath(loc, f.path)).toString)
-    val df = Published.retryIO()(
-      spark.read.schema(deltaPhys).parquet(paths: _*))
-    val physKeys = m.keyCols.map(m.physicalOf)
-    val mask: Set[Seq[Any]] = df.select(physKeys.map(col): _*)
-      .distinct().collect()
-      .map(r => physKeys.indices.toList
+    def normKeys(rows: Array[Row]): Set[Seq[Any]] = rows
+      .map(r => r.schema.fields.indices.toList
         .map(i => SnapV2.normExternal(r.get(i))): Seq[Any])
       .toSet
-    val w = Window.partitionBy(physKeys.map(col): _*)
-      .orderBy(col(Snap.MorSeqCol).desc)
-    val winners = df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1 && !col(Snap.MorDelCol))
-      .select(physRequired.fieldNames.map(col).toSeq: _*)
-      .collect()
-    (mask, winners)
+    // deletion vectors fold into the key mask: their doomed keys are
+    // resolved from the targeted files' positions (Snap.dvMaskKeys) —
+    // this reader tracks no row positions, and a key mask is exactly
+    // equivalent for rows the positions name
+    val dvMask: Set[Seq[Any]] =
+      if (m.dvs.isEmpty) Set.empty
+      else normKeys(Snap.dvMaskKeys(spark, loc, m).distinct().collect())
+    if (m.deltas.isEmpty) (dvMask, Array.empty[Row])
+    else {
+      val metaFields = Seq(
+        StructField(Snap.MorDelCol, BooleanType, nullable = false),
+        StructField(Snap.MorSeqCol, LongType, nullable = false))
+      val deltaPhys = StructType(physAll.fields ++ metaFields)
+      val paths = m.deltas.map(f =>
+        fs.makeQualified(new HPath(loc, f.path)).toString)
+      val df = Published.retryIO()(
+        spark.read.schema(deltaPhys).parquet(paths: _*))
+      val physKeys = m.keyCols.map(m.physicalOf)
+      val mask: Set[Seq[Any]] = normKeys(
+        df.select(physKeys.map(col): _*).distinct().collect())
+      val w = Window.partitionBy(physKeys.map(col): _*)
+        .orderBy(col(Snap.MorSeqCol).desc)
+      val winners = df.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1 && !col(Snap.MorDelCol))
+        .select(physRequired.fieldNames.map(col).toSeq: _*)
+        .collect()
+      (mask ++ dvMask, winners)
+    }
   }
 }
 

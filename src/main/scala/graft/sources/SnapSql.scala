@@ -161,9 +161,22 @@ object SnapSql {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
-    val base = spark.baseRelationToDataFrame(rel)
-      .select(m.schema.fields.map(f =>
-        col(m.physicalOf(f.name)).as(f.name)).toSeq: _*)
+    // deletion vectors ride the same positional working columns the
+    // direct read path uses — selected off the relation BEFORE the
+    // alias projection hides _metadata
+    val posCols =
+      if (m.dvs.isEmpty) Seq.empty
+      else Seq(
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.split(
+            col("_metadata.file_path"), "/"), -1).as(Snap.FileNameCol),
+        col("_metadata.row_index").as(Snap.RowPosCol))
+    val projected = spark.baseRelationToDataFrame(rel)
+      .select((m.schema.fields.map(f =>
+        col(m.physicalOf(f.name)).as(f.name)) ++ posCols).toSeq: _*)
+    val base =
+      if (m.dvs.isEmpty) projected
+      else Snap.dvApplyFrame(spark, loc, projected, m.dvs)
     (Snap.morApplyFrame(spark, loc, m, base, m.deltas), index)
   }
 

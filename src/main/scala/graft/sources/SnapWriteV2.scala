@@ -173,9 +173,17 @@ final class SnapStagedWrite(
           // the data, CTAS-correct for range/zorder layouts)
           p.create(spark, loc,
             resolved.filter(!col("_deleted")).drop("_deleted"))
+        case None if mode == "mor" =>
+          // a delete-only statement on a mor table lands as positional
+          // deletion vectors — O(positions) commit bytes, the format's
+          // cheapest delete shape
+          val deleteOnly =
+            resolved.filter(!col("_deleted")).limit(1).count() == 0
+          if (deleteOnly)
+            Snap.deleteVector(spark, loc, resolved.select(keyEx: _*))
+          else Snap.mergeMor(spark, loc, resolved)
         case None =>
-          if (mode == "mor") Snap.mergeMor(spark, loc, resolved)
-          else Snap.merge(spark, loc, resolved)
+          Snap.merge(spark, loc, resolved)
       }
     } finally cleanup()
   }

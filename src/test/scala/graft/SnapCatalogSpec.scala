@@ -202,6 +202,10 @@ class SnapCatalogSpec extends SparkSpec {
     val loc = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "m")
     assert(Snap.head(spark, loc).get.deltas.nonEmpty,
       "mode=mor writes must land as merge-on-read deltas")
+    // the delete-only statement landed positionally (O(positions)
+    // commit bytes), not as full-width key-delta rows
+    assert(Snap.head(spark, loc).get.dvs.nonEmpty,
+      "a mor-mode SQL DELETE must land as a positional deletion vector")
     // content through the catalog == the engine's own MOR read
     assert(rows(spark.sql(s"SELECT * FROM $cat.m")) ==
       rows(Snap.read(spark, loc)))
@@ -214,7 +218,8 @@ class SnapCatalogSpec extends SparkSpec {
         .select(col("c_custkey"), col("c_acctbal"))))
     // fold → back to the stock columnar path, same content
     Snap.optimize(spark, loc)
-    assert(Snap.head(spark, loc).get.deltas.isEmpty)
+    assert(Snap.head(spark, loc).get.deltas.isEmpty &&
+      Snap.head(spark, loc).get.dvs.isEmpty)
     assert(rows(spark.sql(s"SELECT * FROM $cat.m")) ==
       rows(Snap.read(spark, loc)))
   }

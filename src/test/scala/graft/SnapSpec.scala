@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Published, Snap, SnapOps, Tables}
+import graft.sources.{Published, Snap, SnapOps, SnapSql, Tables}
 
 /** The [[graft.sources.Snap]] snapshot format's contracts, executed:
   * copy-on-write merge (exact carried/rewritten file sets), time
@@ -203,15 +203,313 @@ class SnapSpec extends SparkSpec {
     assert(Snap.head(spark, loc).get.deltas.isEmpty)
     assert(headerOf(3) == "graft-snap 1",
       "a fold that clears the deltas must not keep the feature gate up")
+    // deletion vectors gate at version 3
+    Snap.deleteVector(spark, loc,
+      cust.filter(col("c_custkey") === 5).select(col("c_custkey")))
+    assert(headerOf(4) == "graft-snap 3",
+      "a manifest carrying deletion vectors must gate pre-DV readers out")
+    Snap.optimize(spark, loc)
+    assert(Snap.head(spark, loc).get.dvs.isEmpty)
+    assert(headerOf(5) == "graft-snap 1")
     // a checksummed manifest from a FUTURE build is a LANDED commit the
     // reader cannot apply: loud error, never a fallback to the parent
-    val body = "graft-snap 99\nversion=4\n"
+    val body = "graft-snap 99\nversion=6\n"
     val sum = java.lang.Long.toHexString(
       graft.expressions.GraftHash.h60(body.getBytes("UTF-8")))
-    scala.util.Using.resource(fs.create(Snap.manifestPath(loc, 4), true))(
+    scala.util.Using.resource(fs.create(Snap.manifestPath(loc, 6), true))(
       _.write((body + s"#commit $sum\n").getBytes("UTF-8")))
     intercept[IllegalStateException] { Snap.head(spark, loc) }
-    intercept[IllegalStateException] { Snap.atVersion(spark, loc, 4) }
+    intercept[IllegalStateException] { Snap.atVersion(spark, loc, 6) }
+  }
+
+  test("deletion vectors: a delete-only commit lands positional DV " +
+      "files (plus a slim residual delta only when outstanding deltas " +
+      "hold live images), row sets ≡ key-delta ≡ COW, carried files " +
+      "untouched, changelog emits resolved pre-images, folds retire " +
+      "the targets' DVs, time travel intact") {
+    import org.apache.spark.sql.DataFrame
+    def mk(tag: String): HPath = {
+      val loc = tmpLoc(s"dvw_$tag")
+      Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+        layout = "range", tag = "t")
+      loc
+    }
+    val (locV, locD, locC) = (mk("v"), mk("d"), mk("c"))
+    // a prior MOR upsert (keys 0..4 → bucket 0) puts live images in an
+    // outstanding delta file — the residual-delta path must cover them
+    val up = cust.filter(col("c_custkey") < 5)
+      .withColumn("c_acctbal", lit(111.0)).withColumn("_deleted", lit(false))
+    Seq(locV, locD).foreach(Snap.mergeMor(spark, _, up))
+    Snap.merge(spark, locC, up)
+    // delete: the upserted keys 0..2 (delta-resident images) + a spread
+    // of base keys + absent keys (no-ops)
+    val delRows: DataFrame = cust
+      .filter(col("c_custkey") < 3 || col("c_custkey") % 10 === 7)
+      .unionByName(cust.filter(col("c_custkey") < 2)
+        .withColumn("c_custkey", col("c_custkey") + 5000L))
+      .withColumn("_deleted", lit(true))
+    val v3 = Snap.deleteVector(spark, locV, delRows.select(col("c_custkey")))
+    Snap.mergeMor(spark, locD, delRows)
+    Snap.merge(spark, locC, delRows)
+    assert(rows(Snap.read(spark, locV)) == rows(Snap.read(spark, locD)),
+      "DV read diverged from the key-delta twin")
+    assert(rows(Snap.read(spark, locV)) == rows(Snap.read(spark, locC)),
+      "DV read diverged from the COW twin")
+    // manifest shape: everything carried by reference; positional
+    // entries name their targets; the residual delta exists (bucket 0
+    // holds an outstanding delta with live images)
+    val hv = Snap.atVersion(spark, locV, v3)
+    val v2m = Snap.atVersion(spark, locV, 2)
+    assert(hv.op == "dv" && hv.files.map(_.path) == v2m.files.map(_.path),
+      "a DV commit must carry every base file by reference")
+    assert(hv.dvs.nonEmpty, "no deletion vectors landed")
+    val baseNames = hv.files.map(f => Snap.fileNameOf(f.path)).toSet
+    assert(hv.dvs.forall(v => baseNames.contains(Snap.dvTargetOf(v))),
+      "every DV must target a live base file")
+    assert(hv.deltas.size == v2m.deltas.size + 1,
+      "one slim residual delta expected (outstanding delta held live images)")
+    // the DV files are O(positions): single-column parquet
+    val fs = Published.fsOf(locV)
+    val dvSchema = spark.read.parquet(
+      fs.makeQualified(new HPath(locV, hv.dvs.head.path)).toString).schema
+    assert(dvSchema.fieldNames.toSeq == Seq("_graft_pos"),
+      s"a DV file carries positions only, got ${dvSchema.fieldNames.toSeq}")
+    // time travel: the pre-delete snapshot still serves
+    assert(rows(Snap.read(spark, locV, asOf = Some(2))) ==
+      rows(Snap.read(spark, locD, asOf = Some(2))))
+    // changelog: the dv step emits exactly the live deleted keys, with
+    // RESOLVED pre-images (the upserted 111.0, not the stale base rows)
+    val ch = Snap.changes(spark, locV, 2, v3)
+    assert(ch.select(col("_change_type")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    val expectDel = Snap.read(spark, locV, asOf = Some(2))
+      .join(delRows.select(col("c_custkey")), Seq("c_custkey"), "left_semi")
+    assert(rows(ch.select(expectDel.columns.map(col).toSeq: _*)) ==
+      rows(expectDel), "dv changelog must emit the resolved pre-images")
+    // pruned scans stay DV-aware
+    val (pdf, _, _) = Snap.prunedScan(spark, locV, 0L, 60L)
+    assert(rows(pdf) == rows(Snap.read(spark, locC)
+      .filter(col("c_custkey") <= 60)))
+    // the SQL-entry relation applies DVs too
+    SnapSql.registerView(spark, "graft_dv_view", locV)
+    assert(rows(spark.sql("SELECT * FROM graft_dv_view")) ==
+      rows(Snap.read(spark, locV)))
+    // a fold retires the folded targets' DVs and preserves content
+    val before = rows(Snap.read(spark, locV))
+    Snap.optimize(spark, locV)
+    val hf = Snap.head(spark, locV).get
+    assert(hf.dvs.isEmpty && hf.deltas.isEmpty,
+      "optimize must apply and retire deletion vectors")
+    assert(rows(Snap.read(spark, locV)) == before)
+    // pure-DV shape (no outstanding deltas anywhere): no residual
+    val locP = mk("p")
+    Snap.deleteVector(spark, locP, cust.filter(col("c_custkey") % 5 === 1)
+      .select(col("c_custkey")))
+    val hp = Snap.head(spark, locP).get
+    assert(hp.dvs.nonEmpty && hp.deltas.isEmpty,
+      "a pure positional delete must not land a residual delta")
+    assert(rows(Snap.read(spark, locP)) ==
+      rows(cust.filter(col("c_custkey") % 5 =!= 1)))
+    // a COW merge touching a DV'd bucket folds ITS targets' DVs and
+    // carries the rest
+    val touch = cust.filter(col("c_custkey") === 1)
+      .withColumn("c_acctbal", lit(9.5)).withColumn("_deleted", lit(false))
+    Snap.merge(spark, locP, touch)
+    val hm = Snap.head(spark, locP).get
+    assert(hm.dvs.size < hp.dvs.size,
+      "the rewritten bucket's DVs must fold into the COW rewrite")
+    assert(hm.dvs.nonEmpty, "untouched buckets' DVs must carry")
+    // key 1 died by DV, then the COW merge re-inserted it at 9.5
+    assert(rows(Snap.read(spark, locP)) ==
+      rows(cust.filter(col("c_custkey") % 5 =!= 1)
+        .unionByName(cust.filter(col("c_custkey") === 1)
+          .withColumn("c_acctbal", lit(9.5)))))
+  }
+
+  test("changelog stream source: readStream follows COW, MOR and DV " +
+      "commits per version, skips neutral folds, replays the create on " +
+      "startingVersion=1, applies back to the head, and a restart " +
+      "continues from the checkpoint offset exactly-once") {
+    val loc = tmpLoc("chsrc")
+    val ckpt = Files.createTempDirectory("chsrc_ck").toString
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    // foreachBatch collector: supports checkpoint recovery (the memory
+    // sink does not), which is exactly what the restart leg pins
+    val collected =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def start() = spark.readStream.format("graft-snap-changes")
+      .option("path", loc.toString).option("startingVersion", "1").load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(collected.add); ()
+      }
+      .start()
+    def mem: DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(collected.asScala.toSeq.asJava,
+        graft.sources.SnapChangesTable.changeSchema(cust.schema))
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!cond && System.currentTimeMillis() < deadline)
+        Thread.sleep(150L)
+      assert(cond, s"stream never reached: $what")
+    }
+    def seen(v: Int): Boolean =
+      mem.filter(col("_commit_version") === v).limit(1).count() > 0
+    val morDelta = cust.filter(col("c_custkey") >= 100 &&
+        col("c_custkey") < 110)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(77.0))
+      .withColumn("_deleted", lit(false))
+    var q = start()
+    try {
+      await(seen(1), "the create replay")
+      Snap.merge(spark, loc, smallDelta) // v2 COW
+      Snap.mergeMor(spark, loc, morDelta) // v3 MOR
+      await(seen(3), "v3")
+    } finally q.stop()
+    // per-version parity with the batch changelog: upserts carry full
+    // values (insert+update classes), deletes compare by key
+    def streamUp(v: Int): Set[String] = rows(
+      mem.filter(col("_commit_version") === v &&
+        col("_change_type") === "upsert")
+        .select(cust.columns.map(col).toSeq: _*))
+    def streamDelKeys(v: Int): Set[String] = rows(
+      mem.filter(col("_commit_version") === v &&
+        col("_change_type") === "delete").select(col("c_custkey")))
+    def chUp(v: Int): Set[String] = rows(
+      Snap.changes(spark, loc, v - 1, v)
+        .filter(col("_change_type").isin("insert", "update"))
+        .select(cust.columns.map(col).toSeq: _*))
+    def chDelKeys(v: Int): Set[String] = rows(
+      Snap.changes(spark, loc, v - 1, v)
+        .filter(col("_change_type") === "delete").select(col("c_custkey")))
+    assert(streamUp(1) == rows(cust),
+      "startingVersion=1 must replay the create as upserts")
+    assert(streamDelKeys(1).isEmpty)
+    Seq(2, 3).foreach { v =>
+      assert(streamUp(v) == chUp(v), s"v$v upserts diverged from changes()")
+      assert(streamDelKeys(v) == chDelKeys(v), s"v$v delete keys diverged")
+    }
+    // the collapsed apply over everything seen reproduces the head
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("_commit_version").desc)
+    val applied = mem.withColumn("__graft_rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__graft_rn") === 1 && col("_change_type") === "upsert")
+      .select(cust.columns.map(col).toSeq: _*)
+    assert(rows(applied) == rows(Snap.read(spark, loc)),
+      "collapsed stream apply must reproduce the table head")
+    // commits landing while STOPPED: a positional delete (alive keys
+    // only) and a row-set-neutral fold
+    Snap.deleteVector(spark, loc,
+      cust.filter(col("c_custkey") >= 60 && col("c_custkey") < 70)
+        .select(col("c_custkey"))) // v4
+    Snap.optimize(spark, loc) // v5, neutral
+    collected.clear() // whatever arrives now is the pure continuation
+    q = start()
+    try {
+      await(seen(4), "the resumed DV step")
+      // versions 1-3 must NOT re-deliver across the restart
+      assert(mem.filter(col("_commit_version") < 4).count() == 0,
+        "restart re-delivered versions before the checkpointed offset")
+      assert(streamDelKeys(4) == chDelKeys(4),
+        "DV step delete keys diverged")
+      assert(streamUp(4).isEmpty, "a delete-only step emitted upserts")
+      // give the neutral fold a tick: it must contribute nothing
+      Thread.sleep(500L)
+      assert(mem.filter(col("_commit_version") === 5).count() == 0,
+        "a row-set-neutral optimize leaked changelog rows")
+    } finally q.stop()
+  }
+
+  test("branches + write-audit-publish: metadata-only fork, two-way " +
+      "isolation, failed audit drops without a trace (vacuum sweeps the " +
+      "branch's files), publish fast-forwards gated on the fork version, " +
+      "per-ref time travel, changelog classifies the publish") {
+    import graft.sources.SnapBranch
+    val loc = tmpLoc("wap")
+    Snap.create(spark, loc, cust, Seq("c_custkey"), "c_custkey", 4,
+      layout = "range", tag = "t")
+    val mainV1 = rows(Snap.read(spark, loc))
+
+    // ---- failed-audit round: the bad batch never reaches main
+    assert(SnapBranch.create(spark, loc, "audit") == 1)
+    assert(SnapBranch.atVersion(spark, loc, "audit", 1).files.map(_.path) ==
+      Snap.head(spark, loc).get.files.map(_.path),
+      "a fork must reference main's files — zero copy")
+    val bad = cust.filter(col("c_custkey") < 5)
+      .withColumn("c_acctbal", lit(-99999.0))
+      .withColumn("_deleted", lit(false))
+    SnapBranch.merge(spark, loc, "audit", bad)
+    assert(Snap.head(spark, loc).get.version == 1 &&
+      rows(Snap.read(spark, loc)) == mainV1,
+      "branch commits must be invisible to main")
+    // the audit, over EXACTLY what publish would make live
+    assert(SnapBranch.read(spark, loc, "audit")
+      .filter(col("c_acctbal") < -9000).count() == 5, "audit must see the rot")
+    val mainPaths = Snap.head(spark, loc).get.files.map(_.path).toSet
+    val branchOnly = SnapBranch.head(spark, loc, "audit").get
+      .files.map(_.path).filterNot(mainPaths.contains)
+    assert(branchOnly.nonEmpty)
+    SnapBranch.drop(spark, loc, "audit")
+    val (_, swept, _) = Snap.vacuum(spark, loc, keepVersions = 99)
+    assert(swept == branchOnly.size,
+      s"vacuum must sweep exactly the dropped branch's files ($swept vs " +
+        s"${branchOnly.size})")
+    assert(rows(Snap.read(spark, loc)) == mainV1)
+
+    // ---- good round: fork → stage twice → audit passes → publish
+    SnapBranch.create(spark, loc, "good")
+    val upd = cust.filter(col("c_custkey") < 10)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+      .withColumn("_deleted", lit(false))
+    val del = cust.filter(col("c_custkey") >= 80 && col("c_custkey") < 90)
+      .withColumn("_deleted", lit(true))
+    assert(SnapBranch.merge(spark, loc, "good", upd) == 2)
+    assert(SnapBranch.merge(spark, loc, "good", del) == 3)
+    // per-ref time travel: the branch's own history
+    assert(rows(SnapBranch.read(spark, loc, "good", asOf = Some(2))) ==
+      rows(cust.withColumn("c_acctbal",
+        when(col("c_custkey") < 10, col("c_acctbal") + 1000.0)
+          .otherwise(col("c_acctbal")))))
+    val expect = cust.filter(!(col("c_custkey") >= 80 && col("c_custkey") < 90))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") < 10, col("c_acctbal") + 1000.0)
+          .otherwise(col("c_acctbal")))
+    // branch keeps serving while main is read (two-way isolation)
+    assert(rows(Snap.read(spark, loc)) == mainV1)
+    assert(rows(SnapBranch.read(spark, loc, "good")) == rows(expect))
+    // audit green → publish
+    assert(SnapBranch.read(spark, loc, "good")
+      .filter(col("c_acctbal") < -9000).count() == 0)
+    assert(SnapBranch.publish(spark, loc, "good") == 2)
+    val h = Snap.head(spark, loc).get
+    assert(h.version == 2 && h.op == "publish" && h.base == 1)
+    assert(rows(Snap.read(spark, loc)) == rows(expect))
+    assert(SnapBranch.list(spark, loc).isEmpty,
+      "a published branch's chain must be gone")
+    // the changelog classifies the publish as its net row changes
+    val ch = Snap.changes(spark, loc, 1, 2)
+    assert(ch.filter(col("_change_type") === "delete").count() == 10)
+    assert(ch.filter(col("_change_type") === "update").count() == 10)
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+
+    // ---- conflict gate: a rival main commit since the fork refuses
+    SnapBranch.create(spark, loc, "late")
+    SnapBranch.merge(spark, loc, "late",
+      cust.filter(col("c_custkey") === 30)
+        .withColumn("c_acctbal", lit(1.0)).withColumn("_deleted", lit(false)))
+    Snap.merge(spark, loc, cust.filter(col("c_custkey") === 31)
+      .withColumn("c_acctbal", lit(2.0)).withColumn("_deleted", lit(false)))
+    intercept[Snap.SnapConflict] { SnapBranch.publish(spark, loc, "late") }
+    assert(Snap.read(spark, loc).filter(col("c_custkey") === 30)
+      .head().getAs[Double]("c_acctbal") != 1.0,
+      "a refused publish must leave no trace on main")
+    SnapBranch.drop(spark, loc, "late")
   }
 
   private def render(m: Snap.SnapManifest): Array[Byte] = Snap.render(m)

@@ -430,4 +430,106 @@ for MODE in fold mor; do
     { echo "FAIL: jheal[$MODE] did not heal"; grep -a SNAPPROBE /tmp/snapmor_heal_${MODE}.log; tail -5 /tmp/snapmor_heal_${MODE}.log; exit 1; }
 done
 echo "leg J OK: fold + MOR-commit kill -9 windows -> new-JVM heal -> MOR view served throughout, orphans swept, row-set-exact"
+
+echo "== leg K: deletion-vector write windows — the DV stage and the DV commit (r20)"
+# A MOR table (one delta commit over an 8-bucket base). Window 1
+# ('stage'): deleteVector dies after its positional files promoted but
+# before the manifest create — the head keeps serving the pre-delete
+# view, the orphaned DV files stay invisible, vacuum sweeps exactly
+# them, and the retry lands vectors + one residual delta. Window 2
+# ('commit'): the create LANDED before the halt — the DV version
+# serves, and the later fold retires every vector.
+ROOTK=$(mktemp -d /tmp/graft-snapdv.XXXX)
+LOCK_URI="$ROOTK/tbl"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  LOCK_URI="hdfs://graftsim$ROOTK/tbl"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  LOCK_URI="s3a://graftbucket$ROOTK/tbl"
+fi
+$RUN graft.SnapCrashProbe kbase $SF "$LOCK_URI" >/tmp/snapdv_base.log 2>&1
+grep -a "SNAPPROBE kbase OK" /tmp/snapdv_base.log || \
+  { echo "FAIL: leg K seeding failed"; tail -5 /tmp/snapdv_base.log; exit 1; }
+for MODE in stage commit; do
+  WINDOW=snapstage
+  [[ "$MODE" == "commit" ]] && WINDOW=snapcommit
+  SPARK_GRAFT_SNAP_HALT=$WINDOW \
+    $RUN graft.SnapCrashProbe kcrash $SF "$LOCK_URI" $MODE >/tmp/snapdv_${MODE}.log 2>&1 && \
+    { echo "FAIL: kcrash[$MODE] exited 0 — the halt never fired"; exit 1; }
+  grep -a "RESTARTPROBE halting in crash window $WINDOW" /tmp/snapdv_${MODE}.log || \
+    { echo "FAIL: kcrash[$MODE] died without reaching the window"; tail -5 /tmp/snapdv_${MODE}.log; exit 1; }
+  sleep 3
+  SPARK_GRAFT_LEASE_STALE_MS=2000 \
+    $RUN graft.SnapCrashProbe kheal $SF "$LOCK_URI" $MODE >/tmp/snapdv_heal_${MODE}.log 2>&1
+  grep -a "SNAPPROBE kheal OK mode=$MODE" /tmp/snapdv_heal_${MODE}.log || \
+    { echo "FAIL: kheal[$MODE] did not heal"; grep -a SNAPPROBE /tmp/snapdv_heal_${MODE}.log; tail -5 /tmp/snapdv_heal_${MODE}.log; exit 1; }
+done
+echo "leg K OK: DV stage + DV commit kill -9 windows -> new-JVM heal -> pre-delete view served, orphans swept, vectors land and fold, row-set-exact"
+
+echo "== leg L: changelog STREAM SOURCE driver death mid-backlog (r20)"
+# The DSv2 micro-batch source's offsets are manifest versions in the
+# stream checkpoint. A driver halt after 2 committed batches must
+# resume from the committed offset in a NEW JVM and deliver every
+# source version exactly once to the applying sink (strictly-advancing
+# applied chain), converging row-set-exact across COW, MOR, positional-
+# delete, and fold commits landing while the stream runs.
+ROOTL=$(mktemp -d /tmp/graft-snapchs.XXXX)
+LOCL_URI="$ROOTL/src"
+DSTL_URI="$ROOTL/dst"
+CKPTL="$ROOTL/ckpt"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  LOCL_URI="hdfs://graftsim$ROOTL/src"; DSTL_URI="hdfs://graftsim$ROOTL/dst"
+  CKPTL="hdfs://graftsim$ROOTL/ckpt"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  LOCL_URI="s3a://graftbucket$ROOTL/src"; DSTL_URI="s3a://graftbucket$ROOTL/dst"
+  CKPTL="s3a://graftbucket$ROOTL/ckpt"
+fi
+$RUN graft.SnapCrashProbe lbase $SF "$LOCL_URI" >/tmp/snapchs_base.log 2>&1
+grep -a "SNAPPROBE lbase OK" /tmp/snapchs_base.log || \
+  { echo "FAIL: leg L seeding failed"; tail -5 /tmp/snapchs_base.log; exit 1; }
+$RUN graft.SnapCrashProbe lrun $SF "$LOCL_URI" "$DSTL_URI" "$CKPTL" 2 >/tmp/snapchs_crash.log 2>&1 && \
+  { echo "FAIL: lrun[halt] exited 0 — the halt never fired"; exit 1; }
+grep -a "RESTARTPROBE halting driver after committed batch" /tmp/snapchs_crash.log || \
+  { echo "FAIL: lrun died without the batch-commit halt"; tail -5 /tmp/snapchs_crash.log; exit 1; }
+sleep 3
+SPARK_GRAFT_LEASE_STALE_MS=2000 \
+  $RUN graft.SnapCrashProbe lrun $SF "$LOCL_URI" "$DSTL_URI" "$CKPTL" 0 >/tmp/snapchs_resume.log 2>&1
+grep -a "SNAPPROBE lrun OK" /tmp/snapchs_resume.log || \
+  { echo "FAIL: resumed stream never converged"; grep -a SNAPPROBE /tmp/snapchs_resume.log; tail -5 /tmp/snapchs_resume.log; exit 1; }
+$RUN graft.SnapCrashProbe lcheck $SF "$LOCL_URI" "$DSTL_URI" >/tmp/snapchs_check.log 2>&1
+grep -a "SNAPPROBE lcheck OK" /tmp/snapchs_check.log || \
+  { echo "FAIL: leg L exactly-once check failed"; tail -5 /tmp/snapchs_check.log; exit 1; }
+echo "leg L OK: stream-source driver death -> checkpoint-offset resume -> every version once, row-set-exact"
+
+echo "== leg M: MAINTAINED-AGGREGATE follower driver death -> WIPED-checkpoint resume (r20)"
+# followAgg's ledger is the destination manifest (cursor = applied
+# source version, committed atomically with the maintained groups), so
+# run 2 starts from a DELETED checkpoint and must converge exactly-once
+# from the cursor alone; mcheck requires the maintained (count, nval,
+# DECIMAL sum) table to equal a full recompute bit-for-bit plus a
+# strictly-advancing applied chain.
+ROOTM=$(mktemp -d /tmp/graft-snapfollowagg.XXXX)
+SRCM_URI="$ROOTM/src"; DSTM_URI="$ROOTM/dst"; CKPTM_URI="$ROOTM/ckpt"
+if [[ "${SPARK_GRAFT_HDFS_SIM:-}" == "true" ]]; then
+  SRCM_URI="hdfs://graftsim$ROOTM/src"; DSTM_URI="hdfs://graftsim$ROOTM/dst"; CKPTM_URI="hdfs://graftsim$ROOTM/ckpt"
+elif [[ "${SPARK_GRAFT_S3_SIM:-}" == "true" ]]; then
+  SRCM_URI="s3a://graftbucket$ROOTM/src"; DSTM_URI="s3a://graftbucket$ROOTM/dst"; CKPTM_URI="s3a://graftbucket$ROOTM/ckpt"
+fi
+$RUN graft.SnapCrashProbe mbase $SF "$SRCM_URI" >/tmp/snapfollowagg_base.log 2>&1
+grep -a "SNAPPROBE mbase OK" /tmp/snapfollowagg_base.log || \
+  { echo "FAIL: leg M seeding failed"; tail -5 /tmp/snapfollowagg_base.log; exit 1; }
+$RUN graft.SnapCrashProbe mrun $SF "$SRCM_URI" "$DSTM_URI" "$CKPTM_URI" 3 >/tmp/snapfollowagg_crash.log 2>&1 && \
+  { echo "FAIL: mrun exited 0 — the halt never fired"; exit 1; }
+grep -a "RESTARTPROBE halting driver after committed batch" /tmp/snapfollowagg_crash.log || \
+  { echo "FAIL: mrun died without the commit-gated halt"; tail -5 /tmp/snapfollowagg_crash.log; exit 1; }
+sleep 3
+rm -rf "$ROOTM/ckpt"
+SPARK_GRAFT_LEASE_STALE_MS=2000 \
+  $RUN graft.SnapCrashProbe mrun $SF "$SRCM_URI" "$DSTM_URI" "$CKPTM_URI" 0 >/tmp/snapfollowagg_resume.log 2>&1
+grep -a "SNAPPROBE mrun OK" /tmp/snapfollowagg_resume.log || \
+  { echo "FAIL: resumed followAgg did not converge"; tail -5 /tmp/snapfollowagg_resume.log; exit 1; }
+SPARK_GRAFT_LEASE_STALE_MS=2000 \
+  $RUN graft.SnapCrashProbe mcheck $SF "$SRCM_URI" "$DSTM_URI" >/tmp/snapfollowagg_check.log 2>&1
+grep -a "SNAPPROBE mcheck OK" /tmp/snapfollowagg_check.log || \
+  { echo "FAIL: followAgg exactly-once violated"; grep -a SNAPPROBE /tmp/snapfollowagg_check.log; tail -5 /tmp/snapfollowagg_check.log; exit 1; }
+echo "leg M OK: followAgg killed mid-backlog -> WIPED-checkpoint resume -> maintained table == recompute bit-for-bit, strictly-advancing cursor"
 echo "ALL OK"
