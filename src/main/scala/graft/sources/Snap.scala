@@ -369,6 +369,28 @@ object Snap {
         "(vacuumed past the horizon, torn, or never committed)"))
   }
 
+  /** The newest committed version whose manifest landed at or before
+    * `tsMillis` — the `TIMESTAMP AS OF` resolution. Commit time is the
+    * manifest file's store modification time (the format stamps no
+    * wall clock; this is the Delta convention and is monotone per
+    * chain because manifests are create-once). A manifest vacuumed
+    * between the listing and the status probe skips, like [[head]]. */
+  def versionAsOfTimestamp(spark: SparkSession, loc: HPath,
+                           tsMillis: Long): SnapManifest = {
+    val fs = Published.fsOf(loc)
+    listManifests(fs, loc).iterator
+      .filter { case (_, p) =>
+        (try Some(Published.retryIO()(fs.getFileStatus(p)))
+         catch { case _: java.io.FileNotFoundException => None })
+          .exists(_.getModificationTime <= tsMillis)
+      }
+      .flatMap { case (_, p) => readDefinitive(fs, p).getOrElse(None) }
+      .nextOption()
+      .getOrElse(sys.error(s"snap $loc has no version committed at or " +
+        s"before t=${tsMillis}ms (before the first commit, or vacuumed " +
+        "past the horizon)"))
+  }
+
   // ------------------------------------------------------- read paths
 
   private def readFiles(spark: SparkSession, loc: HPath,

@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (default: first key), `buckets` (default 8), `layout`
   * (hash|range|zorder, default hash), `zorder_by`, `stats` (csv stats
   * columns), `mode` (cow|mor write routing, default cow). */
-class SnapCatalog extends TableCatalog with SupportsNamespaces {
+class SnapCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: HPath = _
@@ -105,6 +106,36 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces {
     if (Snap.head(spark, dir).isEmpty && pending.isEmpty)
       throw new NoSuchTableException(ident)
     new SnapTable(spark, dir, pending)
+  }
+
+  /** `VERSION AS OF` — an integer pins that committed main version
+    * (loud past the vacuum horizon, like [[Snap.atVersion]]); any other
+    * string names a BRANCH and serves its head (the audit-from-SQL leg
+    * of write-audit-publish: `SELECT ... FROM cat.t VERSION AS OF
+    * 'audit'` reads exactly what publish would make live). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (Snap.head(spark, dir).isEmpty) throw new NoSuchTableException(ident)
+    val m =
+      if (version.nonEmpty && version.forall(_.isDigit))
+        Snap.atVersion(spark, dir, version.toInt)
+      else SnapBranch.head(spark, dir, version).getOrElse(sys.error(
+        s"snap catalog: $ident has no branch '$version' (VERSION AS OF " +
+          "takes a committed version number or a live branch name)"))
+    new SnapTable(spark, dir, None,
+      pinned = Some((m, s"VERSION AS OF $version")))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros-since-epoch; serves the
+    * newest version whose manifest landed at or before that instant
+    * (commit time = the manifest file's store mtime, the Delta-lake
+    * convention — the format stamps no wall clock of its own). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (Snap.head(spark, dir).isEmpty) throw new NoSuchTableException(ident)
+    val m = Snap.versionAsOfTimestamp(spark, dir, timestampMicros / 1000L)
+    new SnapTable(spark, dir, None,
+      pinned = Some((m, s"TIMESTAMP AS OF ${timestampMicros / 1000L}ms")))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -193,6 +224,19 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces {
     }
     loadTable(ident)
   }
+
+  // -------------------------------------------------------- procedures
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapProcedures.load(catalogName, root, ident).getOrElse(
+      sys.error(s"snap catalog: no procedure $ident — the surface is " +
+        s"system.{${SnapProcedures.names.mkString(",")}}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(SnapProcedures.Namespace)) Array.empty
+    else SnapProcedures.names
+      .map(n => Identifier.of(SnapProcedures.Namespace, n)).toArray
 
   // -------------------------------------------------------- namespaces
 
@@ -350,11 +394,14 @@ object SnapPendingSpec {
   * the commit machinery; MERGE/UPDATE/DELETE are delta-based row-level
   * operations (Spark hands us the changed rows, we commit O(delta)). */
 final class SnapTable(spark: SparkSession, loc: HPath,
-                      pending: Option[SnapPendingSpec])
+                      pending: Option[SnapPendingSpec],
+                      pinned: Option[(Snap.SnapManifest, String)] = None)
   extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
 
-  private def headOpt = Snap.head(spark, loc)
+  // a pinned table (VERSION/TIMESTAMP AS OF, branch ref) serves that
+  // manifest for everything — schema, keys, scan — and refuses writes
+  private def headOpt = pinned.map(_._1).orElse(Snap.head(spark, loc))
   private val spec: Option[SnapPendingSpec] = pending.orElse(
     SnapPendingSpec.read(loc))
 
@@ -371,10 +418,12 @@ final class SnapTable(spark: SparkSession, loc: HPath,
     headOpt.map(_.keyCols).orElse(spec.map(_.keyCols)).get
   private def mode: String = spec.map(_.mode).getOrElse("cow")
 
-  override def name(): String = loc.toString
+  override def name(): String =
+    pinned.fold(loc.toString) { case (_, d) => s"$loc [$d]" }
   override def schema(): StructType = logicalSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     m.put("key", keyCols.mkString(","))
@@ -393,17 +442,26 @@ final class SnapTable(spark: SparkSession, loc: HPath,
       case None => new SnapEmptyScanBuilder(logicalSchema)
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  private def refusePinnedWrite(): Unit =
+    pinned.foreach { case (_, d) => sys.error(
+      s"snap catalog: $loc [$d] is a pinned read — writes go to the " +
+        "current table (or to a branch via its procedures)") }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refusePinnedWrite()
     new WriteBuilder {
       override def build(): Write = stagedWrite(info, None)
     }
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    refusePinnedWrite()
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new SnapRowLevelOperation(SnapTable.this, info.command())
     }
+  }
 
   private[sources] def stagedWrite(info: LogicalWriteInfo,
                                    rowId: Option[StructType]): SnapStagedWrite = {

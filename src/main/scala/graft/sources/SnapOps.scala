@@ -1525,6 +1525,142 @@ object SnapOps {
       |  1 AS wap_blocked_ok, 1 AS wap_audit_ok
       |FROM v2 GROUP BY c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q150
+  /** SQL time travel through the catalog front door, over the q147
+    * lifecycle table: `VERSION AS OF 1` must serve the CTAS snapshot
+    * bit-for-bit (the oracle recomputes it from raw customer);
+    * `TIMESTAMP AS OF` must resolve each manifest's own commit instant
+    * back to exactly that version (`ts_ok`); a BRANCH name under
+    * `VERSION AS OF` must serve the branch head that the Scala audit
+    * read serves (`branch_ok`); and a pinned table must drop
+    * BATCH_WRITE from its capabilities (`pin_ok`). */
+  def q150SnapSqlAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, tbl, loc) = ensureSqlLife(spark, dir)
+    val fs = Published.fsOf(loc)
+    val head = Snap.head(spark, loc).get
+    val t1 = fs.getFileStatus(Snap.manifestPath(loc, 1)).getModificationTime
+    val tH = fs.getFileStatus(
+      Snap.manifestPath(loc, head.version)).getModificationTime
+    val tsOk = Snap.versionAsOfTimestamp(spark, loc, t1).version == 1 &&
+      Snap.versionAsOfTimestamp(spark, loc, tH).version == head.version
+    // fork → SQL-read ≡ Scala audit read → drop (idempotent per run)
+    val bName = "q150audit"
+    if (SnapBranch.head(spark, loc, bName).isEmpty)
+      SnapBranch.create(spark, loc, bName)
+    val bSql = spark.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF '$bName'")
+    val bApi = SnapBranch.read(spark, loc, bName)
+    val branchOk = bSql.exceptAll(bApi).isEmpty && bApi.exceptAll(bSql).isEmpty
+    SnapBranch.drop(spark, loc, bName)
+    val pinned = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], tbl), "1")
+    val pinOk = !pinned.capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE)
+    spark.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF 1")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"))
+      .withColumn("ts_ok", lit(if (tsOk) 1 else 0))
+      .withColumn("branch_ok", lit(if (branchOk) 1 else 0))
+      .withColumn("pin_ok", lit(if (pinOk) 1 else 0))
+  }
+
+  val q150Sql: String =
+    """SELECT c_nationkey, count(*) AS n_rows,
+      |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+      |  1 AS ts_ok, 1 AS branch_ok, 1 AS pin_ok
+      |FROM customer GROUP BY c_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q151
+  /** Attach-or-build a lifecycle driven by SQL DML plus `CALL`
+    * procedures end to end: CTAS (v1) → `UPDATE` +100 on keys ≡ 0
+    * (mod 7) (v2) → `CALL create_branch` + branch-staged segment
+    * rewrite of keys < M/10 + `CALL publish_branch` (v3, one
+    * fast-forward commit) → `CALL rebucket(16)` (v4, content-neutral)
+    * → `CALL optimize` (no-op fold) → `CALL vacuum(keep 2)` (v1/v2
+    * manifests beyond the horizon swept). */
+  private def ensureProcLife(spark: SparkSession,
+                             dir: String): (String, String, HPath) = {
+    val (cat, root) = sqlCat(spark, dir)
+    val fpH = java.lang.Long.toHexString(
+      graft.expressions.GraftHash.h60(custFp(dir).getBytes("UTF-8")))
+    val tbl = s"p_$fpH"
+    val loc = new HPath(root, tbl)
+    Published.withLeaseAwaiting(loc, s"snapops:${loc.getName}") {
+      val ok = Snap.head(spark, loc).exists(h =>
+        h.version == 4 && h.buckets == 16 && h.op == "rebucket")
+      if (!ok) {
+        if (Published.exists(Published.fsOf(loc), loc)) Snap.drop(spark, loc)
+        Tables.customer(spark, dir)
+          .createOrReplaceTempView("graft_q151_customer")
+        val m = keySpace(spark, dir)
+        spark.sql(s"CREATE TABLE $cat.$tbl TBLPROPERTIES (" +
+          "'key'='c_custkey','buckets'='8','layout'='range') " +
+          "AS SELECT * FROM graft_q151_customer")
+        spark.sql(s"UPDATE $cat.$tbl SET c_acctbal = c_acctbal + 100.0 " +
+          "WHERE c_custkey % 7 = 0")
+        spark.sql(s"CALL $cat.system.create_branch('$tbl', 'wap')")
+        SnapBranch.merge(spark, loc, "wap",
+          Snap.read(spark, loc).filter(col("c_custkey") < m / 10)
+            .withColumn("c_mktsegment", lit("WAPSEG"))
+            .withColumn("_deleted", lit(false)))
+        spark.sql(s"CALL $cat.system.publish_branch('$tbl', 'wap')")
+        spark.sql(s"CALL $cat.system.rebucket('$tbl', 16)")
+        spark.sql(s"CALL $cat.system.optimize('$tbl')")
+        spark.sql(s"CALL $cat.system.vacuum('$tbl', keep_versions => 2)")
+      }
+    }
+    (cat, tbl, loc)
+  }
+
+  /** Content face over the procedure-driven lifecycle, plus audits
+    * recomputable on every attach: `CALL history` returns exactly the
+    * engine's history frame (`history_sql_ok`), the head is the
+    * 16-bucket rebucket commit (`rebucket_ok`), v3 is the branch
+    * publish (`publish_ok`), and the vacuumed v1 now refuses loudly —
+    * the horizon moved (`horizon_ok`). */
+  def q151SnapProcedures(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, tbl, loc) = ensureProcLife(spark, dir)
+    val histSql = spark.sql(s"CALL $cat.system.history('$tbl')")
+    val histApi = Snap.history(spark, loc)
+    val historyOk = histSql.exceptAll(histApi).isEmpty &&
+      histApi.exceptAll(histSql).isEmpty
+    val h = Snap.head(spark, loc).get
+    val rebucketOk = h.op == "rebucket" && h.buckets == 16 && h.version == 4
+    val publishOk = Snap.atVersion(spark, loc, 3).op == "publish"
+    val horizonOk = scala.util.Try(Snap.atVersion(spark, loc, 1)).isFailure
+    spark.sql(s"SELECT * FROM $cat.$tbl")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"),
+        count(when(col("c_mktsegment") === "WAPSEG", 1)).as("n_wap"))
+      .withColumn("history_sql_ok", lit(if (historyOk) 1 else 0))
+      .withColumn("rebucket_ok", lit(if (rebucketOk) 1 else 0))
+      .withColumn("publish_ok", lit(if (publishOk) 1 else 0))
+      .withColumn("horizon_ok", lit(if (horizonOk) 1 else 0))
+  }
+
+  val q151Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 7 = 0
+      |         THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer),
+      |v3 AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |    CASE WHEN c_custkey < (SELECT m // 10 FROM ks)
+      |         THEN 'WAPSEG' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM v2)
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  round(sum(c_acctbal) + 1e-9, 2) AS tot_bal,
+      |  count(*) FILTER (WHERE c_mktsegment = 'WAPSEG') AS n_wap,
+      |  1 AS history_sql_ok, 1 AS rebucket_ok,
+      |  1 AS publish_ok, 1 AS horizon_ok
+      |FROM v3 GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -1546,6 +1682,8 @@ object SnapOps {
     "q147_snap_sql_dml" -> q147SnapSqlDml _,
     "q148_snap_dv" -> q148SnapDv _,
     "q149_snap_wap" -> q149SnapWap _,
+    "q150_snap_sql_asof" -> q150SnapSqlAsOf _,
+    "q151_snap_procedures" -> q151SnapProcedures _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1569,5 +1707,7 @@ object SnapOps {
     "q147_snap_sql_dml" -> q147Sql,
     "q148_snap_dv" -> q148Sql,
     "q149_snap_wap" -> q149Sql,
+    "q150_snap_sql_asof" -> q150Sql,
+    "q151_snap_procedures" -> q151Sql,
   )
 }

@@ -224,6 +224,147 @@ class SnapCatalogSpec extends SparkSpec {
       rows(Snap.read(spark, loc)))
   }
 
+  test("time travel from SQL: VERSION AS OF pins committed versions, " +
+      "TIMESTAMP AS OF resolves by commit time, a branch name serves " +
+      "the branch head for audit, and pinned tables refuse writes") {
+    val cat = freshCatalog("tt")
+    cust.createOrReplaceTempView("snapcat_cust_src")
+    spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES (" +
+      "'key'='c_custkey','buckets'='4','layout'='range') " +
+      "AS SELECT * FROM snapcat_cust_src")                     // v1
+    val v1Rows = rows(cust)
+    Thread.sleep(1100) // commit-time resolution rides file mtime
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.sql(s"UPDATE $cat.t SET c_acctbal = 111.0 WHERE c_custkey < 10") // v2
+    val v2Rows = rows(spark.sql(s"SELECT * FROM $cat.t"))
+    spark.sql(s"DELETE FROM $cat.t WHERE c_custkey >= 100")    // v3
+    val v3Rows = rows(spark.sql(s"SELECT * FROM $cat.t"))
+    assert(v1Rows != v2Rows && v2Rows != v3Rows)
+
+    assert(rows(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")) == v1Rows)
+    assert(rows(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2")) == v2Rows)
+    assert(rows(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 3")) == v3Rows)
+    // pinned reads keep the stats-pruned scan path
+    val sel = spark.sql(s"SELECT c_custkey, c_acctbal FROM $cat.t " +
+      "VERSION AS OF 1 WHERE c_custkey BETWEEN 100 AND 120")
+    val scan = snapScans(finalPlan(sel)).head
+    assert(scan.plannedFiles < scan.totalFiles,
+      "a pinned read must still prune from manifest stats")
+
+    // TIMESTAMP AS OF between v1 and v2 serves v1; a pre-create
+    // instant refuses loudly
+    assert(rows(spark.sql(s"SELECT * FROM $cat.t " +
+      s"TIMESTAMP AS OF timestamp_millis(${tsAfterV1}L)")) == v1Rows)
+    val early = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t " +
+        s"TIMESTAMP AS OF timestamp_millis(${tsAfterV1 - 3600000}L)").collect()
+    }
+    assert(early.getMessage.contains("no version committed at or before"),
+      s"got: ${early.getMessage}")
+
+    // a BRANCH name under VERSION AS OF serves the branch head — the
+    // audit-from-SQL leg of write-audit-publish
+    val loc = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t")
+    graft.sources.SnapBranch.create(spark, loc, "audit")
+    graft.sources.SnapBranch.merge(spark, loc, "audit",
+      cust.filter(col("c_custkey") < 3)
+        .withColumn("c_mktsegment", lit("BRANCHED"))
+        .withColumn("_deleted", lit(false)))
+    val branchSql = rows(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'audit'"))
+    assert(branchSql == rows(graft.sources.SnapBranch.read(spark, loc, "audit")))
+    assert(branchSql != rows(spark.sql(s"SELECT * FROM $cat.t")),
+      "main must not see unpublished branch content")
+    val noBranch = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'nope'").collect()
+    }
+    assert(noBranch.getMessage.contains("no branch"))
+
+    // pinned tables refuse writes at the capability layer
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val tc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+    val pinnedT = tc.loadTable(Identifier.of(Array.empty[String], "t"), "1")
+    assert(!pinnedT.capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE))
+  }
+
+  test("stored procedures: CALL system.{optimize,vacuum,rebucket," +
+      "history,retention,create/publish/drop_branch} run the engine's " +
+      "maintenance verbs from SQL and return their results as rows") {
+    val cat = freshCatalog("proc")
+    cust.createOrReplaceTempView("snapcat_cust_src")
+    spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES (" +
+      "'key'='c_custkey','buckets'='4','layout'='range') " +
+      "AS SELECT * FROM snapcat_cust_src")
+    spark.sql(s"UPDATE $cat.t SET c_acctbal = 1.0 WHERE c_custkey < 5")
+    val loc = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t")
+    val content = rows(spark.sql(s"SELECT * FROM $cat.t"))
+
+    // history ≡ the Scala frame, through CALL
+    assert(rows(spark.sql(s"CALL $cat.system.history('t')")) ==
+      rows(Snap.history(spark, loc)))
+
+    // retention audit: a read, one row, named-argument form binds
+    val ret = spark.sql(
+      s"CALL $cat.system.retention('t', keep_versions => 1)").head
+    assert(ret.getAs[Long]("versions_total") == 2 &&
+      ret.getAs[Long]("versions_kept") == 1)
+
+    // optimize returns the committed (or no-op head) version;
+    // content invariant
+    val optV = spark.sql(s"CALL $cat.system.optimize('t')")
+      .head.getAs[Int]("version")
+    assert(optV == Snap.head(spark, loc).get.version)
+    assert(rows(spark.sql(s"SELECT * FROM $cat.t")) == content)
+
+    // a third data version so the default keep_versions=2 vacuum has a
+    // manifest beyond the horizon to sweep
+    spark.sql(s"UPDATE $cat.t SET c_acctbal = 2.0 WHERE c_custkey = 0")
+    val content3 = rows(spark.sql(s"SELECT * FROM $cat.t"))
+    val vac = spark.sql(s"CALL $cat.system.vacuum('t')").head
+    assert(vac.getAs[Int]("manifests_deleted") >= 1)
+    assert(rows(spark.sql(s"SELECT * FROM $cat.t")) == content3)
+
+    // rebucket rewrites under the new topology; content invariant
+    val rbV = spark.sql(s"CALL $cat.system.rebucket('t', 8)")
+      .head.getAs[Int]("version")
+    assert(Snap.head(spark, loc).get.buckets == 8 &&
+      rbV == Snap.head(spark, loc).get.version)
+    assert(rows(spark.sql(s"SELECT * FROM $cat.t")) == content3)
+
+    // the whole write-audit-publish flow from SQL: fork, stage via the
+    // Scala twin (branch DML is the procedures' scala lane), audit via
+    // VERSION AS OF, publish, branch gone
+    spark.sql(s"CALL $cat.system.create_branch('t', 'wap')")
+    graft.sources.SnapBranch.merge(spark, loc, "wap",
+      cust.filter(col("c_custkey") === 0)
+        .withColumn("c_mktsegment", lit("AUDITME"))
+        .withColumn("_deleted", lit(false)))
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'wap'")
+      .filter(col("c_mktsegment") === "AUDITME").count() == 1)
+    val pubV = spark.sql(s"CALL $cat.system.publish_branch('t', 'wap')")
+      .head.getAs[Int]("version")
+    assert(pubV == Snap.head(spark, loc).get.version &&
+      Snap.head(spark, loc).get.op == "publish")
+    assert(spark.sql(s"SELECT * FROM $cat.t")
+      .filter(col("c_mktsegment") === "AUDITME").count() == 1)
+    assert(graft.sources.SnapBranch.list(spark, loc).isEmpty)
+
+    // drop_branch discards staged work without touching main
+    spark.sql(s"CALL $cat.system.create_branch('t', 'doomed')")
+    spark.sql(s"CALL $cat.system.drop_branch('t', 'doomed')")
+    assert(graft.sources.SnapBranch.list(spark, loc).isEmpty)
+
+    // unknown procedure refuses with the surface listed
+    val bad = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.explode('t')").collect()
+    }
+    // Spark wraps the loader error as FAILED_TO_LOAD_ROUTINE; the
+    // catalog's surface-listing message rides the cause chain
+    assert(bad.getMessage.contains("FAILED_TO_LOAD_ROUTINE"))
+  }
+
   test("DDL: CREATE + INSERT creates at first write with data-derived " +
       "bounds; ALTER TABLE ADD/RENAME COLUMN ride metadata commits; " +
       "duplicate keys in one statement refuse; DROP removes") {
