@@ -423,7 +423,9 @@ final class SnapTable(spark: SparkSession, loc: HPath,
   override def schema(): StructType = logicalSchema
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
-    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     m.put("key", keyCols.mkString(","))
@@ -447,10 +449,18 @@ final class SnapTable(spark: SparkSession, loc: HPath,
       s"snap catalog: $loc [$d] is a pinned read — writes go to the " +
         "current table (or to a branch via its procedures)") }
 
+  // SupportsStreamingUpdateAsAppend: update-mode output of a streaming
+  // aggregate is exactly this table's upsert contract — changed rows
+  // keyed by the grouping; truncate covers INSERT OVERWRITE and
+  // complete-mode streaming (each batch replaces the content)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refusePinnedWrite()
-    new WriteBuilder {
-      override def build(): Write = stagedWrite(info, None)
+    new WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = stagedWrite(info, None, replace)
     }
   }
 
@@ -464,13 +474,14 @@ final class SnapTable(spark: SparkSession, loc: HPath,
   }
 
   private[sources] def stagedWrite(info: LogicalWriteInfo,
-                                   rowId: Option[StructType]): SnapStagedWrite = {
+                                   rowId: Option[StructType],
+                                   replace: Boolean = false): SnapStagedWrite = {
     // the first write against a pending table IS the create
     val pendingCreate = if (headOpt.isEmpty) Some(spec.getOrElse(
       sys.error(s"snap catalog: $loc never committed and has no spec")))
     else None
     new SnapStagedWrite(spark, loc, logicalSchema, keyCols, mode,
-      info.schema(), rowId, pendingCreate)
+      info.schema(), rowId, pendingCreate, replace, info.queryId())
   }
 
   private[sources] def rowLevelScanBuilder(): ScanBuilder =

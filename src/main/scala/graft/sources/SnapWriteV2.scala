@@ -96,7 +96,8 @@ final class SnapStagedWrite(
     spark: SparkSession, loc: HPath, tableSchema: StructType,
     keyCols: Seq[String], mode: String,
     rowSchema: StructType, rowIdSchema: Option[StructType],
-    pendingCreate: Option[SnapPendingSpec])
+    pendingCreate: Option[SnapPendingSpec],
+    replace: Boolean = false, queryId: String = "")
   extends DeltaWrite with DeltaBatchWrite {
 
   require(mode == "cow" || mode == "mor",
@@ -129,6 +130,17 @@ final class SnapStagedWrite(
   override def toBatch: DeltaBatchWrite = this
   override def description(): String = s"graft-snap sql write $loc"
 
+  /** The STREAMING form of the same write — `writeStream.toTable`
+    * (append + update-as-append) and complete mode (`replace` per
+    * epoch). The batch-side stage this constructor opened is unused by
+    * the streaming path; tear it down and hand off. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    cleanup()
+    new SnapStreamingWrite(spark, loc, tableSchema, keyCols, mode,
+      rowSchema, pendingCreate, replace, queryId)
+  }
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val (owf, conf) = SnapWriteV2.prepareFactory(spark, staged)
@@ -143,11 +155,17 @@ final class SnapStagedWrite(
       val keyEx = keyCols.map(col)
       if (files.isEmpty) {
         // an empty CTAS still creates the (empty) table; an empty
-        // INSERT/UPDATE/DELETE is a no-op, not a new version
+        // INSERT/UPDATE/DELETE is a no-op, not a new version — but an
+        // empty OVERWRITE of a committed table is a truncate
         pendingCreate.foreach { p =>
           p.create(spark, loc,
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               tableSchema))
+        }
+        if (replace && pendingCreate.isEmpty) {
+          val all = Snap.read(spark, loc)
+          if (all.limit(1).count() > 0)
+            Snap.merge(spark, loc, all.withColumn("_deleted", lit(true)))
         }
         return
       }
@@ -167,23 +185,37 @@ final class SnapStagedWrite(
       val resolved = raw
         .withColumn("__graft_rn", row_number().over(w))
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      // INSERT OVERWRITE (SupportsTruncate): the staged upserts REPLACE
+      // the content — every current key the statement did not restate
+      // gets a delete row, and the whole replacement lands as ONE merge
+      val effective =
+        if (!replace || pendingCreate.isDefined) resolved
+        else {
+          val keep = resolved.filter(!col("_deleted")).select(keyEx: _*)
+          val doomed = Snap.read(spark, loc).select(keyEx: _*).except(keep)
+          resolved.unionByName(doomed.select(
+            (tableSchema.fields.map { f =>
+              if (keyCols.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            } :+ lit(true).as("_deleted")).toSeq: _*))
+        }
       pendingCreate match {
         case Some(p) =>
           // first data lands = the actual create (bounds derived from
           // the data, CTAS-correct for range/zorder layouts)
           p.create(spark, loc,
-            resolved.filter(!col("_deleted")).drop("_deleted"))
+            effective.filter(!col("_deleted")).drop("_deleted"))
         case None if mode == "mor" =>
           // a delete-only statement on a mor table lands as positional
           // deletion vectors — O(positions) commit bytes, the format's
           // cheapest delete shape
           val deleteOnly =
-            resolved.filter(!col("_deleted")).limit(1).count() == 0
+            effective.filter(!col("_deleted")).limit(1).count() == 0
           if (deleteOnly)
-            Snap.deleteVector(spark, loc, resolved.select(keyEx: _*))
-          else Snap.mergeMor(spark, loc, resolved)
+            Snap.deleteVector(spark, loc, effective.select(keyEx: _*))
+          else Snap.mergeMor(spark, loc, effective)
         case None =>
-          Snap.merge(spark, loc, resolved)
+          Snap.merge(spark, loc, effective)
       }
     } finally cleanup()
   }
@@ -194,6 +226,133 @@ final class SnapStagedWrite(
     hb.stop()
     try Published.retryIO()(fs.delete(stage, true))
     catch { case _: java.io.IOException => () } // debris ages out
+  }
+}
+
+/** The snap table as a NATIVE streaming sink —
+  * `df.writeStream.toTable("cat.t")` with exactly-once effect:
+  *
+  *   - **append** / **update** mode (update-as-append: a streaming
+  *     aggregate's changed rows ARE this table's upsert contract):
+  *     each epoch's rows stage executor-side and land as ONE merge.
+  *   - **complete** mode (`replace`): each epoch's rows replace the
+  *     content — keys the epoch did not restate get delete rows — so
+  *     `outputMode("complete").toTable(...)` maintains a continuously
+  *     replaced aggregate table.
+  *
+  * Exactly-once rides the format's applied-high-water: the epoch id
+  * commits INSIDE the same atomic manifest as the rows
+  * ([[Snap.mergeStreaming]] / [[Snap.mergeMorStreaming]]), so a driver
+  * death between sink commit and checkpoint commit replays the epoch
+  * into a no-op. Lineage: the table stamps the stream's STABLE query
+  * id (`LogicalWriteInfo.queryId` — the id in checkpoint metadata) via
+  * the same `_GRAFT_CKPT` stamp-or-verify the CDC sink uses, so a
+  * foreign checkpoint refuses loudly instead of remapping epoch ids.
+  * A pending (CREATE-but-never-written) table creates on the FIRST
+  * epoch with data-derived bounds, stamping that epoch as applied.
+  *
+  * One stage dir + `_live` heartbeat serves the whole query; each
+  * epoch's files are distinct (task ids are app-unique), consumed and
+  * deleted by that epoch's commit. */
+final class SnapStreamingWrite(
+    spark: SparkSession, loc: HPath, tableSchema: StructType,
+    keyCols: Seq[String], mode: String, rowSchema: StructType,
+    pendingCreate: Option[SnapPendingSpec], replace: Boolean,
+    queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val staged = SnapWriteV2.stagedSchema(tableSchema)
+  private val fs = Published.fsOf(loc)
+  private val token = java.util.UUID.randomUUID().toString.take(12)
+  private val stage = new HPath(loc, s"stage-v0-sqlstream-$token")
+  private val hb = {
+    Published.retryIO()(fs.mkdirs(stage))
+    new Snap.StageHeartbeat(fs, stage).start()
+  }
+  private val lineageDone =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var created = pendingCreate.isEmpty
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val (owf, conf) = SnapWriteV2.prepareFactory(spark, staged)
+    val stageDir = fs.makeQualified(stage).toString
+    val schema = staged
+    val rs = rowSchema
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        // task ids are app-unique, so epochs never collide on paths
+        new SnapStageWriter(owf, conf, stageDir, schema, rs, rs,
+          partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    if (!lineageDone.get()) {
+      Published.stampOrVerifyLineage(loc, queryId,
+        s"snap streaming sink $loc")
+      lineageDone.set(true)
+    }
+    val files = messages.collect {
+      case SnapStagedFileMsg(p, _) if p != null => p }
+    if (files.isEmpty) return // no-op epoch; high-water stays behind
+    try {
+      val keyEx = keyCols.map(col)
+      val raw = Published.retryIO()(
+        spark.read.schema(staged).parquet(files: _*))
+      val dup = raw.groupBy(keyEx: _*)
+        .agg(sum(when(!col("_deleted"), 1L).otherwise(0L)).as("__graft_ups"))
+        .filter(col("__graft_ups") > 1L).limit(1).collect()
+      require(dup.isEmpty,
+        s"snap streaming sink: epoch $epochId stages more than one row " +
+          s"for key ${dup.headOption.orNull} — a snap table is keyed; " +
+          "aggregate or deduplicate upstream of the sink")
+      val w = Window.partitionBy(keyEx: _*).orderBy(col("_deleted").asc)
+      val resolved = raw
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      if (!created && Snap.head(spark, loc).isEmpty) {
+        // first data = the deferred create, epoch stamped as applied so
+        // a replayed epoch 0 no-ops through the high-water
+        val p = pendingCreate.get
+        Snap.create(spark, loc,
+          resolved.filter(!col("_deleted")).drop("_deleted")
+            .select(p.schema.fieldNames.map(col).toSeq: _*),
+          p.keyCols, p.bucketCol, p.buckets, layout = p.layout,
+          tag = p.tag, applied = epochId, statsCols = p.statsCols,
+          zorderBy = p.zorderBy)
+        created = true
+      } else {
+        val effective =
+          if (!replace) resolved
+          else {
+            val keep = resolved.filter(!col("_deleted")).select(keyEx: _*)
+            val doomed = Snap.read(spark, loc).select(keyEx: _*).except(keep)
+            resolved.unionByName(doomed.select(
+              (tableSchema.fields.map { f =>
+                if (keyCols.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              } :+ lit(true).as("_deleted")).toSeq: _*))
+          }
+        if (mode == "mor")
+          Snap.mergeMorStreaming(spark, loc, effective, epochId)
+        else
+          Snap.mergeStreaming(spark, loc, effective, epochId)
+      }
+    } finally files.foreach { f =>
+      try Published.retryIO()(fs.delete(new HPath(f), false))
+      catch { case _: java.io.IOException => () } // debris ages out
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    // a failed epoch fails the query; the next run builds a new write
+    hb.stop()
+    try Published.retryIO()(fs.delete(stage, true))
+    catch { case _: java.io.IOException => () }
   }
 }
 

@@ -365,6 +365,126 @@ class SnapCatalogSpec extends SparkSpec {
     assert(bad.getMessage.contains("FAILED_TO_LOAD_ROUTINE"))
   }
 
+  test("native streaming sink: writeStream.toTable creates on the " +
+      "first epoch and upserts per epoch, exactly-once across a " +
+      "restart from the same checkpoint, refusing a foreign one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = freshCatalog("sink")
+    spark.sql(s"CREATE TABLE $cat.s (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key'='k','buckets'='2','layout'='range')")
+    val root = Files.createTempDirectory("snapcat_sink").toString
+    val input = MemoryStream[(Long, String)]
+    def start(ckpt: String) = input.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt).toTable(s"$cat.s")
+    val q = start(s"$root/ckpt")
+    try {
+      input.addData((1L, "a"), (50L, "b"), (99L, "c"))
+      q.processAllAvailable()
+      // deferred create fired with data-derived bounds
+      val locS = new HPath(
+        spark.conf.get(s"spark.sql.catalog.$cat.root"), "s")
+      val h1 = Snap.head(spark, locS).get
+      assert(h1.version == 1 && h1.rangeMin == 1 && h1.rangeMax == 99)
+      assert(rows(spark.sql(s"SELECT * FROM $cat.s")) ==
+        Set("1|a", "50|b", "99|c"))
+      input.addData((50L, "B2"), (120L, "d"))
+      q.processAllAvailable()
+      assert(rows(spark.sql(s"SELECT * FROM $cat.s")) ==
+        Set("1|a", "50|B2", "99|c", "120|d"))
+    } finally q.stop()
+    val locS = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "s")
+    val vBefore = Snap.head(spark, locS).get.version
+    // same checkpoint, new query instance: committed epochs replay as
+    // nothing — no new version lands
+    val q2 = start(s"$root/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Snap.head(spark, locS).get.version == vBefore,
+      "a restart over a drained checkpoint must not re-apply epochs")
+    // a FOREIGN checkpoint would remap epoch ids over the same applied
+    // high-water — the lineage stamp refuses it loudly
+    val input3 = MemoryStream[(Long, String)]
+    input3.addData((7L, "x"))
+    val q3 = input3.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$root/ckpt_foreign")
+      .toTable(s"$cat.s")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+      q3.awaitTermination(30000L)
+    }
+    q3.stop()
+    assert(err.getMessage.contains("stream lineage") ||
+      Option(err.getCause).exists(_.getMessage.contains("stream lineage")),
+      s"got: ${err.getMessage}")
+    // no staged debris survives the sink lifecycle
+    val leftover = Published.fsOf(locS).listStatus(locS)
+      .filter(_.getPath.getName.startsWith("stage-v0-sqlstream-"))
+    assert(leftover.forall(st =>
+      Published.fsOf(locS).listStatus(st.getPath)
+        .forall(f => !f.getPath.getName.endsWith(".parquet"))),
+      "consumed epoch files must be deleted from the stage")
+  }
+
+  test("streaming aggregate modes into the table: update-as-append " +
+      "maintains a keyed aggregate; complete mode replaces per epoch; " +
+      "batch INSERT OVERWRITE replaces content") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = freshCatalog("modes")
+    val root = Files.createTempDirectory("snapcat_modes").toString
+
+    // update mode: the aggregate's changed rows are the upsert delta
+    spark.sql(s"CREATE TABLE $cat.u (w STRING, n BIGINT) " +
+      "TBLPROPERTIES ('key'='w')")
+    val in1 = MemoryStream[String]
+    val q1 = in1.toDF().toDF("w").groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt_u").toTable(s"$cat.u")
+    try {
+      in1.addData("x", "y", "x")
+      q1.processAllAvailable()
+      assert(rows(spark.sql(s"SELECT * FROM $cat.u")) == Set("x|2", "y|1"))
+      in1.addData("y")
+      q1.processAllAvailable()
+      assert(rows(spark.sql(s"SELECT * FROM $cat.u")) == Set("x|2", "y|2"))
+    } finally q1.stop()
+
+    // complete mode: every epoch restates the full result; the sink
+    // replaces (keys absent from the epoch would be deleted)
+    spark.sql(s"CREATE TABLE $cat.c (w STRING, n BIGINT) " +
+      "TBLPROPERTIES ('key'='w')")
+    val in2 = MemoryStream[String]
+    val q2 = in2.toDF().toDF("w").groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$root/ckpt_c").toTable(s"$cat.c")
+    try {
+      in2.addData("a", "b")
+      q2.processAllAvailable()
+      assert(rows(spark.sql(s"SELECT * FROM $cat.c")) == Set("a|1", "b|1"))
+      in2.addData("a")
+      q2.processAllAvailable()
+      assert(rows(spark.sql(s"SELECT * FROM $cat.c")) == Set("a|2", "b|1"))
+    } finally q2.stop()
+
+    // batch INSERT OVERWRITE: unstated keys get deleted in ONE commit
+    cust.createOrReplaceTempView("snapcat_cust_src")
+    spark.sql(s"CREATE TABLE $cat.o TBLPROPERTIES ('key'='c_custkey'," +
+      "'buckets'='2','layout'='range') AS SELECT * FROM snapcat_cust_src")
+    spark.sql(s"INSERT OVERWRITE $cat.o " +
+      "SELECT c_custkey, c_name, c_nationkey, 9.0, 'OW' " +
+      "FROM snapcat_cust_src WHERE c_custkey < 10")
+    val after = spark.sql(s"SELECT * FROM $cat.o")
+    assert(after.count() == 10 &&
+      rows(after.select(col("c_mktsegment")).distinct()) == Set("OW"))
+    val locO = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "o")
+    assert(Snap.head(spark, locO).get.version == 2,
+      "the whole replacement must land as one commit")
+  }
+
   test("DDL: CREATE + INSERT creates at first write with data-derived " +
       "bounds; ALTER TABLE ADD/RENAME COLUMN ride metadata commits; " +
       "duplicate keys in one statement refuse; DROP removes") {
