@@ -101,6 +101,17 @@ class SnapCatalog extends TableCatalog with SupportsNamespaces
     isTableDir(dirOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$<kind>` names a METADATA TABLE of t (Iceberg-style):
+    // $changes (batch CDF + streaming source), $history, $files
+    val at = ident.name.indexOf('$')
+    if (at > 0) {
+      val dir = dirOf(ident.namespace.toSeq :+ ident.name.substring(0, at))
+      if (Snap.head(spark, dir).isEmpty) throw new NoSuchTableException(ident)
+      return SnapMetaTables.load(spark, dir, ident.name.substring(at + 1))
+        .getOrElse(sys.error(s"snap catalog: unknown metadata table " +
+          s"suffix '${ident.name.substring(at + 1)}' — the surface is " +
+          s"$$${SnapMetaTables.Kinds.mkString(", $")}"))
+    }
     val dir = dirOf(ident)
     val pending = SnapPendingSpec.read(dir)
     if (Snap.head(spark, dir).isEmpty && pending.isEmpty)

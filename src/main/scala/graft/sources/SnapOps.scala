@@ -1661,6 +1661,41 @@ object SnapOps {
       |  1 AS publish_ok, 1 AS horizon_ok
       |FROM v3 GROUP BY c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- q152
+  /** The catalog's `t$changes` METADATA TABLE (batch CDF) over the
+    * q147 SQL lifecycle: per-(version, change-type) row counts of the
+    * full replay — the create seeds every row as an upsert, each COW
+    * step emits exactly its value-changed upserts and leftover deletes
+    * (rewrite survivors suppressed), all recomputed by the oracle from
+    * the raw table and the lifecycle's M-relative delta definitions. */
+  def q152SnapChangesSql(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, tbl, _) = ensureSqlLife(spark, dir)
+    spark.sql(
+      s"""SELECT _commit_version AS version, _change_type AS change,
+         |  count(*) AS n
+         |FROM $cat.`$tbl$$changes` GROUP BY 1, 2""".stripMargin)
+  }
+
+  val q152Sql: String =
+    """WITH ks AS (SELECT max(c_custkey) + 1 AS m FROM customer)
+      |SELECT 1 AS version, 'upsert' AS change, count(*) AS n FROM customer
+      |UNION ALL SELECT 2, 'upsert',
+      |  (SELECT count(*) FROM customer
+      |     WHERE c_custkey < (SELECT m // 10 FROM ks)) +
+      |  (SELECT count(*) FROM customer WHERE c_custkey % 100 = 1)
+      |UNION ALL SELECT 2, 'delete',
+      |  (SELECT count(*) FROM customer
+      |     WHERE c_custkey >= (SELECT m // 2 FROM ks)
+      |       AND c_custkey < (SELECT m // 2 + m // 20 FROM ks))
+      |UNION ALL SELECT 3, 'upsert',
+      |  (SELECT count(*) FROM customer
+      |     WHERE c_custkey >= (SELECT m // 5 FROM ks)
+      |       AND c_custkey < (SELECT m // 4 FROM ks))
+      |UNION ALL SELECT 4, 'delete',
+      |  (SELECT count(*) FROM customer WHERE c_custkey % 200 = 1)
+      |UNION ALL SELECT 5, 'upsert',
+      |  (SELECT count(*) FROM customer WHERE c_custkey % 50 = 7)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snap_merge" -> q130SnapMerge _,
     "q131_snap_time_travel" -> q131SnapTimeTravel _,
@@ -1684,6 +1719,7 @@ object SnapOps {
     "q149_snap_wap" -> q149SnapWap _,
     "q150_snap_sql_asof" -> q150SnapSqlAsOf _,
     "q151_snap_procedures" -> q151SnapProcedures _,
+    "q152_snap_changes_sql" -> q152SnapChangesSql _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1709,5 +1745,6 @@ object SnapOps {
     "q149_snap_wap" -> q149Sql,
     "q150_snap_sql_asof" -> q150Sql,
     "q151_snap_procedures" -> q151Sql,
+    "q152_snap_changes_sql" -> q152Sql,
   )
 }

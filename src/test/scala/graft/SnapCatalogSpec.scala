@@ -485,6 +485,89 @@ class SnapCatalogSpec extends SparkSpec {
       "the whole replacement must land as one commit")
   }
 
+  test("metadata tables: t$history and t$files serve manifest metadata, " +
+      "t$changes is batch CDF (full replay + version ranges) and the " +
+      "native streaming source behind one catalog name") {
+    val cat = freshCatalog("meta")
+    cust.createOrReplaceTempView("snapcat_cust_src")
+    spark.sql(s"CREATE TABLE $cat.t TBLPROPERTIES (" +
+      "'key'='c_custkey','buckets'='4','layout'='range') " +
+      "AS SELECT * FROM snapcat_cust_src")                       // v1
+    spark.sql(s"UPDATE $cat.t SET c_acctbal = 5.0 WHERE c_custkey < 10") // v2
+    spark.sql(s"DELETE FROM $cat.t WHERE c_custkey >= 140")      // v3
+    val loc = new HPath(spark.conf.get(s"spark.sql.catalog.$cat.root"), "t")
+
+    // $history ≡ the engine's frame
+    assert(rows(spark.sql(s"SELECT * FROM $cat.`t$$history`")) ==
+      rows(Snap.history(spark, loc)))
+
+    // $files ≡ the head manifest's file set
+    val h = Snap.head(spark, loc).get
+    assert(rows(spark.sql(s"SELECT path, kind FROM $cat.`t$$files`")) ==
+      (h.files.map(f => s"${f.path}|base") ++
+        h.deltas.map(f => s"${f.path}|delta") ++
+        h.dvs.map(f => s"${f.path}|dv")).toSet)
+
+    // $changes batch: full replay seeds the create as upserts, then
+    // per-version parity with Snap.changes (upsert = insert+update)
+    val cdf = spark.sql(s"SELECT * FROM $cat.`t$$changes`")
+    assert(rows(cdf.filter(col("_commit_version") === 1 &&
+        col("_change_type") === "upsert")
+      .select(cust.columns.map(col).toSeq: _*)) == rows(cust),
+      "full-replay CDF must seed the create")
+    Seq(2, 3).foreach { v =>
+      val ch = Snap.changes(spark, loc, v - 1, v)
+      assert(rows(cdf.filter(col("_commit_version") === v &&
+          col("_change_type") === "upsert")
+        .select(cust.columns.map(col).toSeq: _*)) ==
+        rows(ch.filter(col("_change_type").isin("insert", "update"))
+          .select(cust.columns.map(col).toSeq: _*)), s"v$v upserts")
+      assert(rows(cdf.filter(col("_commit_version") === v &&
+          col("_change_type") === "delete").select(col("c_custkey"))) ==
+        rows(ch.filter(col("_change_type") === "delete")
+          .select(col("c_custkey"))), s"v$v deletes")
+    }
+
+    // a version RANGE through read options
+    val ranged = spark.read.option("startingVersion", "2")
+      .option("endingVersion", "2").table(s"$cat.`t$$changes`")
+    assert(rows(ranged.select(col("_commit_version")).distinct()) ==
+      Set("2"))
+
+    // the same name is the native streaming source
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val ckpt = Files.createTempDirectory("snapcat_meta_ckpt").toString
+    val q = spark.readStream.option("startingVersion", "1")
+      .table(s"$cat.`t$$changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(collected.add); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = collected.asScala.toSeq
+      assert(got.count(_.getAs[Int]("_commit_version") == 1) ==
+        cust.count(), "stream must replay the create")
+      assert(got.map(_.getAs[Int]("_commit_version")).toSet == Set(1, 2, 3))
+    } finally q.stop()
+
+    // metadata tables are read-only
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.`t$$history` VALUES " +
+        "(9, 'x', 8, 8, false, 0, 0, 0, 0, 4, -1)")
+    }
+    assert(err.getMessage != null)
+    // unknown suffix refuses with the surface listed
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.`t$$bogus`").collect()
+    }
+    assert(bad.getMessage.contains("unknown metadata table") ||
+      bad.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+      s"got: ${bad.getMessage}")
+  }
+
   test("DDL: CREATE + INSERT creates at first write with data-derived " +
       "bounds; ALTER TABLE ADD/RENAME COLUMN ride metadata commits; " +
       "duplicate keys in one statement refuse; DROP removes") {
