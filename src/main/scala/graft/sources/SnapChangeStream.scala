@@ -204,15 +204,29 @@ final class SnapChangeStream(spark: SparkSession, loc: HPath,
     SnapStepShape(physRead, reader, outIdx, keyIdx)
   }
 
-  private def filePart(f: Snap.SnapFile): SnapFilePart = {
+  // ONE data/ listing per planning call, never a serial getFileStatus
+  // per referenced file (the r19 SnapFileIndex discipline — at a big
+  // COW step the per-file probe is O(files) driver-side RPCs)
+  private def lenOf(listed: Map[String, Long], f: Snap.SnapFile): Long =
+    listed.getOrElse(Snap.fileNameOf(f.path),
+      Published.retryIO()(fs.getFileStatus(
+        new HPath(loc, f.path))).getLen) // vacuum raced the listing
+
+  private def filePart(listed: Map[String, Long])(
+      f: Snap.SnapFile): SnapFilePart = {
     val p = fs.makeQualified(new HPath(loc, f.path))
-    SnapFilePart(p.toString,
-      Published.retryIO()(fs.getFileStatus(p)).getLen,
-      Snap.fileNameOf(f.path))
+    SnapFilePart(p.toString, lenOf(listed, f), Snap.fileNameOf(f.path))
   }
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
+    val dataDir = new HPath(loc, "data")
+    val listed: Map[String, Long] = Published.retryIO() {
+      if (!fs.exists(dataDir)) Map.empty
+      else fs.listStatus(dataDir)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    }
+    val filePart = this.filePart(listed) _
     val fromV = start.asInstanceOf[SnapVersionOffset].version
     val toV = end.asInstanceOf[SnapVersionOffset].version
     val metaD = Seq(

@@ -273,6 +273,34 @@ final class SnapStreamingWrite(
     new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile private var created = pendingCreate.isEmpty
 
+  // StreamingWrite has no close hook, and a gracefully STOPPED query
+  // would otherwise leave the heartbeat ticking (and the stage dir
+  // shielded from vacuum) for the JVM's life — a listener keyed on the
+  // stream's stable id tears down when this query instance terminates
+  private val teardown =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryTerminatedEvent): Unit =
+        if (e.id.toString == queryId) {
+          cleanupStage()
+          spark.streams.removeListener(this)
+        }
+    }
+  spark.streams.addListener(teardown)
+
+  private def cleanupStage(): Unit = {
+    hb.stop()
+    try Published.retryIO()(fs.delete(stage, true))
+    catch { case _: java.io.IOException => () } // debris ages out
+  }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val (owf, conf) = SnapWriteV2.prepareFactory(spark, staged)
@@ -350,9 +378,8 @@ final class SnapStreamingWrite(
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     // a failed epoch fails the query; the next run builds a new write
-    hb.stop()
-    try Published.retryIO()(fs.delete(stage, true))
-    catch { case _: java.io.IOException => () }
+    cleanupStage()
+    spark.streams.removeListener(teardown)
   }
 }
 

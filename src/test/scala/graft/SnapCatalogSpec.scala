@@ -417,13 +417,15 @@ class SnapCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("stream lineage") ||
       Option(err.getCause).exists(_.getMessage.contains("stream lineage")),
       s"got: ${err.getMessage}")
-    // no staged debris survives the sink lifecycle
-    val leftover = Published.fsOf(locS).listStatus(locS)
+    // no staged debris survives the sink lifecycle: the termination
+    // listener tears the stage (and its heartbeat) down on q.stop()
+    def stages() = Published.fsOf(locS).listStatus(locS)
       .filter(_.getPath.getName.startsWith("stage-v0-sqlstream-"))
-    assert(leftover.forall(st =>
-      Published.fsOf(locS).listStatus(st.getPath)
-        .forall(f => !f.getPath.getName.endsWith(".parquet"))),
-      "consumed epoch files must be deleted from the stage")
+    val deadline = System.currentTimeMillis() + 30000L
+    while (stages().nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(200L)
+    assert(stages().isEmpty,
+      "stopped queries must tear their stage dirs down")
   }
 
   test("streaming aggregate modes into the table: update-as-append " +
