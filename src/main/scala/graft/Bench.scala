@@ -269,6 +269,19 @@ object Bench {
       // changed version (3 here), the deliberate price of the bounded
       // deep-range plan. Trail: 0.92 (r19 first sample)
       "q145_snap_changelog_chunked" -> 0.95,
+      // q147-q152 first measurements (r20): the SQL-DML lifecycle face
+      // (attach + MERGE-parity audit + pruned-probe plan read), the
+      // deletion-vector lifecycle (attach + the through-DV read and
+      // fold-equality audit — the widest spread of the family, its
+      // first run pays the 4-version build), the WAP face (metadata
+      // audits + head agg), SQL time travel (three pinned reads + the
+      // branch fork/read/drop round), the CALL-procedures lifecycle
+      // (history-parity + rebucket/publish/horizon audits), and the
+      // t$changes batch CDF (full-replay per-version counts).
+      // Trail: 0.78 / 1.88 / 0.36 / 0.84 / 0.61 / 0.37 (r20 paired)
+      "q147_snap_sql_dml" -> 0.85, "q148_snap_dv" -> 1.90,
+      "q149_snap_wap" -> 0.40, "q150_snap_sql_asof" -> 0.90,
+      "q151_snap_procedures" -> 0.65, "q152_snap_changes_sql" -> 0.40,
       // s07 first measurement (r18): the snap FOLLOWER — create source
       // + snapshot-copy destination, then 4 source merges converging
       // through the rate-ticked changelog follower (each tick an
@@ -282,6 +295,15 @@ object Bench {
       // ticked convergence) plus the preimage changelog reads and the
       // exact-recompute equality gate. Trail: 8.40 (r19 first sample)
       "s08_snap_follow_agg" -> 8.40,
+      // s09 first measurement (r20): the NATIVE catalog streaming sink
+      // on s06's exact epoch schedule — the ~4 s over s06 is the
+      // staging pass (each epoch's rows land executor-side as parquet
+      // and are read back before the merge; the price of arriving
+      // through the DataWriter API instead of foreachBatch's
+      // DataFrame) plus the deferred first-epoch create. Control-plane
+      // cost: O(epochs), invariant in table size.
+      // Trail: 11.35 (r20 first paired sample, spread 1.4)
+      "s09_snap_native_sink" -> 11.50,
       "s01_stream_envelope" -> 1.24, "s02_funnel_rocksdb" -> 3.40,
       // s03 ref re-based round 8: the old 5.80 (and r7's 9.08 "drift")
       // were samples of the 32-empty-store commit-contention distribution
@@ -798,6 +820,58 @@ object Bench {
           -1.0
       }
     }
+    // s09: the NATIVE streaming sink (r20) — writeStream.toTable
+    // through the DSv2 catalog: CREATE TABLE (pending) + 6 one-file
+    // epochs (epoch 0 = the deferred data-bounds create, 1-5 merges
+    // gated by the applied-high-water inside the manifest commit).
+    // Same COLD control-plane lifecycle s06 measures for the
+    // foreachBatch CDC sink — the pair prices the catalog write path
+    // against the direct one on an identical epoch schedule.
+    def nativeSinkOnce(): Double = {
+      try {
+        val src = s06Src
+        val t0 = System.nanoTime()
+        val root = java.nio.file.Files.createTempDirectory("bench_s09")
+        val cat = "bench_s09cat_" + java.lang.Long.toHexString(t0)
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.SnapCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.root",
+          root.resolve("wh").toString)
+        spark.sql(s"CREATE TABLE $cat.t (c_custkey BIGINT, " +
+          "c_name STRING, c_nationkey BIGINT, c_acctbal DOUBLE, " +
+          "c_mktsegment STRING) TBLPROPERTIES (" +
+          "'key'='c_custkey','buckets'='8','layout'='range')")
+        // insert-only epochs; streaming writes carry no implicit casts,
+        // so the stream states the table's exact column types
+        val in = spark.readStream
+          .schema(spark.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src).drop("_deleted")
+          .selectExpr("CAST(c_custkey AS BIGINT) c_custkey", "c_name",
+            "CAST(c_nationkey AS BIGINT) c_nationkey",
+            "CAST(c_acctbal AS DOUBLE) c_acctbal", "c_mktsegment")
+        val q = in.writeStream
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.t")
+        awaitStream("s09_snap_native_sink", q)
+        val loc = new org.apache.hadoop.fs.Path(
+          root.resolve("wh").resolve("t").toString)
+        val h = graft.sources.Snap.head(spark, loc).get
+        require(h.applied == 5L, s"s09 applied=${h.applied}, want 5")
+        require(spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+          .head.getLong(0) == graft.sources.Snap.read(spark, loc).count(),
+          "s09 catalog read diverged from the direct read")
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors("s09_snap_native_sink") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+          System.err.println(s"[bench] s09_snap_native_sink FAILED: ${errors("s09_snap_native_sink")}")
+          -1.0
+      }
+    }
     def kllStreamOnce(): Double = {
       try {
         val src = s05Src
@@ -834,7 +908,8 @@ object Bench {
       "s05_kll_publish_stream" -> (() => kllStreamOnce()),
       "s06_snap_cdc_stream" -> (() => snapCdcOnce()),
       "s07_snap_follow_stream" -> (() => snapFollowOnce()),
-      "s08_snap_follow_agg" -> (() => snapFollowAggOnce())).collect {
+      "s08_snap_follow_agg" -> (() => snapFollowAggOnce()),
+      "s09_snap_native_sink" -> (() => nativeSinkOnce())).collect {
       case (name, once) if nameFilter(name) => name -> timeBoth(name, once)
     }
     // ms precision: full ns resolution is noise (spreads are 10-100 ms).

@@ -261,6 +261,20 @@ final class SnapStreamingWrite(
     queryId: String)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
+  // streaming writes do NOT pass through Spark's output resolution
+  // (no implicit casts, unlike batch INSERT) — a type mismatch would
+  // reach the parquet writer as a ClassCastException mid-task; refuse
+  // at plan time with the fix spelled out
+  rowSchema.fields.foreach { f =>
+    val t = tableSchema(tableSchema.fieldIndex(f.name)).dataType
+    require(f.dataType == t,
+      s"snap streaming sink $loc: column ${f.name} arrives as " +
+        s"${f.dataType.simpleString} but the table stores " +
+        s"${t.simpleString} — cast it in the stream " +
+        s"(.withColumn(\"${f.name}\", col(\"${f.name}\")" +
+        s".cast(\"${t.simpleString}\")))")
+  }
+
   private val staged = SnapWriteV2.stagedSchema(tableSchema)
   private val fs = Published.fsOf(loc)
   private val token = java.util.UUID.randomUUID().toString.take(12)
