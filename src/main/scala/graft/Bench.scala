@@ -750,11 +750,12 @@ object Bench {
         } finally q.stop()
         val dh = graft.sources.Snap.head(spark, dst).get
         require(dh.applied == 5L, s"s07 cursor=${dh.applied}, want 5")
-        val diff = graft.sources.Snap.read(spark, dst)
-          .exceptAll(graft.sources.Snap.read(spark, src)).count() +
-          graft.sources.Snap.read(spark, src)
-            .exceptAll(graft.sources.Snap.read(spark, dst)).count()
-        require(diff == 0, s"s07 destination diverged by $diff rows")
+        // bag equality in one job (the exceptAll pair cost four) —
+        // the same strict row-set gate, cheaper to ask
+        require(graft.sources.SnapOps.bagEqual(
+            graft.sources.Snap.read(spark, dst),
+            graft.sources.Snap.read(spark, src)),
+          "s07 destination diverged from the source")
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -806,9 +807,8 @@ object Bench {
         val expect = graft.streaming.SnapFollow.aggOf(
           graft.sources.Snap.read(spark, src), "c_nationkey", "c_acctbal")
         val got = graft.sources.Snap.read(spark, dst)
-        val diff = got.exceptAll(expect).count() +
-          expect.exceptAll(got).count()
-        require(diff == 0, s"s08 maintained aggregate diverged by $diff rows")
+        require(graft.sources.SnapOps.bagEqual(got, expect),
+          "s08 maintained aggregate diverged from the recompute")
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -63,6 +63,22 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object Snap {
 
+  /** Phase-level wall-clock attribution for the commit machinery, off
+    * unless `SPARK_GRAFT_TRACE=true` (the s05–s09 bench entries are
+    * per-commit fixed costs — Spark-job listeners see only ~40% of the
+    * wall; this names the driver-side remainder). Deliberately
+    * println-based and env-gated: zero overhead when off, and the
+    * probe runs that use it grep stdout. */
+  private val traceOn: Boolean =
+    sys.env.get("SPARK_GRAFT_TRACE").contains("true")
+  private[sources] def traced[T](phase: String)(body: => T): T =
+    if (!traceOn) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally println(f"SNAPTRACE $phase ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
+
   /** A rival committed the version this writer resolved against — the
     * lease protocol makes this unreachable except across a legitimate
     * stale-break; failing loudly beats silently re-basing the merge. */
@@ -892,9 +908,10 @@ object Snap {
     // captured alongside the stats — no re-listing on the hot path.
     val (dirs, statSeq) =
       Published.retryJobIO(s"snap staging of $stage", gate) {
-        stamped.repartition(col("_b"))
-          .write.mode(SaveMode.Overwrite).partitionBy("_b")
-          .parquet(fs.makeQualified(stage).toString)
+        traced("stage.write")(
+          stamped.repartition(col("_b"))
+            .write.mode(SaveMode.Overwrite).partitionBy("_b")
+            .parquet(fs.makeQualified(stage).toString))
         val dirList = fs.listStatus(stage)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
           .sortBy(_.getPath.getName)
@@ -917,10 +934,15 @@ object Snap {
                 Seq(min(col(pc)).cast("string").as(s"emn$i"),
                   max(col(pc)).cast("string").as(s"emx$i"))
               }
-            spark.read.parquet(fs.makeQualified(stage).toString)
-              .groupBy(col("_b"))
-              .agg(aggs.head, aggs.tail: _*)
-              .collect() // ≤ buckets rows — bounded driver metadata
+            // explicit schema (the exact frame the write job landed):
+            // skips the footer-sampling inference pass the bare read
+            // pays per commit
+            traced("stage.statsReadback")(
+              spark.read.schema(stamped.schema)
+                .parquet(fs.makeQualified(stage).toString)
+                .groupBy(col("_b"))
+                .agg(aggs.head, aggs.tail: _*)
+                .collect()) // ≤ buckets rows — bounded driver metadata
               .map { r =>
                 val extra = extraCols.zipWithIndex.flatMap { case (c, i) =>
                   val emn = r.getAs[String](s"emn$i")
@@ -1138,24 +1160,42 @@ object Snap {
           else sys.error(s"snap $loc exists with tag '${h.tag}' != '$tag' — " +
             "drop it explicitly before re-creating with new lineage")
         case None =>
-          def dimRange(c: String): (Long, Long) = {
-            val r = data.agg(min(col(c).cast("long")),
-              max(col(c).cast("long"))).head
-            if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
-          }
-          val (rMin, rMax) =
-            if (layout == "hash") (0L, 0L) else dimRange(bucketCol)
-          val (z2Min, z2Max) =
-            if (layout == "zorder") dimRange(zorderBy) else (0L, 0L)
-          val token = newToken()
-          val m0 = SnapManifest(1, 0, token, tag,
-            data.schema.toDDL, keyCols, bucketCol, buckets, layout,
-            rMin, rMax, Seq.empty, applied, "create", 0,
-            Map.empty, Seq.empty, statsCols, zorderBy, z2Min, z2Max)
-          val gate = () => Published.assertLeaseOwned(loc)
-          val files = stageDataFiles(spark, loc, m0, data, 1, token, gate)
-          graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
-          commitManifest(Published.fsOf(loc), loc, m0.copy(files = files), gate)
+          // one materialization of the caller's data lineage (merge's
+          // r17 lesson applied to create, r20): the bounds collect and
+          // the staging write would otherwise each re-run it
+          val dataP = data.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // every needed dimension bound in ONE job (a zorder create
+            // used to pay two)
+            val dims = (if (layout == "hash") Seq.empty[String]
+                        else Seq(bucketCol)) ++
+              (if (layout == "zorder") Seq(zorderBy) else Seq.empty)
+            val bounds: Map[String, (Long, Long)] =
+              if (dims.isEmpty) Map.empty
+              else {
+                val aggs = dims.flatMap(c =>
+                  Seq(min(col(c).cast("long")).as(s"mn_$c"),
+                    max(col(c).cast("long")).as(s"mx_$c")))
+                val r = dataP.agg(aggs.head, aggs.tail: _*).head
+                dims.zipWithIndex.map { case (c, i) =>
+                  c -> (if (r.isNullAt(2 * i)) (0L, 0L)
+                        else (r.getLong(2 * i), r.getLong(2 * i + 1)))
+                }.toMap
+              }
+            val (rMin, rMax) = bounds.getOrElse(bucketCol, (0L, 0L))
+            val (z2Min, z2Max) = bounds.getOrElse(zorderBy, (0L, 0L))
+            val token = newToken()
+            val m0 = SnapManifest(1, 0, token, tag,
+              data.schema.toDDL, keyCols, bucketCol, buckets, layout,
+              rMin, rMax, Seq.empty, applied, "create", 0,
+              Map.empty, Seq.empty, statsCols, zorderBy, z2Min, z2Max)
+            val gate = () => Published.assertLeaseOwned(loc)
+            val files = stageDataFiles(spark, loc, m0, dataP, 1, token, gate)
+            graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
+            commitManifest(Published.fsOf(loc), loc, m0.copy(files = files),
+              gate)
+          } finally dataP.unpersist()
       }
     }
   }
@@ -1196,8 +1236,8 @@ object Snap {
     val delta = deltaIn.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try Published.withLeaseAwaiting(loc, s"snap:${loc.getName}") {
-      val m = head(spark, loc).getOrElse(
-        sys.error(s"snap $loc: merge into a table that never committed"))
+      val m = traced("merge.head")(head(spark, loc).getOrElse(
+        sys.error(s"snap $loc: merge into a table that never committed")))
       // the streaming replay guard lives HERE, on the same head read
       // the merge plans against (one manifest resolve per micro-batch):
       // a batch the high-water already covers was committed by a
@@ -1229,11 +1269,10 @@ object Snap {
       ()
     }
 
-  /** The merge contract, refused loudly BEFORE any staging: full
-    * schema (names AND types), a boolean delete flag, one non-null-
-    * keyed row per key with a non-null flag. */
-  private[sources] def contractCheck(m: SnapManifest, delta: DataFrame,
-                            deletedCol: String): Unit = {
+  /** The merge contract's DRIVER-side half: full schema (names AND
+    * types), a boolean delete flag that shadows nothing. */
+  private def contractCheckSchema(m: SnapManifest, delta: DataFrame,
+                                  deletedCol: String): Unit = {
     val schema = m.schema
     require(schema.fieldNames.forall(delta.columns.contains),
       s"delta is missing table columns: " +
@@ -1262,6 +1301,14 @@ object Snap {
     require(!schema.fieldNames.contains(deletedCol),
       s"the table schema already has a column named '$deletedCol' — pass " +
         "a different deletedCol (the delete flag may not shadow data)")
+  }
+
+  /** The merge contract, refused loudly BEFORE any staging: full
+    * schema (names AND types), a boolean delete flag, one non-null-
+    * keyed row per key with a non-null flag. */
+  private[sources] def contractCheck(m: SnapManifest, delta: DataFrame,
+                            deletedCol: String): Unit = {
+    contractCheckSchema(m, delta, deletedCol)
     val keyEx = m.keyCols.map(col)
     // contract guards in ONE pass: at most one delta row per key (a
     // dup makes "latest-wins" order-dependent), no null key values
@@ -1276,9 +1323,50 @@ object Snap {
       .filter(col("count") > 1 || col("null_del") > 0 ||
         m.keyCols.map(col(_).isNull).reduce(_ || _))
       .limit(1).count()
-    require(bad == 0, "delta carries duplicate keys, null keys, or a null " +
+    require(bad == 0, contractMsg(deletedCol))
+  }
+
+  private def contractMsg(deletedCol: String): String =
+    "delta carries duplicate keys, null keys, or a null " +
       s"$deletedCol flag — resolve to one non-null-keyed row per key with " +
-      "an explicit true/false delete flag before merging")
+      "an explicit true/false delete flag before merging"
+
+  /** [[contractCheck]]'s data pass and [[deltaRanges]] FUSED into one
+    * Spark job (r20 optimization): per-commit fixed cost is the s05–s09
+    * lifecycle benches' dominant term, and the two actions read the
+    * same persisted delta to answer per-key questions (the contract)
+    * and per-bucket questions (the ranges). One two-level aggregation
+    * — keys, then buckets — answers both with one collect of ≤ buckets
+    * rows. min/max stay distributive across the levels (per-key min of
+    * a contract-clean delta is the row itself), and the refusal fires
+    * BEFORE the ranges are used, so a violating delta never plans. */
+  private[sources] def contractCheckWithRanges(
+      m: SnapManifest, delta: DataFrame,
+      deletedCol: String): Map[Int, (String, String)] = {
+    contractCheckSchema(m, delta, deletedCol)
+    val keyEx = m.keyCols.map(col)
+    val anyNullKey = m.keyCols.map(col(_).isNull).reduce(_ || _)
+    val rows = delta
+      .withColumn("_b", bucketExpr(m, identity))
+      .groupBy(keyEx: _*)
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col(deletedCol).isNull, 1)).as("null_del"),
+        max(when(anyNullKey, 1).otherwise(0)).as("null_key"),
+        min(col("_b")).as("_b"),
+        min(col(m.bucketCol)).as("kmn"),
+        max(col(m.bucketCol)).as("kmx"))
+      .groupBy(col("_b"))
+      .agg(max(col("cnt")).as("max_cnt"),
+        sum(col("null_del")).as("null_del"),
+        max(col("null_key")).as("null_key"),
+        min(col("kmn")).cast("string").as("mn"),
+        max(col("kmx")).cast("string").as("mx"))
+      .collect()
+    require(!rows.exists(r => r.getAs[Long]("max_cnt") > 1 ||
+        r.getAs[Long]("null_del") > 0 || r.getAs[Int]("null_key") > 0),
+      contractMsg(deletedCol))
+    rows.map(r => r.getAs[Int]("_b") ->
+      (r.getAs[String]("mn"), r.getAs[String]("mx"))).toMap
   }
 
   /** Per-bucket delta key ranges: ≤ buckets rows to the driver — the
@@ -1320,8 +1408,11 @@ object Snap {
                                      foldDvs: Seq[SnapFile],
                                      carryDvs: Seq[SnapFile])
 
-  private[sources] def planMerge(m: SnapManifest, delta: DataFrame): MergePlan = {
-    val ranges = deltaRanges(m, delta)
+  private[sources] def planMerge(m: SnapManifest, delta: DataFrame): MergePlan =
+    planMergeWithRanges(m, deltaRanges(m, delta))
+
+  private[sources] def planMergeWithRanges(
+      m: SnapManifest, ranges: Map[Int, (String, String)]): MergePlan = {
     val touched = ranges.keySet
     val (foldD, carryD) = m.deltas.partition(d => touched.contains(d.bucket))
     def pick(a: String, b: String, takeA: Boolean): String = if (takeA) a else b
@@ -1363,14 +1454,16 @@ object Snap {
     {
       val gate = () => Published.assertLeaseOwned(loc)
       val fs = Published.fsOf(loc)
-      contractCheck(m, delta, deletedCol)
-      val plan = planMerge(m, delta)
+      val ranges = traced("merge.contractCheck")(
+        contractCheckWithRanges(m, delta, deletedCol))
+      val plan = traced("merge.planMerge")(planMergeWithRanges(m, ranges))
       val merged = mergedFrame(spark, loc, m, delta, deletedCol, plan)
 
       val token = newToken()
       val next = m.version + 1
       val files = plan.carry ++
-        stageDataFiles(spark, loc, m, merged, next, token, gate)
+        traced("merge.stageDataFiles")(
+          stageDataFiles(spark, loc, m, merged, next, token, gate))
       graft.RestartKit.crashWindow("snapstage", SnapHaltEnv)
       val mn = m.copy(version = next, parent = m.version, writer = token,
         files = files, applied = appliedStamp.getOrElse(m.applied),
@@ -1389,7 +1482,7 @@ object Snap {
         System.out.flush()
         Runtime.getRuntime.halt(137)
       }
-      commitManifest(fs, loc, mn, gate)
+      traced("merge.commitManifest")(commitManifest(fs, loc, mn, gate))
       graft.RestartKit.crashWindow("snapcommit", SnapHaltEnv)
       if (autoOptimize > 0 && (files ++ mn.deltas ++ mn.dvs)
           .groupBy(_.bucket).valuesIterator.exists(_.size >= autoOptimize)) {
@@ -1555,9 +1648,8 @@ object Snap {
         else {
           val gate = () => Published.assertLeaseOwned(loc)
           val fs = Published.fsOf(loc)
-          dvContractCheck(m, del)
           val keys = del.select(m.keyCols.map(col): _*)
-          val ranges = deltaRanges(m, keys)
+          val ranges = dvContractCheckWithRanges(m, del)
           val targets = m.files.filter(fileIntersects(m.keyKind, ranges))
           val next = m.version + 1
           val token = newToken()
@@ -1610,7 +1702,12 @@ object Snap {
 
   /** The deleteVector contract: key columns present under the table's
     * types, one row per key, no null key values. */
-  private def dvContractCheck(m: SnapManifest, del: DataFrame): Unit = {
+  /** The deleteVector contract (key columns present and typed, one
+    * non-null-keyed row per key) and [[deltaRanges]] fused into one
+    * job — the same per-commit fixed-cost fold as
+    * [[contractCheckWithRanges]], for the deletion-vector commit. */
+  private def dvContractCheckWithRanges(
+      m: SnapManifest, del: DataFrame): Map[Int, (String, String)] = {
     require(m.keyCols.forall(del.columns.contains),
       s"deleteVector input is missing key columns: " +
         m.keyCols.filterNot(del.columns.contains).mkString(","))
@@ -1620,12 +1717,26 @@ object Snap {
       "deleteVector key column types diverge from the table schema: " +
         mistyped.mkString(","))
     val keyEx = m.keyCols.map(col)
-    val bad = del.groupBy(keyEx: _*)
-      .agg(count(lit(1)).as("count"))
-      .filter(col("count") > 1 ||
-        m.keyCols.map(col(_).isNull).reduce(_ || _))
-      .limit(1).count()
-    require(bad == 0, "deleteVector input carries duplicate or null keys")
+    val anyNullKey = m.keyCols.map(col(_).isNull).reduce(_ || _)
+    val rows = del
+      .withColumn("_b", bucketExpr(m, identity))
+      .groupBy(keyEx: _*)
+      .agg(count(lit(1)).as("cnt"),
+        max(when(anyNullKey, 1).otherwise(0)).as("null_key"),
+        min(col("_b")).as("_b"),
+        min(col(m.bucketCol)).as("kmn"),
+        max(col(m.bucketCol)).as("kmx"))
+      .groupBy(col("_b"))
+      .agg(max(col("cnt")).as("max_cnt"),
+        max(col("null_key")).as("null_key"),
+        min(col("kmn")).cast("string").as("mn"),
+        max(col("kmx")).cast("string").as("mx"))
+      .collect()
+    require(!rows.exists(r => r.getAs[Long]("max_cnt") > 1 ||
+        r.getAs[Int]("null_key") > 0),
+      "deleteVector input carries duplicate or null keys")
+    rows.map(r => r.getAs[Int]("_b") ->
+      (r.getAs[String]("mn"), r.getAs[String]("mx"))).toMap
   }
 
   /** Stage + promote the per-target DV files: the hits frame
@@ -1773,8 +1884,8 @@ object Snap {
         val m = head(spark, loc).getOrElse(
           sys.error(s"snap $loc: merge into a table that never committed"))
         if (appliedStamp.exists(_ <= m.applied)) return m.version
-        contractCheck(m, delta, deletedCol)
-        val plan = planMerge(m, delta)
+        val plan = planMergeWithRanges(m,
+          contractCheckWithRanges(m, delta, deletedCol))
         val merged = mergedFrame(spark, loc, m, delta, deletedCol, plan)
         val token = newToken()
         occTrace(s"attempt=$attempt stage_start=${System.currentTimeMillis()}")

@@ -146,8 +146,8 @@ object SnapBranch {
       val fs = Published.fsOf(loc)
       val bh = head(spark, loc, name).getOrElse(
         sys.error(s"snap branch $name@$loc never committed — create first"))
-      Snap.contractCheck(bh, delta, deletedCol)
-      val plan = Snap.planMerge(bh, delta)
+      val plan = Snap.planMergeWithRanges(bh,
+        Snap.contractCheckWithRanges(bh, delta, deletedCol))
       val merged = Snap.mergedFrame(spark, loc, bh, delta, deletedCol, plan)
       val token = Snap.newToken()
       val next = bh.version + 1

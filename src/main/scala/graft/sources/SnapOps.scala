@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   * q127's count_exact pattern); SnapSpec pins the exact file sets. */
 object SnapOps {
 
+  /** Bag (multiset) equality in ONE Spark job (r20 optimization): the
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` idiom the
+    * lifecycle audits used costs FOUR actions, each shuffling both
+    * inputs; per-row-count equality over a null-safe full-outer join
+    * answers the same question in one. Column order follows `a`. */
+  private[graft] def bagEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    val ac = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_na"))
+    val bc = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_nb"))
+    // null-safe join keys: exceptAll matches null cells as equal, the
+    // plain equi-join would not
+    val cond = cols.map(c => ac(c) <=> bc(c)).reduce(_ && _)
+    ac.join(bc, cond, "full_outer")
+      .filter(!(col("__graft_na") <=> col("__graft_nb")))
+      .limit(1).count() == 0
+  }
+
   private[graft] val custBuckets = 8
   private[graft] val ordBuckets = 16
 
@@ -1284,7 +1301,7 @@ object SnapOps {
     // SQL v4 ≡ Scala-API head: identical deltas through either door
     val api = Snap.read(spark, ensureCust(spark, dir))
     val sqlV4 = Snap.read(spark, loc, asOf = Some(4))
-    val matches = sqlV4.exceptAll(api).isEmpty && api.exceptAll(sqlV4).isEmpty
+    val matches = bagEqual(sqlV4, api)
     // pruning probe through the catalog (plan-time stats skipping)
     val hi = (Snap.atVersion(spark, loc, 1).rangeMax + 1) / 8
     val probe = spark.sql(
@@ -1401,7 +1418,7 @@ object SnapOps {
     val atV3 = Snap.read(spark, loc, asOf = Some(3))
     val folded = Snap.read(spark, loc, asOf = Some(4))
     val foldOk = Snap.atVersion(spark, loc, 4).dvs.isEmpty &&
-      atV3.exceptAll(folded).isEmpty && folded.exceptAll(atV3).isEmpty
+      bagEqual(atV3, folded)
     atV3.groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_rows"),
         round(sum(col("c_acctbal")) + lit(1e-9), 2).as("tot_bal"))
@@ -1549,7 +1566,7 @@ object SnapOps {
       SnapBranch.create(spark, loc, bName)
     val bSql = spark.sql(s"SELECT * FROM $cat.$tbl VERSION AS OF '$bName'")
     val bApi = SnapBranch.read(spark, loc, bName)
-    val branchOk = bSql.exceptAll(bApi).isEmpty && bApi.exceptAll(bSql).isEmpty
+    val branchOk = bagEqual(bSql, bApi)
     SnapBranch.drop(spark, loc, bName)
     val pinned = spark.sessionState.catalogManager.catalog(cat)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
@@ -1624,8 +1641,7 @@ object SnapOps {
     val (cat, tbl, loc) = ensureProcLife(spark, dir)
     val histSql = spark.sql(s"CALL $cat.system.history('$tbl')")
     val histApi = Snap.history(spark, loc)
-    val historyOk = histSql.exceptAll(histApi).isEmpty &&
-      histApi.exceptAll(histSql).isEmpty
+    val historyOk = bagEqual(histSql, histApi)
     val h = Snap.head(spark, loc).get
     val rebucketOk = h.op == "rebucket" && h.buckets == 16 && h.version == 4
     val publishOk = Snap.atVersion(spark, loc, 3).op == "publish"

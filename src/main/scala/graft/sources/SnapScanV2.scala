@@ -11,8 +11,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.functions.{col, max_by, struct}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -394,14 +393,27 @@ final class SnapScan(spark: SparkSession, loc: HPath,
       val df = Published.retryIO()(
         spark.read.schema(deltaPhys).parquet(paths: _*))
       val physKeys = m.keyCols.map(m.physicalOf)
-      val mask: Set[Seq[Any]] = normKeys(
-        df.select(physKeys.map(col): _*).distinct().collect())
-      val w = Window.partitionBy(physKeys.map(col): _*)
-        .orderBy(col(Snap.MorSeqCol).desc)
-      val winners = df.withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") === 1 && !col(Snap.MorDelCol))
-        .select(physRequired.fieldNames.map(col).toSeq: _*)
+      // ONE job for mask AND winners (r20 — the old shape paid a
+      // distinct-collect plus a window-collect over the same delta
+      // files): per key, the highest-sequence image via max_by —
+      // exactly the window's rn=1 row, because sequence ties are
+      // impossible (one delta row per key per commit, one sequence
+      // per commit). Every grouped key feeds the mask; non-deleted
+      // winners project to the requested columns.
+      val structFields =
+        (physRequired.fieldNames.toSeq :+ Snap.MorDelCol).distinct
+      val rows = df.groupBy(physKeys.map(col): _*)
+        .agg(max_by(struct(structFields.map(col): _*),
+          col(Snap.MorSeqCol)).as("__graft_w"))
         .collect()
+      val mask: Set[Seq[Any]] = rows.map(r => physKeys.indices.toList
+        .map(i => SnapV2.normExternal(r.get(i))): Seq[Any]).toSet
+      val winners = rows.flatMap { r =>
+        val w = r.getStruct(physKeys.length)
+        if (w.getAs[Boolean](Snap.MorDelCol)) None
+        else Some(Row.fromSeq(
+          physRequired.fieldNames.map(n => w.getAs[Any](n)).toSeq))
+      }
       (mask ++ dvMask, winners)
     }
   }

@@ -8,10 +8,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DeltaBatchWrite, DeltaWrite, DeltaWriter, DeltaWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, count, lit, row_number, sum, when}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, min_by, raise_error, struct, sum, when}
 import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructType}
 
 /** DataSource V2 write path for [[Snap]] tables — every SQL verb
@@ -56,6 +56,38 @@ object SnapWriteV2 {
         "take SQL writes (the staged-delta flag would shadow it)")
     StructType(tableSchema.fields.map(_.copy(nullable = true)) :+
       StructField("_deleted", BooleanType, nullable = false))
+  }
+
+  /** Resolve the staged delta to ONE row per key in a single
+    * aggregation (r20 optimization — the old shape paid a separate
+    * dup-probe job plus a window sort per statement/epoch, pure fixed
+    * cost on the native sink's per-epoch path): an upsert beats the
+    * delete the same statement staged for the key it vacated
+    * (`min_by` on the delete flag — ties are identical delete rows),
+    * and two surviving rows for one key REFUSE via `raise_error`
+    * riding the resolved delete flag, which every consumer (the merge
+    * contract job, the deferred create's staging pass, the delete-only
+    * probe) evaluates on its FIRST action — still strictly before any
+    * manifest commits, without its own Spark job. */
+  private[sources] def resolveStaged(raw: DataFrame, keyCols: Seq[String],
+                                     what: String): DataFrame = {
+    val keyEx = keyCols.map(col)
+    val dataCols = raw.columns.filterNot(keyCols.contains).toSeq
+    raw.groupBy(keyEx: _*)
+      .agg(min_by(struct(dataCols.map(col): _*),
+          col("_deleted").cast("int")).as("__graft_r"),
+        sum(when(!col("_deleted"), 1L).otherwise(0L)).as("__graft_ups"))
+      .select((keyEx ++ dataCols.map {
+        case "_deleted" =>
+          when(col("__graft_ups") > 1,
+            raise_error(concat(
+              lit(s"$what stages more than one surviving row for key ("),
+              concat_ws(",", keyEx.map(_.cast("string")): _*),
+              lit(") — a snap table is keyed; deduplicate the source " +
+                "(or MERGE from an aggregated source)"))))
+            .otherwise(col("__graft_r._deleted")).as("_deleted")
+        case c => col("__graft_r").getField(c).as(c)
+      }): _*)
   }
 
   /** Build the executor-side parquet writer factory for `schema` and
@@ -173,18 +205,10 @@ final class SnapStagedWrite(
         spark.read.schema(staged).parquet(files: _*))
       // one row per key: an upsert beats the delete the SAME statement
       // staged when a key moved (UPDATE old→new stages both); two
-      // upserts for one key is a real conflict on a keyed table
-      val dup = raw.groupBy(keyEx: _*)
-        .agg(sum(when(!col("_deleted"), 1L).otherwise(0L)).as("__graft_ups"))
-        .filter(col("__graft_ups") > 1L).limit(1).collect()
-      require(dup.isEmpty,
-        s"snap catalog: statement stages more than one surviving row " +
-          s"for key ${dup.headOption.orNull} — a snap table is keyed; " +
-          "deduplicate the source (or MERGE from an aggregated source)")
-      val w = Window.partitionBy(keyEx: _*).orderBy(col("_deleted").asc)
-      val resolved = raw
-        .withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      // upserts for one key is a real conflict on a keyed table —
+      // refused in-plan by resolveStaged before anything commits
+      val resolved = SnapWriteV2.resolveStaged(raw, keyCols,
+        "snap catalog: statement")
       // INSERT OVERWRITE (SupportsTruncate): the staged upserts REPLACE
       // the content — every current key the statement did not restate
       // gets a delete row, and the whole replacement lands as ONE merge
@@ -192,7 +216,13 @@ final class SnapStagedWrite(
         if (!replace || pendingCreate.isDefined) resolved
         else {
           val keep = resolved.filter(!col("_deleted")).select(keyEx: _*)
-          val doomed = Snap.read(spark, loc).select(keyEx: _*).except(keep)
+          // left_anti, not except: a snap table's keys are unique, so
+          // the anti-join is row-equivalent — and it broadcasts the
+          // statement's keys instead of shuffling the TABLE's keys
+          // (except dedups both sides; at 100 TB that is a full-table
+          // exchange for a metadata-sized question)
+          val doomed = Snap.read(spark, loc).select(keyEx: _*)
+            .join(keep, keyCols, "left_anti")
           resolved.unionByName(doomed.select(
             (tableSchema.fields.map { f =>
               if (keyCols.contains(f.name)) col(f.name)
@@ -331,7 +361,11 @@ final class SnapStreamingWrite(
   }
 
   override def commit(epochId: Long,
-                      messages: Array[WriterCommitMessage]): Unit = {
+                      messages: Array[WriterCommitMessage]): Unit =
+    Snap.traced(s"sink.commit(e$epochId)")(commitImpl(epochId, messages))
+
+  private def commitImpl(epochId: Long,
+                         messages: Array[WriterCommitMessage]): Unit = {
     if (!lineageDone.get()) {
       Published.stampOrVerifyLineage(loc, queryId,
         s"snap streaming sink $loc")
@@ -344,17 +378,10 @@ final class SnapStreamingWrite(
       val keyEx = keyCols.map(col)
       val raw = Published.retryIO()(
         spark.read.schema(staged).parquet(files: _*))
-      val dup = raw.groupBy(keyEx: _*)
-        .agg(sum(when(!col("_deleted"), 1L).otherwise(0L)).as("__graft_ups"))
-        .filter(col("__graft_ups") > 1L).limit(1).collect()
-      require(dup.isEmpty,
-        s"snap streaming sink: epoch $epochId stages more than one row " +
-          s"for key ${dup.headOption.orNull} — a snap table is keyed; " +
-          "aggregate or deduplicate upstream of the sink")
-      val w = Window.partitionBy(keyEx: _*).orderBy(col("_deleted").asc)
-      val resolved = raw
-        .withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      // one row per key; a bag epoch refuses in-plan (resolveStaged)
+      // on the commit's first action, before any manifest lands
+      val resolved = SnapWriteV2.resolveStaged(raw, keyCols,
+        s"snap streaming sink: epoch $epochId")
       if (!created && Snap.head(spark, loc).isEmpty) {
         // first data = the deferred create, epoch stamped as applied so
         // a replayed epoch 0 no-ops through the high-water
@@ -371,7 +398,13 @@ final class SnapStreamingWrite(
           if (!replace) resolved
           else {
             val keep = resolved.filter(!col("_deleted")).select(keyEx: _*)
-            val doomed = Snap.read(spark, loc).select(keyEx: _*).except(keep)
+            // left_anti, not except: a snap table's keys are unique, so
+          // the anti-join is row-equivalent — and it broadcasts the
+          // statement's keys instead of shuffling the TABLE's keys
+          // (except dedups both sides; at 100 TB that is a full-table
+          // exchange for a metadata-sized question)
+          val doomed = Snap.read(spark, loc).select(keyEx: _*)
+            .join(keep, keyCols, "left_anti")
             resolved.unionByName(doomed.select(
               (tableSchema.fields.map { f =>
                 if (keyCols.contains(f.name)) col(f.name)

@@ -385,8 +385,21 @@ object KllPublish {
           Published.write(spark, tbl, "slice", Sketches.kllTableBuckets,
             fp(segDir), readSegments(spark, segDir))
         } else {
-          val hwRow = spark.table(tbl).agg(max(col("batch"))).head
-          val hw = if (hwRow.isNullAt(0)) Long.MinValue else hwRow.getLong(0)
+          // ONE job answers both per-batch questions (r20 optimization —
+          // these are fixed per-trigger control-plane costs): the
+          // published table's high-water AND whether the store holds
+          // any segment past it worth appending. The old shape paid a
+          // table-hw job plus a separate pending-emptiness probe job.
+          val probe = spark.table(tbl)
+            .agg(max(col("batch")).as("b")).withColumn("src", lit("tbl"))
+            .unionByName(readSegments(spark, segDir)
+              .filter(col("batch") <= batchId)
+              .agg(max(col("batch")).as("b")).withColumn("src", lit("seg")))
+            .collect().map(r =>
+              r.getString(1) -> (if (r.isNullAt(0)) Long.MinValue
+                                 else r.getLong(0))).toMap
+          val hw = probe("tbl")
+          val segHw = probe("seg")
           if (hw < batchId && compactedHw(spark, segDir) > hw) {
             // the store was FOLDED past the table's high-water (a
             // compaction ran — and died before its rebuild — while
@@ -404,9 +417,10 @@ object KllPublish {
             // EMPTY batches keep hw pinned at the last non-empty id, so
             // without this guard every empty trigger would pay an
             // empty append job + a manifest re-stamp (r16 review
-            // finding #7) — the emptiness probe is one job over the
-            // kilobyte store
-            if (!pending.isEmpty) {
+            // finding #7) — the emptiness answer now rides the probe
+            // job above (a segment past hw and at or under batchId
+            // exists iff segHw > hw)
+            if (segHw > hw) {
               // commit gates bracket the append exactly like q124/q127:
               // abort BEFORE appending over a rival's writes; a lost
               // lease after the job aborts BEFORE the re-stamp, so the
