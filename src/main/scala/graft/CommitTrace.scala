@@ -81,7 +81,12 @@ object CommitTrace {
           println(f"CT s09 run=$run wall ${(System.nanoTime() - tR) / 1e9}%.2f s")
         }
       case "merge" =>
-        // N plain Snap.merge commits (the s06/s07 per-commit unit)
+        // N plain Snap.merge commits (the s06/s07 per-commit unit).
+        // SPARK_GRAFT_CT_NOAQE=true runs them with AQE off — an A/B of
+        // how much of the per-commit fixed cost is AQE's per-stage job
+        // scheduling on metadata-sized shuffles.
+        if (sys.env.get("SPARK_GRAFT_CT_NOAQE").contains("true"))
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
         val root = java.nio.file.Files.createTempDirectory("ct_merge")
         val loc = new org.apache.hadoop.fs.Path(root.resolve("t").toString)
         val cust = graft.sources.Tables.customer(spark, sfDir)

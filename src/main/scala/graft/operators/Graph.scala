@@ -550,6 +550,14 @@ object Graph {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("pa"), col("pb"))
+      // materialize ONCE (r20, guide §3.3): closeTriangles consumes the
+      // edge list four ways (degrees, orientation, closure), and each
+      // consumer re-ran the basket self-join + aggregation — the
+      // query's whole cost — behind it; AQE's exchange reuse does not
+      // collapse the repeats across this plan's differing parents.
+      // O(edges) executor-local blocks, the same size the closure
+      // shuffles anyway (q87's buckets precedent).
+      .localCheckpoint(true)
     closeTriangles(pairs)
   }
 
@@ -575,11 +583,14 @@ object Graph {
       .union(pairs.select(col("pb").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val lowFirst = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+    // the wedge self-join consumes the oriented edges TWICE — one
+    // materialization instead of two degree-join pipelines (r20)
     val oriented = pairs
       .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
       .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
       .select(when(lowFirst, col("pa")).otherwise(col("pb")).as("u"),
         when(lowFirst, col("pb")).otherwise(col("pa")).as("v"))
+      .localCheckpoint(true)
     val wedges = oriented.as("w1").join(oriented.as("w2"),
         col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
       .select(col("w1.u").as("piv"), col("w1.v").as("x"), col("w2.v").as("y"))

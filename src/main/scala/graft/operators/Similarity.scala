@@ -1854,8 +1854,13 @@ object Similarity {
     * counting is a tiny (queries·k)-row join; every frame after the
     * corpus scans is audit-sized. */
   def q102AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the ground truth ONCE (r20, guide §3.3): it is
+    // consumed four ways below (query spine + one hits-join per index
+    // leg), and each consumer re-ran the full brute-force KNN — the
+    // exact-GT crossJoin, the audit's single most expensive leg —
+    // behind it. 30 rows of (q_id, vec_id) after the rk filter.
     val gt = q30KnnBruteforce(spark, dir).filter(col("rk") <= 3)
-      .select(col("q_id"), col("vec_id"))
+      .select(col("q_id"), col("vec_id")).localCheckpoint(true)
     val lsh = q31AnnLsh(spark, dir).select(col("q_id"), col("vec_id"))
     val ivf = q46AnnIvf(spark, dir).select(col("q_id"), col("vec_id"))
     // the IVF-PQ row (r7 verdict ask #4): same ground truth, so

@@ -1415,7 +1415,9 @@ object SnapOps {
     val positionalOk = v3.dvs.nonEmpty &&
       v3.dvs.forall(v => baseNames.contains(Snap.dvTargetOf(v)))
     val residualOk = v3.deltas.size == v2.deltas.size + 1
-    val atV3 = Snap.read(spark, loc, asOf = Some(3))
+    // the through-DV read feeds both the content face and the fold
+    // audit — one materialization instead of two DV-masked reads (r20)
+    val atV3 = Snap.read(spark, loc, asOf = Some(3)).localCheckpoint(true)
     val folded = Snap.read(spark, loc, asOf = Some(4))
     val foldOk = Snap.atVersion(spark, loc, 4).dvs.isEmpty &&
       bagEqual(atV3, folded)

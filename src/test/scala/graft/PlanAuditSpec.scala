@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     *    BroadcastNestedLoopJoin of a 1-row broadcast side — constant
     *    work per probe row at any corpus size.
     *  - **Bounded-domain non-equi joins**: exact-kNN ground truth
-    *    (q30/q93, and q102 which runs q30 internally) broadcasts the
+    *    (q30/q93; q102 materializes q30's output before joining) broadcasts the
     *    ≤10-query audit set against the corpus — linear in the corpus
     *    by construction, and the thing the ANN operators exist to
     *    avoid; q36/q48 join domain-bounded spines (hours × region
@@ -60,7 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     "q95_bigram_lm" -> "1-row corpus-total frame cross join",
     "q96_source_divergence" -> "1-row corpus-distribution frame cross join",
     "q98_join_card_estimate" -> "sketch x sketch 1-row summaries",
-    "q102_ann_recall" -> "runs q30 ground truth internally",
+    // q102 is deliberately absent since r20: its q30 ground truth is
+    // materialized eagerly (localCheckpoint — one brute-force pass
+    // instead of one per index leg), so the returned plan joins a
+    // 30-row LogicalRDD and no nested loop survives to the audit
     "q104_heavy_hitters" -> "1-row token-count frame cross join",
     // q125 is deliberately absent: its exact quantiles enter as
     // literals (Sketches.exactQuantilesDistributed), so the face is
