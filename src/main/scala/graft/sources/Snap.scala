@@ -908,9 +908,17 @@ object Snap {
     // captured alongside the stats — no re-listing on the hot path.
     val (dirs, statSeq) =
       Published.retryJobIO(s"snap staging of $stage", gate) {
+        // committer v2 + no _SUCCESS for the STAGE write only: the dir
+        // is token-private and the whole job retries from scratch, so
+        // v1's job-commit rename pass (and the marker) buy nothing here
+        // — they are per-commit fs chatter (object-store renames are
+        // copies). Visibility/atomicity live in promoteStaged + the
+        // manifest, never in the committer.
         traced("stage.write")(
           stamped.repartition(col("_b"))
             .write.mode(SaveMode.Overwrite).partitionBy("_b")
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
             .parquet(fs.makeQualified(stage).toString))
         val dirList = fs.listStatus(stage)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
@@ -1758,6 +1766,9 @@ object Snap {
           hits.select(col(FileNameCol), col(RowPosCol).as(DvPosCol))
             .repartition(col(FileNameCol))
             .write.mode(SaveMode.Overwrite).partitionBy(FileNameCol)
+            // same private-stage committer shape as stageWrite
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
             .parquet(fs.makeQualified(stage).toString)
           val dirList = fs.listStatus(stage)
             .filter(st => st.isDirectory &&
